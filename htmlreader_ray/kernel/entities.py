@@ -110,7 +110,7 @@ def html_escape(s: str) -> str:
     (/root/reference/Sources/NSString+HTMLEntities.m:13-25)."""
     return (
         s.replace("&", "&amp;")
-        .replace(" ", "&nbsp;")
+        .replace("\xa0", "&nbsp;")
         .replace('"', "&quot;")
         .replace("<", "&lt;")
         .replace(">", "&gt;")

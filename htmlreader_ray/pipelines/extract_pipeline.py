@@ -1,0 +1,171 @@
+"""The flagship extraction pipeline (SURVEY.md §7.1).
+
+    corpus (doc_id, spans)
+      ├─ tag: doc_bytes (vectorized arrow kernel)
+      ├─ SMALL branch (vast majority): ParseExtract actor pool — no shuffle
+      └─ MEGA branch (skew tail): split at span boundaries -> (doc_id, part)
+         -> ParseExtract -> groupby(doc_id).map_groups(reassemble)
+           [the ONLY shuffle in the pipeline, touching only the skew tail]
+      └─ union -> sink
+
+Scale notes (100 TB / 256 nodes):
+- The two branches are separate consumers of the tagged dataset; Ray Data
+  executes the upstream read twice, but the read is a cheap columnar scan
+  with row-group pruning while the expensive work (parse) is paid exactly
+  once per document. At ingest scale, store ``doc_bytes`` as a top-level
+  column so ``read_parquet(filter=...)`` prunes at the source and the double
+  scan disappears entirely.
+- Mega documents are split at SPAN boundaries only — parser state cannot
+  cross an HTML payload (SURVEY.md §2.10) — so a 1 GB doc with many spans
+  fans out across the cluster and is reassembled by a doc_id-hash shuffle
+  whose volume is only the skew tail, not the corpus.
+- No stage materializes the dataset; everything streams with backpressure.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..kernel.extract import ExtractConfig
+from ..sources.corpus import SPANS_OUT_TYPE, SPANS_TYPE
+from ..stages.parse_extract import ParseExtract
+
+DEFAULT_MEGA_THRESHOLD = 4 << 20   # docs larger than this are split
+DEFAULT_PART_TARGET = 1 << 20      # target bytes per split part
+
+
+def tag_doc_bytes(batch: pa.Table) -> pa.Table:
+    """Append a ``doc_bytes`` column = total HTML payload bytes per doc.
+    Pure-arrow + numpy (no Python per-row loop)."""
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    if len(batch) == 0:
+        return batch.append_column("doc_bytes", pa.array([], pa.int64()))
+    flat = pc.list_flatten(spans)
+    text_lens = pc.binary_length(pc.struct_field(flat, "text")).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    lengths = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    # reduceat quirks: empty lists repeat the next segment and indices must
+    # stay in range — pad with one zero and mask empties afterwards
+    padded = np.concatenate([text_lens, [0]])
+    starts = np.minimum(starts, len(padded) - 1)
+    sums = np.add.reduceat(padded, starts)
+    sums = np.where(lengths == 0, 0, sums)
+    return batch.append_column("doc_bytes", pa.array(sums, pa.int64()))
+
+
+def _filter_small(batch: pa.Table, threshold: int) -> pa.Table:
+    mask = pc.less_equal(batch.column("doc_bytes"), threshold)
+    return batch.filter(mask).drop_columns(["doc_bytes"])
+
+
+def _filter_mega(batch: pa.Table, threshold: int) -> pa.Table:
+    mask = pc.greater(batch.column("doc_bytes"), threshold)
+    return batch.filter(mask).drop_columns(["doc_bytes"])
+
+
+def split_mega_batch(batch: pa.Table, part_target: int) -> pa.Table:
+    """Split each mega-doc's span list into parts at span boundaries.
+    Output rows: (doc_id, part_idx, spans)."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    spans_lists = batch.column("spans").to_pylist()
+    out_ids: list[str] = []
+    out_part: list[int] = []
+    out_spans: list[list[dict]] = []
+    for doc_id, spans in zip(doc_ids, spans_lists):
+        spans = sorted(spans or [], key=lambda s: s.get("offset", 0))
+        part: list[dict] = []
+        part_bytes = 0
+        part_idx = 0
+        for span in spans:
+            part.append(span)
+            part_bytes += len(span.get("text") or "")
+            if part_bytes >= part_target:
+                out_ids.append(doc_id)
+                out_part.append(part_idx)
+                out_spans.append(part)
+                part, part_bytes = [], 0
+                part_idx += 1
+        if part or part_idx == 0:
+            out_ids.append(doc_id)
+            out_part.append(part_idx)
+            out_spans.append(part)
+    return pa.Table.from_arrays(
+        [pa.array(out_ids, pa.string()),
+         pa.array(out_part, pa.int32()),
+         pa.array(out_spans, SPANS_TYPE)],
+        names=["doc_id", "part_idx", "spans"])
+
+
+def reassemble_group(group: pa.Table) -> pa.Table:
+    """map_groups kernel: concat a doc's part outputs in part order and
+    re-number span order densely (the groupby-doc_id aggregate-sort step of
+    the north rule)."""
+    order_idx = pc.sort_indices(group.column("part_idx"))
+    group = group.take(order_idx)
+    spans_parts = group.column("spans_out").to_pylist()
+    merged: list[dict] = []
+    for part in spans_parts:
+        merged.extend(part or [])
+    for i, span in enumerate(merged):
+        span["order"] = i
+    doc_id = group.column("doc_id")[0].as_py()
+    n_chars = sum(len(s["text"]) for s in merged)
+    return pa.Table.from_arrays(
+        [pa.array([doc_id], pa.string()),
+         pa.array([merged], SPANS_OUT_TYPE),
+         pa.array([len(merged)], pa.int32()),
+         pa.array([n_chars], pa.int64())],
+        names=["doc_id", "spans_out", "n_spans", "n_chars"])
+
+
+def extract_dataset(ds, *, config: Optional[ExtractConfig] = None,
+                    mega_threshold: int = DEFAULT_MEGA_THRESHOLD,
+                    part_target: int = DEFAULT_PART_TARGET,
+                    batch_size: int = 64,
+                    concurrency=None):
+    """corpus Dataset -> extracted Dataset (doc_id, spans_out, n_spans,
+    n_chars). Lazy; consume with write_parquet / iter_batches."""
+    import ray
+    import ray.data  # local import: library code must not own a Ray session
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    if concurrency is None:
+        # autoscaling pools: min 1 actor so the two branch pools never
+        # deadlock each other on a small cluster, max sized to the cluster
+        concurrency = (1, max(1, cpus))
+    if isinstance(concurrency, int):
+        concurrency = (1, concurrency)
+    # skew tail is a small fraction of docs: cap its pool
+    mega_concurrency = (1, max(1, concurrency[1] // 2))
+    tagged = ds.map_batches(tag_doc_bytes, batch_format="pyarrow")
+
+    small = tagged.map_batches(
+        _filter_small, fn_kwargs={"threshold": mega_threshold},
+        batch_format="pyarrow")
+    small_out = small.map_batches(
+        ParseExtract, fn_constructor_kwargs={"config": config},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+    mega = tagged.map_batches(
+        _filter_mega, fn_kwargs={"threshold": mega_threshold},
+        batch_format="pyarrow")
+    mega_parts = mega.map_batches(
+        split_mega_batch, fn_kwargs={"part_target": part_target},
+        batch_format="pyarrow")
+    mega_parsed = mega_parts.map_batches(
+        ParseExtract, fn_constructor_kwargs={
+            "config": config, "passthrough_cols": ("part_idx",)},
+        batch_format="pyarrow", batch_size=4,
+        concurrency=mega_concurrency)
+    mega_out = mega_parsed.groupby("doc_id").map_groups(
+        reassemble_group, batch_format="pyarrow")
+
+    return small_out.union(mega_out)
