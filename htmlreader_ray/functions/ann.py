@@ -1,0 +1,200 @@
+"""Similarity search over an embedding column (list<float>).
+
+- Brute-force cosine top-k: the query matrix is ray.put ONCE and read inside
+  every map_batches task (broadcast, never re-shipped per batch); each batch
+  computes a numpy matmul and emits only its LOCAL top-k per query, so the
+  shuffle/merge volume is O(n_queries * k * n_blocks), not O(corpus).
+- IVF variant: deterministic coarse centroids; vectors are bucketed by
+  nearest centroid inside map_batches (one pass); queries probe only the
+  nprobe nearest buckets. The scale path when brute force stops fitting.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+
+def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    col = batch.column(vec_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(flat) // max(1, len(batch))
+    return flat.reshape(len(batch), dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BatchTopK:
+    """map_batches task fn: emit the batch-local top-k candidates per query.
+
+    ``queries_ref`` is a ray.ObjectRef to (query_ids, normalized query
+    matrix) — resolved once per task, zero-copy from the object store.
+    """
+
+    def __init__(self, queries_ref, k: int, vec_col: str = "embedding",
+                 id_col: str = "vec_id", exclude_self: bool = True) -> None:
+        import ray
+        self.query_ids, self.q = ray.get(queries_ref)
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.float64())],
+                names=["query_id", "vec_id", "sim"])
+        ids = np.asarray(batch.column(self.id_col).to_pylist())
+        m = _normalize(_batch_matrix(batch, self.vec_col))
+        sims = self.q @ m.T  # (n_queries, n_batch)
+        out_q, out_v, out_s = [], [], []
+        k = min(self.k, sims.shape[1])
+        for qi, qid in enumerate(self.query_ids):
+            row = sims[qi]
+            if self.exclude_self:
+                mask = ids == qid
+                row = np.where(mask, -np.inf, row)
+            top = np.argpartition(-row, k - 1)[:k]
+            for j in top:
+                if row[j] == -np.inf:
+                    continue
+                out_q.append(int(qid))
+                out_v.append(int(ids[j]))
+                out_s.append(float(row[j]))
+        return pa.Table.from_arrays(
+            [pa.array(out_q, pa.int64()), pa.array(out_v, pa.int64()),
+             pa.array(out_s, pa.float64())],
+            names=["query_id", "vec_id", "sim"])
+
+
+def _global_topk(group: pa.Table, k: int) -> pa.Table:
+    import pyarrow.compute as pc
+    idx = pc.sort_indices(
+        group, sort_keys=[("sim", "descending"), ("vec_id", "ascending")])
+    group = group.take(idx[:k])
+    ranks = pa.array(range(1, len(group) + 1), pa.int64())
+    return pa.Table.from_arrays(
+        [group.column("query_id"), group.column("vec_id"),
+         group.column("sim"), ranks],
+        names=["query_id", "vec_id", "sim", "rank"])
+
+
+def brute_force_topk(ds, query_ids: list[int], k: int = 5, *,
+                     vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Dataset + query ids (rows of the same dataset) -> Dataset
+    (query_id, vec_id, sim, rank). Queries are materialized once (they are
+    tiny), broadcast via ray.put."""
+    import ray
+    import pyarrow.compute as pc
+
+    def keep_queries(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(id_col),
+                        value_set=pa.array(query_ids, pa.int64()))
+        return batch.filter(mask)
+
+    q_rows = ds.map_batches(keep_queries, batch_format="pyarrow").take_all()
+    q_rows.sort(key=lambda r: query_ids.index(r[id_col]))
+    qids = [r[id_col] for r in q_rows]
+    qm = _normalize(np.array([r[vec_col] for r in q_rows], dtype=np.float64))
+    queries_ref = ray.put((qids, qm))
+
+    local = ds.map_batches(
+        BatchTopK,
+        fn_constructor_kwargs=dict(queries_ref=queries_ref, k=k,
+                                   vec_col=vec_col, id_col=id_col),
+        batch_format="pyarrow", concurrency=(1, 8))
+    return local.groupby("query_id").map_groups(
+        _global_topk, fn_kwargs={"k": k}, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------- IVF
+
+class IVFAssign:
+    """Assign each vector to its nearest coarse centroid (one pass)."""
+
+    def __init__(self, centroids_ref, vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> None:
+        import ray
+        self.centroids = ray.get(centroids_ref)  # normalized (C, d)
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("bucket", pa.array([], pa.int32()))
+        m = _normalize(_batch_matrix(batch, self.vec_col))
+        sims = m @ self.centroids.T
+        buckets = np.argmax(sims, axis=1).astype(np.int32)
+        return batch.append_column("bucket", pa.array(buckets))
+
+
+def deterministic_centroids(ds, n_centroids: int, *,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id") -> np.ndarray:
+    """Cheap deterministic coarse quantizer: the first n_centroids vectors by
+    id (a real system would run distributed k-means; the bucketing/probing
+    plumbing is identical)."""
+    import pyarrow.compute as pc
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.less(batch.column(id_col), n_centroids)
+        return batch.filter(mask)
+
+    rows = ds.map_batches(keep, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r[id_col])
+    return _normalize(np.array([r[vec_col] for r in rows], dtype=np.float64))
+
+
+def ivf_topk(ds, query_ids: list[int], k: int = 5, *, n_centroids: int = 16,
+             nprobe: int = 4, vec_col: str = "embedding",
+             id_col: str = "vec_id"):
+    """IVF-style ANN: bucket by nearest centroid, probe nprobe buckets per
+    query. Returns (query_id, vec_id, sim, rank)."""
+    import ray
+    import pyarrow.compute as pc
+
+    cents = deterministic_centroids(ds, n_centroids, vec_col=vec_col,
+                                    id_col=id_col)
+    cents_ref = ray.put(cents)
+    assigned = ds.map_batches(
+        IVFAssign, fn_constructor_kwargs=dict(centroids_ref=cents_ref,
+                                              vec_col=vec_col, id_col=id_col),
+        batch_format="pyarrow", concurrency=(1, 8))
+
+    def keep_queries(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(id_col),
+                        value_set=pa.array(query_ids, pa.int64()))
+        return batch.filter(mask)
+
+    q_rows = ds.map_batches(keep_queries, batch_format="pyarrow").take_all()
+    qids = [r[id_col] for r in q_rows]
+    qm = _normalize(np.array([r[vec_col] for r in q_rows], dtype=np.float64))
+    probe = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]
+    probe_sets = {int(q): set(int(b) for b in row)
+                  for q, row in zip(qids, probe)}
+    all_buckets = sorted({b for s in probe_sets.values() for b in s})
+
+    def keep_probed(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("bucket"),
+                        value_set=pa.array(all_buckets, pa.int32()))
+        return batch.filter(mask)
+
+    probed = assigned.map_batches(keep_probed, batch_format="pyarrow")
+    queries_ref = ray.put((qids, qm))
+    local = probed.map_batches(
+        BatchTopK,
+        fn_constructor_kwargs=dict(queries_ref=queries_ref, k=k,
+                                   vec_col=vec_col, id_col=id_col),
+        batch_format="pyarrow", concurrency=(1, 8))
+    return local.groupby("query_id").map_groups(
+        _global_topk, fn_kwargs={"k": k}, batch_format="pyarrow")

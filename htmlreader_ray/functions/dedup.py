@@ -1,0 +1,225 @@
+"""Deduplication pipelines: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Shuffle-frugal Ray Data patterns:
+- EXACT: hash the content inside map_batches (so the shuffle key is a small
+  fixed-width digest, never the full text), then one groupby on the digest
+  with a min-id aggregate.
+- MINHASH+LSH: shingle -> 128-perm minhash signature (numpy, vectorized over
+  permutations) -> band rows (b bands x r rows) -> groupby(band bucket) ->
+  candidate pairs -> exact Jaccard verify inside the group. Only small
+  (bucket_key, doc_id, signature-slice) rows ever shuffle.
+- SIMHASH: 64-bit simhash -> 4x16-bit band buckets -> same pattern with
+  Hamming verification.
+
+All stages stream; nothing materializes the corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+# deterministic 61-bit universal hash parameters for minhash permutations
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(n_perm: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=n_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=n_perm, dtype=np.uint64)
+    return a, b
+
+
+def _shingles(text: str, k: int = 5) -> np.ndarray:
+    """Character k-shingle 64-bit hashes (stable across workers)."""
+    t = " ".join(text.split()).lower()
+    if len(t) < k:
+        t = t + " " * (k - len(t))
+    out = np.empty(len(t) - k + 1, dtype=np.uint64)
+    for i in range(len(t) - k + 1):
+        h = hashlib.blake2b(t[i:i + k].encode("utf-8"),
+                            digest_size=8).digest()
+        out[i] = int.from_bytes(h, "little")
+    return np.unique(out)
+
+
+def minhash_signature(text: str, a: np.ndarray, b: np.ndarray,
+                      k: int = 5) -> np.ndarray:
+    sh = _shingles(text, k)
+    if len(sh) == 0:
+        return np.zeros(len(a), dtype=np.uint64)
+    # (n_perm, n_shingles) universal hashing, vectorized
+    with np.errstate(over="ignore"):
+        vals = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+class MinHashBands:
+    """map_batches actor: text -> one output row per LSH band.
+
+    Output: (doc_id, band, bucket) — bucket is a digest of the band's
+    signature slice, so the groupby key is 16 bytes regardless of corpus
+    size.
+    """
+
+    def __init__(self, n_perm: int = 128, bands: int = 32, shingle_k: int = 5,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 seed: int = 42) -> None:
+        assert n_perm % bands == 0
+        self.a, self.b = _hash_params(n_perm, seed)
+        self.bands = bands
+        self.rows = n_perm // bands
+        self.k = shingle_k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        out_ids, out_band, out_bucket = [], [], []
+        for doc_id, text in zip(ids, texts):
+            sig = minhash_signature(text or "", self.a, self.b, self.k)
+            for band in range(self.bands):
+                chunk = sig[band * self.rows:(band + 1) * self.rows]
+                bucket = hashlib.blake2b(
+                    chunk.tobytes() + band.to_bytes(2, "little"),
+                    digest_size=8).hexdigest()
+                out_ids.append(doc_id)
+                out_band.append(band)
+                out_bucket.append(bucket)
+        return pa.Table.from_arrays(
+            [pa.array(out_ids), pa.array(out_band, pa.int32()),
+             pa.array(out_bucket, pa.string())],
+            names=[self.id_col, "band", "bucket"])
+
+
+def candidate_pairs_from_bucket(group: pa.Table,
+                                id_col: str = "doc_id") -> pa.Table:
+    """map_groups kernel over (band, bucket) groups: emit unique candidate
+    pairs (a < b)."""
+    ids = sorted(set(group.column(id_col).to_pylist()))
+    a_out, b_out = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a_out.append(ids[i])
+            b_out.append(ids[j])
+    return pa.Table.from_arrays(
+        [pa.array(a_out), pa.array(b_out)], names=["id_a", "id_b"])
+
+
+def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    sa, sb = _shingles(text_a, k), _shingles(text_b, k)
+    if len(sa) == 0 and len(sb) == 0:
+        return 1.0
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    union = len(sa) + len(sb) - inter
+    return inter / union if union else 0.0
+
+
+def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
+    """Word n-gram Jaccard (the non-hashed exact variant)."""
+    def grams(t: str) -> set:
+        w = t.split()
+        return {tuple(w[i:i + n]) for i in range(max(0, len(w) - n + 1))}
+    ga, gb = grams(text_a), grams(text_b)
+    if not ga and not gb:
+        return 1.0
+    return len(ga & gb) / len(ga | gb)
+
+
+# ------------------------------------------------------------------ simhash
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word features."""
+    v = np.zeros(64, dtype=np.int64)
+    for w in text.lower().split():
+        h = int.from_bytes(
+            hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(),
+            "little")
+        bits = np.unpackbits(
+            np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8))
+        v += np.where(bits == 1, 1, -1)
+    bits = (v > 0).astype(np.uint8)
+    return int.from_bytes(np.packbits(bits).tobytes(), "little")
+
+
+class SimHashBands:
+    """map_batches callable: text -> (doc_id, simhash, band, bucket16).
+    4 bands x 16 bits finds all pairs within Hamming distance 3."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id") -> None:
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        out_ids, out_sim, out_band, out_bucket = [], [], [], []
+        for doc_id, text in zip(ids, texts):
+            sh = simhash64(text or "")
+            for band in range(4):
+                bucket = (sh >> (band * 16)) & 0xFFFF
+                out_ids.append(doc_id)
+                out_sim.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
+                out_band.append(band)
+                out_bucket.append(bucket)
+        return pa.Table.from_arrays(
+            [pa.array(out_ids), pa.array(out_sim, pa.int64()),
+             pa.array(out_band, pa.int32()), pa.array(out_bucket, pa.int32())],
+            names=[self.id_col, "simhash", "band", "bucket"])
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+# ---------------------------------------------------------------- pipelines
+
+def exact_dedup_ids(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Dataset -> Dataset[(id_col,)] of surviving ids (min id per distinct
+    content). Shuffle key = md5 digest, not the text."""
+    from ray.data.aggregate import Min
+
+    def digest(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        keys = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+                for t in texts]
+        return pa.Table.from_arrays(
+            [pa.array(keys, pa.string()), batch.column(id_col)],
+            names=["content_key", id_col])
+
+    agg = (ds.map_batches(digest, batch_format="pyarrow")
+           .groupby("content_key")
+           .aggregate(Min(id_col)))
+    min_col = f"min({id_col})"
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays([batch.column(min_col)], names=[id_col])
+
+    return agg.map_batches(project, batch_format="pyarrow")
+
+
+def minhash_dedup_pairs(ds, *, threshold: float = 0.8, n_perm: int = 128,
+                        bands: int = 32, shingle_k: int = 5,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        concurrency=(1, 8)):
+    """Dataset -> Dataset[(id_a, id_b)] candidate near-dup pairs that passed
+    banding (pre-verification). Verification against exact Jaccard happens in
+    verify_pairs (needs the texts; at scale, a broadcast side table or a join
+    against the hot pair set)."""
+    banded = ds.map_batches(
+        MinHashBands,
+        fn_constructor_kwargs=dict(n_perm=n_perm, bands=bands,
+                                   shingle_k=shingle_k, text_col=text_col,
+                                   id_col=id_col),
+        batch_format="pyarrow", concurrency=concurrency)
+    pairs = (banded.groupby(["band", "bucket"])
+             .map_groups(candidate_pairs_from_bucket,
+                         batch_format="pyarrow"))
+    # distinct pairs (same pair can fire in many bands)
+    from ray.data.aggregate import Count
+    return (pairs.groupby(["id_a", "id_b"]).aggregate(Count())
+            .select_columns(["id_a", "id_b"]))

@@ -1,0 +1,203 @@
+"""Query-surface stage callables used by __ray_entry__.py.
+
+Each is a map_batches-shaped callable (pyarrow in/out). Classes hold
+compiled state (selectors, extractors) built once per actor; plain functions
+are stateless tasks. Every query here corresponds to an operator row in
+SURVEY.md §2 or a training-data component; the DuckDB oracles live in
+__ray_entry__.oracle_sql().
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..kernel import parse, parse_bytes, parse_fragment, serialize
+from ..kernel.extract import Extractor
+from ..kernel.selector import compile_selector
+from ..sources.corpus import build_page, interleave_rows
+from ..stages.parse_extract import ParseExtract
+
+
+def _esc(text: str) -> str:
+    return text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+# ---------------------------------------------------------------- flagship
+
+def explode_spans_out(batch: pa.Table) -> pa.Table:
+    """(doc_id, spans_out, ...) -> one row per span."""
+    ids = batch.column("doc_id").to_pylist()
+    spans = batch.column("spans_out").to_pylist()
+    out_id, out_ord, out_kind, out_text, out_ref = [], [], [], [], []
+    for doc_id, lst in zip(ids, spans):
+        for s in lst or []:
+            out_id.append(doc_id)
+            out_ord.append(s["order"])
+            out_kind.append(s["kind"])
+            out_text.append(s["text"])
+            out_ref.append(s["media_ref"])
+    return pa.Table.from_arrays(
+        [pa.array(out_id, pa.string()), pa.array(out_ord, pa.int64()),
+         pa.array(out_kind, pa.string()), pa.array(out_text, pa.string()),
+         pa.array(out_ref, pa.string())],
+        names=["doc_id", "span_order", "kind", "text", "media_ref"])
+
+
+# ------------------------------------------------------------- parse heads
+
+class TextContentRoundtrip:
+    """M14: wrap text in a div, full parse, textContent of body."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out = []
+        for t in texts:
+            doc = parse(f"<div id=c>{_esc(t or '')}</div>")
+            body = doc.body_element
+            out.append(body.text_content if body is not None else "")
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(out, pa.string())],
+            names=["doc_id", "text_content"])
+
+
+class SelectorCounts:
+    """P1-P5 over the generated page; selectors compiled once per actor."""
+
+    def __init__(self) -> None:
+        self.sel_links = compile_selector("a[href]")
+        self.sel_li = compile_selector("li")
+        self.sel_p = compile_selector("p")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        n_links, n_li, n_p = [], [], []
+        for key, t in zip(ids, texts):
+            doc = parse(build_page(int(key), t or ""))
+            links = li = p = 0
+            for node in doc.elements_in_tree_order():
+                if self.sel_links.matches(node):
+                    links += 1
+                if self.sel_li.matches(node):
+                    li += 1
+                if self.sel_p.matches(node):
+                    p += 1
+            n_links.append(links)
+            n_li.append(li)
+            n_p.append(p)
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(n_links, pa.int64()),
+             pa.array(n_li, pa.int64()), pa.array(n_p, pa.int64())],
+            names=["doc_id", "n_links", "n_list_items", "n_paragraphs"])
+
+
+class QuirksMode:
+    """M5: doctype family of the generated page -> quirks classification."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        modes = []
+        for key, t in zip(ids, texts):
+            doc = parse(build_page(int(key), t or ""))
+            modes.append(doc.quirks_mode)
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(modes, pa.string())],
+            names=["doc_id", "quirks_mode"])
+
+
+class EncodingSniff:
+    """S4/S5: encode text bytes three ways, sniff, report the label."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernel.encoding import sniff_encoding
+        import codecs
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        labels, confs = [], []
+        for key, t in zip(ids, texts):
+            t = t or ""
+            v = int(key) % 3
+            if v == 0:
+                data = codecs.BOM_UTF8 + t.encode("utf-8")
+                ct = None
+            elif v == 1:
+                data = codecs.BOM_UTF16_LE + t.encode("utf-16-le")
+                ct = None
+            else:
+                data = t.encode("utf-8")
+                ct = "text/html; charset=iso-8859-1"
+            res = sniff_encoding(data, ct)
+            labels.append(res.label)
+            confs.append(res.confidence)
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(labels, pa.string()),
+             pa.array(confs, pa.string())],
+            names=["doc_id", "enc_label", "confidence"])
+
+
+class MetaCharsetRestart:
+    """S1+M6: utf-8 bytes, no BOM/header, <meta charset=utf-8> with a
+    non-cp1252-roundtrippable marker -> the one-doc reparse fires."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        encs, contents = [], []
+        for t in texts:
+            page = ("<html><head><meta charset=utf-8></head>"
+                    f"<body><div>café {_esc(t or '')}</div></body></html>")
+            doc = parse_bytes(page.encode("utf-8"))
+            encs.append(doc.parsed_encoding or "")
+            body = doc.body_element
+            contents.append(body.text_content if body is not None else "")
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(encs, pa.string()),
+             pa.array(contents, pa.string())],
+            names=["doc_id", "enc_label", "content"])
+
+
+class SerializeFragment:
+    """S3+K1: fragment parse with a div context, then fragment serialization."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out = []
+        for t in texts:
+            nodes = parse_fragment(f'<p class="c">{_esc(t or "")}</p>', "div")
+            out.append("".join(serialize(n) for n in nodes))
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(out, pa.string())],
+            names=["doc_id", "serialized"])
+
+
+class MediaSpansDecode:
+    """Media branch: corpus rows -> media spans -> MediaDecode metadata."""
+
+    def __init__(self) -> None:
+        from ..stages.media import MediaDecode
+        self.decoder = MediaDecode(keep_cols=("doc_id",))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        spans = batch.column("spans").to_pylist()
+        out_ids, out_refs = [], []
+        for doc_id, lst in zip(ids, spans):
+            for s in lst or []:
+                if s["kind"] == "media":
+                    out_ids.append(doc_id)
+                    out_refs.append(s["media_ref"])
+        media = pa.Table.from_arrays(
+            [pa.array(out_ids, pa.string()), pa.array(out_refs, pa.string())],
+            names=["doc_id", "media_ref"])
+        decoded = self.decoder(media)
+        metas = decoded.column("meta").to_pylist()
+        return pa.Table.from_arrays(
+            [decoded.column("doc_id"), decoded.column("media_ref"),
+             pa.array([m["media_type"] for m in metas], pa.string()),
+             pa.array([m["format"] for m in metas], pa.string()),
+             pa.array([m["sha256"] for m in metas], pa.string())],
+            names=["doc_id", "media_ref", "media_type", "format", "sha256"])

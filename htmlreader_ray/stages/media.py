@@ -1,0 +1,101 @@
+"""Multimodal (media-span) stages: the PDF/layout/image parse branch.
+
+The north rule's media branch treats image/audio/pdf payloads as opaque
+``binary`` columns with typed metadata. The Ray-side plumbing here is REAL
+and tested — schema, actor signature, batch sizing, output layout — while
+the codec work itself is STUBBED: the container ships no image/audio
+libraries, so decode is gated behind an import-try and otherwise produces a
+deterministic fake (or raises NotImplementedError in strict mode).
+
+Pattern: actor pool with SMALL batches (large binary payloads: batch_size
+16-64, not thousands) so batch x concurrency stays inside the worker heap.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Optional
+
+import pyarrow as pa
+
+MEDIA_META_TYPE = pa.struct([
+    ("media_type", pa.string()),     # image / audio / video / pdf / other
+    ("format", pa.string()),         # png / jpg / wav / mp4 / pdf / ""
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+    ("n_frames", pa.int32()),
+    ("duration_ms", pa.int32()),
+    ("sha256", pa.string()),
+    ("decoded", pa.bool_()),
+])
+
+_EXT_RE = re.compile(r"\.([a-z0-9]+)$")
+_FORMAT_KIND = {
+    "png": "image", "jpg": "image", "jpeg": "image", "gif": "image",
+    "webp": "image", "wav": "audio", "mp3": "audio", "flac": "audio",
+    "mp4": "video", "webm": "video", "pdf": "pdf",
+}
+
+try:  # the real decoder would go here; absent in this container
+    import PIL.Image as _PIL  # noqa: F401
+    _HAVE_PIL = True
+except Exception:
+    _HAVE_PIL = False
+
+
+class MediaDecode:
+    """Actor-pool stage: (doc_id, media_ref[, payload: binary]) ->
+    (doc_id, media_ref, meta: MEDIA_META_TYPE).
+
+    ``strict=True`` raises NotImplementedError when no codec library exists
+    (production posture); the default emits a deterministic fake so the
+    pipeline shape is exercisable end-to-end.
+    """
+
+    def __init__(self, *, strict: bool = False,
+                 ref_col: str = "media_ref",
+                 payload_col: Optional[str] = None,
+                 keep_cols: tuple[str, ...] = ("doc_id",)) -> None:
+        self.strict = strict
+        self.ref_col = ref_col
+        self.payload_col = payload_col
+        self.keep_cols = keep_cols
+        if strict and not _HAVE_PIL:
+            raise NotImplementedError(
+                "media decode requires an image library (PIL); not present "
+                "in this container — run with strict=False for the "
+                "deterministic stub")
+
+    def _meta_for(self, ref: str, payload: Optional[bytes]) -> dict:
+        m = _EXT_RE.search(ref or "")
+        fmt = m.group(1) if m else ""
+        kind = _FORMAT_KIND.get(fmt, "other")
+        digest = hashlib.sha256(
+            payload if payload is not None else (ref or "").encode("utf-8")
+        ).hexdigest()
+        # deterministic fake dimensions derived from the digest
+        seed = int(digest[:8], 16)
+        return {
+            "media_type": kind,
+            "format": fmt,
+            "width": 64 + seed % 1024 if kind in ("image", "video") else 0,
+            "height": 64 + (seed >> 10) % 1024 if kind in ("image", "video") else 0,
+            "n_frames": 1 + seed % 32 if kind == "video" else (1 if kind == "image" else 0),
+            "duration_ms": seed % 60000 if kind in ("audio", "video") else 0,
+            "sha256": digest,
+            "decoded": False,  # stub never truly decodes
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column(self.ref_col).to_pylist()
+        payloads = (batch.column(self.payload_col).to_pylist()
+                    if self.payload_col and self.payload_col in batch.column_names
+                    else [None] * len(refs))
+        metas = [self._meta_for(r, p) for r, p in zip(refs, payloads)]
+        arrays = [batch.column(c) for c in self.keep_cols]
+        names = list(self.keep_cols)
+        arrays += [batch.column(self.ref_col),
+                   pa.array(metas, MEDIA_META_TYPE)]
+        names += [self.ref_col, "meta"]
+        return pa.Table.from_arrays(arrays, names=names)
