@@ -92,17 +92,18 @@ def _skip_ws(s: str, pos: int) -> int:
 # ------------------------------------------------------------ an+b parsing
 
 _ANB_RE = re.compile(
-    r"^\s*(?:(odd)|(even)|"
-    r"(?:([+-]?\d*)(n)\s*(?:([+-])\s*(\d+))?)|"
-    r"([+-]?\d+))\s*$",
+    r"^(?:(odd)|(even)|"
+    r"(?:([+-]?\d*)(n)(?:([+-])(\d+))?)|"
+    r"([+-]?\d+))$",
     re.IGNORECASE,
 )
 
 
 def parse_nth(expr: str) -> tuple[int, int]:
     """Parse an an+b expression -> (a, b)
-    (reference: parseNth, HTMLSelector.m:966-1005)."""
-    m = _ANB_RE.match(expr)
+    (reference: parseNth, HTMLSelector.m:966-1005). Whitespace is
+    insignificant anywhere in the expression."""
+    m = _ANB_RE.match(re.sub(r"\s+", "", expr))
     if m is None:
         raise ValueError(f"bad an+b expression: {expr!r}")
     if m.group(1):  # odd

@@ -43,8 +43,8 @@ PLAINTEXT = 4
 
 _WS = "\t\n\x0c "
 
-_TAG_NAME_RE = re.compile(r"[^\t\n\x0c />\0]+")
-_ATTR_NAME_RE = re.compile(r"[^\t\n\x0c /=>\0]+")
+_TAG_NAME_RE = re.compile(r"[^\t\n\x0c />]+")
+_ATTR_NAME_RE = re.compile(r"[^\t\n\x0c /=>]+")
 _UNQUOTED_VALUE_RE = re.compile(r"[^\t\n\x0c >&\0]+")
 _BOGUS_RE = re.compile(r"[^>]*")
 

@@ -1,0 +1,100 @@
+"""DOM invariants (reference: HTMLNodeTests.m:33-208,
+HTMLTreeEnumeratorTests.m:14-48, HTMLDictionaryTests.m)."""
+
+from htmlreader_ray.kernel import parse
+from htmlreader_ray.kernel.dom import Comment, Document, Element, Text
+
+
+def test_attribute_insertion_order_preserved():
+    el = Element("div")
+    el.attrs["zeta"] = "1"
+    el.attrs["alpha"] = "2"
+    el.attrs["mid"] = "3"
+    assert list(el.attrs) == ["zeta", "alpha", "mid"]
+    doc = parse('<div z="1" a="2" m="3">')
+    div = doc.body_element.children[0]
+    assert list(div.attrs) == ["z", "a", "m"]
+
+
+def test_mutation_parent_pointers():
+    parent = Element("div")
+    child = Element("p")
+    parent.append_child(child)
+    assert child.parent is parent
+    other = Element("span")
+    other.append_child(child)
+    assert child.parent is other
+    assert parent.children == []
+    other.remove_child(child)
+    assert child.parent is None
+
+
+def test_insert_child_at_index():
+    parent = Element("div")
+    a, b, c = Element("a"), Element("b"), Element("c")
+    parent.append_child(a)
+    parent.append_child(c)
+    parent.insert_child(1, b)
+    assert [e.tag for e in parent.children] == ["a", "b", "c"]
+
+
+def test_insert_text_merges_adjacent():
+    parent = Element("div")
+    parent.append_child(Text("one"))
+    parent.insert_text(1, "two")
+    assert len(parent.children) == 1
+    assert parent.children[0].data == "onetwo"
+    parent.insert_text(0, "zero")
+    assert parent.children[0].data == "zeroonetwo"
+
+
+def test_text_content_getter_setter():
+    doc = parse("<div>a<span>b</span>c</div>")
+    div = doc.body_element.children[0]
+    assert div.text_content == "abc"
+    div.text_content = "replaced"
+    assert len(div.children) == 1
+    assert div.text_content == "replaced"
+
+
+def test_text_components():
+    doc = parse("<div>a<span>b</span>c</div>")
+    div = doc.body_element.children[0]
+    assert div.text_components == ["a", "c"]
+
+
+def test_tree_order_dfs():
+    doc = parse("<a id=1><b id=2><c id=3></c></b><d id=4></d></a>")
+    names = [n.tag for n in doc.body_element.tree_order()
+             if isinstance(n, Element)]
+    assert names == ["body", "a", "b", "c", "d"]
+    rev = [n.tag for n in doc.body_element.reversed_tree_order()
+           if isinstance(n, Element)]
+    assert rev == ["d", "c", "b", "a", "body"]
+
+
+def test_class_helpers():
+    el = Element("div", {"class": "a b"})
+    assert el.has_class("a") and el.has_class("b") and not el.has_class("c")
+    el.toggle_class("c")
+    assert el.attrs["class"] == "a b c"
+    el.toggle_class("a")
+    assert el.attrs["class"] == "b c"
+
+
+def test_document_accessors():
+    doc = parse("<!DOCTYPE html><html><head><title>t</title></head>"
+                "<body>x</body></html>")
+    assert doc.doctype.name == "html"
+    assert doc.root_element.tag == "html"
+    assert doc.head_element.tag == "head"
+    assert doc.body_element.tag == "body"
+
+
+def test_no_reference_cycles_via_weak_semantics():
+    # children hold no strong back-ref problems for gc: parent removal clears
+    doc = parse("<div><p>x</p></div>")
+    div = doc.body_element.children[0]
+    p = div.children[0]
+    div.remove_child(p)
+    assert p.parent is None

@@ -1,0 +1,86 @@
+"""Encoding sniffing + meta-charset restart tests (reference:
+/root/reference/HTMLReaderTests/HTMLEncodingTests.m and
+HTMLDocumentTests.m:14-47)."""
+
+import codecs
+
+from htmlreader_ray.kernel.encoding import (CERTAIN, TENTATIVE,
+                                            encoding_for_label, sniff_encoding)
+from htmlreader_ray.kernel.parser import parse_bytes
+
+
+def test_bom_detection():
+    assert sniff_encoding(codecs.BOM_UTF8 + b"x").label == "UTF-8"
+    assert sniff_encoding(codecs.BOM_UTF16_BE + b"\x00x").label == "UTF-16BE"
+    assert sniff_encoding(codecs.BOM_UTF16_LE + b"x\x00").label == "UTF-16LE"
+    assert sniff_encoding(codecs.BOM_UTF8 + b"x").confidence == CERTAIN
+
+
+def test_content_type_charset():
+    r = sniff_encoding(b"hello", "text/html; charset=utf-8")
+    assert r.label == "UTF-8" and r.confidence == CERTAIN
+    r = sniff_encoding(b"hello", 'text/html; charset="iso-8859-1"')
+    assert r.label == "windows-1252"
+    r = sniff_encoding(b"hello", "text/html; charset=unknown-enc")
+    assert r.label == "windows-1252" and r.confidence == TENTATIVE
+
+
+def test_default_windows_1252():
+    r = sniff_encoding(b"plain")
+    assert r.label == "windows-1252" and r.confidence == TENTATIVE
+
+
+def test_labels():
+    assert encoding_for_label("  UTF-8  ")[0] == "UTF-8"
+    assert encoding_for_label("latin1")[0] == "windows-1252"
+    assert encoding_for_label("l1")[0] == "windows-1252"
+    assert encoding_for_label("ascii")[0] == "windows-1252"
+    assert encoding_for_label("x-sjis")[0] == "Shift_JIS"
+    assert encoding_for_label("koi8_r")[0] == "KOI8-R"
+    assert encoding_for_label("no-such-label") is None
+
+
+def test_wrong_content_type_lossy():
+    # reference unit case (HTMLEncodingTests.m:184-198): byte 0x90 with a
+    # utf-8 content type decodes lossily
+    doc = parse_bytes(b"<p>\x90</p>", "text/html; charset=utf-8")
+    assert doc.parsed_encoding == "UTF-8"
+    assert doc.body_element.text_content == "�"
+
+
+def test_windows_1252_high_bytes():
+    doc = parse_bytes(b"<p>\x93quoted\x94</p>")
+    assert doc.body_element.text_content == "“quoted”"
+
+
+def test_meta_charset_restart():
+    page = ("<html><head><meta charset=utf-8></head>"
+            "<body><p>café</p></body></html>").encode("utf-8")
+    doc = parse_bytes(page)
+    assert doc.parsed_encoding == "UTF-8"
+    assert doc.body_element.text_content == "café"
+
+
+def test_meta_http_equiv_restart():
+    page = ("<html><head><meta http-equiv=Content-Type "
+            "content='text/html; charset=utf-8'></head>"
+            "<body><p>naïve</p></body></html>").encode("utf-8")
+    doc = parse_bytes(page)
+    assert doc.parsed_encoding == "UTF-8"
+    assert doc.body_element.text_content == "naïve"
+
+
+def test_bom_beats_meta():
+    page = codecs.BOM_UTF8 + (
+        "<meta charset=windows-1252><p>é</p>").encode("utf-8")
+    doc = parse_bytes(page)
+    assert doc.parsed_encoding == "UTF-8"
+    assert doc.body_element.text_content == "é"
+
+
+def test_utf16_meta_pinned_to_utf8():
+    # <meta charset=utf-16> on a tentative parse re-decodes as UTF-8 per spec
+    page = "<meta charset=utf-16><p>café</p>".encode("utf-8")
+    doc = parse_bytes(page)
+    assert doc.parsed_encoding == "UTF-8"
+    assert doc.body_element.text_content == "café"

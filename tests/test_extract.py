@@ -1,0 +1,91 @@
+"""Extraction head tests: boilerplate strip, link density, span sequences."""
+
+import re
+
+import pytest
+
+from htmlreader_ray.kernel.extract import (ExtractConfig, Extractor,
+                                           normalize_media_ref)
+from htmlreader_ray.sources.corpus import build_page
+
+
+@pytest.fixture(scope="module")
+def ex():
+    return Extractor()
+
+
+def test_strip_script_style_nav(ex):
+    html = ("<body><nav><a href=/>Home</a></nav><script>var x;</script>"
+            "<style>p{}</style><p>Main content here</p>"
+            "<footer>legal</footer></body>")
+    assert ex.extract_html(html) == "Main content here"
+
+
+def test_hidden_removed(ex):
+    html = "<body><div hidden>gone</div><div aria-hidden=true>gone</div><p>kept</p></body>"
+    assert ex.extract_html(html) == "kept"
+
+
+def test_link_density_pruning(ex):
+    html = ("<body><ul><li><a href=1>l1</a><li><a href=2>l2</a>"
+            "<li><a href=3>l3</a></ul>"
+            "<p>This paragraph has plenty of real text and no links at all, "
+            "so it must survive the density filter.</p></body>")
+    out = ex.extract_html(html)
+    assert "survive" in out
+    assert "l1" not in out
+
+
+def test_link_heavy_but_long_text_survives(ex):
+    body_text = "word " * 50
+    html = (f"<body><p>{body_text}<a href=x>one link</a></p></body>")
+    out = ex.extract_html(html)
+    assert "one link" in out
+
+
+def test_whitespace_collapse(ex):
+    assert ex.extract_html("<p>a\n\n  b\tc</p>") == "a b c"
+
+
+def test_no_collapse_config():
+    ex2 = Extractor(ExtractConfig(collapse_whitespace=False))
+    assert ex2.extract_html("<body>a  b</body>") == "a  b"
+
+
+def test_extract_spans_ordering(ex):
+    spans = [
+        {"kind": "media", "text": "", "media_ref": "MEDIA://a/b.png",
+         "offset": 1},
+        {"kind": "text", "text": "<p>first</p>", "media_ref": "",
+         "offset": 0},
+        {"kind": "text", "text": "<p>third</p>", "media_ref": "",
+         "offset": 2},
+    ]
+    out = ex.extract_spans(spans)
+    assert [(s["kind"], s["order"]) for s in out] == [
+        ("text", 0), ("media", 1), ("text", 2)]
+    assert out[0]["text"] == "first"
+    assert out[1]["media_ref"] == "media://a/b.png"
+
+
+def test_empty_html_span_dropped(ex):
+    spans = [
+        {"kind": "text", "text": "<script>junk()</script>", "media_ref": "",
+         "offset": 0},
+        {"kind": "media", "text": "", "media_ref": "media://x", "offset": 1},
+    ]
+    out = ex.extract_spans(spans)
+    assert [(s["kind"], s["order"]) for s in out] == [("media", 0)]
+
+
+def test_media_ref_normalization():
+    assert normalize_media_ref("  MEDIA://A/b.PNG ") == "media://A/b.PNG"
+    assert normalize_media_ref("relative/path.png") == "relative/path.png"
+
+
+@pytest.mark.parametrize("variant", range(5))
+def test_build_page_roundtrip_all_variants(ex, variant):
+    text = "The quick brown fox & friends <jump> over 2 lazy dogs."
+    page = build_page(variant, text)
+    want = re.sub(r"\s+", " ", text).strip()
+    assert ex.extract_html(page) == want

@@ -1,0 +1,154 @@
+"""Training-data function tests: dedup, ANN, text analysis."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from htmlreader_ray.functions import dedup
+from htmlreader_ray.functions.text import (fingerprints, lang_id,
+                                           quality_scores, token_counts)
+
+SF = "/root/testdata/sf0.001"
+
+
+def tbl(ids, texts):
+    return pa.Table.from_arrays(
+        [pa.array(ids, pa.int64()), pa.array(texts, pa.string())],
+        names=["doc_id", "text"])
+
+
+# ------------------------------------------------------------------- text
+
+def test_token_counts():
+    out = token_counts(tbl([1, 2, 3], ["a b  c", "", "don't stop, now!"]))
+    assert out.column("n_words").to_pylist() == [3, 0, 3]
+    assert out.column("n_chars").to_pylist() == [6, 0, 16]
+    # GPT-2-style pretokenization: "a", " b", " ", " c" (double space splits)
+    assert out.column("n_tokens_bpe").to_pylist()[0] == 4
+
+
+def test_quality_scores_components():
+    out = quality_scores(tbl([1], ["The cat sat on the mat."]))
+    row = out.to_pylist()[0]
+    assert row["n_words"] == 6
+    assert row["n_chars"] == 23
+    assert 0 < row["stopword_ratio"] <= 1
+    assert 0 <= row["quality_score"] <= 1
+
+
+def test_lang_id_heuristic():
+    out = lang_id(tbl(
+        [1, 2, 3, 4, 5],
+        ["the cat is on the mat and it is happy",
+         "der Hund ist nicht mit der Katze und das ist gut",
+         "le chat est dans la maison et il est content avec les autres",
+         "el perro es grande y la casa es bonita para los dos",
+         "这是一个中文句子"]))
+    assert out.column("pred_lang").to_pylist() == ["en", "de", "fr", "es", "zh"]
+
+
+def test_fingerprints_deterministic():
+    a = fingerprints(tbl([1], ["hello"]))
+    b = fingerprints(tbl([9], ["hello"]))
+    assert a.column("content_md5")[0] == b.column("content_md5")[0]
+    assert a.column("rolling_hash")[0] == b.column("rolling_hash")[0]
+    import hashlib
+    assert a.column("content_md5")[0].as_py() == \
+        hashlib.md5(b"hello").hexdigest()
+
+
+# ------------------------------------------------------------------ dedup
+
+def test_jaccard_and_shingles():
+    assert dedup.jaccard("abcdefgh", "abcdefgh") == 1.0
+    assert dedup.jaccard("abcdefgh", "zzzzzzzz") == 0.0
+    near = dedup.jaccard("the quick brown fox jumps over the lazy dog",
+                         "the quick brown fox jumps over the lazy cat")
+    assert 0.5 < near < 1.0
+
+
+def test_ngram_jaccard():
+    assert dedup.ngram_jaccard("a b c d e", "a b c d e") == 1.0
+    assert dedup.ngram_jaccard("a b c d e", "v w x y z") == 0.0
+
+
+def test_minhash_similarity_estimates_jaccard():
+    a_, b_ = dedup._hash_params(256)
+    t1 = "the quick brown fox jumps over the lazy dog " * 5
+    t2 = "the quick brown fox jumps over the lazy cat " * 5
+    s1 = dedup.minhash_signature(t1, a_, b_)
+    s2 = dedup.minhash_signature(t2, a_, b_)
+    est = (s1 == s2).mean()
+    true = dedup.jaccard(t1, t2)
+    assert abs(est - true) < 0.15
+
+
+def test_simhash_near_duplicates_close():
+    h1 = dedup.simhash64("the quick brown fox jumps over the lazy dog today")
+    h2 = dedup.simhash64("the quick brown fox jumps over the lazy dog t0day")
+    h3 = dedup.simhash64("completely different words entirely unrelated set")
+    assert dedup.hamming64(h1, h2) < dedup.hamming64(h1, h3)
+    assert dedup.simhash64("same text") == dedup.simhash64("same text")
+
+
+def test_exact_dedup_ids_ray(ray_session):
+    import ray.data
+    t = tbl([5, 3, 9, 1, 7], ["dup", "dup", "unique1", "dup", "unique2"])
+    ds = ray.data.from_arrow(t)
+    out = dedup.exact_dedup_ids(ds).take_all()
+    survivors = sorted(r["doc_id"] for r in out)
+    assert survivors == [1, 7, 9]  # min id per distinct text
+
+
+def test_minhash_dedup_pipeline_ray(ray_session):
+    import ray.data
+    base = "the quick brown fox jumps over the lazy dog and runs far away "
+    texts = [base * 4,
+             (base * 4)[:-10] + " slightly!",
+             "a completely different document about ray data pipelines " * 4,
+             base * 4]  # 0,1,3 near/exact dups; 2 distinct
+    ds = ray.data.from_arrow(tbl([0, 1, 2, 3], texts))
+    pairs = dedup.minhash_dedup_pairs(ds, threshold=0.8).take_all()
+    pair_set = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 3) in pair_set
+    assert (0, 1) in pair_set or (1, 3) in pair_set
+    assert all(2 not in p for p in pair_set)
+
+
+# -------------------------------------------------------------------- ann
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    import ray.data
+    from htmlreader_ray.functions.ann import brute_force_topk
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    ds = ray.data.from_arrow(emb)
+    res = brute_force_topk(ds, query_ids=[0, 1, 2], k=5)
+    got = {}
+    for r in res.take_all():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    # numpy oracle
+    ids = np.array(emb.column("vec_id").to_pylist())
+    m = np.array(emb.column("embedding").to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for q in (0, 1, 2):
+        sims = m[ids == q][0] @ m.T
+        sims[ids == q] = -np.inf
+        order = np.lexsort((ids, -sims))[:5]
+        want = [int(ids[j]) for j in order]
+        have = [v for _, v in sorted(got[q])]
+        assert have == want
+
+
+def test_ivf_recall_reasonable(ray_session):
+    import ray.data
+    from htmlreader_ray.functions.ann import brute_force_topk, ivf_topk
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    ds = ray.data.from_arrow(emb)
+    exact = brute_force_topk(ds, query_ids=[0, 1], k=5).take_all()
+    approx = ivf_topk(ds, query_ids=[0, 1], k=5, n_centroids=8,
+                      nprobe=4).take_all()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5  # nprobe=4 of 8 buckets

@@ -1,0 +1,115 @@
+"""Ray Data pipeline integration tests (small scale, session-scoped Ray)."""
+
+import os
+import re
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from htmlreader_ray.pipelines.extract_pipeline import (extract_dataset,
+                                                       split_mega_batch,
+                                                       tag_doc_bytes)
+from htmlreader_ray.sources.corpus import (CORPUS_SCHEMA, SPANS_TYPE,
+                                           BuildInterleaved, interleave_rows)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_table():
+    return pq.read_table(f"{SF}/documents.parquet")
+
+
+def test_tag_doc_bytes_vectorized():
+    tbl = interleave_rows([1, 2], ["short", "x" * 100])
+    tagged = tag_doc_bytes(tbl)
+    vals = tagged.column("doc_bytes").to_pylist()
+    assert vals[0] > 0 and vals[1] > vals[0]
+    # empty spans row
+    empty = pa.Table.from_arrays(
+        [pa.array(["d"], pa.string()), pa.array([[]], SPANS_TYPE)],
+        schema=CORPUS_SCHEMA)
+    assert tag_doc_bytes(empty).column("doc_bytes").to_pylist() == [0]
+
+
+def test_split_mega_batch_boundaries():
+    spans = [{"kind": "text", "text": "a" * 100, "media_ref": "",
+              "offset": i} for i in range(10)]
+    tbl = pa.Table.from_arrays(
+        [pa.array(["big"], pa.string()), pa.array([spans], SPANS_TYPE)],
+        schema=CORPUS_SCHEMA)
+    out = split_mega_batch(tbl, part_target=250)
+    # 10 * 100 bytes at 250/part -> parts of 3,3,3,1 spans
+    parts = out.column("part_idx").to_pylist()
+    assert parts == [0, 1, 2, 3]
+    sizes = [len(s) for s in out.column("spans").to_pylist()]
+    assert sum(sizes) == 10
+    # never splits inside a span
+    assert all(sz >= 1 for sz in sizes)
+
+
+def test_end_to_end_with_mega_docs(ray_session, docs_table, tmp_path):
+    import ray.data
+    ds = ray.data.from_arrow(docs_table.slice(0, 60)).map_batches(
+        BuildInterleaved(), batch_format="pyarrow")
+    # threshold tiny so EVERY doc takes the mega path: exercises span split,
+    # parse-of-parts, groupby(doc_id) reassembly and the union
+    out = extract_dataset(ds, mega_threshold=100, part_target=400,
+                          concurrency=(1, 2))
+    rows = {r["doc_id"]: r for r in out.take_all()}
+    assert len(rows) == 60
+    for r in docs_table.slice(0, 60).to_pylist():
+        key = f"doc-{r['doc_id']:08d}"
+        spans = rows[key]["spans_out"]
+        want = re.sub(r"\s+", " ", r["text"]).strip()
+        assert spans[0]["kind"] == "text" and spans[0]["text"] == want
+        assert spans[1]["kind"] == "media"
+        assert [s["order"] for s in spans] == list(range(len(spans)))
+
+
+def test_run_extract_resume(ray_session, docs_table, tmp_path):
+    from htmlreader_ray.pipelines.run import run_extract
+    corpus_dir = tmp_path / "corpus"
+    corpus_dir.mkdir()
+    tbl = interleave_rows(
+        docs_table.column("doc_id").to_pylist()[:40],
+        docs_table.column("text").to_pylist()[:40])
+    pq.write_table(tbl, corpus_dir / "part0.parquet")
+    pq.write_table(tbl, corpus_dir / "part1.parquet")
+    out_dir = str(tmp_path / "out")
+    files = sorted(str(p) for p in corpus_dir.iterdir())
+    totals = run_extract(files, out_dir, shard_size=1)
+    assert totals["shards"] == 2
+    assert totals["docs"] == 80
+    # resume: no work left
+    totals2 = run_extract(files, out_dir, shard_size=1)
+    assert totals2 == run_extract(files, out_dir, shard_size=1)
+    manifest = os.path.join(out_dir, "_manifest.json")
+    assert os.path.exists(manifest)
+
+
+def test_media_decode_stage(ray_session):
+    import ray.data
+    from htmlreader_ray.stages.media import MediaDecode
+    tbl = pa.Table.from_arrays(
+        [pa.array(["d1", "d2", "d3"]),
+         pa.array(["media://img/a.png", "media://aud/b.wav",
+                   "media://doc/c.pdf"])],
+        names=["doc_id", "media_ref"])
+    ds = ray.data.from_arrow(tbl).map_batches(
+        MediaDecode, fn_constructor_kwargs={}, batch_format="pyarrow",
+        batch_size=16, concurrency=(1, 2))
+    rows = ds.take_all()
+    kinds = {r["media_ref"]: r["meta"]["media_type"] for r in rows}
+    assert kinds == {"media://img/a.png": "image",
+                     "media://aud/b.wav": "audio",
+                     "media://doc/c.pdf": "pdf"}
+    assert all(not r["meta"]["decoded"] for r in rows)
+
+
+def test_media_decode_strict_raises():
+    from htmlreader_ray.stages.media import MediaDecode
+    with pytest.raises(NotImplementedError):
+        MediaDecode(strict=True)

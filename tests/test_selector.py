@@ -1,0 +1,161 @@
+"""Selector engine tests: fixture document + golden ID lists ported from
+the reference (/root/reference/HTMLReaderTests/HTMLSelectorTests.m:17-259)
+plus an+b parsing vectors (:49-81)."""
+
+import pytest
+
+from htmlreader_ray.kernel import parse
+from htmlreader_ray.kernel.selector import (SelectorError, compile_selector,
+                                            parse_nth, select, select_first)
+
+FIXTURE = (
+    "<root id='root'>"
+    "  <parent id='empty' class='big snoopy dog'></parent>"
+    "  <arbitrary id='nonempty-yet-devoid-of-elements' class='big' lang='up-dog'> </arbitrary>"
+    "  <parent id='one-child'> <elem id='only-child'> </elem> </parent>"
+    "  <parent id='three-children'> <elem id='child1'> </elem> <other id='child2'> </other> <elem id='child3'> </elem> </parent>"
+    "  <input id='root-enabled'>"
+    "  <input id='root-disabled' disabled>"
+    "  <fieldset disabled id='fieldset-disabled'>"
+    "    <input id='input-disabled-by-fieldset'>"
+    "    <legend>"
+    "      <input id='input-enabled-by-legend'>"
+    "    </legend>"
+    "    <legend>"
+    "      <input id='input-disabled-by-legend'>"
+    "    </legend>"
+    "  </fieldset>"
+    "  <a href='' id='a-enabled'></a>"
+    "  <a name='' id='a-neither-enabled-nor-disabled'></a>"
+    "  <ahoy‽ id=interrobang>"
+    "    <there id=there></there>"
+    "    <some-ns:some-tag id='colon'></some-ns:some-tag>"
+    "    <replacement� id='fffd'></replacement�>"
+    "  </ahoy‽>"
+    "</root>"
+)
+
+
+@pytest.fixture(scope="module")
+def doc():
+    return parse(FIXTURE)
+
+
+def ids(doc, selector):
+    return [el.attrs.get("id") or el.tag for el in select(doc, selector)]
+
+
+GOLDEN = [
+    ("root", ["root"]),
+    ("parent", ["empty", "one-child", "three-children"]),
+    ("elem", ["only-child", "child1", "child3"]),
+    ("other", ["child2"]),
+    ("some-ns\\:some-tag", ["colon"]),
+    ("ahoy\\203D", ["interrobang"]),
+    ("parent *", ["only-child", "child1", "child2", "child3"]),
+    ("root * elem", ["only-child", "child1", "child3"]),
+    ("ahoy\\203d  there", ["there"]),
+    ("parent:empty", ["empty"]),
+    ("elem:first-of-type", ["only-child", "child1"]),
+    ("elem:last-of-type", ["only-child", "child3"]),
+    ("other:first-of-type", ["child2"]),
+    ("parent:first-child", ["empty"]),
+    ("elem+other", ["child2"]),
+    ("other+elem", ["child3"]),
+    ("elem~elem", ["child3"]),
+    ("arbitrary~a", ["a-enabled", "a-neither-enabled-nor-disabled"]),
+    ("elem#child1", ["child1"]),
+    ("#child1", ["child1"]),
+    ("parent.dog", ["empty"]),
+    (".dog", ["empty"]),
+    (".big:not(arbitrary)", ["empty"]),
+    ("elem:not(elem#only-child)", ["child1", "child3"]),
+    ("elem:NOT(elem#only-child)", ["child1", "child3"]),
+    ("elem:not(elem#only-child, #child3)", ["child1"]),
+    (":link", ["a-enabled"]),
+    (":visited", []),
+    (":active", []),
+    (":hover", []),
+    (":focus", []),
+    (":disabled", ["root-disabled", "fieldset-disabled",
+                   "input-disabled-by-fieldset", "input-disabled-by-legend"]),
+    (":enabled", ["root-enabled", "input-enabled-by-legend", "a-enabled"]),
+    ("[class]", ["empty", "nonempty-yet-devoid-of-elements"]),
+    ('[class="big snoopy dog"]', ["empty"]),
+    ("[class = 'big snoopy dog']", ["empty"]),
+    ("[class ~= 'dog']", ["empty"]),
+    ("[id ~= 'child1']", ["child1"]),
+    ("[lang |= 'up']", ["nonempty-yet-devoid-of-elements"]),
+    ("[id ^= child]", ["child1", "child2", "child3"]),
+    ("[id $= '-child']", ["one-child", "only-child"]),
+    ("[id *= child]", ["one-child", "only-child", "three-children",
+                       "child1", "child2", "child3"]),
+    ("[id*='ly-child']", ["only-child"]),
+    ("input#input-disabled-by-fieldset + legend input",
+     ["input-enabled-by-legend"]),
+    ("root, there", ["root", "there"]),
+    (".non, #existent, [missing], gone", []),
+    ("root, root parent, root > #there notthere",
+     ["root", "empty", "one-child", "three-children"]),
+    ("nonexistent:root > a, arbitrary, missing:not(b)",
+     ["nonempty-yet-devoid-of-elements"]),
+    # one space after a hex escape is swallowed: needs two for descendant
+    ("ahoy\\203d there", []),
+    ("replacement\\110000", ["fffd"]),
+    ("replacement\\0", ["fffd"]),
+    ("replacement\\d888", ["fffd"]),
+    ("replacement\\de0f", ["fffd"]),
+    ("replacement\\", ["fffd"]),
+]
+
+
+@pytest.mark.parametrize("selector,expected", GOLDEN,
+                         ids=[g[0][:40] for g in GOLDEN])
+def test_golden_ids(doc, selector, expected):
+    assert ids(doc, selector) == expected
+
+
+BAD = ["[id]asdf", "h2..foo", "", "\\\nuh", ",", ",uh", "buh,", ",,",
+       ":not(,)"]
+
+
+@pytest.mark.parametrize("selector", BAD)
+def test_bad_input(selector):
+    with pytest.raises(SelectorError):
+        compile_selector(selector)
+
+
+def test_first_match(doc):
+    assert select_first(doc, "fieldset").tag == "fieldset"
+    assert [el.tag for el in select(doc, "legend")] == ["legend", "legend"]
+
+
+NTH = [
+    ("odd", (2, 1)), ("even", (2, 0)), ("   odd    ", (2, 1)),
+    (" oDD", (2, 1)), ("EVEN", (2, 0)),
+    ("2", (0, 2)), ("-2", (0, -2)),
+    ("n", (1, 0)), ("-n", (-1, 0)), ("2n", (2, 0)),
+    ("n + 1", (1, 1)), ("2n + 3", (2, 3)), ("2n - 3", (2, -3)),
+    ("2n + 0", (2, 0)), ("2n - 0", (2, 0)), ("0n + 5", (0, 5)),
+    (" - 3", (0, -3)),
+]
+
+
+@pytest.mark.parametrize("expr,expected", NTH, ids=[n[0] for n in NTH])
+def test_nth_parsing(expr, expected):
+    assert parse_nth(expr) == expected
+
+
+@pytest.mark.parametrize("expr", ["2 - 2n", "2n + 3b", "x"])
+def test_nth_invalid(expr):
+    with pytest.raises(ValueError):
+        parse_nth(expr)
+
+
+def test_nth_child_matrix():
+    doc = parse("<ul>" + "".join(f"<li id=i{k}>" for k in range(1, 11)) + "</ul>")
+    assert ids(doc, "li:nth-child(2n+1)") == [f"i{k}" for k in (1, 3, 5, 7, 9)]
+    assert ids(doc, "li:nth-child(3n)") == [f"i{k}" for k in (3, 6, 9)]
+    assert ids(doc, "li:nth-last-child(2)") == ["i9"]
+    assert ids(doc, "li:nth-child(-n+3)") == ["i1", "i2", "i3"]
+    assert ids(doc, "li:only-child") == []

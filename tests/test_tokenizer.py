@@ -1,0 +1,166 @@
+"""Tokenizer conformance-style tests.
+
+Vectors hand-derived from the WHATWG tokenization spec in the html5lib
+.test style the reference consumes
+(/root/reference/HTMLReaderTests/HTMLTokenizerTests.m:138-185): token lists
+with initial states and lastStartTag, adjacent character tokens concatenated
+before comparison.
+"""
+
+import pytest
+
+from htmlreader_ray.kernel.tokenizer import (DATA, PLAINTEXT, RAWTEXT, RCDATA,
+                                             SCRIPT_DATA, Tokenizer)
+
+
+def toks(s, state=DATA, last=None):
+    t = Tokenizer(s, initial_state=state, last_start_tag=last)
+    out = []
+    for tok in t.tokens():
+        if tok[0] == "eof":
+            break
+        # concatenate adjacent character tokens (harness rule)
+        if tok[0] == "chars" and out and out[-1][0] == "chars":
+            out[-1] = ("chars", out[-1][1] + tok[1])
+        else:
+            out.append(list(tok) if False else tok)
+    return out
+
+
+CASES = [
+    # basic data / tags / attributes
+    ("plain text", [("chars", "plain text")]),
+    ("<div>", [("start", "div", {}, False)]),
+    ("<div/>", [("start", "div", {}, True)]),
+    ("<div a=b c='d' e=\"f\" g>", [("start", "div",
+        {"a": "b", "c": "d", "e": "f", "g": ""}, False)]),
+    ("<DIV A=B>", [("start", "div", {"a": "B"}, False)]),
+    ("</div>", [("end", "div")]),
+    ("<div a=b a=c>", [("start", "div", {"a": "b"}, False)]),  # dup dropped
+    ("<div =x>", [("start", "div", {"=x": ""}, False)]),
+    ("<div a =b>", [("start", "div", {"a": "b"}, False)]),
+    ("<div a= b>", [("start", "div", {"a": "b"}, False)]),
+    ("<div a\nb>", [("start", "div", {"a": "", "b": ""}, False)]),
+    ("<div a='b&amp;c'>", [("start", "div", {"a": "b&c"}, False)]),
+    ("<div a=b&ampc>", [("start", "div", {"a": "b&ampc"}, False)]),  # attr no-;
+    # attr context: named ref without ';' followed by alnum is NOT decoded
+    ("<div a='&ampx'>", [("start", "div", {"a": "&ampx"}, False)]),
+    # char refs in data
+    ("&amp;", [("chars", "&")]),
+    ("&amp", [("chars", "&")]),
+    ("&ampx", [("chars", "&x")]),
+    ("&notin;", [("chars", "∉")]),
+    ("&notit;", [("chars", "¬it;")]),
+    ("&#65;&#x42;&#X43;", [("chars", "ABC")]),
+    ("&#0;", [("chars", "�")]),
+    ("&#x80;", [("chars", "€")]),
+    ("&#xD800;", [("chars", "�")]),
+    ("&#x110000;", [("chars", "�")]),
+    ("&#; &x; &", [("chars", "&#; &x; &")]),
+    # comments
+    ("<!-- comment -->", [("comment", " comment ")]),
+    ("<!---->", [("comment", "")]),
+    ("<!----->", [("comment", "-")]),
+    ("<!------>", [("comment", "--")]),
+    ("<!--a-->", [("comment", "a")]),
+    ("<!--a--!>", [("comment", "a")]),
+    ("<!--a--b-->", [("comment", "a--b")]),
+    ("<!-->", [("comment", "")]),
+    ("<!--->", [("comment", "")]),
+    ("<!-- a\0b -->", [("comment", " a�b ")]),
+    ("<! not a comment>", [("comment", " not a comment")]),
+    ("<?php ?>", [("comment", "?php ?")]),
+    ("</>", []),
+    ("<", [("chars", "<")]),
+    ("</", [("chars", "</")]),
+    ("<3", [("chars", "<3")]),
+    # doctypes
+    ("<!DOCTYPE html>", [("doctype", "html", None, None, False)]),
+    ("<!doctype HTML>", [("doctype", "html", None, None, False)]),
+    ("<!DOCTYPE>", [("doctype", None, None, None, True)]),
+    ("<!DOCTYPE html PUBLIC '-//W3C//DTD HTML 4.01//EN'>",
+     [("doctype", "html", "-//W3C//DTD HTML 4.01//EN", None, False)]),
+    ('<!DOCTYPE html PUBLIC "-//a//b" "sys">',
+     [("doctype", "html", "-//a//b", "sys", False)]),
+    ("<!DOCTYPE html SYSTEM 'abc'>",
+     [("doctype", "html", None, "abc", False)]),
+    ("<!DOCTYPE html BOGUS junk>",
+     [("doctype", "html", None, None, True)]),
+    # tag edge cases
+    ("<div\0>", [("start", "div�", {}, False)]),
+    ("<div a='b' >x", [("start", "div", {"a": "b"}, False), ("chars", "x")]),
+    ("<div/ >", [("start", "div", {}, False)]),
+    ("<div a=/>", [("start", "div", {"a": "/"}, False)]),
+    ("a<b>c", [("chars", "a"), ("start", "b", {}, False), ("chars", "c")]),
+]
+
+
+@pytest.mark.parametrize("src,expected", CASES, ids=[c[0][:30] for c in CASES])
+def test_tokenize(src, expected):
+    assert toks(src) == expected
+
+
+RAWTEXT_CASES = [
+    # RCDATA: char refs active, only appropriate end tag closes
+    ("a&amp;b</title>x", RCDATA, "title",
+     [("chars", "a&b"), ("end", "title"), ("chars", "x")]),
+    ("a</titl></title>", RCDATA, "title",
+     [("chars", "a</titl>"), ("end", "title")]),
+    ("</TITLE >", RCDATA, "title", [("end", "title")]),
+    # RAWTEXT: no char refs
+    ("a&amp;b</style>", RAWTEXT, "style",
+     [("chars", "a&amp;b"), ("end", "style")]),
+    ("x</style y=1>", RAWTEXT, "style", [("chars", "x"), ("end", "style")]),
+    # PLAINTEXT: never closes
+    ("a</plaintext>b", PLAINTEXT, "plaintext",
+     [("chars", "a</plaintext>b")]),
+]
+
+
+@pytest.mark.parametrize("src,state,last,expected", RAWTEXT_CASES)
+def test_rawtext_modes(src, state, last, expected):
+    assert toks(src, state=state, last=last) == expected
+
+
+SCRIPT_CASES = [
+    ("var x = 1;</script>", [("chars", "var x = 1;"), ("end", "script")]),
+    ("<!-- </script>", [("chars", "<!-- "), ("end", "script")]),
+    ("<!-- x --></script>", [("chars", "<!-- x -->"), ("end", "script")]),
+    # double-escaped: "</script>" inside <!--<script> ... --> stays text
+    ("<!--<script>alert('</script>')-->x",
+     [("chars", "<!--<script>alert('</script>')-->x")]),
+    ("<!--<script></script>--></script>",
+     [("chars", "<!--<script></script>-->"), ("end", "script")]),
+    ("a < b</script>", [("chars", "a < b"), ("end", "script")]),
+]
+
+
+@pytest.mark.parametrize("src,expected", SCRIPT_CASES,
+                         ids=[c[0][:30] for c in SCRIPT_CASES])
+def test_script_data(src, expected):
+    assert toks(src, state=SCRIPT_DATA, last="script") == expected
+
+
+def test_cdata_only_in_foreign():
+    t = Tokenizer("<![CDATA[x<y]]>")
+    t.adjusted_current_node_is_foreign = True
+    out = [tok for tok in t.tokens() if tok[0] != "eof"]
+    assert out == [("chars", "x<y")]
+    # in HTML content it's a bogus comment
+    assert toks("<![CDATA[x<y]]>") == [("comment", "[CDATA[x<y]]")]
+
+
+def test_crlf_normalization():
+    assert toks("a\r\nb\rc") == [("chars", "a\nb\nc")]
+
+
+def test_eof_in_tag_drops_tag():
+    assert toks("<div a=") == []
+    assert toks("<div ") == []
+    assert toks("<div a='b") == []
+
+
+def test_eof_in_comment_emits_comment():
+    assert toks("<!--abc") == [("comment", "abc")]
+    assert toks("<!--abc-") == [("comment", "abc-")]
+    assert toks("<!--abc--") == [("comment", "abc--")]
