@@ -57,22 +57,70 @@ class Extractor:
 
     def __init__(self, config: Optional[ExtractConfig] = None) -> None:
         self.config = config or ExtractConfig()
-        self._remove: list[CompiledSelector] = [
-            compile_selector(s) for s in self.config.remove_selectors]
+        # Bucket trivial rules into set lookups (one dict probe per element)
+        # and keep compiled predicates only for selectors that need them —
+        # the hot path cost is per-ELEMENT, so this matters at corpus scale.
+        self._rm_tags: set[str] = set()
+        self._rm_classes: set[str] = set()
+        self._rm_ids: set[str] = set()
+        self._rm_attrs: list[tuple[str, Optional[str]]] = []
+        self._remove: list[CompiledSelector] = []
+        import re as _re
+        for s in self.config.remove_selectors:
+            if _re.fullmatch(r"[a-zA-Z][a-zA-Z0-9-]*", s):
+                self._rm_tags.add(s.lower())
+            elif _re.fullmatch(r"\.[a-zA-Z_][\w-]*", s):
+                self._rm_classes.add(s[1:])
+            elif _re.fullmatch(r"#[a-zA-Z_][\w-]*", s):
+                self._rm_ids.add(s[1:])
+            elif _re.fullmatch(r"\[[a-zA-Z-]+\]", s):
+                self._rm_attrs.append((s[1:-1].lower(), None))
+            elif _re.fullmatch(r"\[[a-zA-Z-]+=[\w-]+\]", s):
+                name, _, value = s[1:-1].partition("=")
+                self._rm_attrs.append((name.lower(), value))
+            else:
+                self._remove.append(compile_selector(s))
 
     # ---------------------------------------------------------------- DOM ops
     def strip_boilerplate(self, doc: Document) -> Document:
         """Mutates doc: removes rule-matched nodes, then high-link-density
         blocks."""
         root: Node = doc.body_element or doc.root_element or doc
-        # 1. selector-rule removal
+        # 1. selector-rule removal (set-bucketed fast path + compiled rest)
+        rm_tags = self._rm_tags
+        rm_classes = self._rm_classes
+        rm_ids = self._rm_ids
+        rm_attrs = self._rm_attrs
+        rest = self._remove
         doomed: list[Element] = []
         for node in root.tree_order():
-            if isinstance(node, Element):
-                for sel in self._remove:
-                    if sel.matches(node):
-                        doomed.append(node)
+            if not isinstance(node, Element):
+                continue
+            attrs = node.attrs
+            if node.tag in rm_tags:
+                doomed.append(node)
+                continue
+            if attrs:
+                if rm_ids and attrs.get("id") in rm_ids:
+                    doomed.append(node)
+                    continue
+                if rm_classes and not rm_classes.isdisjoint(
+                        (attrs.get("class") or "").split()):
+                    doomed.append(node)
+                    continue
+                hit = False
+                for name, value in rm_attrs:
+                    if name in attrs and (value is None
+                                          or attrs[name] == value):
+                        hit = True
                         break
+                if hit:
+                    doomed.append(node)
+                    continue
+            for sel in rest:
+                if sel.matches(node):
+                    doomed.append(node)
+                    break
         for el in doomed:
             if el.parent is not None:
                 el.parent.remove_child(el)

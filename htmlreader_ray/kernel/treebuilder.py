@@ -94,6 +94,9 @@ class TreeBuilder:
         self.on_meta_charset = on_meta_charset
         self.tokenizer: Optional[Tokenizer] = None
         self.stopped = False
+        # fast path: until a foreign (SVG/MathML) element is pushed, the
+        # adjusted-current-node checks can be skipped entirely
+        self.saw_foreign = False
 
     # ------------------------------------------------------------------ run
     def run(self, tokenizer: Tokenizer) -> Document:
@@ -105,10 +108,11 @@ class TreeBuilder:
             self.process(tok)
             if self.stopped:
                 break
-            # keep the tokenizer's foreign-content flag in sync for CDATA
-            acn = self._adjusted_current_node()
-            tokenizer.adjusted_current_node_is_foreign = (
-                acn is not None and acn.namespace != HTML_NS)
+            if self.saw_foreign:
+                # keep the tokenizer's foreign-content flag in sync for CDATA
+                acn = self._adjusted_current_node()
+                tokenizer.adjusted_current_node_is_foreign = (
+                    acn is not None and acn.namespace != HTML_NS)
         return self.document
 
     def _setup_fragment(self, tokenizer: Tokenizer, ctx: Element) -> None:
@@ -116,6 +120,8 @@ class TreeBuilder:
         root = Element("html")
         self.document.append_child(root)
         self.open.append(root)
+        if ctx.namespace != HTML_NS:
+            self.saw_foreign = True
         if ctx.namespace == HTML_NS:
             tag = ctx.tag
             if tag in ("title", "textarea"):
@@ -418,6 +424,9 @@ class TreeBuilder:
                 tok = ("chars", data)
         else:
             self.ignore_next_lf = False
+        if not self.saw_foreign:
+            self._process_html(tok)
+            return
         acn = self._adjusted_current_node()
         use_html = True
         if acn is not None and acn.namespace != HTML_NS:
@@ -1071,6 +1080,7 @@ class TreeBuilder:
             self._insert_node(el)
             if not self_closing:
                 self.open.append(el)
+            self.saw_foreign = True
             return False
         if name == "svg":
             self._reconstruct_afe()
@@ -1079,6 +1089,7 @@ class TreeBuilder:
             self._insert_node(el)
             if not self_closing:
                 self.open.append(el)
+            self.saw_foreign = True
             return False
         if name in ("caption", "col", "colgroup", "frame", "head", "tbody",
                     "td", "tfoot", "th", "thead", "tr"):

@@ -32,7 +32,7 @@ import pyarrow.compute as pc
 
 from ..kernel.extract import ExtractConfig
 from ..sources.corpus import SPANS_OUT_TYPE, SPANS_TYPE
-from ..stages.parse_extract import ParseExtract
+from ..stages.parse_extract import ParseExtract, parse_extract_batch
 
 DEFAULT_MEGA_THRESHOLD = 4 << 20   # docs larger than this are split
 DEFAULT_PART_TARGET = 1 << 20      # target bytes per split part
@@ -132,27 +132,23 @@ def extract_dataset(ds, *, config: Optional[ExtractConfig] = None,
                     concurrency=None):
     """corpus Dataset -> extracted Dataset (doc_id, spans_out, n_spans,
     n_chars). Lazy; consume with write_parquet / iter_batches."""
-    import ray
     import ray.data  # local import: library code must not own a Ray session
 
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    if concurrency is None:
-        # autoscaling pools: min 1 actor so the two branch pools never
-        # deadlock each other on a small cluster, max sized to the cluster
-        concurrency = (1, max(1, cpus))
-    if isinstance(concurrency, int):
-        concurrency = (1, concurrency)
-    # skew tail is a small fraction of docs: cap its pool
-    mega_concurrency = (1, max(1, concurrency[1] // 2))
+    # Parse stages run as TASKS with a per-worker-process extractor cache
+    # (see stages.parse_extract.parse_extract_batch): same load-once
+    # semantics as an actor pool, but tasks fuse with adjacent map_batches,
+    # reuse warm workers across pipeline executions, and scale elastically
+    # without pool spin-up. `concurrency` is kept for API compatibility and
+    # ignored.
+    del concurrency
     tagged = ds.map_batches(tag_doc_bytes, batch_format="pyarrow")
 
     small = tagged.map_batches(
         _filter_small, fn_kwargs={"threshold": mega_threshold},
         batch_format="pyarrow")
     small_out = small.map_batches(
-        ParseExtract, fn_constructor_kwargs={"config": config},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency)
+        parse_extract_batch, fn_kwargs={"config": config},
+        batch_format="pyarrow", batch_size=batch_size)
 
     mega = tagged.map_batches(
         _filter_mega, fn_kwargs={"threshold": mega_threshold},
@@ -161,10 +157,9 @@ def extract_dataset(ds, *, config: Optional[ExtractConfig] = None,
         split_mega_batch, fn_kwargs={"part_target": part_target},
         batch_format="pyarrow")
     mega_parsed = mega_parts.map_batches(
-        ParseExtract, fn_constructor_kwargs={
+        parse_extract_batch, fn_kwargs={
             "config": config, "passthrough_cols": ("part_idx",)},
-        batch_format="pyarrow", batch_size=4,
-        concurrency=mega_concurrency)
+        batch_format="pyarrow", batch_size=4)
     mega_out = mega_parsed.groupby("doc_id").map_groups(
         reassemble_group, batch_format="pyarrow")
 

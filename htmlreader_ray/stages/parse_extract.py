@@ -54,6 +54,26 @@ class ParseExtract:
         return pa.Table.from_arrays(arrays, names=names)
 
 
+# Per-worker-process extractor cache. Ray reuses worker processes across
+# map_batches tasks, so this gives the same load-once semantics as an actor
+# pool WITHOUT paying a fresh actor-pool spin-up per pipeline execution
+# (which dominates wall time for short jobs and for shard loops). Use the
+# ParseExtract actor class instead when per-stage state is heavy (models) or
+# must not be shared across pipelines.
+_WORKER_EXTRACTORS: dict = {}
+
+
+def parse_extract_batch(batch: pa.Table,
+                        passthrough_cols: tuple[str, ...] = (),
+                        config: Optional[ExtractConfig] = None) -> pa.Table:
+    key = (passthrough_cols, config)
+    pe = _WORKER_EXTRACTORS.get(key)
+    if pe is None:
+        pe = _WORKER_EXTRACTORS[key] = ParseExtract(
+            config, passthrough_cols=passthrough_cols)
+    return pe(batch)
+
+
 class ExtractText:
     """Lighter variant for plain HTML columns: html text column -> extracted
     main text column (used by the documents-table queries)."""
