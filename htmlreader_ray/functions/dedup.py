@@ -65,7 +65,7 @@ class MinHashBands:
     size.
     """
 
-    def __init__(self, n_perm: int = 128, bands: int = 32, shingle_k: int = 5,
+    def __init__(self, n_perm: int = 128, bands: int = 16, shingle_k: int = 5,
                  text_col: str = "text", id_col: str = "doc_id",
                  seed: int = 42) -> None:
         assert n_perm % bands == 0
@@ -203,7 +203,7 @@ def exact_dedup_ids(ds, *, text_col: str = "text", id_col: str = "doc_id"):
 
 
 def minhash_dedup_pairs(ds, *, threshold: float = 0.8, n_perm: int = 128,
-                        bands: int = 32, shingle_k: int = 5,
+                        bands: int = 16, shingle_k: int = 5,
                         text_col: str = "text", id_col: str = "doc_id",
                         concurrency=(1, 8)):
     """Dataset -> Dataset[(id_a, id_b)] candidate near-dup pairs that passed

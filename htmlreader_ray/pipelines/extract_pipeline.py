@@ -41,6 +41,8 @@ DEFAULT_PART_TARGET = 1 << 20      # target bytes per split part
 def tag_doc_bytes(batch: pa.Table) -> pa.Table:
     """Append a ``doc_bytes`` column = total HTML payload bytes per doc.
     Pure-arrow + numpy (no Python per-row loop)."""
+    if "doc_bytes" in batch.column_names:
+        return batch  # stamped at ingest
     spans = batch.column("spans")
     if isinstance(spans, pa.ChunkedArray):
         spans = spans.combine_chunks()
@@ -62,6 +64,8 @@ def tag_doc_bytes(batch: pa.Table) -> pa.Table:
 
 def _filter_small(batch: pa.Table, threshold: int) -> pa.Table:
     mask = pc.less_equal(batch.column("doc_bytes"), threshold)
+    if pc.all(mask).as_py():  # common case: zero-copy column drop only
+        return batch.drop_columns(["doc_bytes"])
     return batch.filter(mask).drop_columns(["doc_bytes"])
 
 
@@ -128,7 +132,7 @@ def reassemble_group(group: pa.Table) -> pa.Table:
 def extract_dataset(ds, *, config: Optional[ExtractConfig] = None,
                     mega_threshold: int = DEFAULT_MEGA_THRESHOLD,
                     part_target: int = DEFAULT_PART_TARGET,
-                    batch_size: int = 64,
+                    batch_size=None,
                     concurrency=None):
     """corpus Dataset -> extracted Dataset (doc_id, spans_out, n_spans,
     n_chars). Lazy; consume with write_parquet / iter_batches."""
@@ -164,3 +168,76 @@ def extract_dataset(ds, *, config: Optional[ExtractConfig] = None,
         reassemble_group, batch_format="pyarrow")
 
     return small_out.union(mega_out)
+
+
+def files_with_mega_docs(paths, threshold: int) -> list[str]:
+    """Parquet-footer prescan: which files contain docs above the skew
+    threshold, per row-group statistics on the ingest-stamped ``doc_bytes``
+    column. Metadata-only — no data pages are read. At 100 TB this footer
+    sweep is itself parallelizable (one task per few thousand files), but it
+    is milliseconds per file either way."""
+    import pyarrow.dataset as pads
+
+    dataset = pads.dataset(paths, format="parquet")
+    hits: list[str] = []
+    for frag in dataset.get_fragments():
+        frag.ensure_complete_metadata()
+        has_mega = False
+        for rg in frag.row_groups:
+            stats = (rg.statistics or {}).get("doc_bytes")
+            if stats is None or stats.get("max") is None or \
+                    stats["max"] > threshold:
+                has_mega = True
+                break
+        if has_mega:
+            hits.append(frag.path)
+    return hits
+
+
+def extract_from_parquet(paths, *, config: Optional[ExtractConfig] = None,
+                         mega_threshold: int = DEFAULT_MEGA_THRESHOLD,
+                         part_target: int = DEFAULT_PART_TARGET,
+                         batch_size=None,
+                         override_num_blocks: Optional[int] = None):
+    """Extraction over a corpus whose ``doc_bytes`` column was stamped at
+    ingest (sources.corpus.CORPUS_SCHEMA). The skew tail is routed at the
+    READ: a metadata-only footer prescan finds the files that contain mega
+    docs; only those are re-read by the mega branch (and when the corpus has
+    no skew tail the union/shuffle machinery is skipped entirely, leaving a
+    pure single-scan streaming pipeline). This is the production read path;
+    ``extract_dataset`` handles arbitrary in-memory Datasets."""
+    import ray.data
+
+    kw = {}
+    if override_num_blocks is not None:
+        kw["override_num_blocks"] = override_num_blocks
+    mega_files = files_with_mega_docs(paths, mega_threshold)
+
+    small = ray.data.read_parquet(paths, **kw)
+    small_out = small.map_batches(
+        _filter_small, fn_kwargs={"threshold": mega_threshold},
+        batch_format="pyarrow").map_batches(
+        parse_extract_batch, fn_kwargs={"config": config},
+        batch_format="pyarrow", batch_size=batch_size)
+    if not mega_files:
+        return small_out
+
+    mega = ray.data.read_parquet(mega_files)
+    mega_parts = mega.map_batches(
+        _filter_mega, fn_kwargs={"threshold": mega_threshold},
+        batch_format="pyarrow").map_batches(
+        split_mega_batch, fn_kwargs={"part_target": part_target},
+        batch_format="pyarrow")
+    mega_parsed = mega_parts.map_batches(
+        parse_extract_batch, fn_kwargs={
+            "config": config, "passthrough_cols": ("part_idx",)},
+        batch_format="pyarrow", batch_size=4)
+    mega_out = mega_parsed.groupby("doc_id").map_groups(
+        reassemble_group, batch_format="pyarrow")
+    return small_out.union(mega_out)
+
+
+def _drop_doc_bytes(batch: pa.Table) -> pa.Table:
+    if "doc_bytes" in batch.column_names:
+        return batch.drop_columns(["doc_bytes"])
+    return batch

@@ -30,6 +30,10 @@ SPANS_TYPE = pa.list_(SPAN_TYPE)
 CORPUS_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
     ("spans", SPANS_TYPE),
+    # total HTML payload bytes, stamped at ingest so downstream readers can
+    # route the skew tail with parquet row-group pruning instead of a
+    # second full scan (extract_from_parquet)
+    ("doc_bytes", pa.int64()),
 ])
 
 SPAN_OUT_TYPE = pa.struct([
@@ -119,6 +123,7 @@ def interleave_rows(doc_keys, texts, *, media_every: int = 1) -> pa.Table:
     """
     doc_ids: list[str] = []
     spans_col: list[list[dict]] = []
+    doc_bytes: list[int] = []
     for key, text in zip(doc_keys, texts):
         key = int(key)
         spans = [{
@@ -136,8 +141,10 @@ def interleave_rows(doc_keys, texts, *, media_every: int = 1) -> pa.Table:
             })
         doc_ids.append(f"doc-{key:08d}")
         spans_col.append(spans)
+        doc_bytes.append(sum(len(s["text"]) for s in spans))
     return pa.Table.from_arrays(
-        [pa.array(doc_ids, pa.string()), pa.array(spans_col, SPANS_TYPE)],
+        [pa.array(doc_ids, pa.string()), pa.array(spans_col, SPANS_TYPE),
+         pa.array(doc_bytes, pa.int64())],
         schema=CORPUS_SCHEMA)
 
 

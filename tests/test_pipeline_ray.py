@@ -27,11 +27,13 @@ def test_tag_doc_bytes_vectorized():
     tagged = tag_doc_bytes(tbl)
     vals = tagged.column("doc_bytes").to_pylist()
     assert vals[0] > 0 and vals[1] > vals[0]
-    # empty spans row
+    # empty spans row (untagged input: tag stage computes the column)
     empty = pa.Table.from_arrays(
         [pa.array(["d"], pa.string()), pa.array([[]], SPANS_TYPE)],
-        schema=CORPUS_SCHEMA)
+        names=["doc_id", "spans"])
     assert tag_doc_bytes(empty).column("doc_bytes").to_pylist() == [0]
+    # pre-stamped input passes through untouched
+    assert tag_doc_bytes(tagged) is tagged
 
 
 def test_split_mega_batch_boundaries():
@@ -39,7 +41,7 @@ def test_split_mega_batch_boundaries():
               "offset": i} for i in range(10)]
     tbl = pa.Table.from_arrays(
         [pa.array(["big"], pa.string()), pa.array([spans], SPANS_TYPE)],
-        schema=CORPUS_SCHEMA)
+        names=["doc_id", "spans"])
     out = split_mega_batch(tbl, part_target=250)
     # 10 * 100 bytes at 250/part -> parts of 3,3,3,1 spans
     parts = out.column("part_idx").to_pylist()
@@ -88,6 +90,28 @@ def test_run_extract_resume(ray_session, docs_table, tmp_path):
     assert totals2 == run_extract(files, out_dir, shard_size=1)
     manifest = os.path.join(out_dir, "_manifest.json")
     assert os.path.exists(manifest)
+
+
+def test_extract_from_parquet_pruned_read(ray_session, docs_table, tmp_path):
+    """The production read path: doc_bytes stamped at ingest, small/mega
+    routing pushed into the parquet scan."""
+    import re
+    from htmlreader_ray.pipelines.extract_pipeline import extract_from_parquet
+    corpus = interleave_rows(
+        docs_table.column("doc_id").to_pylist()[:50],
+        docs_table.column("text").to_pylist()[:50])
+    path = tmp_path / "corpus.parquet"
+    pq.write_table(corpus, path)
+    out = extract_from_parquet([str(path)], mega_threshold=1200,
+                               part_target=600)
+    rows = {r["doc_id"]: r for r in out.take_all()}
+    assert len(rows) == 50
+    for r in docs_table.slice(0, 50).to_pylist():
+        key = f"doc-{r['doc_id']:08d}"
+        want = re.sub(r"\s+", " ", r["text"]).strip()
+        spans = rows[key]["spans_out"]
+        assert spans[0]["text"] == want
+        assert [s["order"] for s in spans] == list(range(len(spans)))
 
 
 def test_media_decode_stage(ray_session):
