@@ -75,6 +75,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def minhash_pairs(sf_dir: str):
         return dedup.minhash_dedup_pairs(_read(sf_dir, "documents"))
 
+    def near_dups_verified(sf_dir: str):
+        return dedup.near_dup_pairs(_read(sf_dir, "documents"),
+                                    threshold=0.8)
+
+    def embedding_near_dups(sf_dir: str):
+        import pyarrow.parquet as pq
+        dim = len(pq.read_table(
+            f"{sf_dir}/embeddings.parquet").column("embedding")[0])
+        return dedup.embedding_near_dups(
+            _read(sf_dir, "embeddings"), dim=dim, threshold=0.9)
+
     def simhash_q(sf_dir: str):
         import pyarrow.compute as pc
         ds = _read(sf_dir, "documents").map_batches(
@@ -107,6 +118,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _corpus(sf_dir).map_batches(
             q.MediaSpansDecode, batch_format="pyarrow", concurrency=(1, 8))
 
+    def media_features(sf_dir: str):
+        from htmlreader_ray.stages.media import MediaFeatures
+        media = _corpus(sf_dir).map_batches(
+            q.MediaSpansDecode, batch_format="pyarrow", concurrency=(1, 8))
+        feats = media.select_columns(["doc_id", "media_ref"]).map_batches(
+            MediaFeatures, fn_constructor_kwargs={"dim": 16},
+            batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
+        return feats
+
+    def media_frames(sf_dir: str):
+        from htmlreader_ray.stages.media import MediaFrameSample
+        import pyarrow as pa
+
+        def synth_videos(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            return pa.Table.from_arrays(
+                [pa.array([f"doc-{i:08d}" for i in ids], pa.string()),
+                 pa.array([f"media://vid/{i:08d}.mp4" for i in ids],
+                          pa.string())],
+                names=["doc_id", "media_ref"])
+
+        vids = _read(sf_dir, "documents").map_batches(
+            synth_videos, batch_format="pyarrow")
+        return vids.map_batches(
+            MediaFrameSample, fn_constructor_kwargs={"fps_target": 0.2},
+            batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
+
     def events_agg(sf_dir: str):
         from ray.data.aggregate import Count, Max, Min
         ds = _read(sf_dir, "events")
@@ -117,6 +155,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         def rename(batch: pa.Table) -> pa.Table:
             return batch.rename_columns(
                 ["event_type", "n_events", "min_value", "max_value"])
+        return agg.map_batches(rename, batch_format="pyarrow")
+
+    def pricing_summary(sf_dir: str):
+        """Q1-style groupby-aggregate; integral-valued sums stay exact."""
+        import pyarrow as pa
+        from ray.data.aggregate import Count, Sum
+        ds = _read(sf_dir, "lineitem").select_columns(
+            ["l_returnflag", "l_linestatus", "l_quantity"])
+        agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("l_quantity"), Count())
+
+        def rename(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(
+                ["l_returnflag", "l_linestatus", "sum_qty", "count_order"])
+        return agg.map_batches(rename, batch_format="pyarrow")
+
+    def events_by_day(sf_dir: str):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from ray.data.aggregate import Count
+
+        def day_of(batch: pa.Table) -> pa.Table:
+            day = pc.floor_temporal(batch.column("ts"), unit="day")
+            return pa.Table.from_arrays(
+                [day, batch.column("event_type")],
+                names=["day", "event_type"])
+
+        ds = _read(sf_dir, "events").select_columns(["ts", "event_type"])
+        agg = ds.map_batches(day_of, batch_format="pyarrow").groupby(
+            ["day", "event_type"]).aggregate(Count())
+
+        def rename(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(["day", "event_type", "n_events"])
         return agg.map_batches(rename, batch_format="pyarrow")
 
     def orders_by_segment(sf_dir: str):
@@ -177,9 +248,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_full": stateless(textfn.quality_scores),
         "lang_id": stateless(textfn.lang_id),
         "fingerprint": stateless(_fingerprint_md5_batch),
+        "near_dups_verified": near_dups_verified,
+        "embedding_near_dups": embedding_near_dups,
+        "media_features": media_features,
+        "media_frames": media_frames,
         # engine aggregations / broadcast join (SURVEY §2.6 engine-level)
         "events_agg": events_agg,
         "orders_by_segment": orders_by_segment,
+        "pricing_summary": pricing_summary,
+        "events_by_day": events_by_day,
     }
 
 
@@ -322,6 +399,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_mktsegment, count(*) AS n_orders
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty, count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "events_by_day": """
+            SELECT date_trunc('day', ts) AS day, event_type,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
         """,
         # minhash_pairs / simhash / ann_ivf_topk / lang_id / quality_full:
         # non-SQL-expressible (hashing permutations / approximate /

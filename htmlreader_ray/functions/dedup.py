@@ -223,3 +223,165 @@ def minhash_dedup_pairs(ds, *, threshold: float = 0.8, n_perm: int = 128,
     from ray.data.aggregate import Count
     return (pairs.groupby(["id_a", "id_b"]).aggregate(Count())
             .select_columns(["id_a", "id_b"]))
+
+
+def verify_pairs(pairs_ds, texts_ref, *, threshold: float = 0.8,
+                 shingle_k: int = 5, metric: str = "jaccard"):
+    """Verify candidate pairs against the exact similarity.
+
+    ``texts_ref`` is a ray.ObjectRef to {doc_id: text} — broadcast once and
+    read zero-copy by every task. At corpora where the id->text map no
+    longer fits one object, replace the broadcast with a hash join of the
+    (small) candidate-pair set against the corpus; the banding step already
+    reduced candidates to a tiny fraction so that join is narrow.
+
+    Returns Dataset (id_a, id_b, sim) filtered to sim >= threshold.
+    """
+    class Verify:
+        def __init__(self, ref, threshold, shingle_k, metric):
+            import ray
+            self.texts = ray.get(ref)
+            self.threshold = threshold
+            self.k = shingle_k
+            self.metric = metric
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a_ids = batch.column("id_a").to_pylist()
+            b_ids = batch.column("id_b").to_pylist()
+            out_a, out_b, out_s = [], [], []
+            fn = jaccard if self.metric == "jaccard" else ngram_jaccard
+            for a, b in zip(a_ids, b_ids):
+                ta = self.texts.get(a)
+                tb = self.texts.get(b)
+                if ta is None or tb is None:
+                    continue
+                sim = fn(ta, tb) if self.metric == "ngram" else \
+                    jaccard(ta, tb, self.k)
+                if sim >= self.threshold:
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_s.append(round(sim, 6))
+            return pa.Table.from_arrays(
+                [pa.array(out_a), pa.array(out_b),
+                 pa.array(out_s, pa.float64())],
+                names=["id_a", "id_b", "sim"])
+
+    return pairs_ds.map_batches(
+        Verify, fn_constructor_kwargs=dict(
+            ref=texts_ref, threshold=threshold, shingle_k=shingle_k,
+            metric=metric),
+        batch_format="pyarrow", concurrency=(1, 4))
+
+
+def near_dup_pairs(ds, *, threshold: float = 0.8, n_perm: int = 128,
+                   bands: int = 16, shingle_k: int = 5,
+                   text_col: str = "text", id_col: str = "doc_id"):
+    """Full near-dup pipeline: MinHash banding -> candidate pairs ->
+    exact-Jaccard verification. The corpus text map is broadcast for the
+    verify stage (valid while the corpus fits the object store; see
+    verify_pairs for the join-based alternative at larger scale)."""
+    import ray
+
+    candidates = minhash_dedup_pairs(
+        ds, threshold=threshold, n_perm=n_perm, bands=bands,
+        shingle_k=shingle_k, text_col=text_col, id_col=id_col)
+    rows = ds.select_columns([id_col, text_col]).take_all()
+    texts_ref = ray.put({r[id_col]: r[text_col] for r in rows})
+    return verify_pairs(candidates, texts_ref, threshold=threshold,
+                        shingle_k=shingle_k)
+
+
+# --------------------------------------------------- embedding near-dups
+
+class HyperplaneBands:
+    """Random-hyperplane LSH over an embedding column: each vector gets
+    ``bands`` bucket keys of ``bits`` sign-bits each; cosine-close vectors
+    collide in at least one band w.h.p. Deterministic (seeded) projections
+    built once per actor."""
+
+    def __init__(self, dim: int, bands: int = 8, bits: int = 12,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 seed: int = 42) -> None:
+        rng = np.random.RandomState(seed)
+        self.planes = rng.standard_normal((bands, bits, dim))
+        self.bands = bands
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        vecs = np.array(batch.column(self.vec_col).to_pylist(),
+                        dtype=np.float64)
+        out_ids, out_band, out_bucket = [], [], []
+        if len(ids):
+            for band in range(self.bands):
+                signs = (vecs @ self.planes[band].T) > 0  # (n, bits)
+                keys = np.packbits(signs, axis=1)
+                for i, doc_id in enumerate(ids):
+                    out_ids.append(doc_id)
+                    out_band.append(band)
+                    out_bucket.append(keys[i].tobytes().hex())
+        return pa.Table.from_arrays(
+            [pa.array(out_ids), pa.array(out_band, pa.int32()),
+             pa.array(out_bucket, pa.string())],
+            names=[self.id_col, "band", "bucket"])
+
+
+def embedding_near_dups(ds, *, dim: int, threshold: float = 0.95,
+                        bands: int = 8, bits: int = 12,
+                        vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH banding ->
+    bucket groupby -> candidate pairs -> exact cosine verify against the
+    broadcast vectors. Returns (id_a, id_b, sim)."""
+    import ray
+
+    banded = ds.map_batches(
+        HyperplaneBands,
+        fn_constructor_kwargs=dict(dim=dim, bands=bands, bits=bits,
+                                   vec_col=vec_col, id_col=id_col),
+        batch_format="pyarrow", concurrency=(1, 8))
+    pairs = (banded.groupby(["band", "bucket"])
+             .map_groups(candidate_pairs_from_bucket,
+                         fn_kwargs={"id_col": id_col},
+                         batch_format="pyarrow"))
+    from ray.data.aggregate import Count
+    pairs = (pairs.groupby(["id_a", "id_b"]).aggregate(Count())
+             .select_columns(["id_a", "id_b"]))
+
+    rows = ds.select_columns([id_col, vec_col]).take_all()
+    vec_map = {r[id_col]: np.asarray(r[vec_col], dtype=np.float64)
+               for r in rows}
+    vec_ref = ray.put(vec_map)
+
+    class VerifyCos:
+        def __init__(self, ref, threshold):
+            import ray as _ray
+            self.vecs = _ray.get(ref)
+            self.threshold = threshold
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a_ids = batch.column("id_a").to_pylist()
+            b_ids = batch.column("id_b").to_pylist()
+            out_a, out_b, out_s = [], [], []
+            for a, b in zip(a_ids, b_ids):
+                va, vb = self.vecs.get(a), self.vecs.get(b)
+                if va is None or vb is None:
+                    continue
+                na = np.linalg.norm(va)
+                nb = np.linalg.norm(vb)
+                if na == 0 or nb == 0:
+                    continue
+                sim = float(va @ vb / (na * nb))
+                if sim >= self.threshold:
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_s.append(round(sim, 6))
+            return pa.Table.from_arrays(
+                [pa.array(out_a, pa.int64()), pa.array(out_b, pa.int64()),
+                 pa.array(out_s, pa.float64())],
+                names=["id_a", "id_b", "sim"])
+
+    return pairs.map_batches(
+        VerifyCos, fn_constructor_kwargs=dict(ref=vec_ref,
+                                              threshold=threshold),
+        batch_format="pyarrow", concurrency=(1, 4))

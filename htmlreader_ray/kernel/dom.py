@@ -129,6 +129,38 @@ class Node:
     def text_components(self) -> list[str]:
         return [c.data for c in self.children if isinstance(c, Text)]
 
+    # -- selector / serialization conveniences (API parity with the
+    #    reference's -nodesMatchingSelector: / innerHTML surface,
+    #    /root/reference/Sources/HTMLSelector.m:925-952,
+    #    /root/reference/Sources/HTMLSerialization.m:100-103) ------------
+    def css(self, selector: str) -> "list[Element]":
+        from .selector import select
+        return select(self, selector)
+
+    def css_first(self, selector: str) -> "Optional[Element]":
+        from .selector import select_first
+        return select_first(self, selector)
+
+    @property
+    def inner_html(self) -> str:
+        from .serialize import serialize_fragment
+        return serialize_fragment(self)
+
+    @inner_html.setter
+    def inner_html(self, html: str) -> None:
+        from .parser import parse_fragment
+        context = self if isinstance(self, Element) else Element("body")
+        nodes = parse_fragment(html, context)  # type: ignore[arg-type]
+        for c in list(self.children):
+            self.remove_child(c)
+        for n in nodes:
+            self.append_child(n)
+
+    @property
+    def outer_html(self) -> str:
+        from .serialize import serialize
+        return serialize(self)
+
 
 class Document(Node):
     __slots__ = ("quirks_mode", "parsed_encoding")

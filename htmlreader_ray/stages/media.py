@@ -99,3 +99,76 @@ class MediaDecode:
                    pa.array(metas, MEDIA_META_TYPE)]
         names += [self.ref_col, "meta"]
         return pa.Table.from_arrays(arrays, names=names)
+
+
+class MediaFeatures:
+    """Actor-pool stage: media metadata -> fixed-dim feature vector
+    (list<float32>). The embedding model is STUBBED (no vision/audio libs in
+    this container): a deterministic pseudo-embedding derived from the
+    content digest, so downstream similarity plumbing is fully exercisable.
+    The batch/actor/shape contract is exactly what a real CLIP-style encoder
+    stage would use (small batches, concurrency sized to model memory)."""
+
+    def __init__(self, dim: int = 64, ref_col: str = "media_ref",
+                 keep_cols: tuple[str, ...] = ("doc_id",)) -> None:
+        import numpy as np
+        self.dim = dim
+        self.ref_col = ref_col
+        self.keep_cols = keep_cols
+        self._np = np
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        np = self._np
+        refs = batch.column(self.ref_col).to_pylist()
+        feats = []
+        for ref in refs:
+            seed = int(hashlib.sha256(
+                (ref or "").encode("utf-8")).hexdigest()[:8], 16)
+            rng = np.random.RandomState(seed)
+            v = rng.standard_normal(self.dim).astype(np.float32)
+            v /= max(1e-9, float(np.linalg.norm(v)))
+            feats.append(v.tolist())
+        arrays = [batch.column(c) for c in self.keep_cols]
+        names = list(self.keep_cols)
+        arrays += [batch.column(self.ref_col),
+                   pa.array(feats, pa.list_(pa.float32()))]
+        names += [self.ref_col, "features"]
+        return pa.Table.from_arrays(arrays, names=names)
+
+
+class MediaFrameSample:
+    """Actor-pool flat-map stage: one row per sampled frame of a video span.
+    Frame decode is STUBBED; the fan-out shape (row multiplication, frame
+    index + timestamp columns, small batches for large payloads) is real."""
+
+    def __init__(self, fps_target: float = 1.0, max_frames: int = 8,
+                 ref_col: str = "media_ref",
+                 keep_cols: tuple[str, ...] = ("doc_id",)) -> None:
+        self.fps_target = fps_target
+        self.max_frames = max_frames
+        self.ref_col = ref_col
+        self.keep_cols = keep_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column(self.ref_col).to_pylist()
+        keep_vals = {c: batch.column(c).to_pylist() for c in self.keep_cols}
+        out_keep: dict[str, list] = {c: [] for c in self.keep_cols}
+        out_ref, out_idx, out_ts = [], [], []
+        for i, ref in enumerate(refs):
+            digest = hashlib.sha256((ref or "").encode("utf-8")).hexdigest()
+            duration_ms = int(digest[:8], 16) % 60000
+            n = max(1, min(self.max_frames,
+                           int(duration_ms / 1000 * self.fps_target)))
+            for f in range(n):
+                for c in self.keep_cols:
+                    out_keep[c].append(keep_vals[c][i])
+                out_ref.append(ref)
+                out_idx.append(f)
+                out_ts.append(int(f * duration_ms / n))
+        arrays = [pa.array(out_keep[c]) for c in self.keep_cols]
+        names = list(self.keep_cols)
+        arrays += [pa.array(out_ref, pa.string()),
+                   pa.array(out_idx, pa.int32()),
+                   pa.array(out_ts, pa.int32())]
+        names += [self.ref_col, "frame_idx", "frame_ts_ms"]
+        return pa.Table.from_arrays(arrays, names=names)

@@ -98,3 +98,28 @@ def test_no_reference_cycles_via_weak_semantics():
     p = div.children[0]
     div.remove_child(p)
     assert p.parent is None
+
+
+def test_css_convenience():
+    doc = parse("<div id=a><p class=x>1</p><p>2</p></div>")
+    assert [e.attrs.get("class") for e in doc.css("p")] == ["x", None]
+    assert doc.css_first("p.x").text_content == "1"
+    assert doc.css_first("em") is None
+
+
+def test_inner_html_get_set():
+    doc = parse("<div id=a><p>old</p></div>")
+    div = doc.css_first("#a")
+    assert div.inner_html == "<p>old</p>"
+    div.inner_html = "<b>new</b> text"
+    assert div.inner_html == "<b>new</b> text"
+    assert div.text_content == "new text"
+    assert div.outer_html == '<div id="a"><b>new</b> text</div>'
+
+
+def test_inner_html_context_sensitive():
+    # fragment parsing respects the context element (td inside tr)
+    doc = parse("<table><tr id=r><td>x</td></tr></table>")
+    tr = doc.css_first("#r")
+    tr.inner_html = "<td>a</td><td>b</td>"
+    assert [c.tag for c in tr.child_elements()] == ["td", "td"]

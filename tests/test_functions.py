@@ -152,3 +152,65 @@ def test_ivf_recall_reasonable(ray_session):
     approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.5  # nprobe=4 of 8 buckets
+
+
+def test_near_dup_pairs_verified(ray_session):
+    import ray.data
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the woods ")
+    texts = [base * 3,
+             base * 3 + "tail change",
+             "an entirely different document about streaming engines " * 3,
+             base * 3]
+    ds = ray.data.from_arrow(tbl([0, 1, 2, 3], texts))
+    out = dedup.near_dup_pairs(ds, threshold=0.8).take_all()
+    pairs = {(r["id_a"], r["id_b"]): r["sim"] for r in out}
+    assert pairs.get((0, 3)) == 1.0
+    assert all(2 not in p for p in pairs)
+    assert all(sim >= 0.8 for sim in pairs.values())
+
+
+def test_embedding_near_dups_planted(ray_session):
+    import ray.data
+    rng = np.random.RandomState(7)
+    dim = 16
+    base = rng.standard_normal(dim)
+    vecs = [base,
+            base + 0.01 * rng.standard_normal(dim),   # near-dup of 0
+            rng.standard_normal(dim),
+            -base]                                    # anti-correlated
+    t = pa.Table.from_arrays(
+        [pa.array([0, 1, 2, 3], pa.int64()),
+         pa.array([v.tolist() for v in vecs], pa.list_(pa.float32()))],
+        names=["vec_id", "embedding"])
+    ds = ray.data.from_arrow(t)
+    out = dedup.embedding_near_dups(ds, dim=dim, threshold=0.95).take_all()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (0, 1) in pairs
+    assert all(p == (0, 1) for p in pairs)
+
+
+def test_media_features_deterministic(ray_session):
+    import ray.data
+    from htmlreader_ray.stages.media import MediaFeatures
+    t = pa.Table.from_arrays(
+        [pa.array(["d1", "d2"]), pa.array(["media://a.png", "media://b.png"])],
+        names=["doc_id", "media_ref"])
+    mf = MediaFeatures(dim=8)
+    out1, out2 = mf(t), mf(t)
+    assert out1.column("features").to_pylist() == \
+        out2.column("features").to_pylist()
+    v = np.array(out1.column("features").to_pylist()[0])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+
+
+def test_media_frame_sample_fanout():
+    from htmlreader_ray.stages.media import MediaFrameSample
+    t = pa.Table.from_arrays(
+        [pa.array(["d1"]), pa.array(["media://vid/x.mp4"])],
+        names=["doc_id", "media_ref"])
+    out = MediaFrameSample(fps_target=1.0, max_frames=4)(t)
+    assert out.num_rows >= 1
+    assert out.column("frame_idx").to_pylist() == list(range(out.num_rows))
+    ts = out.column("frame_ts_ms").to_pylist()
+    assert ts == sorted(ts)
