@@ -42,6 +42,8 @@ def run_extract(input_files: Sequence[str], out_dir: str, *,
     manifest totals."""
     import ray.data
 
+    from .extract_pipeline import extract_from_parquet
+
     manifest = RunManifest(out_dir)
     done = manifest.completed()
     kwargs = {}
@@ -52,9 +54,15 @@ def run_extract(input_files: Sequence[str], out_dir: str, *,
             continue
         out_path = manifest.begin_shard(shard_id)
         start = time.perf_counter()
-        ds = ray.data.read_parquet(files)
-        result = extract_dataset(ds, config=config, batch_size=batch_size,
-                                 concurrency=concurrency, **kwargs)
+        schema = pads.dataset(files, format="parquet").schema
+        if "doc_bytes" in schema.names:
+            # ingest-stamped corpus: footer-prescan skew routing, single scan
+            result = extract_from_parquet(files, config=config,
+                                          batch_size=batch_size, **kwargs)
+        else:
+            ds = ray.data.read_parquet(files)
+            result = extract_dataset(ds, config=config, batch_size=batch_size,
+                                     concurrency=concurrency, **kwargs)
         result.write_parquet(out_path)
         wall = time.perf_counter() - start
         frag = pads.dataset(out_path, format="parquet")

@@ -1,0 +1,116 @@
+"""Property-based robustness tests: the parse kernel must never crash on
+arbitrary input (the reference's regression policy — "the test is to not
+crash", HTMLRegressionTests.m:14-30 — generalized with hypothesis)."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from htmlreader_ray.kernel import parse, parse_fragment, serialize_fragment
+from htmlreader_ray.kernel.entities import html_escape, html_unescape
+from htmlreader_ray.testing.conformance import dump_html5lib
+
+# markup-dense alphabet to hit parser states hard
+_MARKUPISH = st.text(
+    alphabet=string.ascii_letters + "<>&;/='\"!-[]# \t\n" + "\x00�é",
+    max_size=200)
+
+_TAGS = ["div", "p", "b", "i", "a", "table", "tr", "td", "li", "ul",
+         "select", "option", "svg", "math", "title", "style", "script",
+         "textarea", "pre", "form", "button", "h1", "caption", "frameset"]
+
+
+@st.composite
+def tag_soup(draw):
+    parts = []
+    for _ in range(draw(st.integers(0, 20))):
+        kind = draw(st.integers(0, 5))
+        tag = draw(st.sampled_from(_TAGS))
+        if kind == 0:
+            parts.append(f"<{tag}>")
+        elif kind == 1:
+            parts.append(f"</{tag}>")
+        elif kind == 2:
+            parts.append(draw(st.text(max_size=12)))
+        elif kind == 3:
+            parts.append(f"<{tag} a='{draw(st.text(max_size=6))}'>")
+        elif kind == 4:
+            parts.append("<!--" + draw(st.text(max_size=8)) + "-->")
+        else:
+            parts.append("&" + draw(st.text(string.ascii_letters, max_size=6)) + ";")
+    return "".join(parts)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_MARKUPISH)
+def test_parse_never_crashes(src):
+    doc = parse(src)
+    dump_html5lib(doc)
+    serialize_fragment(doc)
+
+
+@settings(max_examples=150, deadline=None)
+@given(tag_soup())
+def test_tag_soup_never_crashes(src):
+    doc = parse(src)
+    assert doc.root_element is None or doc.root_element.tag == "html"
+
+
+@settings(max_examples=80, deadline=None)
+@given(tag_soup())
+def test_parse_deterministic(src):
+    assert dump_html5lib(parse(src)) == dump_html5lib(parse(src))
+
+
+_FIXPOINT_TAGS = ["div", "p", "b", "i", "a", "table", "tr", "td", "li",
+                  "ul", "select", "option", "pre", "h1", "button", "form",
+                  "caption"]
+
+
+@st.composite
+def html_soup(draw):
+    parts = []
+    for _ in range(draw(st.integers(0, 20))):
+        kind = draw(st.integers(0, 3))
+        tag = draw(st.sampled_from(_FIXPOINT_TAGS))
+        if kind == 0:
+            parts.append(f"<{tag}>")
+        elif kind == 1:
+            parts.append(f"</{tag}>")
+        else:
+            parts.append(draw(st.text(string.ascii_letters + " ",
+                                      max_size=8)))
+    return "".join(parts)
+
+
+@settings(max_examples=80, deadline=None)
+@given(html_soup())
+def test_serialize_reparse_fixpoint(src):
+    """serialize∘parse is a fixpoint after one round for HTML-namespace
+    soup (foreign-content breakout makes serialization legitimately
+    non-round-trippable, so svg/math are excluded here)."""
+    doc = parse(src)
+    if doc.body_element is None:
+        return
+    once = serialize_fragment(doc.body_element)
+    doc2 = parse_fragment(once, "body")
+    from htmlreader_ray.kernel.dom import Element
+    root = Element("body")
+    for n in doc2:
+        root.append_child(n)
+    twice = serialize_fragment(root)
+    assert once == twice
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=120))
+def test_escape_unescape_roundtrip(s):
+    assert html_unescape(html_escape(s)) == s
+
+
+@settings(max_examples=100, deadline=None)
+@given(_MARKUPISH)
+def test_fragment_contexts_never_crash(src):
+    for ctx in ("div", "tr", "title", "script", "svg path"):
+        parse_fragment(src, ctx)
