@@ -1990,9 +1990,20 @@ class TreeBuilder:
                     if (cur is None or cur.namespace == HTML_NS
                             or _is_mathml_text_ip(cur) or _is_html_ip(cur)):
                         break
+                    if len(self.open) <= 1:
+                        break  # fragment case: cannot pop the root
                     self.open.pop()
-                self.process(tok)
-                return
+                # fragment case (spec): when the adjusted current node is
+                # still foreign (the fragment context), breakout tags are
+                # handled as any other start tag instead of reprocessing —
+                # otherwise the dispatch would recurse forever
+                acn = self._adjusted_current_node()
+                if not (acn is not None and acn.namespace != HTML_NS
+                        and not _is_mathml_text_ip(acn)
+                        and not _is_html_ip(acn)):
+                    self.process(tok)
+                    return
+                # fall through: ordinary foreign start tag
             acn = self._adjusted_current_node()
             ns = acn.namespace if acn is not None else HTML_NS
             if ns == SVG_NS:
