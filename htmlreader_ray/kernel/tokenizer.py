@@ -45,6 +45,21 @@ _WS = "\t\n\x0c "
 
 _TAG_NAME_RE = re.compile(r"[^\t\n\x0c />]+")
 _ATTR_NAME_RE = re.compile(r"[^\t\n\x0c /=>]+")
+
+# Fast path: one regex consumes an entire "simple" tag — ASCII name, plain
+# attributes, no character references / NULs / stray quotes — which is the
+# overwhelming majority of real-world tags. Anything else falls back to the
+# spec state machine. Mirrors the reference's bulk-consume fast-path idea
+# (Sources/HTMLTokenizer.m:83-89) one level higher.
+_FAST_START_RE = re.compile(
+    r"([a-zA-Z][a-zA-Z0-9-]*)"
+    r"((?:[\t\n\x0c ]+[^\t\n\x0c /><=\"'\0][^\t\n\x0c /><=\0]*"
+    r"(?:=(?:\"[^\"&<\0]*\"|'[^'&<\0]*'|[^\t\n\x0c >\"'<=`&\0]+))?)*)"
+    r"[\t\n\x0c ]*(/?)>")
+_FAST_ATTR_RE = re.compile(
+    r"([^\t\n\x0c /><=]+)"
+    r"(?:=(?:\"([^\"]*)\"|'([^']*)'|([^\t\n\x0c >]+)))?")
+_FAST_END_RE = re.compile(r"([a-zA-Z][a-zA-Z0-9-]*)[\t\n\x0c ]*>")
 _UNQUOTED_VALUE_RE = re.compile(r"[^\t\n\x0c >&\0]+")
 _BOGUS_RE = re.compile(r"[^>]*")
 
@@ -151,6 +166,10 @@ class Tokenizer:
                 return [("chars", "</"), ("eof",)]
             cj = s[j]
             if cj in ASCII_ALPHA:
+                m = _FAST_END_RE.match(s, j)
+                if m is not None:
+                    self.pos = m.end()
+                    return ("end", m.group(1).lower())
                 return self._consume_tag(j, is_end=True)
             if cj == ">":
                 self._err("missing-end-tag-name")
@@ -159,6 +178,27 @@ class Tokenizer:
             self._err("invalid-first-character-of-tag-name")
             return self._bogus_comment(j)
         if c in ASCII_ALPHA:
+            m = _FAST_START_RE.match(s, i)
+            if m is not None:
+                name = m.group(1)
+                name = name.lower()
+                attrs: dict = {}
+                blob = m.group(2)
+                if blob:
+                    for am in _FAST_ATTR_RE.finditer(blob):
+                        aname = am.group(1).lower()
+                        if aname not in attrs:
+                            v = am.group(2)
+                            if v is None:
+                                v = am.group(3)
+                            if v is None:
+                                v = am.group(4)
+                            attrs[aname] = v if v is not None else ""
+                        else:
+                            self._err("duplicate-attribute")
+                self.pos = m.end()
+                self.last_start_tag = name
+                return ("start", name, attrs, m.group(3) == "/")
             return self._consume_tag(i, is_end=False)
         if c == "?":
             self._err("unexpected-question-mark-instead-of-tag-name")

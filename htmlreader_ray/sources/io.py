@@ -1,0 +1,50 @@
+"""Storage shim: Lance when available, Parquet otherwise.
+
+The north rule specifies Lance tables for the interleaved corpus
+(BASELINE.json `input_hint`); this sandbox cannot install `lance`/`pylance`
+(no network), so every read/write funnels through this one shim: when the
+`lance` module is importable, `read_corpus`/`write_corpus` use
+`ray.data.read_lance` / `Dataset.write_lance`; otherwise Parquet with the
+identical schema. Nothing else in the repo touches the storage format
+directly, so enabling Lance is a zero-change drop-in.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+try:
+    import lance  # noqa: F401
+    HAVE_LANCE = True
+except Exception:
+    HAVE_LANCE = False
+
+
+def corpus_format() -> str:
+    return "lance" if HAVE_LANCE else "parquet"
+
+
+def read_corpus(path, *, override_num_blocks: Optional[int] = None,
+                columns: Optional[Sequence[str]] = None):
+    """path (file, dir, or list) -> ray.data.Dataset of corpus rows."""
+    import ray.data
+    kw = {}
+    if override_num_blocks is not None:
+        kw["override_num_blocks"] = override_num_blocks
+    if HAVE_LANCE and isinstance(path, str) and path.endswith(".lance"):
+        return ray.data.read_lance(path, columns=list(columns) if columns
+                                   else None, **kw)
+    if columns is not None:
+        kw["columns"] = list(columns)
+    return ray.data.read_parquet(path, **kw)
+
+
+def write_corpus(ds, path: str) -> str:
+    """Dataset -> storage at path; returns the path written."""
+    if HAVE_LANCE and path.endswith(".lance"):
+        ds.write_lance(path)
+        return path
+    os.makedirs(path, exist_ok=True)
+    ds.write_parquet(path)
+    return path

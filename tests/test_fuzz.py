@@ -63,8 +63,11 @@ def test_parse_deterministic(src):
     assert dump_html5lib(parse(src)) == dump_html5lib(parse(src))
 
 
+# form excluded: the in-table form-element rule makes <table><p><form>
+# spec-correctly non-round-trippable (form lands inside the foster-parented
+# p on first parse, but closes it on reparse)
 _FIXPOINT_TAGS = ["div", "p", "b", "i", "a", "table", "tr", "td", "li",
-                  "ul", "select", "option", "pre", "h1", "button", "form",
+                  "ul", "select", "option", "pre", "h1", "button",
                   "caption"]
 
 
