@@ -35,13 +35,12 @@ WIN1252_OVERRIDES = {
     0x9E: 0x017E, 0x9F: 0x0178,
 }
 
-# Prefix-keyed index: first char after '&' -> sorted candidate names (longest
-# first) to keep the longest-prefix scan tight.
-_BY_FIRST: dict[str, list[str]] = {}
-for _name in _HTML5_ENTITIES:
-    _BY_FIRST.setdefault(_name[0], []).append(_name)
-for _k in _BY_FIRST:
-    _BY_FIRST[_k].sort(key=len, reverse=True)
+import re as _re
+
+# Longest semicolonless legacy name ("CounterClockwise..." style names all
+# end in ';'; the 106 legacy ones are short).
+_MAX_BARE_LEN = max(len(k) for k in _HTML5_ENTITIES if not k.endswith(";"))
+_NAME_RUN_RE = _re.compile(r"[a-zA-Z0-9]+")
 
 
 def _numeric_codepoint_to_char(cp: int) -> str:
@@ -89,17 +88,26 @@ def consume_character_reference(
         if k < n and s[k] == ";":
             k += 1
         return _numeric_codepoint_to_char(cp), k
-    # Named reference: longest match among table keys starting at i.
-    cands = _BY_FIRST.get(c)
-    if cands:
-        window = s[i : i + MAX_ENTITY_LEN]
-        for name in cands:
-            if window.startswith(name):
-                end = i + len(name)
-                if in_attribute and not name.endswith(";"):
-                    if end < n and (s[end] == "=" or s[end] in ASCII_ALNUM):
-                        return "&", pos + 1
-                return _HTML5_ENTITIES[name], end
+    # Named reference: dict lookups on the alphanumeric run (exact name+';'
+    # first, then longest semicolonless legacy prefix).
+    m = _NAME_RUN_RE.match(s, i)
+    if m is None:
+        return "&", pos + 1
+    run = m.group()
+    end_run = m.end()
+    if end_run < n and s[end_run] == ";":
+        hit = _HTML5_ENTITIES.get(run + ";")
+        if hit is not None:
+            return hit, end_run + 1
+    for L in range(min(len(run), _MAX_BARE_LEN), 0, -1):
+        hit = _HTML5_ENTITIES.get(run[:L])
+        if hit is not None:
+            end = i + L
+            if in_attribute:
+                # suppressed when followed by '=' or an alphanumeric
+                if L < len(run) or (end < n and s[end] == "="):
+                    return "&", pos + 1
+            return hit, end
     return "&", pos + 1
 
 
