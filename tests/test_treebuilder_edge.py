@@ -1,0 +1,434 @@
+"""Second tree-construction batch: adoption-agency variants, foster
+parenting x active-formatting-elements interplay, integration points,
+nested tables, reconstruction — the html5lib-tests families most likely to
+catch subtle deviations."""
+
+import pytest
+
+from htmlreader_ray.kernel import parse
+from htmlreader_ray.testing.conformance import dump_html5lib
+
+
+def check(html, expected):
+    got = dump_html5lib(parse(html))
+    assert got == expected.strip("\n"), \
+        f"\n--- input ---\n{html}\n--- got ---\n{got}\n--- want ---\n{expected}"
+
+
+def test_aaa_with_block_classic():
+    # second outer AAA iteration pops the re-inserted <a> clone (no
+    # furthest block below it), so "x" lands as its sibling
+    check("<a><b><p></a>x", """
+| <html>
+|   <head>
+|   <body>
+|     <a>
+|       <b>
+|     <b>
+|       <p>
+|         <a>
+|         "x"
+""")
+
+
+def test_aaa_b_p():
+    check("<b><p></b>TEST", """
+| <html>
+|   <head>
+|   <body>
+|     <b>
+|     <p>
+|       <b>
+|       "TEST"
+""")
+
+
+def test_reconstruction_across_paragraphs():
+    check("<p><b>1</p><p>2", """
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       <b>
+|         "1"
+|     <p>
+|       <b>
+|         "2"
+""")
+
+
+def test_foster_formatting_dance():
+    check("<table><b><tr><td>aaa</td></tr>bbb</table>ccc", """
+| <html>
+|   <head>
+|   <body>
+|     <b>
+|     <b>
+|       "bbb"
+|     <table>
+|       <tbody>
+|         <tr>
+|           <td>
+|             "aaa"
+|     <b>
+|       "ccc"
+""")
+
+
+def test_nested_tables():
+    check("<table><tr><td><table><tr><td>nested</table>outer</table>after", """
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <tbody>
+|         <tr>
+|           <td>
+|             <table>
+|               <tbody>
+|                 <tr>
+|                   <td>
+|                     "nested"
+|             "outer"
+|     "after"
+""")
+
+
+def test_caption_with_content():
+    check("<table><caption><p>cap</caption><tr><td>x</table>", """
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <caption>
+|         <p>
+|           "cap"
+|       <tbody>
+|         <tr>
+|           <td>
+|             "x"
+""")
+
+
+def test_colgroup_with_attr():
+    check("<table><col width=1><tr><td>c</table>", """
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <colgroup>
+|         <col>
+|           width="1"
+|       <tbody>
+|         <tr>
+|           <td>
+|             "c"
+""")
+
+
+def test_li_in_div_in_p():
+    check("<div><p><li>x</div>", """
+| <html>
+|   <head>
+|   <body>
+|     <div>
+|       <p>
+|       <li>
+|         "x"
+""")
+
+
+def test_heading_end_mismatch():
+    check("<h1>a<p>b</p></h2>c", """
+| <html>
+|   <head>
+|   <body>
+|     <h1>
+|       "a"
+|       <p>
+|         "b"
+|     "c"
+""")
+
+
+def test_textarea_rcdata():
+    check("<textarea><p>a</textarea><p>b", """
+| <html>
+|   <head>
+|   <body>
+|     <textarea>
+|       "<p>a"
+|     <p>
+|       "b"
+""")
+
+
+def test_text_after_body_close():
+    check("<body>x</body>y", """
+| <html>
+|   <head>
+|   <body>
+|     "xy"
+""")
+
+
+def test_svg_desc_html_ip():
+    check("<svg><desc><div>html</div></desc></svg>after", """
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       <svg desc>
+|         <div>
+|           "html"
+|     "after"
+""")
+
+
+def test_mathml_mtext_ip():
+    check("<math><mtext><p>x</p></mtext></math>", """
+| <html>
+|   <head>
+|   <body>
+|     <math math>
+|       <math mtext>
+|         <p>
+|           "x"
+""")
+
+
+def test_cdata_in_foreign():
+    check("<svg><![CDATA[<b>raw]]></svg>after", """
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       "<b>raw"
+|     "after"
+""")
+
+
+def test_entities_in_attr_and_text():
+    check('<p title="&lt;x&gt;">&lt;y&gt;</p>', """
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       title="<x>"
+|       "<y>"
+""")
+
+
+def test_ul_li_div():
+    check("<ul><li><div>d</div><li>2</ul>", """
+| <html>
+|   <head>
+|   <body>
+|     <ul>
+|       <li>
+|         <div>
+|           "d"
+|       <li>
+|         "2"
+""")
+
+
+def test_table_in_cell_closes_cell():
+    check("<table><tr><td>a<tr><td>b</table>", """
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <tbody>
+|         <tr>
+|           <td>
+|             "a"
+|         <tr>
+|           <td>
+|             "b"
+""")
+
+
+def test_end_tr_without_tr():
+    check("<table></tr><tr><td>x</table>", """
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <tbody>
+|         <tr>
+|           <td>
+|             "x"
+""")
+
+
+def test_input_hidden_in_table():
+    check("<table><input type=hidden><tr><td>x</table>", """
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <input>
+|         type="hidden"
+|       <tbody>
+|         <tr>
+|           <td>
+|             "x"
+""")
+
+
+def test_input_nonhidden_fostered():
+    check("<table><input type=text><tr><td>x</table>", """
+| <html>
+|   <head>
+|   <body>
+|     <input>
+|       type="text"
+|     <table>
+|       <tbody>
+|         <tr>
+|           <td>
+|             "x"
+""")
+
+
+def test_marquee_scopes_formatting():
+    check("<b><marquee>x</marquee>y", """
+| <html>
+|   <head>
+|   <body>
+|     <b>
+|       <marquee>
+|         "x"
+|       "y"
+""")
+
+
+def test_applet_clears_afe_to_marker():
+    # <b> outside applet must not be reconstructed inside after </applet>
+    check("<b>1<applet><i>2</applet>3", """
+| <html>
+|   <head>
+|   <body>
+|     <b>
+|       "1"
+|       <applet>
+|         <i>
+|           "2"
+|       "3"
+""")
+
+
+def test_nobr_aaa():
+    # AAA on the implied </nobr> pops <b> too; reconstruction then clones
+    # <b> at body level for the second <nobr>
+    check("<nobr><b>1<nobr>2", """
+| <html>
+|   <head>
+|   <body>
+|     <nobr>
+|       <b>
+|         "1"
+|     <b>
+|       <nobr>
+|         "2"
+""")
+
+
+def test_eof_in_cell():
+    check("<table><tr><td><b>x", """
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <tbody>
+|         <tr>
+|           <td>
+|             <b>
+|               "x"
+""")
+
+
+def test_frameset_after_body_ignored():
+    check("<body>t<frameset>", """
+| <html>
+|   <head>
+|   <body>
+|     "t"
+""")
+
+
+def test_frameset_after_explicit_body_ignored():
+    # an explicit <body> tag sets frameset-ok to "not ok"
+    check("<body><frameset><frame>", """
+| <html>
+|   <head>
+|   <body>
+""")
+
+
+def test_frameset_without_body():
+    check("<frameset><frame></frameset>", """
+| <html>
+|   <head>
+|   <frameset>
+|     <frame>
+""")
+
+
+def test_image_renamed_to_img():
+    check("<p><image src=x>", """
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       <img>
+|         src="x"
+""")
+
+
+def test_br_end_tag_becomes_start():
+    check("a</br>b", """
+| <html>
+|   <head>
+|   <body>
+|     "a"
+|     <br>
+|     "b"
+""")
+
+
+def test_option_in_optgroup_closing():
+    check("<select><optgroup><option>1<optgroup><option>2</select>", """
+| <html>
+|   <head>
+|   <body>
+|     <select>
+|       <optgroup>
+|         <option>
+|           "1"
+|       <optgroup>
+|         <option>
+|           "2"
+""")
+
+
+def test_isolated_cell_end_tags_ignored():
+    check("</td></tr></table><p>x", """
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "x"
+""")
+
+
+def test_script_stays_in_head_after_body_start():
+    check("x<script>var a;</script>", """
+| <html>
+|   <head>
+|   <body>
+|     "x"
+|     <script>
+|       "var a;"
+""")
