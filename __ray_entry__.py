@@ -190,6 +190,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return batch.rename_columns(["day", "event_type", "n_events"])
         return agg.map_batches(rename, batch_format="pyarrow")
 
+    def events_windowed(sf_dir: str):
+        from htmlreader_ray.functions.windows import tumbling_window_agg
+        return tumbling_window_agg(_read(sf_dir, "events"), width_s=3600)
+
+    def user_sessions(sf_dir: str):
+        from htmlreader_ray.functions.windows import session_windows
+        return session_windows(_read(sf_dir, "events"), gap_s=1800)
+
+    def orders_asof_event(sf_dir: str):
+        """Forward as-of join: first event (max event_id on ts ties) at or
+        after each order's date; inner semantics (no-match orders dropped).
+        Forward direction because the synthetic events table postdates all
+        orders."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.windows import asof_join_broadcast
+        events = _read(sf_dir, "events").select_columns(
+            ["user_id", "ts", "event_id"]).take_all()
+        # dedupe ties deterministically: max event_id per (user, ts)
+        best: dict = {}
+        for r in events:
+            k = (r["user_id"], r["ts"])
+            if k not in best or r["event_id"] > best[k]["event_id"]:
+                best[k] = r
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_custkey", "o_orderdate"])
+        joined = asof_join_broadcast(
+            orders, list(best.values()),
+            left_key="o_custkey", left_ts="o_orderdate",
+            right_key="user_id", right_ts="ts",
+            right_val="event_id", out_col="last_event_id",
+            direction="forward")
+
+        def project(batch: pa.Table) -> pa.Table:
+            mask = pc.is_valid(batch.column("last_event_id"))
+            batch = batch.filter(mask)
+            return pa.Table.from_arrays(
+                [batch.column("o_orderkey"),
+                 batch.column("last_event_id").cast(pa.int64())],
+                names=["o_orderkey", "last_event_id"])
+        return joined.map_batches(project, batch_format="pyarrow")
+
     def orders_by_segment(sf_dir: str):
         """Broadcast join: small customer side shipped once via ray.put,
         looked up inside map_batches — no shuffle join."""
@@ -257,6 +299,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": orders_by_segment,
         "pricing_summary": pricing_summary,
         "events_by_day": events_by_day,
+        # windowed / ordered custom operators
+        "events_windowed": events_windowed,
+        "user_sessions": user_sessions,
+        "orders_asof_event": orders_asof_event,
     }
 
 
@@ -409,6 +455,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('day', ts) AS day, event_type,
                    count(*) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "events_windowed": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events, min(value) AS min_value,
+                   max(value) AS max_value
+            FROM events GROUP BY 1, 2
+        """,
+        "user_sessions": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w
+                                    > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), numbered AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER (PARTITION BY user_id
+                                              ORDER BY ts
+                                              ROWS UNBOUNDED PRECEDING)
+                           AS session_id
+                FROM flagged
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM numbered GROUP BY user_id, session_id
+        """,
+        "orders_asof_event": """
+            WITH e1 AS (SELECT user_id, ts, max(event_id) AS event_id
+                        FROM events GROUP BY 1, 2)
+            SELECT o.o_orderkey, e.event_id AS last_event_id
+            FROM orders o ASOF JOIN e1 e
+              ON o.o_custkey = e.user_id AND e.ts >= o.o_orderdate
         """,
         # minhash_pairs / simhash / ann_ivf_topk / lang_id / quality_full:
         # non-SQL-expressible (hashing permutations / approximate /

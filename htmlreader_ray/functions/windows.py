@@ -1,0 +1,160 @@
+"""Windowed / ordered operators Ray Data lacks natively (SURVEY.md §2.10:
+the reference has no windows at all; these are the engine-level additions
+the north rule's training-data pipelines need).
+
+Partitioning assumptions (documented per the custom-operator contract):
+- tumbling windows need NO co-location: the window id is a pure function of
+  the timestamp, so assignment is a stateless vectorized map and the
+  aggregate is an ordinary groupby on (window, key).
+- session windows need all of one user's events in one group: expressed as
+  groupby(user).map_groups(sessionize) — the shuffle key is the user id and
+  skew is bounded by the busiest single user.
+- the as-of join broadcasts the (small) right side sorted per key and
+  binary-searches inside map_batches — no shuffle; when the right side
+  outgrows the object store, hash-partition both sides on the key and run
+  the same merge per partition.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def assign_tumbling_window(batch: pa.Table, *, ts_col: str = "ts",
+                           width_s: int = 3600) -> pa.Table:
+    """Vectorized: add ``window_start`` (timestamp) = floor(ts / width)."""
+    ts = batch.column(ts_col)
+    if isinstance(ts, pa.ChunkedArray):
+        ts = ts.combine_chunks()
+    us = ts.cast(pa.int64())
+    width_us = width_s * 1_000_000
+    start = pc.multiply(pc.divide(us, width_us), width_us)
+    return batch.append_column(
+        "window_start", start.cast(pa.timestamp("us")))
+
+
+def tumbling_window_agg(ds, *, ts_col: str = "ts", key_col: str = "event_type",
+                        width_s: int = 3600):
+    """Tumbling-window count/min/max per key. Returns
+    (window_start, key, n_events, min_value, max_value)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    assigned = ds.map_batches(
+        assign_tumbling_window, fn_kwargs={"ts_col": ts_col,
+                                           "width_s": width_s},
+        batch_format="pyarrow")
+    agg = assigned.groupby(["window_start", key_col]).aggregate(
+        Count(), Min("value"), Max("value"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["window_start", key_col, "n_events", "min_value", "max_value"])
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def sessionize_group(group: pa.Table, *, ts_col: str = "ts",
+                     user_col: str = "user_id",
+                     gap_s: int = 1800) -> pa.Table:
+    """map_groups kernel: one user's events -> session assignments.
+    Sessions split where the gap to the previous event exceeds ``gap_s``.
+    Vectorized (sort + diff + cumsum)."""
+    idx = pc.sort_indices(group.column(ts_col))
+    group = group.take(idx)
+    us = group.column(ts_col).combine_chunks().cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    if len(us) == 0:
+        return pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64()),
+             pa.array([], pa.int64()),
+             pa.array([], pa.timestamp("us")),
+             pa.array([], pa.timestamp("us"))],
+            names=[user_col, "session_id", "n_events", "session_start",
+                   "session_end"])
+    gap_us = gap_s * 1_000_000
+    new_session = np.ones(len(us), dtype=np.int64)
+    new_session[1:] = (np.diff(us) > gap_us).astype(np.int64)
+    session_ids = np.cumsum(new_session)  # 1-based
+    user = group.column(user_col)[0].as_py()
+    out_user, out_sid, out_n, out_start, out_end = [], [], [], [], []
+    boundaries = np.flatnonzero(new_session)
+    ends = np.append(boundaries[1:], len(us))
+    for b, e in zip(boundaries, ends):
+        out_user.append(user)
+        out_sid.append(int(session_ids[b]))
+        out_n.append(int(e - b))
+        out_start.append(int(us[b]))
+        out_end.append(int(us[e - 1]))
+    return pa.Table.from_arrays(
+        [pa.array(out_user, pa.int64()), pa.array(out_sid, pa.int64()),
+         pa.array(out_n, pa.int64()),
+         pa.array(out_start, pa.int64()).cast(pa.timestamp("us")),
+         pa.array(out_end, pa.int64()).cast(pa.timestamp("us"))],
+        names=[user_col, "session_id", "n_events", "session_start",
+               "session_end"])
+
+
+def session_windows(ds, *, ts_col: str = "ts", user_col: str = "user_id",
+                    gap_s: int = 1800):
+    """Gap-based session windows per user (the one genuinely order-dependent
+    stage: groupby(user) is the only shuffle)."""
+    return ds.groupby(user_col).map_groups(
+        sessionize_group,
+        fn_kwargs={"ts_col": ts_col, "user_col": user_col, "gap_s": gap_s},
+        batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- as-of join
+
+def asof_join_broadcast(left_ds, right_rows: list[dict], *,
+                        left_key: str, left_ts: str,
+                        right_key: str, right_ts: str,
+                        right_val: str, out_col: str,
+                        direction: str = "backward"):
+    """As-of join. direction="backward": latest right row with
+    right_ts <= left_ts; "forward": earliest right row with
+    right_ts >= left_ts. NULL when none. Right side is broadcast once via
+    ray.put as {key: (sorted_ts_array, vals_list)}."""
+    import ray
+
+    by_key: dict = {}
+    for r in sorted(right_rows, key=lambda r: (r[right_key], r[right_ts])):
+        by_key.setdefault(r[right_key], ([], []))
+        ts_list, val_list = by_key[r[right_key]]
+        ts_list.append(r[right_ts])
+        val_list.append(r[right_val])
+    for k, (ts_list, val_list) in by_key.items():
+        by_key[k] = (np.array([t.timestamp() if hasattr(t, "timestamp")
+                               else t for t in ts_list]), val_list)
+    index_ref = ray.put(by_key)
+
+    forward = direction == "forward"
+
+    class AsOf:
+        def __init__(self, ref):
+            self.index = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column(left_key).to_pylist()
+            times = batch.column(left_ts).to_pylist()
+            out = []
+            for k, t in zip(keys, times):
+                hit = self.index.get(k)
+                if hit is None:
+                    out.append(None)
+                    continue
+                ts_arr, vals = hit
+                tv = t.timestamp() if hasattr(t, "timestamp") else t
+                if forward:
+                    i = int(np.searchsorted(ts_arr, tv, side="left"))
+                    out.append(vals[i] if i < len(vals) else None)
+                else:
+                    i = int(np.searchsorted(ts_arr, tv, side="right")) - 1
+                    out.append(vals[i] if i >= 0 else None)
+            return batch.append_column(out_col, pa.array(out))
+
+    return left_ds.map_batches(
+        AsOf, fn_constructor_kwargs={"ref": index_ref},
+        batch_format="pyarrow", concurrency=(1, 4))

@@ -1,0 +1,114 @@
+"""Windowed / ordered operator tests."""
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from htmlreader_ray.functions.windows import (asof_join_broadcast,
+                                              assign_tumbling_window,
+                                              session_windows,
+                                              sessionize_group,
+                                              tumbling_window_agg)
+
+
+def ts(*args):
+    return datetime(*args)
+
+
+def events_table(rows):
+    return pa.Table.from_arrays(
+        [pa.array([r[0] for r in rows], pa.int64()),
+         pa.array([r[1] for r in rows], pa.timestamp("us")),
+         pa.array([float(r[2]) for r in rows], pa.float64()),
+         pa.array([r[3] for r in rows], pa.string())],
+        names=["user_id", "ts", "value", "event_type"])
+
+
+def test_assign_tumbling_window():
+    t = events_table([
+        (1, ts(2024, 1, 1, 10, 5), 1.0, "a"),
+        (1, ts(2024, 1, 1, 10, 59), 2.0, "a"),
+        (1, ts(2024, 1, 1, 11, 0), 3.0, "a"),
+    ])
+    out = assign_tumbling_window(t, width_s=3600)
+    starts = out.column("window_start").to_pylist()
+    assert starts[0] == starts[1] == ts(2024, 1, 1, 10)
+    assert starts[2] == ts(2024, 1, 1, 11)
+
+
+def test_sessionize_group_gaps():
+    t = events_table([
+        (7, ts(2024, 1, 1, 10, 0), 1, "a"),
+        (7, ts(2024, 1, 1, 10, 20), 1, "a"),   # same session (<=30m)
+        (7, ts(2024, 1, 1, 12, 0), 1, "a"),    # new session
+        (7, ts(2024, 1, 1, 12, 29), 1, "a"),   # same
+    ])
+    out = sessionize_group(t, gap_s=1800)
+    rows = out.to_pylist()
+    assert [(r["session_id"], r["n_events"]) for r in rows] == [(1, 2), (2, 2)]
+    assert rows[0]["session_start"] == ts(2024, 1, 1, 10, 0)
+    assert rows[0]["session_end"] == ts(2024, 1, 1, 10, 20)
+
+
+def test_session_windows_ray(ray_session):
+    import ray.data
+    t = events_table([
+        (1, ts(2024, 1, 1, 10, 0), 1, "a"),
+        (2, ts(2024, 1, 1, 10, 0), 1, "a"),
+        (1, ts(2024, 1, 1, 13, 0), 1, "a"),
+    ])
+    out = session_windows(ray.data.from_arrow(t)).take_all()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r["session_id"])
+    assert sorted(per_user[1]) == [1, 2]
+    assert per_user[2] == [1]
+
+
+def test_asof_join_directions(ray_session):
+    import ray.data
+    left = pa.Table.from_arrays(
+        [pa.array([1, 1, 2], pa.int64()),
+         pa.array([ts(2024, 1, 5), ts(2024, 1, 1), ts(2024, 1, 5)],
+                  pa.timestamp("us"))],
+        names=["k", "t"])
+    right = [
+        {"k": 1, "t": ts(2024, 1, 2), "v": 10},
+        {"k": 1, "t": ts(2024, 1, 4), "v": 20},
+        {"k": 2, "t": ts(2024, 1, 9), "v": 30},
+    ]
+    back = asof_join_broadcast(
+        ray.data.from_arrow(left), right, left_key="k", left_ts="t",
+        right_key="k", right_ts="t", right_val="v", out_col="v",
+        direction="backward").take_all()
+    got = {(r["k"], r["t"]): r["v"] for r in back}
+    assert got[(1, ts(2024, 1, 5))] == 20
+    assert got[(1, ts(2024, 1, 1))] is None
+    assert got[(2, ts(2024, 1, 5))] is None
+    fwd = asof_join_broadcast(
+        ray.data.from_arrow(left), right, left_key="k", left_ts="t",
+        right_key="k", right_ts="t", right_val="v", out_col="v",
+        direction="forward").take_all()
+    got = {(r["k"], r["t"]): r["v"] for r in fwd}
+    assert got[(1, ts(2024, 1, 1))] == 10
+    assert got[(1, ts(2024, 1, 5))] is None
+    assert got[(2, ts(2024, 1, 5))] == 30
+
+
+def test_tumbling_window_agg_ray(ray_session):
+    import ray.data
+    t = events_table([
+        (1, ts(2024, 1, 1, 10, 5), 1.0, "a"),
+        (1, ts(2024, 1, 1, 10, 30), 5.0, "a"),
+        (1, ts(2024, 1, 1, 11, 5), 2.0, "a"),
+        (1, ts(2024, 1, 1, 10, 10), 9.0, "b"),
+    ])
+    out = tumbling_window_agg(ray.data.from_arrow(t)).take_all()
+    rows = {(r["window_start"], r["event_type"]): r for r in out}
+    a10 = rows[(ts(2024, 1, 1, 10), "a")]
+    assert a10["n_events"] == 2 and a10["min_value"] == 1.0 \
+        and a10["max_value"] == 5.0
+    assert rows[(ts(2024, 1, 1, 11), "a")]["n_events"] == 1
+    assert rows[(ts(2024, 1, 1, 10), "b")]["n_events"] == 1
