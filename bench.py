@@ -237,10 +237,62 @@ def main_scaling() -> None:
     print(json.dumps(out))
 
 
+def main_kernel() -> None:
+    """Single-core kernel microbench mirroring the reference's Benchmarker
+    workloads (/root/reference/Utilities/Benchmarker.m:32-78): (1) parse a
+    large document, (2) escape+unescape it, (3) a weighted selector suite.
+    The 7 MB fixture is synthesized deterministically (the reference's is
+    stripped from its repo)."""
+    import pyarrow.parquet as pq
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from htmlreader_ray.kernel import parse
+    from htmlreader_ray.kernel.entities import html_escape, html_unescape
+    from htmlreader_ray.kernel.selector import compile_selector, select
+    from htmlreader_ray.sources.corpus import build_page
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pylist()[:2000]
+    big_html = "<!DOCTYPE html><html><body>" + "".join(
+        build_page(r["doc_id"], r["text"])[60:-14] for r in docs) + \
+        "</body></html>"
+    mb = len(big_html) / 1e6
+
+    t0 = time.perf_counter()
+    doc = parse(big_html)
+    t_parse = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    html_unescape(html_escape(big_html))
+    t_entities = time.perf_counter() - t0
+
+    # weighted selector suite in the spirit of query-selector.plist
+    suite = [("a[href]", 15), ("div p", 10), ("li:nth-child(odd)", 75),
+             (".menu a", 15), ("table td", 10), ("p:not(.x)", 10)]
+    compiled = [(compile_selector(s), w) for s, w in suite]
+    t0 = time.perf_counter()
+    matches = 0
+    for sel, weight in compiled:
+        for _ in range(max(1, weight // 15)):
+            matches += len(select(doc, sel))
+    t_selectors = time.perf_counter() - t0
+
+    print(json.dumps({
+        "metric": "kernel_microbench",
+        "unit": "sec",
+        "fixture_mb": round(mb, 2),
+        "parse_sec": round(t_parse, 3),
+        "parse_mb_per_sec": round(mb / t_parse, 2),
+        "escape_unescape_sec": round(t_entities, 3),
+        "selector_suite_sec": round(t_selectors, 3),
+        "selector_matches": matches,
+    }))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--child-extract":
         _child_extract(int(sys.argv[2]))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         main_scaling()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--kernel":
+        main_kernel()
     else:
         main_bench()
