@@ -146,30 +146,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
 
     def events_agg(sf_dir: str):
-        from ray.data.aggregate import Count, Max, Min
-        ds = _read(sf_dir, "events")
-        agg = ds.groupby("event_type").aggregate(
-            Count(), Min("value"), Max("value"))
-        import pyarrow as pa
-
-        def rename(batch: pa.Table) -> pa.Table:
-            return batch.rename_columns(
-                ["event_type", "n_events", "min_value", "max_value"])
-        return agg.map_batches(rename, batch_format="pyarrow")
+        """Combiner pattern: per-batch partial aggregation before the
+        groupby — the shuffle moves O(blocks x keys) rows, not O(events)."""
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+        return combine_aggregate(
+            _read(sf_dir, "events"), ["event_type"],
+            [("value", "count", "n_events"), ("value", "min", "min_value"),
+             ("value", "max", "max_value")])
 
     def pricing_summary(sf_dir: str):
         """Q1-style groupby-aggregate; integral-valued sums stay exact."""
         import pyarrow as pa
         from ray.data.aggregate import Count, Sum
+        from htmlreader_ray.functions.shuffle import combine_aggregate
         ds = _read(sf_dir, "lineitem").select_columns(
             ["l_returnflag", "l_linestatus", "l_quantity"])
-        agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-            Sum("l_quantity"), Count())
-
-        def rename(batch: pa.Table) -> pa.Table:
-            return batch.rename_columns(
-                ["l_returnflag", "l_linestatus", "sum_qty", "count_order"])
-        return agg.map_batches(rename, batch_format="pyarrow")
+        return combine_aggregate(
+            ds, ["l_returnflag", "l_linestatus"],
+            [("l_quantity", "sum", "sum_qty"),
+             ("l_quantity", "count", "count_order")])
 
     def events_by_day(sf_dir: str):
         import pyarrow as pa
@@ -182,13 +177,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 [day, batch.column("event_type")],
                 names=["day", "event_type"])
 
+        from htmlreader_ray.functions.shuffle import combine_aggregate
         ds = _read(sf_dir, "events").select_columns(["ts", "event_type"])
-        agg = ds.map_batches(day_of, batch_format="pyarrow").groupby(
-            ["day", "event_type"]).aggregate(Count())
-
-        def rename(batch: pa.Table) -> pa.Table:
-            return batch.rename_columns(["day", "event_type", "n_events"])
-        return agg.map_batches(rename, batch_format="pyarrow")
+        return combine_aggregate(
+            ds.map_batches(day_of, batch_format="pyarrow"),
+            ["day", "event_type"], [("", "count", "n_events")])
 
     def events_windowed(sf_dir: str):
         from htmlreader_ray.functions.windows import tumbling_window_agg
