@@ -137,3 +137,62 @@ def test_media_decode_strict_raises():
     from htmlreader_ray.stages.media import MediaDecode
     with pytest.raises(NotImplementedError):
         MediaDecode(strict=True)
+
+
+def test_extract_paths_equivalent(ray_session, docs_table, tmp_path):
+    """extract_dataset (generic) and extract_from_parquet (pruned read)
+    must produce identical span sequences."""
+    import ray.data
+    from htmlreader_ray.pipelines.extract_pipeline import (extract_dataset,
+                                                           extract_from_parquet)
+    corpus = interleave_rows(
+        docs_table.column("doc_id").to_pylist()[:40],
+        docs_table.column("text").to_pylist()[:40])
+    path = tmp_path / "c.parquet"
+    pq.write_table(corpus, path)
+    a = {r["doc_id"]: r["spans_out"]
+         for r in extract_dataset(ray.data.read_parquet(str(path))).take_all()}
+    b = {r["doc_id"]: r["spans_out"]
+         for r in extract_from_parquet([str(path)]).take_all()}
+    assert a == b
+
+
+def test_run_extract_resumes_after_partial_failure(ray_session, docs_table,
+                                                   tmp_path):
+    """A shard directory left behind by a crashed attempt is rebuilt from
+    scratch; completed shards are skipped."""
+    from htmlreader_ray.pipelines.run import run_extract
+    from htmlreader_ray.state.manifest import RunManifest
+    corpus_dir = tmp_path / "corpus"
+    corpus_dir.mkdir()
+    tbl = interleave_rows(
+        docs_table.column("doc_id").to_pylist()[:30],
+        docs_table.column("text").to_pylist()[:30])
+    pq.write_table(tbl, corpus_dir / "a.parquet")
+    pq.write_table(tbl, corpus_dir / "b.parquet")
+    out_dir = str(tmp_path / "out")
+    files = sorted(str(p) for p in corpus_dir.iterdir())
+    # simulate a crashed first attempt: stale partial output, no manifest row
+    stale = RunManifest(out_dir).shard_output_dir("00000-a")
+    os.makedirs(stale, exist_ok=True)
+    with open(os.path.join(stale, "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    totals = run_extract(files, out_dir, shard_size=1)
+    assert totals["shards"] == 2 and totals["docs"] == 60
+    # the stale junk file must be gone (shard rebuilt cleanly)
+    assert not os.path.exists(os.path.join(stale, "junk.parquet"))
+
+
+def test_io_shim_parquet_roundtrip(ray_session, docs_table, tmp_path):
+    from htmlreader_ray.sources.io import (corpus_format, read_corpus,
+                                           write_corpus)
+    import ray.data
+    assert corpus_format() in ("parquet", "lance")
+    tbl = interleave_rows(
+        docs_table.column("doc_id").to_pylist()[:10],
+        docs_table.column("text").to_pylist()[:10])
+    path = str(tmp_path / "shim_out")
+    write_corpus(ray.data.from_arrow(tbl), path)
+    back = read_corpus(path)
+    assert back.count() == 10
+    assert set(back.schema().names) >= {"doc_id", "spans", "doc_bytes"}
