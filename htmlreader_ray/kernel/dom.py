@@ -113,9 +113,13 @@ class Node:
     @property
     def text_content(self) -> str:
         parts: list[str] = []
-        for node in self.tree_order():
+        stack = [self]
+        while stack:
+            node = stack.pop()
             if isinstance(node, Text):
                 parts.append(node.data)
+            elif node.children:
+                stack.extend(reversed(node.children))
         return "".join(parts)
 
     @text_content.setter

@@ -188,12 +188,8 @@ class Tokenizer:
                     for am in _FAST_ATTR_RE.finditer(blob):
                         aname = am.group(1).lower()
                         if aname not in attrs:
-                            v = am.group(2)
-                            if v is None:
-                                v = am.group(3)
-                            if v is None:
-                                v = am.group(4)
-                            attrs[aname] = v if v is not None else ""
+                            li = am.lastindex
+                            attrs[aname] = am.group(li) if li > 1 else ""
                         else:
                             self._err("duplicate-attribute")
                 self.pos = m.end()
