@@ -2,7 +2,8 @@
 
     corpus (doc_id, spans)
       ├─ tag: doc_bytes (vectorized arrow kernel)
-      ├─ SMALL branch (vast majority): ParseExtract actor pool — no shuffle
+      ├─ SMALL branch (vast majority): ParseExtract tasks (per-worker
+      │  extractor cache) — no shuffle
       └─ MEGA branch (skew tail): split at span boundaries -> (doc_id, part)
          -> ParseExtract -> groupby(doc_id).map_groups(reassemble)
            [the ONLY shuffle in the pipeline, touching only the skew tail]

@@ -123,3 +123,18 @@ def test_inner_html_context_sensitive():
     tr = doc.css_first("#r")
     tr.inner_html = "<td>a</td><td>b</td>"
     assert [c.tag for c in tr.child_elements()] == ["td", "td"]
+
+
+def test_reference_readme_manipulation_parity():
+    """The reference README's usage story (README.md:26-56): select, wrap,
+    reserialize."""
+    doc = parse("<p>Ahoy there, <b>sailor</b>!</p>")
+    assert doc.css_first("b").text_content == "sailor"
+    p = doc.css_first("p")
+    parent = p.parent
+    wrapper = Element("div", {"class": "special"})
+    parent.insert_child(parent.children.index(p), wrapper)
+    wrapper.append_child(p)  # reparents p under the wrapper
+    assert doc.root_element.outer_html == (
+        '<html><head></head><body><div class="special">'
+        "<p>Ahoy there, <b>sailor</b>!</p></div></body></html>")
