@@ -164,3 +164,47 @@ def test_eof_in_comment_emits_comment():
     assert toks("<!--abc") == [("comment", "abc")]
     assert toks("<!--abc-") == [("comment", "abc-")]
     assert toks("<!--abc--") == [("comment", "abc--")]
+
+
+# second vector batch: doctype families, attribute weirdness, fast-path vs
+# state-machine agreement
+MORE_CASES = [
+    ("<!DOCTYPE HTML PUBLIC \"-//W3C//DTD HTML 4.01//EN\" 'http://sys'>",
+     [("doctype", "html", "-//W3C//DTD HTML 4.01//EN", "http://sys", False)]),
+    ("<!DOCTYPE html PUBLIC>", [("doctype", "html", None, None, True)]),
+    ("<!DOCTYPE html PUBLIC >", [("doctype", "html", None, None, True)]),
+    ("<!DOCTYPE html SYSTEM>", [("doctype", "html", None, None, True)]),
+    ("<!DOCTYPE html PUBLIC 'a' junk>",
+     [("doctype", "html", "a", None, True)]),
+    ("<!doctypehtml>", [("doctype", "html", None, None, False)]),
+    ("<!DOCTYPE potato SYSTEM 'x'>",
+     [("doctype", "potato", None, "x", False)]),
+    # attribute weirdness
+    ("<div a=\"1\"b=\"2\">", [("start", "div", {"a": "1", "b": "2"}, False)]),
+    ("<div a='1'b='2'>", [("start", "div", {"a": "1", "b": "2"}, False)]),
+    ("<div a/b=c>", [("start", "div", {"a": "", "b": "c"}, False)]),
+    ("<div =>", [("start", "div", {"=": ""}, False)]),
+    ("<div foo=`bar`>", [("start", "div", {"foo": "`bar`"}, False)]),
+    ("<div a==b>", [("start", "div", {"a": "=b"}, False)]),
+    ("<div 'a'='b'>", [("start", "div", {"'a'": "b"}, False)]),
+    ("<div a\t=\t'b'>", [("start", "div", {"a": "b"}, False)]),
+    ("<div/x>", [("start", "div", {"x": ""}, False)]),
+    ("<div x</div>", [("start", "div", {"x<": "", "div": ""}, False)]),
+    # numeric refs boundaries
+    ("&#x10FFFF;", [("chars", "\U0010FFFF")]),
+    ("&#1114111;", [("chars", "\U0010FFFF")]),
+    ("&#xA;", [("chars", "\n")]),
+    ("&#X41;x", [("chars", "Ax")]),
+    # upper/lowercase hex prefix without digits
+    ("&#x;", [("chars", "&#x;")]),
+    ("&#xZ;", [("chars", "&#xZ;")]),
+    # tag followed by EOF mid-name drops the tag
+    ("<div", []),
+    ("</div", []),
+]
+
+
+@pytest.mark.parametrize("src,expected", MORE_CASES,
+                         ids=[c[0][:34] for c in MORE_CASES])
+def test_tokenize_more(src, expected):
+    assert toks(src) == expected
