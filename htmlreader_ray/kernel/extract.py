@@ -41,10 +41,18 @@ _WS_RUN = re.compile(r"\s+")
 @dataclass(frozen=True)
 class ExtractConfig:
     """Pluggable extraction rule-set (the engine's user-extension surface,
-    SURVEY.md §2.11)."""
+    SURVEY.md §2.11).
+
+    ``min_text_density``: chars of own text per descendant element a block
+    must average to survive (0 disables). Text-dense prose has density in
+    the hundreds; markup-heavy chrome (menus, toolbars) sits near zero.
+    Off by default so the deterministic round-trip contract of the synthetic
+    corpus holds; production rule-sets enable it alongside link density.
+    """
     remove_selectors: tuple[str, ...] = DEFAULT_REMOVE_SELECTORS
     max_link_density: float = 0.5
     min_block_chars: int = 10
+    min_text_density: float = 0.0
     collapse_whitespace: bool = True
 
 
@@ -124,10 +132,10 @@ class Extractor:
         for el in doomed:
             if el.parent is not None:
                 el.parent.remove_child(el)
-        # 2. link-density scoring (bottom-up so leaf junk is pruned before
-        #    parents are scored)
+        # 2. link-density + text-density scoring (bottom-up so leaf junk is
+        #    pruned before parents are scored)
         cfg = self.config
-        if cfg.max_link_density < 1.0:
+        if cfg.max_link_density < 1.0 or cfg.min_text_density > 0:
             blocks = [n for n in root.tree_order()
                       if isinstance(n, Element) and n.tag in _BLOCK_TAGS]
             for el in reversed(blocks):
@@ -143,6 +151,13 @@ class Extractor:
                 if density > cfg.max_link_density and \
                         total - link_chars < cfg.min_block_chars:
                     el.parent.remove_child(el)
+                    continue
+                if cfg.min_text_density > 0:
+                    n_desc = sum(1 for d in el.tree_order()
+                                 if isinstance(d, Element)) - 1
+                    text_density = total / (1 + n_desc)
+                    if text_density < cfg.min_text_density:
+                        el.parent.remove_child(el)
         return doc
 
     def text_of(self, doc: Document) -> str:

@@ -89,3 +89,18 @@ def test_build_page_roundtrip_all_variants(ex, variant):
     page = build_page(variant, text)
     want = re.sub(r"\s+", " ", text).strip()
     assert ex.extract_html(page) == want
+
+
+def test_text_density_pruning_opt_in():
+    # markup-heavy chrome: many elements, little text
+    chrome = "<div id=junk>" + "".join(
+        f"<span><em><i>{c}</i></em></span>" for c in "abcdefgh") + "</div>"
+    prose = ("<p>This paragraph is ordinary running prose with plenty of "
+             "characters and no markup inside it at all.</p>")
+    html = f"<body>{chrome}{prose}</body>"
+    default = Extractor()
+    assert "abcdefgh" in default.extract_html(html).replace(" ", "")
+    strict = Extractor(ExtractConfig(min_text_density=3.0))
+    out = strict.extract_html(html)
+    assert "running prose" in out
+    assert "a b c" not in out and "abcdefgh" not in out.replace(" ", "")
