@@ -839,265 +839,312 @@ class TreeBuilder:
         return False
 
     def _in_body_start(self, tok):
-        name, attrs, self_closing = tok[1], tok[2], tok[3]
-        if name == "html":
-            self._err("unexpected-html-start-tag")
-            if any(e.tag == "template" for e in self.open):
-                return False
-            top = self.open[0]
-            for k, v in attrs.items():
-                if k not in top.attrs:
-                    top.attrs[k] = v
-            return False
-        if name in ("base", "basefont", "bgsound", "link", "meta", "noframes",
-                    "script", "style", "template", "title"):
-            return self._mode_in_head(tok)
-        if name == "body":
-            self._err("unexpected-body-start-tag")
-            if (len(self.open) < 2 or self.open[1].tag != "body"
-                    or any(e.tag == "template" for e in self.open)):
-                return False
-            self.frameset_ok = False
-            body = self.open[1]
-            for k, v in attrs.items():
-                if k not in body.attrs:
-                    body.attrs[k] = v
-            return False
-        if name == "frameset":
-            self._err("unexpected-frameset-start-tag")
-            if len(self.open) < 2 or self.open[1].tag != "body":
-                return False
-            if not self.frameset_ok:
-                return False
-            body = self.open[1]
-            if body.parent is not None:
-                body.parent.remove_child(body)
-            while len(self.open) > 1:
-                self.open.pop()
-            self._insert_element("frameset", attrs)
-            self.mode = IN_FRAMESET
-            return False
-        if name in _BLOCK_OPENERS:
-            if self._in_button_scope("p"):
-                self._close_p()
-            self._insert_element(name, attrs)
-            return False
-        if name in C.HEADINGS:
-            if self._in_button_scope("p"):
-                self._close_p()
-            if self.current and self.current.tag in C.HEADINGS and \
-                    self.current.namespace == HTML_NS:
-                self._err("nested-heading")
-                self.open.pop()
-            self._insert_element(name, attrs)
-            return False
-        if name in ("pre", "listing"):
-            if self._in_button_scope("p"):
-                self._close_p()
-            self._insert_element(name, attrs)
-            self.ignore_next_lf = True
-            self.frameset_ok = False
-            return False
-        if name == "form":
-            if self.form_ptr is not None and not any(
-                    e.tag == "template" for e in self.open):
-                self._err("unexpected-form-in-form")
-                return False
-            if self._in_button_scope("p"):
-                self._close_p()
-            el = self._insert_element(name, attrs)
-            if not any(e.tag == "template" for e in self.open):
-                self.form_ptr = el
-            return False
-        if name == "li":
-            self.frameset_ok = False
-            for node in reversed(self.open):
-                if node.tag == "li" and node.namespace == HTML_NS:
-                    self._generate_implied_end_tags(except_for="li")
-                    if self.current.tag != "li":
-                        self._err("unexpected-open-elements-li")
-                    self._pop_until("li")
-                    break
-                if _is_special(node) and node.tag not in ("address", "div", "p"):
-                    break
-            if self._in_button_scope("p"):
-                self._close_p()
-            self._insert_element(name, attrs)
-            return False
-        if name in ("dd", "dt"):
-            self.frameset_ok = False
-            for node in reversed(self.open):
-                if node.tag in ("dd", "dt") and node.namespace == HTML_NS:
-                    self._generate_implied_end_tags(except_for=node.tag)
-                    if self.current.tag != node.tag:
-                        self._err("unexpected-open-elements-dd-dt")
-                    self._pop_until(node.tag)
-                    break
-                if _is_special(node) and node.tag not in ("address", "div", "p"):
-                    break
-            if self._in_button_scope("p"):
-                self._close_p()
-            self._insert_element(name, attrs)
-            return False
-        if name == "plaintext":
-            if self._in_button_scope("p"):
-                self._close_p()
-            self._insert_element(name, attrs)
-            self.tokenizer.state = PLAINTEXT
-            return False
-        if name == "button":
-            if self._in_scope("button"):
-                self._err("unexpected-button-in-button")
-                self._generate_implied_end_tags()
-                self._pop_until("button")
+        # dict dispatch: one lookup instead of a ~25-branch membership chain
+        handler = _IN_BODY_START.get(tok[1])
+        if handler is None:
+            # any other start tag
             self._reconstruct_afe()
-            self._insert_element(name, attrs)
-            self.frameset_ok = False
+            self._insert_element(tok[1], tok[2])
             return False
-        if name == "a":
-            for entry in reversed(self.afe):
-                if entry is MARKER:
-                    break
-                if entry.tag == "a":
-                    self._err("unexpected-a-in-a")
-                    self._adoption_agency("a")
-                    if entry in self.afe:
-                        self.afe.remove(entry)
-                    if entry in self.open:
-                        self.open.remove(entry)
-                    break
-            self._reconstruct_afe()
-            el = self._insert_element(name, attrs)
-            self._push_afe(el)
+        return handler(self, tok)
+
+    def _s_html(self, tok):
+        attrs = tok[2]
+        self._err("unexpected-html-start-tag")
+        if any(e.tag == "template" for e in self.open):
             return False
-        if name in ("b", "big", "code", "em", "font", "i", "s", "small",
-                    "strike", "strong", "tt", "u"):
-            self._reconstruct_afe()
-            el = self._insert_element(name, attrs)
-            self._push_afe(el)
+        top = self.open[0]
+        for k, v in attrs.items():
+            if k not in top.attrs:
+                top.attrs[k] = v
+        return False
+
+    def _s_in_head(self, tok):
+        return self._mode_in_head(tok)
+
+    def _s_body(self, tok):
+        attrs = tok[2]
+        self._err("unexpected-body-start-tag")
+        if (len(self.open) < 2 or self.open[1].tag != "body"
+                or any(e.tag == "template" for e in self.open)):
             return False
-        if name == "nobr":
-            self._reconstruct_afe()
-            if self._in_scope("nobr"):
-                self._err("unexpected-nobr-in-nobr")
-                self._adoption_agency("nobr")
-                self._reconstruct_afe()
-            el = self._insert_element(name, attrs)
-            self._push_afe(el)
+        self.frameset_ok = False
+        body = self.open[1]
+        for k, v in attrs.items():
+            if k not in body.attrs:
+                body.attrs[k] = v
+        return False
+
+    def _s_frameset(self, tok):
+        attrs = tok[2]
+        self._err("unexpected-frameset-start-tag")
+        if len(self.open) < 2 or self.open[1].tag != "body":
             return False
-        if name in ("applet", "marquee", "object"):
-            self._reconstruct_afe()
-            self._insert_element(name, attrs)
-            self.afe.append(MARKER)
-            self.frameset_ok = False
+        if not self.frameset_ok:
             return False
-        if name == "table":
-            if self.document.quirks_mode != QUIRKS and self._in_button_scope("p"):
-                self._close_p()
-            self._insert_element(name, attrs)
-            self.frameset_ok = False
-            self.mode = IN_TABLE
+        body = self.open[1]
+        if body.parent is not None:
+            body.parent.remove_child(body)
+        while len(self.open) > 1:
+            self.open.pop()
+        self._insert_element("frameset", attrs)
+        self.mode = IN_FRAMESET
+        return False
+
+    def _s_block(self, tok):
+        if self._in_button_scope("p"):
+            self._close_p()
+        self._insert_element(tok[1], tok[2])
+        return False
+
+    def _s_heading(self, tok):
+        if self._in_button_scope("p"):
+            self._close_p()
+        if self.current and self.current.tag in C.HEADINGS and \
+                self.current.namespace == HTML_NS:
+            self._err("nested-heading")
+            self.open.pop()
+        self._insert_element(tok[1], tok[2])
+        return False
+
+    def _s_pre(self, tok):
+        if self._in_button_scope("p"):
+            self._close_p()
+        self._insert_element(tok[1], tok[2])
+        self.ignore_next_lf = True
+        self.frameset_ok = False
+        return False
+
+    def _s_form(self, tok):
+        if self.form_ptr is not None and not any(
+                e.tag == "template" for e in self.open):
+            self._err("unexpected-form-in-form")
             return False
-        if name in ("area", "br", "embed", "img", "keygen", "wbr"):
-            self._reconstruct_afe()
-            self._insert_element(name, attrs, push=False)
-            self.frameset_ok = False
-            return False
-        if name == "input":
-            self._reconstruct_afe()
-            self._insert_element(name, attrs, push=False)
-            if attrs.get("type", "").lower() != "hidden":
-                self.frameset_ok = False
-            return False
-        if name in ("param", "source", "track"):
-            self._insert_element(name, attrs, push=False)
-            return False
-        if name == "hr":
-            if self._in_button_scope("p"):
-                self._close_p()
-            self._insert_element(name, attrs, push=False)
-            self.frameset_ok = False
-            return False
-        if name == "image":
-            self._err("image-start-tag")
-            return self._in_body_start(("start", "img", attrs, self_closing))
-        if name == "textarea":
-            self._insert_element(name, attrs)
-            self.ignore_next_lf = True
-            self.tokenizer.state = RCDATA
-            self.original_mode = self.mode
-            self.frameset_ok = False
-            self.mode = TEXT
-            return False
-        if name == "xmp":
-            if self._in_button_scope("p"):
-                self._close_p()
-            self._reconstruct_afe()
-            self.frameset_ok = False
-            self._generic_rawtext(tok)
-            return False
-        if name == "iframe":
-            self.frameset_ok = False
-            self._generic_rawtext(tok)
-            return False
-        if name == "noembed" or (name == "noscript" and self.scripting):
-            self._generic_rawtext(tok)
-            return False
-        if name == "select":
-            self._reconstruct_afe()
-            self._insert_element(name, attrs)
-            self.frameset_ok = False
-            if self.mode in (IN_TABLE, IN_CAPTION, IN_TABLE_BODY, IN_ROW,
-                             IN_CELL):
-                self.mode = IN_SELECT_IN_TABLE
-            else:
-                self.mode = IN_SELECT
-            return False
-        if name in ("optgroup", "option"):
-            if self.current and self.current.tag == "option":
-                self.open.pop()
-            self._reconstruct_afe()
-            self._insert_element(name, attrs)
-            return False
-        if name in ("rb", "rtc"):
-            if self._in_scope("ruby"):
-                self._generate_implied_end_tags()
-                if self.current.tag != "ruby":
-                    self._err("unexpected-open-elements-ruby")
-            self._insert_element(name, attrs)
-            return False
-        if name in ("rp", "rt"):
-            if self._in_scope("ruby"):
-                self._generate_implied_end_tags(except_for="rtc")
-                if self.current.tag not in ("ruby", "rtc"):
-                    self._err("unexpected-open-elements-ruby")
-            self._insert_element(name, attrs)
-            return False
-        if name == "math":
-            self._reconstruct_afe()
-            self._adjust_mathml_attrs(attrs)
-            el = Element(name, attrs, MATHML_NS)
-            self._insert_node(el)
-            if not self_closing:
-                self.open.append(el)
-            self.saw_foreign = True
-            return False
-        if name == "svg":
-            self._reconstruct_afe()
-            new_attrs = self._adjust_svg_attrs(attrs)
-            el = Element(name, new_attrs, SVG_NS)
-            self._insert_node(el)
-            if not self_closing:
-                self.open.append(el)
-            self.saw_foreign = True
-            return False
-        if name in ("caption", "col", "colgroup", "frame", "head", "tbody",
-                    "td", "tfoot", "th", "thead", "tr"):
-            self._err("unexpected-start-tag-ignored")
-            return False
-        # any other start tag
+        if self._in_button_scope("p"):
+            self._close_p()
+        el = self._insert_element(tok[1], tok[2])
+        if not any(e.tag == "template" for e in self.open):
+            self.form_ptr = el
+        return False
+
+    def _s_li(self, tok):
+        self.frameset_ok = False
+        for node in reversed(self.open):
+            if node.tag == "li" and node.namespace == HTML_NS:
+                self._generate_implied_end_tags(except_for="li")
+                if self.current.tag != "li":
+                    self._err("unexpected-open-elements-li")
+                self._pop_until("li")
+                break
+            if _is_special(node) and node.tag not in ("address", "div", "p"):
+                break
+        if self._in_button_scope("p"):
+            self._close_p()
+        self._insert_element(tok[1], tok[2])
+        return False
+
+    def _s_dd_dt(self, tok):
+        self.frameset_ok = False
+        for node in reversed(self.open):
+            if node.tag in ("dd", "dt") and node.namespace == HTML_NS:
+                self._generate_implied_end_tags(except_for=node.tag)
+                if self.current.tag != node.tag:
+                    self._err("unexpected-open-elements-dd-dt")
+                self._pop_until(node.tag)
+                break
+            if _is_special(node) and node.tag not in ("address", "div", "p"):
+                break
+        if self._in_button_scope("p"):
+            self._close_p()
+        self._insert_element(tok[1], tok[2])
+        return False
+
+    def _s_plaintext(self, tok):
+        if self._in_button_scope("p"):
+            self._close_p()
+        self._insert_element(tok[1], tok[2])
+        self.tokenizer.state = PLAINTEXT
+        return False
+
+    def _s_button(self, tok):
+        if self._in_scope("button"):
+            self._err("unexpected-button-in-button")
+            self._generate_implied_end_tags()
+            self._pop_until("button")
         self._reconstruct_afe()
-        self._insert_element(name, attrs)
+        self._insert_element(tok[1], tok[2])
+        self.frameset_ok = False
+        return False
+
+    def _s_a(self, tok):
+        for entry in reversed(self.afe):
+            if entry is MARKER:
+                break
+            if entry.tag == "a":
+                self._err("unexpected-a-in-a")
+                self._adoption_agency("a")
+                if entry in self.afe:
+                    self.afe.remove(entry)
+                if entry in self.open:
+                    self.open.remove(entry)
+                break
+        self._reconstruct_afe()
+        el = self._insert_element(tok[1], tok[2])
+        self._push_afe(el)
+        return False
+
+    def _s_formatting(self, tok):
+        self._reconstruct_afe()
+        el = self._insert_element(tok[1], tok[2])
+        self._push_afe(el)
+        return False
+
+    def _s_nobr(self, tok):
+        self._reconstruct_afe()
+        if self._in_scope("nobr"):
+            self._err("unexpected-nobr-in-nobr")
+            self._adoption_agency("nobr")
+            self._reconstruct_afe()
+        el = self._insert_element(tok[1], tok[2])
+        self._push_afe(el)
+        return False
+
+    def _s_applet(self, tok):
+        self._reconstruct_afe()
+        self._insert_element(tok[1], tok[2])
+        self.afe.append(MARKER)
+        self.frameset_ok = False
+        return False
+
+    def _s_table(self, tok):
+        if self.document.quirks_mode != QUIRKS and self._in_button_scope("p"):
+            self._close_p()
+        self._insert_element(tok[1], tok[2])
+        self.frameset_ok = False
+        self.mode = IN_TABLE
+        return False
+
+    def _s_void(self, tok):
+        self._reconstruct_afe()
+        self._insert_element(tok[1], tok[2], push=False)
+        self.frameset_ok = False
+        return False
+
+    def _s_input(self, tok):
+        attrs = tok[2]
+        self._reconstruct_afe()
+        self._insert_element(tok[1], attrs, push=False)
+        if attrs.get("type", "").lower() != "hidden":
+            self.frameset_ok = False
+        return False
+
+    def _s_param(self, tok):
+        self._insert_element(tok[1], tok[2], push=False)
+        return False
+
+    def _s_hr(self, tok):
+        if self._in_button_scope("p"):
+            self._close_p()
+        self._insert_element(tok[1], tok[2], push=False)
+        self.frameset_ok = False
+        return False
+
+    def _s_image(self, tok):
+        self._err("image-start-tag")
+        return self._in_body_start(("start", "img", tok[2], tok[3]))
+
+    def _s_textarea(self, tok):
+        self._insert_element(tok[1], tok[2])
+        self.ignore_next_lf = True
+        self.tokenizer.state = RCDATA
+        self.original_mode = self.mode
+        self.frameset_ok = False
+        self.mode = TEXT
+        return False
+
+    def _s_xmp(self, tok):
+        if self._in_button_scope("p"):
+            self._close_p()
+        self._reconstruct_afe()
+        self.frameset_ok = False
+        self._generic_rawtext(tok)
+        return False
+
+    def _s_iframe(self, tok):
+        self.frameset_ok = False
+        self._generic_rawtext(tok)
+        return False
+
+    def _s_noembed(self, tok):
+        self._generic_rawtext(tok)
+        return False
+
+    def _s_noscript(self, tok):
+        if self.scripting:
+            self._generic_rawtext(tok)
+            return False
+        # scripting off: ordinary element
+        self._reconstruct_afe()
+        self._insert_element(tok[1], tok[2])
+        return False
+
+    def _s_select(self, tok):
+        self._reconstruct_afe()
+        self._insert_element(tok[1], tok[2])
+        self.frameset_ok = False
+        if self.mode in (IN_TABLE, IN_CAPTION, IN_TABLE_BODY, IN_ROW,
+                         IN_CELL):
+            self.mode = IN_SELECT_IN_TABLE
+        else:
+            self.mode = IN_SELECT
+        return False
+
+    def _s_option(self, tok):
+        if self.current and self.current.tag == "option":
+            self.open.pop()
+        self._reconstruct_afe()
+        self._insert_element(tok[1], tok[2])
+        return False
+
+    def _s_rb_rtc(self, tok):
+        if self._in_scope("ruby"):
+            self._generate_implied_end_tags()
+            if self.current.tag != "ruby":
+                self._err("unexpected-open-elements-ruby")
+        self._insert_element(tok[1], tok[2])
+        return False
+
+    def _s_rp_rt(self, tok):
+        if self._in_scope("ruby"):
+            self._generate_implied_end_tags(except_for="rtc")
+            if self.current.tag not in ("ruby", "rtc"):
+                self._err("unexpected-open-elements-ruby")
+        self._insert_element(tok[1], tok[2])
+        return False
+
+    def _s_math(self, tok):
+        attrs = tok[2]
+        self._reconstruct_afe()
+        self._adjust_mathml_attrs(attrs)
+        el = Element(tok[1], attrs, MATHML_NS)
+        self._insert_node(el)
+        if not tok[3]:
+            self.open.append(el)
+        self.saw_foreign = True
+        return False
+
+    def _s_svg(self, tok):
+        self._reconstruct_afe()
+        new_attrs = self._adjust_svg_attrs(tok[2])
+        el = Element(tok[1], new_attrs, SVG_NS)
+        self._insert_node(el)
+        if not tok[3]:
+            self.open.append(el)
+        self.saw_foreign = True
+        return False
+
+    def _s_ignored(self, tok):
+        self._err("unexpected-start-tag-ignored")
         return False
 
     def _in_body_end(self, tok):
@@ -2059,3 +2106,50 @@ _MODE_DISPATCH = {
     AFTER_AFTER_BODY: TreeBuilder._mode_after_after_body,
     AFTER_AFTER_FRAMESET: TreeBuilder._mode_after_after_frameset,
 }
+
+
+def _build_in_body_start_table():
+    T = TreeBuilder
+    table = {
+        "html": T._s_html, "body": T._s_body, "frameset": T._s_frameset,
+        "form": T._s_form, "li": T._s_li, "plaintext": T._s_plaintext,
+        "button": T._s_button, "a": T._s_a, "nobr": T._s_nobr,
+        "table": T._s_table, "input": T._s_input, "hr": T._s_hr,
+        "image": T._s_image, "textarea": T._s_textarea, "xmp": T._s_xmp,
+        "iframe": T._s_iframe, "noembed": T._s_noembed,
+        "noscript": T._s_noscript, "select": T._s_select,
+        "math": T._s_math, "svg": T._s_svg,
+    }
+    for t in ("base", "basefont", "bgsound", "link", "meta", "noframes",
+              "script", "style", "template", "title"):
+        table[t] = T._s_in_head
+    for t in _BLOCK_OPENERS:
+        table[t] = T._s_block
+    for t in C.HEADINGS:
+        table[t] = T._s_heading
+    for t in ("pre", "listing"):
+        table[t] = T._s_pre
+    for t in ("dd", "dt"):
+        table[t] = T._s_dd_dt
+    for t in ("b", "big", "code", "em", "font", "i", "s", "small", "strike",
+              "strong", "tt", "u"):
+        table[t] = T._s_formatting
+    for t in ("applet", "marquee", "object"):
+        table[t] = T._s_applet
+    for t in ("area", "br", "embed", "img", "keygen", "wbr"):
+        table[t] = T._s_void
+    for t in ("param", "source", "track"):
+        table[t] = T._s_param
+    for t in ("optgroup", "option"):
+        table[t] = T._s_option
+    for t in ("rb", "rtc"):
+        table[t] = T._s_rb_rtc
+    for t in ("rp", "rt"):
+        table[t] = T._s_rp_rt
+    for t in ("caption", "col", "colgroup", "frame", "head", "tbody", "td",
+              "tfoot", "th", "thead", "tr"):
+        table[t] = T._s_ignored
+    return table
+
+
+_IN_BODY_START = _build_in_body_start_table()
