@@ -432,3 +432,144 @@ def test_script_stays_in_head_after_body_start():
 |     <script>
 |       "var a;"
 """)
+
+
+# third batch: select/table/after-mode interactions
+
+def test_select_in_table_breakout():
+    check("<table><tr><td><select><option>a<td>next</table>", """
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <tbody>
+|         <tr>
+|           <td>
+|             <select>
+|               <option>
+|                 "a"
+|           <td>
+|             "next"
+""")
+
+
+def test_select_input_closes_select():
+    check("<select><option>a<input type=text>b", """
+| <html>
+|   <head>
+|   <body>
+|     <select>
+|       <option>
+|         "a"
+|     <input>
+|       type="text"
+|     "b"
+""")
+
+
+def test_nested_select_closes():
+    # spec: <select> inside a select acts as </select> and is CONSUMED —
+    # no second select element is created
+    check("<select><option>1<select><option>2", """
+| <html>
+|   <head>
+|   <body>
+|     <select>
+|       <option>
+|         "1"
+|     <option>
+|       "2"
+""")
+
+
+def test_table_in_select_in_table():
+    check("<table><tr><td><select><table><tr><td>x</table></table>", """
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <tbody>
+|         <tr>
+|           <td>
+|             <select>
+|             <table>
+|               <tbody>
+|                 <tr>
+|                   <td>
+|                     "x"
+""")
+
+
+def test_whitespace_preserved_in_table_rows():
+    check("<table> <tr> <td>x</td> </tr> </table>", """
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       " "
+|       <tbody>
+|         <tr>
+|           " "
+|           <td>
+|             "x"
+|           " "
+|         " "
+""")
+
+
+def test_head_whitespace_placement():
+    check("<head> <meta charset=x> </head> <body>", """
+| <html>
+|   <head>
+|     " "
+|     <meta>
+|       charset="x"
+|     " "
+|   " "
+|   <body>
+""")
+
+
+def test_col_outside_colgroup():
+    check("<table><col span=2></table>", """
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <colgroup>
+|         <col>
+|           span="2"
+""")
+
+
+def test_caption_implies_close_on_table_elements():
+    check("<table><caption>c<tr><td>x</table>", """
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <caption>
+|         "c"
+|       <tbody>
+|         <tr>
+|           <td>
+|             "x"
+""")
+
+
+def test_td_in_body_ignored():
+    check("a<td>b", """
+| <html>
+|   <head>
+|   <body>
+|     "ab"
+""")
+
+
+def test_doctype_after_start_ignored():
+    check("x<!DOCTYPE html>y", """
+| <html>
+|   <head>
+|   <body>
+|     "xy"
+""")
