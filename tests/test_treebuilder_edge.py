@@ -573,3 +573,136 @@ def test_doctype_after_start_ignored():
 |   <body>
 |     "xy"
 """)
+
+
+# fourth batch: noscript-in-head, frameset modes, ruby, nested foreign
+
+def test_in_head_noscript_scripting_off():
+    check("<head><noscript><link href=x><p>breaks</noscript></head>", """
+| <html>
+|   <head>
+|     <noscript>
+|       <link>
+|         href="x"
+|   <body>
+|     <p>
+|       "breaks"
+""")
+
+
+def test_noframes_in_frameset():
+    check("<frameset><noframes>ignored <b>markup</noframes></frameset>", """
+| <html>
+|   <head>
+|   <frameset>
+|     <noframes>
+|       "ignored <b>markup"
+""")
+
+
+def test_nested_framesets():
+    check("<frameset rows='50%,50%'><frameset cols='2'><frame></frameset><frame></frameset>", """
+| <html>
+|   <head>
+|   <frameset>
+|     rows="50%,50%"
+|     <frameset>
+|       cols="2"
+|       <frame>
+|     <frame>
+""")
+
+
+def test_ruby_implied_ends():
+    check("<ruby>base<rt>anno<rt>anno2</ruby>", """
+| <html>
+|   <head>
+|   <body>
+|     <ruby>
+|       "base"
+|       <rt>
+|         "anno"
+|       <rt>
+|         "anno2"
+""")
+
+
+def test_ruby_rb_rp():
+    check("<ruby><rb>b<rp>(<rt>r<rp>)</ruby>", """
+| <html>
+|   <head>
+|   <body>
+|     <ruby>
+|       <rb>
+|         "b"
+|       <rp>
+|         "("
+|       <rt>
+|         "r"
+|       <rp>
+|         ")"
+""")
+
+
+def test_svg_inside_mathml_annotation():
+    check("<math><annotation-xml><svg><g>x</g></svg></annotation-xml></math>", """
+| <html>
+|   <head>
+|   <body>
+|     <math math>
+|       <math annotation-xml>
+|         <svg svg>
+|           <svg g>
+|             "x"
+""")
+
+
+def test_math_in_svg_foreignobject():
+    check("<svg><foreignObject><math><mi>m</mi></math></foreignObject></svg>", """
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       <svg foreignObject>
+|         <math math>
+|           <math mi>
+|             "m"
+""")
+
+
+def test_xmp_rawtext_in_body():
+    check("<p>a<xmp><b>not bold</xmp>c", """
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "a"
+|     <xmp>
+|       "<b>not bold"
+|     "c"
+""")
+
+
+def test_iframe_rawtext():
+    check("<iframe><p>inside</iframe>after", """
+| <html>
+|   <head>
+|   <body>
+|     <iframe>
+|       "<p>inside"
+|     "after"
+""")
+
+
+def test_optgroup_end_pops_option():
+    check("<select><optgroup><option>a</optgroup><option>b</select>", """
+| <html>
+|   <head>
+|   <body>
+|     <select>
+|       <optgroup>
+|         <option>
+|           "a"
+|       <option>
+|         "b"
+""")
