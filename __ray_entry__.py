@@ -127,6 +127,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
         return feats
 
+    def pdf_layout(sf_dir: str):
+        from htmlreader_ray.stages.media import PdfLayoutParse
+        import pyarrow as pa
+
+        def synth_pdfs(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            return pa.Table.from_arrays(
+                [pa.array([f"doc-{i:08d}" for i in ids], pa.string()),
+                 pa.array([f"media://doc/{i:08d}.pdf" for i in ids],
+                          pa.string())],
+                names=["doc_id", "media_ref"])
+
+        pdfs = _read(sf_dir, "documents").map_batches(
+            synth_pdfs, batch_format="pyarrow")
+        layout = pdfs.map_batches(
+            PdfLayoutParse, fn_constructor_kwargs={},
+            batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
+        return layout.map_batches(
+            lambda b: b.select(["doc_id", "media_ref", "page", "block_idx",
+                                "kind", "text"]),
+            batch_format="pyarrow")
+
     def media_frames(sf_dir: str):
         from htmlreader_ray.stages.media import MediaFrameSample
         import pyarrow as pa
@@ -287,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": embedding_near_dups,
         "media_features": media_features,
         "media_frames": media_frames,
+        "pdf_layout": pdf_layout,
         # engine aggregations / broadcast join (SURVEY §2.6 engine-level)
         "events_agg": events_agg,
         "orders_by_segment": orders_by_segment,

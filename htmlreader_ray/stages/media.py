@@ -101,6 +101,94 @@ class MediaDecode:
         return pa.Table.from_arrays(arrays, names=names)
 
 
+LAYOUT_BLOCK_TYPE = pa.struct([
+    ("page", pa.int32()),
+    ("block_idx", pa.int32()),
+    ("kind", pa.string()),        # text / heading / table / figure
+    ("bbox", pa.list_(pa.float32(), 4)),
+    ("text", pa.string()),
+])
+
+
+class PdfLayoutParse:
+    """Actor-pool stage: the PDF/layout parse branch of the north rule.
+
+    (doc_id, media_ref[, payload]) -> one row per layout block:
+    (doc_id, media_ref, page, block_idx, kind, bbox, text).
+
+    The PDF engine itself is STUBBED (no pdfium/poppler in this container):
+    page count and block layout derive deterministically from the content
+    digest, so ordering, fan-out and schema — the parts the distributed
+    pipeline depends on — are real and tested. A real implementation
+    replaces _layout_for() with the native parse; nothing else changes.
+    """
+
+    _KINDS = ("heading", "text", "text", "table", "figure")
+
+    def __init__(self, *, strict: bool = False, ref_col: str = "media_ref",
+                 payload_col: Optional[str] = None,
+                 keep_cols: tuple[str, ...] = ("doc_id",)) -> None:
+        self.ref_col = ref_col
+        self.payload_col = payload_col
+        self.keep_cols = keep_cols
+        if strict:
+            raise NotImplementedError(
+                "PDF layout parse requires a native PDF library; not "
+                "present in this container — strict=False runs the "
+                "deterministic stub")
+
+    def _layout_for(self, ref: str, payload: Optional[bytes]) -> list[dict]:
+        digest = hashlib.sha256(
+            payload if payload is not None else (ref or "").encode("utf-8")
+        ).hexdigest()
+        seed = int(digest[:8], 16)
+        n_pages = 1 + seed % 4
+        blocks = []
+        for page in range(n_pages):
+            n_blocks = 1 + (seed >> (page * 3)) % 3
+            for b in range(n_blocks):
+                kind = self._KINDS[(seed >> (page + b)) % len(self._KINDS)]
+                y0 = b / n_blocks
+                blocks.append({
+                    "page": page, "block_idx": b, "kind": kind,
+                    "bbox": [0.1, round(y0, 4), 0.9,
+                             round(y0 + 0.8 / n_blocks, 4)],
+                    "text": f"[stub {kind} p{page}b{b} {digest[:8]}]",
+                })
+        return blocks
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column(self.ref_col).to_pylist()
+        payloads = (batch.column(self.payload_col).to_pylist()
+                    if self.payload_col and
+                    self.payload_col in batch.column_names
+                    else [None] * len(refs))
+        keep_vals = {c: batch.column(c).to_pylist() for c in self.keep_cols}
+        out_keep: dict[str, list] = {c: [] for c in self.keep_cols}
+        out_ref, out_page, out_idx, out_kind, out_bbox, out_text = \
+            [], [], [], [], [], []
+        for i, (ref, payload) in enumerate(zip(refs, payloads)):
+            for blk in self._layout_for(ref, payload):
+                for c in self.keep_cols:
+                    out_keep[c].append(keep_vals[c][i])
+                out_ref.append(ref)
+                out_page.append(blk["page"])
+                out_idx.append(blk["block_idx"])
+                out_kind.append(blk["kind"])
+                out_bbox.append(blk["bbox"])
+                out_text.append(blk["text"])
+        arrays = [pa.array(out_keep[c]) for c in self.keep_cols]
+        names = list(self.keep_cols)
+        arrays += [pa.array(out_ref, pa.string()),
+                   pa.array(out_page, pa.int32()),
+                   pa.array(out_idx, pa.int32()),
+                   pa.array(out_kind, pa.string()),
+                   pa.array(out_bbox, pa.list_(pa.float32(), 4)),
+                   pa.array(out_text, pa.string())]
+        names += [self.ref_col, "page", "block_idx", "kind", "bbox", "text"]
+        return pa.Table.from_arrays(arrays, names=names)
+
+
 class MediaFeatures:
     """Actor-pool stage: media metadata -> fixed-dim feature vector
     (list<float32>). The embedding model is STUBBED (no vision/audio libs in

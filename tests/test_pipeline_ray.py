@@ -196,3 +196,32 @@ def test_io_shim_parquet_roundtrip(ray_session, docs_table, tmp_path):
     back = read_corpus(path)
     assert back.count() == 10
     assert set(back.schema().names) >= {"doc_id", "spans", "doc_bytes"}
+
+
+def test_pdf_layout_parse_stage(ray_session):
+    import ray.data
+    from htmlreader_ray.stages.media import PdfLayoutParse
+    tbl = pa.Table.from_arrays(
+        [pa.array(["d1", "d2"]),
+         pa.array(["media://doc/a.pdf", "media://doc/b.pdf"])],
+        names=["doc_id", "media_ref"])
+    ds = ray.data.from_arrow(tbl).map_batches(
+        PdfLayoutParse, fn_constructor_kwargs={}, batch_format="pyarrow",
+        batch_size=16, concurrency=(1, 2))
+    rows = ds.take_all()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r["kind"] in ("heading", "text", "table", "figure")
+        x0, y0, x1, y1 = r["bbox"]
+        assert 0 <= x0 < x1 <= 1 and 0 <= y0 < y1 <= 1.01
+    # per-doc block ordering is (page, block_idx) monotone
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["page"], r["block_idx"]))
+    for seq in by_doc.values():
+        assert seq == sorted(seq)
+    # deterministic across invocations
+    rows2 = ray.data.from_arrow(tbl).map_batches(
+        PdfLayoutParse, fn_constructor_kwargs={}, batch_format="pyarrow",
+        concurrency=(1, 2)).take_all()
+    assert sorted(map(str, rows)) == sorted(map(str, rows2))
