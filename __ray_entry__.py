@@ -127,6 +127,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
         return feats
 
+    def extract_html_text(sf_dir: str):
+        """ExtractText stage over plain HTML columns (S2+M14+extraction
+        without the span plumbing)."""
+        import pyarrow as pa
+        from htmlreader_ray.sources.corpus import build_page
+        from htmlreader_ray.stages.parse_extract import ExtractText
+
+        def to_html(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            return pa.Table.from_arrays(
+                [pa.array(ids, pa.int64()),
+                 pa.array([build_page(int(i), t or "")
+                           for i, t in zip(ids, texts)], pa.string())],
+                names=["doc_id", "html"])
+
+        ds = _read(sf_dir, "documents").map_batches(
+            to_html, batch_format="pyarrow")
+        return ds.map_batches(
+            ExtractText, fn_constructor_kwargs={},
+            batch_format="pyarrow", concurrency=(1, 8))
+
     def pdf_layout(sf_dir: str):
         from htmlreader_ray.stages.media import PdfLayoutParse
         import pyarrow as pa
@@ -310,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": media_features,
         "media_frames": media_frames,
         "pdf_layout": pdf_layout,
+        "extract_html_text": extract_html_text,
         # engine aggregations / broadcast join (SURVEY §2.6 engine-level)
         "events_agg": events_agg,
         "orders_by_segment": orders_by_segment,
@@ -371,6 +394,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "textcontent_roundtrip":
             "SELECT doc_id, text AS text_content FROM documents",
+        "extract_html_text": f"""
+            SELECT doc_id, {_COLLAPSED} AS extracted_text FROM documents
+        """,
         "html_escape":
             f"SELECT doc_id, {_ESCAPE_CHAIN} AS escaped FROM documents",
         "html_unescape_roundtrip":

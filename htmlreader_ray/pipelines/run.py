@@ -65,6 +65,12 @@ def run_extract(input_files: Sequence[str], out_dir: str, *,
                                      concurrency=concurrency, **kwargs)
         result.write_parquet(out_path)
         wall = time.perf_counter() - start
+        try:
+            stats_txt = result.stats()[:4000]
+        except Exception:
+            stats_txt = ""
+        with open(os.path.join(out_path, "_stats.txt"), "w") as f:
+            f.write(stats_txt)
         frag = pads.dataset(out_path, format="parquet")
         docs = frag.count_rows()
         spans = 0
