@@ -127,6 +127,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
         return feats
 
+    def extract_multispan(sf_dir: str):
+        """Flagship variant: text split across two HTML spans around a
+        media span — verifies cross-span ordering end-to-end."""
+        from htmlreader_ray.pipelines.extract_pipeline import extract_dataset
+        from htmlreader_ray.pipelines.queries import explode_spans_out
+        from htmlreader_ray.sources.corpus import BuildInterleavedMulti
+        corpus = _read(sf_dir, "documents").map_batches(
+            BuildInterleavedMulti(), batch_format="pyarrow")
+        out = extract_dataset(corpus)
+        return out.map_batches(explode_spans_out, batch_format="pyarrow")
+
     def extract_html_text(sf_dir: str):
         """ExtractText stage over plain HTML columns (S2+M14+extraction
         without the span plumbing)."""
@@ -333,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": media_frames,
         "pdf_layout": pdf_layout,
         "extract_html_text": extract_html_text,
+        "extract_multispan": extract_multispan,
         # engine aggregations / broadcast join (SURVEY §2.6 engine-level)
         "events_agg": events_agg,
         "orders_by_segment": orders_by_segment,
@@ -394,6 +406,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "textcontent_roundtrip":
             "SELECT doc_id, text AS text_content FROM documents",
+        "extract_multispan": f"""
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(regexp_replace(
+                           text, '\\s+', ' ', 'g')), ' ') AS words
+                FROM documents
+            ), halves AS (
+                SELECT doc_id,
+                       array_to_string(words[1:(array_length(words)+1)//2],
+                                       ' ') AS first_half,
+                       array_to_string(
+                           words[(array_length(words)+1)//2+1:
+                                 array_length(words)], ' ') AS second_half
+                FROM w
+            )
+            SELECT {_DOCKEY} AS doc_id, 0 AS span_order, 'text' AS kind,
+                   first_half AS text, '' AS media_ref FROM halves
+            UNION ALL
+            SELECT {_DOCKEY}, 1, 'media', '',
+                   'media://img/' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                   || '.png' FROM halves
+            UNION ALL
+            SELECT {_DOCKEY}, 2, 'text', second_half, '' FROM halves
+        """,
         "extract_html_text": f"""
             SELECT doc_id, {_COLLAPSED} AS extracted_text FROM documents
         """,

@@ -148,6 +148,50 @@ def interleave_rows(doc_keys, texts, *, media_every: int = 1) -> pa.Table:
         schema=CORPUS_SCHEMA)
 
 
+def interleave_rows_multi(doc_keys, texts) -> pa.Table:
+    """Multi-span layout: the document's words are split in half around a
+    media span — [html(first half), media, html(second half)] — so the
+    output span sequence exercises cross-span ordering. The split point
+    ((n_words+1)//2) is chosen to be reproducible in plain SQL."""
+    doc_ids: list[str] = []
+    spans_col: list[list[dict]] = []
+    doc_bytes: list[int] = []
+    for key, text in zip(doc_keys, texts):
+        key = int(key)
+        words = (text or "").split()
+        half = (len(words) + 1) // 2
+        first = " ".join(words[:half])
+        second = " ".join(words[half:])
+        spans = [
+            {"kind": "text", "text": build_page(key, first),
+             "media_ref": "", "offset": 0},
+            {"kind": "media", "text": "",
+             "media_ref": f"media://img/{key:08d}.png", "offset": 1},
+            {"kind": "text", "text": build_page(key + 1, second),
+             "media_ref": "", "offset": 2},
+        ]
+        doc_ids.append(f"doc-{key:08d}")
+        spans_col.append(spans)
+        doc_bytes.append(sum(len(s["text"]) for s in spans))
+    return pa.Table.from_arrays(
+        [pa.array(doc_ids, pa.string()), pa.array(spans_col, SPANS_TYPE),
+         pa.array(doc_bytes, pa.int64())],
+        schema=CORPUS_SCHEMA)
+
+
+class BuildInterleavedMulti:
+    """map_batches callable for the multi-span corpus."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text") -> None:
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return interleave_rows_multi(
+            batch.column(self.id_col).to_pylist(),
+            batch.column(self.text_col).to_pylist())
+
+
 class BuildInterleaved:
     """map_batches callable: documents table batch -> interleaved corpus batch.
 
