@@ -32,6 +32,9 @@ HEADLINE_QUERIES = [
     "quality_counts",
     "lang_id",
     "fingerprint",
+    "events_windowed",
+    "user_sessions",
+    "media_decode",
 ]
 
 
