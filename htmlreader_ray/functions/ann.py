@@ -140,10 +140,14 @@ class IVFAssign:
 
 def deterministic_centroids(ds, n_centroids: int, *,
                             vec_col: str = "embedding",
-                            id_col: str = "vec_id") -> np.ndarray:
-    """Cheap deterministic coarse quantizer: the first n_centroids vectors by
-    id (a real system would run distributed k-means; the bucketing/probing
-    plumbing is identical)."""
+                            id_col: str = "vec_id",
+                            kmeans_iters: int = 3) -> np.ndarray:
+    """Deterministic coarse quantizer: seeded with the first n_centroids
+    vectors by id, refined with a few distributed Lloyd iterations (spherical
+    k-means). Each iteration is one map_batches pass emitting per-batch
+    partial sums per centroid — the combiner pattern, so the driver merges
+    n_centroids x n_blocks partials, never the vectors."""
+    import ray
     import pyarrow.compute as pc
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -152,7 +156,38 @@ def deterministic_centroids(ds, n_centroids: int, *,
 
     rows = ds.map_batches(keep, batch_format="pyarrow").take_all()
     rows.sort(key=lambda r: r[id_col])
-    return _normalize(np.array([r[vec_col] for r in rows], dtype=np.float64))
+    cents = _normalize(np.array([r[vec_col] for r in rows],
+                                dtype=np.float64))
+
+    for _ in range(kmeans_iters):
+        cents_ref = ray.put(cents)
+
+        def partial_sums(batch: pa.Table, ref=cents_ref) -> pa.Table:
+            c = ray.get(ref)
+            m = _normalize(_batch_matrix(batch, vec_col))
+            assign = np.argmax(m @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            counts = np.zeros(len(c), dtype=np.int64)
+            np.add.at(sums, assign, m)
+            np.add.at(counts, assign, 1)
+            return pa.Table.from_arrays(
+                [pa.array(range(len(c)), pa.int32()),
+                 pa.array(sums.tolist(),
+                          pa.list_(pa.float64())),
+                 pa.array(counts, pa.int64())],
+                names=["centroid", "vec_sum", "count"])
+
+        partials = ds.map_batches(partial_sums,
+                                  batch_format="pyarrow").take_all()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents), dtype=np.int64)
+        for r in partials:
+            sums[r["centroid"]] += np.asarray(r["vec_sum"])
+            counts[r["centroid"]] += r["count"]
+        nonempty = counts > 0
+        cents[nonempty] = _normalize(sums[nonempty] /
+                                     counts[nonempty, None])
+    return cents
 
 
 def ivf_topk(ds, query_ids: list[int], k: int = 5, *, n_centroids: int = 16,
