@@ -65,6 +65,26 @@ _BOGUS_RE = re.compile(r"[^>]*")
 
 Token = tuple
 
+# Optional C accelerator for the data state (see _ctokenizer.c): returns
+# batches of ready tokens and hands control back to this state machine at
+# anything outside its conservative subset or at a start tag that may make
+# the tree builder switch tokenizer state.
+try:
+    from . import _ctok_loader as _loader
+    _CSCAN = _loader.load()
+except Exception:  # pragma: no cover - loader never raises by contract
+    _CSCAN = None
+
+# start tags after which the tree builder may switch the tokenizer out of
+# the data state (generic RCDATA/RAWTEXT/script/plaintext algorithms)
+_PAUSE_TAGS = frozenset(
+    ["title", "textarea", "style", "script", "xmp", "iframe", "noembed",
+     "noframes", "plaintext", "noscript"])
+
+
+def _entity_cb(s: str, pos: int):
+    return consume_character_reference(s, pos, in_attribute=False)
+
 
 class Tokenizer:
     def __init__(self, text: str, *, initial_state: int = DATA,
@@ -90,9 +110,28 @@ class Tokenizer:
     def tokens(self) -> Iterator[Token]:
         """Yield tokens until EOF. The consumer may mutate ``state`` etc.
         between yields; each yield happens before the next char is consumed."""
+        cscan = _CSCAN
         while True:
             st = self.state
             if st == DATA:
+                if cscan is not None and self.pos < self.n:
+                    toks, new_pos, reason = cscan.scan(
+                        self.s, self.pos, _PAUSE_TAGS, _entity_cb)
+                    self.pos = new_pos
+                    for t in toks:
+                        if t[0] == "start":
+                            self.last_start_tag = t[1]
+                        yield t
+                    if reason == 0:  # clean EOF
+                        yield ("eof",)
+                        return
+                    if reason == 2:  # pause tag: consumer may switch state
+                        continue
+                    # reason == 1: complex construct at self.pos — run one
+                    # step of the pure-Python machine, then resume C
+                    if self.pos >= self.n:
+                        yield ("eof",)
+                        return
                 tok = self._data_token()
             elif st == RCDATA:
                 tok = self._rcdata_token()
