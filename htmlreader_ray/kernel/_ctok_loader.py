@@ -56,9 +56,10 @@ def load():
         if not os.path.exists(_SO_PATH):
             if not os.path.exists(_SRC) or not _compile():
                 return None
-        if _PKG_DIR not in sys.path:
-            sys.path.insert(0, _PKG_DIR)
-        mod = importlib.import_module("_ctokenizer")
+        import importlib.util
+        spec = importlib.util.spec_from_file_location("_ctokenizer", _SO_PATH)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
         # smoke check
         toks, pos, reason = mod.scan("a<b>c", 0, frozenset(), _noop_entity)
         assert pos == 5 and [t[0] for t in toks] == ["chars", "start",
