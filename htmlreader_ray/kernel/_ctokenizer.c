@@ -44,16 +44,16 @@ static void init_tables(void) {
     }
 }
 
-/* lowercase an ASCII name into buf (caller ensures len < 256) */
+/* ASCII-fold a latin-1 name (only A-Z fold; other bytes pass through) */
 static PyObject *lower_name(const Py_UCS1 *p, Py_ssize_t len) {
-    char buf[256];
+    Py_UCS1 buf[256];
     Py_ssize_t i;
     if (len >= 256) return NULL;
     for (i = 0; i < len; i++) {
         Py_UCS1 c = p[i];
-        buf[i] = (c >= 'A' && c <= 'Z') ? (char)(c + 32) : (char)c;
+        buf[i] = (c >= 'A' && c <= 'Z') ? (Py_UCS1)(c + 32) : c;
     }
-    return PyUnicode_FromStringAndSize(buf, len);
+    return PyUnicode_FromKindAndData(PyUnicode_1BYTE_KIND, buf, len);
 }
 
 /* Parse a simple tag starting at s[lt] == '<'. On success append the token
@@ -173,9 +173,11 @@ static int parse_simple_tag(const Py_UCS1 *d, Py_ssize_t n, Py_ssize_t lt,
     }
 bail:
     Py_DECREF(attrs);
+    if (PyErr_Occurred()) PyErr_Clear();
     return 0;
 bail_noname:
     Py_DECREF(attrs);
+    if (PyErr_Occurred()) PyErr_Clear();
     return 0;
 }
 

@@ -212,7 +212,8 @@ class Element(Node):
 
     def __init__(self, tag: str, attrs: Optional[dict[str, str]] = None,
                  namespace: str = HTML_NS) -> None:
-        super().__init__()
+        self.parent = None
+        self.children = []
         self.tag = tag
         self.namespace = namespace
         self.attrs: dict[str, str] = attrs if attrs is not None else {}

@@ -101,7 +101,11 @@ class Extractor:
         rm_attrs = self._rm_attrs
         rest = self._remove
         doomed: list[Element] = []
-        for node in root.tree_order():
+        stack = [root]
+        while stack:
+            node = stack.pop()
+            if node.children:
+                stack.extend(node.children)
             if not isinstance(node, Element):
                 continue
             attrs = node.attrs

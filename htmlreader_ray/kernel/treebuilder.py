@@ -197,13 +197,28 @@ class TreeBuilder:
     def _insert_element(self, tag: str, attrs: dict, namespace: str = HTML_NS,
                         push: bool = True) -> Element:
         el = Element(tag, attrs, namespace)
-        self._insert_node(el)
+        if not self.foster_parenting:
+            parent = self.open[-1]
+            el.parent = parent
+            parent.children.append(el)
+        else:
+            self._insert_node(el)
         if push:
             self.open.append(el)
         return el
 
     def _insert_text(self, data: str) -> None:
         if not data:
+            return
+        if not self.foster_parenting:
+            parent = self.open[-1]
+            children = parent.children
+            if children and isinstance(children[-1], Text):
+                children[-1].data += data
+                return
+            t = Text(data)
+            t.parent = parent
+            children.append(t)
             return
         parent, idx = self._appropriate_place()
         if isinstance(parent, Document):
@@ -446,7 +461,14 @@ class TreeBuilder:
             elif kind == "eof":
                 use_html = True
         if use_html:
-            self._process_html(tok)
+            # inline of _process_html (hot path)
+            dispatch = _MODE_DISPATCH
+            while True:
+                res = dispatch[self.mode](self, tok)
+                if not res:
+                    return
+                if res is not True:
+                    tok = res
         else:
             self._process_foreign(tok)
 
