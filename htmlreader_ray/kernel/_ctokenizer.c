@@ -181,6 +181,36 @@ bail_noname:
     return 0;
 }
 
+/* Try a simple comment <!--data--> at s[lt]=='<': no NULs, no interior
+ * "--", no abrupt closings. Returns 1 and appends the token on success,
+ * 0 to bail to Python, -1 on error. */
+static int try_simple_comment(const Py_UCS1 *d, Py_ssize_t n, Py_ssize_t lt,
+                              PyObject *toks, Py_ssize_t *out_end) {
+    if (!(lt + 3 < n && d[lt + 1] == '!' && d[lt + 2] == '-'
+          && d[lt + 3] == '-'))
+        return 0;
+    Py_ssize_t p = lt + 4;
+    if (p < n && d[p] == '>') return 0;                    /* <!--> */
+    if (p + 1 < n && d[p] == '-' && d[p + 1] == '>') return 0;  /* <!---> */
+    Py_ssize_t q = p;
+    Py_ssize_t close = -1;
+    for (; q + 1 < n; q++) {
+        Py_UCS1 c = d[q];
+        if (c == 0) return 0;
+        if (c == '-' && d[q + 1] == '-') { close = q; break; }
+    }
+    if (close < 0 || close + 2 >= n || d[close + 2] != '>') return 0;
+    PyObject *data = PyUnicode_FromKindAndData(PyUnicode_1BYTE_KIND,
+                                               d + p, close - p);
+    if (!data) return -1;
+    PyObject *tok = Py_BuildValue("(sN)", "comment", data);
+    if (!tok) return -1;
+    if (PyList_Append(toks, tok) < 0) { Py_DECREF(tok); return -1; }
+    Py_DECREF(tok);
+    *out_end = close + 3;
+    return 1;
+}
+
 /* flush accumulated chars fragments (list) as one ("chars", s) token */
 static int flush_chars(PyObject *frags, PyObject *toks) {
     Py_ssize_t nf = PyList_GET_SIZE(frags);
@@ -257,7 +287,10 @@ static PyObject *scan(PyObject *self, PyObject *args) {
         {
             Py_ssize_t tag_end = 0;
             PyObject *start_name = NULL;
-            int rc = parse_simple_tag(d, n, i, toks, &tag_end, &start_name);
+            int rc = try_simple_comment(d, n, i, toks, &tag_end);
+            if (rc < 0) goto error;
+            if (rc == 1) { i = tag_end; continue; }
+            rc = parse_simple_tag(d, n, i, toks, &tag_end, &start_name);
             if (rc < 0) goto error;
             if (rc == 0) {
                 /* not a simple tag: Python takes over at '<' */
