@@ -134,7 +134,8 @@ def extract_dataset(ds, *, config: Optional[ExtractConfig] = None,
                     mega_threshold: int = DEFAULT_MEGA_THRESHOLD,
                     part_target: int = DEFAULT_PART_TARGET,
                     batch_size=None,
-                    concurrency=None):
+                    concurrency=None,
+                    on_error: str = "raise"):
     """corpus Dataset -> extracted Dataset (doc_id, spans_out, n_spans,
     n_chars). Lazy; consume with write_parquet / iter_batches."""
     import ray.data  # local import: library code must not own a Ray session
@@ -152,7 +153,8 @@ def extract_dataset(ds, *, config: Optional[ExtractConfig] = None,
         _filter_small, fn_kwargs={"threshold": mega_threshold},
         batch_format="pyarrow")
     small_out = small.map_batches(
-        parse_extract_batch, fn_kwargs={"config": config},
+        parse_extract_batch,
+        fn_kwargs={"config": config, "on_error": on_error},
         batch_format="pyarrow", batch_size=batch_size)
 
     mega = tagged.map_batches(
@@ -163,7 +165,8 @@ def extract_dataset(ds, *, config: Optional[ExtractConfig] = None,
         batch_format="pyarrow")
     mega_parsed = mega_parts.map_batches(
         parse_extract_batch, fn_kwargs={
-            "config": config, "passthrough_cols": ("part_idx",)},
+            "config": config, "passthrough_cols": ("part_idx",),
+            "on_error": on_error},
         batch_format="pyarrow", batch_size=4)
     mega_out = mega_parsed.groupby("doc_id").map_groups(
         reassemble_group, batch_format="pyarrow")
@@ -199,7 +202,8 @@ def extract_from_parquet(paths, *, config: Optional[ExtractConfig] = None,
                          mega_threshold: int = DEFAULT_MEGA_THRESHOLD,
                          part_target: int = DEFAULT_PART_TARGET,
                          batch_size=None,
-                         override_num_blocks: Optional[int] = None):
+                         override_num_blocks: Optional[int] = None,
+                         on_error: str = "raise"):
     """Extraction over a corpus whose ``doc_bytes`` column was stamped at
     ingest (sources.corpus.CORPUS_SCHEMA). The skew tail is routed at the
     READ: a metadata-only footer prescan finds the files that contain mega
@@ -218,7 +222,8 @@ def extract_from_parquet(paths, *, config: Optional[ExtractConfig] = None,
     small_out = small.map_batches(
         _filter_small, fn_kwargs={"threshold": mega_threshold},
         batch_format="pyarrow").map_batches(
-        parse_extract_batch, fn_kwargs={"config": config},
+        parse_extract_batch,
+        fn_kwargs={"config": config, "on_error": on_error},
         batch_format="pyarrow", batch_size=batch_size)
     if not mega_files:
         return small_out
@@ -231,7 +236,8 @@ def extract_from_parquet(paths, *, config: Optional[ExtractConfig] = None,
         batch_format="pyarrow")
     mega_parsed = mega_parts.map_batches(
         parse_extract_batch, fn_kwargs={
-            "config": config, "passthrough_cols": ("part_idx",)},
+            "config": config, "passthrough_cols": ("part_idx",),
+            "on_error": on_error},
         batch_format="pyarrow", batch_size=4)
     mega_out = mega_parsed.groupby("doc_id").map_groups(
         reassemble_group, batch_format="pyarrow")

@@ -58,11 +58,13 @@ def run_extract(input_files: Sequence[str], out_dir: str, *,
         if "doc_bytes" in schema.names:
             # ingest-stamped corpus: footer-prescan skew routing, single scan
             result = extract_from_parquet(files, config=config,
-                                          batch_size=batch_size, **kwargs)
+                                          batch_size=batch_size,
+                                          on_error="skip", **kwargs)
         else:
             ds = ray.data.read_parquet(files)
             result = extract_dataset(ds, config=config, batch_size=batch_size,
-                                     concurrency=concurrency, **kwargs)
+                                     concurrency=concurrency,
+                                     on_error="skip", **kwargs)
         result.write_parquet(out_path)
         wall = time.perf_counter() - start
         try:

@@ -26,10 +26,18 @@ from ..sources.corpus import SPANS_OUT_TYPE
 
 
 class ParseExtract:
+    """on_error: "raise" propagates kernel exceptions (test posture);
+    "skip" emits an empty span list for the poisoned document and counts it
+    in ``self.errors`` — at corpus scale a single pathological document must
+    fail alone, not take a whole shard's task with it."""
+
     def __init__(self, config: Optional[ExtractConfig] = None,
-                 passthrough_cols: tuple[str, ...] = ()) -> None:
+                 passthrough_cols: tuple[str, ...] = (),
+                 on_error: str = "raise") -> None:
         self.extractor = Extractor(config)
         self.passthrough_cols = passthrough_cols
+        self.on_error = on_error
+        self.errors = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id")
@@ -38,8 +46,16 @@ class ParseExtract:
         n_spans: list[int] = []
         n_chars: list[int] = []
         extract = self.extractor.extract_spans
+        skip_errors = self.on_error == "skip"
         for spans in spans_lists:
-            out = extract(spans or [])
+            if skip_errors:
+                try:
+                    out = extract(spans or [])
+                except Exception:
+                    self.errors += 1
+                    out = []
+            else:
+                out = extract(spans or [])
             out_lists.append(out)
             n_spans.append(len(out))
             n_chars.append(sum(len(s["text"]) for s in out))
@@ -65,12 +81,13 @@ _WORKER_EXTRACTORS: dict = {}
 
 def parse_extract_batch(batch: pa.Table,
                         passthrough_cols: tuple[str, ...] = (),
-                        config: Optional[ExtractConfig] = None) -> pa.Table:
-    key = (passthrough_cols, config)
+                        config: Optional[ExtractConfig] = None,
+                        on_error: str = "raise") -> pa.Table:
+    key = (passthrough_cols, config, on_error)
     pe = _WORKER_EXTRACTORS.get(key)
     if pe is None:
         pe = _WORKER_EXTRACTORS[key] = ParseExtract(
-            config, passthrough_cols=passthrough_cols)
+            config, passthrough_cols=passthrough_cols, on_error=on_error)
     return pe(batch)
 
 

@@ -225,3 +225,32 @@ def test_pdf_layout_parse_stage(ray_session):
         PdfLayoutParse, fn_constructor_kwargs={}, batch_format="pyarrow",
         concurrency=(1, 2)).take_all()
     assert sorted(map(str, rows)) == sorted(map(str, rows2))
+
+
+def test_poison_doc_skip_mode():
+    """on_error='skip': a document whose extraction raises yields an empty
+    span list instead of failing the batch."""
+    from unittest import mock
+    from htmlreader_ray.stages.parse_extract import ParseExtract
+    tbl = interleave_rows([1, 2, 3], ["ok one", "ok two", "ok three"])
+    pe = ParseExtract(on_error="skip")
+    real = pe.extractor.extract_spans
+    calls = {"n": 0}
+
+    def poisoned(spans):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("poison")
+        return real(spans)
+
+    with mock.patch.object(pe.extractor, "extract_spans", poisoned):
+        out = pe(tbl)
+    ns = out.column("n_spans").to_pylist()
+    assert ns[0] > 0 and ns[1] == 0 and ns[2] > 0
+    assert pe.errors == 1
+    # raise mode propagates
+    pe2 = ParseExtract(on_error="raise")
+    with mock.patch.object(pe2.extractor, "extract_spans",
+                           side_effect=RuntimeError("poison")):
+        with pytest.raises(RuntimeError):
+            pe2(tbl)
