@@ -72,3 +72,25 @@ def test_full_document_parse_identical():
         finally:
             tkz._CSCAN = saved
         assert with_c == without_c
+
+
+_DOC_SOUP = st.text(
+    alphabet=string.ascii_letters + "<>&;/='\"!- \n[]`#.\x00é",
+    max_size=300)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_DOC_SOUP)
+def test_differential_full_parse_dump(src):
+    """Whole-document parses must be identical with and without the C
+    scanner (tree-level equivalence, not just tokens)."""
+    from htmlreader_ray.kernel import parse
+    from htmlreader_ray.testing.conformance import dump_html5lib
+    saved = tkz._CSCAN
+    try:
+        with_c = dump_html5lib(parse(src))
+        tkz._CSCAN = None
+        without_c = dump_html5lib(parse(src))
+    finally:
+        tkz._CSCAN = saved
+    assert with_c == without_c
