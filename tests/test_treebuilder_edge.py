@@ -706,3 +706,121 @@ def test_optgroup_end_pops_option():
 |       <option>
 |         "b"
 """)
+
+
+# fifth batch: head/metadata edges, base/meta ordering, after-head recovery
+
+def test_style_after_body_started_goes_to_current():
+    check("x<style>p{}</style>y", """
+| <html>
+|   <head>
+|   <body>
+|     "x"
+|     <style>
+|       "p{}"
+|     "y"
+""")
+
+
+def test_base_link_meta_after_head_reenter_head():
+    check("</head><meta charset=x><p>b", """
+| <html>
+|   <head>
+|     <meta>
+|       charset="x"
+|   <body>
+|     <p>
+|       "b"
+""")
+
+
+def test_title_after_head_goes_to_head():
+    check("</head><title>t</title><p>x", """
+| <html>
+|   <head>
+|     <title>
+|       "t"
+|   <body>
+|     <p>
+|       "x"
+""")
+
+
+def test_multiple_body_tags_merge_attrs():
+    check("<body a=1><p>x<body b=2>", """
+| <html>
+|   <head>
+|   <body>
+|     a="1"
+|     b="2"
+|     <p>
+|       "x"
+""")
+
+
+def test_stray_end_html_in_body():
+    check("<p>a</html><p>b", """
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "a"
+|     <p>
+|       "b"
+""")
+
+
+def test_head_after_head_ignored():
+    # the second <head> is ignored, but per spec the metadata tag after it
+    # is re-routed INTO the existing head element
+    check("<head></head><head><meta charset=x></head><p>y", """
+| <html>
+|   <head>
+|     <meta>
+|       charset="x"
+|   <body>
+|     <p>
+|       "y"
+""")
+
+
+def test_space_only_after_html_end():
+    check("<p>x</p></html>  ", """
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "x"
+|     "  "
+""")
+
+
+def test_button_inside_table_cell():
+    check("<table><tr><td><button>go</button></td></tr></table>", """
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <tbody>
+|         <tr>
+|           <td>
+|             <button>
+|               "go"
+""")
+
+
+def test_a_spanning_list_items():
+    check("<ul><li><a href=x>one<li>two</ul>", """
+| <html>
+|   <head>
+|   <body>
+|     <ul>
+|       <li>
+|         <a>
+|           href="x"
+|           "one"
+|       <li>
+|         <a>
+|           href="x"
+|           "two"
+""")
