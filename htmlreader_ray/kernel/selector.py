@@ -566,8 +566,14 @@ def _compile_pseudo(source: str, pos: int) -> tuple[Predicate, int]:
 # ------------------------------------------------------------------ query
 
 def _iter_matches(root: Node, sel: CompiledSelector) -> Iterator[Element]:
-    for node in root.tree_order():
-        if isinstance(node, Element) and sel.matches(node):
+    pred = sel._pred
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        kids = node.children
+        if kids:
+            stack.extend(reversed(kids))
+        if isinstance(node, Element) and pred(node):
             yield node
 
 
