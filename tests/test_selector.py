@@ -159,3 +159,48 @@ def test_nth_child_matrix():
     assert ids(doc, "li:nth-last-child(2)") == ["i9"]
     assert ids(doc, "li:nth-child(-n+3)") == ["i1", "i2", "i3"]
     assert ids(doc, "li:only-child") == []
+
+
+# extra predicate coverage beyond the reference fixture
+
+def test_attribute_case_insensitive_names(doc):
+    # attribute NAMES are lowercased by the parser; selector folds too
+    d = parse('<div ID="x" DATA-Foo="Bar">')
+    el = d.css_first("div")
+    assert el.attrs == {"id": "x", "data-foo": "Bar"}
+    assert d.css_first("[DATA-FOO]") is el
+    assert d.css_first('[data-foo="Bar"]') is el
+    assert d.css_first('[data-foo="bar"]') is None  # values case-sensitive
+
+
+def test_universal_with_modifiers():
+    d = parse("<p class=a>1</p><span class=a>2</span>")
+    assert [e.tag for e in d.css("*.a")] == ["p", "span"]
+    assert [e.tag for e in d.css("body > *")] == ["p", "span"]
+
+
+def test_nth_of_type_mixed_siblings():
+    d = parse("<div><p>a<span>b<p>c<span>d<p>e</div>")
+    ps = d.css("p:nth-of-type(2)")
+    # the spans nest INSIDE the p's (span does not block the implied </p>)
+    assert [e.text_content for e in ps] == ["cd"]
+    assert d.css_first("span:last-of-type").text_content == "d"
+
+
+def test_not_with_combinator_inside():
+    d = parse("<div id=o><p id=i1><b>x</b></p><p id=i2>y</p></div>")
+    got = [e.attrs.get("id") for e in d.css("p:not(#i1)")]
+    assert got == ["i2"]
+
+
+def test_chained_pseudo_classes():
+    d = parse("<ul><li id=a><li id=b class=x><li id=c></ul>")
+    assert [e.attrs["id"] for e in d.css("li:not(.x):not(:first-child)")] \
+        == ["c"]
+
+
+def test_empty_ignores_comments_spec_difference():
+    # :empty per reference implementation: comments DO NOT make a node
+    # non-empty (only elements and non-empty text do)
+    d = parse("<div id=a><!--c--></div><div id=b> </div>")
+    assert [e.attrs["id"] for e in d.css("div:empty")] == ["a"]
