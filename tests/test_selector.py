@@ -184,7 +184,8 @@ def test_nth_of_type_mixed_siblings():
     ps = d.css("p:nth-of-type(2)")
     # the spans nest INSIDE the p's (span does not block the implied </p>)
     assert [e.text_content for e in ps] == ["cd"]
-    assert d.css_first("span:last-of-type").text_content == "d"
+    # each span is alone within its own p, so both are last-of-type
+    assert [e.text_content for e in d.css("span:last-of-type")] == ["b", "d"]
 
 
 def test_not_with_combinator_inside():
