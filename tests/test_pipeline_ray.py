@@ -254,3 +254,32 @@ def test_poison_doc_skip_mode():
                            side_effect=RuntimeError("poison")):
         with pytest.raises(RuntimeError):
             pe2(tbl)
+
+
+def test_mega_doc_default_thresholds(ray_session):
+    """A 12 MB doc crosses the DEFAULT mega threshold (4 MB) and flows
+    split->parse->reassemble with span order preserved."""
+    chunk_words = ("lorem ipsum dolor sit amet consectetur adipiscing elit "
+                   "sed do eiusmod tempor incididunt ut labore ") * 2300
+    spans = []
+    for k in range(12):
+        spans.append({"kind": "text",
+                      "text": f"<article><p>part{k:02d} {chunk_words}"
+                              f"</p></article>",
+                      "media_ref": "", "offset": k * 2})
+        spans.append({"kind": "media", "text": "",
+                      "media_ref": f"media://img/{k}.png",
+                      "offset": k * 2 + 1})
+    tbl = pa.Table.from_arrays(
+        [pa.array(["mega-1"], pa.string()), pa.array([spans], SPANS_TYPE)],
+        names=["doc_id", "spans"])
+    import ray.data
+    out = extract_dataset(ray.data.from_arrow(tbl)).take_all()
+    assert len(out) == 1
+    got = out[0]["spans_out"]
+    assert len(got) == 24
+    assert [s["order"] for s in got] == list(range(24))
+    for k in range(12):
+        assert got[2 * k]["kind"] == "text"
+        assert got[2 * k]["text"].startswith(f"part{k:02d} lorem")
+        assert got[2 * k + 1]["media_ref"] == f"media://img/{k}.png"
