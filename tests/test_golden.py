@@ -21,3 +21,14 @@ def test_span_sequences_match_golden():
         if r["spans_out"] != want[r["doc_id"]]:
             mismatches.append(r["doc_id"])
     assert not mismatches, f"span-sequence drift in {mismatches[:5]}"
+
+
+def test_multispan_sequences_match_golden():
+    from htmlreader_ray.sources.corpus import BuildInterleavedMulti
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    got = ParseExtract()(BuildInterleavedMulti()(docs))
+    golden = pq.read_table("tests/golden/extract_multispan_sf0.001.parquet")
+    want = {r["doc_id"]: r["spans_out"] for r in golden.to_pylist()}
+    drift = [r["doc_id"] for r in got.to_pylist()
+             if r["spans_out"] != want[r["doc_id"]]]
+    assert not drift, drift[:5]
