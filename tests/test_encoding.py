@@ -84,3 +84,33 @@ def test_utf16_meta_pinned_to_utf8():
     doc = parse_bytes(page)
     assert doc.parsed_encoding == "UTF-8"
     assert doc.body_element.text_content == "café"
+
+
+def test_every_label_resolves_and_decodes():
+    """Each WHATWG label in the table maps to a usable decoder."""
+    from htmlreader_ray.kernel.encoding import _L, decode_bytes
+    for label, (name, codec) in sorted(_L.items()):
+        out = decode_bytes(b"abc 123", codec)
+        if codec == "replacement":
+            assert out == "�"
+        elif codec in ("utf-16-le", "utf-16-be"):
+            assert isinstance(out, str)  # garbage but decodable
+        else:
+            assert out == "abc 123", (label, codec, out)
+
+
+def test_table_text_entities_stay_coalesced():
+    # entity-split char fragments must still act as ONE run for the
+    # in-table-text whitespace decision
+    from htmlreader_ray.kernel import parse
+    from htmlreader_ray.testing.conformance import dump_html5lib
+    got = dump_html5lib(parse("<table>a&amp;b<tr><td>x</table>"))
+    assert got == """| <html>
+|   <head>
+|   <body>
+|     "a&b"
+|     <table>
+|       <tbody>
+|         <tr>
+|           <td>
+|             "x\""""
