@@ -824,3 +824,74 @@ def test_a_spanning_list_items():
 |           href="x"
 |           "two"
 """)
+
+
+# sixth batch: namespaced attribute display, misc stragglers
+
+def test_xlink_attr_display_in_dump():
+    check('<svg><a xlink:href="u" xml:lang="en">t</a></svg>', """
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       <svg a>
+|         xlink href="u"
+|         xml lang="en"
+|         "t"
+""")
+
+
+def test_foreign_self_closing_honored():
+    # in foreign content the self-closing flag IS honored (unlike HTML)
+    check("<svg><rect/><circle/>x</svg>", """
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       <svg rect>
+|       <svg circle>
+|       "x"
+""")
+
+
+def test_html_self_closing_ignored_on_div():
+    check("<div/>inside", """
+| <html>
+|   <head>
+|   <body>
+|     <div>
+|       "inside"
+""")
+
+
+def test_eof_inside_foreign():
+    check("<svg><g><text>abc", """
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       <svg g>
+|         <svg text>
+|           "abc"
+""")
+
+
+def test_body_end_then_comment():
+    # after-body comments become children of <html>, not <body>
+    check("<p>x</body><!--tail-->", """
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "x"
+|   <!-- tail -->
+""")
+
+
+def test_nul_stripped_in_body_kept_in_foreign():
+    from htmlreader_ray.kernel import parse
+    d = parse("a\0b")
+    assert d.body_element.text_content == "ab"
+    d2 = parse("<svg>a\0b</svg>")
+    svg = d2.css_first("svg")
+    assert svg.text_content == "a�b"
