@@ -140,18 +140,32 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
 
 # ------------------------------------------------------------------ simhash
 
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_U64 = (1 << 64) - 1
+
+
+def _fnv64(w: str) -> int:
+    h = _FNV_OFFSET
+    for byte in w.encode("utf-8"):
+        h = ((h ^ byte) * _FNV_PRIME) & _U64
+    return h
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word features."""
-    v = np.zeros(64, dtype=np.int64)
-    for w in text.lower().split():
-        h = int.from_bytes(
-            hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(),
-            "little")
-        bits = np.unpackbits(
-            np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8))
-        v += np.where(bits == 1, 1, -1)
-    bits = (v > 0).astype(np.uint8)
-    return int.from_bytes(np.packbits(bits).tobytes(), "little")
+    """64-bit SimHash over word features (FNV-1a word hashes; the bit
+    tally is one vectorized numpy pass over all words)."""
+    words = text.lower().split()
+    if not words:
+        return 0
+    hs = np.array([_fnv64(w) for w in words], dtype=np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+    v = (2 * bits - 1).sum(axis=0)
+    out = 0
+    for i in range(63, -1, -1):
+        out = (out << 1) | (1 if v[i] > 0 else 0)
+    return out
 
 
 class SimHashBands:
