@@ -24,6 +24,7 @@ import pyarrow.compute as pc
 _BPE_ISH = re.compile(r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)")
 _WORD_RE = re.compile(r"\S+")
 _PUNCT_RE = re.compile(r"[.,;:!?\"'()\[\]{}]")
+_UPPER_RE = re.compile(r"[A-Z\u00c0-\u00de]")
 
 
 def token_counts(batch: pa.Table, text_col: str = "text",
@@ -76,7 +77,7 @@ def quality_scores(batch: pa.Table, text_col: str = "text",
         punct[i] = len(_PUNCT_RE.findall(t)) / max(1, len(t))
         nw = max(1, len(words))
         stop[i] = sum(1 for w in words if w.lower() in _STOPWORDS_EN) / nw
-        upper[i] = sum(1 for c in t if c.isupper()) / max(1, len(t))
+        upper[i] = len(_UPPER_RE.findall(t)) / max(1, len(t))
         mean_wl[i] = sum(len(w) for w in words) / nw
     # combined score: in-range word length, some stopwords, low punct noise,
     # low shouting, enough words
