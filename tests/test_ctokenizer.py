@@ -94,3 +94,27 @@ def test_differential_full_parse_dump(src):
     finally:
         tkz._CSCAN = saved
     assert with_c == without_c
+
+
+def test_differential_all_sf0001_pages():
+    """Standing guard: every sf0.001 corpus page parses identically with
+    and without the C scanner."""
+    import pyarrow.parquet as pq
+    from htmlreader_ray.kernel import parse
+    from htmlreader_ray.testing.conformance import dump_html5lib
+    from htmlreader_ray.sources.corpus import build_page
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet").to_pylist()
+    saved = tkz._CSCAN
+    drift = []
+    try:
+        for r in docs:
+            page = build_page(r["doc_id"], r["text"])
+            tkz._CSCAN = saved
+            a = dump_html5lib(parse(page))
+            tkz._CSCAN = None
+            b = dump_html5lib(parse(page))
+            if a != b:
+                drift.append(r["doc_id"])
+    finally:
+        tkz._CSCAN = saved
+    assert not drift, drift[:5]
