@@ -238,6 +238,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds.map_batches(day_of, batch_format="pyarrow"),
             ["day", "event_type"], [("", "count", "n_events")])
 
+    def distinct_langs(sf_dir: str):
+        """DISTINCT via groupby keys only (SURVEY §2.8 set ops)."""
+        import pyarrow as pa
+        from ray.data.aggregate import Count
+        agg = _read(sf_dir, "documents").groupby("lang").aggregate(Count())
+
+        def project(batch: pa.Table) -> pa.Table:
+            return batch.select(["lang"])
+        return agg.map_batches(project, batch_format="pyarrow")
+
     def events_windowed(sf_dir: str):
         from htmlreader_ray.functions.windows import tumbling_window_agg
         return tumbling_window_agg(_read(sf_dir, "events"), width_s=3600)
@@ -351,6 +361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": pricing_summary,
         "events_by_day": events_by_day,
         # windowed / ordered custom operators
+        "distinct_langs": distinct_langs,
         "events_windowed": events_windowed,
         "user_sessions": user_sessions,
         "orders_asof_event": orders_asof_event,
@@ -534,6 +545,8 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM events GROUP BY 1, 2
         """,
+        "distinct_langs":
+            "SELECT DISTINCT lang FROM documents",
         "events_windowed": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n_events, min(value) AS min_value,
