@@ -80,10 +80,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return run
 
     def actor(cls, table="documents", **kwargs):
+        # compiled-state stages run as tasks with a per-worker instance
+        # cache (see pipelines.queries.as_task) — no pool spin-up per query
+        assert not kwargs
+        fn = q.as_task(cls)
+
         def run(sf_dir: str):
             return _read(sf_dir, table).map_batches(
-                cls, fn_constructor_kwargs=kwargs, batch_format="pyarrow",
-                concurrency=(1, 8))
+                fn, batch_format="pyarrow")
         return run
 
     def escape_then_unescape(sf_dir: str):
@@ -141,7 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def media_decode(sf_dir: str):
         return _corpus(sf_dir).map_batches(
-            q.MediaSpansDecode, batch_format="pyarrow", concurrency=(1, 8))
+            q.as_task(q.MediaSpansDecode), batch_format="pyarrow")
 
     def media_features(sf_dir: str):
         from htmlreader_ray.stages.media import MediaFeatures
