@@ -118,7 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def simhash_q(sf_dir: str):
         import pyarrow.compute as pc
         ds = _read(sf_dir, "documents").map_batches(
-            dedup.SimHashBands, batch_format="pyarrow", concurrency=(1, 8))
+            q.as_task(dedup.SimHashBands), batch_format="pyarrow")
         # one row per doc (band 0 only) for the stable signature view
         def band0(batch):
             return (batch.filter(pc.equal(batch.column("band"), 0))
@@ -150,10 +150,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def media_features(sf_dir: str):
         from htmlreader_ray.stages.media import MediaFeatures
         media = _corpus(sf_dir).map_batches(
-            q.MediaSpansDecode, batch_format="pyarrow", concurrency=(1, 8))
+            q.as_task(q.MediaSpansDecode), batch_format="pyarrow")
         feats = media.select_columns(["doc_id", "media_ref"]).map_batches(
-            MediaFeatures, fn_constructor_kwargs={"dim": 16},
-            batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
+            q.as_task(MediaFeatures, dim=16),
+            batch_format="pyarrow", batch_size=64)
         return feats
 
     def extract_multispan(sf_dir: str):

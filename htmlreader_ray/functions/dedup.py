@@ -232,12 +232,11 @@ def minhash_dedup_pairs(ds, *, threshold: float = 0.8, n_perm: int = 128,
     banding (pre-verification). Verification against exact Jaccard happens in
     verify_pairs (needs the texts; at scale, a broadcast side table or a join
     against the hot pair set)."""
+    from ..stages.task_cache import as_task
     banded = ds.map_batches(
-        MinHashBands,
-        fn_constructor_kwargs=dict(n_perm=n_perm, bands=bands,
-                                   shingle_k=shingle_k, text_col=text_col,
-                                   id_col=id_col),
-        batch_format="pyarrow", concurrency=concurrency)
+        as_task(MinHashBands, n_perm=n_perm, bands=bands,
+                shingle_k=shingle_k, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow")
     pairs = (banded.groupby(["band", "bucket"])
              .map_groups(candidate_pairs_from_bucket,
                          batch_format="pyarrow"))

@@ -23,20 +23,7 @@ def _esc(text: str) -> str:
     return text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
 
-# per-worker-process instance cache: lets compiled-state stages run as TASKS
-# (fused, no actor-pool spin-up per query) while keeping init-once semantics
-_WORKER_INSTANCES: dict = {}
-
-
-def as_task(cls):
-    """Wrap a callable-class stage as a task fn with a per-worker instance."""
-    def fn(batch, _cls=cls):
-        inst = _WORKER_INSTANCES.get(_cls)
-        if inst is None:
-            inst = _WORKER_INSTANCES[_cls] = _cls()
-        return inst(batch)
-    fn.__name__ = f"task_{cls.__name__}"
-    return fn
+from ..stages.task_cache import as_task  # re-exported for __ray_entry__
 
 
 # ---------------------------------------------------------------- flagship
