@@ -32,7 +32,6 @@ def test_instance_reused_per_kwargs():
 def test_entry_staged_corpus_caches(tmp_path, monkeypatch):
     import __ray_entry__ as m
     import os
-    path1 = m._staged_corpus.__wrapped__ if hasattr(m._staged_corpus, "__wrapped__") else None
     p = m._staged_corpus("/root/testdata/sf0.001")
     assert os.path.exists(os.path.join(p, "_done"))
     # second call: instant (cache hit, same path)
