@@ -895,3 +895,104 @@ def test_nul_stripped_in_body_kept_in_foreign():
     d2 = parse("<svg>a\0b</svg>")
     svg = d2.css_first("svg")
     assert svg.text_content == "a�b"
+
+
+# seventh batch: form pointer rules, listing, stray body-level controls
+
+def test_form_in_table_inserted_and_popped():
+    check("<table><form><input type=hidden name=t><tr><td>x</table>", """
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <form>
+|       <input>
+|         name="t"
+|         type="hidden"
+|       <tbody>
+|         <tr>
+|           <td>
+|             "x"
+""")
+
+
+def test_second_form_ignored_while_first_open():
+    check("<form id=a><p><form id=b><input name=i>", """
+| <html>
+|   <head>
+|   <body>
+|     <form>
+|       id="a"
+|       <p>
+|         <input>
+|           name="i"
+""")
+
+
+def test_form_end_does_not_pop_descendants():
+    # </form> removes the form from the STACK but leaves the open <div>
+    # (and the form element in the tree); "y" keeps flowing into the div
+    check("<form><div>x</form>y</div>z", """
+| <html>
+|   <head>
+|   <body>
+|     <form>
+|       <div>
+|         "xy"
+|     "z"
+""")
+
+
+def test_listing_newline_suppressed():
+    check("<listing>\ntext</listing>", """
+| <html>
+|   <head>
+|   <body>
+|     <listing>
+|       "text"
+""")
+
+
+def test_optgroup_outside_select():
+    check("<optgroup><option>a<option>b", """
+| <html>
+|   <head>
+|   <body>
+|     <optgroup>
+|       <option>
+|         "a"
+|       <option>
+|         "b"
+""")
+
+
+def test_keygen_void():
+    check("<p><keygen>x", """
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       <keygen>
+|       "x"
+""")
+
+
+def test_formfeed_is_whitespace():
+    check("<head>\x0c</head>\x0c<body>", """
+| <html>
+|   <head>
+|     "\x0c"
+|   "\x0c"
+|   <body>
+""")
+
+
+def test_surrogate_entity_in_attr():
+    check('<div title="&#xD83D;">x', """
+| <html>
+|   <head>
+|   <body>
+|     <div>
+|       title="�"
+|       "x"
+""")
