@@ -267,6 +267,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds.map_batches(day_of, batch_format="pyarrow"),
             ["day", "event_type"], [("", "count", "n_events")])
 
+    def top_terms(sf_dir: str):
+        """Corpus-wide word top-k: per-batch partial counts (combiner) ->
+        groupby(word) sum -> global sort + limit (the §2.7 sort/top-k
+        operators on a deterministic total order)."""
+        import pyarrow as pa
+        from ray.data.aggregate import Sum
+
+        def partial_counts(batch: pa.Table) -> pa.Table:
+            words = []
+            for t in batch.column("text").to_pylist():
+                words.extend((t or "").split())
+            if not words:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.string()), pa.array([], pa.int64())],
+                    names=["word", "cnt"])
+            wt = pa.Table.from_arrays([pa.array(words, pa.string())],
+                                      names=["word"])
+            g = wt.group_by("word").aggregate([([], "count_all")])
+            return g.rename_columns(["word", "cnt"])
+
+        ds = _read(sf_dir, "documents").map_batches(
+            partial_counts, batch_format="pyarrow")
+        agg = ds.groupby("word").aggregate(Sum("cnt"))
+
+        def rename(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(["word", "n"])
+
+        out = agg.map_batches(rename, batch_format="pyarrow")
+        return out.sort(key=["n", "word"],
+                        descending=[True, False]).limit(50)
+
     def distinct_langs(sf_dir: str):
         """DISTINCT via groupby keys only (SURVEY §2.8 set ops)."""
         import pyarrow as pa
@@ -390,6 +421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": pricing_summary,
         "events_by_day": events_by_day,
         # windowed / ordered custom operators
+        "top_terms": top_terms,
         "distinct_langs": distinct_langs,
         "events_windowed": events_windowed,
         "user_sessions": user_sessions,
@@ -576,6 +608,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_langs":
             "SELECT DISTINCT lang FROM documents",
+        "top_terms": r"""
+            SELECT word, count(*) AS n
+            FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                      AS word
+                  FROM documents WHERE trim(text) <> '')
+            GROUP BY word ORDER BY n DESC, word LIMIT 50
+        """,
         "events_windowed": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n_events, min(value) AS min_value,
