@@ -263,9 +263,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from htmlreader_ray.functions.shuffle import combine_aggregate
         ds = _read(sf_dir, "events").select_columns(["ts", "event_type"])
-        return combine_aggregate(
+        agg = combine_aggregate(
             ds.map_batches(day_of, batch_format="pyarrow"),
             ["day", "event_type"], [("", "count", "n_events")])
+
+        def us_day(batch: pa.Table) -> pa.Table:
+            # groupby round-trips timestamps at seconds resolution; restore
+            # [us] so the dtype matches the SQL oracle exactly
+            return batch.set_column(
+                0, "day", batch.column("day").cast(pa.timestamp("us")))
+        return agg.map_batches(us_day, batch_format="pyarrow")
 
     def top_terms(sf_dir: str):
         """Corpus-wide word top-k: per-batch partial counts (combiner) ->
@@ -467,11 +474,12 @@ _TEXT_ESCAPE_CHAIN = ("replace(replace(replace(replace(text, '&', '&amp;'),"
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_interleaved": f"""
-            SELECT {_DOCKEY} AS doc_id, 0 AS span_order, 'text' AS kind,
+            SELECT {_DOCKEY} AS doc_id, CAST(0 AS BIGINT) AS span_order,
+                   'text' AS kind,
                    {_COLLAPSED} AS text, '' AS media_ref
             FROM documents
             UNION ALL
-            SELECT {_DOCKEY}, 1, 'media', '',
+            SELECT {_DOCKEY}, CAST(1 AS BIGINT), 'media', '',
                    'media://img/' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
                    || '.png'
             FROM documents
@@ -493,14 +501,16 @@ def oracle_sql() -> dict[str, str]:
                                  array_length(words)], ' ') AS second_half
                 FROM w
             )
-            SELECT {_DOCKEY} AS doc_id, 0 AS span_order, 'text' AS kind,
+            SELECT {_DOCKEY} AS doc_id, CAST(0 AS BIGINT) AS span_order,
+                   'text' AS kind,
                    first_half AS text, '' AS media_ref FROM halves
             UNION ALL
-            SELECT {_DOCKEY}, 1, 'media', '',
+            SELECT {_DOCKEY}, CAST(1 AS BIGINT), 'media', '',
                    'media://img/' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
                    || '.png' FROM halves
             UNION ALL
-            SELECT {_DOCKEY}, 2, 'text', second_half, '' FROM halves
+            SELECT {_DOCKEY}, CAST(2 AS BIGINT), 'text', second_half, ''
+            FROM halves
         """,
         "extract_html_text": f"""
             SELECT doc_id, {_COLLAPSED} AS extracted_text FROM documents
@@ -510,8 +520,9 @@ def oracle_sql() -> dict[str, str]:
         "html_unescape_roundtrip":
             "SELECT doc_id, text AS unescaped FROM documents",
         "selector_counts": """
-            SELECT doc_id, 6 AS n_links, 5 AS n_list_items,
-                   2 AS n_paragraphs
+            SELECT doc_id, CAST(6 AS BIGINT) AS n_links,
+                   CAST(5 AS BIGINT) AS n_list_items,
+                   CAST(2 AS BIGINT) AS n_paragraphs
             FROM documents
         """,
         "quirks_mode": """
@@ -602,7 +613,8 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "events_by_day": """
-            SELECT date_trunc('day', ts) AS day, event_type,
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   event_type,
                    count(*) AS n_events
             FROM events GROUP BY 1, 2
         """,
@@ -638,7 +650,12 @@ def oracle_sql() -> dict[str, str]:
                            AS session_id
                 FROM flagged
             )
-            SELECT user_id, session_id, count(*) AS n_events,
+            -- CAST: the windowed sum() yields HUGEINT (decimal128) in
+            -- DuckDB; the Ray side emits int64 — without the cast the
+            -- driver hash compares different arrow dtypes (the round-1
+            -- hash_match=false)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
                    min(ts) AS session_start, max(ts) AS session_end
             FROM numbered GROUP BY user_id, session_id
         """,

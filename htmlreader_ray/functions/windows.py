@@ -49,8 +49,13 @@ def tumbling_window_agg(ds, *, ts_col: str = "ts", key_col: str = "event_type",
         Count(), Min("value"), Max("value"))
 
     def rename(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(
+        batch = batch.rename_columns(
             ["window_start", key_col, "n_events", "min_value", "max_value"])
+        # the groupby round-trips timestamps through a seconds resolution;
+        # restore [us] so the output dtype matches the SQL oracle exactly
+        return batch.set_column(
+            0, "window_start",
+            batch.column("window_start").cast(pa.timestamp("us")))
 
     return agg.map_batches(rename, batch_format="pyarrow")
 

@@ -4,7 +4,13 @@ Runs every queries() entry against its oracle_sql() (DuckDB over the same
 parquet tables), compares row count, column names, and order-insensitive
 values (columns sorted by name, rows sorted, values canonicalized).
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--strict] [sf_dir] [query ...]
+
+--strict additionally compares the ARROW dtypes and bit-exact values of both
+sides (columns sorted by name, rows sorted) — a local stand-in for the
+driver's value-hash compare, which proved dtype-sensitive in round 1
+(user_sessions: int64 vs decimal128 hashed differently while the tolerant
+compare passed).
 """
 
 from __future__ import annotations
@@ -14,6 +20,31 @@ import time
 
 import duckdb
 import pandas as pd
+
+
+def strict_compare(got_tbl, want_tbl) -> str:
+    """Arrow-level dtype + bit-exact value compare (driver-hash stand-in).
+    Returns '' when identical, else a description."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def norm(t: pa.Table) -> pa.Table:
+        t = t.select(sorted(t.column_names))
+        t = t.combine_chunks()
+        keys = [(c, "ascending") for c in t.column_names]
+        try:
+            return t.take(pc.sort_indices(t, sort_keys=keys))
+        except pa.ArrowNotImplementedError:
+            return t  # unsortable types (lists): compare unsorted
+    a, b = norm(got_tbl), norm(want_tbl)
+    if a.schema != b.schema:
+        return (f"SCHEMA {[(f.name, str(f.type)) for f in a.schema]} vs "
+                f"{[(f.name, str(f.type)) for f in b.schema]}")
+    if not a.equals(b):
+        bad = [c for c in a.column_names
+               if not a.column(c).equals(b.column(c))]
+        return f"BITS differ in {bad}"
+    return ""
 
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
@@ -37,6 +68,23 @@ def to_pandas(result) -> pd.DataFrame:
     return pd.DataFrame(result)
 
 
+def to_arrow(result):
+    import pyarrow as pa
+    try:
+        import ray.data
+        if isinstance(result, ray.data.Dataset):
+            tbls = [b for b in result.iter_batches(batch_format="pyarrow",
+                                                   batch_size=None)]
+            if not tbls:
+                return pa.table({})
+            return pa.concat_tables(tbls, promote_options="permissive")
+    except ImportError:
+        pass
+    if isinstance(result, pa.Table):
+        return result
+    return pa.Table.from_pandas(pd.DataFrame(result), preserve_index=False)
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -47,8 +95,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    strict = "--strict" in argv
+    if strict:
+        argv.remove("--strict")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
@@ -73,7 +125,8 @@ def main() -> int:
             continue
         t0 = time.perf_counter()
         try:
-            got = canon(to_pandas(fn(sf_dir)))
+            got_tbl = to_arrow(fn(sf_dir))
+            got = canon(got_tbl.to_pandas())
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: query raised {type(exc).__name__}: {exc}")
             failures += 1
@@ -83,7 +136,8 @@ def main() -> int:
         if sql is None:
             print(f"rows  {name}: {len(got)} rows ({dt:.1f}s) [no oracle]")
             continue
-        want = canon(con.sql(sql).df())
+        want_tbl = con.sql(sql).arrow()
+        want = canon(want_tbl.to_pandas())
         status = "ok"
         if list(got.columns) != list(want.columns):
             status = f"COLS {list(got.columns)} vs {list(want.columns)}"
@@ -112,11 +166,16 @@ def main() -> int:
                     for i in idx:
                         print(f"   {name}.{c}[{i}] got={got[c][i]!r} "
                               f"want={want[c][i]!r}")
+        if status == "ok" and strict:
+            s = strict_compare(got_tbl, want_tbl)
+            if s:
+                status = f"strict: {s}"
         if status != "ok":
             failures += 1
             print(f"FAIL  {name}: {status}")
         else:
-            print(f"ok    {name}: {len(got)} rows ({dt:.1f}s)")
+            tag = "ok+s " if strict else "ok   "
+            print(f"{tag} {name}: {len(got)} rows ({dt:.1f}s)")
     print(f"\n{failures} failures")
     return 1 if failures else 0
 
