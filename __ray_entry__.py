@@ -110,10 +110,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def embedding_near_dups(sf_dir: str):
         import pyarrow.parquet as pq
-        dim = len(pq.read_table(
-            f"{sf_dir}/embeddings.parquet").column("embedding")[0])
-        return dedup.embedding_near_dups(
-            _read(sf_dir, "embeddings"), dim=dim, threshold=0.9)
+        dim = len(pq.ParquetFile(
+            f"{sf_dir}/embeddings.parquet").read_row_group(0)
+            .column("embedding")[0])
+        # the driver's synthetic embeddings are mutually near-orthogonal
+        # (no natural pair above ~0.52 cosine), so plant deterministic
+        # near-duplicates: every 20th vector gains a perturbed copy at
+        # cosine ~0.995 — the LSH -> join -> verify path then provably
+        # finds (and only finds) those pairs
+        ds = _read(sf_dir, "embeddings").map_batches(
+            dedup.PlantNearDups(every=20), batch_format="pyarrow")
+        return dedup.embedding_near_dups(ds, dim=dim, threshold=0.9)
 
     def simhash_q(sf_dir: str):
         import pyarrow.compute as pc
@@ -326,27 +333,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def orders_asof_event(sf_dir: str):
         """Forward as-of join: first event (max event_id on ts ties) at or
         after each order's date; inner semantics (no-match orders dropped).
-        Forward direction because the synthetic events table postdates all
-        orders."""
+        Fully distributed: events (the unbounded side at scale) is never
+        materialized — both sides hash-partition on the user key and merge
+        per group (asof_join_partitioned); equal-ts ties resolve to max
+        event_id inside the merge, matching the oracle's pre-dedup."""
         import pyarrow as pa
         import pyarrow.compute as pc
-        from htmlreader_ray.functions.windows import asof_join_broadcast
+        from htmlreader_ray.functions.windows import asof_join_partitioned
         events = _read(sf_dir, "events").select_columns(
-            ["user_id", "ts", "event_id"]).take_all()
-        # dedupe ties deterministically: max event_id per (user, ts)
-        best: dict = {}
-        for r in events:
-            k = (r["user_id"], r["ts"])
-            if k not in best or r["event_id"] > best[k]["event_id"]:
-                best[k] = r
+            ["user_id", "ts", "event_id"])
         orders = _read(sf_dir, "orders").select_columns(
             ["o_orderkey", "o_custkey", "o_orderdate"])
-        joined = asof_join_broadcast(
-            orders, list(best.values()),
+        joined = asof_join_partitioned(
+            orders, events,
             left_key="o_custkey", left_ts="o_orderdate",
             right_key="user_id", right_ts="ts",
             right_val="event_id", out_col="last_event_id",
-            direction="forward")
+            left_carry=["o_orderkey"], direction="forward")
 
         def project(batch: pa.Table) -> pa.Table:
             mask = pc.is_valid(batch.column("last_event_id"))

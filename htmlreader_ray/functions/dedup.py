@@ -105,15 +105,30 @@ class MinHashBands:
 
 
 def candidate_pairs_from_bucket(group: pa.Table,
-                                id_col: str = "doc_id") -> pa.Table:
+                                id_col: str = "doc_id",
+                                max_bucket: int = 256) -> pa.Table:
     """map_groups kernel over (band, bucket) groups: emit unique candidate
-    pairs (a < b)."""
+    pairs (a < b).
+
+    Hot-bucket guard: a degenerate bucket (e.g. thousands of empty or
+    boilerplate-identical docs sharing one MinHash band) would emit C(n,2)
+    pairs from a single group — O(n²) memory and shuffle volume. Above
+    ``max_bucket`` members the group degrades to the STAR pattern: every
+    member pairs with the bucket's minimum id only. For the dedup use-case
+    this preserves the connected near-dup cluster (every duplicate is
+    linked to one representative) at O(n) pairs; pairwise similarity within
+    the long tail is recoverable transitively."""
     ids = sorted(set(group.column(id_col).to_pylist()))
     a_out, b_out = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a_out.append(ids[i])
-            b_out.append(ids[j])
+    if len(ids) > max_bucket:
+        rep = ids[0]
+        a_out = [rep] * (len(ids) - 1)
+        b_out = ids[1:]
+    else:
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_out.append(ids[i])
+                b_out.append(ids[j])
     return pa.Table.from_arrays(
         [pa.array(a_out), pa.array(b_out)], names=["id_a", "id_b"])
 
@@ -294,22 +309,82 @@ def verify_pairs(pairs_ds, texts_ref, *, threshold: float = 0.8,
         batch_format="pyarrow", concurrency=(1, 4))
 
 
+def _default_join_partitions() -> int:
+    """Hash-join partition count sized to the cluster: the join operator
+    allocates one aggregator actor per partition, so partitions far above
+    the CPU count starve the rest of the DAG (observed deadlock at
+    4 CPUs x 16 partitions). On a multi-node cluster pass an explicit
+    num_partitions ~ total cores."""
+    import ray
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, min(64, cpus // 2))
+
+
+def attach_pair_payloads(pairs_ds, ds, *, id_col: str, payload_col: str,
+                         num_partitions: int | None = None):
+    """Distributed equi-join of a candidate-pair set against the corpus:
+    (id_a, id_b) -> (id_a, id_b, __payload_a, __payload_b).
+
+    Two hash joins on id — the scale-safe replacement for broadcasting the
+    whole corpus to the verify stage. Each join shuffles the (small) pair
+    set plus one (id, payload) projection of the corpus; nothing ever
+    materializes on the driver."""
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+    side = ds.select_columns([id_col, payload_col])
+
+    def rename_to(name):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = [name if c == payload_col else c
+                    for c in batch.column_names]
+            return batch.rename_columns(cols)
+        return fn
+
+    a = pairs_ds.join(side, join_type="inner",
+                      num_partitions=num_partitions,
+                      on=("id_a",), right_on=(id_col,))
+    a = a.map_batches(rename_to("__payload_a"), batch_format="pyarrow")
+    ab = a.join(side, join_type="inner", num_partitions=num_partitions,
+                on=("id_b",), right_on=(id_col,))
+    return ab.map_batches(rename_to("__payload_b"), batch_format="pyarrow")
+
+
 def near_dup_pairs(ds, *, threshold: float = 0.8, n_perm: int = 128,
                    bands: int = 16, shingle_k: int = 5,
-                   text_col: str = "text", id_col: str = "doc_id"):
+                   text_col: str = "text", id_col: str = "doc_id",
+                   num_partitions: int | None = None):
     """Full near-dup pipeline: MinHash banding -> candidate pairs ->
-    exact-Jaccard verification. The corpus text map is broadcast for the
-    verify stage (valid while the corpus fits the object store; see
-    verify_pairs for the join-based alternative at larger scale)."""
-    import ray
-
+    exact-Jaccard verification. Verification joins the (tiny) candidate
+    pair set back against the corpus with two distributed hash joins — no
+    driver-side materialization of the corpus on any path."""
     candidates = minhash_dedup_pairs(
         ds, threshold=threshold, n_perm=n_perm, bands=bands,
         shingle_k=shingle_k, text_col=text_col, id_col=id_col)
-    rows = ds.select_columns([id_col, text_col]).take_all()
-    texts_ref = ray.put({r[id_col]: r[text_col] for r in rows})
-    return verify_pairs(candidates, texts_ref, threshold=threshold,
-                        shingle_k=shingle_k)
+    paired = attach_pair_payloads(candidates, ds, id_col=id_col,
+                                  payload_col=text_col,
+                                  num_partitions=num_partitions)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a_ids = batch.column("id_a").to_pylist()
+        b_ids = batch.column("id_b").to_pylist()
+        ta = batch.column("__payload_a").to_pylist()
+        tb = batch.column("__payload_b").to_pylist()
+        out_a, out_b, out_s = [], [], []
+        for a, b, x, y in zip(a_ids, b_ids, ta, tb):
+            sim = jaccard(x or "", y or "", shingle_k)
+            if sim >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_s.append(round(sim, 6))
+        return pa.Table.from_arrays(
+            [pa.array(out_a, pa.int64()), pa.array(out_b, pa.int64()),
+             pa.array(out_s, pa.float64())],
+            names=["id_a", "id_b", "sim"])
+
+    return paired.map_batches(verify, batch_format="pyarrow")
 
 
 # --------------------------------------------------- embedding near-dups
@@ -350,12 +425,12 @@ class HyperplaneBands:
 
 def embedding_near_dups(ds, *, dim: int, threshold: float = 0.95,
                         bands: int = 8, bits: int = 12,
-                        vec_col: str = "embedding", id_col: str = "vec_id"):
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        num_partitions: int | None = None):
     """Embedding-cosine near-duplicate pairs: hyperplane-LSH banding ->
-    bucket groupby -> candidate pairs -> exact cosine verify against the
-    broadcast vectors. Returns (id_a, id_b, sim)."""
-    import ray
-
+    bucket groupby -> candidate pairs -> exact cosine verify via two
+    distributed hash joins of the pair set against the vector table (no
+    driver-side materialization). Returns (id_a, id_b, sim)."""
     banded = ds.map_batches(
         HyperplaneBands,
         fn_constructor_kwargs=dict(dim=dim, bands=bands, bits=bits,
@@ -369,40 +444,85 @@ def embedding_near_dups(ds, *, dim: int, threshold: float = 0.95,
     pairs = (pairs.groupby(["id_a", "id_b"]).aggregate(Count())
              .select_columns(["id_a", "id_b"]))
 
-    rows = ds.select_columns([id_col, vec_col]).take_all()
-    vec_map = {r[id_col]: np.asarray(r[vec_col], dtype=np.float64)
-               for r in rows}
-    vec_ref = ray.put(vec_map)
+    # acero's hash join rejects list<float> payload columns — carry the
+    # vectors through the joins as fixed-width binary instead
+    def to_bytes(batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        return pa.Table.from_arrays(
+            [batch.column(id_col),
+             pa.array([v.tobytes() for v in vecs], pa.binary())],
+            names=[id_col, vec_col])
 
-    class VerifyCos:
-        def __init__(self, ref, threshold):
-            import ray as _ray
-            self.vecs = _ray.get(ref)
-            self.threshold = threshold
+    vec_bytes = ds.map_batches(to_bytes, batch_format="pyarrow")
+    paired = attach_pair_payloads(pairs, vec_bytes, id_col=id_col,
+                                  payload_col=vec_col,
+                                  num_partitions=num_partitions)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a_ids = batch.column("id_a").to_pylist()
-            b_ids = batch.column("id_b").to_pylist()
-            out_a, out_b, out_s = [], [], []
-            for a, b in zip(a_ids, b_ids):
-                va, vb = self.vecs.get(a), self.vecs.get(b)
-                if va is None or vb is None:
-                    continue
-                na = np.linalg.norm(va)
-                nb = np.linalg.norm(vb)
-                if na == 0 or nb == 0:
-                    continue
-                sim = float(va @ vb / (na * nb))
-                if sim >= self.threshold:
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_s.append(round(sim, 6))
+    def verify(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
             return pa.Table.from_arrays(
-                [pa.array(out_a, pa.int64()), pa.array(out_b, pa.int64()),
-                 pa.array(out_s, pa.float64())],
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.float64())],
                 names=["id_a", "id_b", "sim"])
+        va = np.stack([np.frombuffer(b, dtype=np.float64)
+                       for b in batch.column("__payload_a").to_pylist()])
+        vb = np.stack([np.frombuffer(b, dtype=np.float64)
+                       for b in batch.column("__payload_b").to_pylist()])
+        na = np.linalg.norm(va, axis=1)
+        nb = np.linalg.norm(vb, axis=1)
+        denom = na * nb
+        denom[denom == 0] = np.inf  # zero vectors never match
+        sims = np.einsum("ij,ij->i", va, vb) / denom
+        keep = sims >= threshold
+        return pa.Table.from_arrays(
+            [batch.column("id_a").combine_chunks().filter(pa.array(keep))
+                  .cast(pa.int64()),
+             batch.column("id_b").combine_chunks().filter(pa.array(keep))
+                  .cast(pa.int64()),
+             pa.array(np.round(sims[keep], 6), pa.float64())],
+            names=["id_a", "id_b", "sim"])
 
-    return pairs.map_batches(
-        VerifyCos, fn_constructor_kwargs=dict(ref=vec_ref,
-                                              threshold=threshold),
-        batch_format="pyarrow", concurrency=(1, 4))
+    return paired.map_batches(verify, batch_format="pyarrow")
+
+
+class PlantNearDups:
+    """map_batches stage that passes vectors through and, for every
+    ``every``-th id, additionally emits a slightly perturbed copy under
+    ``id + offset`` — deterministic planted near-duplicates so the LSH ->
+    verify pipeline demonstrably finds pairs on corpora with no natural
+    near-dups (the driver's synthetic embeddings are mutually near-
+    orthogonal). With eps=0.1 the planted pair's cosine is ~0.995."""
+
+    def __init__(self, *, every: int = 20, offset: int = 10_000_000,
+                 eps: float = 0.1, vec_col: str = "embedding",
+                 id_col: str = "vec_id", seed: int = 7) -> None:
+        self.every = every
+        self.offset = offset
+        self.eps = eps
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.seed = seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_col).to_pylist(),
+                         dtype=np.int64)
+        vecs = np.array(batch.column(self.vec_col).to_pylist(),
+                        dtype=np.float32)
+        pick = ids % self.every == 0
+        out_ids = list(ids)
+        out_vecs = [v for v in vecs]
+        for i in np.flatnonzero(pick):
+            # per-id deterministic perturbation direction
+            rng = np.random.RandomState(self.seed + int(ids[i]))
+            d = rng.standard_normal(vecs.shape[1]).astype(np.float32)
+            d /= max(1e-9, float(np.linalg.norm(d)))
+            v = vecs[i]
+            nv = float(np.linalg.norm(v))
+            out_ids.append(int(ids[i]) + self.offset)
+            out_vecs.append(v + self.eps * nv * d)
+        return pa.Table.from_arrays(
+            [pa.array(out_ids, pa.int64()),
+             pa.array([v.tolist() for v in out_vecs],
+                      pa.list_(pa.float32()))],
+            names=[self.id_col, self.vec_col])

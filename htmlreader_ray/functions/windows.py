@@ -163,3 +163,113 @@ def asof_join_broadcast(left_ds, right_rows: list[dict], *,
     return left_ds.map_batches(
         AsOf, fn_constructor_kwargs={"ref": index_ref},
         batch_format="pyarrow", concurrency=(1, 4))
+
+
+def _ts_to_us(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Normalize a timestamp/date column to int64 microseconds."""
+    t = col.type
+    if pa.types.is_date(t):
+        col = col.cast(pa.timestamp("us"))
+    elif pa.types.is_timestamp(t) and t.unit != "us":
+        col = col.cast(pa.timestamp("us"))
+    return col.cast(pa.int64())
+
+
+def asof_join_partitioned(left_ds, right_ds, *,
+                          left_key: str, left_ts: str,
+                          right_key: str, right_ts: str,
+                          right_val: str, out_col: str,
+                          left_carry: list[str],
+                          direction: str = "backward"):
+    """Partitioned sorted-merge as-of join — the scale path when the right
+    side is the unbounded one (so broadcasting it is not an option).
+
+    Both sides are projected to a common narrow schema
+    (key, ts_us, side, carry…, val), unioned, and hash-partitioned ONCE on
+    the key by a single groupby; inside each group the right rows are
+    sorted and every left row binary-searches its match. Ties on equal
+    timestamps resolve to the maximum ``right_val`` (matching the
+    ``max(val) .. GROUP BY key, ts`` pre-dedup an oracle would do).
+
+    Partitioning assumption: all rows of one key fit in one group — skew is
+    bounded by the hottest single key, same contract as session windows.
+    Returns a Dataset with columns [*left_carry, out_col] where out_col is
+    NULL for left rows with no match ("inner" filtering is the caller's
+    one extra filter away).
+    """
+    import ray.data  # noqa: F401  (Dataset.union)
+
+    forward = direction == "forward"
+    left_schema = left_ds.schema()
+    carry_types = {c: left_schema.base_schema.field(c).type
+                   for c in left_carry}
+    val_type = right_ds.schema().base_schema.field(right_val).type
+
+    def norm_left(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        arrays = [batch.column(left_key).combine_chunks(),
+                  _ts_to_us(batch.column(left_ts)),
+                  pa.array(np.zeros(n, dtype=np.int8))]
+        names = ["__k", "__ts", "__side"]
+        for c in left_carry:
+            arrays.append(batch.column(c).combine_chunks())
+            names.append(c)
+        arrays.append(pa.nulls(n, val_type))
+        names.append("__val")
+        return pa.Table.from_arrays(arrays, names=names)
+
+    def norm_right(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        arrays = [batch.column(right_key).combine_chunks(),
+                  _ts_to_us(batch.column(right_ts)),
+                  pa.array(np.ones(n, dtype=np.int8))]
+        names = ["__k", "__ts", "__side"]
+        for c in left_carry:
+            arrays.append(pa.nulls(n, carry_types[c]))
+            names.append(c)
+        arrays.append(batch.column(right_val).combine_chunks())
+        names.append("__val")
+        return pa.Table.from_arrays(arrays, names=names)
+
+    merged = (left_ds.map_batches(norm_left, batch_format="pyarrow")
+              .union(right_ds.map_batches(norm_right,
+                                          batch_format="pyarrow")))
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        side = group.column("__side").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        left = group.filter(pa.array(side == 0))
+        right = group.filter(pa.array(side == 1))
+        out_cols = [left.column(c) for c in left_carry]
+        if len(right) == 0:
+            return pa.Table.from_arrays(
+                out_cols + [pa.nulls(len(left), val_type)],
+                names=left_carry + [out_col])
+        r_ts = right.column("__ts").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        r_val = right.column("__val").combine_chunks()
+        # sort by (ts asc, val) so the binary-search hit resolves equal-ts
+        # ties to the MAX val: forward takes the FIRST index with
+        # ts >= t (val desc), backward the LAST with ts <= t (val asc)
+        order = pc.sort_indices(pa.table({"t": r_ts, "v": r_val}), sort_keys=[
+            ("t", "ascending"),
+            ("v", "descending" if forward else "ascending")])
+        order_np = order.to_numpy(zero_copy_only=False)
+        r_ts = r_ts[order_np]
+        r_val = r_val.take(order)
+        l_ts = left.column("__ts").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        if forward:
+            idx = np.searchsorted(r_ts, l_ts, side="left")
+            hit = idx < len(r_ts)
+        else:
+            idx = np.searchsorted(r_ts, l_ts, side="right") - 1
+            hit = idx >= 0
+        idx_safe = np.where(hit, idx, 0)
+        vals = r_val.take(pa.array(idx_safe, pa.int64()))
+        vals = pc.if_else(pa.array(hit), vals, pa.nulls(len(left), val_type))
+        return pa.Table.from_arrays(out_cols + [vals],
+                                    names=left_carry + [out_col])
+
+    return merged.groupby("__k").map_groups(merge_group,
+                                            batch_format="pyarrow")

@@ -214,3 +214,72 @@ def test_media_frame_sample_fanout():
     assert out.column("frame_idx").to_pylist() == list(range(out.num_rows))
     ts = out.column("frame_ts_ms").to_pylist()
     assert ts == sorted(ts)
+
+
+# ----------------------------------------------- scale-path regressions
+
+
+def test_hot_bucket_star_cap():
+    """A degenerate bucket (10k identical docs in one LSH bucket) must not
+    emit C(n,2) pairs — above max_bucket it degrades to the O(n) star."""
+    n = 10_000
+    g = pa.Table.from_arrays(
+        [pa.array(list(range(n)), pa.int64()),
+         pa.array([0] * n, pa.int32()),
+         pa.array(["deadbeef"] * n, pa.string())],
+        names=["doc_id", "band", "bucket"])
+    out = dedup.candidate_pairs_from_bucket(g)
+    assert len(out) == n - 1  # star to the min id, not ~50M pairs
+    assert set(out.column("id_a").to_pylist()) == {0}
+    # below the cap: full pairs
+    small = pa.Table.from_arrays(
+        [pa.array([5, 9, 1], pa.int64()), pa.array([0, 0, 0], pa.int32()),
+         pa.array(["x"] * 3, pa.string())],
+        names=["doc_id", "band", "bucket"])
+    out = dedup.candidate_pairs_from_bucket(small)
+    assert sorted(zip(out.column("id_a").to_pylist(),
+                      out.column("id_b").to_pylist())) == \
+        [(1, 5), (1, 9), (5, 9)]
+
+
+def test_minhash_identical_flood_finishes(ray_session):
+    """End-to-end skew guard: thousands of identical docs pass through
+    banding + pair expansion without a pair explosion."""
+    import ray.data
+    n = 3000
+    ds = ray.data.from_arrow(tbl(list(range(n)), ["same text here"] * n))
+    pairs = dedup.minhash_dedup_pairs(ds).take_all()
+    assert 0 < len(pairs) <= n  # star pattern: linear, not quadratic
+    assert {r["id_a"] for r in pairs} == {0}
+
+
+def test_plant_near_dups_stage():
+    rng = np.random.RandomState(0)
+    t = pa.Table.from_arrays(
+        [pa.array([0, 1, 20, 21], pa.int64()),
+         pa.array([rng.standard_normal(8).tolist() for _ in range(4)],
+                  pa.list_(pa.float32()))],
+        names=["vec_id", "embedding"])
+    out = dedup.PlantNearDups(every=20, offset=100, eps=0.1)(t)
+    ids = out.column("vec_id").to_pylist()
+    assert ids == [0, 1, 20, 21, 100, 120]
+    vecs = np.array(out.column("embedding").to_pylist())
+    for base, planted in ((0, 4), (2, 5)):
+        a, b = vecs[base], vecs[planted]
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos > 0.99
+
+
+def test_scale_paths_never_materialize_corpus():
+    """The distributed verify/join paths must not driver-materialize the
+    corpus: no take_all in the scale-path function sources (round-1
+    verdict item 3)."""
+    import inspect
+    from htmlreader_ray.functions import windows
+    for fn in (dedup.near_dup_pairs, dedup.embedding_near_dups,
+               dedup.attach_pair_payloads, dedup.minhash_dedup_pairs,
+               dedup.exact_dedup_ids, windows.asof_join_partitioned,
+               windows.session_windows, windows.tumbling_window_agg):
+        src = inspect.getsource(fn)
+        assert "take_all" not in src, fn.__name__
+        assert "to_pandas" not in src, fn.__name__

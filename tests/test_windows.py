@@ -112,3 +112,73 @@ def test_tumbling_window_agg_ray(ray_session):
         and a10["max_value"] == 5.0
     assert rows[(ts(2024, 1, 1, 11), "a")]["n_events"] == 1
     assert rows[(ts(2024, 1, 1, 10), "b")]["n_events"] == 1
+
+
+def test_asof_join_partitioned_matches_broadcast(ray_session):
+    """The partitioned merge must agree with the broadcast binary-search
+    implementation on a randomized case, both directions."""
+    import ray.data
+    from htmlreader_ray.functions.windows import asof_join_partitioned
+    rng = np.random.RandomState(3)
+    base = ts(2024, 1, 1)
+    right_rows = [
+        {"user_id": int(rng.randint(0, 5)),
+         "ts": base + timedelta(minutes=int(rng.randint(0, 5000))),
+         "event_id": int(i)}
+        for i in range(200)
+    ]
+    left_t = pa.Table.from_arrays(
+        [pa.array(list(range(80)), pa.int64()),
+         pa.array([int(rng.randint(0, 6)) for _ in range(80)], pa.int64()),
+         pa.array([base + timedelta(minutes=int(rng.randint(0, 5500)))
+                   for _ in range(80)], pa.timestamp("us"))],
+        names=["order_id", "cust", "when"])
+    right_t = pa.Table.from_arrays(
+        [pa.array([r["user_id"] for r in right_rows], pa.int64()),
+         pa.array([r["ts"] for r in right_rows], pa.timestamp("us")),
+         pa.array([r["event_id"] for r in right_rows], pa.int64())],
+        names=["user_id", "ts", "event_id"])
+    for direction in ("backward", "forward"):
+        # broadcast reference: dedup ties to max event_id first (the
+        # partitioned merge resolves ties internally)
+        best = {}
+        for r in right_rows:
+            k = (r["user_id"], r["ts"])
+            if k not in best or r["event_id"] > best[k]["event_id"]:
+                best[k] = r
+        ref = asof_join_broadcast(
+            ray.data.from_arrow(left_t), list(best.values()),
+            left_key="cust", left_ts="when", right_key="user_id",
+            right_ts="ts", right_val="event_id", out_col="hit",
+            direction=direction).take_all()
+        got = asof_join_partitioned(
+            ray.data.from_arrow(left_t), ray.data.from_arrow(right_t),
+            left_key="cust", left_ts="when", right_key="user_id",
+            right_ts="ts", right_val="event_id", out_col="hit",
+            left_carry=["order_id"], direction=direction).take_all()
+        ref_m = {r["order_id"]: r["hit"] for r in ref}
+        got_m = {r["order_id"]: r["hit"] for r in got}
+        assert got_m == ref_m, direction
+
+
+def test_asof_join_partitioned_tie_break(ray_session):
+    """Equal right timestamps resolve to the max right_val."""
+    import ray.data
+    from htmlreader_ray.functions.windows import asof_join_partitioned
+    t0 = ts(2024, 6, 1, 12)
+    left = pa.Table.from_arrays(
+        [pa.array([1], pa.int64()), pa.array([10], pa.int64()),
+         pa.array([t0], pa.timestamp("us"))],
+        names=["order_id", "cust", "when"])
+    right = pa.Table.from_arrays(
+        [pa.array([10, 10, 10], pa.int64()),
+         pa.array([t0, t0, t0 + timedelta(hours=1)], pa.timestamp("us")),
+         pa.array([7, 9, 1], pa.int64())],
+        names=["user_id", "ts", "event_id"])
+    for direction, want in (("backward", 9), ("forward", 9)):
+        got = asof_join_partitioned(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            left_key="cust", left_ts="when", right_key="user_id",
+            right_ts="ts", right_val="event_id", out_col="hit",
+            left_carry=["order_id"], direction=direction).take_all()
+        assert got[0]["hit"] == want, direction
