@@ -236,6 +236,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             MediaFrameSample, fn_constructor_kwargs={"fps_target": 0.2},
             batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
 
+    def token_count_bpe(sf_dir: str):
+        """Real BPE: merges learned from the corpus word-frequency table
+        (distributed combiner aggregation, driver sees only the capped
+        vocab), broadcast once, applied per worker with a token cache.
+        Genuinely non-SQL (iterative merge learning) -> rows-only check;
+        unit tests verify against a naive reference implementation."""
+        from htmlreader_ray.functions.bpe import bpe_token_counts
+        return bpe_token_counts(_read(sf_dir, "documents"), n_merges=200)
+
     def events_agg(sf_dir: str):
         """Combiner pattern: per-batch partial aggregation before the
         groupby — the shuffle moves O(blocks x keys) rows, not O(events)."""
@@ -413,7 +422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             textfn.token_counts, batch_format="pyarrow").map_batches(
             lambda b: b.select(["doc_id", "n_words", "n_chars"]),
             batch_format="pyarrow"),
-        "token_count_bpe": stateless(textfn.token_counts),
+        "token_count_bpe": token_count_bpe,
         "quality_counts": stateless(_quality_counts_batch),
         "quality_full": stateless(textfn.quality_scores),
         "lang_id": stateless(textfn.lang_id),
