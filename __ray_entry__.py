@@ -142,9 +142,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return res.map_batches(project, batch_format="pyarrow")
 
     def ann_ivf_q(sf_dir: str):
+        """IVF with nprobe = n_centroids (full probe): exercises the whole
+        IVF machinery (distributed k-means centroids, bucket assignment,
+        probe filter) while provably equalling brute force — which makes
+        the exact-cosine SQL oracle applicable. Partial-probe recall is
+        covered by unit tests (tests/test_functions.py)."""
         ds = _read(sf_dir, "embeddings")
         res = ann.ivf_topk(ds, query_ids=list(range(8)), k=5,
-                           n_centroids=16, nprobe=4)
+                           n_centroids=16, nprobe=16)
 
         def project(batch):
             return batch.select(["query_id", "vec_id", "rank"])
@@ -155,13 +160,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q.as_task(q.MediaSpansDecode), batch_format="pyarrow")
 
     def media_features(sf_dir: str):
+        """Media pseudo-embedding stage, projected to one row per
+        (doc, dim) so the digest-derived doubles are flat-hashable by the
+        driver; the SQL oracle reproduces them bit-for-bit."""
+        import pyarrow as pa
         from htmlreader_ray.stages.media import MediaFeatures
         media = _corpus(sf_dir).map_batches(
             q.as_task(q.MediaSpansDecode), batch_format="pyarrow")
         feats = media.select_columns(["doc_id", "media_ref"]).map_batches(
             q.as_task(MediaFeatures, dim=16),
             batch_format="pyarrow", batch_size=64)
-        return feats
+
+        def explode(batch: pa.Table) -> pa.Table:
+            ids, refs, dims, vals = [], [], [], []
+            for did, ref, fv in zip(batch.column("doc_id").to_pylist(),
+                                    batch.column("media_ref").to_pylist(),
+                                    batch.column("features").to_pylist()):
+                for d, f in enumerate(fv):
+                    ids.append(did)
+                    refs.append(ref)
+                    dims.append(d)
+                    vals.append(f)
+            return pa.Table.from_arrays(
+                [pa.array(ids, pa.string()), pa.array(refs, pa.string()),
+                 pa.array(dims, pa.int32()), pa.array(vals, pa.float64())],
+                names=["doc_id", "media_ref", "dim", "feat"])
+        return feats.map_batches(explode, batch_format="pyarrow")
 
     def extract_multispan(sf_dir: str):
         """Flagship variant: text split across two HTML spans around a
@@ -484,6 +508,8 @@ _TEXT_ESCAPE_CHAIN = ("replace(replace(replace(replace(text, '&', '&amp;'),"
 
 
 def oracle_sql() -> dict[str, str]:
+    from htmlreader_ray.functions.text import _STOPWORDS_EN
+    stoplist = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS_EN))
     return {
         "extract_interleaved": f"""
             SELECT {_DOCKEY} AS doc_id, CAST(0 AS BIGINT) AS span_order,
@@ -578,6 +604,20 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY sim DESC, vec_id) AS rank
             FROM s QUALIFY rank <= 5
         """,
+        # full-probe IVF == brute force (same tie-break), so the exact
+        # oracle applies
+        "ann_ivf_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings WHERE vec_id < 8),
+            s AS (SELECT q.qid AS query_id, e.vec_id,
+                         list_cosine_similarity(q.qe, e.embedding) AS sim
+                  FROM q CROSS JOIN embeddings e
+                  WHERE e.vec_id <> q.qid)
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rank
+            FROM s QUALIFY rank <= 5
+        """,
         "media_decode": f"""
             SELECT {_DOCKEY} AS doc_id,
                    'media://img/' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
@@ -606,6 +646,149 @@ def oracle_sql() -> dict[str, str]:
                    length(text) - length(regexp_replace(
                        text, '[.,;:!?"''()\\[\\]{}]', '', 'g')) AS n_punct
             FROM documents
+        """,
+        # quality_full: every ratio is one int/int IEEE division and the
+        # composite score a fixed-order sum of products — the identical
+        # expression tree in SQL reproduces the doubles bit-for-bit
+        # (verified exactly at sf0.01 and sf0.1)
+        "quality_full": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE array_length(
+                              regexp_split_to_array(trim(text), '\\s+'))
+                     END AS n_words,
+                     length(text) - length(regexp_replace(
+                         text, '[.,;:!?"''()\\[\\]{{}}]', '', 'g'))
+                         AS n_punct,
+                     length(text) - length(regexp_replace(
+                         text, '[A-ZÀ-Þ]', '', 'g')) AS n_upper,
+                     length(regexp_replace(text, '\\s', '', 'g')) AS sum_wl,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(list_filter(
+                              regexp_split_to_array(trim(text), '\\s+'),
+                              w -> list_contains([{stoplist}], lower(w))))
+                     END AS n_stop
+              FROM documents
+            ), r AS (
+              SELECT doc_id, n_chars, n_words,
+                     n_punct / greatest(1, n_chars) AS punct_ratio,
+                     n_stop / greatest(1, n_words) AS stopword_ratio,
+                     n_upper / greatest(1, n_chars) AS upper_ratio,
+                     sum_wl / greatest(1, n_words) AS mean_word_len
+              FROM base
+            )
+            SELECT doc_id, n_chars, n_words, punct_ratio, stopword_ratio,
+                   upper_ratio, mean_word_len,
+                   0.25 * least(n_words / 50.0, 1.0)
+                   + 0.25 * (CASE WHEN mean_word_len >= 2.5
+                                       AND mean_word_len <= 10.0
+                                  THEN 1.0 ELSE 0.0 END)
+                   + 0.2 * least(stopword_ratio / 0.2, 1.0)
+                   + 0.15 * (CASE WHEN punct_ratio < 0.1
+                                  THEN 1.0 ELSE 0.0 END)
+                   + 0.15 * (CASE WHEN upper_ratio < 0.2
+                                  THEN 1.0 ELSE 0.0 END)
+                   AS quality_score
+            FROM r
+        """,
+        # media_frames / pdf_layout: the stub fan-out derives entirely from
+        # sha256(media_ref) — DuckDB computes the same digest, so the full
+        # frame/layout expansion is SQL-expressible (hex -> seed -> counts
+        # via unnest(range(...)))
+        "media_frames": """
+            WITH v AS (
+              SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                         AS doc_id,
+                     'media://vid/' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                         || '.mp4' AS media_ref
+              FROM documents
+            ), d AS (
+              SELECT doc_id, media_ref,
+                     CAST(concat('0x', substr(sha256(media_ref), 1, 8))
+                          AS BIGINT) % 60000 AS duration_ms
+              FROM v
+            ), n AS (
+              SELECT *, greatest(1, least(8,
+                  CAST(floor(duration_ms / 1000.0 * 0.2) AS BIGINT)))
+                  AS n_frames
+              FROM d
+            ), f AS (
+              SELECT doc_id, media_ref, duration_ms, n_frames,
+                     unnest(range(0, n_frames)) AS fr
+              FROM n
+            )
+            SELECT doc_id, media_ref, CAST(fr AS INTEGER) AS frame_idx,
+                   CAST(floor(fr * duration_ms / CAST(n_frames AS DOUBLE))
+                        AS INTEGER) AS frame_ts_ms
+            FROM f
+        """,
+        "pdf_layout": """
+            WITH v AS (
+              SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                         AS doc_id,
+                     'media://doc/' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                         || '.pdf' AS media_ref
+              FROM documents
+            ), d AS (
+              SELECT doc_id, media_ref, sha256(media_ref) AS h,
+                     CAST(concat('0x', substr(sha256(media_ref), 1, 8))
+                          AS BIGINT) AS seed
+              FROM v
+            ), pages AS (
+              SELECT doc_id, media_ref, h, seed,
+                     unnest(range(0, 1 + seed % 4)) AS page
+              FROM d
+            ), blocks AS (
+              SELECT doc_id, media_ref, h, seed, page,
+                     unnest(range(0, 1 + (seed >> CAST(page * 3 AS INTEGER))
+                                     % 3)) AS b
+              FROM pages
+            )
+            SELECT doc_id, media_ref, CAST(page AS INTEGER) AS page,
+                   CAST(b AS INTEGER) AS block_idx,
+                   ['heading','text','text','table','figure'][
+                       CAST((seed >> CAST(page + b AS INTEGER)) % 5
+                            AS INTEGER) + 1] AS kind,
+                   concat('[stub ',
+                          ['heading','text','text','table','figure'][
+                              CAST((seed >> CAST(page + b AS INTEGER)) % 5
+                                   AS INTEGER) + 1],
+                          ' p', page, 'b', b, ' ', substr(h, 1, 8), ']')
+                       AS text
+            FROM blocks
+        """,
+        # media_features: digest-byte pseudo-embedding, L2-normalized with
+        # a sequential sum — the same IEEE expression tree in SQL matches
+        # bit-for-bit (verified at sf0.01)
+        "media_features": """
+            WITH m AS (
+              SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                         AS doc_id,
+                     'media://img/' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                         || '.png' AS media_ref,
+                     sha256('media://img/'
+                            || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                            || '.png') AS h
+              FROM documents
+            ), v AS (
+              SELECT doc_id, media_ref,
+                     list_transform(range(0, 16), i ->
+                         (CAST(concat('0x',
+                              substr(h, CAST(i*2+1 AS INTEGER), 2))
+                           AS BIGINT) - 127.5) / 127.5) AS raw
+              FROM m
+            ), nrm AS (
+              SELECT doc_id, media_ref, raw,
+                     sqrt(list_aggregate(list_transform(raw, x -> x*x),
+                                         'sum')) AS norm
+              FROM v
+            )
+            SELECT doc_id, media_ref,
+                   CAST(unnest(range(0, 16)) AS INTEGER) AS dim,
+                   unnest(list_transform(raw, x -> x / norm)) AS feat
+            FROM nrm
         """,
         "fingerprint":
             "SELECT doc_id, md5(text) AS content_md5 FROM documents",

@@ -60,7 +60,12 @@ def quality_scores(batch: pa.Table, text_col: str = "text",
                    id_col: str = "doc_id") -> pa.Table:
     """Length / punctuation / stopword / uppercase ratios + a combined score
     in [0,1]. Deterministic; thresholds follow common web-corpus filters
-    (C4/Gopher-style rules, re-derived)."""
+    (C4/Gopher-style rules, re-derived).
+
+    Every ratio is a SINGLE int/int IEEE division and the composite score a
+    fixed left-to-right sum of products — deliberately, so a SQL oracle
+    computing the identical expression tree reproduces the doubles
+    bit-for-bit (no rounding applied on either side)."""
     texts = batch.column(text_col).to_pylist()
     n = len(texts)
     n_chars = np.empty(n, np.int64)
@@ -82,18 +87,18 @@ def quality_scores(batch: pa.Table, text_col: str = "text",
     # combined score: in-range word length, some stopwords, low punct noise,
     # low shouting, enough words
     score = (
-        0.25 * np.clip(n_words / 50.0, 0, 1)
+        0.25 * np.minimum(n_words / 50.0, 1.0)
         + 0.25 * ((mean_wl >= 2.5) & (mean_wl <= 10.0)).astype(float)
-        + 0.2 * np.clip(stop / 0.2, 0, 1)
+        + 0.2 * np.minimum(stop / 0.2, 1.0)
         + 0.15 * (punct < 0.1).astype(float)
         + 0.15 * (upper < 0.2).astype(float)
     )
     return pa.Table.from_arrays(
         [batch.column(id_col),
          pa.array(n_chars), pa.array(n_words),
-         pa.array(np.round(punct, 6)), pa.array(np.round(stop, 6)),
-         pa.array(np.round(upper, 6)), pa.array(np.round(mean_wl, 6)),
-         pa.array(np.round(score, 6))],
+         pa.array(punct), pa.array(stop),
+         pa.array(upper), pa.array(mean_wl),
+         pa.array(score)],
         names=[id_col, "n_chars", "n_words", "punct_ratio", "stopword_ratio",
                "upper_ratio", "mean_word_len", "quality_score"])
 

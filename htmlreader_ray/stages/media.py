@@ -205,21 +205,30 @@ class MediaFeatures:
         self.keep_cols = keep_cols
         self._np = np
 
+    def _feature_for(self, ref: str) -> list[float]:
+        """L2-normalized pseudo-embedding from the sha256 digest bytes:
+        v_i = (byte_i - 127.5) / 127.5, each op a single IEEE double and
+        the norm a SEQUENTIAL sum of squares — chosen so a SQL oracle
+        (hex-parse + list_transform + list_aggregate sum) reproduces the
+        doubles bit-for-bit."""
+        digest = hashlib.sha256((ref or "").encode("utf-8")).digest()
+        reps = (self.dim + len(digest) - 1) // len(digest)
+        raw = (digest * reps)[:self.dim]
+        v = [(b - 127.5) / 127.5 for b in raw]
+        s = 0.0
+        for x in v:
+            s += x * x
+        import math
+        norm = math.sqrt(s)
+        return [x / norm for x in v]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        np = self._np
         refs = batch.column(self.ref_col).to_pylist()
-        feats = []
-        for ref in refs:
-            seed = int(hashlib.sha256(
-                (ref or "").encode("utf-8")).hexdigest()[:8], 16)
-            rng = np.random.RandomState(seed)
-            v = rng.standard_normal(self.dim).astype(np.float32)
-            v /= max(1e-9, float(np.linalg.norm(v)))
-            feats.append(v.tolist())
+        feats = [self._feature_for(ref) for ref in refs]
         arrays = [batch.column(c) for c in self.keep_cols]
         names = list(self.keep_cols)
         arrays += [batch.column(self.ref_col),
-                   pa.array(feats, pa.list_(pa.float32()))]
+                   pa.array(feats, pa.list_(pa.float64()))]
         names += [self.ref_col, "features"]
         return pa.Table.from_arrays(arrays, names=names)
 
