@@ -592,6 +592,53 @@ def oracle_sql() -> dict[str, str]:
         """,
         "exact_dedup":
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        # simhash: FNV-1a per word re-expressed with HUGEINT mod-2^64
+        # arithmetic (ascii() == utf-8 byte for this ASCII corpus), bit
+        # tally via list lambdas — matches the numpy implementation
+        # bit-for-bit (functions/dedup.py simhash64)
+        "simhash": """
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE regexp_split_to_array(trim(lower(text)),
+                                                     '\\s+') END AS words
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                     list_transform(words, w -> list_reduce(
+                         list_prepend(
+                             CAST(14695981039346656037 AS HUGEINT),
+                             list_transform(range(1, length(w)+1),
+                                 i -> CAST(ascii(substr(
+                                     w, CAST(i AS INTEGER), 1))
+                                     AS HUGEINT))),
+                         (acc, b) -> (xor(acc, b) * 1099511628211)
+                                     % 18446744073709551616)) AS hs
+              FROM w
+            ), bits AS (
+              SELECT doc_id, hs,
+                     list_transform(range(0, 64), k ->
+                       CASE WHEN len(hs) > 0
+                                 AND list_sum(list_transform(hs,
+                                     hh -> CASE WHEN (hh >>
+                                             CAST(k AS INTEGER)) % 2 = 1
+                                           THEN 1 ELSE -1 END)) > 0
+                            THEN 1::HUGEINT ELSE 0::HUGEINT END) AS bitlist
+              FROM h
+            ), acc AS (
+              SELECT doc_id,
+                     list_sum(list_transform(range(0, 64),
+                         k -> bitlist[CAST(k AS INTEGER)+1]
+                              * (1::HUGEINT << CAST(k AS INTEGER))))
+                         AS uval
+              FROM bits
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN uval >= 1::HUGEINT << 63
+                             THEN uval - 18446744073709551616
+                             ELSE uval END AS BIGINT) AS simhash
+            FROM acc
+        """,
         "ann_brute_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe
                        FROM embeddings WHERE vec_id < 8),
@@ -861,7 +908,15 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o ASOF JOIN e1 e
               ON o.o_custkey = e.user_id AND e.ts >= o.o_orderdate
         """,
-        # minhash_pairs / simhash / ann_ivf_topk / lang_id / quality_full:
-        # non-SQL-expressible (hashing permutations / approximate /
-        # heuristic) -> rows-only checks.
+        # Remaining rows-only (genuinely impractical as SQL oracles):
+        # - minhash_pairs / near_dups_verified: the 128-permutation MinHash
+        #   IS expressible (shingle hashes verified identical in DuckDB)
+        #   but evaluates in ~300 s at sf0.01 — unusable as a driver
+        #   oracle; correctness is covered by unit tests + the simhash /
+        #   exact_dedup oracles exercising the same shuffle patterns.
+        # - embedding_near_dups: LSH-band recall is probabilistic.
+        # - token_count_bpe: iterative merge learning (non-relational);
+        #   verified against a naive reference in tests/test_bpe.py.
+        # - lang_id: heuristic; the corpus text is random vocab words with
+        #   unrelated lang labels, so no SQL ground truth exists.
     }
