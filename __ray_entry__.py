@@ -159,6 +159,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _corpus(sf_dir).map_batches(
             q.as_task(q.MediaSpansDecode), batch_format="pyarrow")
 
+    def media_decode_real(sf_dir: str):
+        """REAL media decode: synthesize structurally valid PNG/GIF/JPEG
+        payloads (pure stdlib) with dimensions derived from doc_id, then
+        recover format/width/height by parsing the actual bytes in the
+        decode stage (stages/media.py parse_image_header) — decoded=true,
+        no fake metadata on this path. Oracle recomputes the dimension
+        formulas."""
+        import pyarrow as pa
+        from htmlreader_ray.sources.payloads import make_image
+        from htmlreader_ray.stages.media import MediaDecode
+
+        FMTS = ("png", "gif", "jpeg")
+
+        def synth(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            refs, payloads = [], []
+            for i in ids:
+                fmt = FMTS[i % 3]
+                w = 16 + i % 64
+                h = 16 + (i // 64) % 64
+                refs.append(f"media://img/{i:08d}.{fmt}")
+                payloads.append(make_image(fmt, w, h))
+            return pa.Table.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(refs, pa.string()),
+                 pa.array(payloads, pa.binary())],
+                names=["doc_id", "media_ref", "payload"])
+
+        ds = _read(sf_dir, "documents").map_batches(
+            synth, batch_format="pyarrow")
+        dec = ds.map_batches(
+            MediaDecode, fn_constructor_kwargs={"payload_col": "payload"},
+            batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
+
+        def flatten(batch: pa.Table) -> pa.Table:
+            meta = batch.column("meta").combine_chunks()
+            return pa.Table.from_arrays(
+                [batch.column("doc_id"), batch.column("media_ref"),
+                 meta.field("format"), meta.field("width"),
+                 meta.field("height"), meta.field("decoded")],
+                names=["doc_id", "media_ref", "format", "width", "height",
+                       "decoded"])
+        return dec.map_batches(flatten, batch_format="pyarrow")
+
     def media_features(sf_dir: str):
         """Media pseudo-embedding stage, projected to one row per
         (doc, dim) so the digest-derived doubles are flat-hashable by the
@@ -442,6 +485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_brute_topk": ann_brute,
         "ann_ivf_topk": ann_ivf_q,
         "media_decode": media_decode,
+        "media_decode_real": media_decode_real,
         "token_count": lambda sf_dir: _read(sf_dir, "documents").map_batches(
             textfn.token_counts, batch_format="pyarrow").map_batches(
             lambda b: b.select(["doc_id", "n_words", "n_chars"]),
@@ -673,6 +717,23 @@ def oracle_sql() -> dict[str, str]:
                    sha256('media://img/'
                           || lpad(CAST(doc_id AS VARCHAR), 8, '0')
                           || '.png') AS sha256
+            FROM documents
+        """,
+        # media_decode_real: format/width/height are RECOVERED from the
+        # payload bytes by the decode stage; the oracle recomputes the
+        # generator's dimension formulas
+        "media_decode_real": """
+            SELECT doc_id,
+                   'media://img/' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                       || '.' || CASE CAST(doc_id % 3 AS INTEGER)
+                                 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                                 ELSE 'jpeg' END AS media_ref,
+                   CASE CAST(doc_id % 3 AS INTEGER)
+                        WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                        ELSE 'jpeg' END AS format,
+                   CAST(16 + doc_id % 64 AS INTEGER) AS width,
+                   CAST(16 + (doc_id // 64) % 64 AS INTEGER) AS height,
+                   true AS decoded
             FROM documents
         """,
         "token_count": r"""

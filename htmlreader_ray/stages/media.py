@@ -37,11 +37,49 @@ _FORMAT_KIND = {
     "mp4": "video", "webm": "video", "pdf": "pdf",
 }
 
-try:  # the real decoder would go here; absent in this container
+try:  # full pixel decode would go here; absent in this container
     import PIL.Image as _PIL  # noqa: F401
     _HAVE_PIL = True
 except Exception:
     _HAVE_PIL = False
+
+
+def parse_image_header(payload: bytes):
+    """REAL header decode, pure stdlib: returns (format, width, height)
+    for PNG (IHDR), GIF (logical screen descriptor) or JPEG (SOF segment
+    scan), or None when the bytes are not a recognized image. This is the
+    production-shaped part of decode that needs no codec library."""
+    import struct
+    if payload is None or len(payload) < 10:
+        return None
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(payload) >= 24 and payload[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", payload[16:24])
+            return ("png", w, h)
+        return None
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return ("gif", w, h)
+    if payload[:2] == b"\xff\xd8":  # JPEG: scan segments to a SOF marker
+        i = 2
+        while i + 4 <= len(payload):
+            if payload[i] != 0xFF:
+                return None
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if i + 4 > len(payload):
+                return None
+            seg_len = struct.unpack(">H", payload[i + 2:i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= len(payload):
+                    h, w = struct.unpack(">HH", payload[i + 5:i + 9])
+                    return ("jpeg", w, h)
+                return None
+            i += 2 + seg_len
+        return None
+    return None
 
 
 class MediaDecode:
@@ -74,7 +112,22 @@ class MediaDecode:
         digest = hashlib.sha256(
             payload if payload is not None else (ref or "").encode("utf-8")
         ).hexdigest()
-        # deterministic fake dimensions derived from the digest
+        # payload-bearing rows get a REAL header decode (PNG/GIF/JPEG,
+        # pure stdlib) — only payload-less refs fall back to the
+        # digest-derived deterministic fake
+        hdr = parse_image_header(payload) if payload is not None else None
+        if hdr is not None:
+            real_fmt, width, height = hdr
+            return {
+                "media_type": "image",
+                "format": real_fmt,
+                "width": width,
+                "height": height,
+                "n_frames": 1,
+                "duration_ms": 0,
+                "sha256": digest,
+                "decoded": True,
+            }
         seed = int(digest[:8], 16)
         return {
             "media_type": kind,
@@ -84,7 +137,7 @@ class MediaDecode:
             "n_frames": 1 + seed % 32 if kind == "video" else (1 if kind == "image" else 0),
             "duration_ms": seed % 60000 if kind in ("audio", "video") else 0,
             "sha256": digest,
-            "decoded": False,  # stub never truly decodes
+            "decoded": False,  # no payload -> nothing to truly decode
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -283,3 +283,34 @@ def test_scale_paths_never_materialize_corpus():
         src = inspect.getsource(fn)
         assert "take_all" not in src, fn.__name__
         assert "to_pandas" not in src, fn.__name__
+
+
+def test_image_header_roundtrip():
+    """Payload builders produce bytes whose REAL header parse recovers the
+    exact dimensions (PNG IHDR / GIF LSD / JPEG SOF scan)."""
+    from htmlreader_ray.sources.payloads import make_image
+    from htmlreader_ray.stages.media import parse_image_header
+    for fmt in ("png", "gif", "jpeg"):
+        for w, h in ((1, 1), (16, 79), (640, 480), (65535, 2)):
+            got = parse_image_header(make_image(fmt, w, h))
+            assert got == (fmt, w, h), (fmt, w, h, got)
+    # malformed / non-image inputs never crash
+    for junk in (None, b"", b"\x89PNG\r\n\x1a\n", b"GIF89", b"\xff\xd8",
+                 b"\xff\xd8\xff\xfe\x00\x02", b"plain text bytes"):
+        assert parse_image_header(junk) is None or isinstance(
+            parse_image_header(junk), tuple)
+
+
+def test_media_decode_real_vs_stub():
+    from htmlreader_ray.sources.payloads import make_png
+    from htmlreader_ray.stages.media import MediaDecode
+    t = pa.Table.from_arrays(
+        [pa.array(["d1", "d2"], pa.string()),
+         pa.array(["media://a.png", "media://b.png"], pa.string()),
+         pa.array([make_png(33, 44), None], pa.binary())],
+        names=["doc_id", "media_ref", "payload"])
+    out = MediaDecode(payload_col="payload")(t)
+    metas = out.column("meta").to_pylist()
+    assert metas[0]["decoded"] is True
+    assert (metas[0]["width"], metas[0]["height"]) == (33, 44)
+    assert metas[1]["decoded"] is False  # no payload -> stub path
