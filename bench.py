@@ -206,9 +206,11 @@ def main_scaling() -> None:
             # size, since Ray's logical CPU slots alone do not stop helper
             # threads from using every core on the box
             cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
-        for _session in range(2):
+        for _session in range(3):
             # a fresh Ray session occasionally lands in a degraded worker
-            # layout on this sandbox; measure two sessions, keep the better
+            # layout on this sandbox (±15-35% between sessions); measure
+            # three sessions per size, keep the best — the same policy at
+            # both sizes keeps the efficiency ratio honest
             proc = subprocess.run(
                 cmd,
                 capture_output=True, text=True, check=False,

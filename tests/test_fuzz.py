@@ -87,25 +87,54 @@ def html_soup(draw):
     return "".join(parts)
 
 
+def _fragment_roundtrip(s: str) -> str:
+    from htmlreader_ray.kernel.dom import Element
+    root = Element("body")
+    for n in parse_fragment(s, "body"):
+        root.append_child(n)
+    return serialize_fragment(root)
+
+
 @settings(max_examples=80, deadline=None)
 @given(html_soup())
 def test_serialize_reparse_fixpoint(src):
-    """serialize∘parse is a fixpoint after one round for HTML-namespace
-    soup (foreign-content breakout makes serialization legitimately
-    non-round-trippable, so svg/math are excluded here)."""
+    """serialize∘parse reaches a fixpoint within two rounds for
+    HTML-namespace soup (foreign-content breakout makes serialization
+    legitimately non-round-trippable, so svg/math are excluded here).
+
+    One round is NOT enough in general: the adoption agency's 8-iteration
+    outer-loop cap can legitimately leave a formatting element nested
+    inside a same-named one (e.g. ``<a><div>*8<a>``), and reparsing that
+    serialization splits the pair — see
+    test_adoption_agency_cap_not_one_round_trippable below.
+    """
     # doctype pins no-quirks so the fragment reparse (always no-quirks)
     # applies identical tree-construction rules (e.g. <table> closing <p>)
     doc = parse("<!DOCTYPE html>" + src)
     if doc.body_element is None:
         return
     once = serialize_fragment(doc.body_element)
-    doc2 = parse_fragment(once, "body")
-    from htmlreader_ray.kernel.dom import Element
-    root = Element("body")
-    for n in doc2:
-        root.append_child(n)
-    twice = serialize_fragment(root)
-    assert once == twice
+    twice = _fragment_roundtrip(once)
+    if once != twice:
+        thrice = _fragment_roundtrip(twice)
+        assert twice == thrice, (
+            f"no fixpoint after two reparses:\n{once}\n{twice}\n{thrice}")
+
+
+def test_adoption_agency_cap_not_one_round_trippable():
+    """Pin the hypothesis-found spec behavior: 8 nested <div>s exhaust the
+    adoption agency's outer-loop counter (tree construction spec step
+    'if outer loop counter is >= 8, return'), so the trailing <a> nests
+    inside the last clone; at 7 divs the no-furthest-block branch pops the
+    clone and the two <a>s stay siblings."""
+    doc8 = parse("<!DOCTYPE html><a>" + "<div>" * 8 + "<a>")
+    s8 = serialize_fragment(doc8.body_element)
+    assert "<a><a></a></a>" in s8          # nested — spec cap reached
+    assert _fragment_roundtrip(s8) != s8   # one reparse splits the pair
+    doc7 = parse("<!DOCTYPE html><a>" + "<div>" * 7 + "<a>")
+    s7 = serialize_fragment(doc7.body_element)
+    assert "<a><a>" not in s7              # siblings — cleanup branch ran
+    assert _fragment_roundtrip(s7) == s7
 
 
 @settings(max_examples=150, deadline=None)
