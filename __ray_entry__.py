@@ -467,6 +467,86 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return batch.rename_columns(["c_mktsegment", "n_orders"])
         return agg.map_batches(rename, batch_format="pyarrow")
 
+    def lineitem_priority_agg(sf_dir: str):
+        """Large-large shuffle hash join via the NATIVE Dataset.join (both
+        sides hash-partitioned on the order key — the path to use when
+        neither side fits a broadcast), then the combiner groupby.
+        sum(l_quantity) is integral-valued so the distributed sum is
+        order-independent and matches the oracle exactly."""
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+        li = _read(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_quantity"])
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_orderpriority"])
+        joined = li.join(orders, "inner", 16,
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+        return combine_aggregate(
+            joined, ["o_orderpriority"],
+            [("", "count", "n_items"), ("l_quantity", "sum", "sum_qty")])
+
+    def ngram_jaccard_pairs(sf_dir: str):
+        """Exact pair similarity (the non-hashed dedup flavor): adjacent-id
+        document pairs via the native hash join, scored by the vectorized
+        byte-set Jaccard kernel (bit-identical to DuckDB's jaccard())."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.dedup import byte_jaccard_batch
+
+        def as_left(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(
+                pc.greater(pc.binary_length(batch.column("text")), 0))
+            return pa.Table.from_arrays(
+                [batch.column("doc_id"),
+                 pc.add(batch.column("doc_id"), 1),
+                 batch.column("text")],
+                names=["id_a", "__k", "text_a"])
+
+        def as_right(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(
+                pc.greater(pc.binary_length(batch.column("text")), 0))
+            return pa.Table.from_arrays(
+                [batch.column("doc_id"), batch.column("text")],
+                names=["__k", "text_b"])
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        left = docs.map_batches(as_left, batch_format="pyarrow")
+        right = docs.map_batches(as_right, batch_format="pyarrow")
+        joined = left.join(right, "inner", 16, on=("__k",))
+
+        def score(batch: pa.Table) -> pa.Table:
+            sim = byte_jaccard_batch(batch.column("text_a"),
+                                     batch.column("text_b"))
+            return pa.Table.from_arrays(
+                [batch.column("id_a"),
+                 batch.column("__k").cast(pa.int64()),
+                 pa.array(sim, pa.float64())],
+                names=["id_a", "id_b", "sim"])
+
+        return joined.map_batches(score, batch_format="pyarrow")
+
+    def events_range_join(sf_dir: str):
+        """Range (interval) join: for every event, how many same-user
+        events fall in the following hour (self-inclusive, so never
+        vacuous) — bucketed-time partitioned merge, no broadcast, no pair
+        explosion (functions/windows.py range_join_count documents the
+        shuffle contract)."""
+        from htmlreader_ray.functions.windows import range_join_count
+        left = _read(sf_dir, "events").select_columns(
+            ["event_id", "user_id", "ts"])
+        right = _read(sf_dir, "events").select_columns(["user_id", "ts"])
+        return range_join_count(
+            left, right,
+            left_key="user_id", left_ts="ts", left_id="event_id",
+            right_key="user_id", right_ts="ts",
+            width_s=3600, out_col="n_next")
+
+    def events_hopping(sf_dir: str):
+        """Hopping windows (1h wide, 30min hop): stateless 2x replication
+        then the combiner groupby."""
+        from htmlreader_ray.functions.windows import hopping_window_agg
+        return hopping_window_agg(_read(sf_dir, "events"),
+                                  width_s=3600, hop_s=1800)
+
     return {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -513,6 +593,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed": events_windowed,
         "user_sessions": user_sessions,
         "orders_asof_event": orders_asof_event,
+        "lineitem_priority_agg": lineitem_priority_agg,
+        "ngram_jaccard_pairs": ngram_jaccard_pairs,
+        "events_range_join": events_range_join,
+        "events_hopping": events_hopping,
     }
 
 
@@ -968,6 +1052,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, e.event_id AS last_event_id
             FROM orders o ASOF JOIN e1 e
               ON o.o_custkey = e.user_id AND e.ts >= o.o_orderdate
+        """,
+        "lineitem_priority_agg": """
+            SELECT o.o_orderpriority, count(*) AS n_items,
+                   sum(l.l_quantity) AS sum_qty
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
+        """,
+        "ngram_jaccard_pairs": """
+            SELECT d1.doc_id AS id_a, d2.doc_id AS id_b,
+                   jaccard(d1.text, d2.text) AS sim
+            FROM documents d1 JOIN documents d2
+              ON d2.doc_id = d1.doc_id + 1
+            WHERE length(d1.text) > 0 AND length(d2.text) > 0
+        """,
+        "events_range_join": """
+            SELECT a.event_id, count(*) AS n_next
+            FROM events a JOIN events b
+              ON b.user_id = a.user_id
+             AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL '1 hour'
+            GROUP BY a.event_id
+        """,
+        "events_hopping": """
+            SELECT window_start, event_type, count(*) AS n_events
+            FROM (
+                SELECT time_bucket(INTERVAL '30 minutes', ts)
+                           AS window_start, event_type FROM events
+                UNION ALL
+                SELECT time_bucket(INTERVAL '30 minutes', ts)
+                           - INTERVAL '30 minutes', event_type FROM events
+            ) GROUP BY window_start, event_type
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

@@ -273,3 +273,147 @@ def asof_join_partitioned(left_ds, right_ds, *,
 
     return merged.groupby("__k").map_groups(merge_group,
                                             batch_format="pyarrow")
+
+
+def range_join_count(left_ds, right_ds, *,
+                     left_key: str, left_ts: str, left_id: str,
+                     right_key: str, right_ts: str,
+                     width_s: int, out_col: str = "n_matches"):
+    """Distributed range (interval) join: for every left row, count right
+    rows with the same key whose timestamp falls in
+    ``[left_ts, left_ts + width_s)``. Inner semantics — left rows with no
+    match are dropped. Returns (left_id, out_col).
+
+    Scale design (no all-pairs, no broadcast): time is bucketed at the
+    interval width, so every left interval intersects at most TWO buckets.
+    Right rows are assigned to their one bucket; left rows are replicated
+    into the (<=2) buckets their interval touches; one groupby on
+    (key, bucket) co-locates them, and inside each group a sorted
+    binary-search (np.searchsorted on the bucket's right timestamps)
+    yields the partial count per left row in O(log n). A second, tiny
+    groupby on ``left_id`` sums the <=2 partials. Shuffle volume is
+    O(|left| * 2 + |right|) narrow rows — never a pair explosion.
+
+    Partitioning assumption: one (key, bucket) group fits in memory; skew
+    is bounded by the hottest key within one interval-width of time, which
+    is strictly tighter than the per-key bound the session/as-of operators
+    already accept.
+    """
+    from ray.data.aggregate import Sum
+
+    width_us = width_s * 1_000_000
+    id_type = left_ds.schema().base_schema.field(left_id).type
+
+    def norm_left(batch: pa.Table) -> pa.Table:
+        ts = _ts_to_us(batch.column(left_ts)).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        key = batch.column(left_key).combine_chunks()
+        ids = batch.column(left_id).combine_chunks()
+        b0 = ts // width_us
+        b1 = (ts + width_us - 1) // width_us  # last bucket touched
+        # bucket b0 probe for every row; b1 probe only when distinct
+        second = b1 != b0
+        keys = pa.concat_arrays([key, key.filter(pa.array(second))])
+        tss = np.concatenate([ts, ts[second]])
+        buckets = np.concatenate([b0, b1[second]])
+        idv = pa.concat_arrays([ids, ids.filter(pa.array(second))])
+        n = len(tss)
+        return pa.Table.from_arrays(
+            [keys, pa.array(buckets, pa.int64()),
+             pa.array(tss, pa.int64()),
+             pa.array(np.zeros(n, dtype=np.int8)), idv],
+            names=["__k", "__b", "__ts", "__side", "__id"])
+
+    def norm_right(batch: pa.Table) -> pa.Table:
+        ts = _ts_to_us(batch.column(right_ts)).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        n = len(ts)
+        return pa.Table.from_arrays(
+            [batch.column(right_key).combine_chunks(),
+             pa.array(ts // width_us, pa.int64()),
+             pa.array(ts, pa.int64()),
+             pa.array(np.ones(n, dtype=np.int8)),
+             pa.nulls(n, id_type)],
+            names=["__k", "__b", "__ts", "__side", "__id"])
+
+    merged = (left_ds.map_batches(norm_left, batch_format="pyarrow")
+              .union(right_ds.map_batches(norm_right,
+                                          batch_format="pyarrow")))
+
+    def count_group(group: pa.Table) -> pa.Table:
+        side = group.column("__side").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        left = group.filter(pa.array(side == 0))
+        if len(left) == 0 or not (side == 1).any():
+            return pa.Table.from_arrays(
+                [pa.array([], id_type), pa.array([], pa.int64())],
+                names=[left_id, "__partial"])
+        r_ts = np.sort(group.column("__ts").combine_chunks()
+                       .to_numpy(zero_copy_only=False)[side == 1])
+        l_ts = left.column("__ts").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(r_ts, l_ts, side="left")
+        # count right ts in [t, t + width); the group only holds this
+        # bucket's right rows, so no extra clamp is needed
+        hi = np.searchsorted(r_ts, l_ts + width_us, side="left")
+        cnt = hi - lo
+        nz = cnt > 0
+        return pa.Table.from_arrays(
+            [left.column("__id").filter(pa.array(nz)),
+             pa.array(cnt[nz], pa.int64())],
+            names=[left_id, "__partial"])
+
+    partials = merged.groupby(["__k", "__b"]).map_groups(
+        count_group, batch_format="pyarrow")
+    agg = partials.groupby(left_id).aggregate(Sum("__partial"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns([left_id, out_col])
+        return batch.set_column(
+            1, out_col, batch.column(out_col).cast(pa.int64()))
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def hopping_window_agg(ds, *, ts_col: str = "ts", key_col: str = "event_type",
+                       width_s: int = 3600, hop_s: int = 1800):
+    """Hopping (sliding) window count per key: windows of ``width_s``
+    starting every ``hop_s`` (width must be a multiple of hop). Each row
+    belongs to exactly width/hop overlapping windows, so assignment is a
+    stateless vectorized replication (factor width/hop — bounded and known
+    up front, never data-dependent) followed by the ordinary combiner
+    groupby; no ordering or co-location assumptions at all. Returns
+    (window_start, key, n_events)."""
+    if width_s % hop_s != 0:
+        raise ValueError("width_s must be a multiple of hop_s")
+    k = width_s // hop_s
+    hop_us = hop_s * 1_000_000
+    from .shuffle import combine_aggregate
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = (us // hop_us) * hop_us
+        starts = np.concatenate([base - j * hop_us for j in range(k)])
+        key = batch.column(key_col)
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        keys = pa.concat_arrays([key] * k)
+        return pa.Table.from_arrays(
+            [pa.array(starts, pa.int64()).cast(pa.timestamp("us")), keys],
+            names=["window_start", key_col])
+
+    assigned = ds.select_columns([ts_col, key_col]).map_batches(
+        assign, batch_format="pyarrow")
+    agg = combine_aggregate(assigned, ["window_start", key_col],
+                            [("", "count", "n_events")])
+
+    def us_start(batch: pa.Table) -> pa.Table:
+        # groupby round-trips timestamps at seconds resolution; restore [us]
+        return batch.set_column(
+            0, "window_start",
+            batch.column("window_start").cast(pa.timestamp("us")))
+
+    return agg.map_batches(us_start, batch_format="pyarrow")

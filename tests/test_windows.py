@@ -182,3 +182,75 @@ def test_asof_join_partitioned_tie_break(ray_session):
             right_ts="ts", right_val="event_id", out_col="hit",
             left_carry=["order_id"], direction=direction).take_all()
         assert got[0]["hit"] == want, direction
+
+
+def test_range_join_count_ray(ray_session):
+    import ray.data
+    from htmlreader_ray.functions.windows import range_join_count
+    # orders: (o_id, custkey, start) — window [start, start + 1h)
+    orders = pa.Table.from_arrays(
+        [pa.array([10, 11, 12, 13], pa.int64()),
+         pa.array([1, 1, 2, 3], pa.int64()),
+         pa.array([ts(2024, 1, 1, 10, 30), ts(2024, 1, 1, 12, 0),
+                   ts(2024, 1, 1, 10, 0), ts(2024, 1, 1, 10, 0)],
+                  pa.timestamp("us"))],
+        names=["o_id", "custkey", "start"])
+    events = events_table([
+        (1, ts(2024, 1, 1, 10, 45), 1, "a"),   # in order 10 (bucket spans)
+        (1, ts(2024, 1, 1, 11, 15), 1, "a"),   # in order 10 (second bucket)
+        (1, ts(2024, 1, 1, 11, 30), 1, "a"),   # outside [10:30,11:30)
+        (1, ts(2024, 1, 1, 12, 0), 1, "a"),    # in order 11 (left edge)
+        (2, ts(2024, 1, 1, 10, 59), 1, "a"),   # in order 12
+        (9, ts(2024, 1, 1, 10, 0), 1, "a"),    # no matching order key
+    ])
+    out = range_join_count(
+        ray.data.from_arrow(orders), ray.data.from_arrow(events),
+        left_key="custkey", left_ts="start", left_id="o_id",
+        right_key="user_id", right_ts="ts", width_s=3600,
+        out_col="n_events")
+    got = {r["o_id"]: r["n_events"] for r in out.take_all()}
+    # order 13 (cust 3) has no events -> dropped (inner semantics)
+    assert got == {10: 2, 11: 1, 12: 1}
+
+
+def test_range_join_count_interval_split_across_buckets(ray_session):
+    """A window straddling a bucket boundary must sum partials from both
+    buckets exactly once."""
+    import ray.data
+    from htmlreader_ray.functions.windows import range_join_count
+    orders = pa.Table.from_arrays(
+        [pa.array([1], pa.int64()), pa.array([5], pa.int64()),
+         pa.array([ts(2024, 1, 1, 0, 50)], pa.timestamp("us"))],
+        names=["o_id", "custkey", "start"])
+    # one event per minute from 00:40 to 02:00 — window [00:50, 01:50)
+    events = events_table([
+        (5, ts(2024, 1, 1, 0, 40) + timedelta(minutes=m), 1, "a")
+        for m in range(81)])
+    out = range_join_count(
+        ray.data.from_arrow(orders), ray.data.from_arrow(events),
+        left_key="custkey", left_ts="start", left_id="o_id",
+        right_key="user_id", right_ts="ts", width_s=3600,
+        out_col="n_events")
+    assert out.take_all() == [{"o_id": 1, "n_events": 60}]
+
+
+def test_hopping_window_agg_ray(ray_session):
+    import ray.data
+    from htmlreader_ray.functions.windows import hopping_window_agg
+    t = events_table([
+        (1, ts(2024, 1, 1, 10, 15), 1, "a"),
+        (1, ts(2024, 1, 1, 10, 45), 1, "a"),
+        (1, ts(2024, 1, 1, 10, 45), 1, "b"),
+    ])
+    out = hopping_window_agg(ray.data.from_arrow(t),
+                             width_s=3600, hop_s=1800)
+    got = {(r["window_start"], r["event_type"]): r["n_events"]
+           for r in out.take_all()}
+    # event@10:15 -> windows 09:30 and 10:00; events@10:45 -> 10:00, 10:30
+    assert got == {
+        (ts(2024, 1, 1, 9, 30), "a"): 1,
+        (ts(2024, 1, 1, 10, 0), "a"): 2,
+        (ts(2024, 1, 1, 10, 30), "a"): 1,
+        (ts(2024, 1, 1, 10, 0), "b"): 1,
+        (ts(2024, 1, 1, 10, 30), "b"): 1,
+    }
