@@ -77,16 +77,44 @@ class BatchTopK:
             names=["query_id", "vec_id", "sim"])
 
 
-def _global_topk(group: pa.Table, k: int) -> pa.Table:
+def _merge_topk(batch: pa.Table, k: int) -> pa.Table:
+    """Single-task reduce of the per-block partial top-ks: sort by
+    (query, sim desc), rank within each query vectorized, keep rank<=k."""
     import pyarrow.compute as pc
-    idx = pc.sort_indices(
-        group, sort_keys=[("sim", "descending"), ("vec_id", "ascending")])
-    group = group.take(idx[:k])
-    ranks = pa.array(range(1, len(group) + 1), pa.int64())
+    idx = pc.sort_indices(batch, sort_keys=[
+        ("query_id", "ascending"), ("sim", "descending"),
+        ("vec_id", "ascending")])
+    t = batch.take(idx)
+    q = t.column("query_id").combine_chunks().to_numpy(zero_copy_only=False)
+    n = len(q)
+    if n == 0:
+        return pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64()),
+             pa.array([], pa.float64()), pa.array([], pa.int64())],
+            names=["query_id", "vec_id", "sim", "rank"])
+    pos = np.arange(n, dtype=np.int64)
+    is_start = np.ones(n, dtype=bool)
+    is_start[1:] = q[1:] != q[:-1]
+    group_start = np.maximum.accumulate(np.where(is_start, pos, 0))
+    rank = pos - group_start + 1
+    keep = rank <= k
+    t = t.filter(pa.array(keep))
     return pa.Table.from_arrays(
-        [group.column("query_id"), group.column("vec_id"),
-         group.column("sim"), ranks],
+        [t.column("query_id"), t.column("vec_id"), t.column("sim"),
+         pa.array(rank[keep], pa.int64())],
         names=["query_id", "vec_id", "sim", "rank"])
+
+
+def merge_local_topk(local, k: int):
+    """Global top-k merge of block-local partials. The partial volume is
+    bounded at n_queries x k per input BLOCK — independent of corpus
+    size — so the merge is a repartition(1) single-task reduce, not a
+    groupby (whose sort-based shuffle costs seconds of barrier latency on
+    a few thousand rows). If n_queries x k x n_blocks ever outgrows one
+    task, repartition on hash(query_id) ranges and run the same merge per
+    range instead."""
+    return local.repartition(1).map_batches(
+        _merge_topk, fn_kwargs={"k": k}, batch_format="pyarrow")
 
 
 def brute_force_topk(ds, query_ids: list[int], k: int = 5, *,
@@ -108,13 +136,12 @@ def brute_force_topk(ds, query_ids: list[int], k: int = 5, *,
     qm = _normalize(np.array([r[vec_col] for r in q_rows], dtype=np.float64))
     queries_ref = ray.put((qids, qm))
 
+    from ..stages.task_cache import as_task
     local = ds.map_batches(
-        BatchTopK,
-        fn_constructor_kwargs=dict(queries_ref=queries_ref, k=k,
-                                   vec_col=vec_col, id_col=id_col),
-        batch_format="pyarrow", concurrency=(1, 8))
-    return local.groupby("query_id").map_groups(
-        _global_topk, fn_kwargs={"k": k}, batch_format="pyarrow")
+        as_task(BatchTopK, queries_ref=queries_ref, k=k,
+                vec_col=vec_col, id_col=id_col),
+        batch_format="pyarrow")
+    return merge_local_topk(local, k)
 
 
 # ------------------------------------------------------------------- IVF
@@ -201,10 +228,11 @@ def ivf_topk(ds, query_ids: list[int], k: int = 5, *, n_centroids: int = 16,
     cents = deterministic_centroids(ds, n_centroids, vec_col=vec_col,
                                     id_col=id_col)
     cents_ref = ray.put(cents)
+    from ..stages.task_cache import as_task
     assigned = ds.map_batches(
-        IVFAssign, fn_constructor_kwargs=dict(centroids_ref=cents_ref,
-                                              vec_col=vec_col, id_col=id_col),
-        batch_format="pyarrow", concurrency=(1, 8))
+        as_task(IVFAssign, centroids_ref=cents_ref,
+                vec_col=vec_col, id_col=id_col),
+        batch_format="pyarrow")
 
     def keep_queries(batch: pa.Table) -> pa.Table:
         mask = pc.is_in(batch.column(id_col),
@@ -226,10 +254,9 @@ def ivf_topk(ds, query_ids: list[int], k: int = 5, *, n_centroids: int = 16,
 
     probed = assigned.map_batches(keep_probed, batch_format="pyarrow")
     queries_ref = ray.put((qids, qm))
+    from ..stages.task_cache import as_task
     local = probed.map_batches(
-        BatchTopK,
-        fn_constructor_kwargs=dict(queries_ref=queries_ref, k=k,
-                                   vec_col=vec_col, id_col=id_col),
-        batch_format="pyarrow", concurrency=(1, 8))
-    return local.groupby("query_id").map_groups(
-        _global_topk, fn_kwargs={"k": k}, batch_format="pyarrow")
+        as_task(BatchTopK, queries_ref=queries_ref, k=k,
+                vec_col=vec_col, id_col=id_col),
+        batch_format="pyarrow")
+    return merge_local_topk(local, k)
