@@ -102,7 +102,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.exact_dedup_ids(_read(sf_dir, "documents"))
 
     def minhash_pairs(sf_dir: str):
-        return dedup.minhash_dedup_pairs(_read(sf_dir, "documents"))
+        import os
+        nbytes = os.path.getsize(f"{sf_dir}/documents.parquet")
+        parts = max(8, nbytes // (32 << 20))
+        return dedup.minhash_dedup_pairs(_read(sf_dir, "documents"),
+                                         shuffle_partitions=parts)
 
     def near_dups_verified(sf_dir: str):
         return dedup.near_dup_pairs(_read(sf_dir, "documents"),

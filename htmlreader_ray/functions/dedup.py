@@ -279,16 +279,24 @@ def exact_dedup_ids(ds, *, text_col: str = "text", id_col: str = "doc_id"):
 def minhash_dedup_pairs(ds, *, threshold: float = 0.8, n_perm: int = 128,
                         bands: int = 16, shingle_k: int = 5,
                         text_col: str = "text", id_col: str = "doc_id",
+                        shuffle_partitions: int | None = None,
                         concurrency=(1, 8)):
     """Dataset -> Dataset[(id_a, id_b)] candidate near-dup pairs that passed
     banding (pre-verification). Verification against exact Jaccard happens in
     verify_pairs (needs the texts; at scale, a broadcast side table or a join
-    against the hot pair set)."""
+    against the hot pair set).
+
+    ``shuffle_partitions`` right-sizes the banding shuffle: the banded rows
+    are 3 narrow columns, so inheriting the (wide) input's block count pays
+    per-block sort barriers for near-empty blocks. Pass roughly
+    input_bytes / 32MB (clamped to >= 8); None keeps the input layout."""
     from ..stages.task_cache import as_task
     banded = ds.map_batches(
         as_task(MinHashBands, n_perm=n_perm, bands=bands,
                 shingle_k=shingle_k, text_col=text_col, id_col=id_col),
         batch_format="pyarrow")
+    if shuffle_partitions:
+        banded = banded.repartition(shuffle_partitions)
     pairs = (banded.groupby(["band", "bucket"])
              .map_groups(candidate_pairs_from_bucket,
                          batch_format="pyarrow"))

@@ -37,27 +37,30 @@ def assign_tumbling_window(batch: pa.Table, *, ts_col: str = "ts",
 
 def tumbling_window_agg(ds, *, ts_col: str = "ts", key_col: str = "event_type",
                         width_s: int = 3600):
-    """Tumbling-window count/min/max per key. Returns
+    """Tumbling-window count/min/max per key, via the combiner pattern:
+    per-batch partials first, so the shuffle moves O(blocks x windows x
+    keys) rows instead of every event. Returns
     (window_start, key, n_events, min_value, max_value)."""
-    from ray.data.aggregate import Count, Max, Min
+    from .shuffle import combine_aggregate
 
     assigned = ds.map_batches(
         assign_tumbling_window, fn_kwargs={"ts_col": ts_col,
                                            "width_s": width_s},
         batch_format="pyarrow")
-    agg = assigned.groupby(["window_start", key_col]).aggregate(
-        Count(), Min("value"), Max("value"))
+    agg = combine_aggregate(
+        assigned.select_columns(["window_start", key_col, "value"]),
+        ["window_start", key_col],
+        [("", "count", "n_events"), ("value", "min", "min_value"),
+         ("value", "max", "max_value")])
 
-    def rename(batch: pa.Table) -> pa.Table:
-        batch = batch.rename_columns(
-            ["window_start", key_col, "n_events", "min_value", "max_value"])
+    def us_start(batch: pa.Table) -> pa.Table:
         # the groupby round-trips timestamps through a seconds resolution;
         # restore [us] so the output dtype matches the SQL oracle exactly
         return batch.set_column(
             0, "window_start",
             batch.column("window_start").cast(pa.timestamp("us")))
 
-    return agg.map_batches(rename, batch_format="pyarrow")
+    return agg.map_batches(us_start, batch_format="pyarrow")
 
 
 def sessionize_group(group: pa.Table, *, ts_col: str = "ts",
