@@ -369,15 +369,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from ray.data.aggregate import Sum
 
         def partial_counts(batch: pa.Table) -> pa.Table:
-            words = []
-            for t in batch.column("text").to_pylist():
-                words.extend((t or "").split())
-            if not words:
+            import pyarrow.compute as pc
+            words = pc.list_flatten(pc.split_pattern_regex(
+                batch.column("text"), pattern=r"\s+"))
+            words = words.filter(pc.not_equal(words, ""))
+            if len(words) == 0:
                 return pa.Table.from_arrays(
                     [pa.array([], pa.string()), pa.array([], pa.int64())],
                     names=["word", "cnt"])
-            wt = pa.Table.from_arrays([pa.array(words, pa.string())],
-                                      names=["word"])
+            wt = pa.Table.from_arrays([words], names=["word"])
             g = wt.group_by("word").aggregate([([], "count_all")])
             return g.rename_columns(["word", "cnt"])
 
@@ -447,20 +447,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow as pa
         import ray
         from ray.data.aggregate import Count
+        import pyarrow.compute as pc
         cust = _read(sf_dir, "customer").select_columns(
             ["c_custkey", "c_mktsegment"]).take_all()
-        lookup_ref = ray.put({r["c_custkey"]: r["c_mktsegment"]
-                              for r in cust})
+        lookup_ref = ray.put((
+            pa.array([r["c_custkey"] for r in cust], pa.int64()),
+            pa.array([r["c_mktsegment"] for r in cust], pa.string())))
 
         class AttachSegment:
             def __init__(self, ref):
-                self.lookup = ray.get(ref)
+                self.keys, self.segs = ray.get(ref)
 
             def __call__(self, batch: pa.Table) -> pa.Table:
-                keys = batch.column("o_custkey").to_pylist()
-                segs = [self.lookup.get(k, "") for k in keys]
-                return pa.Table.from_arrays(
-                    [pa.array(segs, pa.string())], names=["c_mktsegment"])
+                idx = pc.index_in(batch.column("o_custkey"),
+                                  value_set=self.keys)
+                segs = pc.fill_null(self.segs.take(idx), "")
+                return pa.Table.from_arrays([segs], names=["c_mktsegment"])
 
         ds = _read(sf_dir, "orders").map_batches(
             AttachSegment, fn_constructor_kwargs={"ref": lookup_ref},
@@ -551,6 +553,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return hopping_window_agg(_read(sf_dir, "events"),
                                   width_s=3600, hop_s=1800)
 
+    def corpus_prep(sf_dir: str):
+        """Composite training-data prep: quality gate (token count >= 40)
+        -> exact dedup (min doc_id per content hash) -> per-doc features.
+        One narrow shuffle total: the dedup groupby moves only
+        (md5, doc_id, lang, n_tokens) — never the text — and every other
+        stage is a stateless vectorized map."""
+        import hashlib
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def featurize(batch: pa.Table) -> pa.Table:
+            col = batch.column("text")
+            trimmed = pc.utf8_trim_whitespace(col)
+            n_tokens = pc.list_value_length(
+                pc.split_pattern_regex(trimmed, r"\s+"))
+            n_tokens = pc.if_else(
+                pc.equal(pc.utf8_length(trimmed), 0),
+                pa.scalar(0, pa.int32()), n_tokens)
+            md5 = pa.array(
+                [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+                 for t in col.to_pylist()], pa.string())
+            out = pa.Table.from_arrays(
+                [batch.column("doc_id"), batch.column("lang"),
+                 n_tokens.cast(pa.int64()), md5],
+                names=["doc_id", "lang", "n_tokens", "content_md5"])
+            return out.filter(pc.greater_equal(out.column("n_tokens"), 40))
+
+        def keep_first(group: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(group,
+                                  sort_keys=[("doc_id", "ascending")])
+            return group.take(idx[:1])
+
+        feats = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "lang", "text"]).map_batches(
+                featurize, batch_format="pyarrow")
+        return feats.groupby("content_md5").map_groups(
+            keep_first, batch_format="pyarrow").select_columns(
+                ["doc_id", "lang", "n_tokens", "content_md5"])
+
     return {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -601,6 +642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "events_range_join": events_range_join,
         "events_hopping": events_hopping,
+        "corpus_prep": corpus_prep,
     }
 
 
@@ -1086,6 +1128,23 @@ def oracle_sql() -> dict[str, str]:
                 SELECT time_bucket(INTERVAL '30 minutes', ts)
                            - INTERVAL '30 minutes', event_type FROM events
             ) GROUP BY window_start, event_type
+        """,
+        "corpus_prep": r"""
+            WITH counted AS (
+                SELECT doc_id, lang, text,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE array_length(
+                                regexp_split_to_array(trim(text), '\s+'))
+                       END AS n_tokens,
+                       md5(text) AS content_md5
+                FROM documents
+            ), filtered AS (
+                SELECT * FROM counted WHERE n_tokens >= 40
+            )
+            SELECT doc_id, lang, n_tokens, content_md5
+            FROM (SELECT *, min(doc_id) OVER (PARTITION BY text) AS keeper
+                  FROM filtered)
+            WHERE doc_id = keeper
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash
