@@ -469,9 +469,11 @@ class Tokenizer:
                 run_end += 1
             run = run_end - dash
             if run_end >= n:
-                # EOF during dashes
+                # EOF during dashes: the first two are consumed by the
+                # comment-end-dash/comment-end states without appending;
+                # only extras were appended (comment end state, '-')
                 self._err("eof-in-comment")
-                buf.append("-" * run)
+                buf.append("-" * max(0, run - 2))
                 self.pos = n
                 return [("comment", "".join(buf)), ("eof",)]
             nxt = s[run_end]
@@ -486,8 +488,10 @@ class Tokenizer:
                     self.pos = run_end + 2
                     return ("comment", "".join(buf))
                 if run_end + 1 >= n:
+                    # EOF in comment-end-bang: neither the two dashes nor
+                    # the bang reach the data
                     self._err("eof-in-comment")
-                    buf.append("-" * run)
+                    buf.append("-" * (run - 2))
                     self.pos = n
                     return [("comment", "".join(buf)), ("eof",)]
                 # "--!" then ordinary char: append "--!" per comment-end-bang

@@ -161,9 +161,14 @@ def test_eof_in_tag_drops_tag():
 
 
 def test_eof_in_comment_emits_comment():
+    # the comment-end-dash / comment-end states consume up to two trailing
+    # dashes without appending them (spec: EOF there emits the comment
+    # as-is); only a third-plus dash reaches the data via comment-end's
+    # '-' branch
     assert toks("<!--abc") == [("comment", "abc")]
-    assert toks("<!--abc-") == [("comment", "abc-")]
-    assert toks("<!--abc--") == [("comment", "abc--")]
+    assert toks("<!--abc-") == [("comment", "abc")]
+    assert toks("<!--abc--") == [("comment", "abc")]
+    assert toks("<!--abc---") == [("comment", "abc-")]
 
 
 # second vector batch: doctype families, attribute weirdness, fast-path vs
