@@ -236,17 +236,32 @@ class TreeBuilder:
 
     # scope checks ----------------------------------------------------------
     def _in_scope(self, target, barrier_html=C.SCOPE_BASE_HTML) -> bool:
-        """target: tag name (str), set of names, or an Element object."""
+        """target: tag name (str), set of names, or an Element object.
+        (The target match is checked before the barrier on each node, so a
+        tag that is its own barrier — e.g. html in the base scope — still
+        matches.)"""
+        if isinstance(target, str):
+            for node in reversed(self.open):
+                ns = node.namespace
+                if ns == HTML_NS:
+                    if node.tag == target:
+                        return True
+                    if node.tag in barrier_html:
+                        return False
+                elif ns == MATHML_NS:
+                    if node.tag in C.SPECIAL_MATHML:
+                        return False
+                else:
+                    if node.tag in C.SPECIAL_SVG:
+                        return False
+            return False
+        is_set = isinstance(target, (set, frozenset))
         for node in reversed(self.open):
-            if isinstance(target, str):
-                if node.tag == target and node.namespace == HTML_NS:
-                    return True
-            elif isinstance(target, (set, frozenset)):
+            if is_set:
                 if node.tag in target and node.namespace == HTML_NS:
                     return True
-            else:
-                if node is target:
-                    return True
+            elif node is target:
+                return True
             if node.namespace == HTML_NS:
                 if node.tag in barrier_html:
                     return False
@@ -440,8 +455,15 @@ class TreeBuilder:
         else:
             self.ignore_next_lf = False
         if not self.saw_foreign:
-            self._process_html(tok)
-            return
+            # inline of _process_html (hot path: every token of a document
+            # with no foreign content goes through here)
+            dispatch = _MODE_DISPATCH
+            while True:
+                res = dispatch[self.mode](self, tok)
+                if not res:
+                    return
+                if res is not True:
+                    tok = res
         acn = self._adjusted_current_node()
         use_html = True
         if acn is not None and acn.namespace != HTML_NS:
