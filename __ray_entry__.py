@@ -553,6 +553,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return hopping_window_agg(_read(sf_dir, "events"),
                                   width_s=3600, hop_s=1800)
 
+    def token_pack(sf_dir: str):
+        """Concat-and-chunk sequence packing on top of the distributed
+        ordered prefix-scan (functions/scan.py): chunk_id = running token
+        offset // 2048 along doc_id order."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.scan import token_pack as pack
+
+        def count_tokens(batch: pa.Table) -> pa.Table:
+            col = batch.column("text")
+            trimmed = pc.utf8_trim_whitespace(col)
+            n = pc.list_value_length(
+                pc.split_pattern_regex(trimmed, r"\s+"))
+            n = pc.if_else(pc.equal(pc.utf8_length(trimmed), 0),
+                           pa.scalar(0, pa.int32()), n)
+            return pa.Table.from_arrays(
+                [batch.column("doc_id"), n.cast(pa.int64())],
+                names=["doc_id", "n_tokens"])
+
+        counted = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"]).map_batches(
+                count_tokens, batch_format="pyarrow")
+        out = pack(counted, seq_len=2048, bucket_size=100)
+        return out.map_batches(
+            lambda b: b.select(["doc_id", "n_tokens", "prefix_tokens",
+                                "chunk_id"]),
+            batch_format="pyarrow")
+
+    def train_val_split(sf_dir: str):
+        """Deterministic content-independent split: the first md5 byte of
+        the doc id decides the assignment (~5% val), so membership is
+        stable under re-runs, resharding and corpus growth."""
+        import hashlib
+        import pyarrow as pa
+
+        def split(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            labels = pa.array(
+                ["val" if hashlib.md5(str(i).encode()).digest()[0] < 13
+                 else "train" for i in ids], pa.string())
+            return pa.Table.from_arrays(
+                [batch.column("doc_id"), labels],
+                names=["doc_id", "split"])
+
+        return _read(sf_dir, "documents").select_columns(
+            ["doc_id"]).map_batches(split, batch_format="pyarrow")
+
     def corpus_prep(sf_dir: str):
         """Composite training-data prep: quality gate (token count >= 40)
         -> exact dedup (min doc_id per content hash) -> per-doc features.
@@ -643,6 +690,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": events_range_join,
         "events_hopping": events_hopping,
         "corpus_prep": corpus_prep,
+        "token_pack": token_pack,
+        "train_val_split": train_val_split,
     }
 
 
@@ -1128,6 +1177,31 @@ def oracle_sql() -> dict[str, str]:
                 SELECT time_bucket(INTERVAL '30 minutes', ts)
                            - INTERVAL '30 minutes', event_type FROM events
             ) GROUP BY window_start, event_type
+        """,
+        "token_pack": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE array_length(
+                                regexp_split_to_array(trim(text), '\s+'))
+                       END AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS prefix_tokens,
+                   CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) // 2048 AS BIGINT) AS chunk_id
+            FROM t
+        """,
+        "train_val_split": """
+            SELECT doc_id,
+                   CASE WHEN ('0x' || substr(
+                            md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT < 13
+                        THEN 'val' ELSE 'train' END AS split
+            FROM documents
         """,
         "corpus_prep": r"""
             WITH counted AS (

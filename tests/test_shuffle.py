@@ -34,3 +34,31 @@ def test_combine_aggregate_multikey(ray_session):
                             [("v", "sum", "total")]).take_all()
     got = {(r["a"], r["b"]): r["total"] for r in out}
     assert got == {("x", 1): 10.0, ("x", 2): 20.0, ("y", 1): 30.0}
+
+
+def test_ordered_prefix_sum(ray_session):
+    import ray.data
+    import pyarrow as pa
+    from htmlreader_ray.functions.scan import ordered_prefix_sum, token_pack
+    import random
+    rng = random.Random(3)
+    ids = list(range(250))
+    rng.shuffle(ids)  # arrival order must not matter
+    vals = [(i * 7) % 13 + 1 for i in ids]
+    t = pa.Table.from_arrays(
+        [pa.array(ids, pa.int64()), pa.array(vals, pa.int64())],
+        names=["doc_id", "n_tokens"])
+    ds = ray.data.from_arrow(t)
+    out = ordered_prefix_sum(ds, order_col="doc_id", value_col="n_tokens",
+                             bucket_size=64).take_all()
+    got = {r["doc_id"]: r["prefix_sum"] for r in out}
+    acc, want = 0, {}
+    for i in range(250):
+        want[i] = acc
+        acc += (i * 7) % 13 + 1
+    assert got == want
+    packed = token_pack(ds, seq_len=16, bucket_size=64).take_all()
+    by_id = {r["doc_id"]: r for r in packed}
+    assert by_id[0]["chunk_id"] == 0
+    for i in range(250):
+        assert by_id[i]["chunk_id"] == want[i] // 16
