@@ -536,15 +536,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         vacuous) — bucketed-time partitioned merge, no broadcast, no pair
         explosion (functions/windows.py range_join_count documents the
         shuffle contract)."""
+        import os
         from htmlreader_ray.functions.windows import range_join_count
-        left = _read(sf_dir, "events").select_columns(
+        events = _read(sf_dir, "events").select_columns(
             ["event_id", "user_id", "ts"])
-        right = _read(sf_dir, "events").select_columns(["user_id", "ts"])
+        nbytes = os.path.getsize(f"{sf_dir}/events.parquet")
+        parts = max(8, nbytes // (32 << 20))
         return range_join_count(
-            left, right,
+            events,
             left_key="user_id", left_ts="ts", left_id="event_id",
             right_key="user_id", right_ts="ts",
-            width_s=3600, out_col="n_next")
+            width_s=3600, out_col="n_next", shuffle_partitions=parts)
 
     def events_hopping(sf_dir: str):
         """Hopping windows (1h wide, 30min hop): stateless 2x replication

@@ -278,33 +278,50 @@ def asof_join_partitioned(left_ds, right_ds, *,
                                             batch_format="pyarrow")
 
 
-def range_join_count(left_ds, right_ds, *,
+def range_join_count(left_ds, right_ds=None, *,
                      left_key: str, left_ts: str, left_id: str,
                      right_key: str, right_ts: str,
-                     width_s: int, out_col: str = "n_matches"):
+                     width_s: int, out_col: str = "n_matches",
+                     bucket_width_s: int | None = None,
+                     shuffle_partitions: int | None = None):
     """Distributed range (interval) join: for every left row, count right
     rows with the same key whose timestamp falls in
     ``[left_ts, left_ts + width_s)``. Inner semantics — left rows with no
-    match are dropped. Returns (left_id, out_col).
+    match are dropped. Returns (left_id, out_col). Pass ``right_ds=None``
+    for a self-join: the single input is scanned once and each batch
+    emits both its probe and its event rows.
 
-    Scale design (no all-pairs, no broadcast): time is bucketed at the
-    interval width, so every left interval intersects at most TWO buckets.
-    Right rows are assigned to their one bucket; left rows are replicated
-    into the (<=2) buckets their interval touches; one groupby on
-    (key, bucket) co-locates them, and inside each group a sorted
-    binary-search (np.searchsorted on the bucket's right timestamps)
-    yields the partial count per left row in O(log n). A second, tiny
-    groupby on ``left_id`` sums the <=2 partials. Shuffle volume is
-    O(|left| * 2 + |right|) narrow rows — never a pair explosion.
+    Scale design (no all-pairs, no broadcast): time is bucketed at
+    ``bucket_width_s`` >= the interval width, so every left interval
+    intersects at most TWO buckets. Right rows are assigned to their one
+    bucket; left rows are replicated into the (<=2) buckets their interval
+    touches; one groupby on (key, bucket) co-locates them, and inside each
+    group a sorted binary-search (np.searchsorted on the bucket's right
+    timestamps) yields the partial count per left row in O(log n). A
+    second, tiny groupby on ``left_id`` sums the <=2 partials. Shuffle
+    volume is O(|left| * 2 + |right|) narrow rows — never a pair
+    explosion.
+
+    ``bucket_width_s`` trades group COUNT against group SIZE: per-group
+    dispatch costs ~0.5ms, so thousands of near-empty groups dominate
+    wall time at small key cardinality, while one giant group bounds a
+    worker's memory at the other end. The default (32x the interval)
+    suits skewless data; shrink toward the interval width when one
+    (key, bucket) range could outgrow a worker.
 
     Partitioning assumption: one (key, bucket) group fits in memory; skew
-    is bounded by the hottest key within one interval-width of time, which
+    is bounded by the hottest key within one bucket-width of time, which
     is strictly tighter than the per-key bound the session/as-of operators
     already accept.
     """
     from ray.data.aggregate import Sum
 
     width_us = width_s * 1_000_000
+    if bucket_width_s is None:
+        bucket_width_s = width_s * 32
+    if bucket_width_s < width_s:
+        raise ValueError("bucket_width_s must be >= width_s")
+    bucket_us = bucket_width_s * 1_000_000
     id_type = left_ds.schema().base_schema.field(left_id).type
 
     def norm_left(batch: pa.Table) -> pa.Table:
@@ -312,8 +329,8 @@ def range_join_count(left_ds, right_ds, *,
             .to_numpy(zero_copy_only=False)
         key = batch.column(left_key).combine_chunks()
         ids = batch.column(left_id).combine_chunks()
-        b0 = ts // width_us
-        b1 = (ts + width_us - 1) // width_us  # last bucket touched
+        b0 = ts // bucket_us
+        b1 = (ts + width_us - 1) // bucket_us  # last bucket touched
         # bucket b0 probe for every row; b1 probe only when distinct
         second = b1 != b0
         keys = pa.concat_arrays([key, key.filter(pa.array(second))])
@@ -333,15 +350,29 @@ def range_join_count(left_ds, right_ds, *,
         n = len(ts)
         return pa.Table.from_arrays(
             [batch.column(right_key).combine_chunks(),
-             pa.array(ts // width_us, pa.int64()),
+             pa.array(ts // bucket_us, pa.int64()),
              pa.array(ts, pa.int64()),
              pa.array(np.ones(n, dtype=np.int8)),
              pa.nulls(n, id_type)],
             names=["__k", "__b", "__ts", "__side", "__id"])
 
-    merged = (left_ds.map_batches(norm_left, batch_format="pyarrow")
-              .union(right_ds.map_batches(norm_right,
-                                          batch_format="pyarrow")))
+    if right_ds is None:
+        # self-join: one read and one normalization pass emits BOTH the
+        # probe rows and the event rows for each input row, instead of
+        # scanning the same table twice
+        def norm_both(batch: pa.Table) -> pa.Table:
+            return pa.concat_tables([norm_left(batch), norm_right(batch)])
+
+        merged = left_ds.map_batches(norm_both, batch_format="pyarrow")
+    else:
+        merged = (left_ds.map_batches(norm_left, batch_format="pyarrow")
+                  .union(right_ds.map_batches(norm_right,
+                                              batch_format="pyarrow")))
+    if shuffle_partitions:
+        # the merged rows are 5 narrow columns; inheriting the wide
+        # input's block layout pays per-block sort barriers for near-empty
+        # blocks (same knob as minhash_dedup_pairs)
+        merged = merged.repartition(shuffle_partitions)
 
     def count_group(group: pa.Table) -> pa.Table:
         side = group.column("__side").combine_chunks() \

@@ -230,7 +230,7 @@ def test_range_join_count_interval_split_across_buckets(ray_session):
         ray.data.from_arrow(orders), ray.data.from_arrow(events),
         left_key="custkey", left_ts="start", left_id="o_id",
         right_key="user_id", right_ts="ts", width_s=3600,
-        out_col="n_events")
+        out_col="n_events", bucket_width_s=3600)
     assert out.take_all() == [{"o_id": 1, "n_events": 60}]
 
 
