@@ -118,6 +118,7 @@ def candidate_pairs_from_bucket(group: pa.Table,
     this preserves the connected near-dup cluster (every duplicate is
     linked to one representative) at O(n) pairs; pairwise similarity within
     the long tail is recoverable transitively."""
+    id_type = group.column(id_col).type
     ids = sorted(set(group.column(id_col).to_pylist()))
     a_out, b_out = [], []
     if len(ids) > max_bucket:
@@ -129,8 +130,11 @@ def candidate_pairs_from_bucket(group: pa.Table,
             for j in range(i + 1, len(ids)):
                 a_out.append(ids[i])
                 b_out.append(ids[j])
+    # type explicitly: an empty group would otherwise infer null-typed
+    # columns, poisoning the schema of downstream hash joins
     return pa.Table.from_arrays(
-        [pa.array(a_out), pa.array(b_out)], names=["id_a", "id_b"])
+        [pa.array(a_out, id_type), pa.array(b_out, id_type)],
+        names=["id_a", "id_b"])
 
 
 def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
@@ -302,8 +306,23 @@ def minhash_dedup_pairs(ds, *, threshold: float = 0.8, n_perm: int = 128,
                          batch_format="pyarrow"))
     # distinct pairs (same pair can fire in many bands)
     from ray.data.aggregate import Count
-    return (pairs.groupby(["id_a", "id_b"]).aggregate(Count())
-            .select_columns(["id_a", "id_b"]))
+    distinct = (pairs.groupby(["id_a", "id_b"]).aggregate(Count())
+                .select_columns(["id_a", "id_b"]))
+    return _scrub_empty_blocks(distinct)
+
+
+def _scrub_empty_blocks(pairs_ds):
+    """Coalesce candidate-pair blocks before they feed a hash join.
+
+    The groupby/map_groups machinery emits EMPTY blocks with a ZERO-COLUMN
+    schema, and map_batches skips empty blocks so they cannot be rewritten
+    in place; a Dataset.join partition that receives only such blocks has
+    no id_a field and Acero rejects the join (observed at 32 CPUs /
+    16 join partitions, where 39 of 64 candidate blocks were column-less).
+    repartition() concatenates blocks, which unifies them under the real
+    schema and drops the degenerate ones. The pair set is tiny by
+    construction (banding + bucket caps), so this shuffle is narrow."""
+    return pairs_ds.repartition(_default_join_partitions())
 
 
 def verify_pairs(pairs_ds, texts_ref, *, threshold: float = 0.8,
@@ -343,7 +362,8 @@ def verify_pairs(pairs_ds, texts_ref, *, threshold: float = 0.8,
                     out_b.append(b)
                     out_s.append(round(sim, 6))
             return pa.Table.from_arrays(
-                [pa.array(out_a), pa.array(out_b),
+                [pa.array(out_a, batch.column("id_a").type),
+                 pa.array(out_b, batch.column("id_b").type),
                  pa.array(out_s, pa.float64())],
                 names=["id_a", "id_b", "sim"])
 
@@ -392,6 +412,9 @@ def attach_pair_payloads(pairs_ds, ds, *, id_col: str, payload_col: str,
                       num_partitions=num_partitions,
                       on=("id_a",), right_on=(id_col,))
     a = a.map_batches(rename_to("__payload_a"), batch_format="pyarrow")
+    # the join operator itself emits zero-column blocks for empty
+    # partitions — scrub again before they feed the second join
+    a = _scrub_empty_blocks(a)
     ab = a.join(side, join_type="inner", num_partitions=num_partitions,
                 on=("id_b",), right_on=(id_col,))
     return ab.map_batches(rename_to("__payload_b"), batch_format="pyarrow")
@@ -488,6 +511,7 @@ def embedding_near_dups(ds, *, dim: int, threshold: float = 0.95,
     from ray.data.aggregate import Count
     pairs = (pairs.groupby(["id_a", "id_b"]).aggregate(Count())
              .select_columns(["id_a", "id_b"]))
+    pairs = _scrub_empty_blocks(pairs)
 
     # acero's hash join rejects list<float> payload columns — carry the
     # vectors through the joins as fixed-width binary instead
