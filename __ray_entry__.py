@@ -602,6 +602,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _read(sf_dir, "documents").select_columns(
             ["doc_id"]).map_batches(split, batch_format="pyarrow")
 
+    def pseudo_shuffle(sf_dir: str):
+        """Reproducible global dataset shuffle (the training-sharder way:
+        order by a content-independent hash, identical on every re-run and
+        cluster size). The global 0-based rank comes from the distributed
+        ordered prefix-scan counting earlier rows — no single-node sort."""
+        import hashlib
+        import pyarrow as pa
+        from htmlreader_ray.functions.scan import ordered_prefix_sum
+
+        def hkey(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            keys = [int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+                    for i in ids]
+            return pa.Table.from_arrays(
+                [batch.column("doc_id"), pa.array(keys, pa.int64()),
+                 pa.array([1] * len(ids), pa.int64())],
+                names=["doc_id", "__hkey", "__one"])
+
+        keyed = _read(sf_dir, "documents").select_columns(
+            ["doc_id"]).map_batches(hkey, batch_format="pyarrow")
+        ranked = ordered_prefix_sum(
+            keyed, order_col="__hkey", value_col="__one",
+            out_col="shuffle_rank", bucket_size=1 << 52)
+        return ranked.map_batches(
+            lambda b: b.select(["doc_id", "shuffle_rank"]),
+            batch_format="pyarrow")
+
     def corpus_prep(sf_dir: str):
         """Composite training-data prep: quality gate (token count >= 40)
         -> exact dedup (min doc_id per content hash) -> per-doc features.
@@ -694,6 +721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep": corpus_prep,
         "token_pack": token_pack,
         "train_val_split": train_val_split,
+        "pseudo_shuffle": pseudo_shuffle,
     }
 
 
@@ -1203,6 +1231,14 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN ('0x' || substr(
                             md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT < 13
                         THEN 'val' ELSE 'train' END AS split
+            FROM documents
+        """,
+        "pseudo_shuffle": """
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY
+                        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                        1, 15))::BIGINT) - 1
+                        AS BIGINT) AS shuffle_rank
             FROM documents
         """,
         "corpus_prep": r"""
