@@ -629,6 +629,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: b.select(["doc_id", "shuffle_rank"]),
             batch_format="pyarrow")
 
+    def decontaminate(sf_dir: str):
+        """Benchmark decontamination: flag training docs sharing any word
+        3-gram with the benchmark set (stand-in: doc_id % 97 == 0).
+        Broadcast-small-side design — the benchmark suite's distinct
+        trigram set ships once via ray.put (benchmarks are tiny next to a
+        training corpus); training docs stream through one stateless
+        map_batches. Returns (doc_id, n_shared) for contaminated docs."""
+        import numpy as np
+        import pyarrow as pa
+        import ray
+
+        def trigrams(t: str) -> set:
+            w = (t or "").split()
+            return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"])
+
+        def bench_grams(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("doc_id"))
+            keep = ids % 97 == 0
+            grams: set = set()
+            for t in batch.filter(pa.array(keep)).column(
+                    "text").to_pylist():
+                grams.update(trigrams(t))
+            return pa.Table.from_arrays(
+                [pa.array(sorted(grams), pa.string())], names=["g"])
+
+        bench = set()
+        for row in docs.map_batches(
+                bench_grams, batch_format="pyarrow").take_all():
+            bench.add(row["g"])
+        bench_ref = ray.put(frozenset(bench))
+
+        class Flag:
+            def __init__(self, ref):
+                self.bench = ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                ids = np.asarray(batch.column("doc_id"))
+                out_id, out_n = [], []
+                for i, t in zip(ids, batch.column("text").to_pylist()):
+                    if i % 97 == 0:
+                        continue
+                    n = len(trigrams(t) & self.bench)
+                    if n:
+                        out_id.append(int(i))
+                        out_n.append(n)
+                return pa.Table.from_arrays(
+                    [pa.array(out_id, pa.int64()),
+                     pa.array(out_n, pa.int64())],
+                    names=["doc_id", "n_shared"])
+
+        from htmlreader_ray.pipelines.queries import as_task
+        return docs.map_batches(
+            as_task(Flag, ref=bench_ref), batch_format="pyarrow")
+
     def corpus_prep(sf_dir: str):
         """Composite training-data prep: quality gate (token count >= 40)
         -> exact dedup (min doc_id per content hash) -> per-doc features.
@@ -722,6 +779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_pack": token_pack,
         "train_val_split": train_val_split,
         "pseudo_shuffle": pseudo_shuffle,
+        "decontaminate": decontaminate,
     }
 
 
@@ -1240,6 +1298,24 @@ def oracle_sql() -> dict[str, str]:
                                         1, 15))::BIGINT) - 1
                         AS BIGINT) AS shuffle_rank
             FROM documents
+        """,
+        "decontaminate": r"""
+            WITH words AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM documents WHERE trim(text) <> ''
+            ), tri AS (
+                SELECT doc_id,
+                       unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                               for i in range(1, greatest(len(ws) - 1, 1))])
+                           AS g
+                FROM words
+            ), bench AS (
+                SELECT DISTINCT g FROM tri WHERE doc_id % 97 = 0
+            )
+            SELECT t.doc_id, CAST(count(DISTINCT t.g) AS BIGINT) AS n_shared
+            FROM tri t JOIN bench b ON t.g = b.g
+            WHERE t.doc_id % 97 <> 0
+            GROUP BY t.doc_id
         """,
         "corpus_prep": r"""
             WITH counted AS (
