@@ -686,6 +686,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return docs.map_batches(
             as_task(Flag, ref=bench_ref), batch_format="pyarrow")
 
+    def chunk_docs(sf_dir: str):
+        """Overlapping-window document chunking (64-word chunks, stride
+        48): a stateless per-batch flat-map — each input row expands to
+        ceil(n_words/stride) output rows, so chunking never shuffles.
+        Chunks are compared by md5 to keep the checked output narrow."""
+        import hashlib
+        import math
+        import pyarrow as pa
+
+        SIZE, STRIDE = 64, 48
+
+        def expand(batch: pa.Table) -> pa.Table:
+            out_id, out_idx, out_md5 = [], [], []
+            ids = batch.column("doc_id").to_pylist()
+            for i, t in zip(ids, batch.column("text").to_pylist()):
+                w = (t or "").split()
+                if not w:
+                    continue
+                for k in range(math.ceil(len(w) / STRIDE)):
+                    chunk = " ".join(w[STRIDE * k:STRIDE * k + SIZE])
+                    out_id.append(i)
+                    out_idx.append(k)
+                    out_md5.append(
+                        hashlib.md5(chunk.encode("utf-8")).hexdigest())
+            return pa.Table.from_arrays(
+                [pa.array(out_id, pa.int64()),
+                 pa.array(out_idx, pa.int64()),
+                 pa.array(out_md5, pa.string())],
+                names=["doc_id", "chunk_idx", "chunk_md5"])
+
+        return _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"]).map_batches(expand, batch_format="pyarrow")
+
     def corpus_prep(sf_dir: str):
         """Composite training-data prep: quality gate (token count >= 40)
         -> exact dedup (min doc_id per content hash) -> per-doc features.
@@ -780,6 +813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_val_split": train_val_split,
         "pseudo_shuffle": pseudo_shuffle,
         "decontaminate": decontaminate,
+        "chunk_docs": chunk_docs,
     }
 
 
@@ -1298,6 +1332,25 @@ def oracle_sql() -> dict[str, str]:
                                         1, 15))::BIGINT) - 1
                         AS BIGINT) AS shuffle_rank
             FROM documents
+        """,
+        "chunk_docs": r"""
+            WITH words AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM documents WHERE trim(text) <> ''
+            ), chunks AS (
+                SELECT doc_id,
+                       unnest([{'i': k,
+                                'h': md5(array_to_string(
+                                        ws[1 + 48*k :
+                                           least(48*k + 64, len(ws))], ' '))}
+                               for k in range(
+                                   0, CAST(ceil(len(ws) / 48.0) AS INT))])
+                           AS c
+                FROM words
+            )
+            SELECT doc_id, CAST(c['i'] AS BIGINT) AS chunk_idx,
+                   c['h'] AS chunk_md5
+            FROM chunks
         """,
         "decontaminate": r"""
             WITH words AS (
