@@ -719,6 +719,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _read(sf_dir, "documents").select_columns(
             ["doc_id", "text"]).map_batches(expand, batch_format="pyarrow")
 
+    def stratified_sample(sf_dir: str):
+        """Deterministic per-group sampling (corpus mixing weights): each
+        lang keeps a different fraction, decided by an md5 byte of the doc
+        id — stable under re-runs and resharding, no shuffle at all."""
+        import hashlib
+        import pyarrow as pa
+
+        RATE = {"en": 200, "de": 100, "fr": 100, "es": 50, "zh": 50}
+
+        def keep(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            langs = batch.column("lang").to_pylist()
+            mask = [
+                hashlib.md5(str(i).encode()).digest()[1]
+                < RATE.get(lang or "", 0)
+                for i, lang in zip(ids, langs)]
+            return pa.Table.from_arrays(
+                [batch.column("doc_id").filter(pa.array(mask)),
+                 batch.column("lang").filter(pa.array(mask))],
+                names=["doc_id", "lang"])
+
+        return _read(sf_dir, "documents").select_columns(
+            ["doc_id", "lang"]).map_batches(keep, batch_format="pyarrow")
+
     def corpus_prep(sf_dir: str):
         """Composite training-data prep: quality gate (token count >= 40)
         -> exact dedup (min doc_id per content hash) -> per-doc features.
@@ -814,6 +838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pseudo_shuffle": pseudo_shuffle,
         "decontaminate": decontaminate,
         "chunk_docs": chunk_docs,
+        "stratified_sample": stratified_sample,
     }
 
 
@@ -1332,6 +1357,13 @@ def oracle_sql() -> dict[str, str]:
                                         1, 15))::BIGINT) - 1
                         AS BIGINT) AS shuffle_rank
             FROM documents
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 2))::INT
+                  < CASE lang WHEN 'en' THEN 200 WHEN 'de' THEN 100
+                              WHEN 'fr' THEN 100 WHEN 'es' THEN 50
+                              WHEN 'zh' THEN 50 ELSE 0 END
         """,
         "chunk_docs": r"""
             WITH words AS (
