@@ -21,6 +21,14 @@ Scale notes (100 TB / 256 nodes):
   fans out across the cluster and is reassembled by a doc_id-hash shuffle
   whose volume is only the skew tail, not the corpus.
 - No stage materializes the dataset; everything streams with backpressure.
+- Memory sizing: blocks stay at the DataContext default target
+  (128 MB) — right for ~1-100 KB text documents, where a whole-block
+  batch x 32 workers is well inside a worker heap. Pipelines that carry
+  LARGE BINARY payloads must not inherit this: the media stages cap
+  ``batch_size`` (64 rows, stages/media.py) so batch x concurrency stays
+  bounded regardless of payload size, and an ingest of multi-MB documents
+  should lower ``DataContext.target_max_block_size`` proportionally
+  rather than rely on the skew router alone.
 """
 
 from __future__ import annotations
