@@ -1,0 +1,57 @@
+"""Differential property tests against DuckDB for the kernels whose SQL
+oracles claim bit-exactness (no Ray needed — these exercise the pure
+numpy/arrow kernels against the database the driver compares with)."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from htmlreader_ray.functions.dedup import byte_jaccard_batch
+
+text_st = st.text(
+    alphabet=st.characters(codec="utf-8",
+                           blacklist_categories=("Cs",)),
+    min_size=1, max_size=24)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(text_st, text_st), min_size=1, max_size=8))
+def test_byte_jaccard_matches_duckdb(pairs):
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    sim = byte_jaccard_batch(pa.chunked_array([pa.array(a, pa.string())]),
+                             pa.chunked_array([pa.array(b, pa.string())]))
+    con = duckdb.connect()
+    ref = [con.execute("select jaccard(?, ?)", [x, y]).fetchone()[0]
+           for x, y in zip(a, b)]
+    assert sim.tolist() == ref  # bit-exact, not approx
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 400), min_size=1, max_size=60,
+                unique=True),
+       st.integers(1, 64))
+def test_prefix_scan_chunking_matches_row_number(order_keys, seq_len):
+    """The token_pack chunk rule (chunk = exclusive running sum // seq_len
+    along the order) against DuckDB's window function on the same rows."""
+    vals = [(k * 13) % 29 + 1 for k in order_keys]
+    acc = 0
+    prefix = {}
+    for k in sorted(order_keys):
+        prefix[k] = acc
+        acc += (k * 13) % 29 + 1
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT, v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    list(zip(order_keys, vals)))
+    rows = con.execute("""
+        SELECT k, CAST(COALESCE(sum(v) OVER (ORDER BY k
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS p
+        FROM t""").fetchall()
+    for k, p in rows:
+        assert prefix[k] == p
+        assert prefix[k] // seq_len == p // seq_len
