@@ -743,6 +743,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _read(sf_dir, "documents").select_columns(
             ["doc_id", "lang"]).map_batches(keep, batch_format="pyarrow")
 
+    def incremental_dedup(sf_dir: str):
+        """The raw-actor escape hatch made driver-visible: first-seen
+        filtering through the sharded claim-index actors
+        (state/dedup_index.py), which dedups INCREMENTALLY across runs /
+        streams — no shuffle of history. Which equal-content row survives
+        is scheduling-dependent, so this is a rows-only check (the
+        survivor COUNT — distinct contents — is deterministic)."""
+        import pyarrow as pa
+        from htmlreader_ray.state.dedup_index import (DedupIndex,
+                                                      streaming_exact_dedup)
+        idx = DedupIndex(n_shards=8)
+        out = streaming_exact_dedup(
+            _read(sf_dir, "documents").select_columns(["doc_id", "text"]),
+            idx)
+        return out.map_batches(lambda b: b.select(["doc_id"]),
+                               batch_format="pyarrow")
+
     def corpus_prep(sf_dir: str):
         """Composite training-data prep: quality gate (token count >= 40)
         -> exact dedup (min doc_id per content hash) -> per-doc features.
@@ -839,6 +856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": decontaminate,
         "chunk_docs": chunk_docs,
         "stratified_sample": stratified_sample,
+        "incremental_dedup": incremental_dedup,
     }
 
 
@@ -1430,4 +1448,7 @@ def oracle_sql() -> dict[str, str]:
         #   verified against a naive reference in tests/test_bpe.py.
         # - lang_id: heuristic; the corpus text is random vocab words with
         #   unrelated lang labels, so no SQL ground truth exists.
+        # - incremental_dedup: which equal-content row the claim actors
+        #   keep is scheduling-dependent (the survivor COUNT is
+        #   deterministic and is what the rows-only check pins).
     }
