@@ -22,6 +22,25 @@ _PKG_DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_PKG_DIR, "_ctokenizer.c")
 _SO_NAME = "_ctokenizer" + (sysconfig.get_config_var("EXT_SUFFIX") or ".so")
 _SO_PATH = os.path.join(_PKG_DIR, _SO_NAME)
+_HASH_PATH = _SO_PATH + ".srchash"
+
+
+def _src_hash() -> str:
+    import hashlib
+    with open(_SRC, "rb") as f:
+        return hashlib.md5(f.read()).hexdigest()
+
+
+def _so_is_current() -> bool:
+    """The build is keyed on a source hash sidecar, so editing
+    _ctokenizer.c triggers a rebuild instead of loading a stale .so."""
+    if not os.path.exists(_SO_PATH):
+        return False
+    try:
+        with open(_HASH_PATH) as f:
+            return f.read().strip() == _src_hash()
+    except OSError:
+        return False
 
 
 def _compile() -> bool:
@@ -30,7 +49,7 @@ def _compile() -> bool:
     try:
         with open(lock_path, "w") as lock:
             fcntl.flock(lock, fcntl.LOCK_EX)
-            if os.path.exists(_SO_PATH):
+            if _so_is_current():
                 return True
             include = sysconfig.get_paths()["include"]
             tmp = _SO_PATH + f".tmp.{os.getpid()}"
@@ -43,6 +62,8 @@ def _compile() -> bool:
                     os.unlink(tmp)
                 return False
             os.replace(tmp, _SO_PATH)  # atomic
+            with open(_HASH_PATH, "w") as f:
+                f.write(_src_hash())
             return True
     except Exception:
         return False
@@ -53,7 +74,7 @@ def load():
     if os.environ.get("HTMLRAY_NO_CTOK"):
         return None
     try:
-        if not os.path.exists(_SO_PATH):
+        if not _so_is_current():
             if not os.path.exists(_SRC) or not _compile():
                 return None
         import importlib.util

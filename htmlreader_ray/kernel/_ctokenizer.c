@@ -147,11 +147,15 @@ static int parse_simple_tag(const Py_UCS1 *d, Py_ssize_t n, Py_ssize_t lt,
         if (!val) { Py_DECREF(attrs); return -1; }
         PyObject *aname = lower_name(d + an_start, an_len);
         if (!aname) { Py_DECREF(val); goto bail_noname; }
-        if (!PyDict_Contains(attrs, aname)) {
-            if (PyDict_SetItem(attrs, aname, val) < 0) {
-                Py_DECREF(aname); Py_DECREF(val); Py_DECREF(attrs);
-                return -1;
-            }
+        if (PyDict_Contains(attrs, aname)) {
+            /* duplicate attribute: bail to the Python state machine so the
+             * duplicate-attribute parse error is reported (rare in real
+             * HTML, so the fast path gives nothing up) */
+            Py_DECREF(aname); Py_DECREF(val); goto bail;
+        }
+        if (PyDict_SetItem(attrs, aname, val) < 0) {
+            Py_DECREF(aname); Py_DECREF(val); Py_DECREF(attrs);
+            return -1;
         }
         Py_DECREF(aname);
         Py_DECREF(val);
@@ -255,9 +259,10 @@ static PyObject *scan(PyObject *self, PyObject *args) {
     int reason = REASON_EOF;
 
     while (i < n) {
-        /* bulk text run up to '<' or '&' */
+        /* bulk text run up to '<', '&' or NUL (NUL bails to Python so the
+         * unexpected-null-character parse error is reported) */
         Py_ssize_t run_start = i;
-        while (i < n && d[i] != '<' && d[i] != '&') i++;
+        while (i < n && d[i] != '<' && d[i] != '&' && d[i] != 0) i++;
         if (i > run_start) {
             PyObject *frag = PyUnicode_FromKindAndData(
                 PyUnicode_1BYTE_KIND, d + run_start, i - run_start);
@@ -267,6 +272,11 @@ static PyObject *scan(PyObject *self, PyObject *args) {
             if (rc < 0) goto error;
         }
         if (i >= n) break;
+        if (d[i] == 0) {
+            if (flush_chars(frags, toks) < 0) goto error;
+            Py_DECREF(frags);
+            return Py_BuildValue("(Nni)", toks, i, REASON_COMPLEX);
+        }
         if (d[i] == '&') {
             /* decode via Python callback: returns (text, new_pos) */
             PyObject *res = PyObject_CallFunction(entity_cb, "On", s, i);

@@ -52,7 +52,8 @@ def _numeric_codepoint_to_char(cp: int) -> str:
 
 
 def consume_character_reference(
-    s: str, pos: int, *, in_attribute: bool, additional_allowed: str | None = None
+    s: str, pos: int, *, in_attribute: bool,
+    additional_allowed: str | None = None, on_error=None
 ):
     """Decode a character reference at ``s[pos]`` where ``s[pos] == '&'``.
 
@@ -62,7 +63,9 @@ def consume_character_reference(
     Implements the spec's "consume a character reference", including the
     attribute-context suppression: a named match without ';' followed by '='
     or an alphanumeric is NOT decoded in attributes
-    (reference: Sources/HTMLTokenizer.m:2286-2305).
+    (reference: Sources/HTMLTokenizer.m:2286-2305). ``on_error`` (a
+    callable taking a spec error code) receives the character-reference
+    parse errors when supplied.
     """
     n = len(s)
     i = pos + 1
@@ -83,10 +86,29 @@ def consume_character_reference(
             k += 1
         if k == j:
             # no digits: not a character reference
+            if on_error is not None:
+                on_error("absence-of-digits-in-numeric-character-reference")
             return "&", pos + 1
         cp = int(s[j:k], 16 if is_hex else 10)
         if k < n and s[k] == ";":
             k += 1
+        elif on_error is not None:
+            on_error("missing-semicolon-after-character-reference")
+        if on_error is not None:
+            if cp == 0:
+                on_error("null-character-reference")
+            elif cp > 0x10FFFF:
+                on_error("character-reference-outside-unicode-range")
+            elif 0xD800 <= cp <= 0xDFFF:
+                on_error("surrogate-character-reference")
+            elif (0xFDD0 <= cp <= 0xFDEF) or (cp & 0xFFFE) == 0xFFFE:
+                on_error("noncharacter-character-reference")
+            elif cp == 0x0D or ((cp <= 0x1F or 0x7F <= cp <= 0x9F)
+                                and cp not in (0x09, 0x0A, 0x0C, 0x20)):
+                # spec: 0x0D, or a C0/C1 control that is not ASCII
+                # whitespace (the WIN1252 remap still applies to the
+                # decoded VALUE; the error reports the reference)
+                on_error("control-character-reference")
         return _numeric_codepoint_to_char(cp), k
     # Named reference: dict lookups on the alphanumeric run (exact name+';'
     # first, then longest semicolonless legacy prefix).
@@ -107,7 +129,12 @@ def consume_character_reference(
                 # suppressed when followed by '=' or an alphanumeric
                 if L < len(run) or (end < n and s[end] == "="):
                     return "&", pos + 1
+            if on_error is not None:
+                on_error("missing-semicolon-after-character-reference")
             return hit, end
+    if on_error is not None and end_run < n and s[end_run] == ";":
+        # an alphanumeric run directly followed by ';' that matched nothing
+        on_error("unknown-named-character-reference")
     return "&", pos + 1
 
 

@@ -100,6 +100,15 @@ class Tokenizer:
         self.adjusted_current_node_is_foreign = False
         self.errors: list[str] = []
         self._collect_errors = collect_errors
+        # bound entity callback for the C scanner so character-reference
+        # parse errors land in self.errors even on the fast path
+        if collect_errors:
+            def _cb(s: str, pos: int, _err=self._err):
+                return consume_character_reference(
+                    s, pos, in_attribute=False, on_error=_err)
+            self._entity_cb = _cb
+        else:
+            self._entity_cb = _entity_cb
 
     # ------------------------------------------------------------------ util
     def _err(self, code: str) -> None:
@@ -116,7 +125,7 @@ class Tokenizer:
             if st == DATA:
                 if cscan is not None and self.pos < self.n:
                     toks, new_pos, reason = cscan.scan(
-                        self.s, self.pos, _PAUSE_TAGS, _entity_cb)
+                        self.s, self.pos, _PAUSE_TAGS, self._entity_cb)
                     self.pos = new_pos
                     for t in toks:
                         if t[0] == "start":
@@ -167,7 +176,8 @@ class Tokenizer:
                     return ("chars", "".join(buf))
                 return self._tag_open(pos)
             if c == "&":
-                decoded, pos = consume_character_reference(s, pos, in_attribute=False)
+                decoded, pos = consume_character_reference(
+                    s, pos, in_attribute=False, on_error=self._err)
                 buf.append(decoded)
                 continue
             # find run end
@@ -178,7 +188,13 @@ class Tokenizer:
             if amp == -1:
                 amp = n
             end = min(lt, amp)
-            buf.append(s[pos:end])
+            chunk = s[pos:end]
+            if "\0" in chunk:
+                # data state: NUL is a parse error but is EMITTED as-is
+                # (the tree stage filters it; spec data-state NUL branch)
+                for _ in range(chunk.count("\0")):
+                    self._err("unexpected-null-character")
+            buf.append(chunk)
             pos = end
         self.pos = pos
         if buf:
@@ -366,7 +382,8 @@ class Tokenizer:
                     chunk = chunk.replace("\0", "�")
                 buf.append(chunk)
                 decoded, pos = consume_character_reference(
-                    s, amp, in_attribute=True, additional_allowed=quote)
+                    s, amp, in_attribute=True, additional_allowed=quote,
+                    on_error=self._err)
                 buf.append(decoded)
                 continue
             if qi == -1:
@@ -387,7 +404,8 @@ class Tokenizer:
                 break
             if c == "&":
                 decoded, pos = consume_character_reference(
-                    s, pos, in_attribute=True, additional_allowed=">")
+                    s, pos, in_attribute=True, additional_allowed=">",
+                    on_error=self._err)
                 buf.append(decoded)
                 continue
             if c == "\0":
@@ -705,7 +723,8 @@ class Tokenizer:
                         self._err("unexpected-null-character")
                         chunk = chunk.replace("\0", "�")
                     buf.append(chunk)
-                    decoded, pos = consume_character_reference(s, amp, in_attribute=False)
+                    decoded, pos = consume_character_reference(
+                        s, amp, in_attribute=False, on_error=self._err)
                     buf.append(decoded)
                     continue
             chunk = s[pos:stop]

@@ -167,12 +167,25 @@ def _unescape_double(s: str) -> str:
     return json.loads('"' + s.replace('"', '\\"') + '"') if s else s
 
 
+def expected_error_codes(case: dict) -> Optional[list[str]]:
+    """The sorted expected parse-error code list, when the case carries an
+    ``errors`` field (html5lib new-style: [{"code", "line", "col"}]).
+    Positions are not compared — only the code multiset."""
+    if "errors" not in case:
+        return None
+    return sorted(e["code"] if isinstance(e, dict) else str(e)
+                  for e in case["errors"])
+
+
 def run_tokenizer_case(case: dict) -> list[tuple[list, list]]:
     """Run one tokenizer .test object across its initial states. Returns a
-    list of (got_tokens, expected_tokens) in html5lib output shape."""
+    list of (got_tokens, expected_tokens) in html5lib output shape. When
+    the case has an ``errors`` field, each result tuple is extended to
+    (got_tokens, expected_tokens, got_error_codes, expected_error_codes)."""
     results = []
     inp = case["input"]
     expected = case.get("output", [])
+    want_errs = expected_error_codes(case)
     if case.get("doubleEscaped"):
         inp = _unescape_double(inp)
         expected = json.loads(
@@ -202,5 +215,8 @@ def run_tokenizer_case(case: dict) -> list[tuple[list, list]]:
                 got.append(["Comment", t[1]])
             elif kind == "doctype":
                 got.append(["DOCTYPE", t[1], t[2], t[3], not t[4]])
-        results.append((got, expected))
+        if want_errs is None:
+            results.append((got, expected))
+        else:
+            results.append((got, expected, sorted(tok.errors), want_errs))
     return results

@@ -154,5 +154,10 @@ def _vendored_tokenizer_cases():
 def test_vendored_tokenizer(case):
     if case is None:
         pytest.skip("html5lib-tests corpus not vendored (no network)")
-    for got, want in run_tokenizer_case(case):
+    for result in run_tokenizer_case(case):
+        got, want = result[0], result[1]
         assert got == want
+        if len(result) == 4:  # the case also pins parse-error codes
+            got_errs, want_errs = result[2], result[3]
+            assert got_errs == want_errs, (
+                f"error codes differ: {got_errs} != {want_errs}")
