@@ -254,3 +254,31 @@ def test_hopping_window_agg_ray(ray_session):
         (ts(2024, 1, 1, 10, 0), "b"): 1,
         (ts(2024, 1, 1, 10, 30), "b"): 1,
     }
+
+
+def test_range_join_count_hot_key_skew(ray_session):
+    """One user emitting thousands of events inside a single bucket must
+    complete and count exactly (the skew bound is per key x bucket-width;
+    this pins the group-size worst case)."""
+    import ray.data
+    from htmlreader_ray.functions.windows import range_join_count
+    n = 5000
+    events = pa.Table.from_arrays(
+        [pa.array(list(range(n)), pa.int64()),
+         pa.array([7] * n, pa.int64()),
+         pa.array([ts(2024, 1, 1, 0, 0) + timedelta(seconds=i % 3000)
+                   for i in range(n)], pa.timestamp("us"))],
+        names=["event_id", "user_id", "ts"])
+    out = range_join_count(
+        ray.data.from_arrow(events),
+        left_key="user_id", left_ts="ts", left_id="event_id",
+        right_key="user_id", right_ts="ts",
+        width_s=3600, out_col="n_next")
+    got = {r["event_id"]: r["n_next"] for r in out.take_all()}
+    assert len(got) == n
+    # window [t, t+1h) covers every event at or after t (span is 50min),
+    # so the count equals the brute-force tail count
+    secs = np.array([i % 3000 for i in range(n)])
+    for i in range(0, n, 97):
+        assert got[i] == int((secs >= secs[i]).sum()), i
+    assert got[int(np.argmin(secs))] == n
