@@ -413,11 +413,16 @@ class Tokenizer:
                 buf.append("�")
                 pos += 1
                 continue
-            if c in "\"'<=`":
-                self._err("unexpected-character-in-unquoted-attribute-value")
             m = _UNQUOTED_VALUE_RE.match(s, pos)
             if m:
-                buf.append(m.group())
+                chunk = m.group()
+                # the bulk regex deliberately swallows " ' < = ` (they are
+                # VALID value content, just parse errors) — report each
+                for ch in "\"'<=`":
+                    for _ in range(chunk.count(ch)):
+                        self._err(
+                            "unexpected-character-in-unquoted-attribute-value")
+                buf.append(chunk)
                 pos = m.end()
             else:
                 buf.append(c)
