@@ -613,20 +613,19 @@ class Tokenizer:
                 p += 1
             return p
 
-        def quoted(p: int):
+        def quoted(p: int, which: str):
             q = s[p]
             endq = s.find(q, p + 1)
+            gt = s.find(">", p + 1)
+            # '>' before the closing quote (or before EOF when the quote
+            # never closes) aborts the doctype: spec's
+            # abrupt-doctype-public/system-identifier branch
+            if gt != -1 and (endq == -1 or gt < endq):
+                self._err(f"abrupt-doctype-{which}-identifier")
+                return s[p + 1:gt].replace("\0", "�"), gt + 1, False, True
             if endq == -1:
                 return s[p + 1:].replace("\0", "�"), n, True, False
-            val = s[p + 1:endq].replace("\0", "�")
-            # abrupt '>' inside identifier is handled by find: '>' before
-            # closing quote means the identifier contains '>', which the spec
-            # treats as abrupt-doctype-*-identifier. Detect it:
-            gt = s.find(">", p + 1)
-            if gt != -1 and gt < endq:
-                self._err("abrupt-doctype-identifier")
-                return s[p + 1:gt].replace("\0", "�"), gt + 1, False, True
-            return val, endq + 1, False, False
+            return s[p + 1:endq].replace("\0", "�"), endq + 1, False, False
 
         if expect_public:
             if pos < n and s[pos] not in _WS:
@@ -641,7 +640,7 @@ class Tokenizer:
                 self._err("missing-quote-before-doctype-public-identifier")
                 p2, eof = self._bogus_doctype(pos)
                 return public, system, True, p2, eof
-            public, pos, eof, closed = quoted(pos)
+            public, pos, eof, closed = quoted(pos, "public")
             if eof:
                 return public, system, True, n, True
             if closed:
@@ -654,7 +653,7 @@ class Tokenizer:
             if s[pos2] in "\"'":
                 if pos2 == pos:
                     self._err("missing-whitespace-between-doctype-public-and-system-identifiers")
-                system, pos3, eof, closed = quoted(pos2)
+                system, pos3, eof, closed = quoted(pos2, "system")
                 if eof:
                     return public, system, True, n, True
                 if closed:
@@ -683,7 +682,7 @@ class Tokenizer:
                 self._err("missing-quote-before-doctype-system-identifier")
                 p2, eof = self._bogus_doctype(pos)
                 return public, system, True, p2, eof
-            system, pos, eof, closed = quoted(pos)
+            system, pos, eof, closed = quoted(pos, "system")
             if eof:
                 return public, system, True, n, True
             if closed:

@@ -213,3 +213,15 @@ MORE_CASES = [
                          ids=[c[0][:34] for c in MORE_CASES])
 def test_tokenize_more(src, expected):
     assert toks(src) == expected
+
+
+def test_abrupt_doctype_identifiers():
+    # '>' inside a quoted public/system id aborts the doctype (spec
+    # abrupt-doctype-*-identifier): force-quirks, id ends at '>', and the
+    # following text is NOT swallowed
+    assert toks("<!DOCTYPE html PUBLIC 'a>x") == [
+        ("doctype", "html", "a", None, True), ("chars", "x")]
+    assert toks('<!DOCTYPE html SYSTEM "a>x') == [
+        ("doctype", "html", None, "a", True), ("chars", "x")]
+    assert toks("<!DOCTYPE html PUBLIC 'a' 'b>x") == [
+        ("doctype", "html", "a", "b", True), ("chars", "x")]
