@@ -24,7 +24,7 @@ static unsigned char is_ws[256];
 static unsigned char is_name_start[256];   /* tag name start: a-zA-Z */
 static unsigned char is_name_char[256];    /* tag name cont: a-zA-Z0-9- */
 static unsigned char is_attr_first[256];   /* not ws / > < = " ' \0 */
-static unsigned char is_attr_cont[256];    /* not ws / > < = \0 */
+static unsigned char is_attr_cont[256];    /* not ws / > < = " ' \0 */
 static unsigned char is_unquoted[256];     /* not ws > " ' < = ` & \0 */
 
 static void init_tables(void) {
@@ -37,7 +37,7 @@ static void init_tables(void) {
         is_attr_first[i] = !(is_ws[i] || i == '/' || i == '>' || i == '<'
                              || i == '=' || i == '"' || i == '\'' || i == 0);
         is_attr_cont[i] = !(is_ws[i] || i == '/' || i == '>' || i == '<'
-                            || i == '=' || i == 0);
+                            || i == '=' || i == '"' || i == '\'' || i == 0);
         is_unquoted[i] = !(is_ws[i] || i == '>' || i == '"' || i == '\''
                            || i == '<' || i == '=' || i == '`' || i == '&'
                            || i == 0);

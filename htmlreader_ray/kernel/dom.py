@@ -167,12 +167,15 @@ class Node:
 
 
 class Document(Node):
-    __slots__ = ("quirks_mode", "parsed_encoding")
+    __slots__ = ("quirks_mode", "parsed_encoding", "parse_errors")
 
     def __init__(self) -> None:
         super().__init__()
         self.quirks_mode = NO_QUIRKS
         self.parsed_encoding: Optional[str] = None
+        # populated by parse(..., collect_errors=True): tokenizer + tree
+        # builder parse-error codes in document order
+        self.parse_errors: list[str] = []
 
     @property
     def doctype(self) -> Optional["Doctype"]:

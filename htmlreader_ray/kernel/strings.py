@@ -49,6 +49,38 @@ def is_disallowed_control(cp: int) -> bool:
     return (0x00 <= cp <= 0x1F) or (0x7F <= cp <= 0x9F)
 
 
+# Input-stream parse errors (spec §13.2.3.2): controls other than ASCII
+# whitespace and NUL, surrogates, and noncharacters each flag one error per
+# occurrence. One vectorized scan; NUL is excluded here because the tokenizer
+# reports unexpected-null-character contextually.
+_NONCHAR_ASTRAL = "".join(
+    chr(0x10000 * plane + cp)
+    for plane in range(0x11) for cp in (0xFFFE, 0xFFFF)
+    if 0x10000 * plane + cp <= 0x10FFFF
+)
+import re as _re
+_INPUT_ERR_RE = _re.compile(
+    "[\x01-\x08\x0b\x0e-\x1f\x7f-\x9f"
+    "\ud800-\udfff\ufdd0-\ufdef"
+    + _re.escape(_NONCHAR_ASTRAL) + "]"
+)
+
+
+def input_stream_errors(s: str) -> list[str]:
+    """Error codes for disallowed code points in an (already newline-
+    normalized) input stream, one per occurrence, in document order."""
+    out: list[str] = []
+    for ch in _INPUT_ERR_RE.findall(s):
+        cp = ord(ch)
+        if 0xD800 <= cp <= 0xDFFF:
+            out.append("surrogate-in-input-stream")
+        elif is_noncharacter(cp):
+            out.append("noncharacter-in-input-stream")
+        else:
+            out.append("control-character-in-input-stream")
+    return out
+
+
 def preprocess_input(s: str) -> str:
     """Normalize newlines per the spec input-stream preprocessor.
 

@@ -32,7 +32,7 @@ import re
 from typing import Iterator, Optional
 
 from .entities import consume_character_reference
-from .strings import ASCII_ALPHA, preprocess_input
+from .strings import ASCII_ALPHA, input_stream_errors, preprocess_input
 
 # States the tree builder can put the tokenizer into (plus internal ones).
 DATA = 0
@@ -53,11 +53,11 @@ _ATTR_NAME_RE = re.compile(r"[^\t\n\x0c /=>]+")
 # (Sources/HTMLTokenizer.m:83-89) one level higher.
 _FAST_START_RE = re.compile(
     r"([a-zA-Z][a-zA-Z0-9-]*)"
-    r"((?:[\t\n\x0c ]+[^\t\n\x0c /><=\"'\0][^\t\n\x0c /><=\0]*"
+    r"((?:[\t\n\x0c ]+[^\t\n\x0c /><=\"'\0][^\t\n\x0c /><=\"'\0]*"
     r"(?:=(?:\"[^\"&<\0]*\"|'[^'&<\0]*'|[^\t\n\x0c >\"'<=`&\0]+))?)*)"
     r"[\t\n\x0c ]*(/?)>")
 _FAST_ATTR_RE = re.compile(
-    r"([^\t\n\x0c /><=]+)"
+    r"([^\t\n\x0c /><=\"']+)"
     r"(?:=(?:\"([^\"]*)\"|'([^']*)'|([^\t\n\x0c >]+)))?")
 _FAST_END_RE = re.compile(r"([a-zA-Z][a-zA-Z0-9-]*)[\t\n\x0c ]*>")
 _UNQUOTED_VALUE_RE = re.compile(r"[^\t\n\x0c >&\0]+")
@@ -100,6 +100,8 @@ class Tokenizer:
         self.adjusted_current_node_is_foreign = False
         self.errors: list[str] = []
         self._collect_errors = collect_errors
+        if collect_errors:
+            self.errors.extend(input_stream_errors(self.s))
         # bound entity callback for the C scanner so character-reference
         # parse errors land in self.errors even on the fast path
         if collect_errors:
@@ -313,24 +315,25 @@ class Tokenizer:
         char). Returns the new position, or -1 on EOF."""
         s, n = self.s, self.n
         c = s[pos]
-        if c in "=\"'<":
-            if c == "=":
-                self._err("unexpected-equals-sign-before-attribute-name")
-                # '=' begins the name per spec
-                m = _ATTR_NAME_RE.match(s, pos + 1)
-                name = "=" + (m.group() if m else "")
-                pos = m.end() if m else pos + 1
-            else:
-                self._err("unexpected-character-in-attribute-name")
-                m = _ATTR_NAME_RE.match(s, pos)
-                name = m.group() if m else c
-                pos = m.end() if m else pos + 1
+        if c == "=":
+            self._err("unexpected-equals-sign-before-attribute-name")
+            # '=' begins the name per spec
+            m = _ATTR_NAME_RE.match(s, pos + 1)
+            name = "=" + (m.group() if m else "")
+            pos = m.end() if m else pos + 1
         else:
             m = _ATTR_NAME_RE.match(s, pos)
             if m is None:
                 return pos + 1  # defensive; caller loop handles
             name = m.group()
             pos = m.end()
+        # attribute-name state: every '"', "'" or '<' in the name is its own
+        # unexpected-character-in-attribute-name error (the chars stay in the
+        # name)
+        if self._collect_errors:
+            bad = name.count('"') + name.count("'") + name.count("<")
+            for _ in range(bad):
+                self._err("unexpected-character-in-attribute-name")
         name = name.lower().replace("\0", "�")
         # after attribute name: skip ws
         while pos < n and s[pos] in _WS:
@@ -491,6 +494,12 @@ class Tokenizer:
             while run_end < n and s[run_end] == "-":
                 run_end += 1
             run = run_end - dash
+            # comment-less-than-sign-bang-dash-dash state: "<!" consumed as
+            # data followed by two dashes, and the next char is not ">" (and
+            # not EOF, where eof-in-comment fires instead) -> nested-comment
+            if (run >= 2 and s[dash - 2:dash] == "<!" and dash + 2 < n
+                    and s[dash + 2] != ">"):
+                self._err("nested-comment")
             if run_end >= n:
                 # EOF during dashes: the first two are consumed by the
                 # comment-end-dash/comment-end states without appending;
@@ -628,7 +637,10 @@ class Tokenizer:
             return s[p + 1:endq].replace("\0", "�"), endq + 1, False, False
 
         if expect_public:
-            if pos < n and s[pos] not in _WS:
+            # spec after-doctype-public-keyword: the missing-whitespace error
+            # fires only when an identifier quote follows directly; '>' and
+            # other chars report their own errors below
+            if pos < n and s[pos] in "\"'":
                 self._err("missing-whitespace-after-doctype-public-keyword")
             pos = skip_ws(pos)
             if pos >= n:
@@ -670,7 +682,7 @@ class Tokenizer:
             p4, eof = self._bogus_doctype(pos2)
             return public, system, True, p4, eof
         else:
-            if pos < n and s[pos] not in _WS:
+            if pos < n and s[pos] in "\"'":
                 self._err("missing-whitespace-after-doctype-system-keyword")
             pos = skip_ws(pos)
             if pos >= n:

@@ -150,6 +150,39 @@ def test_cdata_only_in_foreign():
     assert toks("<![CDATA[x<y]]>") == [("comment", "[CDATA[x<y]]")]
 
 
+def test_eof_in_cdata_reports():
+    # spec: EOF inside a CDATA section is an eof-in-cdata parse error; the
+    # collected chars are still emitted (conformance .test files cannot set
+    # the foreign-content flag, so this code is pinned here)
+    t = Tokenizer("<![CDATA[abc")
+    t.adjusted_current_node_is_foreign = True
+    out = [tok for tok in t.tokens() if tok[0] != "eof"]
+    assert out == [("chars", "abc")]
+    assert t.errors == ["eof-in-cdata"]
+
+
+def test_input_stream_errors_reported_once_per_occurrence():
+    t = Tokenizer("a\x01b\x01\x85")
+    list(t.tokens())
+    assert t.errors.count("control-character-in-input-stream") == 3
+    t = Tokenizer("x﷐￾\U0001fffey")
+    list(t.tokens())
+    assert t.errors.count("noncharacter-in-input-stream") == 3
+    t = Tokenizer("ok \t\n text")
+    list(t.tokens())
+    assert t.errors == []
+
+
+def test_parse_collect_errors_surface():
+    # public API: parse(collect_errors=True) exposes the combined
+    # tokenizer + tree-builder error list on the Document
+    from htmlreader_ray.kernel import parse
+    d = parse("<!--a<!--b--><a x'y=1>ok</a>", collect_errors=True)
+    assert "nested-comment" in d.parse_errors
+    assert "unexpected-character-in-attribute-name" in d.parse_errors
+    assert parse("<!DOCTYPE html><p>hi").parse_errors == []
+
+
 def test_crlf_normalization():
     assert toks("a\r\nb\rc") == [("chars", "a\nb\nc")]
 
