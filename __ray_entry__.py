@@ -530,6 +530,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return joined.map_batches(score, batch_format="pyarrow")
 
+    def near_dedup_keep(sf_dir: str):
+        """Near-dup dedup END-TO-END: deterministic similarity edges
+        (adjacent-id pairs with byte-set Jaccard >= 0.9, the same
+        bit-exact kernel as ngram_jaccard_pairs) -> distributed
+        connected components (functions/dedup.py connected_components:
+        single-task union-find under 5M edges, alternating
+        large-star/small-star groupby-min+join rounds beyond) -> keep
+        the minimum doc_id of every duplicate cluster. The SQL oracle
+        recomputes the transitive closure with a recursive CTE."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.dedup import connected_components
+
+        pairs = ngram_jaccard_pairs(sf_dir)
+        edges = pairs.map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("sim"), 0.9)),
+            batch_format="pyarrow")
+        comps = connected_components(edges, id_a="id_a", id_b="id_b")
+
+        def finish(batch: pa.Table) -> pa.Table:
+            node = batch.column("node")
+            comp = batch.column("component")
+            return pa.Table.from_arrays(
+                [node, comp, pc.equal(node, comp)],
+                names=["doc_id", "component", "keep"])
+
+        return comps.map_batches(finish, batch_format="pyarrow")
+
+    def pii_scrub(sf_dir: str):
+        """PII redaction over the documents table — emails and phone
+        numbers replaced by placeholder tokens, redaction count per doc.
+        Fully Arrow-vectorized RE2 kernels (functions/text.py
+        pii_scrub_batch); DuckDB's regexp_replace is RE2 too, so the
+        oracle is bit-comparable. The synthetic corpus carries no PII,
+        so both sides first inject deterministic doc_id-derived
+        addresses (non-vacuous: every row redacts)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.text import pii_scrub_batch
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+        def inject(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").cast(pa.string())
+            s = pc.binary_join_element_wise(
+                batch.column("text"), " contact user", ids,
+                "@mail.example.com or +1-555-1", ids, " end", "")
+            return pa.Table.from_arrays([batch.column("doc_id"), s],
+                                        names=["doc_id", "text"])
+
+        return docs.map_batches(inject, batch_format="pyarrow").map_batches(
+            pii_scrub_batch, batch_format="pyarrow")
+
     def events_range_join(sf_dir: str):
         """Range (interval) join: for every event, how many same-user
         events fall in the following hour (self-inclusive, so never
@@ -847,6 +900,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_asof_event": orders_asof_event,
         "lineitem_priority_agg": lineitem_priority_agg,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
+        "near_dedup_keep": near_dedup_keep,
+        "pii_scrub": pii_scrub,
         "events_range_join": events_range_join,
         "events_hopping": events_hopping,
         "corpus_prep": corpus_prep,
@@ -1325,6 +1380,43 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d1 JOIN documents d2
               ON d2.doc_id = d1.doc_id + 1
             WHERE length(d1.text) > 0 AND length(d2.text) > 0
+        """,
+        "near_dedup_keep": """
+            WITH RECURSIVE
+            e AS (SELECT d1.doc_id AS a, d2.doc_id AS b
+                  FROM documents d1 JOIN documents d2
+                    ON d2.doc_id = d1.doc_id + 1
+                  WHERE length(d1.text) > 0 AND length(d2.text) > 0
+                    AND jaccard(d1.text, d2.text) >= 0.9),
+            sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+            reach(a, b) AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            )
+            SELECT a AS doc_id,
+                   least(a, min(b)) AS component,
+                   (a <= min(b)) AS keep
+            FROM reach GROUP BY a
+        """,
+        "pii_scrub": """
+            WITH t AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id ||
+                       '@mail.example.com or +1-555-1' || doc_id || ' end'
+                           AS s
+                FROM documents)
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '\\+[0-9][0-9-]+[0-9]', '<PHONE>', 'g') AS clean_text,
+                   (len(regexp_extract_all(
+                        s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                    + len(regexp_extract_all(
+                        s, '\\+[0-9][0-9-]+[0-9]')))::BIGINT AS n_pii
+            FROM t
         """,
         "events_range_join": """
             SELECT a.event_id, count(*) AS n_next

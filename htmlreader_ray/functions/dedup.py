@@ -595,3 +595,199 @@ class PlantNearDups:
              pa.array([v.tolist() for v in out_vecs],
                       pa.list_(pa.float32()))],
             names=[self.id_col, self.vec_col])
+
+
+# --------------------------------------------------------------------------
+# Connected components over a near-duplicate edge set
+# --------------------------------------------------------------------------
+
+def _canonical_edges(edges, id_a: str, id_b: str):
+    """(id_a, id_b) -> canonical (u, v) int64 rows with u != v."""
+    import pyarrow.compute as pc
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch.column(id_a).cast(pa.int64())
+        b = batch.column(id_b).cast(pa.int64())
+        keep = pc.invert(pc.equal(a, b))
+        a, b = a.filter(keep), b.filter(keep)
+        return pa.Table.from_arrays([a, b], names=["u", "v"])
+
+    return edges.map_batches(canon, batch_format="pyarrow")
+
+
+def _uf_components(batch: pa.Table) -> pa.Table:
+    """Single-task union-find (min-root) over one edge block."""
+    us = batch.column("u").to_pylist()
+    vs = batch.column("v").to_pylist()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(us, vs):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    nodes = sorted(set(us) | set(vs))
+    comps = [find(x) for x in nodes]
+    return pa.Table.from_arrays(
+        [pa.array(nodes, pa.int64()), pa.array(comps, pa.int64())],
+        names=["node", "component"])
+
+
+def connected_components(edges, *, id_a: str = "id_a", id_b: str = "id_b",
+                         small_graph_limit: int = 5_000_000,
+                         max_rounds: int = 64,
+                         shuffle_partitions: Optional[int] = None):
+    """Component labels (``node``, ``component``) for every node that
+    appears in ``edges``; ``component`` is the minimum node id of the
+    component (singletons never appear — callers union them back).
+
+    Scale contract: the edge set is the OUTPUT of near-dup verification —
+    orders of magnitude smaller than the corpus — so up to
+    ``small_graph_limit`` edges a single union-find task is both correct
+    and fastest (one narrow shuffle). Beyond the limit the operator
+    switches to the alternating large-star / small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): O(log n) rounds of groupby-min + hash join, every step a
+    bounded all-to-all over (int64, int64) rows, no driver
+    materialization. Each round materializes its (bounded) edge set —
+    the standard checkpoint for iterative dataflow so round k+1 does not
+    re-execute rounds 1..k.
+    """
+    # The edge set is bounded (near-dup verification output, orders of
+    # magnitude below corpus size) — checkpoint it once so the path choice
+    # count() and the component pass don't re-execute the upstream pair
+    # pipeline.
+    edges = _canonical_edges(edges, id_a, id_b).materialize()
+    n_edges = edges.count()
+    parts = shuffle_partitions or _default_join_partitions()
+    if n_edges <= small_graph_limit:
+        return (edges.repartition(1)
+                .map_batches(_uf_components, batch_format="pyarrow",
+                             batch_size=None))
+    return _star_components(edges, parts, max_rounds)
+
+
+def _star_components(edges, parts: int, max_rounds: int):
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate([u, v]), pa.int64()),
+             pa.array(np.concatenate([v, u]), pa.int64())],
+            names=["u", "v"])
+
+    def directed_down(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(np.maximum(u, v), pa.int64()),
+             pa.array(np.minimum(u, v), pa.int64())],
+            names=["u", "v"])
+
+    def min_table(ds, include_self: bool):
+        m = ds.groupby("u").aggregate(Min("v"))
+
+        def finish(batch: pa.Table) -> pa.Table:
+            u = batch.column("u").to_numpy(zero_copy_only=False)
+            mv = batch.column("min(v)").to_numpy(zero_copy_only=False)
+            m_ = np.minimum(u, mv) if include_self else mv
+            return pa.Table.from_arrays(
+                [pa.array(u, pa.int64()), pa.array(m_, pa.int64())],
+                names=["u", "m"])
+
+        return m.map_batches(finish, batch_format="pyarrow")
+
+    def distinct(ds):
+        d = ds.groupby(["u", "v"]).aggregate(Count())
+        return d.map_batches(
+            lambda b: b.select(["u", "v"]), batch_format="pyarrow"
+        ).repartition(parts)
+
+    def signature(ds) -> tuple:
+        def sig(batch: pa.Table) -> pa.Table:
+            u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.uint64)
+            v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = (u * np.uint64(1000003) + v) * np.uint64(2654435761)
+            return pa.Table.from_arrays(
+                [pa.array([len(u)], pa.int64()),
+                 pa.array([int(h.sum() % (1 << 62))], pa.int64())],
+                names=["n", "h"])
+        from ray.data.aggregate import Sum
+        row = ds.map_batches(sig, batch_format="pyarrow").aggregate(
+            Sum("n"), Sum("h"))
+        return (row.get("sum(n)"), row.get("sum(h)"))
+
+    prev_sig = None
+    for _ in range(max_rounds):
+        # large-star: every neighbor larger than u hangs off u's min
+        adj = edges.map_batches(both_dirs, batch_format="pyarrow")
+        mins = min_table(adj, include_self=True)
+        joined = adj.repartition(parts).join(
+            mins.repartition(parts), "inner", parts, on=("u",))
+
+        def ls_emit(batch: pa.Table) -> pa.Table:
+            u = batch.column("u").to_numpy(zero_copy_only=False)
+            v = batch.column("v").to_numpy(zero_copy_only=False)
+            m = batch.column("m").to_numpy(zero_copy_only=False)
+            keep = v > u
+            return pa.Table.from_arrays(
+                [pa.array(v[keep], pa.int64()),
+                 pa.array(m[keep], pa.int64())],
+                names=["u", "v"])
+
+        edges = joined.map_batches(ls_emit, batch_format="pyarrow")
+        # small-star: all smaller neighbors (and u) hang off the min
+        down = edges.map_batches(directed_down, batch_format="pyarrow")
+        down = down.map_batches(
+            lambda b: b.filter(pc.invert(pc.equal(b.column("u"),
+                                                  b.column("v")))),
+            batch_format="pyarrow")
+        mins = min_table(down, include_self=False)
+        joined = down.repartition(parts).join(
+            mins.repartition(parts), "inner", parts, on=("u",))
+
+        def ss_emit(batch: pa.Table) -> pa.Table:
+            v = batch.column("v").to_numpy(zero_copy_only=False)
+            m = batch.column("m").to_numpy(zero_copy_only=False)
+            keep = v != m
+            return pa.Table.from_arrays(
+                [pa.array(v[keep], pa.int64()),
+                 pa.array(m[keep], pa.int64())],
+                names=["u", "v"])
+
+        part1 = joined.map_batches(ss_emit, batch_format="pyarrow")
+        part2 = mins.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("u"), b.column("m")], names=["u", "v"]),
+            batch_format="pyarrow")
+        edges = distinct(part1.union(part2)).materialize()
+        sig = signature(edges)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    def to_components(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate([u, v]), pa.int64()),
+             pa.array(np.concatenate([v, v]), pa.int64())],
+            names=["node", "component"])
+
+    comp = edges.map_batches(to_components, batch_format="pyarrow")
+    from ray.data.aggregate import Count as _Count
+    comp = comp.groupby(["node", "component"]).aggregate(_Count())
+    return comp.map_batches(lambda b: b.select(["node", "component"]),
+                            batch_format="pyarrow")

@@ -204,3 +204,27 @@ def unescape_batch(batch: pa.Table, text_col: str = "text",
     out = pa.array([html_unescape(t or "") for t in texts], pa.string())
     return pa.Table.from_arrays([batch.column(id_col), out],
                                 names=[id_col, out_col])
+
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9][0-9-]+[0-9]"
+
+
+def pii_scrub_batch(batch: pa.Table, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    out_col: str = "clean_text") -> pa.Table:
+    """Redact emails and phone numbers from a text column — fully
+    Arrow-vectorized (RE2 kernels, zero Python per row). The patterns are
+    RE2-compatible on both sides of the correctness gate: pyarrow.compute
+    and DuckDB regexp_replace(..., 'g') both run RE2, so results are
+    bit-comparable against a SQL oracle. ``n_pii`` counts redactions."""
+    col = batch.column(text_col)
+    n = pc.add(
+        pc.count_substring_regex(col, pattern=PII_EMAIL_RE),
+        pc.count_substring_regex(col, pattern=PII_PHONE_RE)).cast(pa.int64())
+    col = pc.replace_substring_regex(col, pattern=PII_EMAIL_RE,
+                                     replacement="<EMAIL>")
+    col = pc.replace_substring_regex(col, pattern=PII_PHONE_RE,
+                                     replacement="<PHONE>")
+    return pa.Table.from_arrays([batch.column(id_col), col, n],
+                                names=[id_col, out_col, "n_pii"])

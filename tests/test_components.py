@@ -1,0 +1,55 @@
+"""connected_components (union-find fast path + distributed star rounds)
+and the vectorized PII scrub."""
+
+import pyarrow as pa
+import pytest
+
+
+def _cc(ray, edges, **kw):
+    import ray.data as rd
+    from htmlreader_ray.functions.dedup import connected_components
+    ds = rd.from_arrow(pa.table({
+        "id_a": [a for a, _ in edges], "id_b": [b for _, b in edges]}))
+    return sorted((r["node"], r["component"])
+                  for r in connected_components(ds, **kw).take_all())
+
+
+GRAPH = [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (22, 20),
+         (4, 3), (7, 7)]  # chain + pair + triangle + dup edge + self loop
+EXPECTED = sorted([(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10),
+                   (20, 20), (21, 20), (22, 20)])
+
+
+def test_union_find_path(ray_session):
+    assert _cc(ray_session, GRAPH) == EXPECTED
+
+
+def test_star_rounds_path(ray_session):
+    # force the distributed large-star/small-star path
+    assert _cc(ray_session, GRAPH, small_graph_limit=0,
+               shuffle_partitions=2) == EXPECTED
+
+
+def test_star_rounds_long_chain(ray_session):
+    # a long chain is the worst case for label propagation (diameter = n);
+    # the star rounds must converge in O(log n) rounds, not n
+    chain = [(i, i + 1) for i in range(40)]
+    exp = sorted((i, 0) for i in range(41))
+    assert _cc(ray_session, chain, small_graph_limit=0,
+               shuffle_partitions=2, max_rounds=16) == exp
+
+
+def test_pii_scrub_batch():
+    from htmlreader_ray.functions.text import pii_scrub_batch
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["write to bob.smith+x@sub.example.co.uk today",
+                 "call +1-555-123-4567 or +44-20-7946-0958 now",
+                 "no pii here"]})
+    out = pii_scrub_batch(batch)
+    assert out.column("clean_text").to_pylist() == [
+        "write to <EMAIL> today",
+        "call <PHONE> or <PHONE> now",
+        "no pii here"]
+    assert out.column("n_pii").to_pylist() == [1, 2, 0]
+    assert out.column("n_pii").type == pa.int64()
