@@ -583,6 +583,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return docs.map_batches(inject, batch_format="pyarrow").map_batches(
             pii_scrub_batch, batch_format="pyarrow")
 
+    def word_repetition(sf_dir: str):
+        """Gopher-style repetition quality filter (word-level core):
+        duplicate-word fraction and top-word fraction per document, one
+        Arrow regex split + two Arrow group_by passes, no Python row
+        loop (functions/text.py word_repetition_batch)."""
+        from htmlreader_ray.functions.text import word_repetition_batch
+        docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        return docs.map_batches(word_repetition_batch,
+                                batch_format="pyarrow")
+
     def events_range_join(sf_dir: str):
         """Range (interval) join: for every event, how many same-user
         events fall in the following hour (self-inclusive, so never
@@ -902,6 +912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "near_dedup_keep": near_dedup_keep,
         "pii_scrub": pii_scrub,
+        "word_repetition": word_repetition,
         "events_range_join": events_range_join,
         "events_hopping": events_hopping,
         "corpus_prep": corpus_prep,
@@ -1417,6 +1428,21 @@ def oracle_sql() -> dict[str, str]:
                     + len(regexp_extract_all(
                         s, '\\+[0-9][0-9-]+[0-9]')))::BIGINT AS n_pii
             FROM t
+        """,
+        "word_repetition": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(
+                           trim(text, ' ' || chr(9) || chr(10) || chr(13)),
+                           '\\s+')) AS word
+                FROM documents
+                WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13)) <> ''),
+            c AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY 1, 2)
+            SELECT doc_id,
+                   sum(n)::BIGINT AS n_words,
+                   1.0 - count(*)::DOUBLE / sum(n) AS dup_word_frac,
+                   max(n)::DOUBLE / sum(n) AS top_word_frac
+            FROM c GROUP BY doc_id
         """,
         "events_range_join": """
             SELECT a.event_id, count(*) AS n_next

@@ -228,3 +228,45 @@ def pii_scrub_batch(batch: pa.Table, text_col: str = "text",
                                      replacement="<PHONE>")
     return pa.Table.from_arrays([batch.column(id_col), col, n],
                                 names=[id_col, out_col, "n_pii"])
+
+
+def word_repetition_batch(batch: pa.Table, text_col: str = "text",
+                          id_col: str = "doc_id") -> pa.Table:
+    """Repetition-based quality signals (the word-level core of the
+    Gopher/MassiveText repetition filters, Rae et al. 2021 table A1):
+    ``dup_word_frac``  = 1 - distinct_words / total_words
+    ``top_word_frac``  = occurrences of the most frequent word / total.
+    Whitespace-only rows are dropped (mirrors the SQL oracle's filter).
+
+    Fully vectorized: one Arrow regex split, then two Arrow group_by
+    aggregations over (row, word) — no Python loop over rows or words.
+    The n-gram variants (dup-5..10-gram, top-2..4-gram) reuse the same
+    (row, gram) group_by kernel with a windowed join of adjacent words.
+    """
+    import numpy as np
+    trimmed = pc.utf8_trim_whitespace(batch.column(text_col))
+    keep = pc.greater(pc.binary_length(trimmed), 0)
+    ids = batch.column(id_col).filter(keep)
+    lists = pc.split_pattern_regex(trimmed.filter(keep), r"\s+")
+    lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) \
+        else lists
+    offsets = lists.offsets.to_numpy(zero_copy_only=False)
+    row_ids = np.repeat(np.arange(len(lists), dtype=np.int64),
+                        np.diff(offsets))
+    flat = pa.table({"row": row_ids, "word": lists.flatten()})
+    per_word = flat.group_by(["row", "word"]).aggregate([("word", "count")])
+    per_row = per_word.group_by("row").aggregate(
+        [("word_count", "sum"), ("word_count", "max"), ("row", "count")])
+    order = pc.array_sort_indices(per_row.column("row"))
+    per_row = per_row.take(order)
+    total = per_row.column("word_count_sum").to_numpy(zero_copy_only=False)
+    top = per_row.column("word_count_max").to_numpy(zero_copy_only=False)
+    distinct = per_row.column("row_count").to_numpy(zero_copy_only=False)
+    dup_frac = 1.0 - distinct.astype(np.float64) / total
+    top_frac = top.astype(np.float64) / total
+    return pa.Table.from_arrays(
+        [ids,
+         pa.array(total, pa.int64()),
+         pa.array(dup_frac, pa.float64()),
+         pa.array(top_frac, pa.float64())],
+        names=[id_col, "n_words", "dup_word_frac", "top_word_frac"])

@@ -53,3 +53,15 @@ def test_pii_scrub_batch():
         "no pii here"]
     assert out.column("n_pii").to_pylist() == [1, 2, 0]
     assert out.column("n_pii").type == pa.int64()
+
+
+def test_word_repetition_batch():
+    from htmlreader_ray.functions.text import word_repetition_batch
+    b = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": ["a b a c a", "x y z", "   ", "solo"]})
+    out = word_repetition_batch(b)
+    assert out.column("doc_id").to_pylist() == [1, 2, 4]
+    assert out.column("n_words").to_pylist() == [5, 3, 1]
+    assert out.column("dup_word_frac").to_pylist() == [
+        1.0 - 3 / 5, 0.0, 0.0]
+    assert out.column("top_word_frac").to_pylist() == [3 / 5, 1 / 3, 1.0]
