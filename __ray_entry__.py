@@ -593,6 +593,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return docs.map_batches(word_repetition_batch,
                                 batch_format="pyarrow")
 
+    def ngram_repetition(sf_dir: str):
+        """Word-2-gram repetition signal (Gopher top-n-gram filter row):
+        shifted-slice gram construction + the same (row, gram) Arrow
+        group_by kernel as word_repetition."""
+        from htmlreader_ray.functions.text import ngram_repetition_batch
+        docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        return docs.map_batches(ngram_repetition_batch,
+                                batch_format="pyarrow")
+
     def events_range_join(sf_dir: str):
         """Range (interval) join: for every event, how many same-user
         events fall in the following hour (self-inclusive, so never
@@ -913,6 +922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_keep": near_dedup_keep,
         "pii_scrub": pii_scrub,
         "word_repetition": word_repetition,
+        "ngram_repetition": ngram_repetition,
         "events_range_join": events_range_join,
         "events_hopping": events_hopping,
         "corpus_prep": corpus_prep,
@@ -1442,6 +1452,24 @@ def oracle_sql() -> dict[str, str]:
                    sum(n)::BIGINT AS n_words,
                    1.0 - count(*)::DOUBLE / sum(n) AS dup_word_frac,
                    max(n)::DOUBLE / sum(n) AS top_word_frac
+            FROM c GROUP BY doc_id
+        """,
+        "ngram_repetition": """
+            WITH t AS (
+                SELECT doc_id,
+                       string_split_regex(
+                           trim(text, ' ' || chr(9) || chr(10) || chr(13)),
+                           '\\s+') AS words
+                FROM documents
+                WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13)) <> ''),
+            g AS (
+                SELECT doc_id, words[i] || ' ' || words[i+1] AS gram
+                FROM t, LATERAL (
+                    SELECT unnest(generate_series(1, len(words)-1)) AS i)
+                WHERE len(words) >= 2),
+            c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2)
+            SELECT doc_id, sum(n)::BIGINT AS n_grams,
+                   max(n)::DOUBLE / sum(n) AS top_2gram_frac
             FROM c GROUP BY doc_id
         """,
         "events_range_join": """

@@ -270,3 +270,50 @@ def word_repetition_batch(batch: pa.Table, text_col: str = "text",
          pa.array(dup_frac, pa.float64()),
          pa.array(top_frac, pa.float64())],
         names=[id_col, "n_words", "dup_word_frac", "top_word_frac"])
+
+
+def ngram_repetition_batch(batch: pa.Table, n: int = 2,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> pa.Table:
+    """Word n-gram repetition signal (the n-gram rows of the Gopher
+    repetition-filter table): ``top_{n}gram_frac`` = occurrences of the
+    most frequent word n-gram / total n-grams. Documents with fewer than
+    ``n`` words drop out (mirrors the SQL oracle). Same vectorized
+    (row, gram) group_by kernel as word_repetition_batch; the grams are
+    built by one shifted-slice string join, no Python loop."""
+    import numpy as np
+    trimmed = pc.utf8_trim_whitespace(batch.column(text_col))
+    keep = pc.greater(pc.binary_length(trimmed), 0)
+    ids = batch.column(id_col).filter(keep)
+    lists = pc.split_pattern_regex(trimmed.filter(keep), r"\s+")
+    lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) \
+        else lists
+    offsets = lists.offsets.to_numpy(zero_copy_only=False)
+    row_ids = np.repeat(np.arange(len(lists), dtype=np.int64),
+                        np.diff(offsets))
+    w = lists.flatten()
+    total = len(w)
+    if total < n:
+        return pa.Table.from_arrays(
+            [ids.slice(0, 0), pa.array([], pa.int64()),
+             pa.array([], pa.float64())],
+            names=[id_col, "n_grams", f"top_{n}gram_frac"])
+    shifts = [w.slice(k, total - n + 1) for k in range(n)]
+    grams = pc.binary_join_element_wise(*shifts, " ")
+    same_row = row_ids[: total - n + 1] == row_ids[n - 1:]
+    grams = grams.filter(pa.array(same_row))
+    gram_rows = row_ids[: total - n + 1][same_row]
+    flat = pa.table({"row": gram_rows, "gram": grams})
+    per_gram = flat.group_by(["row", "gram"]).aggregate([("gram", "count")])
+    per_row = per_gram.group_by("row").aggregate(
+        [("gram_count", "sum"), ("gram_count", "max")])
+    order = pc.array_sort_indices(per_row.column("row"))
+    per_row = per_row.take(order)
+    rows = per_row.column("row").to_numpy(zero_copy_only=False)
+    tot = per_row.column("gram_count_sum").to_numpy(zero_copy_only=False)
+    top = per_row.column("gram_count_max").to_numpy(zero_copy_only=False)
+    return pa.Table.from_arrays(
+        [ids.take(pa.array(rows)),
+         pa.array(tot, pa.int64()),
+         pa.array(top.astype(np.float64) / tot, pa.float64())],
+        names=[id_col, "n_grams", f"top_{n}gram_frac"])

@@ -65,3 +65,18 @@ def test_word_repetition_batch():
     assert out.column("dup_word_frac").to_pylist() == [
         1.0 - 3 / 5, 0.0, 0.0]
     assert out.column("top_word_frac").to_pylist() == [3 / 5, 1 / 3, 1.0]
+
+
+def test_ngram_repetition_batch():
+    from htmlreader_ray.functions.text import ngram_repetition_batch
+    b = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": ["a b a b c", "solo", "x y"]})
+    out = ngram_repetition_batch(b)
+    # doc1 grams: "a b","b a","a b","b c" -> top "a b" = 2/4
+    assert out.column("doc_id").to_pylist() == [1, 3]
+    assert out.column("n_grams").to_pylist() == [4, 1]
+    assert out.column("top_2gram_frac").to_pylist() == [0.5, 1.0]
+    # trigram variant shares the kernel
+    out3 = ngram_repetition_batch(b, n=3)
+    assert out3.column("doc_id").to_pylist() == [1]
+    assert out3.column("n_grams").to_pylist() == [3]
