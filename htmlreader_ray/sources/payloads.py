@@ -42,7 +42,25 @@ def make_jpeg(width: int, height: int) -> bytes:
     return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
 
 
-_BUILDERS = {"png": make_png, "gif": make_gif, "jpeg": make_jpeg}
+def make_bmp(width: int, height: int) -> bytes:
+    """BITMAPFILEHEADER + BITMAPINFOHEADER (40-byte), no pixel data."""
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0,
+                       2835, 2835, 0, 0)
+    file_hdr = b"BM" + struct.pack("<IHHI", 14 + 40, 0, 0, 14 + 40)
+    return file_hdr + info
+
+
+def make_webp(width: int, height: int) -> bytes:
+    """RIFF/WEBP container with a VP8L (lossless) chunk header: the
+    14-bit width-1/height-1 bitfield the header parser reads."""
+    bits = (width - 1) | ((height - 1) << 14)
+    vp8l = b"\x2f" + struct.pack("<I", bits)
+    chunk = b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+_BUILDERS = {"png": make_png, "gif": make_gif, "jpeg": make_jpeg,
+             "bmp": make_bmp, "webp": make_webp}
 
 
 def make_image(fmt: str, width: int, height: int) -> bytes:

@@ -33,6 +33,7 @@ MEDIA_META_TYPE = pa.struct([
 _EXT_RE = re.compile(r"\.([a-z0-9]+)$")
 _FORMAT_KIND = {
     "png": "image", "jpg": "image", "jpeg": "image", "gif": "image",
+    "bmp": "image",
     "webp": "image", "wav": "audio", "mp3": "audio", "flac": "audio",
     "mp4": "video", "webm": "video", "pdf": "pdf",
 }
@@ -78,6 +79,32 @@ def parse_image_header(payload: bytes):
                     return ("jpeg", w, h)
                 return None
             i += 2 + seg_len
+        return None
+    if payload[:2] == b"BM" and len(payload) >= 26:  # BMP: BITMAPINFOHEADER
+        hdr_size = struct.unpack("<I", payload[14:18])[0]
+        if hdr_size >= 40 and len(payload) >= 26:
+            w, h = struct.unpack("<ii", payload[18:26])
+            return ("bmp", w, abs(h))  # negative height = top-down rows
+        if hdr_size == 12 and len(payload) >= 22:  # BITMAPCOREHEADER
+            w, h = struct.unpack("<HH", payload[18:22])
+            return ("bmp", w, h)
+        return None
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        chunk = payload[12:16]
+        if chunk == b"VP8 " and len(payload) >= 30:
+            # lossy: 14-bit width/height at frame-header bytes 6..9
+            w = struct.unpack("<H", payload[26:28])[0] & 0x3FFF
+            h = struct.unpack("<H", payload[28:30])[0] & 0x3FFF
+            return ("webp", w, h)
+        if chunk == b"VP8L" and len(payload) >= 25:
+            bits = struct.unpack("<I", payload[21:25])[0]
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            return ("webp", w, h)
+        if chunk == b"VP8X" and len(payload) >= 30:
+            w = int.from_bytes(payload[24:27], "little") + 1
+            h = int.from_bytes(payload[27:30], "little") + 1
+            return ("webp", w, h)
         return None
     return None
 

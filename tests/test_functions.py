@@ -294,6 +294,12 @@ def test_image_header_roundtrip():
         for w, h in ((1, 1), (16, 79), (640, 480), (65535, 2)):
             got = parse_image_header(make_image(fmt, w, h))
             assert got == (fmt, w, h), (fmt, w, h, got)
+    # BMP (little-endian signed dims) and WEBP (VP8L 14-bit bitfield);
+    # WEBP dimensions cap at 2^14
+    for fmt in ("bmp", "webp"):
+        for w, h in ((1, 1), (16, 79), (640, 480), (16384, 2)):
+            got = parse_image_header(make_image(fmt, w, h))
+            assert got == (fmt, w, h), (fmt, w, h, got)
     # malformed / non-image inputs never crash
     for junk in (None, b"", b"\x89PNG\r\n\x1a\n", b"GIF89", b"\xff\xd8",
                  b"\xff\xd8\xff\xfe\x00\x02", b"plain text bytes"):
