@@ -159,6 +159,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return batch.select(["query_id", "vec_id", "rank"])
         return res.map_batches(project, batch_format="pyarrow")
 
+    def ann_ivf_recall(sf_dir: str):
+        """Self-validating recall@k of the PARTIAL-probe IVF path
+        (nprobe=4 of 16) against the exact brute-force top-k: per query,
+        |IVF hits ∩ brute hits| / k via a distributed two-key join —
+        the quality metric a production ANN deployment monitors. The
+        recall VALUE is probabilistic (depends on k-means layout), so
+        this is a rows-only check; the IVF full-probe configuration is
+        SQL-oracled separately (ann_ivf_topk)."""
+        import pyarrow as pa
+        from ray.data.aggregate import Count
+        ds = _read(sf_dir, "embeddings")
+        brute = ann.brute_force_topk(ds, query_ids=list(range(8)), k=5)
+        ivf = ann.ivf_topk(ds, query_ids=list(range(8)), k=5,
+                           n_centroids=16, nprobe=4)
+
+        def keys(batch: pa.Table) -> pa.Table:
+            return batch.select(["query_id", "vec_id"])
+
+        b = brute.map_batches(keys, batch_format="pyarrow").repartition(4)
+        i = ivf.map_batches(keys, batch_format="pyarrow").repartition(4)
+        hits = b.join(i, "inner", 4, on=("query_id", "vec_id"))
+        per_q = hits.groupby("query_id").aggregate(Count())
+
+        def finish(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            n = batch.column("count()").cast(pa.float64())
+            return pa.Table.from_arrays(
+                [batch.column("query_id"),
+                 pc.divide(n, pa.scalar(5.0))],
+                names=["query_id", "recall_at_5"])
+
+        return per_q.map_batches(finish, batch_format="pyarrow")
+
     def media_decode(sf_dir: str):
         return _corpus(sf_dir).map_batches(
             q.as_task(q.MediaSpansDecode), batch_format="pyarrow")
@@ -888,6 +921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": simhash_q,
         "ann_brute_topk": ann_brute,
         "ann_ivf_topk": ann_ivf_q,
+        "ann_ivf_recall": ann_ivf_recall,
         "media_decode": media_decode,
         "media_decode_real": media_decode_real,
         "token_count": lambda sf_dir: _read(sf_dir, "documents").map_batches(
@@ -1597,4 +1631,7 @@ def oracle_sql() -> dict[str, str]:
         # - incremental_dedup: which equal-content row the claim actors
         #   keep is scheduling-dependent (the survivor COUNT is
         #   deterministic and is what the rows-only check pins).
+        # - ann_ivf_recall: recall of a PARTIAL probe is the quantity
+        #   being measured — probabilistic by design (k-means layout);
+        #   the full-probe IVF configuration is SQL-oracled above.
     }
