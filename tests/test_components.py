@@ -80,3 +80,19 @@ def test_ngram_repetition_batch():
     out3 = ngram_repetition_batch(b, n=3)
     assert out3.column("doc_id").to_pylist() == [1]
     assert out3.column("n_grams").to_pylist() == [3]
+
+
+def test_star_path_matches_union_find_on_random_graph(ray_session):
+    import random
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    uf = _cc(ray_session, edges)
+    star = _cc(ray_session, edges, small_graph_limit=0, shuffle_partitions=2)
+    assert star == uf
+
+
+def test_star_path_hub_skew(ray_session):
+    # hot-node shape: one hub with many spokes must not blow a round
+    edges = [(0, i) for i in range(1, 200)]
+    got = _cc(ray_session, edges, small_graph_limit=0, shuffle_partitions=2)
+    assert got == sorted((i, 0) for i in range(200))
