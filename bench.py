@@ -107,6 +107,7 @@ def main_bench() -> None:
         if res["timings"].get("extract_interleaved") else None,
         "sf": _sf_from_dir(SF_DIR),
         "num_cpus": NUM_CPUS,
+        "host_busyloop_speedup_32x": _host_health(),
     }
     print(json.dumps(out))
     import ray

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from .dom import Document, Element, Node
+from .dom import MATHML_NS, Document, Element, Node
 from .encoding import (CERTAIN, TENTATIVE, SniffResult, decode_bytes,
                        normalize_meta_encoding, sniff_encoding)
 from .tokenizer import Tokenizer
@@ -90,6 +90,10 @@ def parse_fragment(html: str, context: "Element | str",
     if isinstance(context, str):
         if " " in context:
             ns, tag = context.split(" ", 1)
+            # html5lib context syntax uses the "math" prefix for the
+            # MathML namespace ("math ms"); accept both spellings
+            if ns == "math":
+                ns = MATHML_NS
             context = Element(tag, namespace=ns)
         else:
             context = Element(context)
