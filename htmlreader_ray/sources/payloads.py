@@ -59,6 +59,17 @@ def make_webp(width: int, height: int) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
 
 
+def make_wav(duration_ms: int, sample_rate: int = 8000) -> bytes:
+    """Minimal PCM WAV: RIFF/WAVE + fmt chunk + silent data chunk sized
+    for the requested duration (1 channel, 8-bit)."""
+    byte_rate = sample_rate  # 1 channel x 1 byte
+    n = duration_ms * byte_rate // 1000
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, 1, 8)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", n) + b"\x80" * n)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 _BUILDERS = {"png": make_png, "gif": make_gif, "jpeg": make_jpeg,
              "bmp": make_bmp, "webp": make_webp}
 

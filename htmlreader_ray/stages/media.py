@@ -109,6 +109,30 @@ def parse_image_header(payload: bytes):
     return None
 
 
+def parse_audio_header(payload: bytes):
+    """REAL audio header decode, pure stdlib: returns
+    (format, duration_ms) for WAV (RIFF fmt/data chunk walk), else None."""
+    import struct
+    if payload is None or len(payload) < 12:
+        return None
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i = 12
+    byte_rate = None
+    data_size = None
+    while i + 8 <= len(payload):
+        tag = payload[i:i + 4]
+        size = struct.unpack("<I", payload[i + 4:i + 8])[0]
+        if tag == b"fmt " and i + 16 <= len(payload):
+            byte_rate = struct.unpack("<I", payload[i + 16:i + 20])[0]
+        elif tag == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if not byte_rate or data_size is None:
+        return None
+    return ("wav", int(data_size * 1000 / byte_rate))
+
+
 class MediaDecode:
     """Actor-pool stage: (doc_id, media_ref[, payload: binary]) ->
     (doc_id, media_ref, meta: MEDIA_META_TYPE).
@@ -152,6 +176,19 @@ class MediaDecode:
                 "height": height,
                 "n_frames": 1,
                 "duration_ms": 0,
+                "sha256": digest,
+                "decoded": True,
+            }
+        audio = parse_audio_header(payload) if payload is not None else None
+        if audio is not None:
+            real_fmt, duration_ms = audio
+            return {
+                "media_type": "audio",
+                "format": real_fmt,
+                "width": 0,
+                "height": 0,
+                "n_frames": 0,
+                "duration_ms": duration_ms,
                 "sha256": digest,
                 "decoded": True,
             }

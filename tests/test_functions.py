@@ -320,3 +320,22 @@ def test_media_decode_real_vs_stub():
     assert metas[0]["decoded"] is True
     assert (metas[0]["width"], metas[0]["height"]) == (33, 44)
     assert metas[1]["decoded"] is False  # no payload -> stub path
+
+
+def test_wav_header_roundtrip():
+    from htmlreader_ray.sources.payloads import make_wav
+    from htmlreader_ray.stages.media import parse_audio_header
+    for ms in (0, 125, 1000, 60_000):
+        assert parse_audio_header(make_wav(ms)) == ("wav", ms)
+    assert parse_audio_header(b"RIFF\x00\x00\x00\x00WEBP") is None
+    assert parse_audio_header(b"not audio") is None
+    # MediaDecode routes a WAV payload to a real audio decode
+    from htmlreader_ray.stages.media import MediaDecode
+    import pyarrow as pa
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "media_ref": ["clip.wav"],
+                  "payload": pa.array([make_wav(2500)], pa.binary())})
+    out = MediaDecode(payload_col="payload")(t)
+    meta = out.column("meta").to_pylist()[0]
+    assert meta["media_type"] == "audio" and meta["format"] == "wav"
+    assert meta["duration_ms"] == 2500 and meta["decoded"] is True
