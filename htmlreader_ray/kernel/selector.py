@@ -161,9 +161,26 @@ def _child_index(el: Element, *, of_type: bool, from_end: bool) -> Optional[int]
         return None
 
 
+_TAG_FOLD: dict[str, str] = {}
+
+
 def _tag_pred(name: str) -> Predicate:
     low = name.lower()
-    return lambda el: el.tag.lower() == low
+    fold = _TAG_FOLD
+
+    def pred(el: Element) -> bool:
+        # type selectors match ASCII-case-insensitively; tag names come
+        # from a tiny interned vocabulary, so a fold cache beats calling
+        # str.lower() per element on the match hot path
+        t = el.tag
+        if t == low:
+            return True
+        lt = fold.get(t)
+        if lt is None:
+            lt = fold[t] = t.lower()
+        return lt == low
+
+    return pred
 
 
 def _attr_pred(name: str, op: Optional[str], value: Optional[str]) -> Predicate:
@@ -498,8 +515,20 @@ def _compile_sequence(source: str, pos: int) -> tuple[Predicate, int]:
         return (lambda el: True), pos
     if len(preds) == 1:
         return preds[0], pos
+    # specialized and-chains: a compound selector is evaluated per ELEMENT,
+    # so the generator-expression form of all() is measurable overhead
+    if len(preds) == 2:
+        p0, p1 = preds
+        return (lambda el: p0(el) and p1(el)), pos
+    if len(preds) == 3:
+        p0, p1, p2 = preds
+        return (lambda el: p0(el) and p1(el) and p2(el)), pos
+
     def all_pred(el: Element) -> bool:
-        return all(p(el) for p in preds)
+        for p in preds:
+            if not p(el):
+                return False
+        return True
     return all_pred, pos
 
 
