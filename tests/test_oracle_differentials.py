@@ -55,3 +55,40 @@ def test_prefix_scan_chunking_matches_row_number(order_keys, seq_len):
     for k, p in rows:
         assert prefix[k] == p
         assert prefix[k] // seq_len == p // seq_len
+
+
+pii_text_st = st.text(
+    alphabet=st.characters(codec="utf-8", blacklist_categories=("Cs",)),
+    max_size=40)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(pii_text_st, min_size=1, max_size=6),
+       st.booleans(), st.booleans())
+def test_pii_scrub_matches_duckdb(texts, add_email, add_phone):
+    """pyarrow RE2 replace/count vs DuckDB RE2 regexp_replace /
+    regexp_extract_all on arbitrary text with optionally injected PII —
+    the bit-exactness claim the pii_scrub oracle rests on."""
+    from htmlreader_ray.functions.text import (PII_EMAIL_RE, PII_PHONE_RE,
+                                               pii_scrub_batch)
+    if add_email:
+        texts = [t + " a.b-c+d@ex-1.example.org tail" for t in texts]
+    if add_phone:
+        texts = ["+1-555-0100-33 " + t for t in texts]
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())})
+    out = pii_scrub_batch(batch)
+    con = duckdb.connect()
+    for t, clean, n in zip(texts, out.column("clean_text").to_pylist(),
+                           out.column("n_pii").to_pylist()):
+        ref_clean = con.execute(
+            "select regexp_replace(regexp_replace(?, ?, '<EMAIL>', 'g'),"
+            " ?, '<PHONE>', 'g')",
+            [t, PII_EMAIL_RE, PII_PHONE_RE]).fetchone()[0]
+        ref_n = con.execute(
+            "select len(regexp_extract_all(?, ?))"
+            " + len(regexp_extract_all(?, ?))",
+            [t, PII_EMAIL_RE, t, PII_PHONE_RE]).fetchone()[0]
+        assert clean == ref_clean
+        assert n == ref_n
