@@ -1474,13 +1474,11 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "word_repetition": """
-            WITH w AS (
+            WITH w0 AS (
                 SELECT doc_id,
-                       unnest(string_split_regex(
-                           trim(text, ' ' || chr(9) || chr(10) || chr(13)),
-                           '\\s+')) AS word
-                FROM documents
-                WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13)) <> ''),
+                       unnest(string_split_regex(text, '\\s+')) AS word
+                FROM documents),
+            w AS (SELECT doc_id, word FROM w0 WHERE word <> ''),
             c AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY 1, 2)
             SELECT doc_id,
                    sum(n)::BIGINT AS n_words,
@@ -1491,11 +1489,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_repetition": """
             WITH t AS (
                 SELECT doc_id,
-                       string_split_regex(
-                           trim(text, ' ' || chr(9) || chr(10) || chr(13)),
-                           '\\s+') AS words
-                FROM documents
-                WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13)) <> ''),
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS words
+                FROM documents),
             g AS (
                 SELECT doc_id, words[i] || ' ' || words[i+1] AS gram
                 FROM t, LATERAL (

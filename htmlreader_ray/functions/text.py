@@ -230,6 +230,25 @@ def pii_scrub_batch(batch: pa.Table, text_col: str = "text",
                                 names=[id_col, out_col, "n_pii"])
 
 
+def _split_words_flat(col):
+    """Split a string column on ``\\s+`` and drop empty tokens, returning
+    (row_ids, words). Empty tokens arise only at string boundaries, so
+    dropping them cannot change interior adjacency — and the SQL oracles
+    apply the identical filter, making the word multisets equal by
+    construction (no trim-semantics divergence on exotic whitespace)."""
+    import numpy as np
+    lists = pc.split_pattern_regex(col, r"\s+")
+    lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) \
+        else lists
+    offsets = lists.offsets.to_numpy(zero_copy_only=False)
+    row_ids = np.repeat(np.arange(len(lists), dtype=np.int64),
+                        np.diff(offsets))
+    words = lists.flatten()
+    nonempty = pc.greater(pc.binary_length(words), 0)
+    mask = nonempty.to_numpy(zero_copy_only=False)
+    return row_ids[mask], words.filter(nonempty)
+
+
 def word_repetition_batch(batch: pa.Table, text_col: str = "text",
                           id_col: str = "doc_id") -> pa.Table:
     """Repetition-based quality signals (the word-level core of the
@@ -244,28 +263,22 @@ def word_repetition_batch(batch: pa.Table, text_col: str = "text",
     (row, gram) group_by kernel with a windowed join of adjacent words.
     """
     import numpy as np
-    trimmed = pc.utf8_trim_whitespace(batch.column(text_col))
-    keep = pc.greater(pc.binary_length(trimmed), 0)
-    ids = batch.column(id_col).filter(keep)
-    lists = pc.split_pattern_regex(trimmed.filter(keep), r"\s+")
-    lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) \
-        else lists
-    offsets = lists.offsets.to_numpy(zero_copy_only=False)
-    row_ids = np.repeat(np.arange(len(lists), dtype=np.int64),
-                        np.diff(offsets))
-    flat = pa.table({"row": row_ids, "word": lists.flatten()})
+    row_ids, words = _split_words_flat(batch.column(text_col))
+    ids = batch.column(id_col)
+    flat = pa.table({"row": row_ids, "word": words})
     per_word = flat.group_by(["row", "word"]).aggregate([("word", "count")])
     per_row = per_word.group_by("row").aggregate(
         [("word_count", "sum"), ("word_count", "max"), ("row", "count")])
     order = pc.array_sort_indices(per_row.column("row"))
     per_row = per_row.take(order)
+    rows = per_row.column("row")
     total = per_row.column("word_count_sum").to_numpy(zero_copy_only=False)
     top = per_row.column("word_count_max").to_numpy(zero_copy_only=False)
     distinct = per_row.column("row_count").to_numpy(zero_copy_only=False)
     dup_frac = 1.0 - distinct.astype(np.float64) / total
     top_frac = top.astype(np.float64) / total
     return pa.Table.from_arrays(
-        [ids,
+        [ids.take(rows),
          pa.array(total, pa.int64()),
          pa.array(dup_frac, pa.float64()),
          pa.array(top_frac, pa.float64())],
@@ -282,16 +295,8 @@ def ngram_repetition_batch(batch: pa.Table, n: int = 2,
     (row, gram) group_by kernel as word_repetition_batch; the grams are
     built by one shifted-slice string join, no Python loop."""
     import numpy as np
-    trimmed = pc.utf8_trim_whitespace(batch.column(text_col))
-    keep = pc.greater(pc.binary_length(trimmed), 0)
-    ids = batch.column(id_col).filter(keep)
-    lists = pc.split_pattern_regex(trimmed.filter(keep), r"\s+")
-    lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) \
-        else lists
-    offsets = lists.offsets.to_numpy(zero_copy_only=False)
-    row_ids = np.repeat(np.arange(len(lists), dtype=np.int64),
-                        np.diff(offsets))
-    w = lists.flatten()
+    row_ids, w = _split_words_flat(batch.column(text_col))
+    ids = batch.column(id_col)
     total = len(w)
     if total < n:
         return pa.Table.from_arrays(

@@ -92,3 +92,40 @@ def test_pii_scrub_matches_duckdb(texts, add_email, add_phone):
             [t, PII_EMAIL_RE, t, PII_PHONE_RE]).fetchone()[0]
         assert clean == ref_clean
         assert n == ref_n
+
+
+ws_text_st = st.text(
+    alphabet=st.sampled_from(list("ab ") + ["\t", "\n", "\x0c", "\x0b",
+                                            "\xa0", "　", " "]),
+    max_size=16)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(ws_text_st, min_size=1, max_size=5))
+def test_word_repetition_matches_duckdb(texts):
+    """Word multisets equal by construction on arbitrary (incl. exotic
+    unicode) whitespace: split on RE2 \\s+ then drop empty tokens, both
+    sides."""
+    from htmlreader_ray.functions.text import word_repetition_batch
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    out = word_repetition_batch(batch)
+    got = {d: (n, dup, top) for d, n, dup, top in zip(
+        out.column("doc_id").to_pylist(), out.column("n_words").to_pylist(),
+        out.column("dup_word_frac").to_pylist(),
+        out.column("top_word_frac").to_pylist())}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    for i, t in enumerate(texts):
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    ref = con.execute(r"""
+        WITH w0 AS (SELECT doc_id,
+                    unnest(string_split_regex(text, '\s+')) AS word
+                    FROM documents),
+        w AS (SELECT doc_id, word FROM w0 WHERE word <> ''),
+        c AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY 1, 2)
+        SELECT doc_id, sum(n)::BIGINT,
+               1.0 - count(*)::DOUBLE / sum(n),
+               max(n)::DOUBLE / sum(n)
+        FROM c GROUP BY doc_id""").fetchall()
+    assert got == {d: (n, dup, top) for d, n, dup, top in ref}
