@@ -616,6 +616,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return docs.map_batches(inject, batch_format="pyarrow").map_batches(
             pii_scrub_batch, batch_format="pyarrow")
 
+    def hll_registers_q(sf_dir: str):
+        """HyperLogLog register table over documents.text: the canonical
+        combiner-shaped sketch (<= 2^b integer rows leave every block; one
+        narrow groupby-max merge). All driver-visible values are INTEGER
+        (register index + max leading-zero rank from the first 64 md5
+        bits), so the DuckDB oracle — md5 + bin() string scan — matches
+        bit-for-bit with no float leading-zero hazards
+        (functions/sketch.py)."""
+        from htmlreader_ray.functions.sketch import hll_registers
+        docs = _read(sf_dir, "documents").select_columns(["text"])
+        return hll_registers(docs)
+
     def word_repetition(sf_dir: str):
         """Gopher-style repetition quality filter (word-level core):
         duplicate-word fraction and top-word fraction per document, one
@@ -956,6 +968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_keep": near_dedup_keep,
         "pii_scrub": pii_scrub,
         "word_repetition": word_repetition,
+        "hll_registers": hll_registers_q,
         "ngram_repetition": ngram_repetition,
         "events_range_join": events_range_join,
         "events_hopping": events_hopping,
@@ -1472,6 +1485,23 @@ def oracle_sql() -> dict[str, str]:
                     + len(regexp_extract_all(
                         s, '\\+[0-9][0-9-]+[0-9]')))::BIGINT AS n_pii
             FROM t
+        """,
+        "hll_registers": """
+            WITH h AS (
+                SELECT concat('0x', substr(md5(text), 1, 16))::UBIGINT
+                           AS hv
+                FROM documents),
+            r AS (
+                SELECT (hv >> 56)::BIGINT AS register,
+                       hv & 72057594037927935 AS rest FROM h),
+            s AS (
+                SELECT register,
+                       CASE WHEN rest = 0 THEN 57
+                            ELSE strpos(lpad(bin(rest), 56, '0'), '1')
+                       END AS rho
+                FROM r)
+            SELECT register, max(rho)::BIGINT AS rho
+            FROM s GROUP BY register
         """,
         "word_repetition": """
             WITH w0 AS (

@@ -1,0 +1,90 @@
+"""Distributed cardinality sketch: HyperLogLog over a string column.
+
+The sketch is the canonical combiner-shaped operator: each batch reduces
+to at most ``m = 2^b`` (register, rho) rows, partials merge by MAX — so
+the all-to-all moves O(blocks x m) integers no matter how many rows the
+corpus has. Registers use the first 64 bits of md5 (the same hash the
+fingerprint operator already exposes and DuckDB reproduces bit-for-bit),
+split as: top ``b`` bits -> register index, rho = 1 + leading zeros of
+the remaining ``64-b`` bits. Everything driver-visible is INTEGER, so
+the SQL oracle (md5 + bin() string scan in DuckDB) matches exactly —
+no floating-point leading-zero tricks.
+
+Flajolet et al., "HyperLogLog: the analysis of a near-optimal
+cardinality estimation algorithm" (AofA 2007).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pyarrow as pa
+
+
+def _hash64(texts) -> np.ndarray:
+    out = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        out[i] = int.from_bytes(
+            hashlib.md5((t or "").encode("utf-8")).digest()[:8], "big")
+    return out
+
+
+def hll_partial_batch(batch: pa.Table, *, b: int = 8,
+                      text_col: str = "text") -> pa.Table:
+    """One batch -> its (register, rho) partial rows (only registers that
+    were hit). MAX-mergeable; at most 2^b rows leave the task."""
+    hv = _hash64(batch.column(text_col).to_pylist())
+    m = 1 << b
+    rest_bits = 64 - b
+    regs = (hv >> np.uint64(rest_bits)).astype(np.int64)
+    rest = hv & np.uint64((1 << rest_bits) - 1)
+    # rho = 1 + leading zeros of the (64-b)-bit remainder. bit_length via
+    # float log2 is EXACT only below ~2^53 (log2(2^56-1) rounds to 56.0),
+    # so split into <=28-bit halves where no misrounding is possible.
+    hi = rest >> np.uint64(28)
+    use_hi = hi != 0
+    chunk = np.where(use_hi, hi, rest).astype(np.float64)
+    nbits = np.zeros(len(rest), dtype=np.int64)
+    nz = rest != 0
+    nbits[nz] = np.floor(np.log2(chunk[nz])).astype(np.int64) + 1
+    nbits[use_hi] += 28
+    rho = np.where(nz, rest_bits - nbits + 1, rest_bits + 1).astype(np.int64)
+    table = np.zeros(m, dtype=np.int64)
+    np.maximum.at(table, regs, rho)
+    hit = np.flatnonzero(table)
+    return pa.Table.from_arrays(
+        [pa.array(hit, pa.int64()), pa.array(table[hit], pa.int64())],
+        names=["register", "rho"])
+
+
+def hll_registers(ds, *, b: int = 8, text_col: str = "text"):
+    """Dataset -> (register, rho) with rho = max over all rows. One
+    narrow groupby over <= 2^b x blocks integer rows."""
+    from ray.data.aggregate import Max
+
+    partials = ds.map_batches(
+        lambda batch: hll_partial_batch(batch, b=b, text_col=text_col),
+        batch_format="pyarrow")
+    merged = partials.groupby("register").aggregate(Max("rho"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch.column("register"), batch.column("max(rho)")],
+            names=["register", "rho"])
+
+    return merged.map_batches(rename, batch_format="pyarrow")
+
+
+def hll_estimate(registers: dict[int, int], *, b: int = 8) -> float:
+    """Classic HLL estimator with small-range (linear counting)
+    correction, from the merged register table."""
+    m = 1 << b
+    alpha = 0.7213 / (1 + 1.079 / m)
+    inv_sum = sum(2.0 ** -registers.get(j, 0) for j in range(m))
+    est = alpha * m * m / inv_sum
+    zeros = m - len([1 for j in registers.values() if j > 0])
+    if est <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)
+    return est

@@ -96,3 +96,27 @@ def test_star_path_hub_skew(ray_session):
     edges = [(0, i) for i in range(1, 200)]
     got = _cc(ray_session, edges, small_graph_limit=0, shuffle_partitions=2)
     assert got == sorted((i, 0) for i in range(200))
+
+
+def test_hll_estimate_accuracy_and_merge(ray_session):
+    import ray.data as rd
+    from htmlreader_ray.functions.sketch import (hll_estimate,
+                                                 hll_registers)
+    n = 4000
+    t = pa.table({"text": [f"value-{i}" for i in range(n)] + ["dup"] * 200})
+    ds = rd.from_arrow(t).repartition(8)  # force multi-block merge
+    regs = {r["register"]: r["rho"]
+            for r in hll_registers(ds).take_all()}
+    est = hll_estimate(regs)
+    true = n + 1
+    assert abs(est - true) / true < 0.15  # 3 sigma at m=256 is ~20%
+
+
+def test_hll_partial_batch_shapes():
+    from htmlreader_ray.functions.sketch import hll_partial_batch
+    t = pa.table({"text": ["a", "b", "a", None]})
+    out = hll_partial_batch(t)
+    assert out.column("register").type == pa.int64()
+    assert out.column("rho").type == pa.int64()
+    assert 1 <= out.num_rows <= 3  # at most one row per distinct register
+    assert all(1 <= r <= 57 for r in out.column("rho").to_pylist())
