@@ -628,6 +628,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _read(sf_dir, "documents").select_columns(["text"])
         return hll_registers(docs)
 
+    def length_quantiles(sf_dir: str):
+        """Distributed EXACT quantiles of doc length without a global
+        sort: the value DISTRIBUTION shuffles (groupby(n_chars).count —
+        one narrow aggregate over distinct lengths, bounded regardless
+        of corpus size), then rank selection happens on that tiny
+        table. Rank rule pinned to floor((n-1)*q)+1 so the SQL
+        row_number oracle is bit-identical."""
+        import pyarrow as pa
+        from ray.data.aggregate import Count
+        docs = _read(sf_dir, "documents").select_columns(["n_chars"])
+        dist = docs.groupby("n_chars").aggregate(Count()).take_all()
+        dist.sort(key=lambda r: r["n_chars"])
+        import numpy as np
+        vals = np.array([r["n_chars"] for r in dist], dtype=np.int64)
+        counts = np.array([r["count()"] for r in dist], dtype=np.int64)
+        cum = np.cumsum(counts)
+        n = int(cum[-1]) if len(cum) else 0
+        # exact integer rank arithmetic (float (n-1)*q can misround at
+        # integer boundaries; the SQL oracle uses integer // too)
+        qs = [(0.5, 1, 2), (0.9, 9, 10), (0.99, 99, 100)]
+        out_q, out_v = [], []
+        for q, num, den in qs:
+            rank = (n - 1) * num // den + 1  # 1-based floor semantics
+            idx = int(np.searchsorted(cum, rank, side="left"))
+            out_q.append(q)
+            out_v.append(int(vals[idx]))
+        return pa.Table.from_arrays(
+            [pa.array(out_q, pa.float64()), pa.array(out_v, pa.int64())],
+            names=["q", "value"])
+
     def word_repetition(sf_dir: str):
         """Gopher-style repetition quality filter (word-level core):
         duplicate-word fraction and top-word fraction per document, one
@@ -969,6 +999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": pii_scrub,
         "word_repetition": word_repetition,
         "hll_registers": hll_registers_q,
+        "length_quantiles": length_quantiles,
         "ngram_repetition": ngram_repetition,
         "events_range_join": events_range_join,
         "events_hopping": events_hopping,
@@ -1485,6 +1516,21 @@ def oracle_sql() -> dict[str, str]:
                     + len(regexp_extract_all(
                         s, '\\+[0-9][0-9-]+[0-9]')))::BIGINT AS n_pii
             FROM t
+        """,
+        "length_quantiles": """
+            WITH o AS (
+                SELECT n_chars,
+                       row_number() OVER (ORDER BY n_chars) AS rn,
+                       count(*) OVER () AS n
+                FROM documents)
+            SELECT 0.5 AS q, n_chars AS value FROM o
+            WHERE rn = (n - 1) * 1 // 2 + 1
+            UNION ALL
+            SELECT 0.9, n_chars FROM o
+            WHERE rn = (n - 1) * 9 // 10 + 1
+            UNION ALL
+            SELECT 0.99, n_chars FROM o
+            WHERE rn = (n - 1) * 99 // 100 + 1
         """,
         "hll_registers": """
             WITH h AS (
