@@ -628,6 +628,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _read(sf_dir, "documents").select_columns(["text"])
         return hll_registers(docs)
 
+    def cm_sketch_q(sf_dir: str):
+        """Count-Min frequency sketch over documents.lang (a low-cardinality
+        column where point queries are meaningful): per-batch (row, col,
+        count) partials SUM-merge through one narrow groupby; the cell
+        table is integer-exact against the DuckDB md5 oracle
+        (functions/sketch.py cm_sketch)."""
+        from htmlreader_ray.functions.sketch import cm_sketch
+        docs = _read(sf_dir, "documents").select_columns(["lang"])
+        return cm_sketch(docs, text_col="lang")
+
     def length_quantiles(sf_dir: str):
         """Distributed EXACT quantiles of doc length without a global
         sort: the value DISTRIBUTION shuffles (groupby(n_chars).count —
@@ -1000,6 +1010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_repetition": word_repetition,
         "hll_registers": hll_registers_q,
         "length_quantiles": length_quantiles,
+        "cm_sketch": cm_sketch_q,
         "ngram_repetition": ngram_repetition,
         "events_range_join": events_range_join,
         "events_hopping": events_hopping,
@@ -1516,6 +1527,18 @@ def oracle_sql() -> dict[str, str]:
                     + len(regexp_extract_all(
                         s, '\\+[0-9][0-9-]+[0-9]')))::BIGINT AS n_pii
             FROM t
+        """,
+        "cm_sketch": """
+            WITH seeds AS (SELECT unnest(generate_series(0, 3)) AS row),
+            h AS (
+                SELECT s.row,
+                       (concat('0x',
+                               substr(md5(s.row::VARCHAR || d.lang),
+                                      1, 16))::UBIGINT % 256)::BIGINT
+                           AS col
+                FROM documents d, seeds s)
+            SELECT row, col, count(*)::BIGINT AS n
+            FROM h GROUP BY row, col
         """,
         "length_quantiles": """
             WITH o AS (

@@ -88,3 +88,70 @@ def hll_estimate(registers: dict[int, int], *, b: int = 8) -> float:
     if est <= 2.5 * m and zeros:
         return m * math.log(m / zeros)
     return est
+
+
+def _cm_hash(texts, seed: int) -> np.ndarray:
+    """Row of md5-derived column indices: md5(seed || value) first 8
+    bytes big-endian — reproducible in DuckDB as
+    concat('0x', substr(md5(seed || text), 1, 16))::UBIGINT."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    prefix = str(seed)
+    for i, t in enumerate(texts):
+        out[i] = int.from_bytes(
+            hashlib.md5((prefix + (t or "")).encode("utf-8")).digest()[:8],
+            "big")
+    return out
+
+
+def cm_partial_batch(batch: pa.Table, *, depth: int = 4, width: int = 256,
+                     text_col: str = "text") -> pa.Table:
+    """Count-Min partial for one batch: (row, col, n) cells, at most
+    depth x width rows leave the task regardless of batch size."""
+    texts = batch.column(text_col).to_pylist()
+    rows_out, cols_out, n_out = [], [], []
+    for d in range(depth):
+        hv = _cm_hash(texts, d)
+        cols = (hv % np.uint64(width)).astype(np.int64)
+        counts = np.bincount(cols, minlength=width)
+        hit = np.flatnonzero(counts)
+        rows_out.append(np.full(len(hit), d, dtype=np.int64))
+        cols_out.append(hit.astype(np.int64))
+        n_out.append(counts[hit].astype(np.int64))
+    return pa.Table.from_arrays(
+        [pa.array(np.concatenate(rows_out), pa.int64()),
+         pa.array(np.concatenate(cols_out), pa.int64()),
+         pa.array(np.concatenate(n_out), pa.int64())],
+        names=["row", "col", "n"])
+
+
+def cm_sketch(ds, *, depth: int = 4, width: int = 256,
+              text_col: str = "text"):
+    """Dataset -> merged Count-Min table (row, col, n): partials SUM.
+    Cormode & Muthukrishnan, J. Algorithms 55 (2005)."""
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        lambda b: cm_partial_batch(b, depth=depth, width=width,
+                                   text_col=text_col),
+        batch_format="pyarrow")
+    merged = partials.groupby(["row", "col"]).aggregate(Sum("n"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch.column("row"), batch.column("col"),
+             batch.column("sum(n)")],
+            names=["row", "col", "n"])
+
+    return merged.map_batches(rename, batch_format="pyarrow")
+
+
+def cm_query(cells: dict[tuple[int, int], int], value: str, *,
+             depth: int = 4, width: int = 256) -> int:
+    """Point estimate: min over rows (upper bound on the true count)."""
+    est = None
+    for d in range(depth):
+        hv = _cm_hash([value], d)[0]
+        col = int(hv % np.uint64(width))
+        c = cells.get((d, col), 0)
+        est = c if est is None else min(est, c)
+    return int(est or 0)

@@ -120,3 +120,17 @@ def test_hll_partial_batch_shapes():
     assert out.column("rho").type == pa.int64()
     assert 1 <= out.num_rows <= 3  # at most one row per distinct register
     assert all(1 <= r <= 57 for r in out.column("rho").to_pylist())
+
+
+def test_count_min_point_queries(ray_session):
+    import ray.data as rd
+    from htmlreader_ray.functions.sketch import cm_query, cm_sketch
+    words = ["alpha"] * 500 + ["beta"] * 120 + [f"rare-{i}" for i in range(300)]
+    ds = rd.from_arrow(pa.table({"text": words})).repartition(6)
+    cells = {(r["row"], r["col"]): r["n"]
+             for r in cm_sketch(ds).take_all()}
+    # CM estimates are exact-or-over, never under
+    assert cm_query(cells, "alpha") >= 500
+    assert cm_query(cells, "beta") >= 120
+    assert cm_query(cells, "alpha") <= 500 + 300  # collisions bounded
+    assert cm_query(cells, "never-seen") <= 300
