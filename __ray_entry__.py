@@ -638,6 +638,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _read(sf_dir, "documents").select_columns(["lang"])
         return cm_sketch(docs, text_col="lang")
 
+    def bloom_bits_q(sf_dir: str):
+        """Bloom-filter bit positions over documents.source: OR-merge
+        (distinct union through one narrow groupby). The decontamination
+        path uses exactly this shape to pre-screen benchmark membership
+        before the exact trigram check."""
+        from htmlreader_ray.functions.sketch import bloom_bits
+        docs = _read(sf_dir, "documents").select_columns(["source"])
+        return bloom_bits(docs, text_col="source")
+
     def length_quantiles(sf_dir: str):
         """Distributed EXACT quantiles of doc length without a global
         sort: the value DISTRIBUTION shuffles (groupby(n_chars).count —
@@ -1011,6 +1020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_registers": hll_registers_q,
         "length_quantiles": length_quantiles,
         "cm_sketch": cm_sketch_q,
+        "bloom_bits": bloom_bits_q,
         "ngram_repetition": ngram_repetition,
         "events_range_join": events_range_join,
         "events_hopping": events_hopping,
@@ -1527,6 +1537,17 @@ def oracle_sql() -> dict[str, str]:
                     + len(regexp_extract_all(
                         s, '\\+[0-9][0-9-]+[0-9]')))::BIGINT AS n_pii
             FROM t
+        """,
+        "bloom_bits": """
+            WITH seeds AS (SELECT unnest(generate_series(0, 3)) AS seed),
+            h AS (
+                SELECT DISTINCT
+                       (concat('0x',
+                               substr(md5(s.seed::VARCHAR || d.source),
+                                      1, 16))::UBIGINT % 2048)::BIGINT
+                           AS bit
+                FROM documents d, seeds s)
+            SELECT bit FROM h
         """,
         "cm_sketch": """
             WITH seeds AS (SELECT unnest(generate_series(0, 3)) AS row),

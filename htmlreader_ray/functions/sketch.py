@@ -155,3 +155,43 @@ def cm_query(cells: dict[tuple[int, int], int], value: str, *,
         c = cells.get((d, col), 0)
         est = c if est is None else min(est, c)
     return int(est or 0)
+
+
+def bloom_partial_batch(batch: pa.Table, *, k: int = 4, m_bits: int = 2048,
+                        text_col: str = "text") -> pa.Table:
+    """Bloom-filter partial: the set bit positions for one batch (at most
+    m_bits rows leave the task). Merge semantics are OR — a distinct
+    union of positions — completing the sketch family's three merge
+    shapes (HLL max, Count-Min sum, Bloom or)."""
+    texts = batch.column(text_col).to_pylist()
+    bits = np.zeros(m_bits, dtype=bool)
+    for seed in range(k):
+        hv = _cm_hash(texts, seed)
+        bits[(hv % np.uint64(m_bits)).astype(np.int64)] = True
+    return pa.Table.from_arrays(
+        [pa.array(np.flatnonzero(bits).astype(np.int64), pa.int64())],
+        names=["bit"])
+
+
+def bloom_bits(ds, *, k: int = 4, m_bits: int = 2048,
+               text_col: str = "text"):
+    """Dataset -> sorted distinct set-bit positions."""
+    from ray.data.aggregate import Count
+
+    partials = ds.map_batches(
+        lambda b: bloom_partial_batch(b, k=k, m_bits=m_bits,
+                                      text_col=text_col),
+        batch_format="pyarrow")
+    merged = partials.groupby("bit").aggregate(Count())
+    return merged.map_batches(lambda b: b.select(["bit"]),
+                              batch_format="pyarrow")
+
+
+def bloom_contains(bits: set, value: str, *, k: int = 4,
+                   m_bits: int = 2048) -> bool:
+    """Membership probe: no false negatives, tunable false positives."""
+    for seed in range(k):
+        hv = _cm_hash([value], seed)[0]
+        if int(hv % np.uint64(m_bits)) not in bits:
+            return False
+    return True

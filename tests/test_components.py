@@ -134,3 +134,16 @@ def test_count_min_point_queries(ray_session):
     assert cm_query(cells, "beta") >= 120
     assert cm_query(cells, "alpha") <= 500 + 300  # collisions bounded
     assert cm_query(cells, "never-seen") <= 300
+
+
+def test_bloom_filter_membership(ray_session):
+    import ray.data as rd
+    from htmlreader_ray.functions.sketch import bloom_bits, bloom_contains
+    vals = [f"member-{i}" for i in range(400)]
+    ds = rd.from_arrow(pa.table({"text": vals})).repartition(4)
+    bits = {r["bit"] for r in bloom_bits(ds).take_all()}
+    # no false negatives, ever
+    assert all(bloom_contains(bits, v) for v in vals)
+    # false-positive rate stays near theory ((1-e^{-kn/m})^k ~ 11% here)
+    fp = sum(bloom_contains(bits, f"absent-{i}") for i in range(500)) / 500
+    assert fp < 0.3
