@@ -640,9 +640,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def bloom_bits_q(sf_dir: str):
         """Bloom-filter bit positions over documents.source: OR-merge
-        (distinct union through one narrow groupby). The decontamination
-        path uses exactly this shape to pre-screen benchmark membership
-        before the exact trigram check."""
+        (distinct union through one narrow groupby). At corpus scale this
+        is the pre-screen shape for membership checks whose exact side is
+        too big to broadcast (the decontaminate query broadcasts its
+        exact trigram set because benchmarks are tiny; a bloom of the
+        corpus side is the reverse direction)."""
         from htmlreader_ray.functions.sketch import bloom_bits
         docs = _read(sf_dir, "documents").select_columns(["source"])
         return bloom_bits(docs, text_col="source")
