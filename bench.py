@@ -266,6 +266,10 @@ def main_scaling() -> None:
         "secs_n": t_n["secs"],
         "secs_4n": t_4n["secs"],
         "host_busyloop_speedup_32x": health,
+        # post-run health: a drop vs the pre-run stamp means the
+        # noisy-neighbor window closed DURING the measurement and the
+        # efficiency number absorbed external contention
+        "host_busyloop_speedup_32x_after": _host_health(),
         "sf": _sf_from_dir(SF_DIR),
     }
     print(json.dumps(out))
