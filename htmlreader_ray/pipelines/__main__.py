@@ -1,9 +1,17 @@
-"""CLI for the resumable extraction driver:
+"""CLI for the resumable extraction driver — also the `ray job submit`
+entrypoint for cluster runs:
 
+    # single node / sandbox (RAY_ADDRESS=local starts an in-process cluster)
     python -m htmlreader_ray.pipelines <input_dir_or_files...> <out_dir>
         [--shard-size N] [--mega-threshold BYTES] [--num-cpus N]
 
-Re-runs resume from the manifest; completed shards are skipped.
+    # fixed-size multi-node cluster (the job server sets RAY_ADDRESS to the
+    # cluster GCS; ray.init() connects instead of starting a local instance)
+    ray job submit --working-dir . -- \
+        python -m htmlreader_ray.pipelines s3://bucket/corpus/ s3://bucket/out/
+
+Re-runs resume from the manifest; completed shards are skipped. Do NOT pass
+--num-cpus under `ray job submit` — the cluster's resources are authoritative.
 """
 
 import argparse
@@ -35,8 +43,13 @@ def main() -> int:
 
     import ray
     if not ray.is_initialized():
+        # Respect RAY_ADDRESS: under `ray job submit` it points at the
+        # cluster GCS and ray.init() connects to it; standalone (sandbox
+        # presets RAY_ADDRESS=local) it starts an in-process instance.
+        # Hardcoding address="local" here would silently start a second,
+        # single-node Ray inside a cluster job.
         kw = {"num_cpus": args.num_cpus} if args.num_cpus else {}
-        ray.init(address="local", include_dashboard=False, **kw)
+        ray.init(include_dashboard=False, **kw)
     from .run import run_extract
     totals = run_extract(files, args.out_dir, shard_size=args.shard_size,
                          mega_threshold=args.mega_threshold)

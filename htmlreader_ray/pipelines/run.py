@@ -44,6 +44,13 @@ def run_extract(input_files: Sequence[str], out_dir: str, *,
 
     from .extract_pipeline import extract_from_parquet
 
+    all_schema = pads.dataset(list(input_files), format="parquet").schema
+    if "doc_id" not in all_schema.names or "spans" not in all_schema.names:
+        raise ValueError(
+            "input is not an interleaved corpus: expected columns "
+            "(doc_id, spans[, doc_bytes]) per sources/corpus.CORPUS_SCHEMA, "
+            f"got {all_schema.names}. Build one with "
+            "sources.corpus.interleave_rows / BuildInterleaved first.")
     manifest = RunManifest(out_dir)
     done = manifest.completed()
     kwargs = {}

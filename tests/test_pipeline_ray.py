@@ -92,6 +92,16 @@ def test_run_extract_resume(ray_session, docs_table, tmp_path):
     assert os.path.exists(manifest)
 
 
+def test_run_extract_rejects_non_corpus_schema(docs_table, tmp_path):
+    """A raw (doc_id, text, ...) table is not the interleaved corpus; the
+    driver must fail fast with a schema error, not crash inside a UDF."""
+    from htmlreader_ray.pipelines.run import run_extract
+    path = tmp_path / "raw.parquet"
+    pq.write_table(docs_table, path)
+    with pytest.raises(ValueError, match="interleaved corpus"):
+        run_extract([str(path)], str(tmp_path / "out"))
+
+
 def test_extract_from_parquet_pruned_read(ray_session, docs_table, tmp_path):
     """The production read path: doc_bytes stamped at ingest, small/mega
     routing pushed into the parquet scan."""
