@@ -121,6 +121,49 @@ def test_serialize_reparse_fixpoint(src):
             f"no fixpoint after two reparses:\n{once}\n{twice}\n{thrice}")
 
 
+def _conformance_inputs():
+    """Every non-fragment input from the vendored conformance corpus — the
+    hand-built library of nastiest-known inputs doubles as fixpoint fodder."""
+    import glob
+    import os
+
+    from htmlreader_ray.testing.conformance import parse_dat
+    out = []
+    corpus = os.path.join(os.path.dirname(__file__), "conformance")
+    for path in sorted(glob.glob(os.path.join(corpus, "*.dat"))):
+        with open(path, encoding="utf-8") as f:
+            for case in parse_dat(f.read()):
+                if not case.fragment_context:
+                    out.append(case.data)
+    return out
+
+
+def test_serialize_reparse_fixpoint_on_conformance_corpus():
+    """The two-round fixpoint property holds for every tree-construction
+    conformance input (foreign-content cases converge too: breakout happens
+    on the first parse, so the serialization is already breakout-free)."""
+    bad = []
+    for src in _conformance_inputs():
+        if "<plaintext" in src:
+            # Legitimately divergent: plaintext has no end tag, so its text
+            # may contain the literal "</plaintext>", which the serializer
+            # re-emits raw and every reparse swallows plus the serializer's
+            # own closing tag — the tree grows each round. Only plaintext
+            # can contain its own terminator (script/style/xmp text always
+            # ends at theirs), so it is the only exclusion.
+            continue
+        doc = parse("<!DOCTYPE html>" + src)
+        if doc.body_element is None:
+            continue
+        once = serialize_fragment(doc.body_element)
+        twice = _fragment_roundtrip(once)
+        if once != twice:
+            thrice = _fragment_roundtrip(twice)
+            if twice != thrice:
+                bad.append((src, once, twice, thrice))
+    assert not bad, f"{len(bad)} non-converging inputs; first: {bad[0]}"
+
+
 def test_adoption_agency_cap_not_one_round_trippable():
     """Pin the hypothesis-found spec behavior: 8 nested <div>s exhaust the
     adoption agency's outer-loop counter (tree construction spec step
