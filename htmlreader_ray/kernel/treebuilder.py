@@ -2108,6 +2108,12 @@ class TreeBuilder:
                 self.open.append(el)
             return
         if kind == "end":
+            # Reference parity: end tags always use the generic ancestor
+            # loop (Sources/HTMLParser.m:2447-2467). The reference predates
+            # the WHATWG addition of </br> and </p> to the foreign-content
+            # breakout rule, so e.g. <svg></p> creates an HTML p INSIDE the
+            # svg rather than popping it first (pinned in conformance
+            # batch 33).
             name = tok[1]
             node = self.current
             if node is not None and node.tag.lower() != name:
