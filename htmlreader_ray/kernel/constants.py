@@ -33,8 +33,12 @@ SCOPE_LIST_HTML = SCOPE_BASE_HTML | {"ol", "ul"}
 SCOPE_BUTTON_HTML = SCOPE_BASE_HTML | {"button"}
 SCOPE_TABLE_HTML = frozenset(["html", "table", "template"])
 
+# menuitem kept per the reference's 2016-era list
+# (Sources/HTMLParser.m:3246); rb/rtc are the later additions the ruby
+# handlers rely on — the reference's html5lib skip policy hides the delta.
 IMPLIED_END = frozenset(
-    ["dd", "dt", "li", "optgroup", "option", "p", "rb", "rp", "rt", "rtc"])
+    ["dd", "dt", "li", "menuitem", "optgroup", "option", "p", "rb", "rp",
+     "rt", "rtc"])
 IMPLIED_END_THOROUGH = IMPLIED_END | {
     "caption", "colgroup", "tbody", "td", "tfoot", "th", "thead", "tr"}
 

@@ -42,8 +42,11 @@ section summary ul
 
 _BLOCK_OPENERS = frozenset("""
 address article aside blockquote center details dialog dir div dl fieldset
-figcaption figure footer header hgroup main menu nav ol p section summary ul
+figcaption figure footer header hgroup main nav ol p section summary ul
 """.split())
+# menu is NOT in the plain block-opener group: the reference gives it a
+# dedicated handler that also pops an open menuitem
+# (Sources/HTMLParser.m:702-711) — see _s_menu.
 
 
 def _is_special(node: Element) -> bool:
@@ -941,6 +944,30 @@ class TreeBuilder:
         self._insert_element(tok[1], tok[2])
         return False
 
+    def _pop_current_menuitem(self) -> None:
+        """2016-era spec behavior kept by the reference: menu/menuitem/hr
+        start tags pop an open menuitem (Sources/HTMLParser.m:702-711,
+        884-891, 938-945)."""
+        cur = self.current
+        if cur is not None and cur.tag == "menuitem" \
+                and cur.namespace == HTML_NS:
+            self.open.pop()
+
+    def _s_menu(self, tok):
+        if self._in_button_scope("p"):
+            self._close_p()
+        self._pop_current_menuitem()
+        self._insert_element(tok[1], tok[2])
+        return False
+
+    def _s_menuitem(self, tok):
+        # acts like <option>: self-popping, with AFE reconstruction
+        # (Sources/HTMLParser.m:938-945 incl. the SPEC-gap comment there)
+        self._pop_current_menuitem()
+        self._reconstruct_afe()
+        self._insert_element(tok[1], tok[2])
+        return False
+
     def _s_heading(self, tok):
         if self._in_button_scope("p"):
             self._close_p()
@@ -1089,6 +1116,7 @@ class TreeBuilder:
     def _s_hr(self, tok):
         if self._in_button_scope("p"):
             self._close_p()
+        self._pop_current_menuitem()
         self._insert_element(tok[1], tok[2], push=False)
         self.frameset_ok = False
         return False
@@ -2169,6 +2197,7 @@ def _build_in_body_start_table():
         "iframe": T._s_iframe, "noembed": T._s_noembed,
         "noscript": T._s_noscript, "select": T._s_select,
         "math": T._s_math, "svg": T._s_svg,
+        "menu": T._s_menu, "menuitem": T._s_menuitem,
     }
     for t in ("base", "basefont", "bgsound", "link", "meta", "noframes",
               "script", "style", "template", "title"):
