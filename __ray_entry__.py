@@ -801,58 +801,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Benchmark decontamination: flag training docs sharing any word
         3-gram with the benchmark set (stand-in: doc_id % 97 == 0).
         Broadcast-small-side design — the benchmark suite's distinct
-        trigram set ships once via ray.put (benchmarks are tiny next to a
-        training corpus); training docs stream through one stateless
-        map_batches. Returns (doc_id, n_shared) for contaminated docs."""
+        trigram set ships once via ray.put; training docs stream through
+        one stateless vectorized map_batches (functions/curation.py).
+        Returns (doc_id, n_shared) for contaminated docs."""
         import numpy as np
         import pyarrow as pa
-        import ray
+        from htmlreader_ray.functions.curation import decontaminate as dec
 
-        def trigrams(t: str) -> set:
-            w = (t or "").split()
-            return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+        def side(bench: bool):
+            def pick(batch):
+                ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+                m = pa.array((ids % 97 == 0) if bench else (ids % 97 != 0))
+                return batch.filter(m)
+            return _read(sf_dir, "documents").select_columns(
+                ["doc_id", "text"]).map_batches(
+                    pick, batch_format="pyarrow")
 
-        docs = _read(sf_dir, "documents").select_columns(
-            ["doc_id", "text"])
-
-        def bench_grams(batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch.column("doc_id"))
-            keep = ids % 97 == 0
-            grams: set = set()
-            for t in batch.filter(pa.array(keep)).column(
-                    "text").to_pylist():
-                grams.update(trigrams(t))
-            return pa.Table.from_arrays(
-                [pa.array(sorted(grams), pa.string())], names=["g"])
-
-        bench = set()
-        for row in docs.map_batches(
-                bench_grams, batch_format="pyarrow").take_all():
-            bench.add(row["g"])
-        bench_ref = ray.put(frozenset(bench))
-
-        class Flag:
-            def __init__(self, ref):
-                self.bench = ray.get(ref)
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                ids = np.asarray(batch.column("doc_id"))
-                out_id, out_n = [], []
-                for i, t in zip(ids, batch.column("text").to_pylist()):
-                    if i % 97 == 0:
-                        continue
-                    n = len(trigrams(t) & self.bench)
-                    if n:
-                        out_id.append(int(i))
-                        out_n.append(n)
-                return pa.Table.from_arrays(
-                    [pa.array(out_id, pa.int64()),
-                     pa.array(out_n, pa.int64())],
-                    names=["doc_id", "n_shared"])
-
-        from htmlreader_ray.pipelines.queries import as_task
-        return docs.map_batches(
-            as_task(Flag, ref=bench_ref), batch_format="pyarrow")
+        return dec(side(False), side(True), n=3)
 
     def chunk_docs(sf_dir: str):
         """Overlapping-window document chunking (64-word chunks, stride
