@@ -50,7 +50,13 @@ VOID_ELEMENTS = frozenset(
      "source", "track", "wbr"])
 
 RAW_TEXT_SERIALIZE = frozenset(
-    ["style", "script", "xmp", "iframe", "noembed", "noframes", "plaintext"])
+    ["style", "script", "xmp", "iframe", "noembed", "noframes", "plaintext",
+     # noscript joins the raw-text set when scripting is enabled; the
+     # serializer matches the parser's default (scripting=True, the
+     # reference's hardcoded behavior — Sources/HTMLParser.m:500/914 and
+     # Sources/HTMLSerialization.m:194 lists noscript raw), so noscript
+     # text round-trips unescaped
+     "noscript"])
 
 # foreign-content breakout start tags (spec §13.2.6.5)
 BREAKOUT = frozenset("""

@@ -24,10 +24,16 @@ from .tokenizer import Tokenizer
 from .treebuilder import TreeBuilder
 
 
-def parse(html: str, *, collect_errors: bool = False) -> Document:
-    """Parse a complete HTML document from a string (tentative UTF-8)."""
+def parse(html: str, *, collect_errors: bool = False,
+          scripting: bool = True) -> Document:
+    """Parse a complete HTML document from a string (tentative UTF-8).
+
+    ``scripting`` defaults to True for reference parity (noscript is raw
+    text, Sources/HTMLParser.m:500/914); pass False for the
+    spec-without-scripting tree (parsed noscript children).
+    """
     tokenizer = Tokenizer(html, collect_errors=collect_errors)
-    builder = TreeBuilder(collect_errors=collect_errors)
+    builder = TreeBuilder(collect_errors=collect_errors, scripting=scripting)
     doc = builder.run(tokenizer)
     doc.parsed_encoding = "UTF-8"
     if collect_errors:
@@ -42,16 +48,18 @@ class _EncodingChange(Exception):
 
 
 def parse_bytes(data: bytes, content_type: Optional[str] = None,
-                *, collect_errors: bool = False) -> Document:
+                *, collect_errors: bool = False,
+                scripting: bool = True) -> Document:
     """Sniff encoding, decode, parse; restart once if an in-head
     <meta charset> contradicts a tentative sniff."""
     sniff = sniff_encoding(data, content_type)
-    doc = _parse_decoded(data, sniff, collect_errors=collect_errors)
+    doc = _parse_decoded(data, sniff, collect_errors=collect_errors,
+                         scripting=scripting)
     return doc
 
 
 def _parse_decoded(data: bytes, sniff: SniffResult, *,
-                   collect_errors: bool) -> Document:
+                   collect_errors: bool, scripting: bool = True) -> Document:
     text = decode_bytes(data, sniff.encoding)
     current_label = sniff.label
     confidence = sniff.confidence
@@ -68,14 +76,16 @@ def _parse_decoded(data: bytes, sniff: SniffResult, *,
         raise _EncodingChange(name, codec)
 
     tokenizer = Tokenizer(text, collect_errors=collect_errors)
-    builder = TreeBuilder(collect_errors=collect_errors, on_meta_charset=on_meta)
+    builder = TreeBuilder(collect_errors=collect_errors,
+                          on_meta_charset=on_meta, scripting=scripting)
     try:
         doc = builder.run(tokenizer)
         doc.parsed_encoding = current_label
     except _EncodingChange as change:
         text = decode_bytes(data, change.codec)
         tokenizer = Tokenizer(text, collect_errors=collect_errors)
-        builder = TreeBuilder(collect_errors=collect_errors)
+        builder = TreeBuilder(collect_errors=collect_errors,
+                              scripting=scripting)
         doc = builder.run(tokenizer)
         doc.parsed_encoding = change.name
     if collect_errors:
@@ -84,7 +94,8 @@ def _parse_decoded(data: bytes, sniff: SniffResult, *,
 
 
 def parse_fragment(html: str, context: "Element | str",
-                   *, collect_errors: bool = False) -> list[Node]:
+                   *, collect_errors: bool = False,
+                   scripting: bool = True) -> list[Node]:
     """HTML fragment parsing algorithm; returns the parsed child nodes
     (re-rooted, i.e. detached from the internal html element)."""
     if isinstance(context, str):
@@ -99,7 +110,8 @@ def parse_fragment(html: str, context: "Element | str",
             context = Element(context)
     tokenizer = Tokenizer(html, collect_errors=collect_errors)
     builder = TreeBuilder(fragment_context=context,
-                          collect_errors=collect_errors)
+                          collect_errors=collect_errors,
+                          scripting=scripting)
     doc = builder.run(tokenizer)
     root = doc.root_element
     if root is None:

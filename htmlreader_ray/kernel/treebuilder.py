@@ -78,7 +78,7 @@ class StopParsing(Exception):
 class TreeBuilder:
     def __init__(self, *, fragment_context: Optional[Element] = None,
                  collect_errors: bool = True,
-                 on_meta_charset=None) -> None:
+                 on_meta_charset=None, scripting: bool = True) -> None:
         self.document = Document()
         self.open: list[Element] = []
         self.afe: list = []  # elements and MARKER
@@ -90,7 +90,14 @@ class TreeBuilder:
         self.frameset_ok = True
         self.foster_parenting = False
         self.ignore_next_lf = False
-        self.scripting = False
+        # Default True for reference parity: the reference always treats
+        # noscript as raw text — in head (Sources/HTMLParser.m:500), in body
+        # (HTMLParser.m:914) and as a fragment context (HTMLParser.m:93-95);
+        # its HTMLInHeadNoscriptInsertionMode (HTMLParser.m:24) is declared
+        # but never entered. scripting=False restores the full
+        # spec-without-scripting path (in-head-noscript mode, parsed
+        # noscript children).
+        self.scripting = scripting
         self.fragment_context = fragment_context
         self.errors: list[str] = []
         self._collect_errors = collect_errors

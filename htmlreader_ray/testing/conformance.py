@@ -127,10 +127,12 @@ def dump_html5lib(node: Node) -> str:
 
 
 def should_skip_dat(case: DatCase, filename: str = "") -> bool:
-    """The reference's skip list."""
+    """The reference's skip list (HTMLTreeConstructionTests.m:32-50) —
+    minus #script-on/#script-off, which the reference skips but this
+    harness RUNS: run_dat_case parses with the case's scripting flag
+    (default True matches the reference's hardcoded noscript-as-rawtext
+    behavior, HTMLParser.m:500/914)."""
     if "template" in filename:
-        return True
-    if case.script_mode is not None:
         return True
     if "<ruby>" in case.expected or "ruby" in case.data[:40]:
         return True
@@ -141,13 +143,15 @@ def should_skip_dat(case: DatCase, filename: str = "") -> bool:
 
 def run_dat_case(case: DatCase) -> tuple[str, str]:
     """Returns (got_dump, expected_dump)."""
+    scripting = case.script_mode if case.script_mode is not None else True
     if case.fragment_context:
-        nodes = parse_fragment(case.data, case.fragment_context)
+        nodes = parse_fragment(case.data, case.fragment_context,
+                               scripting=scripting)
         root = Element("#root")
         for n in nodes:
             root.append_child(n)
         return dump_html5lib(root), case.expected
-    doc = parse(case.data)
+    doc = parse(case.data, scripting=scripting)
     return dump_html5lib(doc), case.expected
 
 

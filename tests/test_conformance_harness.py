@@ -109,7 +109,10 @@ def test_inline_tokenizer_cases(case):
 def test_skip_policy():
     assert should_skip_dat(DatCase(data="<template>x"), "")
     assert should_skip_dat(DatCase(), "template.dat")
-    assert should_skip_dat(DatCase(script_mode=True), "")
+    # script-on/script-off cases RUN (the reference skips them, but
+    # run_dat_case honors the flag via parse(scripting=...))
+    assert not should_skip_dat(DatCase(script_mode=True), "")
+    assert not should_skip_dat(DatCase(script_mode=False), "")
     assert not should_skip_dat(DatCase(data="<p>"), "tests1.dat")
 
 

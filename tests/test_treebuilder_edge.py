@@ -9,8 +9,8 @@ from htmlreader_ray.kernel import parse
 from htmlreader_ray.testing.conformance import dump_html5lib
 
 
-def check(html, expected):
-    got = dump_html5lib(parse(html))
+def check(html, expected, **kw):
+    got = dump_html5lib(parse(html, **kw))
     assert got == expected.strip("\n"), \
         f"\n--- input ---\n{html}\n--- got ---\n{got}\n--- want ---\n{expected}"
 
@@ -587,6 +587,18 @@ def test_in_head_noscript_scripting_off():
 |   <body>
 |     <p>
 |       "breaks"
+""", scripting=False)
+
+
+def test_in_head_noscript_scripting_default_rawtext():
+    # default (scripting=True) matches the reference: noscript content is
+    # raw text everywhere (Sources/HTMLParser.m:500/914)
+    check("<head><noscript><link href=x><p>breaks</noscript></head>", """
+| <html>
+|   <head>
+|     <noscript>
+|       "<link href=x><p>breaks"
+|   <body>
 """)
 
 
