@@ -23,6 +23,17 @@ from .encoding import (CERTAIN, TENTATIVE, SniffResult, decode_bytes,
 from .tokenizer import Tokenizer
 from .treebuilder import TreeBuilder
 
+# Fused C parser accelerator (tokenizer + tree construction in one pass;
+# see _cparser.c). Returns None ("bail") on constructs outside its ported
+# subset — notably <template> — and the pure-Python kernel runs instead, so
+# behavior is identical by construction (differential tests:
+# tests/test_cparser.py). Force-disable with HTMLRAY_NO_CPARSE=1.
+try:
+    from . import _cparser_build as _cp_loader
+    _CPARSE = _cp_loader.load()
+except Exception:  # pragma: no cover - loader never raises by contract
+    _CPARSE = None
+
 
 def parse(html: str, *, collect_errors: bool = False,
           scripting: bool = True) -> Document:
@@ -32,6 +43,11 @@ def parse(html: str, *, collect_errors: bool = False,
     text, Sources/HTMLParser.m:500/914); pass False for the
     spec-without-scripting tree (parsed noscript children).
     """
+    if not collect_errors and _CPARSE is not None:
+        doc = _CPARSE.parse(html, scripting=scripting)
+        if doc is not None:
+            doc.parsed_encoding = "UTF-8"
+            return doc
     tokenizer = Tokenizer(html, collect_errors=collect_errors)
     builder = TreeBuilder(collect_errors=collect_errors, scripting=scripting)
     doc = builder.run(tokenizer)
@@ -63,6 +79,15 @@ def _parse_decoded(data: bytes, sniff: SniffResult, *,
     text = decode_bytes(data, sniff.encoding)
     current_label = sniff.label
     confidence = sniff.confidence
+
+    # CERTAIN sniff (BOM / Content-Type header) can never restart on a
+    # <meta charset> (HTMLParser.m:3338 guards on tentative confidence), so
+    # the meta hook is a no-op and the fused C fast path applies directly.
+    if confidence == CERTAIN and not collect_errors and _CPARSE is not None:
+        doc = _CPARSE.parse(text, scripting=scripting)
+        if doc is not None:
+            doc.parsed_encoding = current_label
+            return doc
 
     def on_meta(label: str) -> None:
         if confidence != TENTATIVE:

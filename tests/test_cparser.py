@@ -1,0 +1,179 @@
+"""Differential tests for the fused C parser (_cparser.c): on every input it
+accepts it must build the EXACT tree of the pure-Python kernel
+(tokenizer.py + treebuilder.py); on everything else it must bail (None) so
+the Python kernel runs. Tree equality is compared via the html5lib dump —
+the same canonical form the conformance corpus pins."""
+
+import glob
+import os
+import string
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from htmlreader_ray.kernel import parser as P
+from htmlreader_ray.kernel.tokenizer import Tokenizer
+from htmlreader_ray.kernel.treebuilder import TreeBuilder
+from htmlreader_ray.testing.conformance import dump_html5lib, parse_dat
+
+HAVE_C = P._CPARSE is not None
+pytestmark = pytest.mark.skipif(not HAVE_C, reason="C parser not built")
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _py_parse(html: str, scripting: bool = True):
+    """The pure-Python kernel, bypassing the C hook in parser.parse."""
+    return TreeBuilder(scripting=scripting).run(Tokenizer(html))
+
+
+def _check(src: str, scripting: bool = True) -> bool:
+    """True if C parsed (and matched); False if it bailed."""
+    doc = P._CPARSE.parse(src, scripting=scripting)
+    if doc is None:
+        return False
+    assert dump_html5lib(doc) == dump_html5lib(_py_parse(src, scripting))
+    return True
+
+
+# ---------------------------------------------------------------- corpora
+
+def _conformance_docs():
+    cases = []
+    for path in sorted(glob.glob(os.path.join(_HERE, "conformance", "*.dat"))):
+        with open(path, encoding="utf-8") as f:
+            for case in parse_dat(f.read()):
+                if not case.fragment_context:
+                    cases.append(case.data)
+    return cases
+
+
+def test_conformance_corpus_differential():
+    """Every document-mode conformance input, both scripting flags. The C
+    parser may bail (template &c.) but must never mismatch."""
+    docs = _conformance_docs()
+    assert len(docs) > 300
+    parsed = 0
+    for src in docs:
+        for scripting in (True, False):
+            parsed += _check(src, scripting)
+    # the accelerator must actually cover the overwhelming majority
+    assert parsed >= 1.9 * len(docs) * 0.95
+
+
+def test_corpus_pages_differential():
+    from htmlreader_ray.sources.corpus import build_page
+    for k in range(120):
+        page = "<!DOCTYPE html>" + build_page(k, "spark row table scan key")
+        assert _check(page), "C parser must handle every generated page"
+
+
+# ---------------------------------------------------------------- fuzz
+
+_MARKUPISH = st.text(
+    alphabet=string.ascii_letters + "<>&;/='\"!-[]# \t\n" + "\x00�\xe9",
+    max_size=200)
+
+_TAGS = ["div", "p", "b", "i", "a", "table", "tr", "td", "li", "ul",
+         "select", "option", "svg", "math", "title", "style", "script",
+         "textarea", "pre", "form", "button", "h1", "caption", "frameset",
+         "template", "noscript", "nobr", "ruby", "rt", "foreignObject"]
+
+
+@st.composite
+def tag_soup(draw):
+    parts = []
+    for _ in range(draw(st.integers(0, 20))):
+        kind = draw(st.integers(0, 5))
+        tag = draw(st.sampled_from(_TAGS))
+        if kind == 0:
+            parts.append(f"<{tag}>")
+        elif kind == 1:
+            parts.append(f"</{tag}>")
+        elif kind == 2:
+            parts.append(draw(st.text(max_size=12)))
+        elif kind == 3:
+            parts.append(f"<{tag} a='{draw(st.text(max_size=6))}'>")
+        elif kind == 4:
+            parts.append("<!--" + draw(st.text(max_size=8)) + "-->")
+        else:
+            parts.append("&" + draw(st.text(string.ascii_letters,
+                                            max_size=6)) + ";")
+    return "".join(parts)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_MARKUPISH)
+def test_fuzz_markupish(src):
+    _check(src, True)
+    _check(src, False)
+
+
+@settings(max_examples=300, deadline=None)
+@given(tag_soup())
+def test_fuzz_tag_soup(src):
+    _check(src, True)
+    _check(src, False)
+
+
+# ---------------------------------------------------------------- contract
+
+def test_template_bails():
+    assert P._CPARSE.parse("<template>x</template>") is None
+    assert P._CPARSE.parse("<table><template><tr>") is None
+
+
+def test_collect_errors_uses_python_kernel():
+    doc = P.parse("<p><b>x", collect_errors=True)
+    assert hasattr(doc, "parse_errors")
+
+
+def test_parse_entry_equivalence():
+    """parser.parse() (C-accelerated) equals the forced-Python kernel."""
+    srcs = ["<!DOCTYPE html><p>a<b>c", "<table>x<td>y", "<svg><path/></svg>",
+            "<select><option>a<optgroup>", "<template><p>t</template>tail"]
+    for src in srcs:
+        assert dump_html5lib(P.parse(src)) == dump_html5lib(_py_parse(src))
+
+
+def test_parse_bytes_certain_fast_path():
+    from htmlreader_ray.kernel.parser import parse_bytes
+    data = "﻿<!DOCTYPE html><p>\xe9".encode("utf-8")
+    doc = parse_bytes(data)
+    assert doc.parsed_encoding == "UTF-8"
+    assert "\xe9" in dump_html5lib(doc)
+    # tentative path (meta restart possible) still works
+    doc2 = parse_bytes(b"<meta charset=windows-1252><p>caf\xe9")
+    assert doc2.parsed_encoding == "windows-1252"
+
+
+def test_vectors():
+    vectors = [
+        "", "x", "<!DOCTYPE html>", "<!doctype html PUBLIC '-//W3C//DTD "
+        "HTML 4.01 Transitional//EN'>", "<b><i>x</b>y</i>",
+        "<a>1<a>2<a>3<a>4", "<p><table><td>c</table>",
+        "<table><tbody><tr><td>a<td>b", "<ul><li>a<li>b<ol><li>c",
+        "<svg><desc><b>bold</b></desc></svg>",
+        "<math><mi>x</mi><annotation-xml encoding='text/html'><p>h",
+        "<frameset><frame></frameset><noframes>x",
+        "<head><style>s { }</style></head><body>b",
+        "<textarea>\n&amp;</textarea>", "<pre>\nkeep</pre>",
+        "<script><!--<script>nested--></script>",
+        "<plaintext><p>raw", "<xmp><b>raw</xmp>",
+        "a<![CDATA[x]]>b", "<svg><![CDATA[<b>raw]]></svg>",
+        "<div \0bad=1>", "<p>&notit;&notin;&#x41;&#X80;&#xD800;",
+        "<body onload='a&gt;b'>", "<nobr>1<nobr>2<nobr>3",
+        "<button><button>n", "<form><form><input>",
+        "<isindex>", "<image src=x>", "<menuitem><p>",
+        "<option>a<option>b<select><option>c",
+        "<h1>a<h2>b</h1>c", "<dd>a<dt>b<dl><dd>c",
+        "<caption><table><tr><td>x",
+        "<colgroup><col><tr>", "x</br>y</p>z",
+        "<noscript><p>inside</noscript>",
+        "<body></body><!--after--><p>late",
+        "￾\x0c\x0b", "<p title='\r\n\t'>",
+    ]
+    for src in vectors:
+        for scripting in (True, False):
+            _check(src, scripting)

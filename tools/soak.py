@@ -12,6 +12,10 @@ Two modes, both deterministic under --seed and parallel via mp.Pool:
                 within two rounds (three checked; plaintext excluded — its
                 raw text can embed its own terminator, see
                 tests/test_fuzz.py).
+  cparse        random markup soup + mutated corpus pages -> the fused C
+                parser (_cparser.c), where it does not bail, must build the
+                EXACT tree of the pure-Python kernel (html5lib dump compare,
+                both scripting flags).
 
 Usage:
     python tools/soak.py --mode both --trials 200000 --procs 30
@@ -71,6 +75,39 @@ def _soak_differential(args):
             bad += 1
             if first is None:
                 first = src
+    return bad, first
+
+
+def _soak_cparse(args):
+    seed, trials = args
+    from htmlreader_ray.kernel.parser import _CPARSE
+    from htmlreader_ray.kernel.tokenizer import Tokenizer
+    from htmlreader_ray.kernel.treebuilder import TreeBuilder
+    from htmlreader_ray.sources.corpus import build_page
+    from htmlreader_ray.testing.conformance import dump_html5lib
+
+    if _CPARSE is None:
+        return 0, None
+    rng = random.Random(seed)
+    bad = 0
+    first = None
+    for k in range(trials):
+        if k % 2:
+            n = rng.randint(0, 200)
+            src = "".join(rng.choice(_ALPHABET) for _ in range(n))
+        else:
+            text = " ".join(rng.choice(_WORDS)
+                            for _ in range(rng.randint(3, 30)))
+            src = _mutate(rng, build_page(seed * 999983 + k, text))
+        for scripting in (True, False):
+            doc = _CPARSE.parse(src, scripting=scripting)
+            if doc is None:
+                continue
+            py = TreeBuilder(scripting=scripting).run(Tokenizer(src))
+            if dump_html5lib(doc) != dump_html5lib(py):
+                bad += 1
+                if first is None:
+                    first = src
     return bad, first
 
 
@@ -141,7 +178,9 @@ def _soak_mutation(args):
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["differential", "mutation", "both"],
+    ap.add_argument("--mode",
+                    choices=["differential", "mutation", "cparse", "both",
+                             "all"],
                     default="both")
     ap.add_argument("--trials", type=int, default=50000)
     ap.add_argument("--procs", type=int, default=max(os.cpu_count() - 2, 1))
@@ -149,11 +188,14 @@ def main() -> int:
     args = ap.parse_args()
 
     import multiprocessing as mp
-    modes = (["differential", "mutation"] if args.mode == "both"
-             else [args.mode])
+    modes = {"both": ["differential", "mutation"],
+             "all": ["differential", "mutation", "cparse"]}.get(
+                 args.mode, [args.mode])
     rc = 0
+    fns = {"differential": _soak_differential, "mutation": _soak_mutation,
+           "cparse": _soak_cparse}
     for mode in modes:
-        fn = _soak_differential if mode == "differential" else _soak_mutation
+        fn = fns[mode]
         per = max(args.trials // args.procs, 1)
         work = [(args.seed + i, per) for i in range(args.procs)]
         start = time.perf_counter()
