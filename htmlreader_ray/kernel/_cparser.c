@@ -3534,24 +3534,15 @@ static void parser_reset(Parser *P, const uint8_t *s, Py_ssize_t n,
     P->pending_eof = 0; P->has_pending = 0;
 }
 
-static PyObject *cparse(PyObject *self, PyObject *args, PyObject *kwargs) {
-    static char *kwlist[] = {"html", "scripting", NULL};
-    PyObject *src;
-    int scripting = 1;
-    if (!PyArg_ParseTupleAndKeywords(args, kwargs, "U|p", kwlist, &src,
-                                     &scripting))
-        return NULL;
-    Py_ssize_t n;
-    const char *u8 = PyUnicode_AsUTF8AndSize(src, &n);
-    if (!u8) { PyErr_Clear(); Py_RETURN_NONE; }
-
-    Parser *P = &g_parser;
+/* run tokenize + tree construction; 0 = ok, 1 = bail.
+ * On ok the caller must free(P->norm) when done with the arena. */
+static int run_parse(Parser *P, const char *u8, Py_ssize_t n, int scripting) {
     parser_reset(P, (const uint8_t *)u8, n, scripting);
 
     /* input preprocessing: \r\n -> \n, \r -> \n */
     if (memchr(u8, '\r', n)) {
         uint8_t *norm = (uint8_t *)malloc(n > 0 ? n : 1);
-        if (!norm) Py_RETURN_NONE;
+        if (!norm) return 1;
         Py_ssize_t i, o = 0;
         for (i = 0; i < n; i++) {
             uint8_t c = (uint8_t)u8[i];
@@ -3574,7 +3565,7 @@ static PyObject *cparse(PyObject *self, PyObject *args, PyObject *kwargs) {
     if (pool_reserve(&P->tokp, (size_t)(3 * n + 64)) < 0
         || pool_reserve(&P->chp, (size_t)(3 * n + 64)) < 0) {
         free(P->norm); P->norm = NULL;
-        Py_RETURN_NONE;
+        return 1;
     }
 
     node_new(P, K_DOC);  /* node 0 */
@@ -3592,8 +3583,24 @@ static PyObject *cparse(PyObject *self, PyObject *args, PyObject *kwargs) {
 
     if (P->bail) {
         free(P->norm); P->norm = NULL;
-        Py_RETURN_NONE;
+        return 1;
     }
+    return 0;
+}
+
+static PyObject *cparse(PyObject *self, PyObject *args, PyObject *kwargs) {
+    static char *kwlist[] = {"html", "scripting", NULL};
+    PyObject *src;
+    int scripting = 1;
+    if (!PyArg_ParseTupleAndKeywords(args, kwargs, "U|p", kwlist, &src,
+                                     &scripting))
+        return NULL;
+    Py_ssize_t n;
+    const char *u8 = PyUnicode_AsUTF8AndSize(src, &n);
+    if (!u8) { PyErr_Clear(); Py_RETURN_NONE; }
+
+    Parser *P = &g_parser;
+    if (run_parse(P, u8, n, scripting)) Py_RETURN_NONE;
     {
         PyObject *doc = build_dom(P);
         free(P->norm); P->norm = NULL;
@@ -3603,6 +3610,423 @@ static PyObject *cparse(PyObject *self, PyObject *args, PyObject *kwargs) {
         }
         return doc;
     }
+}
+
+/* ===================================================== extraction head
+ *
+ * extract() runs the Extractor fast path (kernel/extract.py:
+ * strip_boilerplate + text_of) entirely on the C arena — no Python DOM is
+ * materialized. Semantics are kept byte-identical to the Python
+ * implementation; parity is enforced by tests/test_cparser.py and the
+ * cparse soak. Unsupported configs (compiled complex selectors) never
+ * reach here — the Python Extractor only calls extract() for the
+ * set-bucketed rule subset. */
+
+/* Python str whitespace (str.isspace() == re \s for str — verified equal) */
+static inline int uws(uint32_t c) {
+    return (c >= 0x09 && c <= 0x0D) || (c >= 0x1C && c <= 0x20)
+        || c == 0x85 || c == 0xA0 || c == 0x1680
+        || (c >= 0x2000 && c <= 0x200A) || c == 0x2028 || c == 0x2029
+        || c == 0x202F || c == 0x205F || c == 0x3000;
+}
+
+/* decode one codepoint; input is valid UTF-8 by construction (pool bytes
+ * came from a Python str) */
+static inline uint32_t u8_cp(const uint8_t *p, int *adv) {
+    uint8_t b = p[0];
+    if (b < 0x80) { *adv = 1; return b; }
+    if (b < 0xE0) { *adv = 2; return ((uint32_t)(b & 0x1F) << 6) | (p[1] & 0x3F); }
+    if (b < 0xF0) {
+        *adv = 3;
+        return ((uint32_t)(b & 0x0F) << 12) | ((uint32_t)(p[1] & 0x3F) << 6)
+             | (p[2] & 0x3F);
+    }
+    *adv = 4;
+    return ((uint32_t)(b & 0x07) << 18) | ((uint32_t)(p[1] & 0x3F) << 12)
+         | ((uint32_t)(p[2] & 0x3F) << 6) | (p[3] & 0x3F);
+}
+
+/* codepoint count == Python len(str) for the pool's UTF-8 bytes */
+static int64_t cp_count(const uint8_t *p, uint32_t len) {
+    int64_t k = 0;
+    uint32_t i;
+    for (i = 0; i < len; i++)
+        if ((p[i] & 0xC0) != 0x80) k++;
+    return k;
+}
+
+static const uint8_t *xnode_name(Parser *P, CNode *nd, Py_ssize_t *len) {
+    if (nd->tag >= 0) {
+        const char *t = TAG_NAMES[nd->tag];
+        *len = (Py_ssize_t)strlen(t);
+        return (const uint8_t *)t;
+    }
+    *len = nd->name_len;
+    return P->text.buf + nd->name_off;
+}
+
+#define MAX_RM 96
+typedef struct {
+    const uint8_t *s[MAX_RM]; Py_ssize_t l[MAX_RM]; int n;
+} StrSet;
+
+typedef struct {
+    StrSet tags, cls, ids;
+    const uint8_t *an[MAX_RM]; Py_ssize_t anl[MAX_RM];
+    const uint8_t *av[MAX_RM]; Py_ssize_t avl[MAX_RM];  /* avl -1 = bare */
+    int nat;
+    uint8_t blk[N_TAGS];               /* block-tag membership by tag id */
+    double max_ld, min_td;
+    long min_bc;
+    int collapse;
+} XCfg;
+
+static int strset_in(const StrSet *S, const uint8_t *p, Py_ssize_t len) {
+    int i;
+    for (i = 0; i < S->n; i++)
+        if (S->l[i] == len && memcmp(S->s[i], p, (size_t)len) == 0) return 1;
+    return 0;
+}
+
+/* fill a StrSet from a tuple of str; -1 on unsupported shape */
+static int strset_load(StrSet *S, PyObject *tup) {
+    if (!PyTuple_Check(tup)) return -1;
+    Py_ssize_t n = PyTuple_GET_SIZE(tup), i;
+    if (n > MAX_RM) return -1;
+    S->n = (int)n;
+    for (i = 0; i < n; i++) {
+        PyObject *o = PyTuple_GET_ITEM(tup, i);
+        if (!PyUnicode_Check(o)) return -1;
+        S->s[i] = (const uint8_t *)PyUnicode_AsUTF8AndSize(o, &S->l[i]);
+        if (!S->s[i]) return -1;
+    }
+    return 0;
+}
+
+/* find attr by exact name; returns index or -1 (first match — the
+ * tokenizer already dropped duplicate attribute names) */
+static int attr_find(Parser *P, CNode *nd, const uint8_t *name,
+                     Py_ssize_t nlen) {
+    int i;
+    for (i = 0; i < nd->attr_count; i++) {
+        CAttr *a = &P->attrs[nd->attr_start + i];
+        if (a->nlen == (uint32_t)nlen
+            && memcmp(P->ab.buf + a->noff, name, (size_t)nlen) == 0)
+            return nd->attr_start + i;
+    }
+    return -1;
+}
+
+/* does the element match the removal rule set? (kernel/extract.py:105-135:
+ * tag set, id set, class-token set, [attr] / [attr=value] rules) */
+static int rules_match(Parser *P, CNode *nd, XCfg *X) {
+    Py_ssize_t nl;
+    const uint8_t *nm = xnode_name(P, nd, &nl);
+    if (strset_in(&X->tags, nm, nl)) return 1;
+    if (nd->attr_count == 0) return 0;
+    if (X->ids.n) {
+        int ai = attr_find(P, nd, (const uint8_t *)"id", 2);
+        if (ai >= 0) {
+            CAttr *a = &P->attrs[ai];
+            if (strset_in(&X->ids, P->ab.buf + a->voff, a->vlen)) return 1;
+        }
+    }
+    if (X->cls.n) {
+        int ai = attr_find(P, nd, (const uint8_t *)"class", 5);
+        if (ai >= 0) {
+            CAttr *a = &P->attrs[ai];
+            const uint8_t *v = P->ab.buf + a->voff;
+            uint32_t len = a->vlen, i = 0;
+            while (i < len) {                     /* str.split() tokens */
+                int adv;
+                while (i < len && uws(u8_cp(v + i, &adv))) i += adv;
+                uint32_t start = i;
+                while (i < len && !uws(u8_cp(v + i, &adv))) i += adv;
+                if (i > start
+                    && strset_in(&X->cls, v + start, (Py_ssize_t)(i - start)))
+                    return 1;
+            }
+        }
+    }
+    {
+        int r;
+        for (r = 0; r < X->nat; r++) {
+            int ai = attr_find(P, nd, X->an[r], X->anl[r]);
+            if (ai < 0) continue;
+            if (X->avl[r] < 0) return 1;
+            CAttr *a = &P->attrs[ai];
+            if (a->vlen == (uint32_t)X->avl[r]
+                && memcmp(P->ab.buf + a->voff, X->av[r],
+                          (size_t)X->avl[r]) == 0)
+                return 1;
+        }
+    }
+    return 0;
+}
+
+/* doc.body_element or doc.root_element or doc (dom.py:188-201), skipping
+ * doomed nodes when re-resolving after stripping */
+static int resolve_root(Parser *P, const uint8_t *doomed) {
+    int html = -1, c;
+    for (c = ND(P, 0)->first_child; c >= 0; c = ND(P, c)->next_sib) {
+        if (ND(P, c)->kind == K_ELEM && !(doomed && doomed[c])) {
+            html = c;
+            break;
+        }
+    }
+    if (html >= 0 && ND(P, html)->tag == TAG_HTML) {
+        for (c = ND(P, html)->first_child; c >= 0; c = ND(P, c)->next_sib) {
+            CNode *k = ND(P, c);
+            if (k->kind == K_ELEM && !(doomed && doomed[c])
+                && (k->tag == TAG_BODY || k->tag == TAG_FRAMESET))
+                return c;
+        }
+    }
+    return html >= 0 ? html : 0;
+}
+
+static PyObject *cextract(PyObject *self, PyObject *args) {
+    PyObject *src, *t_tags, *t_cls, *t_ids, *t_attrs, *t_blk;
+    int scripting = 1, collapse = 1;
+    double max_ld, min_td;
+    long min_bc;
+    if (!PyArg_ParseTuple(args, "UpOOOOOdldp", &src, &scripting, &t_tags,
+                          &t_cls, &t_ids, &t_attrs, &t_blk, &max_ld,
+                          &min_bc, &min_td, &collapse))
+        return NULL;
+
+    XCfg X;
+    memset(&X, 0, sizeof(X));
+    X.max_ld = max_ld; X.min_td = min_td; X.min_bc = min_bc;
+    X.collapse = collapse;
+    if (strset_load(&X.tags, t_tags) < 0 || strset_load(&X.cls, t_cls) < 0
+        || strset_load(&X.ids, t_ids) < 0)
+        Py_RETURN_NONE;
+    if (!PyTuple_Check(t_attrs) || PyTuple_GET_SIZE(t_attrs) > MAX_RM)
+        Py_RETURN_NONE;
+    {
+        Py_ssize_t i, n = PyTuple_GET_SIZE(t_attrs);
+        X.nat = (int)n;
+        for (i = 0; i < n; i++) {
+            PyObject *pair = PyTuple_GET_ITEM(t_attrs, i);
+            if (!PyTuple_Check(pair) || PyTuple_GET_SIZE(pair) != 2)
+                Py_RETURN_NONE;
+            PyObject *an = PyTuple_GET_ITEM(pair, 0);
+            PyObject *av = PyTuple_GET_ITEM(pair, 1);
+            if (!PyUnicode_Check(an)) Py_RETURN_NONE;
+            X.an[i] = (const uint8_t *)PyUnicode_AsUTF8AndSize(an, &X.anl[i]);
+            if (!X.an[i]) Py_RETURN_NONE;
+            if (av == Py_None) {
+                X.av[i] = NULL; X.avl[i] = -1;
+            } else {
+                if (!PyUnicode_Check(av)) Py_RETURN_NONE;
+                X.av[i] = (const uint8_t *)PyUnicode_AsUTF8AndSize(
+                    av, &X.avl[i]);
+                if (!X.av[i]) Py_RETURN_NONE;
+            }
+        }
+    }
+    if (!PyTuple_Check(t_blk)) Py_RETURN_NONE;
+    {
+        Py_ssize_t i, n = PyTuple_GET_SIZE(t_blk);
+        for (i = 0; i < n; i++) {
+            PyObject *o = PyTuple_GET_ITEM(t_blk, i);
+            Py_ssize_t bl;
+            const char *bs;
+            if (!PyUnicode_Check(o)) Py_RETURN_NONE;
+            bs = PyUnicode_AsUTF8AndSize(o, &bl);
+            if (!bs) Py_RETURN_NONE;
+            {
+                int tid = tag_lookup((const uint8_t *)bs, bl);
+                if (tid < 0) Py_RETURN_NONE;  /* block tags are all known */
+                X.blk[tid] = 1;
+            }
+        }
+    }
+
+    Py_ssize_t n8;
+    const char *u8 = PyUnicode_AsUTF8AndSize(src, &n8);
+    if (!u8) { PyErr_Clear(); Py_RETURN_NONE; }
+
+    Parser *P = &g_parser;
+    if (run_parse(P, u8, n8, scripting)) Py_RETURN_NONE;
+
+    PyObject *result = NULL;
+    int n = P->nnodes;
+    uint8_t *doomed = (uint8_t *)calloc((size_t)n, 1);
+    uint8_t *inreg = (uint8_t *)calloc((size_t)n, 1);
+    int *pre = (int *)malloc((size_t)n * sizeof(int));
+    int *stk = (int *)malloc((size_t)n * sizeof(int));
+    int64_t *tl = (int64_t *)calloc((size_t)n, sizeof(int64_t));
+    int64_t *ls = (int64_t *)calloc((size_t)n, sizeof(int64_t));
+    int64_t *ec = (int64_t *)calloc((size_t)n, sizeof(int64_t));
+    Pool out;
+    memset(&out, 0, sizeof(out));
+    if (!doomed || !inreg || !pre || !stk || !tl || !ls || !ec) goto done;
+
+    int root = resolve_root(P, NULL);
+
+    /* pass 1: rule removal (doomed subtrees are skipped wholesale — same
+     * net tree as extract.py removing every matching node) */
+    {
+        int sp = 0;
+        stk[sp++] = root;
+        while (sp > 0) {
+            int idx = stk[--sp];
+            CNode *nd = ND(P, idx);
+            if (nd->kind == K_ELEM && rules_match(P, nd, &X)) {
+                doomed[idx] = 1;
+                continue;
+            }
+            {
+                int c;
+                for (c = nd->first_child; c >= 0; c = ND(P, c)->next_sib)
+                    stk[sp++] = c;
+            }
+        }
+    }
+
+    /* pass 2: link/text-density pruning (extract.py:141-197) */
+    if (X.max_ld < 1.0 || X.min_td > 0) {
+        int npre = 0;
+        {
+            int sp = 0;
+            stk[sp++] = root;
+            while (sp > 0) {          /* preorder, right children deferred */
+                int idx = stk[--sp];
+                if (doomed[idx]) continue;
+                pre[npre++] = idx;
+                inreg[idx] = 1;
+                {   /* push children reversed so pops come in order */
+                    int c = ND(P, idx)->last_child;
+                    while (c >= 0) {
+                        stk[sp++] = c;
+                        c = ND(P, c)->prev_sib;
+                    }
+                }
+            }
+        }
+        {   /* children before parents: reverse preorder */
+            int i;
+            for (i = npre - 1; i >= 0; i--) {
+                int idx = pre[i];
+                CNode *nd = ND(P, idx);
+                if (nd->kind == K_TEXT) {
+                    tl[idx] = cp_count(P->text.buf + nd->data_off,
+                                       nd->data_len);
+                    continue;
+                }
+                {
+                    int64_t t = 0, l = 0, e = 0;
+                    int c;
+                    for (c = nd->first_child; c >= 0;
+                         c = ND(P, c)->next_sib) {
+                        if (doomed[c]) continue;
+                        t += tl[c]; l += ls[c]; e += ec[c];
+                    }
+                    if (nd->kind == K_ELEM) {
+                        e += 1;
+                        /* nested <a> double-counts, as the Python
+                         * per-block sum over a.text_content does; the
+                         * Python rules are namespace-blind (el.tag only),
+                         * so svg/mathml <a> counts too */
+                        if (nd->tag == TAG_A) l += t;
+                    }
+                    tl[idx] = t; ls[idx] = l; ec[idx] = e;
+                }
+            }
+            for (i = npre - 1; i >= 0; i--) {
+                int idx = pre[i];
+                CNode *nd = ND(P, idx);
+                int64_t total, lch;
+                int doom;
+                if (nd->kind != K_ELEM || doomed[idx] || nd->tag < 0
+                    || !X.blk[nd->tag] || nd->parent < 0)
+                    continue;
+                total = tl[idx];
+                if (total == 0) continue;
+                lch = ls[idx];
+                doom = ((double)lch / (double)total > X.max_ld
+                        && total - lch < X.min_bc);
+                if (!doom && X.min_td > 0)
+                    doom = (double)total / (double)ec[idx] < X.min_td;
+                if (doom) {
+                    int64_t e_el = ec[idx], l_el = ls[idx];
+                    int64_t k = 0;
+                    int anc = nd->parent;
+                    doomed[idx] = 1;
+                    while (anc >= 0 && inreg[anc]) {
+                        CNode *an = ND(P, anc);
+                        if (an->kind == K_ELEM && an->tag == TAG_A)
+                            k++;
+                        tl[anc] -= total;
+                        ls[anc] -= l_el + total * k;
+                        ec[anc] -= e_el;
+                        anc = an->parent;
+                    }
+                }
+            }
+        }
+    }
+
+    /* text assembly from the re-resolved root (extract.py text_of) */
+    {
+        int troot = resolve_root(P, doomed);
+        int sp = 0;
+        stk[sp++] = troot;
+        while (sp > 0) {
+            int idx = stk[--sp];
+            CNode *nd = ND(P, idx);
+            if (doomed[idx]) continue;
+            if (nd->kind == K_TEXT) {
+                if (pool_put(&out, P->text.buf + nd->data_off, nd->data_len,
+                             NULL) < 0)
+                    goto done;
+                continue;
+            }
+            {   /* document order: push children reversed */
+                int c = nd->last_child;
+                while (c >= 0) {
+                    stk[sp++] = c;
+                    c = ND(P, c)->prev_sib;
+                }
+            }
+        }
+    }
+
+    if (X.collapse) {
+        /* collapse \s+ runs to a single space and strip, in one pass
+         * (extract.py:209: _WS_RUN.sub(" ", text).strip()) */
+        size_t o = 0, i = 0;
+        int pending = 0;
+        while (i < out.len) {
+            int adv;
+            uint32_t cp = u8_cp(out.buf + i, &adv);
+            if (uws(cp)) {
+                if (o > 0) pending = 1;
+            } else {
+                if (pending) { out.buf[o++] = ' '; pending = 0; }
+                {
+                    int j;
+                    for (j = 0; j < adv; j++) out.buf[o++] = out.buf[i + j];
+                }
+            }
+            i += (size_t)adv;
+        }
+        out.len = o;
+    }
+
+    result = PyUnicode_DecodeUTF8((const char *)out.buf, (Py_ssize_t)out.len,
+                                  NULL);
+    if (!result && PyErr_Occurred()) PyErr_Clear();
+
+done:
+    free(P->norm); P->norm = NULL;
+    free(doomed); free(inreg); free(pre); free(stk);
+    free(tl); free(ls); free(ec);
+    free(out.buf);
+    if (!result) Py_RETURN_NONE;
+    return result;
 }
 
 static PyObject *creg(PyObject *self, PyObject *args) {
@@ -3621,6 +4045,10 @@ static PyObject *creg(PyObject *self, PyObject *args) {
 static PyMethodDef methods[] = {
     {"parse", (PyCFunction)cparse, METH_VARARGS | METH_KEYWORDS,
      "parse(html, scripting=True) -> Document or None (bail)"},
+    {"extract", cextract, METH_VARARGS,
+     "extract(html, scripting, rm_tags, rm_classes, rm_ids, rm_attrs, "
+     "block_tags, max_link_density, min_block_chars, min_text_density, "
+     "collapse_ws) -> str or None (bail)"},
     {"register", creg, METH_VARARGS, "register DOM classes"},
     {NULL, NULL, 0, NULL}
 };

@@ -19,7 +19,7 @@ from dataclasses import dataclass, field
 from typing import Optional
 
 from .dom import Document, Element, Node, Text
-from .parser import parse
+from .parser import _CPARSE, parse
 from .selector import CompiledSelector, compile_selector
 
 DEFAULT_REMOVE_SELECTORS: tuple[str, ...] = (
@@ -88,6 +88,26 @@ class Extractor:
                 self._rm_attrs.append((name.lower(), value))
             else:
                 self._remove.append(compile_selector(s))
+        # Fused C fast path: when every removal rule fits the set-bucketed
+        # subset (no compiled complex selectors), the whole
+        # parse -> strip -> text pipeline runs on the C arena with no
+        # Python DOM (parity: tests/test_cparser.py, tools/soak.py cparse).
+        self._cargs = None
+        if _CPARSE is not None and not self._remove \
+                and hasattr(_CPARSE, "extract"):
+            cfg = self.config
+            self._cargs = (
+                True,  # scripting
+                tuple(sorted(self._rm_tags)),
+                tuple(sorted(self._rm_classes)),
+                tuple(sorted(self._rm_ids)),
+                tuple(self._rm_attrs),
+                tuple(sorted(_BLOCK_TAGS)),
+                float(cfg.max_link_density),
+                int(cfg.min_block_chars),
+                float(cfg.min_text_density),
+                bool(cfg.collapse_whitespace),
+            )
 
     # ---------------------------------------------------------------- DOM ops
     def strip_boilerplate(self, doc: Document) -> Document:
@@ -140,28 +160,66 @@ class Extractor:
         #    pruned before parents are scored)
         cfg = self.config
         if cfg.max_link_density < 1.0 or cfg.min_text_density > 0:
-            blocks = [n for n in root.tree_order()
-                      if isinstance(n, Element) and n.tag in _BLOCK_TAGS]
-            for el in reversed(blocks):
-                if el.parent is None:
+            # One bottom-up pass computes per-node (text chars, link chars,
+            # element count); each removal subtracts its deltas up the live
+            # ancestor chain, so every later (ancestor) block is scored
+            # against the already-pruned tree — byte-identical to the
+            # recompute-from-live-tree loop this replaces, but O(n) instead
+            # of O(n * depth) text_content walks per block.
+            order = list(root.tree_order())
+            tlen: dict[int, int] = {}
+            lsum: dict[int, int] = {}
+            ecnt: dict[int, int] = {}
+            for node in reversed(order):  # children before parents
+                t = l = e = 0
+                if isinstance(node, Text):
+                    t = len(node.data)
+                else:
+                    for c in node.children:
+                        cid = id(c)
+                        t += tlen[cid]
+                        l += lsum[cid]
+                        e += ecnt[cid]
+                    if isinstance(node, Element):
+                        e += 1
+                        if node.tag == "a":
+                            # nested <a> double-counts, as the per-block
+                            # sum over a.text_content it replaces did
+                            l += t
+                nid = id(node)
+                tlen[nid] = t
+                lsum[nid] = l
+                ecnt[nid] = e
+            for el in reversed(order):
+                if not isinstance(el, Element) or el.tag not in _BLOCK_TAGS \
+                        or el.parent is None:
                     continue
-                total = len(el.text_content)
+                eid = id(el)
+                total = tlen[eid]
                 if total == 0:
                     continue
-                link_chars = sum(
-                    len(a.text_content) for a in el.tree_order()
-                    if isinstance(a, Element) and a.tag == "a")
-                density = link_chars / total
-                if density > cfg.max_link_density and \
-                        total - link_chars < cfg.min_block_chars:
+                link_chars = lsum[eid]
+                doom = (link_chars / total > cfg.max_link_density
+                        and total - link_chars < cfg.min_block_chars)
+                if not doom and cfg.min_text_density > 0:
+                    doom = total / ecnt[eid] < cfg.min_text_density
+                if doom:
+                    # subtract this subtree from every live ancestor; k
+                    # counts <a> ancestors passed so far — their text (and
+                    # thus their own and higher link sums) shrank too
+                    k = 0
+                    anc = el.parent
                     el.parent.remove_child(el)
-                    continue
-                if cfg.min_text_density > 0:
-                    n_desc = sum(1 for d in el.tree_order()
-                                 if isinstance(d, Element)) - 1
-                    text_density = total / (1 + n_desc)
-                    if text_density < cfg.min_text_density:
-                        el.parent.remove_child(el)
+                    e_el = ecnt[eid]
+                    l_el = lsum[eid]
+                    while anc is not None and id(anc) in tlen:
+                        if isinstance(anc, Element) and anc.tag == "a":
+                            k += 1
+                        aid = id(anc)
+                        tlen[aid] -= total
+                        lsum[aid] -= l_el + total * k
+                        ecnt[aid] -= e_el
+                        anc = anc.parent
         return doc
 
     def text_of(self, doc: Document) -> str:
@@ -174,6 +232,10 @@ class Extractor:
     # ------------------------------------------------------------ span level
     def extract_html(self, html: str) -> str:
         """One HTML payload -> canonical extracted main text."""
+        if self._cargs is not None:
+            text = _CPARSE.extract(html, *self._cargs)
+            if text is not None:
+                return text
         doc = parse(html)
         self.strip_boilerplate(doc)
         return self.text_of(doc)

@@ -117,6 +117,87 @@ def test_fuzz_tag_soup(src):
     _check(src, False)
 
 
+# ------------------------------------------------------------- extraction
+
+from htmlreader_ray.kernel.extract import ExtractConfig, Extractor
+
+_XCONFIGS = [
+    ExtractConfig(),
+    ExtractConfig(min_text_density=2.0),
+    ExtractConfig(max_link_density=0.2, min_block_chars=50,
+                  min_text_density=1.0),
+    ExtractConfig(collapse_whitespace=False),
+    ExtractConfig(remove_selectors=("p", ".x", "#y", "[data-z]", "[k=v]")),
+    ExtractConfig(remove_selectors=()),
+]
+
+
+def _py_extract(cfg, html: str) -> str:
+    ex = Extractor(cfg)
+    ex._cargs = None  # force the pure-Python strip + text path
+    doc = _py_parse(html)
+    ex.strip_boilerplate(doc)
+    return ex.text_of(doc)
+
+
+def _xcheck(cfg, ex, src: str) -> bool:
+    out = P._CPARSE.extract(src, *ex._cargs)
+    if out is None:
+        return False
+    assert out == _py_extract(cfg, src)
+    return True
+
+
+def test_extract_vectors_differential():
+    vectors = [
+        "", "plain text", "<body class=footer>doomed body",
+        "<div><a href=x>link link link</a> t</div>",
+        "<div><a>out <a>in</a> er</a>pad</div><p>keep</p>",
+        "<ul><li><a>1</a><li><a>2</a><li>three</ul>",
+        "<ul>;z<a><article id=y><a href=#>xxxxxxxxxxxx</a></nav></p>"
+        "<noscript><a href=#>ll lll</a><li><table class='footer'><a hr",
+        "<div class='x'>gone</div><div class=' x '>gone2</div>",
+        "<p id=y>gone</p><p id=z>kept</p>",
+        "<div data-z>gone</div><div k=v>gone</div><div k=w>kept</div>",
+        "<svg><td>namespace-blind block</td><a href=#>svg link</a></svg>",
+        "<table><tr><td><a>c</a><td>text here</table>",
+        "<a href=x><div>block in a <a>n</a></div></a>",
+        "<div>" + "<a>xx</a>" * 30 + "tiny</div>",
+        "<div>\xe9中文 multibyte <a>\xe9\xe9</a></div>",
+        "<p>a  b\t\ncd    e</p>",
+        "<div hidden>gone</div><div aria-hidden=true>gone</div>"
+        "<div aria-hidden=false>kept</div>",
+        "<frameset><frame></frameset>",
+    ]
+    for cfg in _XCONFIGS:
+        ex = Extractor(cfg)
+        assert ex._cargs is not None
+        for v in vectors:
+            _xcheck(cfg, ex, v)
+
+
+def test_extract_corpus_differential():
+    from htmlreader_ray.sources.corpus import build_page
+    cfg = ExtractConfig()
+    ex = Extractor(cfg)
+    for k in range(60):
+        page = "<!DOCTYPE html>" + build_page(k, "spark row table scan key")
+        assert _xcheck(cfg, ex, page)
+
+
+@settings(max_examples=200, deadline=None)
+@given(tag_soup())
+def test_extract_fuzz(src):
+    cfg = _XCONFIGS[0]
+    _xcheck(cfg, Extractor(cfg), src)
+
+
+def test_extract_complex_selector_uses_python():
+    ex = Extractor(ExtractConfig(remove_selectors=("div > p.x",)))
+    assert ex._cargs is None
+    assert ex.extract_html("<div><p class=x>gone</p>kept</div>") == "kept"
+
+
 # ---------------------------------------------------------------- contract
 
 def test_template_bails():

@@ -88,6 +88,9 @@ def _soak_cparse(args):
 
     if _CPARSE is None:
         return 0, None
+    from htmlreader_ray.kernel.extract import ExtractConfig, Extractor
+    xcfg = ExtractConfig()
+    xex = Extractor(xcfg)
     rng = random.Random(seed)
     bad = 0
     first = None
@@ -105,6 +108,17 @@ def _soak_cparse(args):
                 continue
             py = TreeBuilder(scripting=scripting).run(Tokenizer(src))
             if dump_html5lib(doc) != dump_html5lib(py):
+                bad += 1
+                if first is None:
+                    first = src
+        # extraction head differential (default rule-set)
+        out = _CPARSE.extract(src, *xex._cargs)
+        if out is not None:
+            pyd = TreeBuilder().run(Tokenizer(src))
+            pex = Extractor(xcfg)
+            pex._cargs = None
+            pex.strip_boilerplate(pyd)
+            if out != pex.text_of(pyd):
                 bad += 1
                 if first is None:
                     first = src
