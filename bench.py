@@ -116,7 +116,7 @@ def main_bench() -> None:
 
 SCALE_CORPUS_DIR = os.environ.get("GRAFT_SCALE_CORPUS",
                                   "/tmp/graft_scale_corpus")
-SCALE_REPLICAS = int(os.environ.get("GRAFT_SCALE_REPLICAS", "24"))
+SCALE_REPLICAS = int(os.environ.get("GRAFT_SCALE_REPLICAS", "240"))
 SCALE_N = int(os.environ.get("GRAFT_SCALE_N", "8"))
 SCALE_4N = 4 * SCALE_N
 
@@ -130,26 +130,34 @@ def _ensure_scale_corpus() -> int:
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
     marker = os.path.join(SCALE_CORPUS_DIR, "_done")
+    stamp = f"replicas={SCALE_REPLICAS} sf={SF_DIR}"
     if os.path.exists(marker):
-        return pads.dataset(
-            SCALE_CORPUS_DIR, format="parquet").count_rows()
+        with open(marker) as f:
+            if f.read().strip() == stamp:  # else rebuild: config changed
+                return pads.dataset(
+                    SCALE_CORPUS_DIR, format="parquet").count_rows()
+    import multiprocessing as mp
     import shutil
     shutil.rmtree(SCALE_CORPUS_DIR, ignore_errors=True)
     os.makedirs(SCALE_CORPUS_DIR, exist_ok=True)
+    with mp.Pool(min(16, max(os.cpu_count() - 2, 1))) as pool:
+        total = sum(pool.map(_build_scale_rep, range(SCALE_REPLICAS)))
+    with open(marker, "w") as f:
+        f.write(stamp)
+    return total
+
+
+def _build_scale_rep(r: int) -> int:
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
     from htmlreader_ray.sources.corpus import BuildInterleaved
     docs = pq.read_table(f"{SF_DIR}/documents.parquet")
-    build = BuildInterleaved()
-    total = 0
-    for r in range(SCALE_REPLICAS):
-        t = docs.set_column(0, "doc_id",
-                            pc.add(docs.column("doc_id"), r * 1_000_000))
-        corpus = build(t)
-        pq.write_table(corpus,
-                       os.path.join(SCALE_CORPUS_DIR, f"rep-{r:03d}.parquet"))
-        total += corpus.num_rows
-    with open(marker, "w") as f:
-        f.write(str(total))
-    return total
+    t = docs.set_column(0, "doc_id",
+                        pc.add(docs.column("doc_id"), r * 1_000_000))
+    corpus = BuildInterleaved()(t)
+    pq.write_table(corpus,
+                   os.path.join(SCALE_CORPUS_DIR, f"rep-{r:03d}.parquet"))
+    return corpus.num_rows
 
 
 def _child_extract(num_cpus: int) -> None:
@@ -172,9 +180,12 @@ def _child_extract(num_cpus: int) -> None:
     from htmlreader_ray.pipelines.extract_pipeline import extract_from_parquet
 
     def build():
-        # same block granularity at both sizes: ~64 blocks of ~2k docs
+        # same block granularity at both sizes: ~128 blocks of ~10k docs
+        # (~0.25 s of parse per task — fine enough to pack 28 slots without
+        # wave quantization, coarse enough that scheduling overhead stays
+        # <5%; probed 64/128/256/None at 1.2M docs, 128 won)
         return extract_from_parquet(SCALE_CORPUS_DIR,
-                                    override_num_blocks=64)
+                                    override_num_blocks=128)
 
     build().count()  # warm
     best = float("inf")

@@ -40,28 +40,85 @@ class ParseExtract:
         self.errors = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id")
-        spans_lists = batch.column("spans").to_pylist()
-        out_lists: list[list[dict]] = []
-        n_spans: list[int] = []
-        n_chars: list[int] = []
-        extract = self.extractor.extract_spans
+        # Flat-column path: list_flatten + struct_field pulls the four span
+        # fields out as flat arrays (no per-struct Python dicts — the nested
+        # to_pylist cost 2x the extraction itself); np.lexsort is stable
+        # like the Python sorted() this replaces, so equal offsets keep
+        # input order. Semantics mirror Extractor.extract_spans exactly
+        # (parity: tests/test_components.py spans tests run both paths).
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from ..kernel.extract import normalize_media_ref
+
+        n = batch.num_rows
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        offs = pc.struct_field(flat, "offset").to_numpy(zero_copy_only=False)
+        order_idx = np.lexsort((offs, parent)) if len(parent) else parent
+        kinds = pc.struct_field(flat, "kind").to_pylist()
+        texts = pc.struct_field(flat, "text").to_pylist()
+        refs = pc.struct_field(flat, "media_ref").to_pylist()
+        counts = (np.bincount(parent, minlength=n) if len(parent)
+                  else np.zeros(n, np.int64))
+
+        extract_html = self.extractor.extract_html
         skip_errors = self.on_error == "skip"
-        for spans in spans_lists:
-            if skip_errors:
-                try:
-                    out = extract(spans or [])
-                except Exception:
-                    self.errors += 1
-                    out = []
-            else:
-                out = extract(spans or [])
-            out_lists.append(out)
-            n_spans.append(len(out))
-            n_chars.append(sum(len(s["text"]) for s in out))
-        arrays = [doc_ids,
-                  pa.array(out_lists, SPANS_OUT_TYPE),
-                  pa.array(n_spans, pa.int32()),
+        ok_kind: list[str] = []
+        ok_text: list[str] = []
+        ok_ref: list[str] = []
+        ok_order: list[int] = []
+        out_counts = np.zeros(n, np.int64)
+        n_chars = np.zeros(n, np.int64)
+        pos = 0
+        for d in range(n):
+            idxs = order_idx[pos:pos + counts[d]]
+            pos += counts[d]
+            mark = len(ok_kind)
+            order = 0
+            chars = 0
+            try:
+                for i in idxs:
+                    if kinds[i] == "media":
+                        ok_kind.append("media")
+                        ok_text.append("")
+                        ok_ref.append(normalize_media_ref(refs[i] or ""))
+                        ok_order.append(order)
+                        order += 1
+                    else:
+                        txt = extract_html(texts[i] or "")
+                        if txt:
+                            ok_kind.append("text")
+                            ok_text.append(txt)
+                            ok_ref.append("")
+                            ok_order.append(order)
+                            order += 1
+                            chars += len(txt)
+            except Exception:
+                if not skip_errors:
+                    raise
+                self.errors += 1
+                del ok_kind[mark:], ok_text[mark:], ok_ref[mark:], \
+                    ok_order[mark:]
+                order = 0
+                chars = 0
+            out_counts[d] = order
+            n_chars[d] = chars
+
+        struct = pa.StructArray.from_arrays(
+            [pa.array(ok_kind, pa.string()), pa.array(ok_text, pa.string()),
+             pa.array(ok_ref, pa.string()), pa.array(ok_order, pa.int32())],
+            names=["kind", "text", "media_ref", "order"])
+        offsets = np.zeros(n + 1, np.int32)
+        np.cumsum(out_counts, out=offsets[1:])
+        spans_out = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), struct)
+        arrays = [batch.column("doc_id"),
+                  spans_out.cast(SPANS_OUT_TYPE),
+                  pa.array(out_counts, pa.int32()),
                   pa.array(n_chars, pa.int64())]
         names = ["doc_id", "spans_out", "n_spans", "n_chars"]
         for col in self.passthrough_cols:

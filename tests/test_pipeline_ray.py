@@ -244,23 +244,21 @@ def test_poison_doc_skip_mode():
     from htmlreader_ray.stages.parse_extract import ParseExtract
     tbl = interleave_rows([1, 2, 3], ["ok one", "ok two", "ok three"])
     pe = ParseExtract(on_error="skip")
-    real = pe.extractor.extract_spans
-    calls = {"n": 0}
+    real = pe.extractor.extract_html
 
-    def poisoned(spans):
-        calls["n"] += 1
-        if calls["n"] == 2:
+    def poisoned(html):
+        if "ok two" in html:
             raise RuntimeError("poison")
-        return real(spans)
+        return real(html)
 
-    with mock.patch.object(pe.extractor, "extract_spans", poisoned):
+    with mock.patch.object(pe.extractor, "extract_html", poisoned):
         out = pe(tbl)
     ns = out.column("n_spans").to_pylist()
     assert ns[0] > 0 and ns[1] == 0 and ns[2] > 0
     assert pe.errors == 1
     # raise mode propagates
     pe2 = ParseExtract(on_error="raise")
-    with mock.patch.object(pe2.extractor, "extract_spans",
+    with mock.patch.object(pe2.extractor, "extract_html",
                            side_effect=RuntimeError("poison")):
         with pytest.raises(RuntimeError):
             pe2(tbl)
