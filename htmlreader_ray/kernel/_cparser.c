@@ -5,8 +5,7 @@
  * Semantics are a line-for-line port of kernel/tokenizer.py and
  * kernel/treebuilder.py (which themselves re-derive the reference parser,
  * /root/reference/Sources/HTMLParser.m + HTMLTokenizer.m). Anything outside
- * the ported subset — <template> handling, fragment parsing, error
- * collection, scripting=False is supported but templates are not — BAILS:
+ * the ported subset — fragment parsing, error collection — BAILS:
  * parse() returns None and the caller runs the pure-Python kernel, so
  * behavior is identical by construction. Parity is enforced by the
  * differential tests in tests/test_cparser.py over the conformance corpus
@@ -43,14 +42,16 @@ enum { NS_HTML = 0, NS_MATHML = 1, NS_SVG = 2 };
 enum { K_ELEM = 0, K_TEXT = 1, K_COMMENT = 2, K_DOCTYPE = 3, K_DOC = 4 };
 enum { QM_NO = 0, QM_QUIRKS = 1, QM_LIMITED = 2 };
 
-/* insertion modes (IN_TEMPLATE intentionally absent: template bails) */
+/* insertion modes */
 enum {
     M_INITIAL, M_BEFORE_HTML, M_BEFORE_HEAD, M_IN_HEAD, M_IN_HEAD_NOSCRIPT,
     M_AFTER_HEAD, M_IN_BODY, M_TEXT, M_IN_TABLE, M_IN_CAPTION,
     M_IN_COLUMN_GROUP, M_IN_TABLE_BODY, M_IN_ROW, M_IN_CELL, M_IN_SELECT,
     M_IN_SELECT_IN_TABLE, M_AFTER_BODY, M_IN_FRAMESET, M_AFTER_FRAMESET,
-    M_AFTER_AFTER_BODY, M_AFTER_AFTER_FRAMESET
+    M_AFTER_AFTER_BODY, M_AFTER_AFTER_FRAMESET, M_IN_TEMPLATE
 };
+
+#define MAX_TMODES 64
 
 /* tokenizer states (match tokenizer.py) */
 enum { S_DATA = 0, S_RCDATA = 1, S_RAWTEXT = 2, S_SCRIPT = 3, S_PLAINTEXT = 4 };
@@ -109,6 +110,7 @@ typedef struct {
     int *afe; int nafe, afecap;         /* node idx or -1 (marker) */
     /* tree state */
     int mode, original_mode;
+    int tmodes[MAX_TMODES]; int ntmodes;  /* template insertion modes */
     int head_ptr, form_ptr;             /* node idx or -1 */
     int frameset_ok, ignore_next_lf, scripting, saw_foreign, stopped;
     int foster, quirks, bail;
@@ -1276,12 +1278,22 @@ static void appropriate_place(Parser *P, int override, int *parent,
         CNode *tn = ND(P, target);
         if (tn->ns == NS_HTML && (tagflags(tn->tag) & F_TABLE_SECTION)) {
             int last_table = -1, last_table_idx = -1, i;
+            int last_template = -1, last_template_idx = -1;
             for (i = 0; i < P->nopen; i++) {
                 CNode *el = ND(P, P->open[i]);
+                if (el->tag == TAG_TEMPLATE && el->ns == NS_HTML) {
+                    last_template = P->open[i];
+                    last_template_idx = i;
+                }
                 if (el->tag == TAG_TABLE && el->ns == NS_HTML) {
                     last_table = P->open[i];
                     last_table_idx = i;
                 }
+            }
+            if (last_template >= 0
+                && (last_table < 0 || last_template_idx > last_table_idx)) {
+                *parent = last_template;  /* append inside the template */
+                return;
             }
             if (last_table < 0) { *parent = P->open[0]; return; }
             if (ND(P, last_table)->parent >= 0) {
@@ -1600,7 +1612,8 @@ static void clear_to_table_context(Parser *P) {
     for (;;) {
         CNode *nd = ND(P, P->open[P->nopen - 1]);
         if (nd->ns == NS_HTML
-            && (nd->tag == TAG_TABLE || nd->tag == TAG_HTML))
+            && (nd->tag == TAG_TABLE || nd->tag == TAG_TEMPLATE
+                || nd->tag == TAG_HTML))
             return;
         P->nopen--;
     }
@@ -1611,7 +1624,8 @@ static void clear_to_table_body_context(Parser *P) {
         CNode *nd = ND(P, P->open[P->nopen - 1]);
         if (nd->ns == NS_HTML
             && (nd->tag == TAG_TBODY || nd->tag == TAG_TFOOT
-                || nd->tag == TAG_THEAD || nd->tag == TAG_HTML))
+                || nd->tag == TAG_THEAD || nd->tag == TAG_TEMPLATE
+                || nd->tag == TAG_HTML))
             return;
         P->nopen--;
     }
@@ -1621,7 +1635,8 @@ static void clear_to_table_row_context(Parser *P) {
     for (;;) {
         CNode *nd = ND(P, P->open[P->nopen - 1]);
         if (nd->ns == NS_HTML
-            && (nd->tag == TAG_TR || nd->tag == TAG_HTML))
+            && (nd->tag == TAG_TR || nd->tag == TAG_TEMPLATE
+                || nd->tag == TAG_HTML))
             return;
         P->nopen--;
     }
@@ -1691,6 +1706,37 @@ static void clear_afe_to_marker(Parser *P) {
     }
 }
 
+/* ------------------------------------------------------------- template */
+
+/* treebuilder.py guards use bare `e.tag == "template"` (namespace-blind);
+ * _end_template's stack check requires the HTML namespace — mirror both. */
+static int stack_has_template_anyns(Parser *P) {
+    int i;
+    for (i = 0; i < P->nopen; i++)
+        if (ND(P, P->open[i])->tag == TAG_TEMPLATE) return 1;
+    return 0;
+}
+
+static int stack_has_template_html(Parser *P) {
+    int i;
+    for (i = 0; i < P->nopen; i++) {
+        CNode *nd = ND(P, P->open[i]);
+        if (nd->tag == TAG_TEMPLATE && nd->ns == NS_HTML) return 1;
+    }
+    return 0;
+}
+
+static void tmode_push(Parser *P, int mode) {
+    if (P->ntmodes >= MAX_TMODES) { P->bail = 1; return; }
+    P->tmodes[P->ntmodes++] = mode;
+}
+
+static void tmode_switch(Parser *P, int mode) {
+    if (P->ntmodes) P->ntmodes--;
+    tmode_push(P, mode);
+    P->mode = mode;
+}
+
 /* -------------------------------------------------- reset insertion mode */
 
 static void reset_insertion_mode(Parser *P) {
@@ -1705,6 +1751,7 @@ static void reset_insertion_mode(Parser *P) {
             if (!last) {
                 for (j = i - 1; j > 0; j--) {
                     CNode *anc = ND(P, P->open[j]);
+                    if (anc->tag == TAG_TEMPLATE) break;
                     if (anc->tag == TAG_TABLE) {
                         mode = M_IN_SELECT_IN_TABLE;
                         break;
@@ -1724,6 +1771,11 @@ static void reset_insertion_mode(Parser *P) {
         if (tag == TAG_CAPTION) { P->mode = M_IN_CAPTION; return; }
         if (tag == TAG_COLGROUP) { P->mode = M_IN_COLUMN_GROUP; return; }
         if (tag == TAG_TABLE) { P->mode = M_IN_TABLE; return; }
+        if (tag == TAG_TEMPLATE) {
+            if (P->ntmodes == 0) { P->bail = 1; return; }
+            P->mode = P->tmodes[P->ntmodes - 1];
+            return;
+        }
         if (tag == TAG_HEAD && !last) { P->mode = M_IN_HEAD; return; }
         if (tag == TAG_BODY) { P->mode = M_IN_BODY; return; }
         if (tag == TAG_FRAMESET) { P->mode = M_IN_FRAMESET; return; }
@@ -1793,6 +1845,8 @@ static int mode_in_body(Parser *P, Tok *t);
 static int mode_in_head(Parser *P, Tok *t);
 static int mode_in_table(Parser *P, Tok *t);
 static int mode_in_select(Parser *P, Tok *t);
+static int mode_in_template(Parser *P, Tok *t);
+static int end_template(Parser *P);
 static int in_body_start(Parser *P, Tok *t);
 static int in_body_end(Parser *P, Tok *t);
 static int any_other_end_tag(Parser *P, Tok *t);
@@ -1938,6 +1992,60 @@ static int mode_before_head(Parser *P, Tok *t) {
 }
 
 /* ---- mode: in head ---- */
+/* ---- template close + mode (treebuilder.py _end_template /
+ * _mode_in_template) ---- */
+static int end_template(Parser *P) {
+    if (!stack_has_template_html(P)) return RC_DONE;
+    generate_implied_end(P, -2, 1);  /* thorough */
+    pop_until_tag(P, TAG_TEMPLATE);
+    clear_afe_to_marker(P);
+    if (P->ntmodes) P->ntmodes--;
+    reset_insertion_mode(P);
+    return RC_DONE;
+}
+
+static int mode_in_template(Parser *P, Tok *t) {
+    switch (t->kind) {
+    case TK_CHARS: case TK_COMMENT: case TK_DOCTYPE:
+        return mode_in_body(P, t);
+    case TK_START:
+        switch (t->tag) {
+        case TAG_BASE: case TAG_BASEFONT: case TAG_BGSOUND: case TAG_LINK:
+        case TAG_META: case TAG_NOFRAMES: case TAG_SCRIPT: case TAG_STYLE:
+        case TAG_TEMPLATE: case TAG_TITLE:
+            return mode_in_head(P, t);
+        case TAG_CAPTION: case TAG_COLGROUP: case TAG_TBODY: case TAG_TFOOT:
+        case TAG_THEAD:
+            tmode_switch(P, M_IN_TABLE);
+            return RC_REPROCESS;
+        case TAG_COL:
+            tmode_switch(P, M_IN_COLUMN_GROUP);
+            return RC_REPROCESS;
+        case TAG_TR:
+            tmode_switch(P, M_IN_TABLE_BODY);
+            return RC_REPROCESS;
+        case TAG_TD: case TAG_TH:
+            tmode_switch(P, M_IN_ROW);
+            return RC_REPROCESS;
+        }
+        tmode_switch(P, M_IN_BODY);
+        return RC_REPROCESS;
+    case TK_END:
+        if (t->tag == TAG_TEMPLATE) return end_template(P);
+        return RC_DONE;
+    default:  /* EOF */
+        if (!stack_has_template_html(P)) {
+            P->stopped = 1;
+            return RC_DONE;
+        }
+        pop_until_tag(P, TAG_TEMPLATE);
+        clear_afe_to_marker(P);
+        if (P->ntmodes) P->ntmodes--;
+        reset_insertion_mode(P);
+        return RC_REPROCESS;
+    }
+}
+
 static int mode_in_head(Parser *P, Tok *t) {
     if (t->kind == TK_CHARS) {
         Py_ssize_t i = ws_prefix(t->data, t->dlen);
@@ -1975,7 +2083,12 @@ static int mode_in_head(Parser *P, Tok *t) {
             P->mode = M_TEXT;
             return RC_DONE;
         case TAG_TEMPLATE:
-            P->bail = 1; return RC_DONE;
+            insert_element_tok(P, t, 1);
+            afe_push_raw(P, -1);  /* marker */
+            P->frameset_ok = 0;
+            P->mode = M_IN_TEMPLATE;
+            tmode_push(P, M_IN_TEMPLATE);
+            return RC_DONE;
         case TAG_HEAD:
             return RC_DONE;
         }
@@ -1985,7 +2098,7 @@ static int mode_in_head(Parser *P, Tok *t) {
             P->mode = M_AFTER_HEAD;
             return RC_DONE;
         }
-        if (t->tag == TAG_TEMPLATE) { P->bail = 1; return RC_DONE; }
+        if (t->tag == TAG_TEMPLATE) return end_template(P);
         if (t->tag != TAG_BODY && t->tag != TAG_HTML && t->tag != TAG_BR)
             return RC_DONE;
     }
@@ -2051,11 +2164,9 @@ static int mode_after_head(Parser *P, Tok *t) {
             insert_element_tok(P, t, 1);
             P->mode = M_IN_FRAMESET;
             return RC_DONE;
-        case TAG_TEMPLATE:
-            P->bail = 1; return RC_DONE;
         case TAG_BASE: case TAG_BASEFONT: case TAG_BGSOUND: case TAG_LINK:
         case TAG_META: case TAG_NOFRAMES: case TAG_SCRIPT: case TAG_STYLE:
-        case TAG_TITLE: {
+        case TAG_TEMPLATE: case TAG_TITLE: {
             open_push(P, P->head_ptr);
             mode_in_head(P, t);
             {
@@ -2068,7 +2179,7 @@ static int mode_after_head(Parser *P, Tok *t) {
             return RC_DONE;
         }
     } else if (t->kind == TK_END) {
-        if (t->tag == TAG_TEMPLATE) { P->bail = 1; return RC_DONE; }
+        if (t->tag == TAG_TEMPLATE) return mode_in_head(P, t);
         if (t->tag != TAG_BODY && t->tag != TAG_HTML && t->tag != TAG_BR)
             return RC_DONE;
     }
@@ -2136,6 +2247,7 @@ static int mode_in_body(Parser *P, Tok *t) {
     case TK_END:
         return in_body_end(P, t);
     default:  /* EOF */
+        if (P->ntmodes) return mode_in_template(P, t);
         P->stopped = 1;
         return RC_DONE;
     }
@@ -2151,16 +2263,16 @@ static int in_body_start(Parser *P, Tok *t) {
     uint16_t f = tagflags(t->tag);
     switch (t->tag) {
     case TAG_HTML:
+        if (stack_has_template_anyns(P)) return RC_DONE;
         merge_attrs_into(P, P->open[0], t);
         return RC_DONE;
     case TAG_BASE: case TAG_BASEFONT: case TAG_BGSOUND: case TAG_LINK:
     case TAG_META: case TAG_NOFRAMES: case TAG_SCRIPT: case TAG_STYLE:
-    case TAG_TITLE:
+    case TAG_TEMPLATE: case TAG_TITLE:
         return mode_in_head(P, t);
-    case TAG_TEMPLATE:
-        P->bail = 1; return RC_DONE;
     case TAG_BODY: {
-        if (P->nopen < 2 || ND(P, P->open[1])->tag != TAG_BODY)
+        if (P->nopen < 2 || ND(P, P->open[1])->tag != TAG_BODY
+            || stack_has_template_anyns(P))
             return RC_DONE;
         P->frameset_ok = 0;
         merge_attrs_into(P, P->open[1], t);
@@ -2183,9 +2295,13 @@ static int in_body_start(Parser *P, Tok *t) {
         P->frameset_ok = 0;
         return RC_DONE;
     case TAG_FORM: {
-        if (P->form_ptr >= 0) return RC_DONE;
+        int has_tmpl = stack_has_template_anyns(P);
+        if (P->form_ptr >= 0 && !has_tmpl) return RC_DONE;
         if (in_scope_tag(P, TAG_P, B_BUTTON)) close_p(P);
-        P->form_ptr = insert_element_tok(P, t, 1);
+        {
+            int el = insert_element_tok(P, t, 1);
+            if (!has_tmpl) P->form_ptr = el;
+        }
         return RC_DONE;
     }
     case TAG_LI: {
@@ -2562,7 +2678,7 @@ static int adoption_agency(Parser *P, Tok *t) {
 
 static int in_body_end(Parser *P, Tok *t) {
     uint16_t f = tagflags(t->tag);
-    if (t->tag == TAG_TEMPLATE) { P->bail = 1; return RC_DONE; }
+    if (t->tag == TAG_TEMPLATE) return end_template(P);
     if (t->tag == TAG_BODY || t->tag == TAG_HTML) {
         if (!in_scope_tag(P, TAG_BODY, B_BASE)) return RC_DONE;
         P->mode = M_AFTER_BODY;
@@ -2575,14 +2691,20 @@ static int in_body_end(Parser *P, Tok *t) {
         return RC_DONE;
     }
     if (t->tag == TAG_FORM) {
-        int node = P->form_ptr;
-        P->form_ptr = -1;
-        if (node < 0 || !in_scope_node(P, node)) return RC_DONE;
-        generate_implied_end(P, -2, 0);
-        {
-            int idx = open_index(P, node);
-            if (idx >= 0) open_remove_at(P, idx);
+        if (!stack_has_template_anyns(P)) {
+            int node = P->form_ptr;
+            P->form_ptr = -1;
+            if (node < 0 || !in_scope_node(P, node)) return RC_DONE;
+            generate_implied_end(P, -2, 0);
+            {
+                int idx = open_index(P, node);
+                if (idx >= 0) open_remove_at(P, idx);
+            }
+            return RC_DONE;
         }
+        if (!in_scope_tag(P, TAG_FORM, B_BASE)) return RC_DONE;
+        generate_implied_end(P, -2, 0);
+        pop_until_tag(P, TAG_FORM);
         return RC_DONE;
     }
     if (t->tag == TAG_P) {
@@ -2637,7 +2759,9 @@ static int mode_in_table(Parser *P, Tok *t) {
     case TK_CHARS: {
         int c = cur(P);
         CNode *cn = c >= 0 ? ND(P, c) : NULL;
-        if (cn && cn->ns == NS_HTML && (tagflags(cn->tag) & F_TABLE_SECTION)) {
+        if (cn && cn->ns == NS_HTML
+            && ((tagflags(cn->tag) & F_TABLE_SECTION)
+                || cn->tag == TAG_TEMPLATE)) {
             strip_nuls(P, t);
             if (t->dlen == 0) return RC_DONE;
             if (!all_ws(t->data, t->dlen)) {
@@ -2692,10 +2816,8 @@ static int mode_in_table(Parser *P, Tok *t) {
             pop_until_tag(P, TAG_TABLE);
             reset_insertion_mode(P);
             return RC_REPROCESS;
-        case TAG_STYLE: case TAG_SCRIPT:
+        case TAG_STYLE: case TAG_SCRIPT: case TAG_TEMPLATE:
             return mode_in_head(P, t);
-        case TAG_TEMPLATE:
-            P->bail = 1; return RC_DONE;
         case TAG_INPUT: {
             int ai = tok_attr_find(t, "type");
             if (ai >= 0 && eq_lit_ci(t->a[ai].v, t->a[ai].vl, "hidden")) {
@@ -2705,7 +2827,7 @@ static int mode_in_table(Parser *P, Tok *t) {
             break;  /* anything-else */
         }
         case TAG_FORM:
-            if (P->form_ptr < 0) {
+            if (P->form_ptr < 0 && !stack_has_template_anyns(P)) {
                 P->form_ptr = insert_element_tok(P, t, 1);
                 P->nopen--;
             }
@@ -2720,7 +2842,7 @@ static int mode_in_table(Parser *P, Tok *t) {
             reset_insertion_mode(P);
             return RC_DONE;
         case TAG_TEMPLATE:
-            P->bail = 1; return RC_DONE;
+            return end_template(P);
         case TAG_BODY: case TAG_CAPTION: case TAG_COL: case TAG_COLGROUP:
         case TAG_HTML: case TAG_TBODY: case TAG_TD: case TAG_TFOOT:
         case TAG_TH: case TAG_THEAD: case TAG_TR:
@@ -2780,7 +2902,7 @@ static int mode_in_column_group(Parser *P, Tok *t) {
             insert_element_tok(P, t, 0);
             return RC_DONE;
         }
-        if (t->tag == TAG_TEMPLATE) { P->bail = 1; return RC_DONE; }
+        if (t->tag == TAG_TEMPLATE) return mode_in_head(P, t);
     } else if (t->kind == TK_END) {
         if (t->tag == TAG_COLGROUP) {
             int c = cur(P);
@@ -2790,7 +2912,7 @@ static int mode_in_column_group(Parser *P, Tok *t) {
             return RC_DONE;
         }
         if (t->tag == TAG_COL) return RC_DONE;
-        if (t->tag == TAG_TEMPLATE) { P->bail = 1; return RC_DONE; }
+        if (t->tag == TAG_TEMPLATE) return mode_in_head(P, t);
     } else {  /* EOF */
         return mode_in_body(P, t);
     }
@@ -2991,10 +3113,8 @@ static int mode_in_select(Parser *P, Tok *t) {
             pop_until_tag(P, TAG_SELECT);
             reset_insertion_mode(P);
             return RC_REPROCESS;
-        case TAG_SCRIPT:
+        case TAG_SCRIPT: case TAG_TEMPLATE:
             return mode_in_head(P, t);
-        case TAG_TEMPLATE:
-            P->bail = 1; return RC_DONE;
         }
         break;
     case TK_END:
@@ -3019,7 +3139,7 @@ static int mode_in_select(Parser *P, Tok *t) {
             reset_insertion_mode(P);
             return RC_DONE;
         case TAG_TEMPLATE:
-            P->bail = 1; return RC_DONE;
+            return end_template(P);
         }
         break;
     default:  /* EOF */
@@ -3189,7 +3309,7 @@ static int mode_after_after_frameset(Parser *P, Tok *t) {
 /* ---- foreign content ---- */
 
 typedef int (*ModeFn)(Parser *, Tok *);
-static ModeFn MODE_DISPATCH[21];
+static ModeFn MODE_DISPATCH[22];
 
 static void process_html(Parser *P, Tok *t) {
     for (;;) {
@@ -3353,6 +3473,7 @@ static void init_dispatch(void) {
     MODE_DISPATCH[M_AFTER_FRAMESET] = mode_after_frameset;
     MODE_DISPATCH[M_AFTER_AFTER_BODY] = mode_after_after_body;
     MODE_DISPATCH[M_AFTER_AFTER_FRAMESET] = mode_after_after_frameset;
+    MODE_DISPATCH[M_IN_TEMPLATE] = mode_in_template;
 }
 
 /* ====================================================== DOM materialization */
@@ -3524,6 +3645,7 @@ static void parser_reset(Parser *P, const uint8_t *s, Py_ssize_t n,
     P->text.len = 0; P->ab.len = 0; P->tokp.len = 0; P->chp.len = 0;
     P->nattrs = 0; P->nnodes = 0; P->nopen = 0; P->nafe = 0;
     P->mode = M_INITIAL; P->original_mode = M_INITIAL;
+    P->ntmodes = 0;
     P->head_ptr = -1; P->form_ptr = -1;
     P->frameset_ok = 1; P->ignore_next_lf = 0;
     P->scripting = scripting;

@@ -25,9 +25,10 @@ from .treebuilder import TreeBuilder
 
 # Fused C parser accelerator (tokenizer + tree construction in one pass;
 # see _cparser.c). Returns None ("bail") on constructs outside its ported
-# subset — notably <template> — and the pure-Python kernel runs instead, so
-# behavior is identical by construction (differential tests:
-# tests/test_cparser.py). Force-disable with HTMLRAY_NO_CPARSE=1.
+# subset (fragments, error collection, allocation failure) and the
+# pure-Python kernel runs instead, so behavior is identical by construction
+# (differential tests: tests/test_cparser.py). Force-disable with
+# HTMLRAY_NO_CPARSE=1.
 try:
     from . import _cparser_build as _cp_loader
     _CPARSE = _cp_loader.load()

@@ -200,9 +200,36 @@ def test_extract_complex_selector_uses_python():
 
 # ---------------------------------------------------------------- contract
 
-def test_template_bails():
-    assert P._CPARSE.parse("<template>x</template>") is None
-    assert P._CPARSE.parse("<table><template><tr>") is None
+def test_template_differential():
+    """Template is fully ported (insertion-mode stack, foster preference,
+    form-pointer guards); every vector must parse in C and match Python."""
+    vectors = [
+        "<template>x</template>",
+        "<template><p>a<p>b</template>tail",
+        "<table><template><tr><td>c</td></tr></template></table>",
+        "<template><td>cell</template>", "<template><col>",
+        "<template><tr><td>x", "<template><caption>cap</template>",
+        "<table><tr><template><td>t</template><td>u",
+        "<template><template><p>nested</template>outer</template>",
+        "<form><template><form><input name=a></form></template>",
+        "<template><form x=1>f</template><form y=2>",
+        "<html t=1><template><html u=2>", "<template><body b=1>",
+        "<template><frameset>", "<template></div>stray", "<template>",
+        "<template><script>raw</script></template>",
+        "<select><template><option>o</template></select>",
+        "<table><template>text</template></table>",
+        "<table><colgroup><template><col></template>",
+        "<svg><template><circle>", "<template><svg><td>",
+        "<table><tr><td><template><td>q", "</template>stray-end",
+        "<head></head><template>after-head</template>",
+        "<body></body><template>after-body",
+        "<template><tbody><tr><td>1<td>2</template>",
+        "<template><p>eof-in-template", "<template><table><tr>eof",
+        "<caption><template></caption>x</template>y",
+    ]
+    for src in vectors:
+        for scripting in (True, False):
+            assert _check(src, scripting), f"C parser bailed on {src!r}"
 
 
 def test_collect_errors_uses_python_kernel():

@@ -54,16 +54,16 @@ def test_poison_document_fails_alone():
                   "spans": pa.array(spans, pa.list_(SPAN_TYPE))})
     pe = ParseExtract(on_error="skip")
 
-    real = pe.extractor.extract_spans
+    real = pe.extractor.extract_html
 
-    def poisoned(sp):
-        if sp and sp[0]["text"] == "<p>ok</p>" and poisoned.bomb:
+    def poisoned(html):
+        if html == "<p>ok</p>" and poisoned.bomb:
             poisoned.bomb -= 1
             raise ValueError("poison document")
-        return real(sp)
+        return real(html)
 
     poisoned.bomb = 1  # exactly the first document explodes
-    pe.extractor.extract_spans = poisoned
+    pe.extractor.extract_html = poisoned
     out = pe(t)
     # the poisoned doc degrades to an empty span list; the other four
     # documents are unaffected and the error is counted, not raised
