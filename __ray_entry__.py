@@ -40,7 +40,7 @@ def _staged_corpus(sf_dir: str) -> str:
     import os
     from htmlreader_ray.sources import corpus as corpus_mod
 
-    src = inspect.getsource(corpus_mod.build_page) + \
+    src = "layout-v2:" + inspect.getsource(corpus_mod.build_page) + \
         inspect.getsource(corpus_mod.interleave_rows)
     key = hashlib.md5(src.encode()).hexdigest()[:10]
     path = f"/tmp/graft_corpus_{os.path.basename(sf_dir.rstrip('/'))}_{key}"
@@ -49,7 +49,13 @@ def _staged_corpus(sf_dir: str) -> str:
         import shutil
         shutil.rmtree(path, ignore_errors=True)
         os.makedirs(path, exist_ok=True)
-        _corpus(sf_dir).write_parquet(path)
+        # Right-size output files: ~32 MB each (floor 8 for read
+        # parallelism). Without this the corpus Dataset's natural block
+        # count (64 at sf0.1) writes 64 micro-files and the downstream
+        # extract pays 64 read+parse tasks for <1 core-second of work.
+        src_bytes = os.path.getsize(f"{sf_dir}/documents.parquet")
+        nfiles = max(8, (src_bytes * 4) // (32 << 20))  # ~4x parquet->html
+        _corpus(sf_dir).repartition(int(nfiles)).write_parquet(path)
         with open(done, "w") as f:
             f.write("ok")
     return path

@@ -74,10 +74,12 @@ def run_queries(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
-    # warm the worker pool + imports on the smallest sf so the timed numbers
-    # measure pipeline throughput, not one-time session spin-up
+    # warm the worker pool + imports on the TARGET sf so the timed numbers
+    # measure pipeline throughput, not one-time session spin-up (a 32-wide
+    # worker pool importing the package + C parser costs ~3 s once per
+    # session; warming on a smaller sf leaves most workers unspawned)
     try:
-        _consume(qs["extract_interleaved"]("/root/testdata/sf0.001"))
+        _consume(qs["extract_interleaved"](sf_dir))
     except Exception:
         pass
     timings: dict[str, float] = {}
@@ -116,7 +118,7 @@ def main_bench() -> None:
 
 SCALE_CORPUS_DIR = os.environ.get("GRAFT_SCALE_CORPUS",
                                   "/tmp/graft_scale_corpus")
-SCALE_REPLICAS = int(os.environ.get("GRAFT_SCALE_REPLICAS", "240"))
+SCALE_REPLICAS = int(os.environ.get("GRAFT_SCALE_REPLICAS", "1200"))
 SCALE_N = int(os.environ.get("GRAFT_SCALE_N", "8"))
 SCALE_4N = 4 * SCALE_N
 
@@ -180,12 +182,15 @@ def _child_extract(num_cpus: int) -> None:
     from htmlreader_ray.pipelines.extract_pipeline import extract_from_parquet
 
     def build():
-        # same block granularity at both sizes: ~128 blocks of ~10k docs
-        # (~0.25 s of parse per task — fine enough to pack 28 slots without
-        # wave quantization, coarse enough that scheduling overhead stays
-        # <5%; probed 64/128/256/None at 1.2M docs, 128 won)
+        # same block granularity at both sizes: ~256 blocks of ~23k docs
+        # (~1 s of parse per task with the fused C parser — fine enough to
+        # pack 28 slots without wave quantization, coarse enough that
+        # scheduling overhead stays <5%). The corpus is sized (6M docs) so
+        # the 4N run takes ~15-20 s: after the C parser landed, the old
+        # 1.2M-doc corpus finished in <4 s at 32 CPUs and the measurement
+        # degenerated into fixed-overhead ratio (eff 0.45).
         return extract_from_parquet(SCALE_CORPUS_DIR,
-                                    override_num_blocks=128)
+                                    override_num_blocks=256)
 
     build().count()  # warm
     best = float("inf")
