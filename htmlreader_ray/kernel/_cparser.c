@@ -104,6 +104,8 @@ typedef struct {
     Pool ab;                            /* attr name/value bytes */
     Pool tokp;                          /* per-token name/attr staging */
     Pool chp;                           /* per-token chars staging */
+    Pool ttext_buf;                     /* pending table character tokens */
+    int ttext_active;
     CAttr *attrs; int nattrs, attrcap;
     CNode *nodes; int nnodes, nodecap;
     int *open; int nopen, opencap;
@@ -2762,15 +2764,13 @@ static int mode_in_table(Parser *P, Tok *t) {
         if (cn && cn->ns == NS_HTML
             && ((tagflags(cn->tag) & F_TABLE_SECTION)
                 || cn->tag == TAG_TEMPLATE)) {
-            strip_nuls(P, t);
-            if (t->dlen == 0) return RC_DONE;
-            if (!all_ws(t->data, t->dlen)) {
-                P->foster = 1;
-                mode_in_body(P, t);
-                P->foster = 0;
-            } else {
-                insert_text(P, t->data, t->dlen);
-            }
+            /* "pending table character tokens": consecutive chars tokens
+             * accumulate and are disposed of as ONE unit at the next
+             * non-chars token (flush_table_text) — chunk boundaries the
+             * tokenizer happens to emit must not affect the tree */
+            if (pool_put(&P->ttext_buf, t->data, t->dlen, NULL) < 0)
+                P->bail = 1;
+            P->ttext_active = 1;
             return RC_DONE;
         }
         P->foster = 1;
@@ -3409,7 +3409,42 @@ static void process_foreign(Parser *P, Tok *t) {
     /* EOF never routed here */
 }
 
+/* dispose of the pending table character tokens as one unit (the spec's
+ * in-table-text "anything else" step; mirror of the Python treebuilder's
+ * _flush_table_text) */
+static void flush_table_text(Parser *P) {
+    uint8_t *d = P->ttext_buf.buf;
+    size_t len = P->ttext_buf.len, w = 0, i;
+    int allws = 1;
+    P->ttext_active = 0;
+    for (i = 0; i < len; i++) {
+        uint8_t c = d[i];
+        if (c == 0) continue;           /* NUL: parse error, ignore */
+        if (allws && c != ' ' && c != '\t' && c != '\n' && c != '\f'
+            && c != '\r')
+            allws = 0;
+        d[w++] = c;
+    }
+    len = w;
+    if (len == 0) { P->ttext_buf.len = 0; return; }
+    if (allws) {
+        insert_text(P, d, (Py_ssize_t)len);
+    } else {
+        Tok ct;
+        memset(&ct, 0, sizeof(ct));
+        ct.kind = TK_CHARS;
+        ct.data = d;
+        ct.dlen = (Py_ssize_t)len;
+        P->foster = 1;
+        mode_in_body(P, &ct);
+        P->foster = 0;
+    }
+    P->ttext_buf.len = 0;
+}
+
 static void process_token(Parser *P, Tok *t) {
+    if (P->ttext_active && t->kind != TK_CHARS)
+        flush_table_text(P);
     if (t->kind == TK_CHARS && P->ignore_next_lf) {
         P->ignore_next_lf = 0;
         if (t->dlen && t->data[0] == '\n') {
@@ -3643,6 +3678,7 @@ static void parser_reset(Parser *P, const uint8_t *s, Py_ssize_t n,
                          int scripting) {
     P->s = s; P->n = n;
     P->text.len = 0; P->ab.len = 0; P->tokp.len = 0; P->chp.len = 0;
+    P->ttext_buf.len = 0; P->ttext_active = 0;
     P->nattrs = 0; P->nnodes = 0; P->nopen = 0; P->nafe = 0;
     P->mode = M_INITIAL; P->original_mode = M_INITIAL;
     P->ntmodes = 0;

@@ -90,6 +90,13 @@ class TreeBuilder:
         self.frameset_ok = True
         self.foster_parenting = False
         self.ignore_next_lf = False
+        # "pending table character tokens" (spec's in-table-text mode):
+        # consecutive chars tokens in a table context accumulate here and
+        # are disposed of as ONE unit at the next non-chars token — a run
+        # the tokenizer split (e.g. around a NUL) must not be flushed
+        # piecewise, else a whitespace-only chunk lands in the table while
+        # the rest is foster-parented.
+        self._pending_tt: Optional[list] = None
         # Default True for reference parity: the reference always treats
         # noscript as raw text — in head (Sources/HTMLParser.m:500), in body
         # (HTMLParser.m:914) and as a fragment context (HTMLParser.m:93-95);
@@ -454,6 +461,8 @@ class TreeBuilder:
     # ------------------------------------------------------------- dispatch
     def process(self, tok) -> None:
         kind = tok[0]
+        if self._pending_tt is not None and kind != "chars":
+            self._flush_table_text()
         if kind == "chars" and self.ignore_next_lf:
             self.ignore_next_lf = False
             data = tok[1]
@@ -1433,26 +1442,37 @@ class TreeBuilder:
         return False
 
     # --------------------------------------------------------- mode: tables
+    def _flush_table_text(self) -> None:
+        """Dispose of the pending table character tokens as one unit (the
+        spec's in-table-text "anything else" step)."""
+        data = "".join(self._pending_tt)
+        self._pending_tt = None
+        nnul = data.count("\0")
+        if nnul:
+            for _ in range(nnul):
+                self._err("unexpected-null-character")
+            data = data.replace("\0", "")
+        if not data:
+            return
+        if data.strip("\t\n\x0c\r "):
+            # any non-whitespace: the WHOLE run is reprocessed under
+            # in-body rules with foster parenting enabled
+            self._err("unexpected-chars-in-table")
+            self.foster_parenting = True
+            self._mode_in_body(("chars", data))
+            self.foster_parenting = False
+        else:
+            self._insert_text(data)
+
     def _mode_in_table(self, tok):
         kind = tok[0]
         if kind == "chars":
             cur = self.current
             if cur is not None and cur.namespace == HTML_NS and cur.tag in (
                     "table", "tbody", "tfoot", "thead", "tr", "template"):
-                data = tok[1]
-                if "\0" in data:
-                    self._err("unexpected-null-character")
-                    data = data.replace("\0", "")
-                if not data:
-                    return False
-                if data.strip("\t\n\x0c\r "):
-                    # non-ws: foster-parent via in-body rules
-                    self._err("unexpected-chars-in-table")
-                    self.foster_parenting = True
-                    self._mode_in_body(("chars", data))
-                    self.foster_parenting = False
-                else:
-                    self._insert_text(data)
+                if self._pending_tt is None:
+                    self._pending_tt = []
+                self._pending_tt.append(tok[1])
                 return False
             self._err("unexpected-token-in-table")
             self.foster_parenting = True
@@ -1614,7 +1634,10 @@ class TreeBuilder:
             return False
         self.open.pop()
         self.mode = IN_TABLE
-        return True
+        # return the (possibly ws-trimmed) token: for a chars chunk whose
+        # whitespace prefix was already inserted above, `True` would make
+        # the caller re-dispatch the ORIGINAL untrimmed chunk
+        return tok
 
     def _mode_in_table_body(self, tok):
         kind = tok[0]

@@ -1008,3 +1008,31 @@ def test_surrogate_entity_in_attr():
 |       title="�"
 |       "x"
 """)
+
+
+def test_pending_table_text_nul_split_is_one_unit():
+    # The tokenizer splits " \x00t" into chunks around the NUL; the spec's
+    # in-table-text pending list must still dispose of the WHOLE run as one
+    # unit: NUL dropped, " t" (contains non-ws) foster-parented together.
+    # Regression: the piecewise version put " " inside the table and
+    # fostered only "t".
+    check("<table> \x00t", """
+| <html>
+|   <head>
+|   <body>
+|     " t"
+|     <table>
+""")
+
+
+def test_pending_table_text_flushes_on_eof_lt():
+    # A trailing "<" re-emitted as text at EOF is part of the same pending
+    # run as the newline before it — "\n<" is fostered as one unit.
+    check("<table>\n<", """
+| <html>
+|   <head>
+|   <body>
+|     "
+<"
+|     <table>
+""")

@@ -78,6 +78,41 @@ def _soak_differential(args):
     return bad, first
 
 
+_SOUP_TAGS = (
+    "template", "table", "tr", "td", "th", "caption", "colgroup", "col",
+    "tbody", "thead", "tfoot", "select", "option", "optgroup", "svg",
+    "math", "mi", "ms", "annotation-xml", "foreignObject", "desc", "title",
+    "p", "b", "i", "a", "u", "em", "nobr", "div", "span", "li", "ul", "ol",
+    "dd", "dt", "dl", "button", "ruby", "rb", "rt", "rp", "frameset",
+    "frame", "noframes", "form", "input", "head", "body", "html", "script",
+    "style", "textarea", "xmp", "plaintext", "br", "img", "hr", "marquee",
+    "object", "applet", "h1", "h2", "pre", "listing", "center", "font",
+    "blockquote", "address", "article", "aside", "main", "menu",
+)
+
+
+def _structured_soup(rng: random.Random) -> str:
+    """Markup built from well-formed-ish tokens over the tags with special
+    tree-construction rules — reaches template/table/select/foreign modes
+    that pure character soup almost never forms."""
+    parts = []
+    for _ in range(rng.randint(1, 25)):
+        r = rng.random()
+        tag = rng.choice(_SOUP_TAGS)
+        if r < 0.45:
+            attrs = "" if rng.random() < 0.7 else ' a="b"'
+            parts.append(f"<{tag}{attrs}>")
+        elif r < 0.75:
+            parts.append(f"</{tag}>")
+        elif r < 0.9:
+            parts.append(rng.choice(_WORDS))
+        else:
+            parts.append(rng.choice(("<!--x-->", "&amp;", "&notit;",
+                                     "<!doctype html>", "\x00", " ", "]]>",
+                                     "<![CDATA[x]]>", "<?php ?>")))
+    return "".join(parts)
+
+
 def _soak_cparse(args):
     seed, trials = args
     from htmlreader_ray.kernel.parser import _CPARSE
@@ -95,13 +130,15 @@ def _soak_cparse(args):
     bad = 0
     first = None
     for k in range(trials):
-        if k % 2:
-            n = rng.randint(0, 200)
-            src = "".join(rng.choice(_ALPHABET) for _ in range(n))
-        else:
+        if k % 3 == 0:
             text = " ".join(rng.choice(_WORDS)
                             for _ in range(rng.randint(3, 30)))
             src = _mutate(rng, build_page(seed * 999983 + k, text))
+        elif k % 3 == 1:
+            n = rng.randint(0, 200)
+            src = "".join(rng.choice(_ALPHABET) for _ in range(n))
+        else:
+            src = _structured_soup(rng)
         for scripting in (True, False):
             doc = _CPARSE.parse(src, scripting=scripting)
             if doc is None:
