@@ -119,6 +119,13 @@ def main_bench() -> None:
 SCALE_CORPUS_DIR = os.environ.get("GRAFT_SCALE_CORPUS",
                                   "/tmp/graft_scale_corpus")
 SCALE_REPLICAS = int(os.environ.get("GRAFT_SCALE_REPLICAS", "1200"))
+# replicas packed per parquet file: 0.9 MB single-replica files cost ~2x in
+# read-side overhead (fragment setup + footer per file inside read tasks,
+# measured 6.3 s -> 3.0 s for the read+filter prefix at 28 slots); ~9 MB
+# files with 12.5k-row row groups keep block-splitting granularity while
+# matching how a real 100 TB corpus is laid out (big files, many row groups)
+SCALE_PACK = int(os.environ.get("GRAFT_SCALE_PACK", "10"))
+SCALE_ROW_GROUP = 12_500
 SCALE_N = int(os.environ.get("GRAFT_SCALE_N", "8"))
 SCALE_4N = 4 * SCALE_N
 
@@ -132,7 +139,8 @@ def _ensure_scale_corpus() -> int:
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
     marker = os.path.join(SCALE_CORPUS_DIR, "_done")
-    stamp = f"replicas={SCALE_REPLICAS} sf={SF_DIR}"
+    stamp = (f"replicas={SCALE_REPLICAS} pack={SCALE_PACK} "
+             f"rg={SCALE_ROW_GROUP} sf={SF_DIR}")
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == stamp:  # else rebuild: config changed
@@ -142,24 +150,31 @@ def _ensure_scale_corpus() -> int:
     import shutil
     shutil.rmtree(SCALE_CORPUS_DIR, ignore_errors=True)
     os.makedirs(SCALE_CORPUS_DIR, exist_ok=True)
+    n_files = (SCALE_REPLICAS + SCALE_PACK - 1) // SCALE_PACK
     with mp.Pool(min(16, max(os.cpu_count() - 2, 1))) as pool:
-        total = sum(pool.map(_build_scale_rep, range(SCALE_REPLICAS)))
+        total = sum(pool.map(_build_scale_file, range(n_files)))
     with open(marker, "w") as f:
         f.write(stamp)
     return total
 
 
-def _build_scale_rep(r: int) -> int:
+def _build_scale_file(i: int) -> int:
+    import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
     from htmlreader_ray.sources.corpus import BuildInterleaved
     docs = pq.read_table(f"{SF_DIR}/documents.parquet")
-    t = docs.set_column(0, "doc_id",
-                        pc.add(docs.column("doc_id"), r * 1_000_000))
-    corpus = BuildInterleaved()(t)
-    pq.write_table(corpus,
-                   os.path.join(SCALE_CORPUS_DIR, f"rep-{r:03d}.parquet"))
-    return corpus.num_rows
+    tables = []
+    for r in range(i * SCALE_PACK,
+                   min((i + 1) * SCALE_PACK, SCALE_REPLICAS)):
+        t = docs.set_column(0, "doc_id",
+                            pc.add(docs.column("doc_id"), r * 1_000_000))
+        tables.append(BuildInterleaved()(t))
+    big = pa.concat_tables(tables)
+    pq.write_table(big,
+                   os.path.join(SCALE_CORPUS_DIR, f"part-{i:03d}.parquet"),
+                   row_group_size=SCALE_ROW_GROUP)
+    return big.num_rows
 
 
 def _child_extract(num_cpus: int) -> None:
