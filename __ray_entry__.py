@@ -938,6 +938,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             keep_first, batch_format="pyarrow").select_columns(
                 ["doc_id", "lang", "n_tokens", "content_md5"])
 
+    def unigram_logprob(sf_dir: str):
+        """Corpus-as-its-own-LM quality scoring (CCNet-style proxy): one
+        distributed word-count aggregate trains the unigram model, the
+        bounded top-K vocabulary broadcasts once, and scoring streams.
+        Integer milli-nat output keeps the SQL oracle bit-exact."""
+        from htmlreader_ray.functions import scoring
+        return scoring.unigram_surprisal(_read(sf_dir, "documents"))
+
+    def top_tfidf_q(sf_dir: str):
+        """Most-distinctive term per document by tf-idf: df combiner ->
+        hash join on the word (no vocabulary broadcast) -> two-level
+        argmax. Integer-quantized scores; lexicographic tie-break."""
+        from htmlreader_ray.functions import scoring
+        return scoring.top_tfidf(_read(sf_dir, "documents"))
+
     return {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -1005,6 +1020,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": chunk_docs,
         "stratified_sample": stratified_sample,
         "incremental_dedup": incremental_dedup,
+        "unigram_logprob": unigram_logprob,
+        "top_tfidf": top_tfidf_q,
     }
 
 
@@ -1705,6 +1722,57 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, min(doc_id) OVER (PARTITION BY text) AS keeper
                   FROM filtered)
             WHERE doc_id = keeper
+        """,
+        # unigram_logprob / top_tfidf: per-word scores are quantized to
+        # int64 by floor(1000*x + 0.5) from expression trees mirrored
+        # verbatim in functions/scoring.py — ln() and IEEE division are
+        # bit-identical between libm and DuckDB here, and all cross-row
+        # aggregation happens on the integers, so the match is exact.
+        "unigram_logprob": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                FROM documents WHERE trim(text) <> ''
+            ), counts AS (
+                SELECT w, count(*) AS c FROM words GROUP BY w
+            ), tot AS (
+                SELECT CAST(sum(c) AS DOUBLE) AS t FROM counts
+            ), vocab AS (
+                SELECT w, CAST(floor(1000 * -ln(CAST(c AS DOUBLE) / t) + 0.5)
+                               AS BIGINT) AS s
+                FROM counts, tot ORDER BY c DESC, w LIMIT 65536
+            ), perdoc AS (
+                SELECT words.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                       CAST(sum(COALESCE(vocab.s,
+                            (SELECT CAST(floor(1000 * -ln(0.5 / t) + 0.5)
+                                         AS BIGINT) FROM tot)))
+                            AS BIGINT) AS surprisal_e3
+                FROM words LEFT JOIN vocab USING (w)
+                GROUP BY words.doc_id
+            )
+            SELECT d.doc_id, COALESCE(p.n_words, 0) AS n_words,
+                   COALESCE(p.surprisal_e3, 0) AS surprisal_e3
+            FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        """,
+        "top_tfidf": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                FROM documents WHERE trim(text) <> ''
+            ), n AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+            ), tf AS (
+                SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w
+            ), df AS (
+                SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY w
+            )
+            SELECT tf.doc_id, tf.w AS term,
+                   CAST(floor(1000 * (CAST(tf.tf AS DOUBLE)
+                                      * ln(n.n_docs / CAST(df.df AS DOUBLE)))
+                              + 0.5) AS BIGINT) AS score_e3
+            FROM tf JOIN df USING (w) CROSS JOIN n
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                       ORDER BY score_e3 DESC, term) = 1
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

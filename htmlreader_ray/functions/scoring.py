@@ -1,0 +1,216 @@
+"""Corpus-statistics document scoring: unigram-LM surprisal and tf-idf.
+
+Two classic two-pass quality-scoring operators a 100 TB training-data
+pipeline needs (the reference engine has no analogue — these extend the
+SURVEY.md §2 training-data rows; cf. the CCNet/Gopher quality filters):
+
+- ``unigram_surprisal``: train a unigram language model on the corpus
+  itself (one distributed word-count aggregate), broadcast the bounded
+  top-K vocabulary once via ``ray.put``, and score every document in a
+  single streaming pass — the "LM quality" proxy filter with the corpus
+  as its own model. The broadcast is bounded by ``top_k`` (vocabulary
+  TYPES, not tokens), never by corpus size; everything beyond the cap
+  scores as out-of-vocabulary.
+
+- ``top_tfidf``: each document's most distinctive term by tf-idf. The
+  document-frequency table is vocabulary-sized but unbounded in
+  principle, so it is NOT broadcast: (doc, word, tf) joins (word, df)
+  in a distributed hash join partitioned on the word, a block-local
+  argmax shrinks the per-doc exchange to O(blocks x docs-per-block),
+  and a final groupby(doc_id) picks the winner.
+
+Float discipline (same doctrine as ``quality_scores`` and the sketch
+oracles): every per-word score is quantized to int64 via
+``floor(scale * x + 0.5)`` — away-from-zero for the non-negative x here,
+identical in DuckDB and Python — computed from an expression tree the
+SQL oracle reproduces verbatim. ``ln()`` is bit-identical between
+libm (Python ``math.log``) and DuckDB on this platform (verified) and
+division is IEEE-exact, so the quantized integers match exactly; all
+cross-row aggregation (sums, maxes) then happens in integers where
+evaluation order cannot matter.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+
+from .text import _split_words_flat
+
+DEFAULT_SCALE = 1000
+DEFAULT_TOP_K = 65536
+
+
+def _narrow_partitions() -> int:
+    from .dedup import _default_join_partitions
+    return _default_join_partitions()
+
+
+def word_counts(ds, *, text_col: str = "text"):
+    """Distributed (w, n) token counts: block-local Arrow group_by partials
+    (one row per block x distinct word leaves each task), then one narrow
+    groupby over the partials."""
+    def partial(batch: pa.Table) -> pa.Table:
+        _, words = _split_words_flat(batch.column(text_col))
+        t = pa.table({"w": words})
+        g = t.group_by("w").aggregate([([], "count_all")])
+        return g.select(["w", "count_all"]).rename_columns(["w", "n"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+    agg = parts.repartition(_narrow_partitions()).groupby("w") \
+        .aggregate(Sum("n"))
+    return agg.map_batches(lambda b: b.rename_columns(["w", "n"]),
+                           batch_format="pyarrow")
+
+
+def _surprisal_int(c: float, t: float, scale: int) -> int:
+    # mirrored verbatim by the SQL oracle:
+    #   CAST(floor(scale * -ln(c / t) + 0.5) AS BIGINT)
+    return math.floor(scale * -math.log(c / t) + 0.5)
+
+
+class _ScoreDocs:
+    """Per-worker cached scorer: vocab dict fetched from plasma once per
+    worker process (task_cache keyed on the ObjectRef)."""
+
+    def __init__(self, ref, text_col: str, id_col: str):
+        import ray
+        self.vocab, self.s_oov = ray.get(ref)
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        row_ids, words = _split_words_flat(batch.column(self.text_col))
+        vocab, s_oov = self.vocab, self.s_oov
+        n = len(batch)
+        n_words = [0] * n
+        total = [0] * n
+        for rid, w in zip(row_ids, words.to_pylist()):
+            n_words[rid] += 1
+            total[rid] += vocab.get(w, s_oov)
+        return pa.Table.from_arrays(
+            [batch.column(self.id_col),
+             pa.array(n_words, pa.int64()),
+             pa.array(total, pa.int64())],
+            names=[self.id_col, "n_words", "surprisal_e3"])
+
+
+def unigram_surprisal(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                      top_k: int = DEFAULT_TOP_K, scale: int = DEFAULT_SCALE):
+    """(doc_id, n_words, surprisal_e3): total corpus-unigram surprisal per
+    document in integer milli-nats. Empty documents score (0, 0)."""
+    import ray
+
+    counts = word_counts(ds, text_col=text_col).materialize()  # vocab-sized
+    total_tokens = counts.sum("n") or 0
+    t = float(total_tokens)
+    vocab_rows = counts.sort(["n", "w"], descending=[True, False]) \
+        .limit(top_k).take_all()
+    vocab = {r["w"]: _surprisal_int(float(r["n"]), t, scale)
+             for r in vocab_rows}
+    s_oov = _surprisal_int(0.5, t, scale) if total_tokens else 0
+    ref = ray.put((vocab, s_oov))
+
+    from ..stages.task_cache import as_task
+    return ds.map_batches(
+        as_task(_ScoreDocs, ref=ref, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ tf-idf
+
+def _tf_rows(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """(doc_id, w, tf) term-frequency rows via one Arrow group_by."""
+    row_ids, words = _split_words_flat(batch.column(text_col))
+    ids = batch.column(id_col).take(pa.array(row_ids, pa.int64()))
+    flat = pa.table({"doc_id": ids, "w": words})
+    g = flat.group_by(["doc_id", "w"]).aggregate([([], "count_all")])
+    return g.select(["doc_id", "w", "count_all"]) \
+        .rename_columns(["doc_id", "w", "tf"])
+
+
+def _df_rows(batch: pa.Table, text_col: str) -> pa.Table:
+    """(w, df-partial) rows: each word counted once per document."""
+    row_ids, words = _split_words_flat(batch.column(text_col))
+    flat = pa.table({"row": pa.array(row_ids, pa.int64()), "w": words})
+    distinct = flat.group_by(["row", "w"]).aggregate([])
+    g = distinct.group_by("w").aggregate([([], "count_all")])
+    return g.select(["w", "count_all"]).rename_columns(["w", "df"])
+
+
+class _TfIdfScore:
+    def __init__(self, n_docs: int, scale: int):
+        self.n = float(n_docs)
+        self.scale = scale
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # mirrored verbatim by the SQL oracle:
+        #   CAST(floor(scale * (CAST(tf AS DOUBLE)
+        #                       * ln(n_docs / CAST(df AS DOUBLE))) + 0.5)
+        #        AS BIGINT)
+        n, scale = self.n, self.scale
+        tfs = batch.column("tf").to_pylist()
+        dfs = batch.column("df").to_pylist()
+        scores = [math.floor(scale * (float(tf) * math.log(n / float(df)))
+                             + 0.5)
+                  for tf, df in zip(tfs, dfs)]
+        out = batch.select(["doc_id", "w"]).rename_columns(["doc_id", "term"])
+        return out.append_column("score_e3", pa.array(scores, pa.int64()))
+
+
+def _argmax_block(batch: pa.Table) -> pa.Table:
+    """Block-local (doc_id, term, score_e3) winner per doc: shrinks the
+    per-doc shuffle from one row per (doc, word) to one per (block, doc)."""
+    if len(batch) == 0:
+        return batch
+    import pyarrow.compute as pc
+    idx = pc.sort_indices(batch, sort_keys=[
+        ("doc_id", "ascending"), ("score_e3", "descending"),
+        ("term", "ascending")])
+    srt = batch.take(idx)
+    import numpy as np
+    ids = srt.column("doc_id").to_numpy(zero_copy_only=False)
+    keep = np.ones(len(ids), dtype=bool)
+    keep[1:] = ids[1:] != ids[:-1]
+    return srt.filter(pa.array(keep))
+
+
+def _argmax_group(batch: pa.Table) -> pa.Table:
+    return _argmax_block(batch)
+
+
+def top_tfidf(ds, *, text_col: str = "text", id_col: str = "doc_id",
+              scale: int = DEFAULT_SCALE):
+    """(doc_id, term, score_e3): each document's highest-tf-idf term,
+    ties broken lexicographically. Documents with no words are absent.
+
+    Distributed end to end: df via partial-count combiner, tf x df via a
+    hash join partitioned on the word (no vocabulary broadcast), then a
+    two-level argmax (block-local partials, one groupby(doc_id))."""
+    from ray.data.aggregate import Sum
+
+    n_docs = ds.count()
+    parts = _narrow_partitions()
+
+    tf = ds.map_batches(_tf_rows, fn_kwargs={
+        "text_col": text_col, "id_col": id_col}, batch_format="pyarrow")
+    df_parts = ds.map_batches(_df_rows, fn_kwargs={"text_col": text_col},
+                              batch_format="pyarrow")
+    df = df_parts.repartition(parts).groupby("w").aggregate(Sum("df")) \
+        .map_batches(lambda b: b.rename_columns(["w", "df"]),
+                     batch_format="pyarrow")
+
+    # repartition both sides: groupby/map_batches output can carry
+    # zero-column empty blocks that poison Acero hash joins (see
+    # dedup._scrub_empty_blocks)
+    joined = tf.repartition(parts).join(
+        df.repartition(parts), join_type="inner", num_partitions=parts,
+        on=("w",), right_on=("w",))
+
+    scored = joined.map_batches(_TfIdfScore(n_docs, scale),
+                                batch_format="pyarrow")
+    partials = scored.map_batches(_argmax_block, batch_format="pyarrow")
+    return partials.repartition(parts).groupby(id_col) \
+        .map_groups(_argmax_group, batch_format="pyarrow")

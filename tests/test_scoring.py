@@ -1,0 +1,129 @@
+"""Corpus-statistics scoring (functions/scoring.py) vs naive references:
+unigram-LM surprisal and per-doc top tf-idf term, including the integer
+quantization contract the SQL oracles rely on."""
+
+import math
+from collections import Counter
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from htmlreader_ray.functions.scoring import (top_tfidf, unigram_surprisal,
+                                              word_counts)
+
+TEXTS = [
+    "a b c d e",
+    "a a a b",
+    "",
+    "   ",
+    "one",
+    "b c  d\te",
+    "a b c d e",
+    "rare word appears once",
+]
+
+
+def _words(t: str) -> list:
+    return [w for w in t.split() if w]
+
+
+def _ds(texts):
+    return ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts}))
+
+
+def naive_counts(texts) -> Counter:
+    c = Counter()
+    for t in texts:
+        c.update(_words(t))
+    return c
+
+
+def test_word_counts_matches_naive(ray_session):
+    got = {r["w"]: r["n"] for r in word_counts(_ds(TEXTS)).take_all()}
+    assert got == dict(naive_counts(TEXTS))
+
+
+def test_unigram_surprisal_matches_naive(ray_session):
+    out = {r["doc_id"]: (r["n_words"], r["surprisal_e3"])
+           for r in unigram_surprisal(_ds(TEXTS)).take_all()}
+    counts = naive_counts(TEXTS)
+    t = float(sum(counts.values()))
+
+    def s(c):
+        return math.floor(1000 * -math.log(c / t) + 0.5)
+
+    for i, text in enumerate(TEXTS):
+        ws = _words(text)
+        assert out[i] == (len(ws), sum(s(float(counts[w])) for w in ws)), i
+    # every doc present, empty docs score (0, 0)
+    assert out[2] == (0, 0) and out[3] == (0, 0)
+    assert len(out) == len(TEXTS)
+
+
+def test_unigram_topk_cap_and_oov(ray_session):
+    # cap the vocab to the 2 most frequent words; the rest score as OOV
+    out = {r["doc_id"]: r["surprisal_e3"]
+           for r in unigram_surprisal(_ds(TEXTS), top_k=2).take_all()}
+    counts = naive_counts(TEXTS)
+    t = float(sum(counts.values()))
+    top2 = {w for w, _ in sorted(counts.items(),
+                                 key=lambda kv: (-kv[1], kv[0]))[:2]}
+
+    def s(w):
+        c = float(counts[w]) if w in top2 else 0.5
+        return math.floor(1000 * -math.log(c / t) + 0.5)
+
+    for i, text in enumerate(TEXTS):
+        assert out[i] == sum(s(w) for w in _words(text)), i
+
+
+def naive_top_tfidf(texts):
+    n = float(len(texts))
+    df = Counter()
+    for t in texts:
+        df.update(set(_words(t)))
+    best = {}
+    for i, t in enumerate(texts):
+        tf = Counter(_words(t))
+        scored = sorted(
+            ((math.floor(1000 * (float(c) * math.log(n / float(df[w])))
+                         + 0.5), w) for w, c in tf.items()),
+            key=lambda sw: (-sw[0], sw[1]))
+        if scored:
+            best[i] = (scored[0][1], scored[0][0])
+    return best
+
+
+def test_top_tfidf_matches_naive(ray_session):
+    got = {r["doc_id"]: (r["term"], r["score_e3"])
+           for r in top_tfidf(_ds(TEXTS)).take_all()}
+    assert got == naive_top_tfidf(TEXTS)
+    # wordless docs are absent by contract
+    assert 2 not in got and 3 not in got
+
+
+def test_top_tfidf_tie_breaks_lexicographically(ray_session):
+    # two docs of unique-to-them words with equal tf/df: quantized scores
+    # tie exactly and the lexicographically smallest term must win
+    texts = ["zeta alpha mid", "beta omega mid"]
+    got = {r["doc_id"]: r["term"] for r in top_tfidf(_ds(texts)).take_all()}
+    assert got == {0: "alpha", 1: "beta"}
+
+
+def test_quantization_is_floor_half_up():
+    # the SQL mirror is floor(x + 0.5): verify the Python expression is not
+    # accidentally banker's rounding (round(0.5) == 0 would diverge)
+    assert math.floor(0.5 + 0.5) == 1
+    assert math.floor(1.5 + 0.5) == 2
+    assert math.floor(2.5 + 0.5) == 3
+
+
+@pytest.mark.parametrize("n_docs", [1, 7])
+def test_single_and_small_corpora(ray_session, n_docs):
+    texts = TEXTS[:n_docs]
+    uni = unigram_surprisal(_ds(texts)).take_all()
+    assert len(uni) == n_docs
+    tf = top_tfidf(_ds(texts)).take_all()
+    assert len(tf) == sum(1 for t in texts if _words(t))
