@@ -85,6 +85,27 @@ RUBY_CASES = [
     ("<ruby><rtc><rp>p</ruby>",
      '| <html>\n|   <head>\n|   <body>\n|     <ruby>\n|       <rtc>\n'
      '|         <rp>\n|           "p"'),
+    # full annotation chain: rb closes at rtc, rt/rp stack inside rtc,
+    # </ruby> generates the whole implied cascade
+    ("<ruby>a<rb>b<rtc>c<rt>d<rt>e<rp>f</ruby>g",
+     '| <html>\n|   <head>\n|   <body>\n|     <ruby>\n|       "a"\n'
+     '|       <rb>\n|         "b"\n|       <rtc>\n|         "c"\n'
+     '|         <rt>\n|           "d"\n|         <rt>\n|           "e"\n'
+     '|         <rp>\n|           "f"\n|     "g"'),
+    # non-implied element (span) blocks the except-rtc cascade: rt lands
+    # inside the span (parse error, but insertion point is the current node)
+    ("<ruby><rtc><span>x<rt>y</ruby>",
+     '| <html>\n|   <head>\n|   <body>\n|     <ruby>\n|       <rtc>\n'
+     '|         <span>\n|           "x"\n|           <rt>\n'
+     '|             "y"'),
+    # second <rb> closes the first (rb is in the implied-end list)
+    ("<ruby><rb>a<rb>b</ruby>",
+     '| <html>\n|   <head>\n|   <body>\n|     <ruby>\n|       <rb>\n'
+     '|         "a"\n|       <rb>\n|         "b"'),
+    # rt/rp outside any ruby: no scope check passes, inserted as generics
+    ("<div><rt>a<rp>b</div>",
+     '| <html>\n|   <head>\n|   <body>\n|     <div>\n|       <rt>\n'
+     '|         "a"\n|         <rp>\n|           "b"'),
 ]
 
 
