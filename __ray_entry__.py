@@ -953,6 +953,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from htmlreader_ray.functions import scoring
         return scoring.top_tfidf(_read(sf_dir, "documents"))
 
+    def inverted_index_q(sf_dir: str):
+        """Search-engine sink: term -> sorted postings + df. Block-local
+        distinct (term, doc) pairs, one groupby(term) merge."""
+        from htmlreader_ray.functions import indexing
+        return indexing.inverted_index(_read(sf_dir, "documents"))
+
+    def bigram_pmi_q(sf_dir: str):
+        """Top-50 adjacent pairs by quantized PMI: combiner counts, the
+        unigram table joined back on each bigram side (never broadcast),
+        integer milli-nat scores, bounded sort-limit."""
+        from htmlreader_ray.functions import indexing
+        return indexing.bigram_pmi(_read(sf_dir, "documents"))
+
     return {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -1022,6 +1035,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": incremental_dedup,
         "unigram_logprob": unigram_logprob,
         "top_tfidf": top_tfidf_q,
+        "inverted_index": inverted_index_q,
+        "bigram_pmi": bigram_pmi_q,
     }
 
 
@@ -1773,6 +1788,50 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN df USING (w) CROSS JOIN n
             QUALIFY ROW_NUMBER() OVER (PARTITION BY tf.doc_id
                                        ORDER BY score_e3 DESC, term) = 1
+        """,
+        "inverted_index": r"""
+            WITH pairs AS (
+                SELECT DISTINCT doc_id, w FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(text), '\s+'))
+                               AS w
+                    FROM documents WHERE trim(text) <> ''
+                )
+            )
+            SELECT w AS term,
+                   array_to_string(list(doc_id ORDER BY doc_id), ',')
+                       AS postings,
+                   CAST(count(*) AS BIGINT) AS df
+            FROM pairs GROUP BY w
+        """,
+        # PMI quantizes per-pair to int64 milli-nats with the same
+        # floor(1000*x + 0.5) ln/division bit-parity contract as
+        # unigram_logprob / top_tfidf (functions/indexing.py)
+        "bigram_pmi": r"""
+            WITH words AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM documents WHERE trim(text) <> ''
+            ), uni AS (
+                SELECT w, count(*) AS n FROM (
+                    SELECT unnest(ws) AS w FROM words) GROUP BY w
+            ), u AS (SELECT CAST(sum(n) AS DOUBLE) AS u FROM uni),
+            bi AS (
+                SELECT b['w1'] AS w1, b['w2'] AS w2, count(*) AS c FROM (
+                    SELECT unnest([{'w1': ws[i], 'w2': ws[i+1]}
+                                   for i in range(1, greatest(len(ws), 1))])
+                               AS b
+                    FROM words) GROUP BY 1, 2
+            ), t AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM bi)
+            SELECT bi.w1, bi.w2, bi.c,
+                   CAST(floor(1000 * ln((CAST(bi.c AS DOUBLE) / t.t)
+                                        / ((CAST(u1.n AS DOUBLE) / u.u)
+                                           * (CAST(u2.n AS DOUBLE) / u.u)))
+                              + 0.5) AS BIGINT) AS pmi_e3
+            FROM bi JOIN uni u1 ON bi.w1 = u1.w
+                    JOIN uni u2 ON bi.w2 = u2.w
+                    CROSS JOIN t CROSS JOIN u
+            WHERE bi.c >= 5
+            ORDER BY pmi_e3 DESC, bi.w1, bi.w2 LIMIT 50
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

@@ -1,0 +1,97 @@
+"""Inverted index and bigram-PMI (functions/indexing.py) vs naive
+references, including the cross-document adjacency boundary and the
+integer quantization contract."""
+
+import math
+from collections import Counter
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from htmlreader_ray.functions.indexing import bigram_pmi, inverted_index
+
+TEXTS = [
+    "a b c a",
+    "b c b c",
+    "",
+    "   ",
+    "c",
+    "x y x y x y x y x y",
+    "y x y x y x",
+]
+
+
+def _words(t):
+    return [w for w in t.split() if w]
+
+
+def _ds(texts):
+    return ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts}))
+
+
+def test_inverted_index_matches_naive(ray_session):
+    got = {r["term"]: (r["postings"], r["df"])
+           for r in inverted_index(_ds(TEXTS)).take_all()}
+    expect = {}
+    for i, t in enumerate(TEXTS):
+        for w in set(_words(t)):
+            expect.setdefault(w, []).append(i)
+    expect = {w: (",".join(map(str, sorted(ids))), len(ids))
+              for w, ids in expect.items()}
+    assert got == expect
+
+
+def test_inverted_index_postings_sorted_distinct(ray_session):
+    # duplicate occurrences within a doc collapse to one posting
+    out = inverted_index(_ds(["z z z", "z"])).take_all()
+    assert out == [{"term": "z", "postings": "0,1", "df": 2}]
+
+
+def naive_pmi(texts, min_count, top_k):
+    uni = Counter()
+    bi = Counter()
+    for t in texts:
+        ws = _words(t)
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    u = float(sum(uni.values()))
+    tt = float(sum(bi.values()))
+    rows = []
+    for (w1, w2), c in bi.items():
+        if c < min_count:
+            continue
+        pmi = math.floor(1000 * math.log((c / tt) / ((uni[w1] / u)
+                                                     * (uni[w2] / u)))
+                         + 0.5)
+        rows.append((w1, w2, c, pmi))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return rows[:top_k]
+
+
+@pytest.mark.parametrize("min_count", [1, 2, 5])
+def test_bigram_pmi_matches_naive(ray_session, min_count):
+    got = [(r["w1"], r["w2"], r["c"], r["pmi_e3"])
+           for r in bigram_pmi(_ds(TEXTS), min_count=min_count,
+                               top_k=10).take_all()]
+    assert got == naive_pmi(TEXTS, min_count, 10)
+
+
+def test_bigram_pmi_no_cross_document_pairs(ray_session):
+    # last word of doc 0 and first of doc 1 must NOT pair
+    out = bigram_pmi(_ds(["p q", "r s"]), min_count=1).take_all()
+    pairs = {(r["w1"], r["w2"]) for r in out}
+    assert ("q", "r") not in pairs
+    assert pairs == {("p", "q"), ("r", "s")}
+
+
+def test_bigram_pmi_negative_scores(ray_session):
+    # a pair of two very common words occurring together once scores
+    # negative PMI; the quantizer must floor correctly below zero
+    texts = ["a b"] + ["a c"] * 20 + ["d b"] * 20
+    out = {(r["w1"], r["w2"]): r["pmi_e3"]
+           for r in bigram_pmi(_ds(texts), min_count=1, top_k=100).take_all()}
+    assert out[("a", "b")] < 0
+    ref = dict(((w1, w2), p) for w1, w2, _c, p in naive_pmi(texts, 1, 100))
+    assert out == ref
