@@ -62,3 +62,36 @@ def test_exact_dedup_has_exactly_one_shuffle(ray_session):
     from htmlreader_ray.functions.dedup import exact_dedup_ids
     ds = exact_dedup_ids(_docs(ray_session))
     assert _shuffle_ops(ds) == ["Aggregate"]
+
+
+def test_top_tfidf_shuffle_budget(ray_session):
+    """tf-idf: df aggregate, ONE word-keyed hash join (the vocabulary is
+    never broadcast), argmax-partial repartitions, and the final per-doc
+    Aggregate — no Sort, no extra joins."""
+    from htmlreader_ray.functions.scoring import top_tfidf
+    ops = _shuffle_ops(top_tfidf(_docs(ray_session)))
+    assert ops.count("Join") == 1, ops
+    # the one Sort is the per-doc argmax groupby().map_groups (sort-based
+    # in the logical plan); its input is the block-local argmax partials,
+    # never the raw (doc, word) rows
+    assert ops.count("Sort") == 1, ops
+    assert "RandomShuffle" not in ops, ops
+
+
+def test_unigram_scoring_pass_is_map_only(ray_session):
+    """After the (separately-executed) vocab aggregate, the scoring pass
+    itself is a pure map over the documents — the plan of the returned
+    dataset contains no all-to-all at all."""
+    from htmlreader_ray.functions.scoring import unigram_surprisal
+    ds = unigram_surprisal(_docs(ray_session))
+    assert _shuffle_ops(ds) == []
+
+
+def test_bigram_pmi_two_joins_no_vocab_broadcast(ray_session):
+    """PMI joins the unigram table back on each bigram side (two Joins)
+    plus the bounded top-K Sort; bigram/unigram counts are combiner
+    aggregates so only type tables shuffle."""
+    from htmlreader_ray.functions.indexing import bigram_pmi
+    ops = _shuffle_ops(bigram_pmi(_docs(ray_session), min_count=1))
+    assert ops.count("Join") == 2, ops
+    assert ops.count("Sort") == 1, ops
