@@ -224,3 +224,33 @@ def run_tokenizer_case(case: dict) -> list[tuple[list, list]]:
         else:
             results.append((got, expected, sorted(tok.errors), want_errs))
     return results
+
+
+# ------------------------------------------------------------- encoding .dat
+
+@dataclass
+class EncodingCase:
+    """One html5lib encoding-sniffing case (the format the reference's
+    HTMLEncodingTests.m:69-115 scans: raw #data bytes followed by the
+    expected #encoding label)."""
+    data: bytes = b""
+    expected: str = ""
+
+
+def parse_encoding_dat(raw: bytes) -> list[EncodingCase]:
+    cases: list[EncodingCase] = []
+    for chunk in raw.split(b"#data\n")[1:]:
+        body, _, rest = chunk.partition(b"\n#encoding\n")
+        label = rest.split(b"\n", 1)[0].strip().decode("ascii")
+        cases.append(EncodingCase(data=body, expected=label))
+    return cases
+
+
+def run_encoding_case(case: EncodingCase) -> tuple[str, str]:
+    """Returns (got_label, expected_label), both lowercased. The document
+    is parsed through the byte entry point (sniff -> decode -> parse with
+    the meta-charset restart driver), mirroring how the reference's
+    encoding suite drives +[HTMLDocument documentWithData:]."""
+    from ..kernel.parser import parse_bytes
+    doc = parse_bytes(case.data)
+    return ((doc.parsed_encoding or "").lower(), case.expected.lower())

@@ -164,3 +164,25 @@ def test_vendored_tokenizer(case):
             got_errs, want_errs = result[2], result[3]
             assert got_errs == want_errs, (
                 f"error codes differ: {got_errs} != {want_errs}")
+
+
+def _vendored_encoding_cases():
+    from htmlreader_ray.testing.conformance import parse_encoding_dat
+    out = []
+    for path in sorted(glob.glob(os.path.join(CORPUS_DIR, "encoding",
+                                              "*.dat"))):
+        fname = os.path.basename(path)
+        with open(path, "rb") as f:
+            for i, case in enumerate(parse_encoding_dat(f.read())):
+                out.append(pytest.param(case, id=f"{fname}:{i}"))
+    return out
+
+
+@pytest.mark.parametrize("case", _vendored_encoding_cases() or
+                         [pytest.param(None, id="no-corpus-vendored")])
+def test_vendored_encoding_sniffing(case):
+    from htmlreader_ray.testing.conformance import run_encoding_case
+    if case is None:
+        pytest.skip("html5lib-tests encoding corpus not vendored")
+    got, want = run_encoding_case(case)
+    assert got == want
