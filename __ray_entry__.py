@@ -953,6 +953,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from htmlreader_ray.functions import scoring
         return scoring.top_tfidf(_read(sf_dir, "documents"))
 
+    def segment_top_orders(sf_dir: str):
+        """TPC-H Q3 analog: the canonical 3-table plan at scale —
+        customer filtered to keys-only, native hash join to date-filtered
+        orders, lineitem revenue quantized to integer cents PER ROW
+        (floor(100 * (l_extendedprice * (1 - l_discount)) + 0.5), mirrored
+        verbatim in the oracle so all sums are order-free integers) and
+        pre-aggregated by order inside each block before the order-key
+        join, final combiner groupby + bounded top-10 sort."""
+        import datetime
+        import math
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from ray.data.aggregate import Sum
+
+        cut = pa.scalar(datetime.datetime(1998, 6, 1), pa.timestamp("us"))
+
+        def cust_keys(b: pa.Table) -> pa.Table:
+            m = pc.equal(b.column("c_mktsegment"), "BUILDING")
+            return b.filter(m).select(["c_custkey"])
+
+        def orders_slim(b: pa.Table) -> pa.Table:
+            m = pc.less(b.column("o_orderdate"), cut)
+            return b.filter(m).select(
+                ["o_orderkey", "o_custkey", "o_orderdate"])
+
+        def li_partial(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.greater(b.column("l_shipdate"), cut))
+            cents = [math.floor(100 * (p * (1 - d)) + 0.5)
+                     for p, d in zip(t.column("l_extendedprice").to_pylist(),
+                                     t.column("l_discount").to_pylist())]
+            flat = pa.table({"l_orderkey": t.column("l_orderkey"),
+                             "cents": pa.array(cents, pa.int64())})
+            g = flat.group_by("l_orderkey").aggregate([("cents", "sum")])
+            return g.select(["l_orderkey", "cents_sum"]) \
+                .rename_columns(["l_orderkey", "cents"])
+
+        import os
+        # join partitions sized to the big side (~32 MB each, floor 8) —
+        # same discipline as the minhash shuffle
+        parts = int(max(8, os.path.getsize(f"{sf_dir}/lineitem.parquet")
+                        // (32 << 20)))
+        cust = _read(sf_dir, "customer").map_batches(
+            cust_keys, batch_format="pyarrow")
+        orders = _read(sf_dir, "orders").map_batches(
+            orders_slim, batch_format="pyarrow")
+        li = _read(sf_dir, "lineitem").map_batches(
+            li_partial, batch_format="pyarrow")
+
+        co = orders.join(cust, "inner", parts,
+                         on=("o_custkey",), right_on=("c_custkey",))
+        # join output can carry zero-column empty blocks; scrub before it
+        # feeds the second join (dedup._scrub_empty_blocks discipline)
+        col = li.join(co.repartition(parts), "inner", parts,
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+        agg = col.groupby(["l_orderkey", "o_orderdate"]) \
+            .aggregate(Sum("cents"))
+
+        def rename(b: pa.Table) -> pa.Table:
+            return b.rename_columns(
+                ["l_orderkey", "o_orderdate", "revenue_cents"])
+
+        return agg.map_batches(rename, batch_format="pyarrow") \
+            .sort(["revenue_cents", "l_orderkey"],
+                  descending=[True, False]).limit(10)
+
     def inverted_index_q(sf_dir: str):
         """Search-engine sink: term -> sorted postings + df. Block-local
         distinct (term, doc) pairs, one groupby(term) merge."""
@@ -1037,6 +1102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tfidf": top_tfidf_q,
         "inverted_index": inverted_index_q,
         "bigram_pmi": bigram_pmi_q,
+        "segment_top_orders": segment_top_orders,
     }
 
 
@@ -1832,6 +1898,25 @@ def oracle_sql() -> dict[str, str]:
                     CROSS JOIN t CROSS JOIN u
             WHERE bi.c >= 5
             ORDER BY pmi_e3 DESC, bi.w1, bi.w2 LIMIT 50
+        """,
+        # revenue quantizes to integer cents PER ROW before any sum —
+        # the same floor(+0.5)/IEEE contract as the scoring operators
+        "segment_top_orders": """
+            WITH li AS (
+                SELECT l_orderkey,
+                       CAST(floor(100 * (l_extendedprice * (1 - l_discount))
+                                  + 0.5) AS BIGINT) AS cents
+                FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-01'
+            )
+            SELECT o.o_orderkey AS l_orderkey, o.o_orderdate,
+                   CAST(sum(li.cents) AS BIGINT) AS revenue_cents
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN li ON li.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-01'
+            GROUP BY 1, 2
+            ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash
