@@ -66,16 +66,17 @@ def inverted_index(ds, *, text_col: str = "text", id_col: str = "doc_id"):
 # ---------------------------------------------------------------- PMI
 
 def _bigram_rows(batch: pa.Table, text_col: str) -> pa.Table:
-    """Block-local (w1, w2, c) adjacent-pair partial counts."""
+    """Block-local (w1, w2, c) adjacent-pair partial counts — all-Arrow:
+    the two shifted views are zero-copy slices filtered by the
+    same-document mask, never Python lists."""
     row_ids, words = _split_words_flat(batch.column(text_col))
-    w = np.asarray(words.to_pylist(), dtype=object)
-    if len(w) < 2:
+    if len(words) < 2:
         return pa.table({"w1": pa.array([], pa.string()),
                          "w2": pa.array([], pa.string()),
                          "c": pa.array([], pa.int64())})
-    adjacent = row_ids[1:] == row_ids[:-1]
-    flat = pa.table({"w1": pa.array(list(w[:-1][adjacent]), pa.string()),
-                     "w2": pa.array(list(w[1:][adjacent]), pa.string())})
+    adjacent = pa.array(row_ids[1:] == row_ids[:-1])
+    flat = pa.table({"w1": words.slice(0, len(words) - 1).filter(adjacent),
+                     "w2": words.slice(1).filter(adjacent)})
     g = flat.group_by(["w1", "w2"]).aggregate([([], "count_all")])
     return g.select(["w1", "w2", "count_all"]) \
         .rename_columns(["w1", "w2", "c"])

@@ -72,24 +72,36 @@ def _surprisal_int(c: float, t: float, scale: int) -> int:
 
 
 class _ScoreDocs:
-    """Per-worker cached scorer: vocab dict fetched from plasma once per
-    worker process (task_cache keyed on the ObjectRef)."""
+    """Per-worker cached scorer: vocab fetched from plasma once per worker
+    process (task_cache keyed on the ObjectRef) as an Arrow value_set +
+    int64 score vector; per-batch work is one index_in + two bincounts.
+    Integer surprisals summed as float64 bincount weights stay exact far
+    beyond any real document (< 2^53)."""
 
     def __init__(self, ref, text_col: str, id_col: str):
+        import numpy as np
         import ray
-        self.vocab, self.s_oov = ray.get(ref)
+        vocab, self.s_oov = ray.get(ref)
+        self.keys = pa.array(list(vocab.keys()), pa.string())
+        self.vals = np.fromiter(vocab.values(), dtype=np.int64,
+                                count=len(vocab))
         self.text_col = text_col
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
         row_ids, words = _split_words_flat(batch.column(self.text_col))
-        vocab, s_oov = self.vocab, self.s_oov
         n = len(batch)
-        n_words = [0] * n
-        total = [0] * n
-        for rid, w in zip(row_ids, words.to_pylist()):
-            n_words[rid] += 1
-            total[rid] += vocab.get(w, s_oov)
+        idx = pc.index_in(words, value_set=self.keys) \
+            .to_numpy(zero_copy_only=False)
+        oov = np.isnan(idx) if idx.dtype.kind == "f" else (idx < 0)
+        safe = np.where(oov, 0, idx).astype(np.int64)
+        scores = np.where(oov, self.s_oov,
+                          self.vals[safe] if len(self.vals) else 0)
+        n_words = np.bincount(row_ids, minlength=n).astype(np.int64)
+        total = np.bincount(row_ids, weights=scores.astype(np.float64),
+                            minlength=n).astype(np.int64)
         return pa.Table.from_arrays(
             [batch.column(self.id_col),
              pa.array(n_words, pa.int64()),
@@ -150,12 +162,18 @@ class _TfIdfScore:
         #   CAST(floor(scale * (CAST(tf AS DOUBLE)
         #                       * ln(n_docs / CAST(df AS DOUBLE))) + 0.5)
         #        AS BIGINT)
+        # ln() evaluates through math.log per DISTINCT df (libm, the
+        # bit-parity anchor — numpy's SIMD log is not guaranteed
+        # ulp-identical); the multiply/floor are IEEE-exact vector ops.
+        import numpy as np
         n, scale = self.n, self.scale
-        tfs = batch.column("tf").to_pylist()
-        dfs = batch.column("df").to_pylist()
-        scores = [math.floor(scale * (float(tf) * math.log(n / float(df)))
-                             + 0.5)
-                  for tf, df in zip(tfs, dfs)]
+        tf = batch.column("tf").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        df = batch.column("df").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uniq, inv = np.unique(df, return_inverse=True)
+        idf = np.array([math.log(n / float(d)) for d in uniq], np.float64)
+        scores = np.floor(scale * (tf * idf[inv]) + 0.5).astype(np.int64)
         out = batch.select(["doc_id", "w"]).rename_columns(["doc_id", "term"])
         return out.append_column("score_e3", pa.array(scores, pa.int64()))
 
