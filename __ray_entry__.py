@@ -1018,6 +1018,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .sort(["revenue_cents", "l_orderkey"],
                   descending=[True, False]).limit(10)
 
+    def quantize_embeddings(sf_dir: str):
+        """int8 embedding quantization for vector-corpus storage: pure
+        stateless map, bit-exact vs the oracle (double casts of parquet
+        float32 are exact; multiply/floor IEEE; comma-string vectors)."""
+        return _read(sf_dir, "embeddings").map_batches(
+            ann.quantize_embeddings_batch, batch_format="pyarrow")
+
     def inverted_index_q(sf_dir: str):
         """Search-engine sink: term -> sorted postings + df. Block-local
         distinct (term, doc) pairs, one groupby(term) merge."""
@@ -1103,6 +1110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": inverted_index_q,
         "bigram_pmi": bigram_pmi_q,
         "segment_top_orders": segment_top_orders,
+        "quantize_embeddings": quantize_embeddings,
     }
 
 
@@ -1917,6 +1925,29 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate < TIMESTAMP '1998-06-01'
             GROUP BY 1, 2
             ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
+        """,
+        "quantize_embeddings": """
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ), s AS (
+                SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) AS m
+                FROM e
+            )
+            SELECT vec_id,
+                   CASE WHEN m = 0
+                        THEN array_to_string(list_transform(v, x -> 0), ',')
+                        ELSE array_to_string(list_transform(v,
+                             x -> CAST(floor(x * (127.0 / m) + 0.5)
+                                       AS BIGINT)), ',')
+                   END AS qvec,
+                   CASE WHEN m = 0 THEN 0
+                        ELSE CAST(floor(1000000000 * (127.0 / m) + 0.5)
+                                  AS BIGINT)
+                   END AS scale_e9
+            FROM s
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

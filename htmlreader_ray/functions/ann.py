@@ -260,3 +260,29 @@ def ivf_topk(ds, query_ids: list[int], k: int = 5, *, n_centroids: int = 16,
                 vec_col=vec_col, id_col=id_col),
         batch_format="pyarrow")
     return merge_local_topk(local, k)
+
+
+def quantize_embeddings_batch(batch: pa.Table, *, vec_col: str = "embedding",
+                              id_col: str = "vec_id") -> pa.Table:
+    """Symmetric int8 quantization for embedding storage (the standard
+    4x shrink before writing a vector corpus): per-vector scale
+    127/max|x|, elements floor(x * scale + 0.5). Pure map — no state, no
+    shuffle. Every arithmetic step is a double-precision expression the
+    SQL oracle mirrors verbatim (parquet float32 -> float64 casts are
+    exact, multiply/floor are IEEE), the quantized vector serializes as
+    a comma string and the scale as integer nano-units, so the driver
+    hash matches bit-for-bit. Zero vectors quantize to zeros with
+    scale 0."""
+    mat = _batch_matrix(batch, vec_col).astype(np.float64)
+    m = np.abs(mat).max(axis=1)
+    nz = m != 0
+    scale = np.zeros(len(mat), np.float64)
+    scale[nz] = 127.0 / m[nz]
+    q = np.floor(mat * scale[:, None] + 0.5).astype(np.int64)
+    qstr = [",".join(map(str, row)) for row in q]
+    scale_e9 = np.zeros(len(mat), np.int64)
+    scale_e9[nz] = np.floor(1000000000 * scale[nz] + 0.5).astype(np.int64)
+    return pa.Table.from_arrays(
+        [batch.column(id_col), pa.array(qstr, pa.string()),
+         pa.array(scale_e9, pa.int64())],
+        names=[id_col, "qvec", "scale_e9"])

@@ -339,3 +339,28 @@ def test_wav_header_roundtrip():
     meta = out.column("meta").to_pylist()[0]
     assert meta["media_type"] == "audio" and meta["format"] == "wav"
     assert meta["duration_ms"] == 2500 and meta["decoded"] is True
+
+
+def test_quantize_embeddings_matches_naive():
+    import math
+    import numpy as np
+    import pyarrow as pa
+    from htmlreader_ray.functions.ann import quantize_embeddings_batch
+    vecs = [[0.5, -1.0, 0.25], [0.0, 0.0, 0.0], [3.0, 3.0, -3.0],
+            [1e-8, -2e-8, 0.0]]
+    b = pa.table({"vec_id": pa.array(range(len(vecs)), pa.int64()),
+                  "embedding": pa.array(vecs, pa.list_(pa.float32()))})
+    out = quantize_embeddings_batch(b).to_pylist()
+    for row, vec in zip(out, vecs):
+        v = [float(np.float32(x)) for x in vec]
+        m = max(abs(x) for x in v)
+        if m == 0:
+            assert row["qvec"] == ",".join("0" for _ in v)
+            assert row["scale_e9"] == 0
+            continue
+        scale = 127.0 / m
+        want = [math.floor(x * scale + 0.5) for x in v]
+        assert row["qvec"] == ",".join(map(str, want))
+        assert row["scale_e9"] == math.floor(1000000000 * scale + 0.5)
+        # int8 range contract
+        assert all(-128 <= q <= 127 for q in want)
