@@ -1018,6 +1018,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .sort(["revenue_cents", "l_orderkey"],
                   descending=[True, False]).limit(10)
 
+    def events_rollup(sf_dir: str):
+        """ROLLUP(day, event_type): three combiner aggregates (full,
+        per-day, grand total) unioned — each level shuffles only its own
+        partial rows, the classic multi-level-aggregate plan. Rolled-up
+        key positions carry 'ALL' so the schema stays string-typed on
+        both oracle sides."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def project(b: pa.Table) -> pa.Table:
+            day = pc.strftime(
+                pc.floor_temporal(b.column("ts"), unit="day"), "%Y-%m-%d")
+            return pa.Table.from_arrays(
+                [day, b.column("event_type")],
+                names=["day", "event_type"])
+
+        base = _read(sf_dir, "events").map_batches(
+            project, batch_format="pyarrow")
+        lvl2 = combine_aggregate(base, ["day", "event_type"],
+                                 [("", "count", "n_events")])
+        lvl1 = combine_aggregate(base, ["day"],
+                                 [("", "count", "n_events")]).map_batches(
+            lambda b: b.add_column(
+                1, "event_type",
+                pa.array(["ALL"] * len(b), pa.string())),
+            batch_format="pyarrow")
+        total = base.count()
+        lvl0 = ray.data.from_arrow(pa.table({
+            "day": pa.array(["ALL"], pa.string()),
+            "event_type": pa.array(["ALL"], pa.string()),
+            "n_events": pa.array([total], pa.int64())}))
+
+        def as_i64(b: pa.Table) -> pa.Table:
+            return b.set_column(
+                b.column_names.index("n_events"), "n_events",
+                pc.cast(b.column("n_events"), pa.int64()))
+
+        return lvl2.union(lvl1, lvl0).map_batches(
+            as_i64, batch_format="pyarrow")
+
     def quantize_embeddings(sf_dir: str):
         """int8 embedding quantization for vector-corpus storage: pure
         stateless map, bit-exact vs the oracle (double casts of parquet
@@ -1111,6 +1153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi": bigram_pmi_q,
         "segment_top_orders": segment_top_orders,
         "quantize_embeddings": quantize_embeddings,
+        "events_rollup": events_rollup,
     }
 
 
@@ -1925,6 +1968,15 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate < TIMESTAMP '1998-06-01'
             GROUP BY 1, 2
             ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
+        """,
+        "events_rollup": """
+            SELECT COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'),
+                            'ALL') AS day,
+                   COALESCE(event_type, 'ALL') AS event_type,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events
+            GROUP BY ROLLUP (strftime(date_trunc('day', ts), '%Y-%m-%d'),
+                             event_type)
         """,
         "quantize_embeddings": """
             WITH e AS (
