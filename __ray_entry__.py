@@ -1018,6 +1018,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .sort(["revenue_cents", "l_orderkey"],
                   descending=[True, False]).limit(10)
 
+    def customers_without_orders(sf_dir: str):
+        """Anti-join, the set-difference member of the join family:
+        customers with NO order above 400k — native left_anti hash join
+        on the customer key; only the filtered keys shuffle from the
+        orders side (predicate + projection pushed before the
+        exchange)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        cust = _read(sf_dir, "customer").select_columns(
+            ["c_custkey", "c_mktsegment"])
+
+        def big_order_keys(b: pa.Table) -> pa.Table:
+            m = pc.greater(b.column("o_totalprice"), pa.scalar(400000.0))
+            return b.filter(m).select(["o_custkey"])
+
+        okeys = _read(sf_dir, "orders").map_batches(
+            big_order_keys, batch_format="pyarrow")
+        return cust.join(okeys, "left_anti", 8,
+                         on=("c_custkey",), right_on=("o_custkey",))
+
     def events_rollup(sf_dir: str):
         """ROLLUP(day, event_type): three combiner aggregates (full,
         per-day, grand total) unioned — each level shuffles only its own
@@ -1154,6 +1174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_top_orders": segment_top_orders,
         "quantize_embeddings": quantize_embeddings,
         "events_rollup": events_rollup,
+        "customers_without_orders": customers_without_orders,
     }
 
 
@@ -1968,6 +1989,12 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate < TIMESTAMP '1998-06-01'
             GROUP BY 1, 2
             ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 400000)
         """,
         "events_rollup": """
             SELECT COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'),
