@@ -1038,6 +1038,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return cust.join(okeys, "left_anti", 8,
                          on=("c_custkey",), right_on=("o_custkey",))
 
+    def customers_with_big_orders(sf_dir: str):
+        """Semi-join (EXISTS), the complement of the anti-join above:
+        native left_semi on the customer key, filtered keys only from
+        the orders side."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        cust = _read(sf_dir, "customer").select_columns(
+            ["c_custkey", "c_mktsegment"])
+
+        def big_order_keys(b: pa.Table) -> pa.Table:
+            m = pc.greater(b.column("o_totalprice"), pa.scalar(400000.0))
+            return b.filter(m).select(["o_custkey"])
+
+        okeys = _read(sf_dir, "orders").map_batches(
+            big_order_keys, batch_format="pyarrow")
+        return cust.join(okeys, "left_semi", 8,
+                         on=("c_custkey",), right_on=("o_custkey",))
+
     def events_rollup(sf_dir: str):
         """ROLLUP(day, event_type): three combiner aggregates (full,
         per-day, grand total) unioned — each level shuffles only its own
@@ -1175,6 +1193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings": quantize_embeddings,
         "events_rollup": events_rollup,
         "customers_without_orders": customers_without_orders,
+        "customers_with_big_orders": customers_with_big_orders,
     }
 
 
@@ -1995,6 +2014,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_totalprice > 400000)
+        """,
+        "customers_with_big_orders": """
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 400000)
         """,
         "events_rollup": """
             SELECT COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'),
