@@ -1038,6 +1038,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return cust.join(okeys, "left_anti", 8,
                          on=("c_custkey",), right_on=("o_custkey",))
 
+    def dup_spans(sf_dir: str):
+        """Duplicated-span index (Lee-et-al substring dedup at word-gram
+        granularity): positions of 3-grams shared by >=2 distinct docs.
+        Distinct-per-block partials -> gram-count groupby -> join back on
+        the gram key -> per-doc ordered position collection."""
+        from htmlreader_ray.functions.curation import duplicated_spans
+        return duplicated_spans(_read(sf_dir, "documents"), n=3)
+
     def customers_with_big_orders(sf_dir: str):
         """Semi-join (EXISTS), the complement of the anti-join above:
         native left_semi on the customer key, filtered keys only from
@@ -1194,6 +1202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": events_rollup,
         "customers_without_orders": customers_without_orders,
         "customers_with_big_orders": customers_with_big_orders,
+        "dup_spans": dup_spans,
     }
 
 
@@ -2014,6 +2023,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_totalprice > 400000)
+        """,
+        "dup_spans": r"""
+            WITH words AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM documents WHERE trim(text) <> ''
+            ), g AS (
+                SELECT doc_id, CAST(b['p'] AS BIGINT) AS pos, b['g'] AS gram
+                FROM (SELECT doc_id,
+                             unnest([{'p': i - 1,
+                                      'g': ws[i] || ' ' || ws[i+1] || ' '
+                                           || ws[i+2]}
+                                     for i in range(1,
+                                         greatest(len(ws) - 1, 1))]) AS b
+                      FROM words)
+            ), dups AS (
+                SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+                GROUP BY gram HAVING count(*) >= 2
+            )
+            SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams,
+                   array_to_string(list(g.pos ORDER BY g.pos), ',')
+                       AS dup_positions
+            FROM g JOIN dups USING (gram)
+            GROUP BY g.doc_id
         """,
         "customers_with_big_orders": """
             SELECT c_custkey, c_mktsegment FROM customer c

@@ -125,3 +125,96 @@ def decontaminate(corpus_ds, bench_ds, *, n: int = 3,
             names=[id_col, out_col])
 
     return corpus_ds.map_batches(probe, batch_format="pyarrow")
+
+
+def grams_pos_batch(batch: pa.Table, n: int = 3,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> pa.Table:
+    """Like ``grams_batch`` but with each gram's word position inside its
+    document: (doc_id, pos, gram). Same all-Arrow construction plus one
+    numpy pass for within-row word indices."""
+    import numpy as np
+    row_ids, w = _split_words_flat(batch.column(text_col))
+    ids = batch.column(id_col)
+    total = len(w)
+    empty = pa.Table.from_arrays(
+        [ids.slice(0, 0), pa.array([], pa.int64()),
+         pa.array([], pa.string())],
+        names=[id_col, "pos", "gram"])
+    if total < n:
+        return empty
+    change = np.empty(total, bool)
+    change[0] = True
+    change[1:] = row_ids[1:] != row_ids[:-1]
+    starts = np.flatnonzero(change)
+    row_start = np.repeat(starts, np.diff(np.append(starts, total)))
+    widx = np.arange(total, dtype=np.int64) - row_start
+    shifts = [w.slice(k, total - n + 1) for k in range(n)]
+    grams = pc.binary_join_element_wise(*shifts, " ")
+    same_row = row_ids[: total - n + 1] == row_ids[n - 1:]
+    grams = grams.filter(pa.array(same_row))
+    if len(grams) == 0:
+        return empty
+    gram_rows = row_ids[: total - n + 1][same_row]
+    pos = widx[: total - n + 1][same_row]
+    return pa.Table.from_arrays(
+        [ids.take(pa.array(gram_rows)), pa.array(pos, pa.int64()), grams],
+        names=[id_col, "pos", "gram"])
+
+
+def _dup_positions_group(group: pa.Table) -> pa.Table:
+    order = pc.sort_indices(group.column("pos"))
+    pos = group.column("pos").take(order).to_pylist()
+    return pa.table({
+        "doc_id": group.column("doc_id").slice(0, 1),
+        "n_dup_grams": pa.array([len(pos)], pa.int64()),
+        "dup_positions": pa.array([",".join(map(str, pos))], pa.string()),
+    })
+
+
+def duplicated_spans(ds, *, n: int = 3, min_docs: int = 2,
+                     text_col: str = "text", id_col: str = "doc_id"):
+    """Substring-level self-dedup index (the Lee-et-al duplicated-span
+    family at word-gram granularity): for every document, the word
+    positions of its n-grams that also appear in >= ``min_docs`` DISTINCT
+    documents. (doc_id, n_dup_grams, dup_positions).
+
+    Distributed shape: per-block distinct (doc, gram) partials -> one
+    gram-keyed count groupby (docs-per-gram) -> the duplicated-gram set
+    joins back against the positioned gram stream on the gram key
+    (hash join; the set is data-dependent but never broadcast) -> one
+    per-doc groupby collects ordered positions. Only documents that
+    contain at least one duplicated gram appear."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from .dedup import _default_join_partitions
+    parts = _default_join_partitions()
+
+    flat = ds.map_batches(grams_pos_batch, fn_kwargs={
+        "n": n, "text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow")
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        g = distinct_grams_batch(batch, n=n, text_col=text_col,
+                                 id_col=id_col)
+        agg = pa.table({"gram": g.column("gram")}).group_by("gram") \
+            .aggregate([([], "count_all")])
+        return agg.select(["gram", "count_all"]) \
+            .rename_columns(["gram", "nd"])
+
+    gram_docs = ds.map_batches(distinct_partial, batch_format="pyarrow") \
+        .repartition(parts).groupby("gram").aggregate(Sum("nd")) \
+        .map_batches(lambda b: b.rename_columns(["gram", "nd"]),
+                     batch_format="pyarrow")
+
+    def only_dups(batch: pa.Table) -> pa.Table:
+        m = pc.greater_equal(batch.column("nd"), pa.scalar(min_docs))
+        return batch.filter(m).select(["gram"])
+
+    dups = gram_docs.map_batches(only_dups, batch_format="pyarrow")
+    hits = flat.repartition(parts).join(
+        dups.repartition(parts), "inner", parts,
+        on=("gram",), right_on=("gram",))
+    return hits.repartition(parts).groupby(id_col) \
+        .map_groups(_dup_positions_group, batch_format="pyarrow")

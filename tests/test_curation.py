@@ -65,3 +65,29 @@ def test_decontaminate_counts_distinct_shared(ray_session):
     out = decontaminate(corpus, bench, n=3)
     rows = {r["doc_id"]: r["n_shared"] for r in out.take_all()}
     assert rows == {1: 1, 2: 1}
+
+
+def test_grams_pos_batch_positions():
+    import pyarrow as pa
+    from htmlreader_ray.functions.curation import grams_pos_batch
+    batch = pa.table({"doc_id": [0, 1, 2], "text":
+                      ["a b c d", "x y", " p  q r "]})
+    out = grams_pos_batch(batch, n=3)
+    rows = sorted(zip(out.column("doc_id").to_pylist(),
+                      out.column("pos").to_pylist(),
+                      out.column("gram").to_pylist()))
+    # doc 1 has only 2 words -> no 3-grams; positions are word offsets
+    assert rows == [(0, 0, "a b c"), (0, 1, "b c d"), (2, 0, "p q r")]
+
+
+def test_duplicated_spans_matches_naive(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from htmlreader_ray.functions.curation import duplicated_spans
+    texts = ["a b c d e", "z z a b c", "q r s", "a b c"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": list(range(len(texts))), "text": texts}))
+    out = {r["doc_id"]: (r["n_dup_grams"], r["dup_positions"])
+           for r in duplicated_spans(ds, n=3).take_all()}
+    # "a b c" appears in docs 0, 1, 3 -> duplicated; everything else unique
+    assert out == {0: (1, "0"), 1: (1, "2"), 3: (1, "0")}
