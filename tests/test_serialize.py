@@ -75,3 +75,20 @@ def test_inner_html_roundtrip():
     doc = parse(src)
     assert serialize_fragment(doc.body_element) == \
         '<div id="a" class="b c"><p>x &amp; y</p><!--note--></div>'
+
+
+def test_template_serializes_its_content():
+    # spec: serializing a template element serializes its template
+    # CONTENTS fragment, not its (empty) children
+    doc = parse("<template><b>x</b></template>")
+    head = doc.root_element.children[0]
+    assert serialize_fragment(head) == "<template><b>x</b></template>"
+
+
+def test_boolean_attr_and_foreign_qualified_names():
+    # boolean attributes keep ="" (WHATWG serialization, no minimization);
+    # foreign-content adjusted attributes serialize with their qualified
+    # names (xlink:href / xml:lang)
+    doc = parse('<p><input disabled><svg xlink:href=a xml:lang=en></svg></p>')
+    assert serialize_fragment(doc.body_element) == (
+        '<p><input disabled=""><svg xlink:href="a" xml:lang="en"></svg></p>')
