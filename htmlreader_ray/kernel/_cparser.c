@@ -1226,6 +1226,15 @@ static void afe_remove_at(Parser *P, int idx) {
 static void afe_insert_at(Parser *P, int idx, int el) {
     afe_push_raw(P, 0);
     if (P->bail) return;
+    /* clamp like Python list.insert: the adoption agency's bookmark is
+     * captured as an index and can point past the end after the inner
+     * loop's counter>3 step removed an AFE entry below it (repro:
+     * <a><font><font><font><font color><p><a> — 4 non-identical
+     * formatting entries between fe and the furthest block). Unclamped,
+     * (nafe - idx - 1) goes negative -> huge size_t memmove -> UB, and
+     * the clone lands beyond nafe, invisible to afe_index, so the outer
+     * loop's second iteration never pops it (nested <a> divergence). */
+    if (idx > P->nafe - 1) idx = P->nafe - 1;
     memmove(P->afe + idx + 1, P->afe + idx,
             (P->nafe - idx - 1) * sizeof(int));
     P->afe[idx] = el;

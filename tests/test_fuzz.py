@@ -191,3 +191,30 @@ def test_escape_unescape_roundtrip(s):
 def test_fragment_contexts_never_crash(src):
     for ctx in ("div", "tr", "title", "script", "svg path"):
         parse_fragment(src, ctx)
+
+
+def test_reference_issue_95_exact_case():
+    """The reference's one pinned regression (HTMLRegressionTests.m:14-30,
+    nolanw/HTMLReader#95): nested fonts + a-in-a adoption + trailing <p>.
+    The test is to not crash; we additionally require the serialize∘parse
+    fixpoint and engine agreement (C vs Python) on the exact input."""
+    import os
+    from htmlreader_ray.kernel.parser import parse
+    from htmlreader_ray.kernel.serialize import serialize
+    from htmlreader_ray.testing.conformance import dump_html5lib
+    html = ('<meta http-equiv="Content-Type" '
+            'content="text/html; charset=iso-8859-1">'
+            "<a><font><font><font><font color><font size><p><a></a>")
+    doc = parse(html)
+    once = serialize(doc)
+    assert serialize(parse(once)) == once
+    os.environ["HTMLRAY_NO_CPARSE"] = "1"
+    try:
+        import importlib
+        from htmlreader_ray.kernel import tokenizer, treebuilder
+        t = tokenizer.Tokenizer(html)
+        b = treebuilder.TreeBuilder()
+        pure = b.run(t)
+        assert dump_html5lib(pure) == dump_html5lib(doc)
+    finally:
+        del os.environ["HTMLRAY_NO_CPARSE"]
