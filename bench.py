@@ -198,12 +198,12 @@ def _child_extract(num_cpus: int) -> None:
 
     def build():
         # same block granularity at both sizes: ~256 blocks of ~23k docs
-        # (~1 s of parse per task with the fused C parser — fine enough to
-        # pack 28 slots without wave quantization, coarse enough that
-        # scheduling overhead stays <5%). The corpus is sized (6M docs) so
-        # the 4N run takes ~15-20 s: after the C parser landed, the old
-        # 1.2M-doc corpus finished in <4 s at 32 CPUs and the measurement
-        # degenerated into fixed-overhead ratio (eff 0.45).
+        # (fine enough to pack 28 slots without wave quantization, coarse
+        # enough that scheduling overhead stays <5%). The corpus is sized
+        # (6M docs) so the 4N run takes ~8-10 s with the fused C parser
+        # and packed ~9 MB input files: the old 1.2M-doc corpus finished
+        # in <4 s at 32 CPUs and the measurement degenerated into
+        # fixed-overhead ratio (eff 0.45).
         return extract_from_parquet(SCALE_CORPUS_DIR,
                                     override_num_blocks=256)
 
