@@ -100,7 +100,13 @@ def _structured_soup(rng: random.Random) -> str:
         r = rng.random()
         tag = rng.choice(_SOUP_TAGS)
         if r < 0.45:
-            attrs = "" if rng.random() < 0.7 else ' a="b"'
+            # vary attributes enough to defeat Noah's Ark dedup: >=4
+            # NON-identical formatting entries between a formatting
+            # element and its furthest block drive the adoption agency's
+            # inner-loop counter>3 path (the AFE-bookmark overflow fixed
+            # in _cparser.c lived there, invisible to identical-attr soup)
+            attrs = rng.choice(("", "", "", ' a="b"', " color", " size=2",
+                                ' x="1" y="2"'))
             parts.append(f"<{tag}{attrs}>")
         elif r < 0.75:
             parts.append(f"</{tag}>")
