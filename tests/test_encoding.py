@@ -114,3 +114,16 @@ def test_table_text_entities_stay_coalesced():
 |         <tr>
 |           <td>
 |             "x\""""
+
+
+def test_bom_beats_invalid_utf8_bytes():
+    """Deliberate divergence from the reference: HTMLDocumentTests.m:40-48
+    expects windows-1252 for a UTF-8 BOM followed by an invalid byte,
+    because NSString's strict UTF-8 decode fails and the reference falls
+    through. WHATWG (and every browser) gives the BOM unconditional
+    precedence and decodes with U+FFFD replacement — this engine follows
+    the spec."""
+    from htmlreader_ray.kernel.parser import parse_bytes
+    doc = parse_bytes(b"\xef\xbb\xbf<p>\xf5ok</p>")
+    assert doc.parsed_encoding == "UTF-8"
+    assert doc.body_element.text_content == "�ok"
