@@ -1046,6 +1046,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from htmlreader_ray.functions.curation import duplicated_spans
         return duplicated_spans(_read(sf_dir, "documents"), n=3)
 
+    def extract_custom_rules(sf_dir: str):
+        """The §2.11 extension surface made driver-visible: the SAME pages
+        as extract_html_text, extracted under a USER rule-set
+        (remove_selectors=(), link-density and block-size gates disabled)
+        that keeps the nav/footer chrome. The constructed oracle knows the
+        generator's chrome text verbatim, so a regression anywhere in the
+        pluggable-rule path breaks value-hash equality."""
+        import pyarrow as pa
+        from htmlreader_ray.kernel.extract import ExtractConfig
+        from htmlreader_ray.sources.corpus import build_page
+        from htmlreader_ray.stages.parse_extract import ExtractText
+
+        def to_html(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            return pa.Table.from_arrays(
+                [pa.array(ids, pa.int64()),
+                 pa.array([build_page(int(i), t or "")
+                           for i, t in zip(ids, texts)], pa.string())],
+                names=["doc_id", "html"])
+
+        cfg = ExtractConfig(remove_selectors=(), max_link_density=1.0,
+                            min_block_chars=0)
+        ds = _read(sf_dir, "documents").map_batches(
+            to_html, batch_format="pyarrow")
+        return ds.map_batches(
+            ExtractText, fn_constructor_kwargs={"config": cfg},
+            batch_format="pyarrow", concurrency=(1, 4))
+
     def customers_with_big_orders(sf_dir: str):
         """Semi-join (EXISTS), the complement of the anti-join above:
         native left_semi on the customer key, filtered keys only from
@@ -1203,6 +1232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": customers_without_orders,
         "customers_with_big_orders": customers_with_big_orders,
         "dup_spans": dup_spans,
+        "extract_custom_rules": extract_custom_rules,
     }
 
 
@@ -2023,6 +2053,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_totalprice > 400000)
+        """,
+        # constructed oracle for the keep-everything rule-set: the page
+        # generator's chrome text is known verbatim (sources/corpus.py
+        # _BOILER_*), and keep-all extraction is variant-independent:
+        # chrome_prefix [space text] space chrome_suffix
+        "extract_custom_rules": f"""
+            SELECT doc_id,
+                   'HomeArchiveContact UsSite — Titlevar x = ''</div>'' + '
+                   || '"<b>";.menu a {{ color: #f00; }}'
+                   || CASE WHEN {_COLLAPSED} = '' THEN ''
+                           ELSE ' ' || {_COLLAPSED} END
+                   || ' © 2026 Example TermsRelated oneRelated two'
+                       AS extracted_text
+            FROM documents
         """,
         "dup_spans": r"""
             WITH words AS (
