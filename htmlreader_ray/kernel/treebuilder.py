@@ -730,12 +730,16 @@ class TreeBuilder:
             idx = low.find("charset=")
             if idx != -1:
                 val = content[idx + 8:].strip()
-                if val[:1] in "\"'":
+                # NB: `val[:1] in "\"'"` would be True for an EMPTY val
+                # (empty string is a substring of anything) and val[0]
+                # then raises — found by parse_bytes byte-fuzz
+                if val[:1] in ('"', "'"):
                     q = val[0]
                     end = val.find(q, 1)
                     val = val[1:end] if end != -1 else val[1:]
                 else:
-                    val = val.split(";")[0].split()[0] if val else ""
+                    parts = val.split(";")[0].split()
+                    val = parts[0] if parts else ""
                 charset = val
         if charset:
             self.on_meta_charset(charset)

@@ -127,3 +127,37 @@ def test_bom_beats_invalid_utf8_bytes():
     doc = parse_bytes(b"\xef\xbb\xbf<p>\xf5ok</p>")
     assert doc.parsed_encoding == "UTF-8"
     assert doc.body_element.text_content == "�ok"
+
+
+def test_meta_content_empty_charset_values():
+    """charset= with nothing (or only quotes/separators) after it must be
+    ignored, not crash: `val[:1] in "\\"'"` was True for EMPTY val (empty
+    string is a substring of anything) and val[0] raised. Found by
+    parse_bytes byte-fuzz."""
+    from htmlreader_ray.kernel.parser import parse_bytes
+    for b in (b'<meta http-equiv=content-type content="charset=">x',
+              b'<meta http-equiv=content-type content="charset=;">x',
+              b'<meta http-equiv=content-type content="charset= ; ">x',
+              b"<meta http-equiv=content-type content=\"charset='\">x"):
+        assert parse_bytes(b).parsed_encoding == "windows-1252"
+
+
+def test_parse_bytes_never_crashes_on_arbitrary_bytes():
+    """Byte-level robustness of the sniff -> decode -> parse -> restart
+    driver (the reference's regression policy generalized to the byte
+    entry point)."""
+    import random
+    from htmlreader_ray.kernel.parser import parse_bytes
+    rng = random.Random(9595)
+    snips = [b"<meta charset=", b"utf-8", b"\xef\xbb\xbf", b"\xff\xfe",
+             b"\xfe\xff", b"<p>", b"</p>", b"\xf5\x80", b"\x00", b"&amp;",
+             b"<title>", b"<script>", b"shift_jis", b"'>", b'">', b">",
+             b'<meta http-equiv=content-type content="charset=']
+    for _ in range(3000):
+        data = b"".join(rng.choice(snips)
+                        for _ in range(rng.randint(0, 12)))
+        if rng.random() < 0.3:
+            data += bytes(rng.randrange(256)
+                          for _ in range(rng.randint(0, 20)))
+        doc = parse_bytes(data)
+        assert doc is not None and doc.parsed_encoding
