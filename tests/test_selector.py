@@ -205,3 +205,28 @@ def test_empty_ignores_comments_spec_difference():
     # non-empty (only elements and non-empty text do)
     d = parse("<div id=a><!--c--></div><div id=b> </div>")
     assert [e.attrs["id"] for e in d.css("div:empty")] == ["a"]
+
+
+def test_selector_fuzz_compile_and_match():
+    """Adversarial selector strings either compile or raise the documented
+    error type — and whatever compiles must match without crashing."""
+    import random
+    from htmlreader_ray.kernel.parser import parse
+    from htmlreader_ray.kernel.selector import compile_selector, select
+    rng = random.Random(777)
+    frags = ["div", "p", "*", ">", "+", "~", " ", ",", ":", "::", "[", "]",
+             "=", "~=", "|=", "^=", "$=", "*=", "nth-child(",
+             "nth-of-type(", "not(", "2n+1", "odd", "even", ")", ".", "#",
+             "cls", "id1", "a[href", "'q'", '"q"', "\\", "\\31 ", "§",
+             "🙂", "-n", "n", "0", "-", "--x", "|", "x|y", ":first-child",
+             ":disabled", ":empty", ":root", ":link", "  ", "\t"]
+    doc = parse("<div id=id1 class=cls><p>x</p><a href=u>y</a></div>")
+    for _ in range(5000):
+        s = "".join(rng.choice(frags) for _ in range(rng.randint(0, 10)))
+        try:
+            sel = compile_selector(s)
+        except Exception as e:
+            assert type(e).__name__ in ("SelectorError", "ValueError"), \
+                (s, type(e))
+            continue
+        select(doc, sel)
