@@ -95,3 +95,24 @@ def test_bigram_pmi_two_joins_no_vocab_broadcast(ray_session):
     ops = _shuffle_ops(bigram_pmi(_docs(ray_session), min_count=1))
     assert ops.count("Join") == 2, ops
     assert ops.count("Sort") == 1, ops
+
+
+def test_inverted_index_single_groupby(ray_session):
+    """Inverted index: one per-term groupby (sort-based map_groups) over
+    block-local distinct partials — no joins, no extra all-to-all."""
+    from htmlreader_ray.functions.indexing import inverted_index
+    ops = _shuffle_ops(inverted_index(_docs(ray_session)))
+    assert ops.count("Sort") == 1 and ops.count("Join") == 0, ops
+    assert "Aggregate" not in ops and "RandomShuffle" not in ops, ops
+
+
+def test_dup_spans_shuffle_budget(ray_session):
+    """Duplicated-span index: gram-count Aggregate, ONE join back on the
+    gram key (the dup set is never broadcast), and the per-doc position
+    groupby (Sort) — nothing else."""
+    from htmlreader_ray.functions.curation import duplicated_spans
+    ops = _shuffle_ops(duplicated_spans(_docs(ray_session), n=2))
+    assert ops.count("Join") == 1, ops
+    assert ops.count("Aggregate") == 1, ops
+    assert ops.count("Sort") == 1, ops
+    assert "RandomShuffle" not in ops, ops
