@@ -161,3 +161,20 @@ def test_parse_bytes_never_crashes_on_arbitrary_bytes():
                           for _ in range(rng.randint(0, 20)))
         doc = parse_bytes(data)
         assert doc is not None and doc.parsed_encoding
+
+
+def test_every_codec_decodes_adversarial_bytes():
+    """Every registered codec decodes arbitrary byte patterns (truncated
+    multibyte sequences, lone surrogates encodings, 0xFF runs) to a str —
+    the replacement scheme never raises."""
+    from htmlreader_ray.kernel import encoding as enc
+    blobs = [b"", b"\x00", bytes(range(256)), b"\xff" * 7,
+             b"\x81\x40\xfe\xfe", b"\xe0\x80", b"\xed\xa0\x80"]
+    seen = set()
+    for name, codec in enc._L.values():
+        if codec in seen:
+            continue
+        seen.add(codec)
+        for b in blobs:
+            assert isinstance(enc.decode_bytes(b, codec), str)
+    assert len(seen) >= 35
