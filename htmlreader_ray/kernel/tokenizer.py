@@ -43,6 +43,18 @@ PLAINTEXT = 4
 
 _WS = "\t\n\x0c "
 
+# Spec case folding is ASCII-only (A-Z -> a-z). Python's str.lower() is
+# Unicode-wide ('À'→'à', 'İ'→'i̇' — the latter even changes length), which
+# diverges from the reference's ASCII fold (Sources/HTMLTokenizer.m:193-201)
+# on non-ASCII tag/attribute names. Every fold of user-supplied name text
+# must go through this table.
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+
+
+def ascii_lower(s: str) -> str:
+    return s.translate(_ASCII_LOWER)
+
 _TAG_NAME_RE = re.compile(r"[^\t\n\x0c />]+")
 _ATTR_NAME_RE = re.compile(r"[^\t\n\x0c /=>]+")
 
@@ -243,7 +255,7 @@ class Tokenizer:
                 blob = m.group(2)
                 if blob:
                     for am in _FAST_ATTR_RE.finditer(blob):
-                        aname = am.group(1).lower()
+                        aname = ascii_lower(am.group(1))
                         if aname not in attrs:
                             li = am.lastindex
                             attrs[aname] = am.group(li) if li > 1 else ""
@@ -267,7 +279,7 @@ class Tokenizer:
         s, n = self.s, self.n
         m = _TAG_NAME_RE.match(s, name_start)
         # the first char is alpha so the match is non-empty
-        name = m.group().lower()
+        name = ascii_lower(m.group())
         if "\0" in name:
             self._err("unexpected-null-character")
             name = name.replace("\0", "�")
@@ -334,7 +346,7 @@ class Tokenizer:
             bad = name.count('"') + name.count("'") + name.count("<")
             for _ in range(bad):
                 self._err("unexpected-character-in-attribute-name")
-        name = name.lower().replace("\0", "�")
+        name = ascii_lower(name).replace("\0", "�")
         # after attribute name: skip ws
         while pos < n and s[pos] in _WS:
             pos += 1
@@ -579,7 +591,7 @@ class Tokenizer:
         start = pos
         while pos < n and s[pos] not in _WS and s[pos] != ">":
             pos += 1
-        name = s[start:pos].lower().replace("\0", "�")
+        name = ascii_lower(s[start:pos]).replace("\0", "�")
         if pos >= n:
             self._err("eof-in-doctype")
             self.pos = n
@@ -778,7 +790,7 @@ class Tokenizer:
             return False
         j = i + 1
         end = j + len(last)
-        if s[j:end].lower() != last:
+        if ascii_lower(s[j:end]) != last:
             return False
         if end >= n:
             return False
@@ -844,7 +856,7 @@ class Tokenizer:
                             self.state = DATA
                             return self._consume_tag(pos + 2, is_end=True)
                         # <script... => double escape start
-                        if nxt and s[pos + 1:pos + 7].lower() == "script":
+                        if nxt and ascii_lower(s[pos + 1:pos + 7]) == "script":
                             after = pos + 7
                             if after < n and s[after] in "\t\n\x0c />":
                                 double_escaped = True
@@ -860,7 +872,7 @@ class Tokenizer:
                         continue
                     else:
                         # double-escaped: '</script' ends double-escape
-                        if s[pos + 1:pos + 2] == "/" and s[pos + 2:pos + 8].lower() == "script":
+                        if s[pos + 1:pos + 2] == "/" and ascii_lower(s[pos + 2:pos + 8]) == "script":
                             after = pos + 8
                             if after < n and s[after] in "\t\n\x0c />":
                                 double_escaped = False

@@ -24,7 +24,7 @@ from .dom import (HTML_NS, LIMITED_QUIRKS, MATHML_NS, NO_QUIRKS, QUIRKS,
                   SVG_NS, Comment, Doctype, Document, Element, Node, Text)
 from .strings import WHITESPACE_SET
 from .tokenizer import (DATA, PLAINTEXT, RAWTEXT, RCDATA, SCRIPT_DATA,
-                        Tokenizer)
+                        Tokenizer, ascii_lower)
 
 MARKER = object()  # active-formatting-elements list marker
 
@@ -2178,11 +2178,11 @@ class TreeBuilder:
             # batch 33).
             name = tok[1]
             node = self.current
-            if node is not None and node.tag.lower() != name:
+            if node is not None and ascii_lower(node.tag) != name:
                 self._err("unexpected-end-tag-in-foreign-content")
             for i in range(len(self.open) - 1, 0, -1):
                 node = self.open[i]
-                if node.tag.lower() == name:
+                if ascii_lower(node.tag) == name:
                     while self.open[-1] is not node:
                         self.open.pop()
                     self.open.pop()
