@@ -962,7 +962,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pre-aggregated by order inside each block before the order-key
         join, final combiner groupby + bounded top-10 sort."""
         import datetime
-        import math
         import pyarrow as pa
         import pyarrow.compute as pc
         from ray.data.aggregate import Sum
@@ -980,11 +979,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         def li_partial(b: pa.Table) -> pa.Table:
             t = b.filter(pc.greater(b.column("l_shipdate"), cut))
-            cents = [math.floor(100 * (p * (1 - d)) + 0.5)
-                     for p, d in zip(t.column("l_extendedprice").to_pylist(),
-                                     t.column("l_discount").to_pylist())]
+            # floor(100 * (p * (1 - d)) + 0.5) elementwise — identical IEEE
+            # semantics to the oracle's per-row expression, but as Arrow
+            # kernels (lineitem is the biggest table; no Python loop here)
+            rev = pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+            cents = pc.cast(
+                pc.floor(pc.add(pc.multiply(pa.scalar(100.0), rev),
+                                pa.scalar(0.5))),
+                pa.int64())
             flat = pa.table({"l_orderkey": t.column("l_orderkey"),
-                             "cents": pa.array(cents, pa.int64())})
+                             "cents": cents})
             g = flat.group_by("l_orderkey").aggregate([("cents", "sum")])
             return g.select(["l_orderkey", "cents_sum"]) \
                 .rename_columns(["l_orderkey", "cents"])
@@ -1011,8 +1017,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .aggregate(Sum("cents"))
 
         def rename(b: pa.Table) -> pa.Table:
-            return b.rename_columns(
+            b = b.rename_columns(
                 ["l_orderkey", "o_orderdate", "revenue_cents"])
+            # the join/aggregate path round-trips dates through numpy and
+            # lands on timestamp[s]; the driver's hash is dtype-sensitive,
+            # so pin the oracle's timestamp[us] explicitly
+            return b.set_column(
+                1, "o_orderdate",
+                pc.cast(b.column("o_orderdate"), pa.timestamp("us")))
 
         return agg.map_batches(rename, batch_format="pyarrow") \
             .sort(["revenue_cents", "l_orderkey"],
