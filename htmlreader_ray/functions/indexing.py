@@ -42,25 +42,97 @@ def _term_doc_rows(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
 
 def _postings_group(group: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
-    docs = pc.array_sort_indices(group.column("doc_id"))
-    sorted_ids = group.column("doc_id").take(docs)
+    ids = group.column("doc_id").combine_chunks()
+    sorted_ids = ids.take(pc.array_sort_indices(ids))
     term = group.column("term")[0]
     # comma-joined string postings: hashes identically on both sides of
-    # the oracle regardless of list-type canonicalization
-    postings = ",".join(str(i) for i in sorted_ids.to_pylist())
+    # the oracle regardless of list-type canonicalization. Built with
+    # Arrow kernels (cast -> list wrap -> binary_join), never a Python
+    # per-id loop.
+    strs = pc.cast(sorted_ids, pa.string())
+    lst = pa.ListArray.from_arrays(
+        pa.array([0, len(strs)], pa.int32()), strs)
+    postings = pc.binary_join(lst, ",")
     return pa.table({
         "term": pa.array([term.as_py()], pa.string()),
-        "postings": pa.array([postings], pa.string()),
+        "postings": postings,
         "df": pa.array([len(group)], pa.int64()),
     })
 
 
-def inverted_index(ds, *, text_col: str = "text", id_col: str = "doc_id"):
-    """(term, postings, df): sorted unique doc_ids per term."""
+def _df_partials(batch: pa.Table) -> pa.Table:
+    """Per-block (term, partial df) — the combiner: the df shuffle carries
+    one row per (block, term), never one per (term, doc) pair."""
+    g = batch.group_by("term").aggregate([([], "count_all")])
+    return g.rename_columns(["term", "df"])
+
+
+def inverted_index(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                   df_cap: int | None = None):
+    """(term, postings, df): sorted unique doc_ids per term.
+
+    (term, doc) pairs are distinct by construction — a document lives in
+    exactly one block and ``_term_doc_rows`` dedups within the block —
+    so df is an exact count and no global distinct pass is needed.
+
+    ``df_cap`` is the scale guard: a stop-word-grade term's postings list
+    is one row of O(corpus) ids no matter how the shuffle is arranged, so
+    at scale the caller bounds it. Terms with df > df_cap skip postings
+    materialization entirely (postings = NULL, exact df kept): their
+    pairs are filtered out *before* the groupby via a broadcast of the
+    (tiny) hot-term set, so no single group ever holds more than df_cap
+    rows. df_cap=None (the oracle path) materializes everything.
+    """
+    import pyarrow.compute as pc
+
+    import ray
+
     pairs = ds.map_batches(_term_doc_rows, fn_kwargs={
         "text_col": text_col, "id_col": id_col}, batch_format="pyarrow")
-    return pairs.repartition(_narrow_partitions()).groupby("term") \
+    parts = _narrow_partitions()
+
+    if df_cap is None:
+        return pairs.repartition(parts).groupby("term") \
+            .map_groups(_postings_group, batch_format="pyarrow")
+
+    pairs = pairs.materialize()  # feeds the df combiner AND the postings
+    # groupby; at corpus scale trade this for a second tokenize pass if
+    # object-store spill is worse than recompute
+    from ray.data.aggregate import Sum
+    df_tbl = pairs.map_batches(_df_partials, batch_format="pyarrow") \
+        .repartition(parts).groupby("term").aggregate(Sum("df")) \
+        .map_batches(lambda b: b.rename_columns(["term", "df"]),
+                     batch_format="pyarrow")
+    hot = df_tbl.filter(lambda r: r["df"] > df_cap)
+    # groupby/filter output can carry zero-column empty blocks (the
+    # dedup._scrub_empty_blocks pitfall) — drop them before concat
+    hot_blocks = [t for t in (ray.get(r) for r in hot.to_arrow_refs())
+                  if t.num_rows > 0]
+    hot_terms = (pa.concat_tables(hot_blocks).column("term")
+                 .combine_chunks() if hot_blocks
+                 else pa.chunked_array([pa.array([], pa.string())]))
+    hot_ref = ray.put(hot_terms)  # broadcast once, read per task
+
+    def drop_hot(batch: pa.Table) -> pa.Table:
+        hs = ray.get(hot_ref)
+        if len(hs) == 0:
+            return batch
+        return batch.filter(
+            pc.invert(pc.is_in(batch.column("term"), value_set=hs)))
+
+    cold = pairs.map_batches(drop_hot, batch_format="pyarrow") \
+        .repartition(parts).groupby("term") \
         .map_groups(_postings_group, batch_format="pyarrow")
+
+    def hot_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "term": batch.column("term"),
+            "postings": pa.nulls(batch.num_rows, pa.string()),
+            "df": batch.column("df"),
+        })
+
+    capped = hot.map_batches(hot_rows, batch_format="pyarrow")
+    return cold.union(capped)
 
 
 # ---------------------------------------------------------------- PMI
@@ -140,16 +212,23 @@ def bigram_pmi(ds, *, text_col: str = "text", top_k: int = 50,
                                   on=("w2",), right_on=("w2",))
 
     def score(batch: pa.Table) -> pa.Table:
-        c12 = batch.column("c").to_pylist()
-        c1 = batch.column("c_1").to_pylist()
-        c2 = batch.column("c_2").to_pylist()
-        pmi = [_pmi_int(float(a), t_total, float(b), float(d), u_total,
-                        scale)
-               for a, b, d in zip(c12, c1, c2)]
+        # elementwise floor(scale*ln((c12/t)/((c1/u)*(c2/u))) + 0.5) with
+        # the exact IEEE op order of _pmi_int / the SQL oracle; pc.ln is
+        # bit-identical to math.log here (same libm), pinned by
+        # tests/test_indexing.py::test_pmi_ln_bit_parity
+        f64 = pa.float64()
+        c12 = pc.cast(batch.column("c"), f64)
+        c1 = pc.cast(batch.column("c_1"), f64)
+        c2 = pc.cast(batch.column("c_2"), f64)
+        x = pc.divide(pc.divide(c12, pa.scalar(t_total)),
+                      pc.multiply(pc.divide(c1, pa.scalar(u_total)),
+                                  pc.divide(c2, pa.scalar(u_total))))
+        pmi = pc.cast(
+            pc.floor(pc.add(pc.multiply(pa.scalar(float(scale)), pc.ln(x)),
+                            pa.scalar(0.5))), pa.int64())
         return pa.table({
             "w1": batch.column("w1"), "w2": batch.column("w2"),
-            "c": batch.column("c"),
-            "pmi_e3": pa.array(pmi, pa.int64())})
+            "c": batch.column("c"), "pmi_e3": pmi})
 
     scored = j.map_batches(score, batch_format="pyarrow")
     return scored.sort(["pmi_e3", "w1", "w2"],

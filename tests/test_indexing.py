@@ -49,6 +49,42 @@ def test_inverted_index_postings_sorted_distinct(ray_session):
     assert out == [{"term": "z", "postings": "0,1", "df": 2}]
 
 
+def test_inverted_index_df_cap_hot_term(ray_session):
+    """The scale guard: a term in 100% of docs (stop-word analogue) is
+    excluded from postings materialization when df exceeds the cap —
+    exact df kept, postings NULL — and every cold term is untouched."""
+    texts = [f"the w{i}" for i in range(40)]  # 'the' in every doc
+    out = {r["term"]: (r["postings"], r["df"])
+           for r in inverted_index(_ds(texts), df_cap=8).take_all()}
+    assert out["the"] == (None, 40)
+    for i in range(40):
+        assert out[f"w{i}"] == (str(i), 1)
+    assert len(out) == 41
+
+
+def test_inverted_index_df_cap_noop_when_under(ray_session):
+    """A cap nothing exceeds returns exactly the uncapped result."""
+    uncapped = sorted(inverted_index(_ds(TEXTS)).take_all(),
+                      key=lambda r: r["term"])
+    capped = sorted(inverted_index(_ds(TEXTS), df_cap=100).take_all(),
+                    key=lambda r: r["term"])
+    assert uncapped == capped
+
+
+def test_pmi_ln_bit_parity():
+    """The vectorized PMI kernel's contract: pc.ln must be bit-identical
+    to math.log for the quantization to match the scalar oracle."""
+    import numpy as np
+    import pyarrow.compute as pc
+    rng = np.random.default_rng(7)
+    x = ((rng.integers(1, 10000, 50000) / 1.23e7)
+         / ((rng.integers(1, 100000, 50000) / 9.87e7)
+            * (rng.integers(1, 100000, 50000) / 9.87e7)))
+    lnpy = np.array([math.log(v) for v in x])
+    lnar = pc.ln(pa.array(x)).to_numpy()
+    assert (lnpy == lnar).all()
+
+
 def naive_pmi(texts, min_count, top_k):
     uni = Counter()
     bi = Counter()
