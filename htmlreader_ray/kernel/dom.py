@@ -247,6 +247,55 @@ class Element(Node):
         else:
             self.attrs.pop("class", None)
 
+    # Ordered-attribute mutation API. Attributes keep insertion order
+    # (Python dict), replacing a value never moves the key, and indexed
+    # insertion matches the reference's ordered dictionary semantics
+    # (Sources/HTMLOrderedDictionary.m:119-148, tested by
+    # HTMLReaderTests/HTMLDictionaryTests.m): inserting an EXISTING key
+    # updates the value in place and ignores the index; removing an
+    # absent key is a no-op; an index beyond len(attrs) raises.
+
+    def insert_attr(self, index: int, name: str, value: str) -> None:
+        if index > len(self.attrs) or index < 0:
+            raise IndexError(
+                f"index {index} beyond count {len(self.attrs)}")
+        if name in self.attrs:
+            self.attrs[name] = value
+            return
+        items = list(self.attrs.items())
+        items.insert(index, (name, value))
+        self.attrs.clear()
+        self.attrs.update(items)
+
+    def remove_attr(self, name: str) -> None:
+        self.attrs.pop(name, None)
+
+    def index_of_attr(self, name: str) -> Optional[int]:
+        for i, k in enumerate(self.attrs):
+            if k == name:
+                return i
+        return None
+
+    def attr_name_at(self, index: int) -> str:
+        if index < 0:
+            raise IndexError(f"index {index} out of range")
+        for i, k in enumerate(self.attrs):
+            if i == index:
+                return k
+        raise IndexError(
+            f"index {index} beyond count {len(self.attrs)}")
+
+    @property
+    def first_attr_name(self) -> Optional[str]:
+        return next(iter(self.attrs), None)
+
+    @property
+    def last_attr_name(self) -> Optional[str]:
+        name = None
+        for name in self.attrs:
+            pass
+        return name
+
     def child_elements(self) -> list["Element"]:
         return [c for c in self.children if isinstance(c, Element)]
 

@@ -1,6 +1,8 @@
 """DOM invariants (reference: HTMLNodeTests.m:33-208,
 HTMLTreeEnumeratorTests.m:14-48, HTMLDictionaryTests.m)."""
 
+import pytest
+
 from htmlreader_ray.kernel import parse
 from htmlreader_ray.kernel.dom import Comment, Document, Element, Text
 
@@ -138,3 +140,106 @@ def test_reference_readme_manipulation_parity():
     assert doc.root_element.outer_html == (
         '<html><head></head><body><div class="special">'
         "<p>Ahoy there, <b>sailor</b>!</p></div></body></html>")
+
+
+# --------------------------------------------------------------- attrs
+# Ordered-attribute mutation parity with the reference's ordered
+# dictionary (HTMLReaderTests/HTMLDictionaryTests.m, semantics in
+# Sources/HTMLOrderedDictionary.m:119-148).
+
+FIXTURE_KEYS = ["sup", "ahoy", "howdy", "yo", "hola"]
+
+
+def _populated():
+    el = Element("div")
+    for k in FIXTURE_KEYS:
+        el.attrs[k] = k
+    return el
+
+
+def test_attrs_all_keys_insertion_order():
+    el = Element("div")
+    keys = []
+    for i in range(30):
+        keys.append(f"k{i}")
+        el.attrs[f"k{i}"] = str(i)
+    assert list(el.attrs) == keys
+
+
+def test_attrs_indexed_key_access():
+    el = Element("div")
+    with pytest.raises(IndexError):
+        el.attr_name_at(0)
+    el = _populated()
+    assert el.attr_name_at(0) == FIXTURE_KEYS[0]
+    with pytest.raises(IndexError):
+        el.attr_name_at(len(el.attrs))
+
+
+def test_attrs_remove():
+    el = Element("div")
+    el.remove_attr("yo")  # absent key is a no-op, not an error
+    el = _populated()
+    assert el.get("yo") == "yo"
+    el.remove_attr("yo")
+    assert el.get("yo") is None
+    assert list(el.attrs) == ["sup", "ahoy", "howdy", "hola"]
+
+
+def test_attrs_replace_keeps_position():
+    el = _populated()
+    last = FIXTURE_KEYS[-1]
+    el.attrs[last] = el.attrs[last]          # self-assignment
+    assert el.attrs[last] == last
+    el.attrs[last] = "1"                      # real replacement
+    assert el.attrs[last] == "1"
+    assert el.last_attr_name == last          # ...did not move
+    el.attrs[FIXTURE_KEYS[0]] = "1"           # replace the first key
+    assert el.last_attr_name == last          # ...still did not move
+    assert el.first_attr_name == FIXTURE_KEYS[0]
+
+
+def test_attrs_insert_at_index():
+    el = Element("div")
+    with pytest.raises(IndexError):
+        el.insert_attr(1, "yo", "yo")         # beyond count of empty
+    el = _populated()
+    count = len(el.attrs)
+    with pytest.raises(IndexError):
+        el.insert_attr(count + 1, "yo", "yo")
+    el.insert_attr(count, "aloha", "aloha")   # at count == append
+    assert el.last_attr_name == "aloha"
+    el.insert_attr(0, "ciao", "ciao")         # at 0 == prepend
+    assert el.first_attr_name == "ciao"
+    assert list(el.attrs) == ["ciao"] + FIXTURE_KEYS + ["aloha"]
+
+
+def test_attrs_insert_existing_key_updates_in_place():
+    el = _populated()
+    el.insert_attr(0, "yo", "changed")        # existing: index ignored
+    assert el.attrs["yo"] == "changed"
+    assert list(el.attrs) == FIXTURE_KEYS     # position unchanged
+
+
+def test_attrs_index_of():
+    el = Element("div")
+    assert el.index_of_attr("yo") is None
+    el = _populated()
+    assert el.index_of_attr("yo") == FIXTURE_KEYS.index("yo")
+
+
+def test_attrs_first_last_key():
+    el = Element("div")
+    assert el.first_attr_name is None
+    assert el.last_attr_name is None
+    el = _populated()
+    assert el.first_attr_name == FIXTURE_KEYS[0]
+    assert el.last_attr_name == FIXTURE_KEYS[-1]
+
+
+def test_attrs_copy_independence():
+    el = _populated()
+    clone = Element(el.tag, dict(el.attrs))
+    assert list(clone.attrs.items()) == list(el.attrs.items())
+    el.attrs["extra"] = "1"
+    assert "extra" not in clone.attrs
