@@ -918,8 +918,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 pc.equal(pc.utf8_length(trimmed), 0),
                 pa.scalar(0, pa.int32()), n_tokens)
             md5 = pa.array(
-                [hashlib.md5((t or "").encode("utf-8")).hexdigest()
-                 for t in col.to_pylist()], pa.string())
+                [hashlib.md5(t or b"").hexdigest()
+                 for t in pc.cast(col, pa.binary()).to_pylist()],
+                pa.string())
             out = pa.Table.from_arrays(
                 [batch.column("doc_id"), batch.column("lang"),
                  n_tokens.cast(pa.int64()), md5],

@@ -262,9 +262,11 @@ def exact_dedup_ids(ds, *, text_col: str = "text", id_col: str = "doc_id"):
     from ray.data.aggregate import Min
 
     def digest(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        keys = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
-                for t in texts]
+        import pyarrow.compute as pc
+        # string -> binary cast is zero-copy (same UTF-8 buffers): md5
+        # hashes the raw bytes without a decode + re-encode round trip
+        texts = pc.cast(batch.column(text_col), pa.binary()).to_pylist()
+        keys = [hashlib.md5(t or b"").hexdigest() for t in texts]
         return pa.Table.from_arrays(
             [pa.array(keys, pa.string()), batch.column(id_col)],
             names=["content_key", id_col])

@@ -153,24 +153,24 @@ def lang_id(batch: pa.Table, text_col: str = "text",
 
 # ------------------------------------------------------------ fingerprints
 
-_ROLL_BASE = 1000003
 _ROLL_MOD = (1 << 61) - 1
 
 
 def fingerprints(batch: pa.Table, text_col: str = "text",
                  id_col: str = "doc_id") -> pa.Table:
-    """content_md5 (hex, matches SQL md5()) + a 61-bit polynomial rolling
-    hash of the raw text."""
-    texts = batch.column(text_col).to_pylist()
+    """content_md5 (hex, matches SQL md5()) + a 61-bit Rabin-Karp rolling
+    hash of the raw UTF-8 bytes (base 256, mod 2^61-1), evaluated as one
+    bigint reduction per doc — no per-byte Python loop. The 0x01 sentinel
+    keeps leading NUL bytes significant. The string -> binary cast is
+    zero-copy, so neither hash pays a decode + re-encode round trip."""
+    import pyarrow.compute as pc
+    texts = pc.cast(batch.column(text_col), pa.binary()).to_pylist()
     md5s: list[str] = []
     rolls: list[int] = []
     for t in texts:
-        t = t or ""
-        md5s.append(hashlib.md5(t.encode("utf-8")).hexdigest())
-        h = 0
-        for b in t.encode("utf-8"):
-            h = (h * _ROLL_BASE + b) % _ROLL_MOD
-        rolls.append(h)
+        t = t or b""
+        md5s.append(hashlib.md5(t).hexdigest())
+        rolls.append(int.from_bytes(b"\x01" + t, "big") % _ROLL_MOD)
     return pa.Table.from_arrays(
         [batch.column(id_col), pa.array(md5s, pa.string()),
          pa.array(rolls, pa.int64())],

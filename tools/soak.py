@@ -35,7 +35,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _ALPHABET = (string.ascii_letters + string.digits +
-             "<>&;/='\"!-[] \t\n`?#.:\x00é“")
+             "<>&;/='\"!-[] \t\n`?#.:\x00é“"
+             # non-ASCII uppercase probes the ASCII-only fold contract:
+             # 'À' Unicode-lowers to 'à', 'İ' to 'i̇' (length change!),
+             # U+212A KELVIN SIGN to ASCII 'k' — spec keeps all three
+             "ÀİK")
 
 _WORDS = ("the quick spark row table scan merge window batch stream key "
           "join order filter value data line slow big small hash").split()
@@ -106,7 +110,7 @@ def _structured_soup(rng: random.Random) -> str:
             # inner-loop counter>3 path (the AFE-bookmark overflow fixed
             # in _cparser.c lived there, invisible to identical-attr soup)
             attrs = rng.choice(("", "", "", ' a="b"', " color", " size=2",
-                                ' x="1" y="2"'))
+                                ' x="1" y="2"', " À=1", " aİ", ' K="k"'))
             parts.append(f"<{tag}{attrs}>")
         elif r < 0.75:
             parts.append(f"</{tag}>")
