@@ -197,15 +197,13 @@ def _child_extract(num_cpus: int) -> None:
     from htmlreader_ray.pipelines.extract_pipeline import extract_from_parquet
 
     def build():
-        # same block granularity at both sizes: ~256 blocks of ~23k docs
-        # (fine enough to pack 28 slots without wave quantization, coarse
-        # enough that scheduling overhead stays <5%). The corpus is sized
-        # (6M docs) so the 4N run takes ~8-10 s with the fused C parser
-        # and packed ~9 MB input files: the old 1.2M-doc corpus finished
-        # in <4 s at 32 CPUs and the measurement degenerated into
-        # fixed-overhead ratio (eff 0.45).
-        return extract_from_parquet(SCALE_CORPUS_DIR,
-                                    override_num_blocks=256)
+        # fused read+parse (default): 480 row groups / 4 per task = 120
+        # tasks of ~50k docs — coarse enough that scheduling overhead
+        # stays <5% at 28 slots, fine enough for 17 full waves at the
+        # 7-slot leg. The corpus is sized (6M docs) so the 4N run takes
+        # ~7-9 s: the old 1.2M-doc corpus finished in <4 s at 32 CPUs and
+        # the measurement degenerated into fixed-overhead ratio (eff 0.45).
+        return extract_from_parquet(SCALE_CORPUS_DIR)
 
     build().count()  # warm
     best = float("inf")

@@ -206,11 +206,45 @@ def files_with_mega_docs(paths, threshold: int) -> list[str]:
     return hits
 
 
+def _row_group_items(paths) -> list[dict]:
+    """One work item per parquet row group — the fused-read task list.
+    Metadata-only (footers); each item is also the unit of per-partition
+    lineage for resumable runs."""
+    import pyarrow.dataset as pads
+
+    dataset = pads.dataset(paths, format="parquet")
+    items: list[dict] = []
+    for frag in dataset.get_fragments():
+        frag.ensure_complete_metadata()
+        for rg in frag.row_groups:
+            items.append({"path": frag.path, "rg": rg.id})
+    return items
+
+
+def _read_filter_parse(batch: pa.Table, *, threshold: int,
+                       config, on_error: str) -> pa.Table:
+    """Fused read+parse task body: read the row groups named by the work
+    items, drop mega docs (the mega branch re-reads only their files), and
+    parse — one task, no raw-bytes round trip through the object store."""
+    import pyarrow.parquet as pq
+
+    outs = []
+    for path, rg in zip(batch.column("path").to_pylist(),
+                        batch.column("rg").to_pylist()):
+        t = pq.ParquetFile(path).read_row_group(rg)
+        t = _filter_small(t, threshold=threshold)
+        outs.append(parse_extract_batch(t, config=config,
+                                        on_error=on_error))
+    return pa.concat_tables(outs)
+
+
 def extract_from_parquet(paths, *, config: Optional[ExtractConfig] = None,
                          mega_threshold: int = DEFAULT_MEGA_THRESHOLD,
                          part_target: int = DEFAULT_PART_TARGET,
                          batch_size=None,
                          override_num_blocks: Optional[int] = None,
+                         fused: bool = True,
+                         rgs_per_task: int = 4,
                          on_error: str = "raise"):
     """Extraction over a corpus whose ``doc_bytes`` column was stamped at
     ingest (sources.corpus.CORPUS_SCHEMA). The skew tail is routed at the
@@ -218,21 +252,38 @@ def extract_from_parquet(paths, *, config: Optional[ExtractConfig] = None,
     docs; only those are re-read by the mega branch (and when the corpus has
     no skew tail the union/shuffle machinery is skipped entirely, leaving a
     pure single-scan streaming pipeline). This is the production read path;
-    ``extract_dataset`` handles arbitrary in-memory Datasets."""
+    ``extract_dataset`` handles arbitrary in-memory Datasets.
+
+    ``fused=True`` (default) drives the small branch from a row-group work
+    list: each task reads its row groups with pyarrow and parses them in
+    the same process, so the raw HTML payload never round-trips through the
+    object store (Ray 2.49 keeps ReadParquet as its own operator and ships
+    every block between the read and map stages — ~20% of small-branch wall
+    time on the 6M-doc scaling corpus). ``rgs_per_task`` sets task
+    granularity; ``override_num_blocks``/``batch_size`` apply only to the
+    non-fused path."""
     import ray.data
 
-    kw = {}
-    if override_num_blocks is not None:
-        kw["override_num_blocks"] = override_num_blocks
     mega_files = files_with_mega_docs(paths, mega_threshold)
 
-    small = ray.data.read_parquet(paths, **kw)
-    small_out = small.map_batches(
-        _filter_small, fn_kwargs={"threshold": mega_threshold},
-        batch_format="pyarrow").map_batches(
-        parse_extract_batch,
-        fn_kwargs={"config": config, "on_error": on_error},
-        batch_format="pyarrow", batch_size=batch_size)
+    if fused:
+        items = _row_group_items(paths)
+        small_out = ray.data.from_items(items).map_batches(
+            _read_filter_parse,
+            fn_kwargs={"threshold": mega_threshold, "config": config,
+                       "on_error": on_error},
+            batch_format="pyarrow", batch_size=rgs_per_task)
+    else:
+        kw = {}
+        if override_num_blocks is not None:
+            kw["override_num_blocks"] = override_num_blocks
+        small = ray.data.read_parquet(paths, **kw)
+        small_out = small.map_batches(
+            _filter_small, fn_kwargs={"threshold": mega_threshold},
+            batch_format="pyarrow").map_batches(
+            parse_extract_batch,
+            fn_kwargs={"config": config, "on_error": on_error},
+            batch_format="pyarrow", batch_size=batch_size)
     if not mega_files:
         return small_out
 
