@@ -1161,6 +1161,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from htmlreader_ray.functions import indexing
         return indexing.inverted_index(_read(sf_dir, "documents"))
 
+    def inverted_index_capped(sf_dir: str):
+        """The inverted index's SCALE path, oracle-verified end-to-end:
+        df partials -> combiner groupby -> hot terms (df > cap) broadcast
+        as a filter set and excluded from postings materialization
+        (postings NULL, exact df kept) -> bounded-group postings build."""
+        from htmlreader_ray.functions import indexing
+        return indexing.inverted_index(_read(sf_dir, "documents"),
+                                       df_cap=390)
+
     def bigram_pmi_q(sf_dir: str):
         """Top-50 adjacent pairs by quantized PMI: combiner counts, the
         unigram table joined back on each bigram side (never broadcast),
@@ -1238,6 +1247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": unigram_logprob,
         "top_tfidf": top_tfidf_q,
         "inverted_index": inverted_index_q,
+        "inverted_index_capped": inverted_index_capped,
         "bigram_pmi": bigram_pmi_q,
         "segment_top_orders": segment_top_orders,
         "quantize_embeddings": quantize_embeddings,
@@ -1255,7 +1265,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping", "corpus_prep", "token_pack", "train_val_split",
         "pseudo_shuffle", "decontaminate", "chunk_docs", "stratified_sample",
         "incremental_dedup", "unigram_logprob", "top_tfidf",
-        "inverted_index", "bigram_pmi", "segment_top_orders",
+        "inverted_index", "inverted_index_capped", "bigram_pmi",
+        "segment_top_orders",
         "quantize_embeddings", "events_rollup", "customers_without_orders",
         "customers_with_big_orders", "dup_spans", "extract_custom_rules",
     ]
@@ -2027,6 +2038,25 @@ def oracle_sql() -> dict[str, str]:
                        AS postings,
                    CAST(count(*) AS BIGINT) AS df
             FROM pairs GROUP BY w
+        """,
+        "inverted_index_capped": r"""
+            WITH pairs AS (
+                SELECT DISTINCT doc_id, w FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(text), '\s+'))
+                               AS w
+                    FROM documents WHERE trim(text) <> ''
+                )
+            ), g AS (
+                SELECT w, list(doc_id ORDER BY doc_id) AS ids,
+                       CAST(count(*) AS BIGINT) AS df
+                FROM pairs GROUP BY w
+            )
+            SELECT w AS term,
+                   CASE WHEN df > 390 THEN NULL
+                        ELSE array_to_string(ids, ',') END AS postings,
+                   df
+            FROM g
         """,
         # PMI quantizes per-pair to int64 milli-nats with the same
         # floor(1000*x + 0.5) ln/division bit-parity contract as
