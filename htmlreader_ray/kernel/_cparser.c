@@ -3952,6 +3952,10 @@ static int resolve_root(Parser *P, const uint8_t *doomed) {
     return html >= 0 ? html : 0;
 }
 
+static XCfg g_xcfg;
+static PyObject *g_xcfg_key[5];
+static int g_xcfg_valid = 0;
+
 static PyObject *cextract(PyObject *self, PyObject *args) {
     PyObject *src, *t_tags, *t_cls, *t_ids, *t_attrs, *t_blk;
     int scripting = 1, collapse = 1;
@@ -3962,53 +3966,79 @@ static PyObject *cextract(PyObject *self, PyObject *args) {
                           &min_bc, &min_td, &collapse))
         return NULL;
 
-    XCfg X;
-    memset(&X, 0, sizeof(X));
-    X.max_ld = max_ld; X.min_td = min_td; X.min_bc = min_bc;
-    X.collapse = collapse;
-    if (strset_load(&X.tags, t_tags) < 0 || strset_load(&X.cls, t_cls) < 0
-        || strset_load(&X.ids, t_ids) < 0)
-        Py_RETURN_NONE;
-    if (!PyTuple_Check(t_attrs) || PyTuple_GET_SIZE(t_attrs) > MAX_RM)
-        Py_RETURN_NONE;
-    {
-        Py_ssize_t i, n = PyTuple_GET_SIZE(t_attrs);
-        X.nat = (int)n;
-        for (i = 0; i < n; i++) {
-            PyObject *pair = PyTuple_GET_ITEM(t_attrs, i);
-            if (!PyTuple_Check(pair) || PyTuple_GET_SIZE(pair) != 2)
-                Py_RETURN_NONE;
-            PyObject *an = PyTuple_GET_ITEM(pair, 0);
-            PyObject *av = PyTuple_GET_ITEM(pair, 1);
-            if (!PyUnicode_Check(an)) Py_RETURN_NONE;
-            X.an[i] = (const uint8_t *)PyUnicode_AsUTF8AndSize(an, &X.anl[i]);
-            if (!X.an[i]) Py_RETURN_NONE;
-            if (av == Py_None) {
-                X.av[i] = NULL; X.avl[i] = -1;
-            } else {
-                if (!PyUnicode_Check(av)) Py_RETURN_NONE;
-                X.av[i] = (const uint8_t *)PyUnicode_AsUTF8AndSize(
-                    av, &X.avl[i]);
-                if (!X.av[i]) Py_RETURN_NONE;
+    /* Config cache: extract() is called once per document with the SAME
+     * config tuple objects (Extractor._cargs is built once per instance),
+     * so reloading the rule sets per call is pure fixed overhead (~1-2 us
+     * of a ~12 us/doc budget on 1 KB docs). Key the cached XCfg on the
+     * identity of the five config objects (strong refs keep the cached
+     * UTF-8 pointers alive) plus the scalar knobs. */
+    XCfg *Xc = &g_xcfg;
+    if (!(g_xcfg_valid
+          && g_xcfg_key[0] == t_tags && g_xcfg_key[1] == t_cls
+          && g_xcfg_key[2] == t_ids && g_xcfg_key[3] == t_attrs
+          && g_xcfg_key[4] == t_blk
+          && g_xcfg.max_ld == max_ld && g_xcfg.min_td == min_td
+          && g_xcfg.min_bc == min_bc && g_xcfg.collapse == collapse)) {
+        g_xcfg_valid = 0;
+        memset(Xc, 0, sizeof(*Xc));
+        Xc->max_ld = max_ld; Xc->min_td = min_td; Xc->min_bc = min_bc;
+        Xc->collapse = collapse;
+        if (strset_load(&Xc->tags, t_tags) < 0
+            || strset_load(&Xc->cls, t_cls) < 0
+            || strset_load(&Xc->ids, t_ids) < 0)
+            Py_RETURN_NONE;
+        if (!PyTuple_Check(t_attrs) || PyTuple_GET_SIZE(t_attrs) > MAX_RM)
+            Py_RETURN_NONE;
+        {
+            Py_ssize_t i, n = PyTuple_GET_SIZE(t_attrs);
+            Xc->nat = (int)n;
+            for (i = 0; i < n; i++) {
+                PyObject *pair = PyTuple_GET_ITEM(t_attrs, i);
+                if (!PyTuple_Check(pair) || PyTuple_GET_SIZE(pair) != 2)
+                    Py_RETURN_NONE;
+                PyObject *an = PyTuple_GET_ITEM(pair, 0);
+                PyObject *av = PyTuple_GET_ITEM(pair, 1);
+                if (!PyUnicode_Check(an)) Py_RETURN_NONE;
+                Xc->an[i] = (const uint8_t *)PyUnicode_AsUTF8AndSize(
+                    an, &Xc->anl[i]);
+                if (!Xc->an[i]) Py_RETURN_NONE;
+                if (av == Py_None) {
+                    Xc->av[i] = NULL; Xc->avl[i] = -1;
+                } else {
+                    if (!PyUnicode_Check(av)) Py_RETURN_NONE;
+                    Xc->av[i] = (const uint8_t *)PyUnicode_AsUTF8AndSize(
+                        av, &Xc->avl[i]);
+                    if (!Xc->av[i]) Py_RETURN_NONE;
+                }
             }
         }
-    }
-    if (!PyTuple_Check(t_blk)) Py_RETURN_NONE;
-    {
-        Py_ssize_t i, n = PyTuple_GET_SIZE(t_blk);
-        for (i = 0; i < n; i++) {
-            PyObject *o = PyTuple_GET_ITEM(t_blk, i);
-            Py_ssize_t bl;
-            const char *bs;
-            if (!PyUnicode_Check(o)) Py_RETURN_NONE;
-            bs = PyUnicode_AsUTF8AndSize(o, &bl);
-            if (!bs) Py_RETURN_NONE;
-            {
-                int tid = tag_lookup((const uint8_t *)bs, bl);
-                if (tid < 0) Py_RETURN_NONE;  /* block tags are all known */
-                X.blk[tid] = 1;
+        if (!PyTuple_Check(t_blk)) Py_RETURN_NONE;
+        {
+            Py_ssize_t i, n = PyTuple_GET_SIZE(t_blk);
+            for (i = 0; i < n; i++) {
+                PyObject *o = PyTuple_GET_ITEM(t_blk, i);
+                Py_ssize_t bl;
+                const char *bs;
+                if (!PyUnicode_Check(o)) Py_RETURN_NONE;
+                bs = PyUnicode_AsUTF8AndSize(o, &bl);
+                if (!bs) Py_RETURN_NONE;
+                {
+                    int tid = tag_lookup((const uint8_t *)bs, bl);
+                    if (tid < 0) Py_RETURN_NONE; /* block tags all known */
+                    Xc->blk[tid] = 1;
+                }
             }
         }
+        {
+            PyObject *newk[5] = { t_tags, t_cls, t_ids, t_attrs, t_blk };
+            int i;
+            for (i = 0; i < 5; i++) {
+                Py_INCREF(newk[i]);
+                Py_XDECREF(g_xcfg_key[i]);
+                g_xcfg_key[i] = newk[i];
+            }
+        }
+        g_xcfg_valid = 1;
     }
 
     Py_ssize_t n8;
@@ -4041,7 +4071,7 @@ static PyObject *cextract(PyObject *self, PyObject *args) {
         while (sp > 0) {
             int idx = stk[--sp];
             CNode *nd = ND(P, idx);
-            if (nd->kind == K_ELEM && rules_match(P, nd, &X)) {
+            if (nd->kind == K_ELEM && rules_match(P, nd, Xc)) {
                 doomed[idx] = 1;
                 continue;
             }
@@ -4054,7 +4084,7 @@ static PyObject *cextract(PyObject *self, PyObject *args) {
     }
 
     /* pass 2: link/text-density pruning (extract.py:141-197) */
-    if (X.max_ld < 1.0 || X.min_td > 0) {
+    if (Xc->max_ld < 1.0 || Xc->min_td > 0) {
         int npre = 0;
         {
             int sp = 0;
@@ -4108,15 +4138,15 @@ static PyObject *cextract(PyObject *self, PyObject *args) {
                 int64_t total, lch;
                 int doom;
                 if (nd->kind != K_ELEM || doomed[idx] || nd->tag < 0
-                    || !X.blk[nd->tag] || nd->parent < 0)
+                    || !Xc->blk[nd->tag] || nd->parent < 0)
                     continue;
                 total = tl[idx];
                 if (total == 0) continue;
                 lch = ls[idx];
-                doom = ((double)lch / (double)total > X.max_ld
-                        && total - lch < X.min_bc);
-                if (!doom && X.min_td > 0)
-                    doom = (double)total / (double)ec[idx] < X.min_td;
+                doom = ((double)lch / (double)total > Xc->max_ld
+                        && total - lch < Xc->min_bc);
+                if (!doom && Xc->min_td > 0)
+                    doom = (double)total / (double)ec[idx] < Xc->min_td;
                 if (doom) {
                     int64_t e_el = ec[idx], l_el = ls[idx];
                     int64_t k = 0;
@@ -4161,7 +4191,7 @@ static PyObject *cextract(PyObject *self, PyObject *args) {
         }
     }
 
-    if (X.collapse) {
+    if (Xc->collapse) {
         /* collapse \s+ runs to a single space and strip, in one pass
          * (extract.py:209: _WS_RUN.sub(" ", text).strip()) */
         size_t o = 0, i = 0;

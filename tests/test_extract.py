@@ -104,3 +104,26 @@ def test_text_density_pruning_opt_in():
     out = strict.extract_html(html)
     assert "running prose" in out
     assert "a b c" not in out and "abcdefgh" not in out.replace(" ", "")
+
+
+def test_extractor_config_cache_alternation():
+    """The C extractor caches the compiled rule set keyed on config object
+    identity + scalar knobs; alternating extractors must never leak one
+    another's rules (regression for the cextract config cache)."""
+    from htmlreader_ray.kernel.extract import ExtractConfig, Extractor
+    keep_all = Extractor(ExtractConfig(remove_selectors=(),
+                                       max_link_density=1.0))
+    strip = Extractor(ExtractConfig(
+        remove_selectors=("nav", ".ad", "#x", "[data-junk]")))
+    tight_ld = Extractor(ExtractConfig(remove_selectors=(),
+                                       max_link_density=0.01))
+    doc = ('<body><nav>menu</nav><p class="ad">buy now today</p>'
+           '<p>keep this text</p><div id="x">gone away</div>'
+           '<span data-junk="1">junky stuff</span></body>')
+    linky = ('<body><div><a href=x>lots of link text here</a> t</div>'
+             '<p>real prose body text</p></body>')
+    for _ in range(8):
+        assert "menu" in keep_all.extract_html(doc)
+        assert strip.extract_html(doc) == "keep this text"
+        assert "lots of link" in keep_all.extract_html(linky)
+        assert "lots of link" not in tight_ld.extract_html(linky)
