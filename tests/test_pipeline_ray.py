@@ -167,6 +167,26 @@ def test_extract_paths_equivalent(ray_session, docs_table, tmp_path):
     assert a == b
 
 
+def test_extract_fused_matches_nonfused(ray_session, docs_table, tmp_path):
+    """The fused read+parse path (row-group work items, default) and the
+    ReadParquet->map path must produce identical span sequences, including
+    when some docs route through the mega split/reassemble branch."""
+    from htmlreader_ray.pipelines.extract_pipeline import extract_from_parquet
+    ids = docs_table.column("doc_id").to_pylist()[:40]
+    texts = docs_table.column("text").to_pylist()[:40]
+    texts[3] = texts[3] * 400   # force a mega doc past a tiny threshold
+    corpus = interleave_rows(ids, texts)
+    path = tmp_path / "c.parquet"
+    pq.write_table(corpus, path, row_group_size=7)  # several rgs per file
+    kw = {"mega_threshold": 20_000, "part_target": 5_000}
+    a = {r["doc_id"]: r["spans_out"]
+         for r in extract_from_parquet([str(path)], **kw).take_all()}
+    b = {r["doc_id"]: r["spans_out"]
+         for r in extract_from_parquet([str(path)], fused=False,
+                                       **kw).take_all()}
+    assert a == b and len(a) == 40
+
+
 def test_run_extract_resumes_after_partial_failure(ray_session, docs_table,
                                                    tmp_path):
     """A shard directory left behind by a crashed attempt is rebuilt from
