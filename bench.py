@@ -203,7 +203,9 @@ def _child_extract(num_cpus: int) -> None:
         # 7-slot leg. The corpus is sized (6M docs) so the 4N run takes
         # ~7-9 s: the old 1.2M-doc corpus finished in <4 s at 32 CPUs and
         # the measurement degenerated into fixed-overhead ratio (eff 0.45).
-        return extract_from_parquet(SCALE_CORPUS_DIR)
+        return extract_from_parquet(
+            SCALE_CORPUS_DIR,
+            rgs_per_task=int(os.environ.get("GRAFT_RGS_PER_TASK", "1")))
 
     build().count()  # warm
     best = float("inf")
