@@ -3956,99 +3956,102 @@ static XCfg g_xcfg;
 static PyObject *g_xcfg_key[5];
 static int g_xcfg_valid = 0;
 
-static PyObject *cextract(PyObject *self, PyObject *args) {
-    PyObject *src, *t_tags, *t_cls, *t_ids, *t_attrs, *t_blk;
-    int scripting = 1, collapse = 1;
-    double max_ld, min_td;
-    long min_bc;
-    if (!PyArg_ParseTuple(args, "UpOOOOOdldp", &src, &scripting, &t_tags,
-                          &t_cls, &t_ids, &t_attrs, &t_blk, &max_ld,
-                          &min_bc, &min_td, &collapse))
-        return NULL;
-
-    /* Config cache: extract() is called once per document with the SAME
-     * config tuple objects (Extractor._cargs is built once per instance),
-     * so reloading the rule sets per call is pure fixed overhead (~1-2 us
-     * of a ~12 us/doc budget on 1 KB docs). Key the cached XCfg on the
-     * identity of the five config objects (strong refs keep the cached
-     * UTF-8 pointers alive) plus the scalar knobs. */
+/* Config cache: extract() is called once per document with the SAME config
+ * tuple objects (Extractor._cargs is built once per instance), so reloading
+ * the rule sets per call is pure fixed overhead (~1-2 us of a ~12 us/doc
+ * budget on 1 KB docs). Key the cached XCfg on the identity of the five
+ * config objects (strong refs keep the cached UTF-8 pointers alive) plus
+ * the scalar knobs. Returns 0 ok, 1 unsupported-shape (caller bails). */
+static int xcfg_ensure(PyObject *t_tags, PyObject *t_cls, PyObject *t_ids,
+                       PyObject *t_attrs, PyObject *t_blk, double max_ld,
+                       long min_bc, double min_td, int collapse) {
     XCfg *Xc = &g_xcfg;
-    if (!(g_xcfg_valid
-          && g_xcfg_key[0] == t_tags && g_xcfg_key[1] == t_cls
-          && g_xcfg_key[2] == t_ids && g_xcfg_key[3] == t_attrs
-          && g_xcfg_key[4] == t_blk
-          && g_xcfg.max_ld == max_ld && g_xcfg.min_td == min_td
-          && g_xcfg.min_bc == min_bc && g_xcfg.collapse == collapse)) {
-        g_xcfg_valid = 0;
-        memset(Xc, 0, sizeof(*Xc));
-        Xc->max_ld = max_ld; Xc->min_td = min_td; Xc->min_bc = min_bc;
-        Xc->collapse = collapse;
-        if (strset_load(&Xc->tags, t_tags) < 0
-            || strset_load(&Xc->cls, t_cls) < 0
-            || strset_load(&Xc->ids, t_ids) < 0)
-            Py_RETURN_NONE;
-        if (!PyTuple_Check(t_attrs) || PyTuple_GET_SIZE(t_attrs) > MAX_RM)
-            Py_RETURN_NONE;
-        {
-            Py_ssize_t i, n = PyTuple_GET_SIZE(t_attrs);
-            Xc->nat = (int)n;
-            for (i = 0; i < n; i++) {
-                PyObject *pair = PyTuple_GET_ITEM(t_attrs, i);
-                if (!PyTuple_Check(pair) || PyTuple_GET_SIZE(pair) != 2)
-                    Py_RETURN_NONE;
-                PyObject *an = PyTuple_GET_ITEM(pair, 0);
-                PyObject *av = PyTuple_GET_ITEM(pair, 1);
-                if (!PyUnicode_Check(an)) Py_RETURN_NONE;
-                Xc->an[i] = (const uint8_t *)PyUnicode_AsUTF8AndSize(
-                    an, &Xc->anl[i]);
-                if (!Xc->an[i]) Py_RETURN_NONE;
-                if (av == Py_None) {
-                    Xc->av[i] = NULL; Xc->avl[i] = -1;
-                } else {
-                    if (!PyUnicode_Check(av)) Py_RETURN_NONE;
-                    Xc->av[i] = (const uint8_t *)PyUnicode_AsUTF8AndSize(
-                        av, &Xc->avl[i]);
-                    if (!Xc->av[i]) Py_RETURN_NONE;
-                }
+    if (g_xcfg_valid
+        && g_xcfg_key[0] == t_tags && g_xcfg_key[1] == t_cls
+        && g_xcfg_key[2] == t_ids && g_xcfg_key[3] == t_attrs
+        && g_xcfg_key[4] == t_blk
+        && g_xcfg.max_ld == max_ld && g_xcfg.min_td == min_td
+        && g_xcfg.min_bc == min_bc && g_xcfg.collapse == collapse)
+        return 0;
+    g_xcfg_valid = 0;
+    memset(Xc, 0, sizeof(*Xc));
+    Xc->max_ld = max_ld; Xc->min_td = min_td; Xc->min_bc = min_bc;
+    Xc->collapse = collapse;
+    if (strset_load(&Xc->tags, t_tags) < 0
+        || strset_load(&Xc->cls, t_cls) < 0
+        || strset_load(&Xc->ids, t_ids) < 0)
+        return 1;
+    if (!PyTuple_Check(t_attrs) || PyTuple_GET_SIZE(t_attrs) > MAX_RM)
+        return 1;
+    {
+        Py_ssize_t i, n = PyTuple_GET_SIZE(t_attrs);
+        Xc->nat = (int)n;
+        for (i = 0; i < n; i++) {
+            PyObject *pair = PyTuple_GET_ITEM(t_attrs, i);
+            if (!PyTuple_Check(pair) || PyTuple_GET_SIZE(pair) != 2)
+                return 1;
+            PyObject *an = PyTuple_GET_ITEM(pair, 0);
+            PyObject *av = PyTuple_GET_ITEM(pair, 1);
+            if (!PyUnicode_Check(an)) return 1;
+            Xc->an[i] = (const uint8_t *)PyUnicode_AsUTF8AndSize(
+                an, &Xc->anl[i]);
+            if (!Xc->an[i]) return 1;
+            if (av == Py_None) {
+                Xc->av[i] = NULL; Xc->avl[i] = -1;
+            } else {
+                if (!PyUnicode_Check(av)) return 1;
+                Xc->av[i] = (const uint8_t *)PyUnicode_AsUTF8AndSize(
+                    av, &Xc->avl[i]);
+                if (!Xc->av[i]) return 1;
             }
         }
-        if (!PyTuple_Check(t_blk)) Py_RETURN_NONE;
-        {
-            Py_ssize_t i, n = PyTuple_GET_SIZE(t_blk);
-            for (i = 0; i < n; i++) {
-                PyObject *o = PyTuple_GET_ITEM(t_blk, i);
-                Py_ssize_t bl;
-                const char *bs;
-                if (!PyUnicode_Check(o)) Py_RETURN_NONE;
-                bs = PyUnicode_AsUTF8AndSize(o, &bl);
-                if (!bs) Py_RETURN_NONE;
-                {
-                    int tid = tag_lookup((const uint8_t *)bs, bl);
-                    if (tid < 0) Py_RETURN_NONE; /* block tags all known */
-                    Xc->blk[tid] = 1;
-                }
-            }
-        }
-        {
-            PyObject *newk[5] = { t_tags, t_cls, t_ids, t_attrs, t_blk };
-            int i;
-            for (i = 0; i < 5; i++) {
-                Py_INCREF(newk[i]);
-                Py_XDECREF(g_xcfg_key[i]);
-                g_xcfg_key[i] = newk[i];
-            }
-        }
-        g_xcfg_valid = 1;
     }
+    if (!PyTuple_Check(t_blk)) return 1;
+    {
+        Py_ssize_t i, n = PyTuple_GET_SIZE(t_blk);
+        for (i = 0; i < n; i++) {
+            PyObject *o = PyTuple_GET_ITEM(t_blk, i);
+            Py_ssize_t bl;
+            const char *bs;
+            if (!PyUnicode_Check(o)) return 1;
+            bs = PyUnicode_AsUTF8AndSize(o, &bl);
+            if (!bs) return 1;
+            {
+                int tid = tag_lookup((const uint8_t *)bs, bl);
+                if (tid < 0) return 1;  /* block tags are all known */
+                Xc->blk[tid] = 1;
+            }
+        }
+    }
+    {
+        PyObject *newk[5] = { t_tags, t_cls, t_ids, t_attrs, t_blk };
+        int i;
+        for (i = 0; i < 5; i++) {
+            Py_INCREF(newk[i]);
+            Py_XDECREF(g_xcfg_key[i]);
+            g_xcfg_key[i] = newk[i];
+        }
+    }
+    g_xcfg_valid = 1;
+    return 0;
+}
 
+/* Per-document extraction core: parse src, apply the cached rule set
+ * (g_xcfg must be valid), and APPEND the extracted text to out. Returns
+ * 0 on success, 1 on parse bail (out unchanged), -1 on OOM. This is the
+ * unit shared by extract() (one doc -> str) and extract_many() (a batch
+ * -> one packed buffer, no per-doc PyUnicode allocation). */
+static int extract_one(PyObject *src, int scripting, Pool *out) {
+    XCfg *Xc = &g_xcfg;
     Py_ssize_t n8;
     const char *u8 = PyUnicode_AsUTF8AndSize(src, &n8);
-    if (!u8) { PyErr_Clear(); Py_RETURN_NONE; }
+    if (!u8) { PyErr_Clear(); return 1; }
 
     Parser *P = &g_parser;
-    if (run_parse(P, u8, n8, scripting)) Py_RETURN_NONE;
+    if (run_parse(P, u8, n8, scripting)) return 1;
 
-    PyObject *result = NULL;
+    int rc = -1;
+    size_t base = out->len;   /* this doc's region: [base, out->len) */
     int n = P->nnodes;
     uint8_t *doomed = (uint8_t *)calloc((size_t)n, 1);
     uint8_t *inreg = (uint8_t *)calloc((size_t)n, 1);
@@ -4057,10 +4060,9 @@ static PyObject *cextract(PyObject *self, PyObject *args) {
     int64_t *tl = (int64_t *)calloc((size_t)n, sizeof(int64_t));
     int64_t *ls = (int64_t *)calloc((size_t)n, sizeof(int64_t));
     int64_t *ec = (int64_t *)calloc((size_t)n, sizeof(int64_t));
-    Pool out;
-    memset(&out, 0, sizeof(out));
     if (!doomed || !inreg || !pre || !stk || !tl || !ls || !ec) goto done;
 
+    {
     int root = resolve_root(P, NULL);
 
     /* pass 1: rule removal (doomed subtrees are skipped wholesale — same
@@ -4176,7 +4178,7 @@ static PyObject *cextract(PyObject *self, PyObject *args) {
             CNode *nd = ND(P, idx);
             if (doomed[idx]) continue;
             if (nd->kind == K_TEXT) {
-                if (pool_put(&out, P->text.buf + nd->data_off, nd->data_len,
+                if (pool_put(out, P->text.buf + nd->data_off, nd->data_len,
                              NULL) < 0)
                     goto done;
                 continue;
@@ -4193,36 +4195,126 @@ static PyObject *cextract(PyObject *self, PyObject *args) {
 
     if (Xc->collapse) {
         /* collapse \s+ runs to a single space and strip, in one pass
-         * (extract.py:209: _WS_RUN.sub(" ", text).strip()) */
-        size_t o = 0, i = 0;
+         * (extract.py:209: _WS_RUN.sub(" ", text).strip()) — bounded to
+         * THIS doc's region of the shared pool */
+        size_t o = base, i = base;
         int pending = 0;
-        while (i < out.len) {
+        while (i < out->len) {
             int adv;
-            uint32_t cp = u8_cp(out.buf + i, &adv);
+            uint32_t cp = u8_cp(out->buf + i, &adv);
             if (uws(cp)) {
-                if (o > 0) pending = 1;
+                if (o > base) pending = 1;
             } else {
-                if (pending) { out.buf[o++] = ' '; pending = 0; }
+                if (pending) { out->buf[o++] = ' '; pending = 0; }
                 {
                     int j;
-                    for (j = 0; j < adv; j++) out.buf[o++] = out.buf[i + j];
+                    for (j = 0; j < adv; j++) out->buf[o++] = out->buf[i + j];
                 }
             }
             i += (size_t)adv;
         }
-        out.len = o;
+        out->len = o;
     }
-
-    result = PyUnicode_DecodeUTF8((const char *)out.buf, (Py_ssize_t)out.len,
-                                  NULL);
-    if (!result && PyErr_Occurred()) PyErr_Clear();
+    rc = 0;
+    }
 
 done:
     free(P->norm); P->norm = NULL;
     free(doomed); free(inreg); free(pre); free(stk);
     free(tl); free(ls); free(ec);
-    free(out.buf);
-    if (!result) Py_RETURN_NONE;
+    if (rc != 0) out->len = base;    /* drop any partial write */
+    return rc;
+}
+
+static PyObject *cextract(PyObject *self, PyObject *args) {
+    PyObject *src, *t_tags, *t_cls, *t_ids, *t_attrs, *t_blk;
+    int scripting = 1, collapse = 1;
+    double max_ld, min_td;
+    long min_bc;
+    if (!PyArg_ParseTuple(args, "UpOOOOOdldp", &src, &scripting, &t_tags,
+                          &t_cls, &t_ids, &t_attrs, &t_blk, &max_ld,
+                          &min_bc, &min_td, &collapse))
+        return NULL;
+    if (xcfg_ensure(t_tags, t_cls, t_ids, t_attrs, t_blk, max_ld, min_bc,
+                    min_td, collapse))
+        Py_RETURN_NONE;
+
+    Pool out;
+    memset(&out, 0, sizeof(out));
+    if (extract_one(src, scripting, &out)) {
+        free(out.buf);
+        Py_RETURN_NONE;
+    }
+    {
+        PyObject *result = PyUnicode_DecodeUTF8(
+            (const char *)out.buf, (Py_ssize_t)out.len, NULL);
+        free(out.buf);
+        if (!result) { PyErr_Clear(); Py_RETURN_NONE; }
+        return result;
+    }
+}
+
+/* extract_many(texts, scripting, cfg...) -> (data, offsets, ok) | None
+ *
+ * Batched extraction: every document's extracted text lands in ONE packed
+ * UTF-8 buffer (no per-doc PyUnicode allocation, no per-doc arg parsing).
+ * Returns (data: bytes, offsets: bytes of (len(texts)+1) little-endian
+ * int32, ok: bytes of len(texts) 0/1 flags). A doc whose parse bails gets
+ * ok=0 and an empty slice — the caller re-runs just those through the
+ * Python kernel. The caller builds a pyarrow StringArray directly over
+ * (offsets, data), so the batch path never materializes per-doc strings. */
+static PyObject *cextract_many(PyObject *self, PyObject *args) {
+    PyObject *texts, *t_tags, *t_cls, *t_ids, *t_attrs, *t_blk;
+    int scripting = 1, collapse = 1;
+    double max_ld, min_td;
+    long min_bc;
+    if (!PyArg_ParseTuple(args, "OpOOOOOdldp", &texts, &scripting, &t_tags,
+                          &t_cls, &t_ids, &t_attrs, &t_blk, &max_ld,
+                          &min_bc, &min_td, &collapse))
+        return NULL;
+    if (xcfg_ensure(t_tags, t_cls, t_ids, t_attrs, t_blk, max_ld, min_bc,
+                    min_td, collapse))
+        Py_RETURN_NONE;
+
+    PyObject *fast = PySequence_Fast(texts, "texts must be a sequence");
+    if (!fast) { PyErr_Clear(); Py_RETURN_NONE; }
+    Py_ssize_t m = PySequence_Fast_GET_SIZE(fast);
+
+    Pool out;
+    memset(&out, 0, sizeof(out));
+    int32_t *offs = (int32_t *)malloc(((size_t)m + 1) * sizeof(int32_t));
+    uint8_t *ok = (uint8_t *)malloc((size_t)m ? (size_t)m : 1);
+    PyObject *result = NULL;
+    if (!offs || !ok) goto done;
+    offs[0] = 0;
+    {
+        Py_ssize_t i;
+        for (i = 0; i < m; i++) {
+            PyObject *s = PySequence_Fast_GET_ITEM(fast, i);
+            int rc;
+            if (!PyUnicode_Check(s)) {
+                ok[i] = 0;
+                offs[i + 1] = (int32_t)out.len;
+                continue;
+            }
+            rc = extract_one(s, scripting, &out);
+            if (rc < 0) goto done;                 /* OOM: bail whole call */
+            if (out.len > (size_t)INT32_MAX) goto done;
+            ok[i] = (rc == 0);
+            offs[i + 1] = (int32_t)out.len;
+        }
+    }
+    result = Py_BuildValue(
+        "(y#y#y#)",
+        (const char *)(out.buf ? out.buf : (uint8_t *)""),
+        (Py_ssize_t)out.len,
+        (const char *)offs, (Py_ssize_t)((m + 1) * sizeof(int32_t)),
+        (const char *)ok, (Py_ssize_t)m);
+
+done:
+    Py_DECREF(fast);
+    free(out.buf); free(offs); free(ok);
+    if (!result) { PyErr_Clear(); Py_RETURN_NONE; }
     return result;
 }
 
@@ -4246,6 +4338,9 @@ static PyMethodDef methods[] = {
      "extract(html, scripting, rm_tags, rm_classes, rm_ids, rm_attrs, "
      "block_tags, max_link_density, min_block_chars, min_text_density, "
      "collapse_ws) -> str or None (bail)"},
+    {"extract_many", cextract_many, METH_VARARGS,
+     "extract_many(texts, scripting, ...same cfg...) -> "
+     "(data, offsets, ok) bytes triple or None"},
     {"register", creg, METH_VARARGS, "register DOM classes"},
     {NULL, NULL, 0, NULL}
 };

@@ -240,6 +240,35 @@ class Extractor:
         self.strip_boilerplate(doc)
         return self.text_of(doc)
 
+    def extract_html_many(self, texts: list) -> "object":
+        """Batch of HTML payloads -> pyarrow StringArray of extracted text,
+        elementwise identical to ``extract_html(t or "")``. Returns None
+        when the C batch entry point is unavailable (caller falls back to
+        per-doc calls). Docs the C parser bails on are re-run through the
+        per-doc path (Python kernel); a doc whose Python parse RAISES gets
+        a None slot — the caller owns on_error routing per document."""
+        if self._cargs is None or _CPARSE is None \
+                or not hasattr(_CPARSE, "extract_many"):
+            return None
+        import pyarrow as pa
+        res = _CPARSE.extract_many(texts, *self._cargs)
+        if res is None:
+            return None
+        data, offs, ok = res
+        n = len(texts)
+        arr = pa.Array.from_buffers(
+            pa.utf8(), n, [None, pa.py_buffer(offs), pa.py_buffer(data)])
+        if ok == b"\x01" * n:
+            return arr
+        vals = arr.to_pylist()
+        for i, flag in enumerate(ok):
+            if not flag:
+                try:
+                    vals[i] = self.extract_html(texts[i] or "")
+                except Exception:
+                    vals[i] = None          # caller maps to its doc
+        return pa.array(vals, pa.string())
+
     def extract_spans(self, spans: list[dict]) -> list[dict]:
         """One document's interleaved spans -> ordered output spans.
 

@@ -69,10 +69,39 @@ class ParseExtract:
         counts = (np.bincount(parent, minlength=n) if len(parent)
                   else np.zeros(n, np.int64)).tolist()
 
-        extract_html = self.extractor.extract_html
+        # Batch extraction: every text span's HTML goes through ONE
+        # extract_many call (packed output buffer, no per-doc PyUnicode),
+        # and the final text column is a take() over that packed array —
+        # the composition loop below only handles integers. Falls back to
+        # per-span extract_html when the C batch entry is unavailable.
+        sub_pos = [0] * len(kinds)   # flat idx -> index into `extracted`
+        sub_texts = []
+        for i, k in enumerate(kinds):
+            if k != "media":
+                sub_pos[i] = len(sub_texts)
+                sub_texts.append(texts[i] or "")
+        extracted = self.extractor.extract_html_many(sub_texts)
+        if extracted is None:
+            eh = self.extractor.extract_html
+            vals = []
+            for t in sub_texts:
+                try:
+                    vals.append(eh(t))
+                except Exception:
+                    vals.append(None)       # routed per doc below
+            extracted = pa.array(vals, pa.string())
+        # sentinel "" at the end: media spans take() it for their text
+        empty_idx = len(extracted)
+        extracted_plus = pa.concat_arrays(
+            [extracted, pa.array([""], pa.string())])
+        # char length per extracted span (0 for the error sentinel; those
+        # docs re-raise or skip below, so the 0 never leaks into output)
+        lens = pc.utf8_length(extracted).fill_null(-1) \
+            .to_numpy(zero_copy_only=False).tolist()
+
         skip_errors = self.on_error == "skip"
         ok_kind: list[str] = []
-        ok_text: list[str] = []
+        ok_sel: list[int] = []
         ok_ref: list[str] = []
         ok_order: list[int] = []
         out_counts = [0] * n
@@ -85,36 +114,44 @@ class ParseExtract:
             mark = len(ok_kind)
             order = 0
             chars = 0
-            try:
-                for i in idxs:
-                    if kinds[i] == "media":
-                        ok_kind.append("media")
-                        ok_text.append("")
-                        ok_ref.append(normalize_media_ref(refs[i] or ""))
+            failed = False
+            for i in idxs:
+                if kinds[i] == "media":
+                    ok_kind.append("media")
+                    ok_sel.append(empty_idx)
+                    ok_ref.append(normalize_media_ref(refs[i] or ""))
+                    ok_order.append(order)
+                    order += 1
+                else:
+                    j = sub_pos[i]
+                    ln = lens[j]
+                    if ln < 0:              # extraction raised for this span
+                        failed = True
+                        break
+                    if ln:
+                        ok_kind.append("text")
+                        ok_sel.append(j)
+                        ok_ref.append("")
                         ok_order.append(order)
                         order += 1
-                    else:
-                        txt = extract_html(texts[i] or "")
-                        if txt:
-                            ok_kind.append("text")
-                            ok_text.append(txt)
-                            ok_ref.append("")
-                            ok_order.append(order)
-                            order += 1
-                            chars += len(txt)
-            except Exception:
+                        chars += ln
+            if failed:
                 if not skip_errors:
-                    raise
+                    # reproduce the original exception for this span
+                    self.extractor.extract_html(texts[i] or "")
+                    raise RuntimeError("extraction failed without exception")
                 self.errors += 1
-                del ok_kind[mark:], ok_text[mark:], ok_ref[mark:], \
+                del ok_kind[mark:], ok_sel[mark:], ok_ref[mark:], \
                     ok_order[mark:]
                 order = 0
                 chars = 0
             out_counts[d] = order
             n_chars[d] = chars
 
+        ok_text = pc.take(extracted_plus,
+                          pa.array(ok_sel, pa.int64()))
         struct = pa.StructArray.from_arrays(
-            [pa.array(ok_kind, pa.string()), pa.array(ok_text, pa.string()),
+            [pa.array(ok_kind, pa.string()), ok_text,
              pa.array(ok_ref, pa.string()), pa.array(ok_order, pa.int32())],
             names=["kind", "text", "media_ref", "order"])
         offsets = np.zeros(n + 1, np.int32)

@@ -192,6 +192,39 @@ def test_extract_fuzz(src):
     _xcheck(cfg, Extractor(cfg), src)
 
 
+def test_extract_many_matches_per_doc():
+    """The batched C entry (extract_many: one packed buffer, StringArray
+    over it) must be elementwise identical to per-doc extract_html, for
+    every config, including None items and corpus pages."""
+    from htmlreader_ray.sources.corpus import build_page
+    vectors = [
+        "", "plain text", "<body class=footer>doomed body",
+        "<div><a href=x>link link link</a> t</div>",
+        "<p>a  b\t\ncd    e</p>",
+        "<div>\xe9中文 multibyte <a>\xe9\xe9</a></div>",
+        None,  # null span text: extract_html(t or "") semantics
+        "<table><tr><td><a>c</a><td>text here</table>",
+    ] + ["<!DOCTYPE html>" + build_page(k, "spark row table scan key")
+         for k in range(12)]
+    for cfg in _XCONFIGS:
+        ex = Extractor(cfg)
+        assert ex._cargs is not None
+        got = ex.extract_html_many(vectors)
+        assert got is not None
+        want = [ex.extract_html(v or "") for v in vectors]
+        assert got.to_pylist() == want
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(tag_soup(), min_size=0, max_size=6))
+def test_extract_many_fuzz(srcs):
+    cfg = _XCONFIGS[0]
+    ex = Extractor(cfg)
+    got = ex.extract_html_many(srcs)
+    assert got is not None
+    assert got.to_pylist() == [ex.extract_html(s or "") for s in srcs]
+
+
 def test_extract_complex_selector_uses_python():
     ex = Extractor(ExtractConfig(remove_selectors=("div > p.x",)))
     assert ex._cargs is None

@@ -271,15 +271,21 @@ def test_poison_doc_skip_mode():
             raise RuntimeError("poison")
         return real(html)
 
-    with mock.patch.object(pe.extractor, "extract_html", poisoned):
+    # the C batch path cannot raise — per-doc raises come from the Python
+    # fallback (C bail -> Python parse), so force that path for the test
+    with mock.patch.object(pe.extractor, "extract_html_many",
+                           lambda texts: None), \
+            mock.patch.object(pe.extractor, "extract_html", poisoned):
         out = pe(tbl)
     ns = out.column("n_spans").to_pylist()
     assert ns[0] > 0 and ns[1] == 0 and ns[2] > 0
     assert pe.errors == 1
     # raise mode propagates
     pe2 = ParseExtract(on_error="raise")
-    with mock.patch.object(pe2.extractor, "extract_html",
-                           side_effect=RuntimeError("poison")):
+    with mock.patch.object(pe2.extractor, "extract_html_many",
+                           lambda texts: None), \
+            mock.patch.object(pe2.extractor, "extract_html",
+                              side_effect=RuntimeError("poison")):
         with pytest.raises(RuntimeError):
             pe2(tbl)
 
