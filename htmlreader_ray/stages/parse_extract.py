@@ -204,10 +204,12 @@ class ExtractText:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         htmls = batch.column(self.html_col).to_pylist()
-        extract = self.extractor.extract_html
-        texts = [extract(h or "") for h in htmls]
+        texts = self.extractor.extract_html_many(htmls)
+        if texts is None:
+            extract = self.extractor.extract_html
+            texts = pa.array([extract(h or "") for h in htmls], pa.string())
         arrays = [batch.column(c) for c in self.keep_cols]
         names = list(self.keep_cols)
-        arrays.append(pa.array(texts, pa.string()))
+        arrays.append(texts)
         names.append(self.out_col)
         return pa.Table.from_arrays(arrays, names=names)
