@@ -44,16 +44,30 @@ def test_parse_extract_retry_is_deterministic(ray_session):
     assert run() == run()
 
 
-def test_poison_document_fails_alone():
-    from htmlreader_ray.stages.parse_extract import ParseExtract
+def _poison_table():
     from htmlreader_ray.sources.corpus import SPAN_TYPE
 
     spans = [[{"kind": "text", "text": "<p>ok</p>", "media_ref": "",
                "offset": 0}] for _ in range(5)]
-    t = pa.table({"doc_id": pa.array(list(range(5)), pa.int64()),
-                  "spans": pa.array(spans, pa.list_(SPAN_TYPE))})
-    pe = ParseExtract(on_error="skip")
+    return pa.table({"doc_id": pa.array(list(range(5)), pa.int64()),
+                     "spans": pa.array(spans, pa.list_(SPAN_TYPE))})
 
+
+def _assert_poison_contained(pe, out):
+    # the poisoned doc degrades to an empty span list; the other four
+    # documents are unaffected and the error is counted, not raised
+    assert out.num_rows == 5
+    assert pe.errors == 1
+    n_spans = out.column("n_spans").to_pylist()
+    assert n_spans[0] == 0 and all(n == 1 for n in n_spans[1:])
+
+
+def test_poison_document_fails_alone():
+    """Per-doc fallback path: with the C batch entry disabled, a document
+    whose extract_html raises is absorbed alone (on_error='skip')."""
+    from htmlreader_ray.stages.parse_extract import ParseExtract
+
+    pe = ParseExtract(on_error="skip")
     real = pe.extractor.extract_html
 
     def poisoned(html):
@@ -64,10 +78,34 @@ def test_poison_document_fails_alone():
 
     poisoned.bomb = 1  # exactly the first document explodes
     pe.extractor.extract_html = poisoned
-    out = pe(t)
-    # the poisoned doc degrades to an empty span list; the other four
-    # documents are unaffected and the error is counted, not raised
-    assert out.num_rows == 5
-    assert pe.errors == 1
-    n_spans = out.column("n_spans").to_pylist()
-    assert n_spans[0] == 0 and all(n == 1 for n in n_spans[1:])
+    # force the per-doc path: the batched C entry never raises per doc,
+    # so the poison must flow through the extract_html fallback
+    pe.extractor.extract_html_many = lambda texts: None
+    out = pe(_poison_table())
+    _assert_poison_contained(pe, out)
+
+
+def test_poison_document_fails_alone_batched():
+    """Batched path: a null slot from extract_html_many (C parser bailed
+    AND the per-doc Python re-run raised) routes to on_error per doc."""
+    from htmlreader_ray.stages.parse_extract import ParseExtract
+
+    pe = ParseExtract(on_error="skip")
+    real_many = pe.extractor.extract_html_many
+
+    def poisoned_many(texts):
+        arr = real_many(texts)
+        if arr is None:        # C entry unavailable: emulate its contract
+            arr = pa.array([pe.extractor.extract_html(t or "")
+                            for t in texts], pa.string())
+        if len(arr) and poisoned_many.bomb:
+            poisoned_many.bomb -= 1
+            vals = arr.to_pylist()
+            vals[0] = None     # first doc: both parse attempts failed
+            arr = pa.array(vals, pa.string())
+        return arr
+
+    poisoned_many.bomb = 1
+    pe.extractor.extract_html_many = poisoned_many
+    out = pe(_poison_table())
+    _assert_poison_contained(pe, out)
