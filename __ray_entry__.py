@@ -17,9 +17,35 @@ from collections.abc import Callable
 from typing import Any
 
 
-def _read(sf_dir: str, table: str):
+_TARGET_READ_BLOCK = 32 << 20   # bytes of parquet per read block
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    """Bytes-aware parquet read. Ray 2.49 splits even a 0.6 MB file into
+    ~2x-num-cpus blocks; every downstream groupby/sort barrier then scales
+    with that block count (~1s of pure overhead at 64 blocks). Small inputs
+    get ceil(bytes/32MB) blocks (floor 8); once the file exceeds the
+    default-parallelism threshold the override disengages and Ray's own
+    splitting rules (row groups, target block size) take over — so the
+    heuristic is inert at 100 TB scale."""
+    import math
+    import os
+
+    import ray
     import ray.data
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
+
+    path = f"{sf_dir}/{table}.parquet"
+    kwargs: dict = {}
+    if columns is not None:
+        kwargs["columns"] = columns
+    try:
+        want = max(8, math.ceil(os.path.getsize(path) / _TARGET_READ_BLOCK))
+        default_par = 2 * int(ray.cluster_resources().get("CPU", 16))
+        if want < default_par:
+            kwargs["override_num_blocks"] = want
+    except Exception:
+        pass
+    return ray.data.read_parquet(path, **kwargs)
 
 
 # --------------------------------------------------------------- flagship
@@ -1807,13 +1833,13 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (ORDER BY n_chars) AS rn,
                        count(*) OVER () AS n
                 FROM documents)
-            SELECT 0.5 AS q, n_chars AS value FROM o
+            SELECT 0.5::DOUBLE AS q, n_chars AS value FROM o
             WHERE rn = (n - 1) * 1 // 2 + 1
             UNION ALL
-            SELECT 0.9, n_chars FROM o
+            SELECT 0.9::DOUBLE, n_chars FROM o
             WHERE rn = (n - 1) * 9 // 10 + 1
             UNION ALL
-            SELECT 0.99, n_chars FROM o
+            SELECT 0.99::DOUBLE, n_chars FROM o
             WHERE rn = (n - 1) * 99 // 100 + 1
         """,
         "hll_registers": """
