@@ -137,6 +137,59 @@ def candidate_pairs_from_bucket(group: pa.Table,
         names=["id_a", "id_b"])
 
 
+def add_coarse_bucket_key(batch: pa.Table, chars: int = 2) -> pa.Table:
+    """Vectorized coarse group key: the first ``chars`` hex chars of the
+    bucket digest. All rows of one (band, bucket) share the same bucket
+    string, so a prefix keeps every bucket intact inside one coarse group
+    while collapsing the groupby from one-group-per-bucket (mostly
+    singletons — ~1 bucket per doc per band) to 16**chars groups."""
+    import pyarrow.compute as pc
+    gkey = pc.utf8_slice_codeunits(batch.column("bucket"), 0, chars)
+    return batch.append_column("gkey", gkey)
+
+
+def candidate_pairs_coarse(group: pa.Table,
+                           id_col: str = "doc_id",
+                           max_bucket: int = 256) -> pa.Table:
+    """map_groups kernel over COARSE bucket-prefix groups: segment the
+    group into its (band, bucket) buckets with one vectorized Arrow
+    group_by, then emit pairs only for the (rare) buckets holding >= 2
+    distinct ids. Semantics are identical to candidate_pairs_from_bucket
+    per bucket (all-pairs below ``max_bucket`` members, STAR pattern
+    above); the coarse key exists purely to amortize per-group dispatch —
+    a naive groupby((band, bucket)).map_groups pays a Python call per
+    bucket, and nearly every bucket is a singleton.
+
+    Memory note for scale: one coarse group materializes all its buckets'
+    rows, ~total_banded_rows / 16**chars — raise ``chars`` (via
+    add_coarse_bucket_key) with corpus size to keep groups ~1M rows."""
+    import pyarrow.compute as pc
+    id_type = group.column(id_col).type
+    agg = (group.select([id_col, "band", "bucket"])
+           .group_by(["band", "bucket"])
+           .aggregate([(id_col, "distinct")]))
+    ids_col = agg.column(f"{id_col}_distinct")
+    hot = agg.filter(pc.greater_equal(pc.list_value_length(ids_col), 2))
+    a_out: list = []
+    b_out: list = []
+    for ids in hot.column(f"{id_col}_distinct").to_pylist():
+        ids = sorted(ids)
+        if len(ids) > max_bucket:
+            rep = ids[0]
+            a_out.extend([rep] * (len(ids) - 1))
+            b_out.extend(ids[1:])
+        else:
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+    # type explicitly: an empty group would otherwise infer null-typed
+    # columns, poisoning the schema of downstream hash joins
+    return pa.Table.from_arrays(
+        [pa.array(a_out, id_type), pa.array(b_out, id_type)],
+        names=["id_a", "id_b"])
+
+
 def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     sa, sb = _shingles(text_a, k), _shingles(text_b, k)
     if len(sa) == 0 and len(sb) == 0:
@@ -303,8 +356,10 @@ def minhash_dedup_pairs(ds, *, threshold: float = 0.8, n_perm: int = 128,
         batch_format="pyarrow")
     if shuffle_partitions:
         banded = banded.repartition(shuffle_partitions)
-    pairs = (banded.groupby(["band", "bucket"])
-             .map_groups(candidate_pairs_from_bucket,
+    pairs = (banded.map_batches(add_coarse_bucket_key,
+                                batch_format="pyarrow")
+             .groupby("gkey")
+             .map_groups(candidate_pairs_coarse,
                          batch_format="pyarrow"))
     # distinct pairs (same pair can fire in many bands)
     from ray.data.aggregate import Count
@@ -506,8 +561,10 @@ def embedding_near_dups(ds, *, dim: int, threshold: float = 0.95,
         fn_constructor_kwargs=dict(dim=dim, bands=bands, bits=bits,
                                    vec_col=vec_col, id_col=id_col),
         batch_format="pyarrow", concurrency=(1, 8))
-    pairs = (banded.groupby(["band", "bucket"])
-             .map_groups(candidate_pairs_from_bucket,
+    pairs = (banded.map_batches(add_coarse_bucket_key,
+                                batch_format="pyarrow")
+             .groupby("gkey")
+             .map_groups(candidate_pairs_coarse,
                          fn_kwargs={"id_col": id_col},
                          batch_format="pyarrow"))
     from ray.data.aggregate import Count

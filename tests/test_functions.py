@@ -242,6 +242,55 @@ def test_hot_bucket_star_cap():
         [(1, 5), (1, 9), (5, 9)]
 
 
+def test_candidate_pairs_coarse_matches_per_bucket():
+    """The coarse-group kernel (bucket-prefix groupby + vectorized bucket
+    segmentation) emits exactly the per-bucket kernel's pairs — including
+    the >max_bucket STAR degradation, duplicate input rows, and the
+    hyperplane case of one bucket string appearing in two bands."""
+    import random
+
+    import pyarrow.compute as pc
+
+    rng = random.Random(7)
+    rows = []
+    for _ in range(300):
+        bucket = f"{rng.getrandbits(64):016x}"
+        band = rng.randrange(16)
+        for i in rng.sample(range(100000), rng.choice([1, 1, 1, 2, 3])):
+            rows.append((i, band, bucket))
+    # hot bucket above the star cap
+    rows += [(i, 3, "deadbeef" * 2)
+             for i in rng.sample(range(100000, 200000), 300)]
+    rows += rows[:40]                       # duplicate (id, band, bucket)
+    rows += [(1, 0, "aa" * 8), (2, 0, "aa" * 8),
+             (3, 1, "aa" * 8), (4, 1, "aa" * 8)]   # same bucket, two bands
+    rng.shuffle(rows)
+    t = pa.Table.from_arrays(
+        [pa.array([r[0] for r in rows], pa.int64()),
+         pa.array([r[1] for r in rows], pa.int32()),
+         pa.array([r[2] for r in rows], pa.string())],
+        names=["doc_id", "band", "bucket"])
+
+    import collections
+    groups = collections.defaultdict(list)
+    for i, (_, b, bk) in enumerate(rows):
+        groups[(b, bk)].append(i)
+    want = set()
+    for idxs in groups.values():
+        out = dedup.candidate_pairs_from_bucket(t.take(pa.array(idxs)))
+        want |= set(zip(out.column("id_a").to_pylist(),
+                        out.column("id_b").to_pylist()))
+
+    t2 = dedup.add_coarse_bucket_key(t)
+    got = set()
+    for g in pc.unique(t2.column("gkey")).to_pylist():
+        out = dedup.candidate_pairs_coarse(
+            t2.filter(pc.equal(t2.column("gkey"), g)))
+        got |= set(zip(out.column("id_a").to_pylist(),
+                       out.column("id_b").to_pylist()))
+    assert got == want and len(got) > 500
+
+
 def test_minhash_identical_flood_finishes(ray_session):
     """End-to-end skew guard: thousands of identical docs pass through
     banding + pair expansion without a pair explosion."""
