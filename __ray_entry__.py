@@ -1174,6 +1174,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return lvl2.union(lvl1, lvl0).map_batches(
             as_i64, batch_format="pyarrow")
 
+    def events_funnel(sf_dir: str):
+        """Ordered-sequence (funnel) detection: users with view -> click
+        -> purchase in strictly increasing time order, with the greedy
+        earliest chain's timestamps. ONE coarse groupby (user_id % 64),
+        vectorized per-group scan — see functions/windows.py."""
+        from htmlreader_ray.functions.windows import funnel_users
+        return funnel_users(_read(sf_dir, "events",
+                                  ["user_id", "ts", "event_type"]),
+                            steps=("view", "click", "purchase"))
+
+    def user_top_events(sf_dir: str):
+        """Grouped top-k (k=3 per user by value DESC, event_id ASC):
+        block-local head-k combiner, then a bounded per-group head-k —
+        the shuffle moves <= k rows per (block, user), never the
+        corpus."""
+        from htmlreader_ray.functions.shuffle import grouped_topk
+        return grouped_topk(_read(sf_dir, "events",
+                                  ["user_id", "event_id", "value"]),
+                            group_col="user_id", order_col="value",
+                            id_col="event_id", k=3)
+
+    def value_median(sf_dir: str):
+        """Exact per-event-type median of integer cents: the shuffle
+        moves only the (type, cents, count) value distribution — bounded
+        by distinct values, not rows — then a rank-select picks
+        floor((n-1)/2)+1 per group."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import grouped_exact_median
+
+        def cents(b: pa.Table) -> pa.Table:
+            c = pc.cast(pc.floor(pc.multiply(b.column("value"), 100.0)),
+                        pa.int64())
+            return pa.Table.from_arrays(
+                [b.column("event_type"), c],
+                names=["event_type", "value_cents"])
+
+        base = _read(sf_dir, "events", ["event_type", "value"]) \
+            .map_batches(cents, batch_format="pyarrow")
+        return grouped_exact_median(base, ["event_type"], "value_cents",
+                                    out_col="median_cents")
+
     def quantize_embeddings(sf_dir: str):
         """int8 embedding quantization for vector-corpus storage: pure
         stateless map, bit-exact vs the oracle (double casts of parquet
@@ -1278,6 +1320,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_top_orders": segment_top_orders,
         "quantize_embeddings": quantize_embeddings,
         "events_rollup": events_rollup,
+        "events_funnel": events_funnel,
+        "user_top_events": user_top_events,
+        "value_median": value_median,
         "customers_without_orders": customers_without_orders,
         "customers_with_big_orders": customers_with_big_orders,
         "dup_spans": dup_spans,
@@ -2189,6 +2234,48 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY ROLLUP (strftime(date_trunc('day', ts), '%Y-%m-%d'),
                              event_type)
+        """,
+        "events_funnel": """
+            WITH v AS (
+                SELECT user_id, min(ts) AS view_ts
+                FROM events WHERE event_type = 'view' GROUP BY user_id
+            ), c AS (
+                SELECT e.user_id, min(e.ts) AS click_ts
+                FROM events e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click' AND e.ts > v.view_ts
+                GROUP BY e.user_id
+            ), p AS (
+                SELECT e.user_id, min(e.ts) AS purchase_ts
+                FROM events e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+                GROUP BY e.user_id
+            )
+            SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts
+            FROM v JOIN c ON v.user_id = c.user_id
+                   JOIN p ON v.user_id = p.user_id
+        """,
+        "user_top_events": """
+            SELECT user_id, event_id, value FROM (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY value DESC, event_id) AS rn
+                FROM events
+            ) WHERE rn <= 3
+        """,
+        "value_median": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(floor(value * 100) AS BIGINT) AS value_cents
+                FROM events
+            ), r AS (
+                SELECT event_type, value_cents,
+                       row_number() OVER (PARTITION BY event_type
+                           ORDER BY value_cents) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM c
+            )
+            SELECT event_type, value_cents AS median_cents
+            FROM r WHERE rn = (n - 1) // 2 + 1
         """,
         "quantize_embeddings": """
             WITH e AS (

@@ -14,7 +14,9 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _PARTIAL_FN = {"count": "count_all", "sum": "sum", "min": "min", "max": "max"}
 _MERGE_FN = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
@@ -68,3 +70,84 @@ def combine_aggregate(ds, keys: Sequence[str],
         return batch.rename_columns(out_names)
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def _head_k_per_group(batch: pa.Table, *, group_col: str, order_col: str,
+                      id_col: str, k: int) -> pa.Table:
+    """Vectorized head-k: top ``k`` rows per group by (order_col DESC,
+    id_col ASC). One lexsort + run-length segmentation; no Python loop
+    over groups."""
+    if batch.num_rows == 0:
+        return batch.select([group_col, id_col, order_col])
+    grp = batch.column(group_col).combine_chunks()
+    _, codes = np.unique(np.asarray(grp), return_inverse=True)
+    order = batch.column(order_col).combine_chunks() \
+        .to_numpy(zero_copy_only=False)
+    ids = batch.column(id_col).combine_chunks() \
+        .to_numpy(zero_copy_only=False)
+    sidx = np.lexsort((ids, -order, codes))
+    c = codes[sidx]
+    starts = np.flatnonzero(np.concatenate(([True], c[1:] != c[:-1])))
+    run_id = np.cumsum(np.concatenate(
+        ([False], c[1:] != c[:-1]))).astype(np.int64)
+    pos = np.arange(len(c)) - starts[run_id]
+    keep = sidx[pos < k]
+    return batch.select([group_col, id_col, order_col]) \
+        .take(pa.array(np.sort(keep)))
+
+
+def grouped_topk(ds, *, group_col: str, order_col: str, id_col: str,
+                 k: int = 3):
+    """Top-k rows per group by (order_col DESC, id_col ASC tiebreak).
+
+    Combiner pattern: each block reduces to <= k rows per group key
+    (vectorized head-k), so the only shuffle moves <= k * blocks rows per
+    group; the final per-group head-k runs on those bounded partials.
+    No global sort, no full-table shuffle — scale is bounded by
+    k * block_count per hot group."""
+    from functools import partial as _p
+
+    kern = _p(_head_k_per_group, group_col=group_col, order_col=order_col,
+              id_col=id_col, k=k)
+
+    def kern_group(group: pa.Table) -> pa.Table:
+        return kern(group)
+
+    partials = ds.select_columns([group_col, id_col, order_col]) \
+        .map_batches(kern, batch_format="pyarrow")
+    return partials.groupby(group_col).map_groups(
+        kern_group, batch_format="pyarrow")
+
+
+def grouped_exact_median(ds, keys: Sequence[str], val_col: str,
+                         out_col: str = "median"):
+    """Exact per-group median without sorting the data: shuffle only the
+    VALUE DISTRIBUTION — combine_aggregate counts (keys..., val) rows
+    (bounded by distinct values per group regardless of corpus size),
+    then rank-select floor((n-1)/2)+1 per group on that tiny table.
+    Rank rule matches the SQL row_number oracle bit-for-bit."""
+    keys = list(keys)
+    dist = combine_aggregate(ds.select_columns(keys + [val_col]),
+                             keys + [val_col], [("", "count", "n")])
+
+    def pick(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], group.column(kc).type) for kc in keys]
+                + [pa.array([], pa.int64())],
+                names=[*keys, out_col])
+        idx = pc.sort_indices(group.column(val_col))
+        group = group.take(idx)
+        counts = group.column("n").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        cum = np.cumsum(counts)
+        rank = (cum[-1] - 1) // 2 + 1          # floor((n-1)/2)+1, 1-based
+        row = int(np.searchsorted(cum, rank))
+        val = group.column(val_col)[row]
+        return pa.Table.from_arrays(
+            [group.column(kc).slice(row, 1) for kc in keys]
+            + [pa.array([val.as_py()], pa.int64())],
+            names=[*keys, out_col])
+
+    return dist.groupby(keys if len(keys) > 1 else keys[0]) \
+        .map_groups(pick, batch_format="pyarrow")

@@ -451,3 +451,98 @@ def hopping_window_agg(ds, *, ts_col: str = "ts", key_col: str = "event_type",
             batch.column("window_start").cast(pa.timestamp("us")))
 
     return agg.map_batches(us_start, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ event funnel
+
+def funnel_match_group(group: pa.Table, *, steps: tuple[str, ...],
+                       ts_col: str = "ts", user_col: str = "user_id",
+                       type_col: str = "event_type") -> pa.Table:
+    """Coarse-group kernel: greedy earliest-match of the ordered step
+    sequence per user. A user qualifies when step[0]'s first event is
+    followed by a strictly-later step[1], which is followed by a
+    strictly-later step[2], and so on; emitted timestamps are that greedy
+    chain (the canonical funnel semantics — equivalent to the nested
+    min-ts-after-previous-step SQL).
+
+    One group holds MANY users (the caller groups on user_id % K, not
+    user_id): the sort and segmentation are vectorized, and the Python
+    loop advances per user per step, each step one np.searchsorted."""
+    n = group.num_rows
+    ts_names = [f"{s}_ts" for s in steps]
+    if n == 0:
+        return pa.Table.from_arrays(
+            [pa.array([], pa.int64())]
+            + [pa.array([], pa.timestamp("us")) for _ in steps],
+            names=[user_col, *ts_names])
+    users = group.column(user_col).combine_chunks() \
+        .to_numpy(zero_copy_only=False)
+    us = group.column(ts_col).combine_chunks().cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    step_idx = {s: i for i, s in enumerate(steps)}
+    types = np.array([step_idx.get(t, -1)
+                      for t in group.column(type_col).to_pylist()],
+                     dtype=np.int64)
+    order = np.lexsort((us, users))
+    users, us, types = users[order], us[order], types[order]
+    starts = np.flatnonzero(np.concatenate(
+        ([True], users[1:] != users[:-1])))
+    ends = np.append(starts[1:], n)
+    out_user: list[int] = []
+    out_ts: list[list[int]] = [[] for _ in steps]
+    for b, e in zip(starts, ends):
+        t_prev = -1 << 62
+        chain: list[int] = []
+        for si in range(len(steps)):
+            seg_ts = us[b:e]
+            mask = (types[b:e] == si) & (seg_ts > t_prev)
+            hits = np.flatnonzero(mask)
+            if len(hits) == 0:
+                chain = []
+                break
+            t_prev = int(seg_ts[hits[0]])
+            chain.append(t_prev)
+        if chain:
+            out_user.append(int(users[b]))
+            for si, t in enumerate(chain):
+                out_ts[si].append(t)
+    return pa.Table.from_arrays(
+        [pa.array(out_user, pa.int64())]
+        + [pa.array(col, pa.int64()).cast(pa.timestamp("us"))
+           for col in out_ts],
+        names=[user_col, *ts_names])
+
+
+def funnel_users(ds, *, steps: tuple[str, ...] = ("view", "click",
+                                                  "purchase"),
+                 ts_col: str = "ts", user_col: str = "user_id",
+                 type_col: str = "event_type", coarse: int = 64):
+    """Ordered-sequence (funnel) detection: users whose event stream
+    contains the steps in order with strictly increasing timestamps,
+    with the greedy earliest chain's timestamps.
+
+    Plan shape: filter to step events + project 3 narrow columns BEFORE
+    the shuffle, then ONE groupby on user_id % ``coarse`` (not user_id:
+    one Python dispatch per coarse group instead of per user) and a
+    vectorized per-group scan. Raise ``coarse`` with cluster size; skew
+    is bounded by the busiest coarse bucket."""
+    step_set = list(steps)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        batch = batch.select([user_col, ts_col, type_col])
+        mask = pc.is_in(batch.column(type_col),
+                        value_set=pa.array(step_set))
+        batch = batch.filter(mask)
+        ukey = pc.cast(batch.column(user_col), pa.int64())
+        ukey = np.mod(ukey.combine_chunks().to_numpy(
+            zero_copy_only=False) if isinstance(ukey, pa.ChunkedArray)
+            else ukey.to_numpy(zero_copy_only=False), coarse)
+        return batch.append_column("ukey", pa.array(ukey, pa.int64()))
+
+    return (ds.map_batches(prefilter, batch_format="pyarrow")
+            .groupby("ukey")
+            .map_groups(funnel_match_group,
+                        fn_kwargs=dict(steps=tuple(steps), ts_col=ts_col,
+                                       user_col=user_col,
+                                       type_col=type_col),
+                        batch_format="pyarrow"))

@@ -62,3 +62,73 @@ def test_ordered_prefix_sum(ray_session):
     assert by_id[0]["chunk_id"] == 0
     for i in range(250):
         assert by_id[i]["chunk_id"] == want[i] // 16
+
+
+def test_grouped_topk_ties_and_blocks(ray_session):
+    import random
+    import ray.data
+    from htmlreader_ray.functions.shuffle import grouped_topk
+    rng = random.Random(7)
+    groups, ids, vals = [], [], []
+    for i in range(400):
+        groups.append(rng.randrange(6))
+        ids.append(i)
+        vals.append(float(rng.randrange(10)))  # heavy ties
+    t = pa.Table.from_arrays(
+        [pa.array(groups, pa.int64()), pa.array(ids, pa.int64()),
+         pa.array(vals, pa.float64())],
+        names=["g", "id", "v"])
+    ds = ray.data.from_arrow(t).repartition(7)
+    out = grouped_topk(ds, group_col="g", order_col="v", id_col="id",
+                       k=3).take_all()
+    # naive reference: per group sort by (-v, id), head 3
+    want = {}
+    for g, i, v in zip(groups, ids, vals):
+        want.setdefault(g, []).append((-v, i))
+    for g in want:
+        want[g] = sorted(want[g])[:3]
+    got = {}
+    for r in out:
+        got.setdefault(r["g"], []).append((-r["v"], r["id"]))
+    for g in got:
+        got[g] = sorted(got[g])
+    assert got == want
+
+
+def test_grouped_topk_small_groups(ray_session):
+    import ray.data
+    from htmlreader_ray.functions.shuffle import grouped_topk
+    t = pa.Table.from_arrays(
+        [pa.array([1, 2], pa.int64()), pa.array([10, 20], pa.int64()),
+         pa.array([1.5, 2.5], pa.float64())],
+        names=["g", "id", "v"])
+    out = grouped_topk(ray.data.from_arrow(t), group_col="g",
+                       order_col="v", id_col="id", k=3).take_all()
+    assert len(out) == 2  # groups smaller than k pass through whole
+
+
+def test_grouped_exact_median_matches_naive(ray_session):
+    import random
+    import statistics
+    import ray.data
+    from htmlreader_ray.functions.shuffle import grouped_exact_median
+    rng = random.Random(11)
+    keys, vals = [], []
+    for _ in range(501):
+        keys.append("k%d" % rng.randrange(4))
+        vals.append(rng.randrange(-50, 50))
+    t = pa.Table.from_arrays(
+        [pa.array(keys, pa.string()), pa.array(vals, pa.int64())],
+        names=["k", "v"])
+    ds = ray.data.from_arrow(t).repartition(5)
+    out = grouped_exact_median(ds, ["k"], "v", out_col="med").take_all()
+    got = {r["k"]: r["med"] for r in out}
+    want = {}
+    for k in set(keys):
+        s = sorted(v for kk, v in zip(keys, vals) if kk == k)
+        want[k] = s[(len(s) - 1) // 2]  # lower median
+    assert got == want
+    # cross-check with statistics.median_low
+    for k in want:
+        s = [v for kk, v in zip(keys, vals) if kk == k]
+        assert got[k] == statistics.median_low(s)

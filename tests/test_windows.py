@@ -282,3 +282,53 @@ def test_range_join_count_hot_key_skew(ray_session):
     for i in range(0, n, 97):
         assert got[i] == int((secs >= secs[i]).sum()), i
     assert got[int(np.argmin(secs))] == n
+
+
+def test_funnel_users_greedy_chain(ray_session):
+    import ray.data
+    import pyarrow as pa
+    from htmlreader_ray.functions.windows import funnel_users
+    us = pa.timestamp("us")
+
+    def ts(v):
+        return v * 1_000_000
+    # user 1: full funnel; greedy chain must pick the EARLIEST valid chain
+    # user 2: click before view only -> no match
+    # user 3: view+click but purchase before click -> no match
+    # user 4: steps at identical timestamps -> strict ordering rejects
+    rows = [
+        (1, ts(10), "view"), (1, ts(5), "click"), (1, ts(20), "click"),
+        (1, ts(15), "purchase"), (1, ts(30), "purchase"),
+        (2, ts(1), "click"), (2, ts(2), "purchase"),
+        (3, ts(1), "view"), (3, ts(5), "click"), (3, ts(3), "purchase"),
+        (4, ts(7), "view"), (4, ts(7), "click"), (4, ts(7), "purchase"),
+        (5, ts(1), "view"), (5, ts(2), "click"), (5, ts(3), "purchase"),
+        # user 69 collides with user 5 mod 64 — multi-user coarse group
+        (69, ts(4), "view"), (69, ts(6), "click"), (69, ts(9), "purchase"),
+    ]
+    t = pa.Table.from_arrays(
+        [pa.array([r[0] for r in rows], pa.int64()),
+         pa.array([r[1] for r in rows], pa.int64()).cast(us),
+         pa.array([r[2] for r in rows], pa.string())],
+        names=["user_id", "ts", "event_type"])
+    out = funnel_users(ray.data.from_arrow(t).repartition(3)).take_all()
+    got = {r["user_id"]: (r["view_ts"], r["click_ts"], r["purchase_ts"])
+           for r in out}
+    assert set(got) == {1, 5, 69}
+    v, c, p = got[1]
+    assert (v.timestamp(), c.timestamp(), p.timestamp()) == (10, 20, 30)
+    v, c, p = got[69]
+    assert (v.timestamp(), c.timestamp(), p.timestamp()) == (4, 6, 9)
+
+
+def test_funnel_users_no_matches(ray_session):
+    import ray.data
+    import pyarrow as pa
+    from htmlreader_ray.functions.windows import funnel_users
+    t = pa.Table.from_arrays(
+        [pa.array([1, 2], pa.int64()),
+         pa.array([1, 2], pa.int64()).cast(pa.timestamp("us")),
+         pa.array(["error", "signup"], pa.string())],
+        names=["user_id", "ts", "event_type"])
+    out = funnel_users(ray.data.from_arrow(t)).take_all()
+    assert out == []
