@@ -1245,6 +1245,152 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from htmlreader_ray.functions import indexing
         return indexing.bigram_pmi(_read(sf_dir, "documents"))
 
+    def events_window_distinct(sf_dir: str):
+        """Exact distinct users per tumbling hour: two combiner groupbys —
+        block-local (window, user) dedup bounds the first shuffle by
+        distinct pairs per block, the global pair dedup bounds the second
+        by distinct pairs total; no raw event row ever crosses the wire."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def project(b: pa.Table) -> pa.Table:
+            w = pc.floor_temporal(b.column("ts"), unit="hour")
+            return pa.Table.from_arrays(
+                [w, b.column("user_id")], names=["window_start", "user_id"])
+
+        base = _read(sf_dir, "events", ["ts", "user_id"]).map_batches(
+            project, batch_format="pyarrow")
+        pairs = combine_aggregate(base, ["window_start", "user_id"],
+                                  [("", "count", "_n")])
+        out = combine_aggregate(
+            pairs.select_columns(["window_start", "user_id"]),
+            ["window_start"], [("", "count", "n_users")])
+
+        def fix_ts(b: pa.Table) -> pa.Table:
+            # the groupby round-trips timestamps through numpy and lands
+            # on [s]; pin the oracle-visible precision (user_sessions /
+            # segment_top_orders lesson)
+            i = b.column_names.index("window_start")
+            return b.set_column(
+                i, "window_start",
+                pc.cast(b.column("window_start"), pa.timestamp("us")))
+
+        return out.map_batches(fix_ts, batch_format="pyarrow")
+
+    def value_quantile_sketch(sf_dir: str):
+        """Mergeable KLL quantile sketch over a continuous column: the
+        scale path for quantiles where the distinct-value-distribution
+        trick (length_quantiles, value_median) is unbounded. Capacity
+        2^18 exceeds every tested sf so the strict oracle pins exact
+        order statistics; the compacted regime (k=4096 in production) is
+        rank-error-bounded by unit tests (tests/test_quantiles.py)."""
+        from htmlreader_ray.functions.quantiles import quantile_sketch
+        return quantile_sketch(
+            _read(sf_dir, "events", ["value"]), "value",
+            fracs=[(1, 100), (1, 4), (1, 2), (3, 4), (99, 100)],
+            k=1 << 18)
+
+    def weighted_sample(sf_dir: str):
+        """Deterministic length-weighted Bernoulli sample (inclusion
+        probability n_chars/1000): pure integer comparison of a 60-bit
+        md5 key against n_chars * (2^60 // 1000) — exact on both oracle
+        sides, stable under resharding, zero shuffle."""
+        import hashlib
+        import pyarrow as pa
+
+        C = (1 << 60) // 1000
+
+        def keep(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            chars = batch.column("n_chars").to_pylist()
+            mask = [
+                int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+                < n * C
+                for i, n in zip(ids, chars)]
+            m = pa.array(mask)
+            return pa.Table.from_arrays(
+                [batch.column("doc_id").filter(m),
+                 batch.column("n_chars").filter(m)],
+                names=["doc_id", "n_chars"])
+
+        return _read(sf_dir, "documents", ["doc_id", "n_chars"]) \
+            .map_batches(keep, batch_format="pyarrow")
+
+    def normalize_text(sf_dir: str):
+        """Unicode text canonicalization (NFC + lowercase + whitespace
+        collapse + trim) — the standard pre-dedup normalization pass,
+        all-Arrow kernels (utf8proc-backed, matching DuckDB's)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def norm(batch: pa.Table) -> pa.Table:
+            t = pc.utf8_normalize(batch.column("text"), form="NFC")
+            t = pc.utf8_lower(t)
+            t = pc.replace_substring_regex(t, r"\s+", " ")
+            t = pc.utf8_trim_whitespace(t)
+            return pa.Table.from_arrays(
+                [batch.column("doc_id"), t], names=["doc_id", "norm_text"])
+
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            norm, batch_format="pyarrow")
+
+    def orders_customer_outer(sf_dir: str):
+        """FULL OUTER join, completing the join-type matrix (inner /
+        broadcast / semi / anti / as-of / range elsewhere): machinery
+        customers x their per-customer order stats — unmatched customers
+        keep NULL stats, unmatched order groups keep NULL customer cols.
+        Both sides are pre-aggregated/filtered keys-plus-payload only."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        cust = _read(sf_dir, "customer").map_batches(
+            lambda b: b.filter(
+                pc.equal(b.column("c_mktsegment"), "MACHINERY"))
+            .select(["c_custkey", "c_acctbal"]),
+            batch_format="pyarrow")
+
+        def cents(b: pa.Table) -> pa.Table:
+            # integer cents: float SUM is order-dependent, int64 is not
+            c = pc.cast(pc.floor(pc.add(
+                pc.multiply(b.column("o_totalprice"), 100.0), 0.5)),
+                pa.int64())
+            return pa.Table.from_arrays(
+                [b.column("o_custkey"), c],
+                names=["o_custkey", "spend_cents"])
+
+        ostats = combine_aggregate(
+            _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+            .map_batches(cents, batch_format="pyarrow"),
+            ["o_custkey"], [("", "count", "n_orders"),
+                            ("spend_cents", "sum", "total_spend_cents")])
+
+        def as_i64(b: pa.Table) -> pa.Table:
+            i = b.column_names.index("n_orders")
+            return b.set_column(i, "n_orders",
+                                pc.cast(b.column("n_orders"), pa.int64()))
+
+        joined = cust.join(
+            ostats.map_batches(as_i64, batch_format="pyarrow"),
+            "full_outer", 8, on=("c_custkey",), right_on=("o_custkey",))
+
+        def fill(b: pa.Table) -> pa.Table:
+            # outer-side nulls pinned to explicit values: a no-order
+            # customer spent 0; a missing customer row carries the
+            # -999999 sentinel (float-null hashing is oracle-hostile)
+            cols = {"c_acctbal": pa.scalar(-999999.0, pa.float64()),
+                    "n_orders": pa.scalar(0, pa.int64()),
+                    "total_spend_cents": pa.scalar(0, pa.int64())}
+            for name, default in cols.items():
+                i = b.column_names.index(name)
+                b = b.set_column(
+                    i, name, pc.fill_null(
+                        pc.cast(b.column(name), default.type), default))
+            return b
+
+        return joined.map_batches(fill, batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -1323,6 +1469,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": events_funnel,
         "user_top_events": user_top_events,
         "value_median": value_median,
+        "events_window_distinct": events_window_distinct,
+        "value_quantile_sketch": value_quantile_sketch,
+        "weighted_sample": weighted_sample,
+        "normalize_text": normalize_text,
+        "orders_customer_outer": orders_customer_outer,
         "customers_without_orders": customers_without_orders,
         "customers_with_big_orders": customers_with_big_orders,
         "dup_spans": dup_spans,
@@ -2299,6 +2450,63 @@ def oracle_sql() -> dict[str, str]:
                                   AS BIGINT)
                    END AS scale_e9
             FROM s
+        """,
+        "events_window_distinct": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1
+        """,
+        "value_quantile_sketch": """
+            WITH o AS (
+                SELECT value,
+                       row_number() OVER (ORDER BY value) AS rn,
+                       count(*) OVER () AS n
+                FROM events)
+            SELECT 0.01::DOUBLE AS q, value FROM o
+            WHERE rn = (n - 1) * 1 // 100 + 1
+            UNION ALL
+            SELECT 0.25::DOUBLE, value FROM o
+            WHERE rn = (n - 1) * 1 // 4 + 1
+            UNION ALL
+            SELECT 0.5::DOUBLE, value FROM o
+            WHERE rn = (n - 1) * 1 // 2 + 1
+            UNION ALL
+            SELECT 0.75::DOUBLE, value FROM o
+            WHERE rn = (n - 1) * 3 // 4 + 1
+            UNION ALL
+            SELECT 0.99::DOUBLE, value FROM o
+            WHERE rn = (n - 1) * 99 // 100 + 1
+        """,
+        "weighted_sample": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      ::BIGINT
+                  < n_chars * 1152921504606846
+        """,
+        "normalize_text": """
+            SELECT doc_id,
+                   trim(regexp_replace(lower(nfc_normalize(text)),
+                                       '\\s+', ' ', 'g')) AS norm_text
+            FROM documents
+        """,
+        "orders_customer_outer": """
+            WITH cust AS (
+                SELECT c_custkey, c_acctbal FROM customer
+                WHERE c_mktsegment = 'MACHINERY'
+            ), ostats AS (
+                SELECT o_custkey,
+                       CAST(COUNT(*) AS BIGINT) AS n_orders,
+                       CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                     AS BIGINT)) AS BIGINT)
+                           AS total_spend_cents
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT COALESCE(c_custkey, o_custkey) AS c_custkey,
+                   COALESCE(c_acctbal, -999999.0) AS c_acctbal,
+                   COALESCE(n_orders, 0) AS n_orders,
+                   COALESCE(total_spend_cents, 0) AS total_spend_cents
+            FROM cust FULL OUTER JOIN ostats
+              ON cust.c_custkey = ostats.o_custkey
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash
