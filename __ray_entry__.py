@@ -1391,6 +1391,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return joined.map_batches(fill, batch_format="pyarrow")
 
+    def segment_dedup(sf_dir: str):
+        """Corpus-wide segment-level dedup (the CCNet/RefinedWeb
+        line-dedup pattern at 8-word granularity): keep the FIRST
+        occurrence of every segment by (doc_id, seg_idx), drop repeats
+        anywhere in the corpus. The occurrence coordinates pack into one
+        int64 (doc_id << 20 | seg_idx) so keep-first is a single
+        combiner MIN — the shuffle moves one (segment, min_key) row per
+        block-distinct segment, never the corpus."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        SEG = 8
+
+        def expand(batch: pa.Table) -> pa.Table:
+            out_seg, out_key = [], []
+            for i, t in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+                w = (t or "").split()
+                for k in range(0, len(w), SEG):
+                    out_seg.append(" ".join(w[k:k + SEG]))
+                    out_key.append((i << 20) | (k // SEG))
+            return pa.Table.from_arrays(
+                [pa.array(out_seg, pa.string()),
+                 pa.array(out_key, pa.int64())],
+                names=["seg", "okey"])
+
+        segs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            expand, batch_format="pyarrow")
+        first = combine_aggregate(segs, ["seg"], [("okey", "min", "okey")])
+
+        def decode(b: pa.Table) -> pa.Table:
+            okey = pc.cast(b.column("okey"), pa.int64())
+            return pa.Table.from_arrays(
+                [pc.shift_right(okey, 20),
+                 pc.bit_wise_and(okey, (1 << 20) - 1),
+                 b.column("seg")],
+                names=["doc_id", "seg_idx", "seg"])
+
+        return first.map_batches(decode, batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -1474,6 +1515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": weighted_sample,
         "normalize_text": normalize_text,
         "orders_customer_outer": orders_customer_outer,
+        "segment_dedup": segment_dedup,
         "customers_without_orders": customers_without_orders,
         "customers_with_big_orders": customers_with_big_orders,
         "dup_spans": dup_spans,
@@ -2507,6 +2549,32 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(total_spend_cents, 0) AS total_spend_cents
             FROM cust FULL OUTER JOIN ostats
               ON cust.c_custkey = ostats.o_custkey
+        """,
+        "segment_dedup": r"""
+            WITH words AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM documents WHERE trim(text) <> ''
+            ), segs AS (
+                SELECT doc_id,
+                       unnest([{'i': k,
+                                's': array_to_string(
+                                        ws[1 + 8*k :
+                                           least(8*k + 8, len(ws))], ' ')}
+                               for k in range(
+                                   0, CAST(ceil(len(ws) / 8.0) AS INT))])
+                           AS c
+                FROM words
+            ), flat AS (
+                SELECT doc_id, CAST(c['i'] AS BIGINT) AS seg_idx,
+                       c['s'] AS seg
+                FROM segs
+            ), ranked AS (
+                SELECT doc_id, seg_idx, seg,
+                       row_number() OVER (PARTITION BY seg
+                           ORDER BY doc_id, seg_idx) AS rn
+                FROM flat
+            )
+            SELECT doc_id, seg_idx, seg FROM ranked WHERE rn = 1
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash
