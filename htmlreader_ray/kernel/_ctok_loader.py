@@ -26,9 +26,14 @@ _HASH_PATH = _SO_PATH + ".srchash"
 
 
 def _src_hash() -> str:
+    """Covers the .c source AND this loader (so compile-flag edits here
+    invalidate the cached .so)."""
     import hashlib
-    with open(_SRC, "rb") as f:
-        return hashlib.md5(f.read()).hexdigest()
+    h = hashlib.md5()
+    for path in (_SRC, os.path.abspath(__file__)):
+        with open(path, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
 
 
 def _so_is_current() -> bool:
@@ -53,7 +58,7 @@ def _compile() -> bool:
                 return True
             include = sysconfig.get_paths()["include"]
             tmp = _SO_PATH + f".tmp.{os.getpid()}"
-            cmd = ["gcc", "-O2", "-fPIC", "-shared", f"-I{include}",
+            cmd = ["gcc", "-O3", "-fPIC", "-shared", f"-I{include}",
                    _SRC, "-o", tmp]
             res = subprocess.run(cmd, capture_output=True, text=True,
                                  timeout=120)
