@@ -512,6 +512,92 @@ def near_dup_pairs(ds, *, threshold: float = 0.8, n_perm: int = 128,
     return paired.map_batches(verify, batch_format="pyarrow")
 
 
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)],
+                    dtype=np.uint8)
+
+
+def simhash_near_pairs(ds, *, max_hamming: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id"):
+    """All document pairs within SimHash Hamming distance ``max_hamming``.
+
+    For max_hamming <= 3 the 4x16-bit banding is EXHAUSTIVE, not
+    approximate: a pair differing in <= 3 of 64 bits leaves at least one
+    of the 4 disjoint 16-bit bands identical (pigeonhole), so every
+    qualifying pair collides in some bucket — the result is exactly the
+    self-join ``bit_count(xor(a, b)) <= max_hamming`` the SQL oracle
+    computes.
+
+    Join-free plan (2 shuffles, no broadcast, no materialization): the
+    64-bit hash rides along on every band row (+8 bytes/row), so the
+    grouped pair kernel verifies Hamming distance inline — no join-back
+    to re-attach payloads. A final narrow groupby dedups pairs that fire
+    in multiple bands. Buckets get NO star-cap here (a cap would drop
+    oracle-true pairs); bucket sizes only degenerate under
+    mass-duplicate corpora, which should run exact_dedup first.
+
+    Returns Dataset (id_a, id_b, hamming:int64), id_a < id_b."""
+    from ray.data.aggregate import Min
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        n = batch.num_rows
+        sims = np.empty(n, dtype=np.uint64)
+        for i, t in enumerate(batch.column(text_col).to_pylist()):
+            sims[i] = simhash64(t or "")
+        parts = []
+        for band in range(4):
+            bucket = ((sims >> np.uint64(band * 16)) &
+                      np.uint64(0xFFFF)).astype(np.int32)
+            parts.append(pa.Table.from_arrays(
+                [ids, pa.array(sims.view(np.int64)),
+                 pa.array(np.full(n, band, np.int32)), pa.array(bucket),
+                 pa.array(bucket & np.int32(255))],
+                names=[id_col, "simhash", "band", "bucket", "gkey"]))
+        return pa.concat_tables(parts)
+
+    def pair_kernel(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        agg = (group.select([id_col, "simhash", "band", "bucket"])
+               .group_by(["band", "bucket"])
+               .aggregate([(id_col, "list"), ("simhash", "list")]))
+        sizes = pc.list_value_length(agg.column(f"{id_col}_list"))
+        hot = agg.filter(pc.greater_equal(sizes, 2))
+        a_out: list = []
+        b_out: list = []
+        h_out: list = []
+        for ids, sims in zip(hot.column(f"{id_col}_list").to_pylist(),
+                             hot.column("simhash_list").to_pylist()):
+            order = np.argsort(np.asarray(ids))
+            idv = np.asarray(ids, dtype=np.int64)[order]
+            sv = np.asarray(sims, dtype=np.int64)[order].view(np.uint64)
+            # pairwise xor-popcount, vectorized over the (tiny) bucket
+            x = (sv[:, None] ^ sv[None, :]).view(np.uint8) \
+                .reshape(len(sv), len(sv), 8)
+            ham = _POPCNT8[x].sum(axis=2).astype(np.int64)
+            ai, bi = np.triu_indices(len(sv), k=1)
+            keep = ham[ai, bi] <= max_hamming
+            a_out.extend(idv[ai[keep]].tolist())
+            b_out.extend(idv[bi[keep]].tolist())
+            h_out.extend(ham[ai, bi][keep].tolist())
+        id_type = group.column(id_col).type
+        return pa.Table.from_arrays(
+            [pa.array(a_out, id_type), pa.array(b_out, id_type),
+             pa.array(h_out, pa.int64())],
+            names=["id_a", "id_b", "hamming"])
+
+    pairs = (ds.map_batches(band_rows, batch_format="pyarrow")
+             .groupby("gkey")
+             .map_groups(pair_kernel, batch_format="pyarrow"))
+    # same pair can fire in several bands: one narrow distinct groupby
+    # (hamming is identical on every firing, so Min is just projection)
+    dedup = (pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming")))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["id_a", "id_b", "hamming"])
+
+    return dedup.map_batches(rename, batch_format="pyarrow")
+
+
 # --------------------------------------------------- embedding near-dups
 
 class HyperplaneBands:

@@ -116,6 +116,34 @@ def test_minhash_dedup_pipeline_ray(ray_session):
     assert all(2 not in p for p in pair_set)
 
 
+def test_simhash_near_pairs_exhaustive_ray(ray_session):
+    """The banded pipeline must equal the brute-force Hamming<=3
+    self-join exactly (the 4x16-bit pigeonhole guarantee the SQL oracle
+    relies on)."""
+    import itertools
+    import ray.data
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    texts = [base,
+             base + "mu",                      # 1 extra word: tiny shift
+             base + "mu nu",
+             "totally unrelated document text about something else " * 8,
+             base]                             # exact dup of 0 (hamming 0)
+    ids = list(range(len(texts)))
+    expected = set()
+    hs = [dedup.simhash64(t) for t in texts]
+    for i, j in itertools.combinations(ids, 2):
+        if dedup.hamming64(hs[i], hs[j]) <= 3:
+            expected.add((i, j))
+    assert (0, 4) in expected  # non-vacuous: the exact dup qualifies
+    ds = ray.data.from_arrow(tbl(ids, texts))
+    out = dedup.simhash_near_pairs(ds, max_hamming=3).take_all()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert got == expected
+    for r in out:
+        assert r["hamming"] == dedup.hamming64(
+            hs[r["id_a"]], hs[r["id_b"]])
+
+
 # -------------------------------------------------------------------- ann
 
 def test_brute_force_topk_matches_numpy(ray_session):
