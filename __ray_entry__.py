@@ -1209,6 +1209,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                   ["user_id", "ts", "event_type"]),
                             steps=("view", "click", "purchase"))
 
+    def event_gaps(sf_dir: str):
+        """Per-user inter-arrival gaps (lag over (ts, event_id)),
+        aggregated per event type as exact integer microsecond stats —
+        one groupby(user) shuffle + one narrow groupby(type)."""
+        from htmlreader_ray.functions.analytics import event_gap_stats
+        return event_gap_stats(_read(sf_dir, "events",
+                                     ["user_id", "ts", "event_id",
+                                      "event_type"]))
+
+    def user_retention(sf_dir: str):
+        """Cohort retention matrix: first-active-day cohorts x day
+        offsets, distinct users. Per-user kernel emits bounded
+        (cohort, offset) rows, global count is a row count."""
+        from htmlreader_ray.functions.analytics import retention_cohorts
+        return retention_cohorts(_read(sf_dir, "events",
+                                       ["user_id", "ts"]))
+
+    def event_cooccurrence(sf_dir: str):
+        """Users per event-type PAIR. The per-user kernel emits
+        C(n_types,2)-bounded pairs, so the oracle's row-wise self-join
+        never happens distributed — hot users cost O(types^2)."""
+        from htmlreader_ray.functions.analytics import type_cooccurrence
+        return type_cooccurrence(_read(sf_dir, "events",
+                                       ["user_id", "event_type"]))
+
     def user_top_events(sf_dir: str):
         """Grouped top-k (k=3 per user by value DESC, event_id ASC):
         block-local head-k combiner, then a bounded per-group head-k —
@@ -1534,6 +1559,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings": quantize_embeddings,
         "events_rollup": events_rollup,
         "events_funnel": events_funnel,
+        "event_gaps": event_gaps,
+        "user_retention": user_retention,
+        "event_cooccurrence": event_cooccurrence,
         "user_top_events": user_top_events,
         "value_median": value_median,
         "events_window_distinct": events_window_distinct,
@@ -1565,6 +1593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_distinct", "value_quantile_sketch",
         "weighted_sample", "normalize_text", "orders_customer_outer",
         "segment_dedup", "simhash_near_pairs",
+        "event_gaps", "user_retention", "event_cooccurrence",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -2510,6 +2539,46 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY ROLLUP (strftime(date_trunc('day', ts), '%Y-%m-%d'),
                              event_type)
+        """,
+        "event_gaps": """
+            WITH g AS (
+                SELECT event_type,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS gap
+                FROM events
+            )
+            SELECT event_type,
+                   count(*) AS n_gaps,
+                   sum(gap) AS sum_gap_us,
+                   max(gap) AS max_gap_us
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY event_type
+        """,
+        "user_retention": """
+            WITH f AS (
+                SELECT user_id,
+                       min(CAST(date_trunc('day', ts) AS TIMESTAMP))
+                           AS cohort_day
+                FROM events GROUP BY user_id
+            ), a AS (
+                SELECT DISTINCT e.user_id, f.cohort_day,
+                       datediff('day', f.cohort_day,
+                                CAST(date_trunc('day', e.ts) AS TIMESTAMP))
+                           AS day_offset
+                FROM events e JOIN f ON e.user_id = f.user_id
+            )
+            SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+                   count(*) AS n_users
+            FROM a GROUP BY cohort_day, day_offset
+        """,
+        "event_cooccurrence": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS n_users
+            FROM d a JOIN d b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY a.event_type, b.event_type
         """,
         "events_funnel": """
             WITH v AS (

@@ -1,0 +1,109 @@
+"""Unit tests for functions/analytics.py (lag gaps, retention,
+co-occurrence) against brute-force expectations."""
+import itertools
+
+import pyarrow as pa
+import pytest
+
+from htmlreader_ray.functions import analytics
+
+US = 1_000_000
+DAY = 86_400_000_000
+
+
+def events_table():
+    # user 1: three events, one ts tie broken by event_id
+    # user 2: single event (no gaps)
+    # user 3: two events across a day boundary
+    rows = [
+        # (event_id, ts_us, user_id, event_type)
+        (10, 1_000 * US, 1, "view"),
+        (11, 1_000 * US, 1, "click"),     # tie with event 10 -> gap 0
+        (12, 5_000 * US, 1, "purchase"),
+        (20, 2_000 * US, 2, "view"),
+        (30, 100 * US, 3, "view"),
+        (31, DAY + 100 * US, 3, "click"),
+    ]
+    return pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    })
+
+
+def test_event_gap_stats(ray_session):
+    import ray.data
+    ds = ray.data.from_arrow(events_table())
+    out = {r["event_type"]: r
+           for r in analytics.event_gap_stats(ds).take_all()}
+    # user 1: click at same ts (gap 0), purchase gap 4000s
+    # user 3: click gap DAY
+    assert "view" not in out  # no view is ever a later-event of a gap
+    assert out["click"]["n_gaps"] == 2
+    assert out["click"]["sum_gap_us"] == 0 + DAY
+    assert out["click"]["max_gap_us"] == DAY
+    assert out["purchase"]["n_gaps"] == 1
+    assert out["purchase"]["sum_gap_us"] == 4_000 * US
+
+
+def test_retention_cohorts(ray_session):
+    import ray.data
+    ds = ray.data.from_arrow(events_table())
+    out = {(r["cohort_day"], r["day_offset"]): r["n_users"]
+           for r in analytics.retention_cohorts(ds).take_all()}
+    import datetime
+    epoch = datetime.datetime(1970, 1, 1)
+    # users 1, 2, 3 all first active on day 0; user 3 returns day 1
+    assert out[(epoch, 0)] == 3
+    assert out[(epoch, 1)] == 1
+    assert len(out) == 2
+
+
+def test_type_cooccurrence(ray_session):
+    import ray.data
+    ds = ray.data.from_arrow(events_table())
+    out = {(r["type_a"], r["type_b"]): r["n_users"]
+           for r in analytics.type_cooccurrence(ds).take_all()}
+    # brute force over the fixture
+    per_user = {}
+    for r in events_table().to_pylist():
+        per_user.setdefault(r["user_id"], set()).add(r["event_type"])
+    expected = {}
+    for types in per_user.values():
+        for a, b in itertools.combinations(sorted(types), 2):
+            expected[(a, b)] = expected.get((a, b), 0) + 1
+    assert out == expected
+    assert out[("click", "view")] == 2
+
+
+def test_gap_stats_many_users_bucketed(ray_session):
+    """Exercise >1 coarse bucket and tie-breaking at scale."""
+    import ray.data
+    n = 1000
+    ids = list(range(n))
+    t = pa.table({
+        "event_id": pa.array(ids, pa.int64()),
+        "ts": pa.array([(i % 7) * US for i in ids], pa.int64()).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array([i % 13 for i in ids], pa.int64()),
+        "event_type": pa.array(["a" if i % 2 else "b" for i in ids]),
+    })
+    ds = ray.data.from_arrow(t)
+    out = analytics.event_gap_stats(ds, coarse_buckets=8).take_all()
+    # brute force
+    rows = sorted(t.to_pylist(),
+                  key=lambda r: (r["user_id"], r["ts"], r["event_id"]))
+    agg = {}
+    for prev, cur in zip(rows, rows[1:]):
+        if prev["user_id"] != cur["user_id"]:
+            continue
+        gap = int((cur["ts"] - prev["ts"]).total_seconds() * US)
+        a = agg.setdefault(cur["event_type"], [0, 0, 0])
+        a[0] += 1
+        a[1] += gap
+        a[2] = max(a[2], gap)
+    got = {r["event_type"]: [r["n_gaps"], r["sum_gap_us"], r["max_gap_us"]]
+           for r in out}
+    assert got == agg
