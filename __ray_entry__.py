@@ -1209,6 +1209,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                   ["user_id", "ts", "event_type"]),
                             steps=("view", "click", "purchase"))
 
+    def fuzzy_parts(sf_dir: str):
+        """Edit-distance fuzzy join: a broadcast probe dictionary vs
+        the streamed part-name column; batch-vectorized Wagner-Fischer
+        DP with length banding, zero shuffles (functions/fuzzy.py).
+        Probe strings duplicated verbatim in the SQL oracle's VALUES."""
+        from htmlreader_ray.functions.fuzzy import fuzzy_probe_match
+        probes = ["cald gear", "hot rodd", "smal ring", "nev anvil",
+                  "blue gizmmo"]
+        return fuzzy_probe_match(
+            _read(sf_dir, "part", ["p_partkey", "p_name"]), probes,
+            text_col="p_name", id_col="p_partkey", max_dist=2)
+
     def event_gaps(sf_dir: str):
         """Per-user inter-arrival gaps (lag over (ts, event_id)),
         aggregated per event type as exact integer microsecond stats —
@@ -1560,6 +1572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": events_rollup,
         "events_funnel": events_funnel,
         "event_gaps": event_gaps,
+        "fuzzy_parts": fuzzy_parts,
         "user_retention": user_retention,
         "event_cooccurrence": event_cooccurrence,
         "user_top_events": user_top_events,
@@ -1594,6 +1607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample", "normalize_text", "orders_customer_outer",
         "segment_dedup", "simhash_near_pairs",
         "event_gaps", "user_retention", "event_cooccurrence",
+        "fuzzy_parts",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -2539,6 +2553,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY ROLLUP (strftime(date_trunc('day', ts), '%Y-%m-%d'),
                              event_type)
+        """,
+        "fuzzy_parts": """
+            WITH probes(probe) AS (VALUES
+                ('cald gear'), ('hot rodd'), ('smal ring'),
+                ('nev anvil'), ('blue gizmmo'))
+            SELECT p.p_partkey, p.p_name, pr.probe,
+                   CAST(levenshtein(p.p_name, pr.probe) AS BIGINT) AS dist
+            FROM part p CROSS JOIN probes pr
+            WHERE levenshtein(p.p_name, pr.probe) <= 2
         """,
         "event_gaps": """
             WITH g AS (

@@ -441,3 +441,37 @@ def test_quantize_embeddings_matches_naive():
         assert row["scale_e9"] == math.floor(1000000000 * scale + 0.5)
         # int8 range contract
         assert all(-128 <= q <= 127 for q in want)
+
+
+# ------------------------------------------------------------------ fuzzy
+
+def test_fuzzy_levenshtein_kernel():
+    """The vectorized DP must equal the classic scalar recurrence."""
+    from htmlreader_ray.functions.fuzzy import FuzzyProbeMatch
+    import numpy as np
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    words = ["cold widget", "small bolt", "", "x", "cald gear",
+             "old gear", "a completely different long string"]
+    t = pa.table({"p_partkey": pa.array(range(len(words)), pa.int64()),
+                  "p_name": pa.array(words)})
+    probes = ["cald gear", "small bol", ""]
+    out = FuzzyProbeMatch(probes, max_dist=2)(t)
+    got = {(r["p_partkey"], r["probe"]): r["dist"]
+           for r in out.to_pylist()}
+    expected = {}
+    for i, w in enumerate(words):
+        for p in probes:
+            d = lev(w, p)
+            if d <= 2:
+                expected[(i, p)] = d
+    assert got == expected
