@@ -46,6 +46,10 @@ class ParseExtract:
         # like the Python sorted() this replaces, so equal offsets keep
         # input order. Semantics mirror Extractor.extract_spans exactly
         # (parity: tests/test_components.py spans tests run both paths).
+        # The span composition (ordering, dense re-numbering, per-doc
+        # counts/chars, failure routing) is pure numpy boundary
+        # arithmetic over the (parent, offset)-sorted stream — the former
+        # per-span Python loop was ~40% of stage wall time.
         import numpy as np
         import pyarrow.compute as pc
 
@@ -58,28 +62,22 @@ class ParseExtract:
         flat = pc.list_flatten(spans)
         parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
         offs = pc.struct_field(flat, "offset").to_numpy(zero_copy_only=False)
-        # .tolist() once: the doc loop below indexes these per span, and
-        # Python-list indexing with Python ints is ~2x numpy-scalar
-        # indexing (10% of stage wall time at 2 spans/doc)
         order_idx = (np.lexsort((offs, parent)) if len(parent)
-                     else parent).tolist()
-        kinds = pc.struct_field(flat, "kind").to_pylist()
-        texts = pc.struct_field(flat, "text").to_pylist()
-        refs = pc.struct_field(flat, "media_ref").to_pylist()
-        counts = (np.bincount(parent, minlength=n) if len(parent)
-                  else np.zeros(n, np.int64)).tolist()
+                     else parent.astype(np.int64))
+        kind_col = pc.struct_field(flat, "kind")
+        text_col = pc.struct_field(flat, "text")
+        refs_col = pc.struct_field(flat, "media_ref")
+        is_media = pc.fill_null(pc.equal(kind_col, "media"), False) \
+            .to_numpy(zero_copy_only=False)
 
         # Batch extraction: every text span's HTML goes through ONE
         # extract_many call (packed output buffer, no per-doc PyUnicode),
-        # and the final text column is a take() over that packed array —
-        # the composition loop below only handles integers. Falls back to
-        # per-span extract_html when the C batch entry is unavailable.
-        sub_pos = [0] * len(kinds)   # flat idx -> index into `extracted`
-        sub_texts = []
-        for i, k in enumerate(kinds):
-            if k != "media":
-                sub_pos[i] = len(sub_texts)
-                sub_texts.append(texts[i] or "")
+        # and the final text column is a take() over that packed array.
+        # Falls back to per-span extract_html when the C batch entry is
+        # unavailable.
+        nonmedia_idx = np.flatnonzero(~is_media)
+        sub_texts = [t or "" for t in
+                     text_col.take(pa.array(nonmedia_idx)).to_pylist()]
         extracted = self.extractor.extract_html_many(sub_texts)
         if extracted is None:
             eh = self.extractor.extract_html
@@ -94,65 +92,81 @@ class ParseExtract:
         empty_idx = len(extracted)
         extracted_plus = pa.concat_arrays(
             [extracted, pa.array([""], pa.string())])
-        # char length per extracted span (0 for the error sentinel; those
-        # docs re-raise or skip below, so the 0 never leaks into output)
+        # char length per extracted span (-1 marks a span whose
+        # extraction raised; its whole doc re-raises or skips below)
         lens = pc.utf8_length(extracted).fill_null(-1) \
-            .to_numpy(zero_copy_only=False).tolist()
+            .to_numpy(zero_copy_only=False).astype(np.int64)
 
-        skip_errors = self.on_error == "skip"
-        ok_kind: list[str] = []
-        ok_sel: list[int] = []
-        ok_ref: list[str] = []
-        ok_order: list[int] = []
-        out_counts = [0] * n
-        n_chars = [0] * n
-        pos = 0
-        for d in range(n):
-            c = counts[d]
-            idxs = order_idx[pos:pos + c]
-            pos += c
-            mark = len(ok_kind)
-            order = 0
-            chars = 0
-            failed = False
-            for i in idxs:
-                if kinds[i] == "media":
-                    ok_kind.append("media")
-                    ok_sel.append(empty_idx)
-                    ok_ref.append(normalize_media_ref(refs[i] or ""))
-                    ok_order.append(order)
-                    order += 1
-                else:
-                    j = sub_pos[i]
-                    ln = lens[j]
-                    if ln < 0:              # extraction raised for this span
-                        failed = True
-                        break
-                    if ln:
-                        ok_kind.append("text")
-                        ok_sel.append(j)
-                        ok_ref.append("")
-                        ok_order.append(order)
-                        order += 1
-                        chars += ln
-            if failed:
-                if not skip_errors:
-                    # reproduce the original exception for this span
-                    self.extractor.extract_html(texts[i] or "")
-                    raise RuntimeError("extraction failed without exception")
-                self.errors += 1
-                del ok_kind[mark:], ok_sel[mark:], ok_ref[mark:], \
-                    ok_order[mark:]
-                order = 0
-                chars = 0
-            out_counts[d] = order
-            n_chars[d] = chars
+        # flat idx -> index into `extracted` (valid where ~is_media)
+        subj = np.cumsum(~is_media) - 1
+        if len(lens):
+            subj_safe = np.where(is_media, 0, subj)
+            ln_flat = np.where(is_media, np.int64(0), lens[subj_safe])
+        else:
+            subj_safe = subj
+            ln_flat = np.zeros(len(is_media), np.int64)
+        failed_flat = (~is_media) & (ln_flat < 0)
 
-        ok_text = pc.take(extracted_plus,
-                          pa.array(ok_sel, pa.int64()))
+        parent_s = parent[order_idx] if len(parent) else parent
+        is_media_s = is_media[order_idx]
+        ln_s = ln_flat[order_idx]
+        keep_s = is_media_s | (ln_s > 0)
+
+        if failed_flat.any():
+            if self.on_error != "skip":
+                # reproduce the original exception from the FIRST failing
+                # span in (doc, offset) order, like the per-doc loop did
+                fs = np.flatnonzero(failed_flat[order_idx])[0]
+                i = int(order_idx[fs])
+                self.extractor.extract_html(text_col[i].as_py() or "")
+                raise RuntimeError("extraction failed without exception")
+            failed_doc = np.zeros(n, bool)
+            failed_doc[parent[failed_flat]] = True
+            self.errors += int(failed_doc.sum())
+            keep_s &= ~failed_doc[parent_s]
+
+        kept = np.flatnonzero(keep_s)
+        kept_parent = parent_s[kept]
+        kept_media = is_media_s[kept]
+        kept_flat = order_idx[kept]
+        k = len(kept)
+        # dense 0-based order within each doc over the kept spans
+        if k:
+            idx = np.arange(k, dtype=np.int64)
+            new_doc = np.empty(k, bool)
+            new_doc[0] = True
+            np.not_equal(kept_parent[1:], kept_parent[:-1],
+                         out=new_doc[1:])
+            doc_start = np.maximum.accumulate(np.where(new_doc, idx, 0))
+            order_out = (idx - doc_start).astype(np.int32)
+        else:
+            order_out = np.zeros(0, np.int32)
+        out_counts = (np.bincount(kept_parent, minlength=n)
+                      .astype(np.int64) if k else np.zeros(n, np.int64))
+        char_w = np.where(kept_media, np.int64(0), ln_s[kept])
+        n_chars = (np.bincount(kept_parent, weights=char_w,
+                               minlength=n).astype(np.int64)
+                   if k else np.zeros(n, np.int64))
+
+        sel = np.where(kept_media, np.int64(empty_idx),
+                       subj_safe[kept_flat])
+        ok_text = pc.take(extracted_plus, pa.array(sel))
+        media_mask = pa.array(kept_media)
+        kind_out = pc.if_else(media_mask, pa.scalar("media"),
+                              pa.scalar("text"))
+        # media_ref normalization stays a Python loop — but only over the
+        # (few) media spans, scattered into an otherwise-empty column
+        ok_ref = [""] * k
+        media_pos = np.flatnonzero(kept_media)
+        if len(media_pos):
+            raw_refs = refs_col.take(
+                pa.array(kept_flat[media_pos])).to_pylist()
+            for p, r in zip(media_pos.tolist(), raw_refs):
+                ok_ref[p] = normalize_media_ref(r or "")
+
         struct = pa.StructArray.from_arrays(
-            [pa.array(ok_kind, pa.string()), ok_text,
-             pa.array(ok_ref, pa.string()), pa.array(ok_order, pa.int32())],
+            [kind_out, ok_text,
+             pa.array(ok_ref, pa.string()), pa.array(order_out)],
             names=["kind", "text", "media_ref", "order"])
         offsets = np.zeros(n + 1, np.int32)
         np.cumsum(out_counts, out=offsets[1:])
