@@ -4041,12 +4041,9 @@ static int xcfg_ensure(PyObject *t_tags, PyObject *t_cls, PyObject *t_ids,
  * 0 on success, 1 on parse bail (out unchanged), -1 on OOM. This is the
  * unit shared by extract() (one doc -> str) and extract_many() (a batch
  * -> one packed buffer, no per-doc PyUnicode allocation). */
-static int extract_one(PyObject *src, int scripting, Pool *out) {
+static int extract_one_raw(const char *u8, Py_ssize_t n8, int scripting,
+                           Pool *out) {
     XCfg *Xc = &g_xcfg;
-    Py_ssize_t n8;
-    const char *u8 = PyUnicode_AsUTF8AndSize(src, &n8);
-    if (!u8) { PyErr_Clear(); return 1; }
-
     Parser *P = &g_parser;
     if (run_parse(P, u8, n8, scripting)) return 1;
 
@@ -4226,6 +4223,13 @@ done:
     return rc;
 }
 
+static int extract_one(PyObject *src, int scripting, Pool *out) {
+    Py_ssize_t n8;
+    const char *u8 = PyUnicode_AsUTF8AndSize(src, &n8);
+    if (!u8) { PyErr_Clear(); return 1; }
+    return extract_one_raw(u8, n8, scripting, out);
+}
+
 static PyObject *cextract(PyObject *self, PyObject *args) {
     PyObject *src, *t_tags, *t_cls, *t_ids, *t_attrs, *t_blk;
     int scripting = 1, collapse = 1;
@@ -4318,6 +4322,87 @@ done:
     return result;
 }
 
+/* extract_arrow(data, offsets, start, m, scripting, cfg...)
+ *     -> (data, offsets, ok) | None
+ *
+ * Zero-copy batch entry: the caller passes a pyarrow StringArray's raw
+ * value buffer and int32 offsets buffer (plus the array's slice offset),
+ * so NO per-document PyUnicode object is ever created on the input side —
+ * non-ASCII documents skip a UTF-8 decode+re-encode round trip entirely,
+ * ASCII ones skip a memcpy + object allocation. Null slots must be
+ * filled upstream (pc.fill_null): the run sees them as empty docs.
+ * Output contract is identical to extract_many(). */
+static PyObject *cextract_arrow(PyObject *self, PyObject *args) {
+    PyObject *o_data, *o_offs, *t_tags, *t_cls, *t_ids, *t_attrs, *t_blk;
+    Py_ssize_t start, m;
+    int scripting = 1, collapse = 1;
+    double max_ld, min_td;
+    long min_bc;
+    if (!PyArg_ParseTuple(args, "OOnnpOOOOOdldp", &o_data, &o_offs, &start,
+                          &m, &scripting, &t_tags, &t_cls, &t_ids, &t_attrs,
+                          &t_blk, &max_ld, &min_bc, &min_td, &collapse))
+        return NULL;
+    if (xcfg_ensure(t_tags, t_cls, t_ids, t_attrs, t_blk, max_ld, min_bc,
+                    min_td, collapse))
+        Py_RETURN_NONE;
+
+    Py_buffer b_data, b_offs;
+    if (PyObject_GetBuffer(o_data, &b_data, PyBUF_SIMPLE) < 0) {
+        PyErr_Clear(); Py_RETURN_NONE;
+    }
+    if (PyObject_GetBuffer(o_offs, &b_offs, PyBUF_SIMPLE) < 0) {
+        PyBuffer_Release(&b_data); PyErr_Clear(); Py_RETURN_NONE;
+    }
+    const char *data = (const char *)b_data.buf;
+    const int32_t *ioffs = (const int32_t *)b_offs.buf;
+    PyObject *result = NULL;
+    Pool out;
+    memset(&out, 0, sizeof(out));
+    int32_t *offs = NULL;
+    uint8_t *ok = NULL;
+
+    /* bounds: need offsets [start, start+m] and data up to the max offset */
+    if (start < 0 || m < 0
+        || (Py_ssize_t)(b_offs.len / (Py_ssize_t)sizeof(int32_t))
+           < start + m + 1)
+        goto done;
+    offs = (int32_t *)malloc(((size_t)m + 1) * sizeof(int32_t));
+    ok = (uint8_t *)malloc((size_t)m ? (size_t)m : 1);
+    if (!offs || !ok) goto done;
+    offs[0] = 0;
+    {
+        Py_ssize_t i;
+        for (i = 0; i < m; i++) {
+            int32_t lo = ioffs[start + i], hi = ioffs[start + i + 1];
+            int rc;
+            if (lo < 0 || hi < lo || (Py_ssize_t)hi > b_data.len) {
+                ok[i] = 0;
+                offs[i + 1] = (int32_t)out.len;
+                continue;
+            }
+            rc = extract_one_raw(data + lo, (Py_ssize_t)(hi - lo),
+                                 scripting, &out);
+            if (rc < 0) goto done;                 /* OOM: bail whole call */
+            if (out.len > (size_t)INT32_MAX) goto done;
+            ok[i] = (rc == 0);
+            offs[i + 1] = (int32_t)out.len;
+        }
+    }
+    result = Py_BuildValue(
+        "(y#y#y#)",
+        (const char *)(out.buf ? out.buf : (uint8_t *)""),
+        (Py_ssize_t)out.len,
+        (const char *)offs, (Py_ssize_t)((m + 1) * sizeof(int32_t)),
+        (const char *)ok, (Py_ssize_t)m);
+
+done:
+    PyBuffer_Release(&b_data);
+    PyBuffer_Release(&b_offs);
+    free(out.buf); free(offs); free(ok);
+    if (!result) { PyErr_Clear(); Py_RETURN_NONE; }
+    return result;
+}
+
 static PyObject *creg(PyObject *self, PyObject *args) {
     PyObject *doc, *el, *tx, *cm, *dt;
     if (!PyArg_ParseTuple(args, "OOOOO", &doc, &el, &tx, &cm, &dt))
@@ -4341,6 +4426,9 @@ static PyMethodDef methods[] = {
     {"extract_many", cextract_many, METH_VARARGS,
      "extract_many(texts, scripting, ...same cfg...) -> "
      "(data, offsets, ok) bytes triple or None"},
+    {"extract_arrow", cextract_arrow, METH_VARARGS,
+     "extract_arrow(data, offsets, start, m, scripting, ...same cfg...) "
+     "-> (data, offsets, ok) bytes triple or None"},
     {"register", creg, METH_VARARGS, "register DOM classes"},
     {NULL, NULL, 0, NULL}
 };

@@ -269,6 +269,50 @@ class Extractor:
                     vals[i] = None          # caller maps to its doc
         return pa.array(vals, pa.string())
 
+    def extract_html_many_arrow(self, arr) -> "object":
+        """pyarrow StringArray of HTML -> StringArray of extracted text,
+        elementwise identical to ``extract_html(s or "")``. The C entry
+        reads straight from the array's (offsets, data) buffers, so no
+        per-document PyUnicode is materialized on the input side (the
+        ``to_pylist`` + re-encode round trip of the list path). Returns
+        None when unavailable (caller falls back to the list path).
+        Nulls are treated as empty documents; a doc whose C parse bails
+        re-runs through the per-doc Python path, and one whose Python
+        parse RAISES gets a None slot (same contract as
+        ``extract_html_many``)."""
+        if self._cargs is None or _CPARSE is None \
+                or not hasattr(_CPARSE, "extract_arrow"):
+            return None
+        import pyarrow as pa
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if not pa.types.is_string(arr.type):
+            return None
+        n = len(arr)
+        if n == 0:
+            return pa.array([], pa.string())
+        if arr.null_count:
+            import pyarrow.compute as pc
+            arr = pc.fill_null(arr, "")
+        bufs = arr.buffers()
+        res = _CPARSE.extract_arrow(bufs[2] or b"", bufs[1], arr.offset, n,
+                                    *self._cargs)
+        if res is None:
+            return None
+        data, offs, ok = res
+        out = pa.Array.from_buffers(
+            pa.utf8(), n, [None, pa.py_buffer(offs), pa.py_buffer(data)])
+        if ok == b"\x01" * n:
+            return out
+        vals = out.to_pylist()
+        for i, flag in enumerate(ok):
+            if not flag:
+                try:
+                    vals[i] = self.extract_html(arr[i].as_py() or "")
+                except Exception:
+                    vals[i] = None          # caller maps to its doc
+        return pa.array(vals, pa.string())
+
     def extract_spans(self, spans: list[dict]) -> list[dict]:
         """One document's interleaved spans -> ordered output spans.
 

@@ -71,23 +71,26 @@ class ParseExtract:
             .to_numpy(zero_copy_only=False)
 
         # Batch extraction: every text span's HTML goes through ONE
-        # extract_many call (packed output buffer, no per-doc PyUnicode),
-        # and the final text column is a take() over that packed array.
-        # Falls back to per-span extract_html when the C batch entry is
-        # unavailable.
+        # extract_arrow call reading the taken StringArray's buffers
+        # directly (no input-side PyUnicode at all), output packed in one
+        # buffer; the final text column is a take() over that packed
+        # array. Falls back to the list-based extract_many, then to
+        # per-span extract_html, when the C entries are unavailable.
         nonmedia_idx = np.flatnonzero(~is_media)
-        sub_texts = [t or "" for t in
-                     text_col.take(pa.array(nonmedia_idx)).to_pylist()]
-        extracted = self.extractor.extract_html_many(sub_texts)
+        sub_col = text_col.take(pa.array(nonmedia_idx))
+        extracted = self.extractor.extract_html_many_arrow(sub_col)
         if extracted is None:
-            eh = self.extractor.extract_html
-            vals = []
-            for t in sub_texts:
-                try:
-                    vals.append(eh(t))
-                except Exception:
-                    vals.append(None)       # routed per doc below
-            extracted = pa.array(vals, pa.string())
+            sub_texts = [t or "" for t in sub_col.to_pylist()]
+            extracted = self.extractor.extract_html_many(sub_texts)
+            if extracted is None:
+                eh = self.extractor.extract_html
+                vals = []
+                for t in sub_texts:
+                    try:
+                        vals.append(eh(t))
+                    except Exception:
+                        vals.append(None)       # routed per doc below
+                extracted = pa.array(vals, pa.string())
         # sentinel "" at the end: media spans take() it for their text
         empty_idx = len(extracted)
         extracted_plus = pa.concat_arrays(
@@ -217,11 +220,15 @@ class ExtractText:
         self.keep_cols = keep_cols
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        htmls = batch.column(self.html_col).to_pylist()
-        texts = self.extractor.extract_html_many(htmls)
+        col = batch.column(self.html_col)
+        texts = self.extractor.extract_html_many_arrow(col)
         if texts is None:
-            extract = self.extractor.extract_html
-            texts = pa.array([extract(h or "") for h in htmls], pa.string())
+            htmls = col.to_pylist()
+            texts = self.extractor.extract_html_many(htmls)
+            if texts is None:
+                extract = self.extractor.extract_html
+                texts = pa.array([extract(h or "") for h in htmls],
+                                 pa.string())
         arrays = [batch.column(c) for c in self.keep_cols]
         names = list(self.keep_cols)
         arrays.append(texts)

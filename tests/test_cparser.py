@@ -225,6 +225,55 @@ def test_extract_many_fuzz(srcs):
     assert got.to_pylist() == [ex.extract_html(s or "") for s in srcs]
 
 
+def test_extract_arrow_matches_per_doc():
+    """The Arrow-buffer C entry (extract_arrow: input read straight from a
+    StringArray's offsets/data buffers, no input-side PyUnicode) must be
+    elementwise identical to per-doc extract_html for every config — and
+    for SLICED arrays (nonzero arr.offset), chunked input, nulls, and
+    empty arrays, since map_batches hands us takes/slices routinely."""
+    import pyarrow as pa
+
+    from htmlreader_ray.sources.corpus import build_page
+    vectors = [
+        "", "plain text", "<body class=footer>doomed body",
+        "<div><a href=x>link link link</a> t</div>",
+        "<p>a  b\t\ncd    e</p>",
+        "<div>\xe9中文 multibyte <a>\xe9\xe9</a></div>",
+        None,  # null slot: extract_html(t or "") semantics
+        "<table><tr><td><a>c</a><td>text here</table>",
+    ] + ["<!DOCTYPE html>" + build_page(k, "spark row table scan key")
+         for k in range(12)]
+    arr = pa.array(vectors, pa.string())
+    for cfg in _XCONFIGS:
+        ex = Extractor(cfg)
+        assert ex._cargs is not None
+        want = [ex.extract_html(v or "") for v in vectors]
+        got = ex.extract_html_many_arrow(arr)
+        assert got is not None and got.to_pylist() == want
+        got_slice = ex.extract_html_many_arrow(arr.slice(3, 9))
+        assert got_slice.to_pylist() == want[3:12]
+        chunked = pa.chunked_array([arr.slice(0, 5), arr.slice(5)])
+        assert ex.extract_html_many_arrow(chunked).to_pylist() == want
+        empty = ex.extract_html_many_arrow(pa.array([], pa.string()))
+        assert empty.to_pylist() == []
+    # non-string input declines (caller falls back to the list path)
+    assert Extractor(_XCONFIGS[0]).extract_html_many_arrow(
+        pa.array([1, 2])) is None
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(tag_soup(), min_size=0, max_size=6), st.integers(0, 3))
+def test_extract_arrow_fuzz(srcs, skip):
+    import pyarrow as pa
+    cfg = _XCONFIGS[0]
+    ex = Extractor(cfg)
+    arr = pa.array(srcs, pa.string()).slice(min(skip, len(srcs)))
+    got = ex.extract_html_many_arrow(arr)
+    assert got is not None
+    assert got.to_pylist() == [ex.extract_html(s or "")
+                               for s in srcs[min(skip, len(srcs)):]]
+
+
 def test_extract_complex_selector_uses_python():
     ex = Extractor(ExtractConfig(remove_selectors=("div > p.x",)))
     assert ex._cargs is None

@@ -271,10 +271,12 @@ def test_poison_doc_skip_mode():
             raise RuntimeError("poison")
         return real(html)
 
-    # the C batch path cannot raise — per-doc raises come from the Python
+    # the C batch paths cannot raise — per-doc raises come from the Python
     # fallback (C bail -> Python parse), so force that path for the test
-    with mock.patch.object(pe.extractor, "extract_html_many",
-                           lambda texts: None), \
+    with mock.patch.object(pe.extractor, "extract_html_many_arrow",
+                           lambda arr: None), \
+            mock.patch.object(pe.extractor, "extract_html_many",
+                              lambda texts: None), \
             mock.patch.object(pe.extractor, "extract_html", poisoned):
         out = pe(tbl)
     ns = out.column("n_spans").to_pylist()
@@ -282,8 +284,10 @@ def test_poison_doc_skip_mode():
     assert pe.errors == 1
     # raise mode propagates
     pe2 = ParseExtract(on_error="raise")
-    with mock.patch.object(pe2.extractor, "extract_html_many",
-                           lambda texts: None), \
+    with mock.patch.object(pe2.extractor, "extract_html_many_arrow",
+                           lambda arr: None), \
+            mock.patch.object(pe2.extractor, "extract_html_many",
+                              lambda texts: None), \
             mock.patch.object(pe2.extractor, "extract_html",
                               side_effect=RuntimeError("poison")):
         with pytest.raises(RuntimeError):

@@ -78,8 +78,9 @@ def test_poison_document_fails_alone():
 
     poisoned.bomb = 1  # exactly the first document explodes
     pe.extractor.extract_html = poisoned
-    # force the per-doc path: the batched C entry never raises per doc,
+    # force the per-doc path: the batched C entries never raise per doc,
     # so the poison must flow through the extract_html fallback
+    pe.extractor.extract_html_many_arrow = lambda arr: None
     pe.extractor.extract_html_many = lambda texts: None
     out = pe(_poison_table())
     _assert_poison_contained(pe, out)
@@ -106,6 +107,36 @@ def test_poison_document_fails_alone_batched():
         return arr
 
     poisoned_many.bomb = 1
+    pe.extractor.extract_html_many_arrow = lambda arr: None
     pe.extractor.extract_html_many = poisoned_many
+    out = pe(_poison_table())
+    _assert_poison_contained(pe, out)
+
+
+def test_poison_document_fails_alone_arrow():
+    """Arrow-buffer path: a null slot from extract_html_many_arrow (C
+    parse bailed AND the per-doc Python re-run raised) routes to
+    on_error per doc, identically to the list path."""
+    from htmlreader_ray.stages.parse_extract import ParseExtract
+
+    pe = ParseExtract(on_error="skip")
+    real_arrow = pe.extractor.extract_html_many_arrow
+
+    def poisoned_arrow(arr):
+        out = real_arrow(arr)
+        if out is None:        # C entry unavailable: emulate its contract
+            out = pa.array([pe.extractor.extract_html(t or "")
+                            for t in (arr.combine_chunks().to_pylist()
+                                      if isinstance(arr, pa.ChunkedArray)
+                                      else arr.to_pylist())], pa.string())
+        if len(out) and poisoned_arrow.bomb:
+            poisoned_arrow.bomb -= 1
+            vals = out.to_pylist()
+            vals[0] = None     # first doc: both parse attempts failed
+            out = pa.array(vals, pa.string())
+        return out
+
+    poisoned_arrow.bomb = 1
+    pe.extractor.extract_html_many_arrow = poisoned_arrow
     out = pe(_poison_table())
     _assert_poison_contained(pe, out)
