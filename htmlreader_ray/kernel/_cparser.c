@@ -4041,6 +4041,13 @@ static int xcfg_ensure(PyObject *t_tags, PyObject *t_cls, PyObject *t_ids,
  * 0 on success, 1 on parse bail (out unchanged), -1 on OOM. This is the
  * unit shared by extract() (one doc -> str) and extract_many() (a batch
  * -> one packed buffer, no per-doc PyUnicode allocation). */
+/* Grow-only scratch arena for extract_one_raw's per-doc work arrays: one
+ * allocation reused across every doc in a batch instead of 7 malloc/free
+ * pairs per document (87k allocator round trips per 12.5k-doc row group).
+ * Safe as a global: extraction runs under the GIL, one doc at a time. */
+static uint8_t *g_xscratch = NULL;
+static size_t g_xscratch_cap = 0;
+
 static int extract_one_raw(const char *u8, Py_ssize_t n8, int scripting,
                            Pool *out) {
     XCfg *Xc = &g_xcfg;
@@ -4050,14 +4057,24 @@ static int extract_one_raw(const char *u8, Py_ssize_t n8, int scripting,
     int rc = -1;
     size_t base = out->len;   /* this doc's region: [base, out->len) */
     int n = P->nnodes;
-    uint8_t *doomed = (uint8_t *)calloc((size_t)n, 1);
-    uint8_t *inreg = (uint8_t *)calloc((size_t)n, 1);
-    int *pre = (int *)malloc((size_t)n * sizeof(int));
-    int *stk = (int *)malloc((size_t)n * sizeof(int));
-    int64_t *tl = (int64_t *)calloc((size_t)n, sizeof(int64_t));
-    int64_t *ls = (int64_t *)calloc((size_t)n, sizeof(int64_t));
-    int64_t *ec = (int64_t *)calloc((size_t)n, sizeof(int64_t));
-    if (!doomed || !inreg || !pre || !stk || !tl || !ls || !ec) goto done;
+    /* layout (alignment-descending): tl ls ec | pre stk | doomed inreg */
+    size_t need = (size_t)n * (3 * sizeof(int64_t) + 2 * sizeof(int) + 2);
+    if (need > g_xscratch_cap) {
+        size_t nc = g_xscratch_cap ? g_xscratch_cap * 2 : 65536;
+        while (nc < need) nc *= 2;
+        uint8_t *nb = (uint8_t *)realloc(g_xscratch, nc);
+        if (!nb) { free(P->norm); P->norm = NULL; return -1; }
+        g_xscratch = nb; g_xscratch_cap = nc;
+    }
+    int64_t *tl = (int64_t *)g_xscratch;
+    int64_t *ls = tl + n;
+    int64_t *ec = ls + n;
+    int *pre = (int *)(ec + n);
+    int *stk = pre + n;
+    uint8_t *doomed = (uint8_t *)(stk + n);
+    uint8_t *inreg = doomed + n;
+    memset(tl, 0, (size_t)n * 3 * sizeof(int64_t));
+    memset(doomed, 0, (size_t)n * 2);
 
     {
     int root = resolve_root(P, NULL);
@@ -4217,8 +4234,6 @@ static int extract_one_raw(const char *u8, Py_ssize_t n8, int scripting,
 
 done:
     free(P->norm); P->norm = NULL;
-    free(doomed); free(inreg); free(pre); free(stk);
-    free(tl); free(ls); free(ec);
     if (rc != 0) out->len = base;    /* drop any partial write */
     return rc;
 }
