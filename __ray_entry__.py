@@ -1494,9 +1494,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return first.map_batches(decode, batch_format="pyarrow")
 
+    def url_normalize(sf_dir: str):
+        """URL canonicalization over the extracted link table (the
+        URL-dedup / link-graph prep step): lowercase scheme+host, strip
+        default ports, drop fragments and bare trailing '?'
+        (functions/urls.py — one extract_regex + arrow string kernels,
+        no per-row Python). Relative boilerplate hrefs filter out
+        (host=''); the oracle regenerates each canonical URL from
+        doc_id arithmetic, so the normalizer is verified end-to-end."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.urls import (normalize_url_column,
+                                                   url_host_column)
+
+        links = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            q.as_task(q.LinkExtract), batch_format="pyarrow")
+
+        def norm(b: pa.Table) -> pa.Table:
+            href = b.column("href")
+            t = pa.Table.from_arrays(
+                [b.column("doc_id"), b.column("seq"),
+                 normalize_url_column(href), url_host_column(href)],
+                names=["doc_id", "seq", "url_norm", "host"])
+            return t.filter(pc.not_equal(t.column("host"), ""))
+
+        return links.map_batches(norm, batch_format="pyarrow")
+
+    def host_outdegree(sf_dir: str):
+        """Host-level link counts over the normalized graph (the
+        docs-per-host politeness/cap primitive): block-local combiner
+        count per host, one narrow groupby(host) merge — the shuffle
+        moves one (host, n) row per block-distinct host."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+        from htmlreader_ray.functions.urls import url_host_column
+
+        links = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            q.as_task(q.LinkExtract), batch_format="pyarrow")
+
+        def hosts(b: pa.Table) -> pa.Table:
+            t = pa.Table.from_arrays(
+                [url_host_column(b.column("href"))], names=["host"])
+            return t.filter(pc.not_equal(t.column("host"), ""))
+
+        out = combine_aggregate(links.map_batches(hosts,
+                                                  batch_format="pyarrow"),
+                                ["host"], [("", "count", "n_links")])
+
+        def as_i64(b: pa.Table) -> pa.Table:
+            i = b.column_names.index("n_links")
+            return b.set_column(i, "n_links",
+                                pc.cast(b.column("n_links"), pa.int64()))
+
+        return out.map_batches(as_i64, batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
+        # link graph / URL curation (web-pipeline edge table)
+        "extract_links": actor(q.LinkExtract),
+        "url_normalize": url_normalize,
+        "host_outdegree": host_outdegree,
         "textcontent_roundtrip": actor(q.TextContentRoundtrip),
         "html_escape": stateless(textfn.escape_batch),
         "html_unescape_roundtrip": escape_then_unescape,
@@ -1608,6 +1667,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_dedup", "simhash_near_pairs",
         "event_gaps", "user_retention", "event_cooccurrence",
         "fuzzy_parts",
+        # new in round 3, post-rotation
+        "extract_links", "url_normalize", "host_outdegree",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -1731,6 +1792,55 @@ def oracle_sql() -> dict[str, str]:
                    '<p class="c">' || {_TEXT_ESCAPE_CHAIN} || '</p>'
                    AS serialized
             FROM documents
+        """,
+        # link graph: boilerplate links are constants of the page template
+        # (sources/corpus.py _BOILER_*); the per-doc ref block is
+        # regenerated from doc_id arithmetic (pipelines/queries.py
+        # ref_links_block keeps the two formulas in one place)
+        "extract_links": """
+            WITH extras AS (
+              SELECT d.doc_id, 6 + j AS seq,
+                     (CASE WHEN j % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+                     || '://H' || CAST((d.doc_id * 7 + j) % 10 AS VARCHAR)
+                     || '.Example.COM'
+                     || (CASE WHEN j % 2 = 0 THEN ':443' ELSE ':80' END)
+                     || '/P/' || CAST(j AS VARCHAR)
+                     || (CASE WHEN j % 3 = 2 THEN '?'
+                         ELSE '?x=' || CAST(d.doc_id % 13 AS VARCHAR) END)
+                     || '#s' || CAST(j AS VARCHAR) AS href,
+                     'ref ' || CAST(j AS VARCHAR) AS anchor
+              FROM documents d,
+                   UNNEST(generate_series(0, d.doc_id % 3)) AS t(j)
+            )
+            SELECT d.doc_id, CAST(b.seq AS BIGINT) AS seq, b.href, b.anchor
+            FROM documents d CROSS JOIN (VALUES
+                (0, '/', 'Home'), (1, '/a', 'Archive'),
+                (2, '/c', 'Contact' || chr(160) || 'Us'),
+                (3, '/tos', 'Terms'), (4, '/1', 'Related one'),
+                (5, '/2', 'Related two')) AS b(seq, href, anchor)
+            UNION ALL
+            SELECT doc_id, CAST(seq AS BIGINT), href, anchor FROM extras
+        """,
+        "url_normalize": """
+            SELECT d.doc_id, CAST(6 + j AS BIGINT) AS seq,
+                   (CASE WHEN j % 2 = 0 THEN 'https' ELSE 'http' END)
+                   || '://h' || CAST((d.doc_id * 7 + j) % 10 AS VARCHAR)
+                   || '.example.com/P/' || CAST(j AS VARCHAR)
+                   || (CASE WHEN j % 3 = 2 THEN ''
+                       ELSE '?x=' || CAST(d.doc_id % 13 AS VARCHAR) END)
+                   AS url_norm,
+                   'h' || CAST((d.doc_id * 7 + j) % 10 AS VARCHAR)
+                   || '.example.com' AS host
+            FROM documents d,
+                 UNNEST(generate_series(0, d.doc_id % 3)) AS t(j)
+        """,
+        "host_outdegree": """
+            SELECT 'h' || CAST((d.doc_id * 7 + j) % 10 AS VARCHAR)
+                   || '.example.com' AS host,
+                   CAST(count(*) AS BIGINT) AS n_links
+            FROM documents d,
+                 UNNEST(generate_series(0, d.doc_id % 3)) AS t(j)
+            GROUP BY 1
         """,
         "exact_dedup":
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",

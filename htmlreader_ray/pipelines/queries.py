@@ -96,6 +96,56 @@ class SelectorCounts:
             names=["doc_id", "n_links", "n_list_items", "n_paragraphs"])
 
 
+def ref_links_block(doc_key: int) -> str:
+    """Deterministic per-doc external-link block appended to the generated
+    page for the link-graph queries: 1-3 links whose raw hrefs exercise
+    every normalization rule (uppercase scheme/host, default vs explicit
+    port, bare trailing '?', fragment). The SQL oracle regenerates the
+    same strings from doc_id arithmetic."""
+    out = []
+    for j in range(doc_key % 3 + 1):
+        h = (doc_key * 7 + j) % 10
+        scheme = "HTTPS" if j % 2 == 0 else "http"
+        port = ":443" if j % 2 == 0 else ":80"
+        query = "?" if j % 3 == 2 else f"?x={doc_key % 13}"
+        out.append(f'<p class=ref><a href="{scheme}://H{h}.Example.COM'
+                   f'{port}/P/{j}{query}#s{j}">ref {j}</a></p>')
+    return "".join(out)
+
+
+class LinkExtract:
+    """Link/anchor extraction — the web-pipeline edge-table builder: parse
+    each generated page (boilerplate links + the per-doc ref block) and
+    emit (doc_id, seq, href, anchor) for every a[href] in tree order.
+    The selector is compiled once per actor; anchors decode entities
+    (&nbsp; -> U+00A0) through the real tokenizer."""
+
+    def __init__(self) -> None:
+        self.sel = compile_selector("a[href]")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_seq, out_href, out_anchor = [], [], [], []
+        for key, t in zip(ids, texts):
+            page = build_page(int(key), t or "").replace(
+                "</body>", ref_links_block(int(key)) + "</body>")
+            doc = parse(page)
+            seq = 0
+            for node in doc.elements_in_tree_order():
+                if self.sel.matches(node):
+                    out_id.append(key)
+                    out_seq.append(seq)
+                    out_href.append(node.attrs.get("href", ""))
+                    out_anchor.append(node.text_content)
+                    seq += 1
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()), pa.array(out_seq, pa.int64()),
+             pa.array(out_href, pa.string()),
+             pa.array(out_anchor, pa.string())],
+            names=["doc_id", "seq", "href", "anchor"])
+
+
 class QuirksMode:
     """M5: doctype family of the generated page -> quirks classification."""
 
