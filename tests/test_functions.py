@@ -73,6 +73,38 @@ def test_ngram_jaccard():
     assert dedup.ngram_jaccard("a b c d e", "v w x y z") == 0.0
 
 
+def test_mersenne_fold_identity():
+    """minhash_signature's Mersenne fold must be bit-identical to the
+    `% (2^61-1)` it replaced, on the same wrapped uint64 inputs —
+    signature VALUES are load-bearing (near_dedup_keep's oracle and the
+    incremental index both depend on them)."""
+    import numpy as np
+    M = np.uint64((1 << 61) - 1)
+    rng = np.random.RandomState(11)
+    xs = rng.randint(0, 2**63, size=500_000, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        xs = xs * np.uint64(2654435761) + np.uint64(97)   # wraps
+        ref = xs % M
+        v = (xs & M) + (xs >> np.uint64(61))
+        v = np.where(v >= M, v - M, v)
+    assert (ref == v).all()
+    edge = np.array([0, 1, (1 << 61) - 2, (1 << 61) - 1, 1 << 61,
+                     (1 << 61) + 1, 2 * ((1 << 61) - 1), 2**64 - 1],
+                    dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        f = (edge & M) + (edge >> np.uint64(61))
+        f = np.where(f >= M, f - M, f)
+    assert (f == edge % M).all()
+    # end-to-end: signature for a known text matches the old formula
+    a_, b_ = dedup._hash_params(128)
+    text = "the quick brown fox jumps over the lazy dog"
+    sh = dedup._shingles(text, 5)
+    with np.errstate(over="ignore"):
+        old = ((a_[:, None] * sh[None, :] + b_[:, None])
+               % dedup._MERSENNE).min(axis=1)
+    assert (dedup.minhash_signature(text, a_, b_) == old).all()
+
+
 def test_minhash_similarity_estimates_jaccard():
     a_, b_ = dedup._hash_params(256)
     t1 = "the quick brown fox jumps over the lazy dog " * 5
