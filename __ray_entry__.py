@@ -1494,6 +1494,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return first.map_batches(decode, batch_format="pyarrow")
 
+    def dedup_paragraphs(sf_dir: str):
+        """WITHIN-document segment dedup (the Gopher/CCNet in-doc
+        repetition-removal pass, 8-word granularity): keep the first
+        occurrence of each distinct segment inside its own document.
+        Pure map — per-doc state only, ZERO shuffle, embarrassingly
+        parallel at any corpus size (contrast segment_dedup, whose
+        keep-first is corpus-wide and needs the combiner groupby)."""
+        import pyarrow as pa
+
+        SEG = 8
+
+        def kept(batch: pa.Table) -> pa.Table:
+            out_id, out_idx, out_seg = [], [], []
+            for i, t in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+                w = (t or "").split()
+                seen = set()
+                for k in range(0, len(w), SEG):
+                    s = " ".join(w[k:k + SEG])
+                    if s in seen:
+                        continue
+                    seen.add(s)
+                    out_id.append(i)
+                    out_idx.append(k // SEG)
+                    out_seg.append(s)
+            return pa.Table.from_arrays(
+                [pa.array(out_id, pa.int64()),
+                 pa.array(out_idx, pa.int64()),
+                 pa.array(out_seg, pa.string())],
+                names=["doc_id", "seg_idx", "seg"])
+
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            kept, batch_format="pyarrow")
+
     def url_normalize(sf_dir: str):
         """URL canonicalization over the extracted link table (the
         URL-dedup / link-graph prep step): lowercase scheme+host, strip
@@ -1556,6 +1590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": actor(q.LinkExtract),
         "url_normalize": url_normalize,
         "host_outdegree": host_outdegree,
+        "dedup_paragraphs": dedup_paragraphs,
         "textcontent_roundtrip": actor(q.TextContentRoundtrip),
         "html_escape": stateless(textfn.escape_batch),
         "html_unescape_roundtrip": escape_then_unescape,
@@ -1669,6 +1704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_parts",
         # new in round 3, post-rotation
         "extract_links", "url_normalize", "host_outdegree",
+        "dedup_paragraphs",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -1841,6 +1877,34 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d,
                  UNNEST(generate_series(0, d.doc_id % 3)) AS t(j)
             GROUP BY 1
+        """,
+        # same segmentation idiom as segment_dedup's oracle; only the
+        # keep-first partition differs (per doc, not corpus-wide)
+        "dedup_paragraphs": """
+            WITH words AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+                FROM documents WHERE trim(text) <> ''
+            ), segs AS (
+                SELECT doc_id,
+                       unnest([{'i': k,
+                                's': array_to_string(
+                                        ws[1 + 8*k :
+                                           least(8*k + 8, len(ws))], ' ')}
+                               for k in range(
+                                   0, CAST(ceil(len(ws) / 8.0) AS INT))])
+                           AS c
+                FROM words
+            ), flat AS (
+                SELECT doc_id, CAST(c['i'] AS BIGINT) AS seg_idx,
+                       c['s'] AS seg
+                FROM segs
+            ), ranked AS (
+                SELECT doc_id, seg_idx, seg,
+                       row_number() OVER (PARTITION BY doc_id, seg
+                           ORDER BY seg_idx) AS rn
+                FROM flat
+            )
+            SELECT doc_id, seg_idx, seg FROM ranked WHERE rn = 1
         """,
         "exact_dedup":
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
