@@ -29,21 +29,21 @@ from ..stages.task_cache import as_task  # re-exported for __ray_entry__
 # ---------------------------------------------------------------- flagship
 
 def explode_spans_out(batch: pa.Table) -> pa.Table:
-    """(doc_id, spans_out, ...) -> one row per span."""
-    ids = batch.column("doc_id").to_pylist()
-    spans = batch.column("spans_out").to_pylist()
-    out_id, out_ord, out_kind, out_text, out_ref = [], [], [], [], []
-    for doc_id, lst in zip(ids, spans):
-        for s in lst or []:
-            out_id.append(doc_id)
-            out_ord.append(s["order"])
-            out_kind.append(s["kind"])
-            out_text.append(s["text"])
-            out_ref.append(s["media_ref"])
+    """(doc_id, spans_out, ...) -> one row per span. Pure Arrow kernels
+    (list_flatten + parent-index take) — this runs over the FULL flagship
+    output, so a per-row Python loop here would be a hot-path sin."""
+    spans = batch.column("spans_out")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = pc.list_flatten(spans)
+    parent = pc.list_parent_indices(spans)
+    ids = pc.take(batch.column("doc_id"), parent)
     return pa.Table.from_arrays(
-        [pa.array(out_id, pa.string()), pa.array(out_ord, pa.int64()),
-         pa.array(out_kind, pa.string()), pa.array(out_text, pa.string()),
-         pa.array(out_ref, pa.string())],
+        [ids.cast(pa.string()),
+         pc.struct_field(flat, "order").cast(pa.int64()),
+         pc.struct_field(flat, "kind").cast(pa.string()),
+         pc.struct_field(flat, "text").cast(pa.string()),
+         pc.struct_field(flat, "media_ref").cast(pa.string())],
         names=["doc_id", "span_order", "kind", "text", "media_ref"])
 
 
