@@ -543,9 +543,13 @@ static Py_ssize_t consume_attribute(Parser *P, Py_ssize_t pos, Tok *t) {
             for (;;) {
                 if (pos >= n) return -1;
                 const uint8_t *qp = memchr(s + pos, q, n - pos);
-                const uint8_t *ap = memchr(s + pos, '&', n - pos);
                 Py_ssize_t qi = qp ? qp - s : -1;
-                if (ap && (qi == -1 || ap - s < qi)) {
+                /* '&' bounded by the closing quote (a charref never spans
+                 * it: entity chars exclude quotes) — unbounded, this
+                 * rescanned to EOF per amp-free quoted value: O(n^2) */
+                const uint8_t *ap = memchr(
+                    s + pos, '&', (qi != -1 ? qi : n) - pos);
+                if (ap) {
                     put_repl(P, &P->tokp, s + pos, (ap - s) - pos);
                     pos = consume_charref(P, &P->tokp, ap - s, 1, q);
                     continue;
@@ -991,13 +995,15 @@ static void data_token(Parser *P, Tok *t) {
             pos = consume_charref(P, &P->chp, pos, 0, 0);
             continue;
         }
-        /* bulk run to next '<' or '&' (NULs pass through in data state) */
+        /* bulk run to next '<' or '&' (NULs pass through in data state).
+         * The '&' search is BOUNDED by the next '<': an unbounded memchr
+         * rescanned the whole remaining document per text token when no
+         * '&' followed — O(n^2) on large amp-free documents. */
         {
             const uint8_t *lp = memchr(s + pos, '<', n - pos);
-            const uint8_t *ap = memchr(s + pos, '&', n - pos);
-            Py_ssize_t end = n;
-            if (lp && lp - s < end) end = lp - s;
-            if (ap && ap - s < end) end = ap - s;
+            Py_ssize_t end = lp ? lp - s : n;
+            const uint8_t *ap = memchr(s + pos, '&', end - pos);
+            if (ap) end = ap - s;
             if (pool_put(&P->chp, s + pos, end - pos, NULL) < 0) P->bail = 1;
             pos = end;
         }
@@ -1035,8 +1041,9 @@ static void rawtext_like_token(Parser *P, int char_refs, Tok *t) {
         Py_ssize_t lt = lp ? lp - s : -1;
         Py_ssize_t stop = lt != -1 ? lt : n;
         if (char_refs) {
-            const uint8_t *ap = memchr(s + pos, '&', n - pos);
-            if (ap && ap - s < stop) {
+            /* bounded by stop: see data_token's O(n^2) note */
+            const uint8_t *ap = memchr(s + pos, '&', stop - pos);
+            if (ap) {
                 put_repl(P, &P->chp, s + pos, (ap - s) - pos);
                 pos = consume_charref(P, &P->chp, ap - s, 0, 0);
                 continue;
@@ -1156,8 +1163,10 @@ static void script_token(Parser *P, Tok *t) {
             const uint8_t *lp = memchr(s + pos, '<', n - pos);
             Py_ssize_t interesting = lp ? lp - s : n;
             if (escaped) {
-                const uint8_t *dp = memchr(s + pos, '-', n - pos);
-                if (dp && dp - s < interesting) interesting = dp - s;
+                /* bounded by the next '<': see data_token's O(n^2) note */
+                const uint8_t *dp = memchr(s + pos, '-',
+                                           interesting - pos);
+                if (dp) interesting = dp - s;
             }
             if (interesting == pos) {
                 put_repl(P, &P->chp, s + pos, 1);
@@ -1439,10 +1448,17 @@ static void text_node_append(Parser *P, int tn, const uint8_t *d,
                              Py_ssize_t len) {
     CNode *nd = ND(P, tn);
     if ((size_t)(nd->data_off + nd->data_len) != P->text.len) {
-        /* relocate to pool end */
-        uint32_t noff;
-        if (pool_put(&P->text, P->text.buf + nd->data_off, nd->data_len,
-                     &noff) < 0) { P->bail = 1; return; }
+        /* relocate to pool end. Reserve FIRST: pool_put's realloc would
+         * invalidate a source pointer into the same pool (latent
+         * use-after-free whenever the relocation itself grew the pool). */
+        if (pool_reserve(&P->text, (size_t)nd->data_len + (size_t)len) < 0) {
+            P->bail = 1;
+            return;
+        }
+        uint32_t noff = (uint32_t)P->text.len;
+        memcpy(P->text.buf + P->text.len, P->text.buf + nd->data_off,
+               nd->data_len);
+        P->text.len += nd->data_len;
         nd = ND(P, tn);
         nd->data_off = noff;
     }

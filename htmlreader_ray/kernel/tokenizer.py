@@ -194,14 +194,14 @@ class Tokenizer:
                     s, pos, in_attribute=False, on_error=self._err)
                 buf.append(decoded)
                 continue
-            # find run end
+            # find run end; the '&' scan is BOUNDED by the next '<' — an
+            # unbounded find rescanned the rest of the document per text
+            # token when no '&' followed (O(n^2) on large amp-free docs)
             lt = s.find("<", pos)
-            amp = s.find("&", pos)
             if lt == -1:
                 lt = n
-            if amp == -1:
-                amp = n
-            end = min(lt, amp)
+            amp = s.find("&", pos, lt)
+            end = lt if amp == -1 else amp
             chunk = s[pos:end]
             if "\0" in chunk:
                 # data state: NUL is a parse error but is EMITTED as-is
@@ -388,9 +388,11 @@ class Tokenizer:
             if pos >= n:
                 return "", -1
             qi = s.find(quote, pos)
-            amp = s.find("&", pos)
             stop = qi if qi != -1 else n
-            if amp != -1 and amp < stop:
+            # '&' bounded by the closing quote (charrefs never span it);
+            # unbounded, this was O(n^2) per amp-free quoted value
+            amp = s.find("&", pos, stop)
+            if amp != -1:
                 chunk = s[pos:amp]
                 if "\0" in chunk:
                     self._err("unexpected-null-character")
@@ -744,8 +746,9 @@ class Tokenizer:
             lt = s.find("<", pos)
             stop = lt if lt != -1 else n
             if char_refs:
-                amp = s.find("&", pos)
-                if amp != -1 and amp < stop:
+                # bounded by stop: see the data-state O(n^2) note
+                amp = s.find("&", pos, stop)
+                if amp != -1:
                     chunk = s[pos:amp]
                     if "\0" in chunk:
                         self._err("unexpected-null-character")
@@ -892,12 +895,13 @@ class Tokenizer:
                 buf.append("-")
                 pos += 1
                 continue
-            # bulk scan to next interesting char
+            # bulk scan to next interesting char; '-' bounded by the next
+            # '<' (see the data-state O(n^2) note)
             lt = s.find("<", pos)
             interesting = lt if lt != -1 else n
             if escaped:
-                dash = s.find("-", pos)
-                if dash != -1 and dash < interesting:
+                dash = s.find("-", pos, interesting)
+                if dash != -1:
                     interesting = dash
             if interesting == pos:
                 buf.append(c)
