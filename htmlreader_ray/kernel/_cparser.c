@@ -109,6 +109,8 @@ typedef struct {
     CAttr *attrs; int nattrs, attrcap;
     CNode *nodes; int nnodes, nodecap;
     int *open; int nopen, opencap;
+    uint8_t *pscope;                    /* [i]: p in button scope at depth i
+                                         * (parallel to open; cap=opencap) */
     int *afe; int nafe, afecap;         /* node idx or -1 (marker) */
     /* tree state */
     int mode, original_mode;
@@ -539,14 +541,19 @@ static Py_ssize_t consume_attribute(Parser *P, Py_ssize_t pos, Tok *t) {
         if (pos >= n) return -1;
         uint8_t q = s[pos];
         if (q == '"' || q == '\'') {
+            Py_ssize_t qi_cache = -1;   /* closing quote; -1 = unknown */
             pos++;
             for (;;) {
                 if (pos >= n) return -1;
-                const uint8_t *qp = memchr(s + pos, q, n - pos);
-                Py_ssize_t qi = qp ? qp - s : -1;
+                if (qi_cache < pos) {
+                    const uint8_t *qp = memchr(s + pos, q, n - pos);
+                    qi_cache = qp ? qp - s : n;
+                }
+                Py_ssize_t qi = qi_cache < n ? qi_cache : -1;
                 /* '&' bounded by the closing quote (a charref never spans
-                 * it: entity chars exclude quotes) — unbounded, this
-                 * rescanned to EOF per amp-free quoted value: O(n^2) */
+                 * it: entity chars exclude quotes), quote scan cached
+                 * across charref iterations — either unbounded/recomputed
+                 * form is O(n^2) on long values */
                 const uint8_t *ap = memchr(
                     s + pos, '&', (qi != -1 ? qi : n) - pos);
                 if (ap) {
@@ -982,6 +989,7 @@ static void tag_open(Parser *P, Py_ssize_t pos, Tok *t) {
 static void data_token(Parser *P, Tok *t) {
     const uint8_t *s = P->s; Py_ssize_t n = P->n;
     Py_ssize_t pos = P->pos;
+    Py_ssize_t lt_cache = -1;   /* first '<' at/after pos; -1 = unknown */
     if (pos >= n) { t->kind = TK_EOF; return; }
     P->chp.len = 0;
     while (pos < n) {
@@ -996,12 +1004,16 @@ static void data_token(Parser *P, Tok *t) {
             continue;
         }
         /* bulk run to next '<' or '&' (NULs pass through in data state).
-         * The '&' search is BOUNDED by the next '<': an unbounded memchr
-         * rescanned the whole remaining document per text token when no
-         * '&' followed — O(n^2) on large amp-free documents. */
+         * The '&' search is BOUNDED by the next '<', and the '<' scan is
+         * CACHED across charref iterations (charrefs never contain '<'):
+         * either unbounded/recomputed form rescans the remaining text
+         * per token — O(n^2) on amp-free or entity-dense documents. */
         {
-            const uint8_t *lp = memchr(s + pos, '<', n - pos);
-            Py_ssize_t end = lp ? lp - s : n;
+            if (lt_cache < pos) {
+                const uint8_t *lp = memchr(s + pos, '<', n - pos);
+                lt_cache = lp ? lp - s : n;
+            }
+            Py_ssize_t end = lt_cache;
             const uint8_t *ap = memchr(s + pos, '&', end - pos);
             if (ap) end = ap - s;
             if (pool_put(&P->chp, s + pos, end - pos, NULL) < 0) P->bail = 1;
@@ -1036,12 +1048,17 @@ static void rawtext_like_token(Parser *P, int char_refs, Tok *t) {
     Py_ssize_t pos = P->pos;
     if (pos >= n) { t->kind = TK_EOF; return; }
     P->chp.len = 0;
+    Py_ssize_t lt_cache = -1;   /* first '<' at/after pos; -1 = unknown */
     while (pos < n) {
-        const uint8_t *lp = memchr(s + pos, '<', n - pos);
-        Py_ssize_t lt = lp ? lp - s : -1;
+        if (lt_cache < pos) {
+            const uint8_t *lp = memchr(s + pos, '<', n - pos);
+            lt_cache = lp ? lp - s : n;
+        }
+        Py_ssize_t lt = lt_cache < n ? lt_cache : -1;
         Py_ssize_t stop = lt != -1 ? lt : n;
         if (char_refs) {
-            /* bounded by stop: see data_token's O(n^2) note */
+            /* bounded by stop + '<' scan cached across charref
+             * iterations: see data_token's O(n^2) note */
             const uint8_t *ap = memchr(s + pos, '&', stop - pos);
             if (ap) {
                 put_repl(P, &P->chp, s + pos, (ap - s) - pos);
@@ -1204,14 +1221,43 @@ static void next_token(Parser *P, Tok *t) {
 
 /* ====================================================== tree construction */
 
+enum { B_BASE, B_LIST, B_BUTTON };
+static int is_barrier(Parser *P, int el, int kind);
+
+/* pscope[i]: would a top-down button-scope walk starting at depth i find
+ * a p before a barrier? O(1)-computable at push from pscope[i-1]. */
+static uint8_t pscope_val(Parser *P, int el, uint8_t below) {
+    CNode *nd = ND(P, el);
+    if (nd->ns == NS_HTML && nd->tag == TAG_P) return 1;
+    if (is_barrier(P, el, B_BUTTON)) return 0;
+    return below;
+}
+
+static void pscope_refresh_from(Parser *P, int idx) {
+    int i;
+    if (idx < 0) idx = 0;
+    for (i = idx; i < P->nopen; i++)
+        P->pscope[i] = pscope_val(P, P->open[i],
+                                  i > 0 ? P->pscope[i - 1] : 0);
+}
+
 static void open_push(Parser *P, int el) {
     if (P->nopen >= P->opencap) {
         int nc = P->opencap ? P->opencap * 2 : 64;
         int *no = (int *)realloc(P->open, nc * sizeof(int));
-        if (!no) { P->bail = 1; return; }
-        P->open = no; P->opencap = nc;
+        uint8_t *np = (uint8_t *)realloc(P->pscope, nc);
+        if (!no || !np) {
+            if (no) P->open = no;
+            if (np) P->pscope = np;
+            P->bail = 1;
+            return;
+        }
+        P->open = no; P->pscope = np; P->opencap = nc;
     }
-    P->open[P->nopen++] = el;
+    P->open[P->nopen] = el;
+    P->pscope[P->nopen] = pscope_val(
+        P, el, P->nopen > 0 ? P->pscope[P->nopen - 1] : 0);
+    P->nopen++;
 }
 
 static int open_index(Parser *P, int el) {
@@ -1225,6 +1271,7 @@ static void open_remove_at(Parser *P, int idx) {
     memmove(P->open + idx, P->open + idx + 1,
             (P->nopen - idx - 1) * sizeof(int));
     P->nopen--;
+    pscope_refresh_from(P, idx);   /* splices are rare (adoption agency) */
 }
 
 static void open_insert_at(Parser *P, int idx, int el) {
@@ -1233,6 +1280,7 @@ static void open_insert_at(Parser *P, int idx, int el) {
     memmove(P->open + idx + 1, P->open + idx,
             (P->nopen - idx - 1) * sizeof(int));
     P->open[idx] = el;
+    pscope_refresh_from(P, idx);
 }
 
 static void afe_push_raw(Parser *P, int v) {
@@ -1523,8 +1571,6 @@ static void insert_comment(Parser *P, Tok *t, int parent_override) {
 
 /* ----------------------------------------------------------- scope checks */
 
-enum { B_BASE, B_LIST, B_BUTTON };
-
 static int is_barrier(Parser *P, int el, int kind) {
     CNode *nd = ND(P, el);
     uint16_t f = tagflags(nd->tag);
@@ -1540,6 +1586,14 @@ static int is_barrier(Parser *P, int el, int kind) {
 
 static int in_scope_tag(Parser *P, int tag, int kind) {
     int i;
+    if (tag == TAG_P && kind == B_BUTTON) {
+        /* O(1) via the pscope[] parallel array: this check runs for
+         * EVERY block-opener start tag, so the stack walk made deeply
+         * nested barrier-less markup (166k <div>s) O(depth^2) — 50 s
+         * for a 1 MB document. pscope is maintained at push and
+         * refreshed on the rare mid-stack splices (adoption agency). */
+        return P->nopen ? P->pscope[P->nopen - 1] : 0;
+    }
     for (i = P->nopen - 1; i >= 0; i--) {
         CNode *nd = ND(P, P->open[i]);
         if (nd->ns == NS_HTML && nd->tag == tag) return 1;
@@ -2682,9 +2736,12 @@ static int adoption_agency(Parser *P, Tok *t) {
             }
             {
                 int clone = clone_elem(P, node);
+                int oi;
                 if (P->bail) return 0;
                 P->afe[afe_index(P, node)] = clone;
-                P->open[open_index(P, node)] = clone;
+                oi = open_index(P, node);
+                P->open[oi] = clone;
+                pscope_refresh_from(P, oi);
                 node = clone;
             }
             if (last_node == furthest)

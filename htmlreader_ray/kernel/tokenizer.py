@@ -182,6 +182,8 @@ class Tokenizer:
             return ("eof",)
         # bulk-scan plain text up to the next '<' or '&'
         buf: list[str] = []
+        lt = -1   # first '<' at/after pos; -1 = unknown (cache: charrefs
+        #           never contain '<', so it stays valid across them)
         while pos < n:
             c = s[pos]
             if c == "<":
@@ -194,12 +196,14 @@ class Tokenizer:
                     s, pos, in_attribute=False, on_error=self._err)
                 buf.append(decoded)
                 continue
-            # find run end; the '&' scan is BOUNDED by the next '<' — an
-            # unbounded find rescanned the rest of the document per text
-            # token when no '&' followed (O(n^2) on large amp-free docs)
-            lt = s.find("<", pos)
-            if lt == -1:
-                lt = n
+            # find run end; the '&' scan is BOUNDED by the next '<' and
+            # the '<' scan is cached — an unbounded or recomputed find
+            # rescanned the rest of the text per token/charref (O(n^2)
+            # on large amp-free or entity-dense docs)
+            if lt < pos:
+                lt = s.find("<", pos)
+                if lt == -1:
+                    lt = n
             amp = s.find("&", pos, lt)
             end = lt if amp == -1 else amp
             chunk = s[pos:end]
@@ -384,13 +388,16 @@ class Tokenizer:
     def _consume_quoted_value(self, pos: int, quote: str):
         s, n = self.s, self.n
         buf: list[str] = []
+        qi = -2   # closing-quote cache; -2 = unknown (charrefs never
+        #           span the quote, so it stays valid across them)
         while True:
             if pos >= n:
                 return "", -1
-            qi = s.find(quote, pos)
+            if qi < pos and qi != -1:
+                qi = s.find(quote, pos)
             stop = qi if qi != -1 else n
             # '&' bounded by the closing quote (charrefs never span it);
-            # unbounded, this was O(n^2) per amp-free quoted value
+            # unbounded/recomputed, this was O(n^2) per long quoted value
             amp = s.find("&", pos, stop)
             if amp != -1:
                 chunk = s[pos:amp]
@@ -742,8 +749,14 @@ class Tokenizer:
         if pos >= n:
             return ("eof",)
         buf: list[str] = []
+        lt_cache = -1   # first '<' at/after pos; n = none; -1 = unknown
+        #                 (cached across charref iterations, see the
+        #                 data-state O(n^2) note)
         while pos < n:
-            lt = s.find("<", pos)
+            if lt_cache < pos:
+                f = s.find("<", pos)
+                lt_cache = f if f != -1 else n
+            lt = lt_cache if lt_cache < n else -1
             stop = lt if lt != -1 else n
             if char_refs:
                 # bounded by stop: see the data-state O(n^2) note

@@ -61,6 +61,63 @@ def test_python_tokenizer_scales_linearly():
     assert ratio < 10, f"4x input cost {ratio:.1f}x time (quadratic ~16x)"
 
 
+def test_deep_nesting_scales_linearly():
+    """Barrier-less deep nesting made the per-block-opener
+    p-in-button-scope stack walk O(depth^2): 1 MB of nested <div>s took
+    50 s. The pscope[] parallel array answers it in O(1)."""
+    ex = Extractor()
+    def deep(n):
+        return ("<!DOCTYPE html><body>" + "<div>" * (n // 6) + "x"
+                + "</div>" * (n // 6) + "</body>")
+    small, big = deep(100_000), deep(400_000)
+    ex.extract_html(small)
+    t_small = _best(lambda: ex.extract_html(small))
+    t_big = _best(lambda: ex.extract_html(big))
+    assert t_big / t_small < 10, f"{t_big / t_small:.1f}x"
+
+
+def test_entity_dense_scales_linearly():
+    """Per-charref recomputation of the next-'<' scan was O(n^2) on
+    entity-dense text; the scan is now cached across charrefs."""
+    ex = Extractor()
+    def ent(n):
+        return ("<!DOCTYPE html><body><p>"
+                + "&amp;&lt;&gt;&quot;x " * (n // 24) + "</p></body>")
+    small, big = ent(100_000), ent(400_000)
+    ex.extract_html(small)
+    t_small = _best(lambda: ex.extract_html(small))
+    t_big = _best(lambda: ex.extract_html(big))
+    assert t_big / t_small < 10, f"{t_big / t_small:.1f}x"
+
+
+def test_pscope_adoption_agency_parity():
+    """The pscope fast path must stay correct through the adoption
+    agency's mid-stack splices: misnested formatting around open <p>
+    elements, then block openers whose p-in-button-scope answer decides
+    close_p. Compare C tree vs the Python kernel (which still walks)."""
+    from htmlreader_ray.kernel import _cparser_build
+    from htmlreader_ray.kernel import parse as pyparse
+    from htmlreader_ray.testing.conformance import dump_html5lib
+
+    mod = _cparser_build.load()
+    assert mod is not None
+    vectors = [
+        "<p>a<b>b<i>c</b>d</i><p>e",
+        "<p><b><p>x</b>y",
+        "<div><p>a<b>b<div>c",
+        "<p><button><p>inner<div>d",
+        "<p>1<b>2<p>3<b>4<p>5</b>6",
+        "<table><td><p>a<b>b</td><p>c",
+        "<p><svg><desc><p>x</desc></svg><div>y",
+        "<b><p><i>a<p>b</i><p>c</b><p>d",
+        "<p>" * 30 + "x" + "<div>" * 30 + "<p>y",
+    ]
+    for v in vectors:
+        c_doc = mod.parse(v)
+        assert c_doc is not None, v
+        assert dump_html5lib(c_doc) == dump_html5lib(pyparse(v)), v
+
+
 def test_quoted_attr_and_rawtext_scale():
     """The attr-value and RCDATA '&' scans had the same unbounded bug."""
     ex = Extractor()
