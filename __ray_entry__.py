@@ -1583,6 +1583,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(as_i64, batch_format="pyarrow")
 
+    def host_pagerank(sf_dir: str):
+        """Domain ranking over the extracted host link graph (the
+        curation step that weights/caps documents by the rank of their
+        publishing host, a la the Common Crawl host-graph ranking):
+        parse -> a[href] -> (source, target-host) edge rows, block-local
+        combiner down to DISTINCT host pairs, then 3 PageRank iterations
+        in EXACT integer arithmetic (functions/graph.py — damping
+        85/100, uniform dangling-mass redistribution, all floor
+        divisions), so the ranks are bit-identical to the oracle's
+        unrolled SQL iterations regardless of summation order. Auto
+        mode: numpy scatter-adds once the combiner-reduced edge table is
+        bounded; Dataset-join-per-iteration past 5M distinct pairs."""
+        from htmlreader_ray.functions.graph import pagerank
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        edges = _read(sf_dir, "documents",
+                      ["doc_id", "source", "text"]).map_batches(
+            q.as_task(q.HostEdges), batch_format="pyarrow")
+        edges = combine_aggregate(edges, ["src", "dst"],
+                                  [("", "count", "w")])
+        return pagerank(edges.select_columns(["src", "dst"]), iters=3)
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -1590,6 +1612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": actor(q.LinkExtract),
         "url_normalize": url_normalize,
         "host_outdegree": host_outdegree,
+        "host_pagerank": host_pagerank,
         "dedup_paragraphs": dedup_paragraphs,
         "textcontent_roundtrip": actor(q.TextContentRoundtrip),
         "html_escape": stateless(textfn.escape_batch),
@@ -1704,7 +1727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_parts",
         # new in round 3, post-rotation
         "extract_links", "url_normalize", "host_outdegree",
-        "dedup_paragraphs",
+        "dedup_paragraphs", "host_pagerank",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -1877,6 +1900,58 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d,
                  UNNEST(generate_series(0, d.doc_id % 3)) AS t(j)
             GROUP BY 1
+        """,
+        # exact-integer PageRank, 3 unrolled iterations — every term is
+        # BIGINT floor arithmetic, so it matches functions/graph.py
+        # bit-for-bit (see the contract in that module's docstring)
+        "host_pagerank": """
+            WITH edges AS (
+              SELECT DISTINCT d.source AS src,
+                     'h' || CAST((d.doc_id * 7 + j) % 10 AS VARCHAR)
+                         || '.example.com' AS dst
+              FROM documents d,
+                   UNNEST(generate_series(0, d.doc_id % 3)) AS t(j)
+            ),
+            nodes AS (SELECT src AS node FROM edges
+                      UNION SELECT dst FROM edges),
+            c AS (SELECT COUNT(*) AS n FROM nodes),
+            deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+            r0 AS (SELECT node, 1000000000000 // c.n AS r
+                   FROM nodes, c),
+            f1 AS (SELECT e.dst AS node, SUM(r.r // g.outdeg) AS inflow
+                   FROM edges e JOIN r0 r ON r.node = e.src
+                                JOIN deg g ON g.src = e.src GROUP BY 1),
+            d1 AS (SELECT COALESCE(SUM(r.r), 0) AS dang FROM r0 r
+                   LEFT JOIN deg g ON g.src = r.node WHERE g.src IS NULL),
+            r1 AS (SELECT nd.node,
+                          (15 * (1000000000000 // c.n)) // 100 +
+                          (85 * (COALESCE(f.inflow, 0) + d1.dang // c.n))
+                          // 100 AS r
+                   FROM nodes nd CROSS JOIN c CROSS JOIN d1
+                   LEFT JOIN f1 f ON f.node = nd.node),
+            f2 AS (SELECT e.dst AS node, SUM(r.r // g.outdeg) AS inflow
+                   FROM edges e JOIN r1 r ON r.node = e.src
+                                JOIN deg g ON g.src = e.src GROUP BY 1),
+            d2 AS (SELECT COALESCE(SUM(r.r), 0) AS dang FROM r1 r
+                   LEFT JOIN deg g ON g.src = r.node WHERE g.src IS NULL),
+            r2 AS (SELECT nd.node,
+                          (15 * (1000000000000 // c.n)) // 100 +
+                          (85 * (COALESCE(f.inflow, 0) + d2.dang // c.n))
+                          // 100 AS r
+                   FROM nodes nd CROSS JOIN c CROSS JOIN d2
+                   LEFT JOIN f2 f ON f.node = nd.node),
+            f3 AS (SELECT e.dst AS node, SUM(r.r // g.outdeg) AS inflow
+                   FROM edges e JOIN r2 r ON r.node = e.src
+                                JOIN deg g ON g.src = e.src GROUP BY 1),
+            d3 AS (SELECT COALESCE(SUM(r.r), 0) AS dang FROM r2 r
+                   LEFT JOIN deg g ON g.src = r.node WHERE g.src IS NULL),
+            r3 AS (SELECT nd.node,
+                          (15 * (1000000000000 // c.n)) // 100 +
+                          (85 * (COALESCE(f.inflow, 0) + d3.dang // c.n))
+                          // 100 AS r
+                   FROM nodes nd CROSS JOIN c CROSS JOIN d3
+                   LEFT JOIN f3 f ON f.node = nd.node)
+            SELECT node, CAST(r AS BIGINT) AS "rank" FROM r3
         """,
         # same segmentation idiom as segment_dedup's oracle; only the
         # keep-first partition differs (per doc, not corpus-wide)

@@ -1,0 +1,225 @@
+"""Link-graph ranking for web-corpus curation (domain ranking a la the
+Common Crawl host-level graph: rank hosts, cap/weight documents by the
+rank of their publishing host).
+
+PageRank here is defined in EXACT INTEGER arithmetic so the result is
+independent of summation order (floats would diverge in the low bits
+between Ray's block-parallel sums and any single-threaded oracle):
+
+    N      = #nodes, scale = total rank mass (default 10^12)
+    base   = scale // N
+    r0[v]  = base
+    per iteration:
+      contrib(u->v) = r[u] // outdeg[u]          (distinct out-edges)
+      inflow[v]     = sum of contrib over in-edges   (exact int64 sum)
+      D             = sum of r[u] where outdeg[u] == 0   (dangling mass)
+      r'[v] = (15 * base) // 100 + (85 * (inflow[v] + D // N)) // 100
+
+i.e. damping 0.85 with uniform dangling-mass redistribution, all floor
+divisions. Magnitudes: inflow + D//N <= 2*scale, so 85*(...) < 2e14 —
+comfortably inside int64. The same expressions are SQL-expressible with
+DuckDB's `//` BIGINT floor division, which is what the oracle runs.
+
+Two execution paths, same bit-exact result:
+
+* ``pagerank_local`` — the default once the DISTINCT host-pair edge
+  table has been reduced by the distributed combiner: factorize node
+  ids, then K rounds of numpy int64 scatter-adds. The corpus-scale work
+  (parse, host extraction, (src,dst) distinct-count) happens upstream in
+  Ray; the rank vector itself is bounded by #distinct hosts. Guarded by
+  ``local_max_edges`` — past it, auto mode switches to the Dataset path.
+* ``pagerank_distributed`` — for host graphs too big for one machine
+  (the full web is ~10^8 hosts / ~10^9 host-pairs): each iteration is
+  one hash join of the rank table onto the edge table keyed by src, a
+  block-local combiner + narrow groupby(dst) for the inflow sums, and a
+  scalar dangling aggregate. The rank table (one row per node) is
+  materialized per iteration — it is the small side; the edge table
+  streams and is never collected. Joins are repartitioned first per the
+  empty-block scrub (see functions/dedup._scrub_empty_blocks).
+
+Reference scope note: the reference engine (nolanw/HTMLReader) has no
+graph stage; this extends the extraction surface (its a[href] walk,
+Sources/HTMLNode.m tree enumeration) into the standard curation step
+downstream of it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SCALE = 10 ** 12
+DAMP_NUM, DAMP_DEN = 85, 100   # 0.85, exact
+
+
+# ------------------------------------------------------------------ local
+
+def pagerank_local(edges: pa.Table, iters: int = 3,
+                   scale: int = SCALE) -> pa.Table:
+    """(src, dst) string table -> (node, rank) int64 table.
+
+    Duplicate edges are collapsed (PageRank over the distinct graph).
+    """
+    src = pc.cast(edges.column("src"), pa.string())
+    dst = pc.cast(edges.column("dst"), pa.string())
+    if len(src) == 0:
+        return pa.table({"node": pa.array([], pa.string()),
+                         "rank": pa.array([], pa.int64())})
+    # factorize over the union of both endpoint columns
+    both = pa.chunked_array(
+        list(src.chunks) + list(dst.chunks), pa.string())
+    nodes = pc.unique(both)
+    nodes = nodes.take(pc.sort_indices(nodes))   # deterministic order
+    idx = pc.index_in(both, value_set=nodes).to_numpy(
+        zero_copy_only=False)
+    m = len(src)
+    si, di = idx[:m].astype(np.int64), idx[m:].astype(np.int64)
+    # distinct edges
+    pair = si * len(nodes) + di
+    keep = np.unique(pair)
+    si, di = keep // len(nodes), keep % len(nodes)
+
+    n = len(nodes)
+    outdeg = np.bincount(si, minlength=n).astype(np.int64)
+    base = scale // n
+    r = np.full(n, base, dtype=np.int64)
+    for _ in range(iters):
+        contrib = r[si] // outdeg[si]
+        inflow = np.zeros(n, dtype=np.int64)
+        np.add.at(inflow, di, contrib)
+        dangling = int(r[outdeg == 0].sum())
+        r = ((DAMP_DEN - DAMP_NUM) * base) // DAMP_DEN + (
+            DAMP_NUM * (inflow + dangling // n)) // DAMP_DEN
+    return pa.Table.from_arrays(
+        [nodes, pa.array(r, pa.int64())], names=["node", "rank"])
+
+
+# ------------------------------------------------------------ distributed
+
+def _scrub(ds, n: int = 4):
+    """Repartition before a join: groupby/aggregate outputs can contain
+    zero-column empty blocks that poison Acero hash joins (see
+    functions/dedup._scrub_empty_blocks / memory: ray-data-pitfalls)."""
+    return ds.repartition(n)
+
+
+def pagerank_distributed(edges, iters: int = 3, scale: int = SCALE,
+                         num_partitions: int = 4):
+    """Dataset[(src, dst)] -> Dataset[(node, rank)].
+
+    Scale shape per iteration: ONE hash join (rank table, one row per
+    node, onto the edge stream keyed by src), a combiner + narrow
+    groupby(dst) for inflow, and two scalar aggregates. The edge table
+    is the only corpus-scale object and it streams; only the rank table
+    (|nodes| rows) is materialized between iterations.
+    """
+    from .shuffle import combine_aggregate
+
+    def _distinct(ds, cols):
+        out = combine_aggregate(ds, cols, [("", "count", "_c")])
+        return out.select_columns(cols)
+
+    edges = _distinct(edges, ["src", "dst"]).materialize()
+
+    def _endpoints(b: pa.Table, col: str) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b.column(col).cast(pa.string())], names=["node"])
+
+    nodes = _distinct(
+        edges.map_batches(lambda b: _endpoints(b, "src"),
+                          batch_format="pyarrow").union(
+            edges.map_batches(lambda b: _endpoints(b, "dst"),
+                              batch_format="pyarrow")),
+        ["node"]).materialize()
+    n = nodes.count()
+    base = scale // n
+
+    deg = combine_aggregate(edges, ["src"], [("", "count", "outdeg")])
+    deg = deg.map_batches(
+        lambda b: b.set_column(b.column_names.index("outdeg"), "outdeg",
+                               pc.cast(b.column("outdeg"), pa.int64())),
+        batch_format="pyarrow").materialize()
+
+    ranks = nodes.map_batches(
+        lambda b: b.append_column(
+            "rank", pa.array(np.full(len(b), base, np.int64))),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        # rank table + outdeg (left outer keeps dangling nodes)
+        rd = _scrub(ranks, num_partitions).join(
+            _scrub(deg, num_partitions), join_type="left_outer",
+            num_partitions=num_partitions, on=("node",), right_on=("src",)
+        ).select_columns(["node", "rank", "outdeg"]).materialize()
+
+        def _dang_part(b: pa.Table) -> pa.Table:
+            s = pc.sum(pc.if_else(b.column("outdeg").is_valid(),
+                                  pa.scalar(0, pa.int64()),
+                                  b.column("rank"))).as_py() or 0
+            return pa.Table.from_arrays([pa.array([s], pa.int64())],
+                                        names=["d"])
+
+        dangling = int(rd.map_batches(
+            _dang_part, batch_format="pyarrow").sum("d") or 0)
+
+        linked = rd.map_batches(
+            lambda b: b.filter(b.column("outdeg").is_valid()),
+            batch_format="pyarrow")
+
+        def _contrib(b: pa.Table) -> pa.Table:
+            c = pc.divide(b.column("rank"), b.column("outdeg"))
+            return pa.Table.from_arrays(
+                [b.column("node"), pc.cast(c, pa.int64())],
+                names=["src", "contrib"])
+
+        per_src = linked.map_batches(_contrib, batch_format="pyarrow")
+        flow = _scrub(edges, num_partitions).join(
+            _scrub(per_src, num_partitions), join_type="inner",
+            num_partitions=num_partitions, on=("src",))
+        inflow = combine_aggregate(
+            flow.select_columns(["dst", "contrib"]), ["dst"],
+            [("contrib", "sum", "inflow")])
+
+        carry = base  # captured constants for the closure below
+        dn, dd, dang_share = DAMP_NUM, DAMP_DEN, dangling // n
+
+        def _new_rank(b: pa.Table) -> pa.Table:
+            inf = pc.fill_null(pc.cast(b.column("inflow"), pa.int64()), 0)
+            r = pc.add(
+                ((dd - dn) * carry) // dd,
+                pc.divide(pc.multiply(pc.add(inf, dang_share), dn), dd))
+            return pa.Table.from_arrays(
+                [b.column("node"), pc.cast(r, pa.int64())],
+                names=["node", "rank"])
+
+        joined = _scrub(nodes, num_partitions).join(
+            _scrub(inflow, num_partitions), join_type="left_outer",
+            num_partitions=num_partitions, on=("node",), right_on=("dst",))
+        ranks = joined.map_batches(
+            _new_rank, batch_format="pyarrow").materialize()
+    return ranks
+
+
+# ------------------------------------------------------------------ auto
+
+def pagerank(edges, iters: int = 3, scale: int = SCALE,
+             mode: str = "auto", local_max_edges: int = 5_000_000):
+    """Dataset[(src, dst)] -> Dataset[(node, rank)]; picks the local
+    path when the (already combiner-reduced) edge table is bounded."""
+    import ray.data
+
+    if mode == "distributed":
+        return pagerank_distributed(edges, iters=iters, scale=scale)
+    if mode == "local":
+        import ray
+        parts = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+        t = (pa.concat_tables(parts) if parts
+             else pa.table({"src": pa.array([], pa.string()),
+                            "dst": pa.array([], pa.string())}))
+        return ray.data.from_arrow(
+            pagerank_local(t, iters=iters, scale=scale))
+    cnt = edges.count()
+    if cnt <= local_max_edges:
+        return pagerank(edges, iters=iters, scale=scale, mode="local")
+    return pagerank_distributed(edges, iters=iters, scale=scale)

@@ -146,6 +146,37 @@ class LinkExtract:
             names=["doc_id", "seq", "href", "anchor"])
 
 
+class HostEdges:
+    """Host-graph edge extraction — the PageRank/domain-ranking front
+    end: parse each generated page, take every a[href] (same walk as
+    LinkExtract), keep absolute links (host != '') and emit one
+    (src=publishing source, dst=target host) row per link. Downstream
+    reduces to distinct host pairs with the block-local combiner."""
+
+    def __init__(self) -> None:
+        self.sel = compile_selector("a[href]")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.urls import url_host_column
+        ids = batch.column("doc_id").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_src, hrefs = [], []
+        for key, sname, t in zip(ids, srcs, texts):
+            page = build_page(int(key), t or "").replace(
+                "</body>", ref_links_block(int(key)) + "</body>")
+            doc = parse(page)
+            for node in doc.elements_in_tree_order():
+                if self.sel.matches(node):
+                    out_src.append(sname)
+                    hrefs.append(node.attrs.get("href", ""))
+        hosts = url_host_column(pa.array(hrefs, pa.string()))
+        t = pa.Table.from_arrays(
+            [pa.array(out_src, pa.string()), hosts], names=["src", "dst"])
+        import pyarrow.compute as pc
+        return t.filter(pc.not_equal(t.column("dst"), ""))
+
+
 class QuirksMode:
     """M5: doctype family of the generated page -> quirks classification."""
 

@@ -1,0 +1,104 @@
+"""PageRank (functions/graph.py): exact-integer contract, local vs
+distributed bit-parity, and the host-graph query plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from htmlreader_ray.functions.graph import (SCALE, pagerank,
+                                            pagerank_distributed,
+                                            pagerank_local)
+
+
+def _ref_pagerank(pairs, iters=3, scale=SCALE):
+    """Independent pure-python model of the documented contract."""
+    edges = sorted(set(pairs))
+    nodes = sorted({v for e in edges for v in e})
+    n = len(nodes)
+    out = {u: sum(1 for s, _ in edges if s == u) for u in nodes}
+    base = scale // n
+    r = {u: base for u in nodes}
+    for _ in range(iters):
+        inflow = {u: 0 for u in nodes}
+        for s, d in edges:
+            inflow[d] += r[s] // out[s]
+        dang = sum(r[u] for u in nodes if out[u] == 0)
+        r = {u: (15 * base) // 100 + (85 * (inflow[u] + dang // n)) // 100
+             for u in nodes}
+    return r
+
+
+PAIRS = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+         ("c", "b"), ("c", "d"), ("a", "b")]   # one duplicate edge
+
+
+def test_local_matches_reference_model():
+    t = pagerank_local(pa.table({"src": [s for s, _ in PAIRS],
+                                 "dst": [d for _, d in PAIRS]}), iters=3)
+    got = dict(zip(t.column("node").to_pylist(),
+                   t.column("rank").to_pylist()))
+    assert got == _ref_pagerank(PAIRS)
+
+
+def test_local_mass_is_conserved_and_int64():
+    rng = np.random.default_rng(7)
+    src = [f"n{i}" for i in rng.integers(0, 50, 400)]
+    dst = [f"n{i}" for i in rng.integers(0, 50, 400)]
+    t = pagerank_local(pa.table({"src": src, "dst": dst}), iters=4)
+    assert t.column("rank").type == pa.int64()
+    total = sum(t.column("rank").to_pylist())
+    # floor divisions only ever LOSE mass; never create it
+    assert 0.95 * SCALE < total <= SCALE
+
+
+def test_local_empty_graph():
+    t = pagerank_local(pa.table({"src": pa.array([], pa.string()),
+                                 "dst": pa.array([], pa.string())}))
+    assert t.num_rows == 0
+
+
+def test_distributed_bit_parity_with_local(ray_session):
+    import ray.data
+    edges = ray.data.from_arrow(
+        pa.table({"src": [s for s, _ in PAIRS],
+                  "dst": [d for _, d in PAIRS]})).repartition(3)
+    dist = pagerank_distributed(edges, iters=3).take_all()
+    got = {r["node"]: r["rank"] for r in dist}
+    assert got == _ref_pagerank(PAIRS)
+
+
+def test_distributed_bit_parity_random_graph(ray_session):
+    import ray.data
+    rng = np.random.default_rng(11)
+    pairs = [(f"h{i}", f"h{j}")
+             for i, j in zip(rng.integers(0, 40, 300),
+                             rng.integers(0, 40, 300))]
+    edges = ray.data.from_arrow(
+        pa.table({"src": [s for s, _ in pairs],
+                  "dst": [d for _, d in pairs]})).repartition(5)
+    dist = pagerank_distributed(edges, iters=2).take_all()
+    got = {r["node"]: r["rank"] for r in dist}
+    assert got == _ref_pagerank(pairs, iters=2)
+
+
+def test_auto_mode_picks_local_for_small(ray_session):
+    import ray.data
+    edges = ray.data.from_arrow(
+        pa.table({"src": [s for s, _ in PAIRS],
+                  "dst": [d for _, d in PAIRS]}))
+    t = pagerank(edges, iters=3, mode="auto")
+    got = {r["node"]: r["rank"] for r in t.take_all()}
+    assert got == _ref_pagerank(PAIRS)
+
+
+def test_host_edges_kernel():
+    from htmlreader_ray.pipelines import queries as q
+    b = pa.table({"doc_id": pa.array([5], pa.int64()),
+                  "source": pa.array(["src5"], pa.string()),
+                  "text": pa.array(["hello world"], pa.string())})
+    out = q.HostEdges()(b)
+    # doc 5: j in 0..(5%3)=0..2 -> hosts h{(35+j)%10} = h5,h6,h7;
+    # boilerplate links are relative (host='') and must be filtered
+    assert out.column("src").to_pylist() == ["src5"] * 3
+    assert sorted(out.column("dst").to_pylist()) == [
+        "h5.example.com", "h6.example.com", "h7.example.com"]
