@@ -165,10 +165,19 @@ def _pmi_int(c12: float, t: float, c1: float, c2: float, u: float,
 
 
 def bigram_pmi(ds, *, text_col: str = "text", top_k: int = 50,
-               min_count: int = 5, scale: int = PMI_SCALE):
+               min_count: int = 5, scale: int = PMI_SCALE,
+               broadcast_max_vocab: int = 2_000_000):
     """(w1, w2, c, pmi_e3): top-K adjacent pairs by quantized PMI,
     ties broken by (w1, w2). Pairs rarer than ``min_count`` are dropped
-    before the join (noise floor, and it bounds the scored set)."""
+    before the join (noise floor, and it bounds the scored set).
+
+    Join strategy: when the unigram type table fits the broadcast bound
+    it is ray.put ONCE and each bigram block scores via two vectorized
+    ``index_in`` lookups — no shuffle at all on the scoring side. Past
+    the bound (web-scale vocabularies) the original two hash joins run.
+    Both paths share the same IEEE arithmetic, and the final top-K is
+    block-local partials + one single-task merge instead of a global
+    sort (scored rows per block >= top_k, so partials lose nothing)."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
@@ -195,31 +204,15 @@ def bigram_pmi(ds, *, text_col: str = "text", top_k: int = 50,
 
     bi = bi.map_batches(above_floor, batch_format="pyarrow")
 
-    def rename_uni(name):
-        def fn(b: pa.Table) -> pa.Table:
-            return b.rename_columns(
-                [name if c == "w" else ("c_" + name[-1]) if c == "n" else c
-                 for c in b.column_names])
-        return fn
-
-    uni1 = uni.map_batches(rename_uni("w1"), batch_format="pyarrow")
-    uni2 = uni.map_batches(rename_uni("w2"), batch_format="pyarrow")
-    j = bi.repartition(parts).join(uni1.repartition(parts),
-                                   join_type="inner", num_partitions=parts,
-                                   on=("w1",), right_on=("w1",))
-    j = j.repartition(parts).join(uni2.repartition(parts),
-                                  join_type="inner", num_partitions=parts,
-                                  on=("w2",), right_on=("w2",))
-
-    def score(batch: pa.Table) -> pa.Table:
+    def _score_cols(batch: pa.Table, c1, c2) -> pa.Table:
         # elementwise floor(scale*ln((c12/t)/((c1/u)*(c2/u))) + 0.5) with
         # the exact IEEE op order of _pmi_int / the SQL oracle; pc.ln is
         # bit-identical to math.log here (same libm), pinned by
         # tests/test_indexing.py::test_pmi_ln_bit_parity
         f64 = pa.float64()
         c12 = pc.cast(batch.column("c"), f64)
-        c1 = pc.cast(batch.column("c_1"), f64)
-        c2 = pc.cast(batch.column("c_2"), f64)
+        c1 = pc.cast(c1, f64)
+        c2 = pc.cast(c2, f64)
         x = pc.divide(pc.divide(c12, pa.scalar(t_total)),
                       pc.multiply(pc.divide(c1, pa.scalar(u_total)),
                                   pc.divide(c2, pa.scalar(u_total))))
@@ -230,6 +223,53 @@ def bigram_pmi(ds, *, text_col: str = "text", top_k: int = 50,
             "w1": batch.column("w1"), "w2": batch.column("w2"),
             "c": batch.column("c"), "pmi_e3": pmi})
 
-    scored = j.map_batches(score, batch_format="pyarrow")
-    return scored.sort(["pmi_e3", "w1", "w2"],
-                       descending=[True, False, False]).limit(top_k)
+    n_vocab = uni.count()
+    if n_vocab <= broadcast_max_vocab:
+        import ray
+        blocks = [t for t in ray.get(uni.to_arrow_refs()) if t.num_rows]
+        uni_tbl = (pa.concat_tables(blocks).combine_chunks() if blocks
+                   else pa.table({"w": pa.array([], pa.string()),
+                                  "n": pa.array([], pa.int64())}))
+        uni_ref = ray.put(uni_tbl)
+
+        def score_broadcast(batch: pa.Table) -> pa.Table:
+            ut = ray.get(uni_ref)
+            w, cnt = ut.column("w"), ut.column("n")
+            i1 = pc.index_in(batch.column("w1"), value_set=w)
+            i2 = pc.index_in(batch.column("w2"), value_set=w)
+            # inner-join semantics: drop pairs whose word is absent
+            # (cannot happen with the same tokenization, but stay exact)
+            keep = pc.and_(i1.is_valid(), i2.is_valid())
+            batch, i1, i2 = (batch.filter(keep), i1.filter(keep),
+                             i2.filter(keep))
+            return _score_cols(batch, pc.take(cnt, i1), pc.take(cnt, i2))
+
+        scored = bi.map_batches(score_broadcast, batch_format="pyarrow")
+    else:
+        def rename_uni(name):
+            def fn(b: pa.Table) -> pa.Table:
+                return b.rename_columns(
+                    [name if c == "w" else ("c_" + name[-1])
+                     if c == "n" else c for c in b.column_names])
+            return fn
+
+        uni1 = uni.map_batches(rename_uni("w1"), batch_format="pyarrow")
+        uni2 = uni.map_batches(rename_uni("w2"), batch_format="pyarrow")
+        j = bi.repartition(parts).join(
+            uni1.repartition(parts), join_type="inner",
+            num_partitions=parts, on=("w1",), right_on=("w1",))
+        j = j.repartition(parts).join(
+            uni2.repartition(parts), join_type="inner",
+            num_partitions=parts, on=("w2",), right_on=("w2",))
+        scored = j.map_batches(
+            lambda b: _score_cols(b, b.column("c_1"), b.column("c_2")),
+            batch_format="pyarrow")
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch, sort_keys=[
+            ("pmi_e3", "descending"), ("w1", "ascending"),
+            ("w2", "ascending")])
+        return batch.take(idx.slice(0, top_k))
+
+    return scored.map_batches(local_topk, batch_format="pyarrow") \
+        .repartition(1).map_batches(local_topk, batch_format="pyarrow")

@@ -131,3 +131,15 @@ def test_bigram_pmi_negative_scores(ray_session):
     assert out[("a", "b")] < 0
     ref = dict(((w1, w2), p) for w1, w2, _c, p in naive_pmi(texts, 1, 100))
     assert out == ref
+
+
+def test_bigram_pmi_join_path_parity(ray_session):
+    """broadcast_max_vocab=0 forces the hash-join fallback (web-scale
+    vocab path); results must be identical to the broadcast path."""
+    fast = [(r["w1"], r["w2"], r["c"], r["pmi_e3"])
+            for r in bigram_pmi(_ds(TEXTS), min_count=1,
+                                top_k=10).take_all()]
+    slow = [(r["w1"], r["w2"], r["c"], r["pmi_e3"])
+            for r in bigram_pmi(_ds(TEXTS), min_count=1, top_k=10,
+                                broadcast_max_vocab=0).take_all()]
+    assert fast == slow == naive_pmi(TEXTS, 1, 10)

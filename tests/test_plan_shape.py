@@ -87,14 +87,24 @@ def test_unigram_scoring_pass_is_map_only(ray_session):
     assert _shuffle_ops(ds) == []
 
 
-def test_bigram_pmi_two_joins_no_vocab_broadcast(ray_session):
-    """PMI joins the unigram table back on each bigram side (two Joins)
-    plus the bounded top-K Sort; bigram/unigram counts are combiner
-    aggregates so only type tables shuffle."""
+def test_bigram_pmi_broadcast_path_no_joins(ray_session):
+    """Bounded-vocab PMI: the unigram table is ray.put ONCE and scored
+    via index_in lookups — no Join, and top-K is block partials + a
+    single-task merge, not a global Sort."""
     from htmlreader_ray.functions.indexing import bigram_pmi
     ops = _shuffle_ops(bigram_pmi(_docs(ray_session), min_count=1))
+    assert ops.count("Join") == 0, ops
+    assert ops.count("Sort") == 0, ops
+
+
+def test_bigram_pmi_join_path_two_joins(ray_session):
+    """Web-scale-vocab PMI (broadcast_max_vocab exceeded): two hash
+    joins of the unigram table, still no global Sort for top-K."""
+    from htmlreader_ray.functions.indexing import bigram_pmi
+    ops = _shuffle_ops(bigram_pmi(_docs(ray_session), min_count=1,
+                                  broadcast_max_vocab=0))
     assert ops.count("Join") == 2, ops
-    assert ops.count("Sort") == 1, ops
+    assert ops.count("Sort") == 0, ops
 
 
 def test_inverted_index_single_groupby(ray_session):
