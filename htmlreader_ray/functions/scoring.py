@@ -200,12 +200,16 @@ def _argmax_group(batch: pa.Table) -> pa.Table:
 
 
 def top_tfidf(ds, *, text_col: str = "text", id_col: str = "doc_id",
-              scale: int = DEFAULT_SCALE):
+              scale: int = DEFAULT_SCALE,
+              broadcast_max_vocab: int = 2_000_000):
     """(doc_id, term, score_e3): each document's highest-tf-idf term,
     ties broken lexicographically. Documents with no words are absent.
 
-    Distributed end to end: df via partial-count combiner, tf x df via a
-    hash join partitioned on the word (no vocabulary broadcast), then a
+    Distributed end to end: df via partial-count combiner; tf x df via
+    a ray.put broadcast of the df type table + vectorized index_in
+    lookups when the vocabulary is bounded (the common case — no
+    shuffle touches the corpus-scale tf rows), falling back to a hash
+    join partitioned on the word past ``broadcast_max_vocab``; then a
     two-level argmax (block-local partials, one groupby(doc_id))."""
     from ray.data.aggregate import Sum
 
@@ -218,17 +222,37 @@ def top_tfidf(ds, *, text_col: str = "text", id_col: str = "doc_id",
                               batch_format="pyarrow")
     df = df_parts.repartition(parts).groupby("w").aggregate(Sum("df")) \
         .map_batches(lambda b: b.rename_columns(["w", "df"]),
-                     batch_format="pyarrow")
+                     batch_format="pyarrow").materialize()
 
-    # repartition both sides: groupby/map_batches output can carry
-    # zero-column empty blocks that poison Acero hash joins (see
-    # dedup._scrub_empty_blocks)
-    joined = tf.repartition(parts).join(
-        df.repartition(parts), join_type="inner", num_partitions=parts,
-        on=("w",), right_on=("w",))
+    if df.count() <= broadcast_max_vocab:
+        import ray
+        blocks = [t for t in ray.get(df.to_arrow_refs()) if t.num_rows]
+        df_tbl = (pa.concat_tables(blocks).combine_chunks() if blocks
+                  else pa.table({"w": pa.array([], pa.string()),
+                                 "df": pa.array([], pa.int64())}))
+        df_ref = ray.put(df_tbl)
+        score_fn = _TfIdfScore(n_docs, scale)
 
-    scored = joined.map_batches(_TfIdfScore(n_docs, scale),
-                                batch_format="pyarrow")
+        def score_broadcast(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            dt = ray.get(df_ref)
+            idx = pc.index_in(batch.column("w"), value_set=dt.column("w"))
+            keep = idx.is_valid()   # inner-join semantics
+            batch, idx = batch.filter(keep), idx.filter(keep)
+            return score_fn(batch.append_column(
+                "df", pc.take(dt.column("df"), idx)))
+
+        scored = tf.map_batches(score_broadcast, batch_format="pyarrow")
+    else:
+        # repartition both sides: groupby/map_batches output can carry
+        # zero-column empty blocks that poison Acero hash joins (see
+        # dedup._scrub_empty_blocks)
+        joined = tf.repartition(parts).join(
+            df.repartition(parts), join_type="inner",
+            num_partitions=parts, on=("w",), right_on=("w",))
+        scored = joined.map_batches(_TfIdfScore(n_docs, scale),
+                                    batch_format="pyarrow")
+
     partials = scored.map_batches(_argmax_block, batch_format="pyarrow")
     return partials.repartition(parts).groupby(id_col) \
         .map_groups(_argmax_group, batch_format="pyarrow")

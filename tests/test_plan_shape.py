@@ -65,15 +65,24 @@ def test_exact_dedup_has_exactly_one_shuffle(ray_session):
 
 
 def test_top_tfidf_shuffle_budget(ray_session):
-    """tf-idf: df aggregate, ONE word-keyed hash join (the vocabulary is
-    never broadcast), argmax-partial repartitions, and the final per-doc
-    Aggregate — no Sort, no extra joins."""
+    """tf-idf, bounded-vocab path: the df type table is ray.put and
+    looked up via index_in — NO join touches the corpus-scale tf rows.
+    The one Sort is the per-doc argmax groupby().map_groups (sort-based
+    in the logical plan); its input is the block-local argmax partials,
+    never the raw (doc, word) rows."""
     from htmlreader_ray.functions.scoring import top_tfidf
     ops = _shuffle_ops(top_tfidf(_docs(ray_session)))
+    assert ops.count("Join") == 0, ops
+    assert ops.count("Sort") == 1, ops
+
+
+def test_top_tfidf_join_path_budget(ray_session):
+    """Web-scale-vocab fallback: ONE word-keyed hash join, same final
+    argmax shape."""
+    from htmlreader_ray.functions.scoring import top_tfidf
+    ops = _shuffle_ops(top_tfidf(_docs(ray_session),
+                                 broadcast_max_vocab=0))
     assert ops.count("Join") == 1, ops
-    # the one Sort is the per-doc argmax groupby().map_groups (sort-based
-    # in the logical plan); its input is the block-local argmax partials,
-    # never the raw (doc, word) rows
     assert ops.count("Sort") == 1, ops
     assert "RandomShuffle" not in ops, ops
 

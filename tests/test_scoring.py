@@ -127,3 +127,12 @@ def test_single_and_small_corpora(ray_session, n_docs):
     assert len(uni) == n_docs
     tf = top_tfidf(_ds(texts)).take_all()
     assert len(tf) == sum(1 for t in texts if _words(t))
+
+
+def test_top_tfidf_join_path_parity(ray_session):
+    """broadcast_max_vocab=0 forces the hash-join fallback; results
+    must be identical to the broadcast path and the naive model."""
+    got = {r["doc_id"]: (r["term"], r["score_e3"])
+           for r in top_tfidf(_ds(TEXTS),
+                              broadcast_max_vocab=0).take_all()}
+    assert got == naive_top_tfidf(TEXTS)
