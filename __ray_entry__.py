@@ -357,6 +357,78 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ExtractText, fn_constructor_kwargs={},
             batch_format="pyarrow", concurrency=(1, 8))
 
+    def warc_extract(sf_dir: str):
+        """WARC crawl-source round-trip (the Common-Crawl-shaped input
+        path): synthesize a deterministic WARC/1.0 crawl from the
+        documents table (one response record per doc, doc_id in the
+        URI, charset rotating utf-8-BOM / utf-16-LE-BOM / utf-8+header
+        on doc_id%3), then run the real pipeline — read_warc scan (one
+        task per segment file), kernel-sniffer decode honoring the HTTP
+        Content-Type (sources/warc.DecodeHtml ~ reference
+        documentWithData:contentTypeHeader:), fused main-text
+        extraction. Oracle: identical collapse() arithmetic as
+        extract_html_text — any framing/decoding defect breaks the
+        hash."""
+        import codecs
+        import os
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from htmlreader_ray.sources.corpus import build_page
+        from htmlreader_ray.sources.warc import read_warc, write_warc
+        from htmlreader_ray.sources.warc import DecodeHtml
+        from htmlreader_ray.stages.parse_extract import ExtractText
+
+        n_files = 8
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        out_dir = f"/tmp/graft_warc_{tag}"
+        docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        marker = os.path.join(out_dir, f".done_{docs.num_rows}")
+        if not os.path.exists(marker):
+            os.makedirs(out_dir, exist_ok=True)
+            shards = [[] for _ in range(n_files)]
+            for i, t in zip(docs.column("doc_id").to_pylist(),
+                            docs.column("text").to_pylist()):
+                page = build_page(int(i), t or "")
+                v = int(i) % 3
+                if v == 0:
+                    payload = codecs.BOM_UTF8 + page.encode("utf-8")
+                    ct = "text/html"
+                elif v == 1:
+                    payload = (codecs.BOM_UTF16_LE
+                               + page.encode("utf-16-le"))
+                    ct = "text/html"
+                else:
+                    payload = page.encode("utf-8")
+                    ct = "text/html; charset=utf-8"
+                shards[int(i) % n_files].append({
+                    "uri": f"https://crawl.example.com/doc/{int(i)}",
+                    "date": "2026-01-01T00:00:00Z",
+                    "payload": payload, "content_type": ct})
+            for k, recs in enumerate(shards):
+                write_warc(os.path.join(out_dir, f"part-{k:02d}.warc"),
+                           recs)
+            open(marker, "w").close()
+
+        files = sorted(os.path.join(out_dir, f) for f in os.listdir(out_dir)
+                       if f.endswith(".warc"))
+        ds = read_warc(files)
+        ds = ds.map_batches(DecodeHtml, fn_constructor_kwargs={},
+                            batch_format="pyarrow", concurrency=(1, 8))
+
+        def add_doc_id(b: pa.Table) -> pa.Table:
+            m = pc.extract_regex(b.column("uri"),
+                                 pattern=r"/doc/(?P<id>[0-9]+)$")
+            ids = pc.cast(pc.struct_field(m, "id"), pa.int64())
+            return b.append_column("doc_id", ids)
+
+        ds = ds.map_batches(add_doc_id, batch_format="pyarrow") \
+            .select_columns(["doc_id", "html"])
+        return ds.map_batches(ExtractText, fn_constructor_kwargs={},
+                              batch_format="pyarrow", concurrency=(1, 8))
+
     def pdf_layout(sf_dir: str):
         from htmlreader_ray.stages.media import PdfLayoutParse
         import pyarrow as pa
@@ -1647,6 +1719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": media_frames,
         "pdf_layout": pdf_layout,
         "extract_html_text": extract_html_text,
+        "warc_extract": warc_extract,
         "extract_multispan": extract_multispan,
         # engine aggregations / broadcast join (SURVEY §2.6 engine-level)
         "events_agg": events_agg,
@@ -1727,7 +1800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_parts",
         # new in round 3, post-rotation
         "extract_links", "url_normalize", "host_outdegree",
-        "dedup_paragraphs", "host_pagerank",
+        "dedup_paragraphs", "host_pagerank", "warc_extract",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -1813,6 +1886,11 @@ def oracle_sql() -> dict[str, str]:
             FROM halves
         """,
         "extract_html_text": f"""
+            SELECT doc_id, {_COLLAPSED} AS extracted_text FROM documents
+        """,
+        # WARC round-trip: framing + charset decode + extraction must
+        # reproduce the same collapsed text as the direct HTML path
+        "warc_extract": f"""
             SELECT doc_id, {_COLLAPSED} AS extracted_text FROM documents
         """,
         "html_escape":
