@@ -97,3 +97,29 @@ def test_read_warc_dataset(ray_session, tmp_path):
 def test_iter_warc_gzip_like_garbage_prefix_stops_cleanly():
     # data that does not start with a WARC header yields nothing
     assert list(iter_warc_records(b"\x1f\x8b not a warc")) == []
+
+
+def test_warc_fuzz_never_raises():
+    """Framing must be total: random bytes and spliced real records
+    never raise, never loop."""
+    import random
+    rng = random.Random(1)
+    for _ in range(2000):
+        data = bytes(rng.randrange(256) for _ in range(rng.randint(0, 300)))
+        list(iter_warc_records(data))
+    base = _rec() + _rec(uri="u2", payload=b"\r\n\r\nWARC/1.0\r\n")
+    for _ in range(2000):
+        i, j = rng.randrange(len(base)), rng.randrange(len(base))
+        list(iter_warc_records(base[:i] + base[j:]))
+
+
+def test_warc_roundtrip_random_payloads():
+    import random
+    rng = random.Random(7)
+    payloads = [bytes(rng.randrange(256) for _ in range(rng.randint(0, 500)))
+                for _ in range(50)]
+    data = b"".join(_rec(uri=f"u{i}", payload=p)
+                    for i, p in enumerate(payloads))
+    t = records_table(data)
+    assert t.num_rows == len(payloads)
+    assert t.column("payload").to_pylist() == payloads
