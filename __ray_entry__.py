@@ -324,6 +324,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 names=["doc_id", "media_ref", "dim", "feat"])
         return feats.map_batches(explode, batch_format="pyarrow")
 
+    def media_resize(sf_dir: str):
+        """Thumbnail resize over raw pixel buffers — the one multimodal
+        stage that is REAL end-to-end (no codec needed): deterministic
+        grayscale payloads (pixel k = (doc_id*31 + k) % 256, dims from
+        doc_id arithmetic), nearest-neighbor resize to 32x32 as one
+        numpy fancy-index per image (stages/media.MediaResize), exact
+        int64 checksum of the resized bytes. The oracle replays the NN
+        index arithmetic ((i*H)//32, (j*W)//32) in SQL, so a single
+        misplaced pixel breaks the hash. batch_size=64 caps binary
+        batch memory (same policy as the other media stages)."""
+        import numpy as np
+        import pyarrow as pa
+        from htmlreader_ray.stages.media import MediaResize
+
+        def synth(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            pls, ws, hs = [], [], []
+            for i in ids:
+                i = int(i)
+                w, h = 16 + i % 48, 16 + (i * 7) % 48
+                k = np.arange(w * h, dtype=np.int64)
+                pls.append(((i * 31 + k) % 256).astype(np.uint8)
+                           .tobytes())
+                ws.append(w)
+                hs.append(h)
+            return pa.table({
+                "doc_id": pa.array([int(i) for i in ids], pa.int64()),
+                "payload": pa.array(pls, pa.binary()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64())})
+
+        ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+            synth, batch_format="pyarrow")
+        return ds.map_batches(
+            MediaResize, fn_constructor_kwargs={"emit_payload": False},
+            batch_format="pyarrow", batch_size=64, concurrency=(1, 8))
+
     def extract_multispan(sf_dir: str):
         """Flagship variant: text split across two HTML spans around a
         media span — verifies cross-span ordering end-to-end."""
@@ -1716,6 +1753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dups_verified": near_dups_verified,
         "embedding_near_dups": embedding_near_dups,
         "media_features": media_features,
+        "media_resize": media_resize,
         "media_frames": media_frames,
         "pdf_layout": pdf_layout,
         "extract_html_text": extract_html_text,
@@ -1801,6 +1839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in round 3, post-rotation
         "extract_links", "url_normalize", "host_outdegree",
         "dedup_paragraphs", "host_pagerank", "warc_extract",
+        "media_resize",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -2346,6 +2385,25 @@ def oracle_sql() -> dict[str, str]:
         # media_features: digest-byte pseudo-embedding, L2-normalized with
         # a sequential sum — the same IEEE expression tree in SQL matches
         # bit-for-bit (verified at sf0.01)
+        # nearest-neighbor resize replayed as pure index arithmetic:
+        # out[i,j] = src[(i*H)//32, (j*W)//32], pixel k = (id*31+k)%256
+        "media_resize": """
+            WITH dims AS (
+              SELECT doc_id, 16 + doc_id % 48 AS w,
+                     16 + (doc_id * 7) % 48 AS h
+              FROM documents
+            )
+            SELECT d.doc_id, CAST(32 AS BIGINT) AS out_w,
+                   CAST(32 AS BIGINT) AS out_h,
+                   CAST(SUM((d.doc_id * 31
+                             + ((i.i * d.h) // 32) * d.w
+                             + ((j.j * d.w) // 32)) % 256) AS BIGINT)
+                       AS checksum
+            FROM dims d,
+                 UNNEST(generate_series(0, 31)) AS i(i),
+                 UNNEST(generate_series(0, 31)) AS j(j)
+            GROUP BY d.doc_id
+        """,
         "media_features": """
             WITH m AS (
               SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0')

@@ -507,3 +507,34 @@ def test_fuzzy_levenshtein_kernel():
             if d <= 2:
                 expected[(i, p)] = d
     assert got == expected
+
+
+def test_media_resize_exact_nn():
+    """MediaResize must implement out[i,j] = src[(i*H)//oh, (j*W)//ow]
+    exactly — checked against a naive double loop, up- and downscale."""
+    import numpy as np
+    import pyarrow as pa
+    from htmlreader_ray.stages.media import MediaResize
+
+    rng = np.random.default_rng(3)
+    cases = [(5, 7), (32, 32), (64, 17), (1, 1), (48, 3)]
+    st = MediaResize(out_w=8, out_h=6)
+    payloads, ws, hs = [], [], []
+    for w, h in cases:
+        payloads.append(rng.integers(0, 256, w * h, np.uint8).tobytes())
+        ws.append(w)
+        hs.append(h)
+    batch = pa.table({"doc_id": pa.array(range(len(cases)), pa.int64()),
+                      "payload": pa.array(payloads, pa.binary()),
+                      "width": pa.array(ws, pa.int64()),
+                      "height": pa.array(hs, pa.int64())})
+    out = st(batch)
+    for r, (w, h) in enumerate(cases):
+        src = np.frombuffer(payloads[r], np.uint8).reshape(h, w)
+        ref = np.array([[src[(i * h) // 6, (j * w) // 8]
+                         for j in range(8)] for i in range(6)], np.uint8)
+        got = np.frombuffer(out.column("resized")[r].as_py(),
+                            np.uint8).reshape(6, 8)
+        assert (got == ref).all(), (w, h)
+        assert out.column("checksum")[r].as_py() == int(ref.sum())
+    assert out.column("out_w").to_pylist() == [8] * len(cases)
