@@ -1692,6 +1692,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(as_i64, batch_format="pyarrow")
 
+    def robots_filter(sf_dir: str):
+        """Crawl-politeness filtering (RFC 9309 longest-match core):
+        synthesize per-host robots.txt (h{k}: k%3==0 -> 'Disallow: /P/'
+        + 'Allow: /P/0' so the longer Allow overrides; k%3==1 -> rules
+        only for another agent, ignored; k%3==2 -> 'Disallow: /P/2' +
+        an empty Disallow that matches nothing), parse them with
+        functions/robots.parse_robots, ray.put the rules ONCE, and
+        annotate the normalized link table — matching is one
+        starts_with kernel per RULE over each batch, never a per-URL
+        Python loop. The oracle replays the decision as doc_id
+        arithmetic, so section selection, longest-match and the
+        Allow-tie rule are all hash-checked."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from htmlreader_ray.functions.robots import (RobotsFilter,
+                                                     parse_robots)
+        from htmlreader_ray.functions.urls import (_URL_RE,
+                                                   normalize_url_column,
+                                                   url_host_column)
+
+        rules = {}
+        for k in range(10):
+            host = f"h{k}.example.com"
+            if k % 3 == 0:
+                txt = ("User-agent: *\nDisallow: /P/\nAllow: /P/0\n")
+            elif k % 3 == 1:
+                txt = ("User-agent: googlebot\nDisallow: /\n")
+            else:
+                txt = ("# politeness\nUser-agent: *\n"
+                       "Disallow: /P/2\nDisallow:\n")
+            rules[host] = parse_robots(txt)
+        rules_ref = ray.put(rules)
+
+        links = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            q.as_task(q.LinkExtract), batch_format="pyarrow")
+
+        def norm(b: pa.Table) -> pa.Table:
+            href = b.column("href")
+            un = normalize_url_column(href)
+            parts = pc.extract_regex(un, pattern=_URL_RE)
+            path = pc.fill_null(pc.struct_field(parts, "rest"), "")
+            t = pa.Table.from_arrays(
+                [b.column("doc_id"), b.column("seq"), un,
+                 url_host_column(href), path],
+                names=["doc_id", "seq", "url_norm", "host", "path"])
+            return t.filter(pc.not_equal(t.column("host"), ""))
+
+        ds = links.map_batches(norm, batch_format="pyarrow")
+        return ds.map_batches(
+            RobotsFilter, fn_constructor_kwargs={"rules_ref": rules_ref},
+            batch_format="pyarrow", concurrency=(1, 8)
+        ).select_columns(["doc_id", "seq", "url_norm", "host", "allowed"])
+
     def host_pagerank(sf_dir: str):
         """Domain ranking over the extracted host link graph (the
         curation step that weights/caps documents by the rank of their
@@ -1722,6 +1776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_normalize": url_normalize,
         "host_outdegree": host_outdegree,
         "host_pagerank": host_pagerank,
+        "robots_filter": robots_filter,
         "dedup_paragraphs": dedup_paragraphs,
         "textcontent_roundtrip": actor(q.TextContentRoundtrip),
         "html_escape": stateless(textfn.escape_batch),
@@ -1839,7 +1894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in round 3, post-rotation
         "extract_links", "url_normalize", "host_outdegree",
         "dedup_paragraphs", "host_pagerank", "warc_extract",
-        "media_resize",
+        "media_resize", "robots_filter",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -2017,6 +2072,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d,
                  UNNEST(generate_series(0, d.doc_id % 3)) AS t(j)
             GROUP BY 1
+        """,
+        # REP decision replayed as arithmetic over the regenerated link
+        # rows: k = target host index, j = ref-link ordinal; k%3==0 ->
+        # allowed iff j=0 (Allow /P/0 out-lengths Disallow /P/),
+        # k%3==1 -> rules are for another agent (allowed),
+        # k%3==2 -> Disallow /P/2 hits exactly j=2
+        "robots_filter": """
+            SELECT d.doc_id, CAST(6 + j AS BIGINT) AS seq,
+                   (CASE WHEN j % 2 = 0 THEN 'https' ELSE 'http' END)
+                   || '://h' || CAST((d.doc_id * 7 + j) % 10 AS VARCHAR)
+                   || '.example.com/P/' || CAST(j AS VARCHAR)
+                   || (CASE WHEN j % 3 = 2 THEN ''
+                       ELSE '?x=' || CAST(d.doc_id % 13 AS VARCHAR) END)
+                   AS url_norm,
+                   'h' || CAST((d.doc_id * 7 + j) % 10 AS VARCHAR)
+                   || '.example.com' AS host,
+                   CAST(CASE ((d.doc_id * 7 + j) % 10) % 3
+                        WHEN 0 THEN (CASE WHEN j = 0 THEN 1 ELSE 0 END)
+                        WHEN 1 THEN 1
+                        ELSE (CASE WHEN j = 2 THEN 0 ELSE 1 END)
+                        END AS BIGINT) AS allowed
+            FROM documents d,
+                 UNNEST(generate_series(0, d.doc_id % 3)) AS t(j)
         """,
         # exact-integer PageRank, 3 unrolled iterations — every term is
         # BIGINT floor arithmetic, so it matches functions/graph.py
