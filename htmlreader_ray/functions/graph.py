@@ -133,6 +133,11 @@ def pagerank_distributed(edges, iters: int = 3, scale: int = SCALE,
                               batch_format="pyarrow")),
         ["node"]).materialize()
     n = nodes.count()
+    if n == 0:
+        import ray.data
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.string()),
+                      "rank": pa.array([], pa.int64())}))
     base = scale // n
 
     deg = combine_aggregate(edges, ["src"], [("", "count", "outdeg")])

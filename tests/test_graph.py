@@ -102,3 +102,11 @@ def test_host_edges_kernel():
     assert out.column("src").to_pylist() == ["src5"] * 3
     assert sorted(out.column("dst").to_pylist()) == [
         "h5.example.com", "h6.example.com", "h7.example.com"]
+
+
+def test_distributed_empty_graph(ray_session):
+    import ray.data
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array([], pa.string()),
+                  "dst": pa.array([], pa.string())}))
+    assert pagerank_distributed(edges).count() == 0
