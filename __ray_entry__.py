@@ -1803,7 +1803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": token_count_bpe,
         "quality_counts": stateless(_quality_counts_batch),
         "quality_full": stateless(textfn.quality_scores),
-        "lang_id": stateless(textfn.lang_id),
+        "lang_id": stateless(textfn.lang_id_exact),
         "fingerprint": stateless(_fingerprint_md5_batch),
         "near_dups_verified": near_dups_verified,
         "embedding_near_dups": embedding_near_dups,
@@ -2072,6 +2072,58 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d,
                  UNNEST(generate_series(0, d.doc_id % 3)) AS t(j)
             GROUP BY 1
+        """,
+        # the lang-ID heuristic replayed verbatim: \S+ tokenization
+        # (regexp_extract_all mirrors re.findall), per-profile hit
+        # counts, integer 2% floor (50*hits < nw), tie -> profile
+        # order, conf_e6 = (2e6*hits + nw) // (2*nw) — all integer,
+        # so the compare is exact (functions/text.py lang_id_exact)
+        "lang_id": """
+            WITH w AS (
+              SELECT doc_id,
+                     coalesce(text, '') AS t,
+                     list_transform(
+                         regexp_extract_all(coalesce(text, ''), '\\S+'),
+                         x -> lower(x))[1:500] AS ws
+              FROM documents
+            ), h AS (
+              SELECT doc_id, t, GREATEST(1, len(ws)) AS nw,
+                len(list_filter(ws, x -> list_contains(
+                  ['the','and','of','to','in','is','that','for','with',
+                   'as','are','was','on'], x))) AS h_en,
+                len(list_filter(ws, x -> list_contains(
+                  ['der','die','das','und','ist','nicht','ein','eine',
+                   'mit','von','für','den','im'], x))) AS h_de,
+                len(list_filter(ws, x -> list_contains(
+                  ['le','la','les','et','de','des','un','une','est',
+                   'que','pour','dans','avec'], x))) AS h_fr,
+                len(list_filter(ws, x -> list_contains(
+                  ['el','la','los','las','y','de','que','en','un','una',
+                   'es','para','con','por'], x))) AS h_es,
+                len(list_filter(ws, x -> list_contains(
+                  ['il','la','le','e','di','che','un','una','per','con',
+                   'non','sono','del'], x))) AS h_it
+              FROM w
+            ), s AS (
+              SELECT doc_id, t, nw, h_en, h_de, h_fr, h_es, h_it,
+                     GREATEST(h_en, h_de, h_fr, h_es, h_it) AS bh,
+                     regexp_matches(t, '[一-鿿]') AS zh,
+                     regexp_matches(t, '[Ѐ-ӿ]') AS ru
+              FROM h
+            )
+            SELECT doc_id,
+                   CASE WHEN zh THEN 'zh'
+                        WHEN ru THEN 'ru'
+                        WHEN 50 * bh < nw THEN 'und'
+                        WHEN h_en = bh THEN 'en'
+                        WHEN h_de = bh THEN 'de'
+                        WHEN h_fr = bh THEN 'fr'
+                        WHEN h_es = bh THEN 'es'
+                        ELSE 'it' END AS pred_lang,
+                   CAST(CASE WHEN zh OR ru THEN 1000000
+                        ELSE (2000000 * bh + nw) // (2 * nw)
+                        END AS BIGINT) AS conf_e6
+            FROM s
         """,
         # REP decision replayed as arithmetic over the regenerated link
         # rows: k = target host index, j = ref-link ordinal; k%3==0 ->
@@ -3223,8 +3275,6 @@ def oracle_sql() -> dict[str, str]:
         # - embedding_near_dups: LSH-band recall is probabilistic.
         # - token_count_bpe: iterative merge learning (non-relational);
         #   verified against a naive reference in tests/test_bpe.py.
-        # - lang_id: heuristic; the corpus text is random vocab words with
-        #   unrelated lang labels, so no SQL ground truth exists.
         # - incremental_dedup: which equal-content row the claim actors
         #   keep is scheduling-dependent (the survivor COUNT is
         #   deterministic and is what the rows-only check pins).

@@ -151,6 +151,47 @@ def lang_id(batch: pa.Table, text_col: str = "text",
         names=[id_col, "pred_lang", "lang_confidence"])
 
 
+def lang_id_exact(batch: pa.Table, text_col: str = "text",
+                  id_col: str = "doc_id") -> pa.Table:
+    """Same heuristic as ``lang_id`` but with an EXACT integer contract
+    so a SQL oracle can replay it bit-for-bit: scores are word-hit
+    COUNTS (the per-doc word total is constant, so the argmax is
+    unchanged), the 2% acceptance floor is the cross-multiplied integer
+    test ``50*hits >= nw``, ties go to profile order (en de fr es it),
+    and confidence is ``conf_e6 = (2_000_000*hits + nw) // (2*nw)``
+    — i.e. floor(1e6*hits/nw + 0.5) computed without any float.
+    Script detection (CJK -> zh, Cyrillic -> ru) short-circuits with
+    conf_e6 = 1_000_000, exactly as the float variant."""
+    texts = batch.column(text_col).to_pylist()
+    langs: list[str] = []
+    confs: list[int] = []
+    for t in texts:
+        t = t or ""
+        if _CJK_RE.search(t):
+            langs.append("zh")
+            confs.append(1_000_000)
+            continue
+        if _CYRILLIC_RE.search(t):
+            langs.append("ru")
+            confs.append(1_000_000)
+            continue
+        words = [w.lower() for w in _WORD_RE.findall(t)[:500]]
+        nw = max(1, len(words))
+        best_lang, best = "und", 0
+        for lang, profile in _LANG_PROFILES.items():
+            hits = sum(1 for w in words if w in profile)
+            if hits > best:
+                best_lang, best = lang, hits
+        if 50 * best < nw:
+            best_lang = "und"
+        langs.append(best_lang)
+        confs.append((2_000_000 * best + nw) // (2 * nw))
+    return pa.Table.from_arrays(
+        [batch.column(id_col), pa.array(langs, pa.string()),
+         pa.array(confs, pa.int64())],
+        names=[id_col, "pred_lang", "conf_e6"])
+
+
 # ------------------------------------------------------------ fingerprints
 
 _ROLL_MOD = (1 << 61) - 1

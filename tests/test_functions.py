@@ -538,3 +538,23 @@ def test_media_resize_exact_nn():
         assert (got == ref).all(), (w, h)
         assert out.column("checksum")[r].as_py() == int(ref.sum())
     assert out.column("out_w").to_pylist() == [8] * len(cases)
+
+
+def test_lang_id_exact_integer_contract():
+    from htmlreader_ray.functions.text import lang_id_exact
+    out = lang_id_exact(tbl(
+        [1, 2, 3, 4],
+        ["the cat is on the mat and it is happy",
+         "这是一个中文句子",
+         "zz yy xx ww",              # no profile hits -> und, conf 0
+         "the " + "x " * 96]))       # 97 words, 1 hit -> floor test
+    assert out.column("pred_lang").to_pylist() == ["en", "zh", "und", "und"]
+    confs = out.column("conf_e6").to_pylist()
+    assert out.column("conf_e6").type.equals(__import__("pyarrow").int64())
+    assert confs[1] == 1_000_000
+    assert confs[2] == 0
+    # 1 hit / 97 words: floor(1e6/97 + 0.5) = 10309; 50*1 < 97 -> und
+    assert confs[3] == (2_000_000 * 1 + 97) // (2 * 97) == 10309
+    # acceptance boundary: exactly 2% (1 hit / 50 words) is ACCEPTED
+    out2 = lang_id_exact(tbl([1], ["the " + "x " * 49]))
+    assert out2.column("pred_lang").to_pylist() == ["en"]
