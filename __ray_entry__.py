@@ -134,11 +134,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.exact_dedup_ids(_read(sf_dir, "documents"))
 
     def minhash_pairs(sf_dir: str):
+        """The 128-perm MinHash kernel is CPU-bound (~0.3 ms/doc), so
+        the read is split by ROWS (~300 docs/block, capped at 2x CPUs),
+        not bytes — measured best-of-3 at sf0.1: 1.71 s with the bytes
+        heuristic's 8 blocks vs 1.21 s at 16 (64 blocks regresses: the
+        downstream repartition barrier scales with block count). On big
+        inputs the override disengages and Ray's own splitting rules."""
+        import math
         import os
-        nbytes = os.path.getsize(f"{sf_dir}/documents.parquet")
+
+        import ray
+        import pyarrow.parquet as pq
+        path = f"{sf_dir}/documents.parquet"
+        nbytes = os.path.getsize(path)
         parts = max(8, nbytes // (32 << 20))
-        return dedup.minhash_dedup_pairs(_read(sf_dir, "documents"),
-                                         shuffle_partitions=parts)
+        ds = _read(sf_dir, "documents")
+        try:
+            rows = pq.ParquetFile(path).metadata.num_rows
+            cpus = int(ray.cluster_resources().get("CPU", 16))
+            want = max(8, min(math.ceil(rows / 300), 2 * cpus))
+            if want > 8 and nbytes < (256 << 20):
+                import ray.data
+                ds = ray.data.read_parquet(path, override_num_blocks=want)
+        except Exception:
+            pass
+        return dedup.minhash_dedup_pairs(ds, shuffle_partitions=parts)
 
     def near_dups_verified(sf_dir: str):
         return dedup.near_dup_pairs(_read(sf_dir, "documents"),
