@@ -45,6 +45,11 @@ def warc_record_bytes(uri: str, date: str, payload: bytes, *,
                       content_type: str = "text/html; charset=utf-8",
                       record_id: Optional[str] = None) -> bytes:
     """One WARC/1.0 response record with an HTTP/1.1 envelope."""
+    for name, v in (("uri", uri), ("date", date),
+                    ("content_type", content_type)):
+        if "\r" in v or "\n" in v:
+            raise ValueError(f"CR/LF in WARC {name} field (header "
+                             f"injection would corrupt record framing)")
     http_head = (f"HTTP/1.1 {status} OK\r\n"
                  f"Content-Type: {content_type}\r\n"
                  f"Content-Length: {len(payload)}\r\n\r\n").encode("ascii")

@@ -129,3 +129,82 @@ def test_word_repetition_matches_duckdb(texts):
                max(n)::DOUBLE / sum(n)
         FROM c GROUP BY doc_id""").fetchall()
     assert got == {d: (n, dup, top) for d, n, dup, top in ref}
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.text(alphabet="/abc", min_size=1, max_size=6),
+                          st.booleans()), min_size=0, max_size=8),
+       st.lists(st.text(alphabet="/abc", min_size=0, max_size=8),
+                min_size=1, max_size=20),
+       st.randoms())
+def test_robots_decision_is_rule_order_independent(rules, paths, rnd):
+    """Longest-match + allow-wins-ties makes the REP decision a pure
+    function of the rule SET; shuffling rule order must not change it."""
+    import pyarrow as pa
+    from htmlreader_ray.functions.robots import allowed_mask
+    hosts = pa.array(["h"] * len(paths))
+    p = pa.array(paths)
+    base = allowed_mask(hosts, p, {"h": rules}).to_pylist()
+    shuffled = list(rules)
+    rnd.shuffle(shuffled)
+    assert allowed_mask(hosts, p, {"h": shuffled}).to_pylist() == base
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.text(alphabet="/ab", min_size=1, max_size=5),
+                          st.booleans()), min_size=0, max_size=6),
+       st.text(alphabet="/ab", min_size=1, max_size=8))
+def test_robots_longer_allow_overrides(rules, path):
+    """Appending 'Allow: <the full path>' (the longest possible match
+    <= len(path)) must make the path allowed."""
+    import pyarrow as pa
+    from htmlreader_ray.functions.robots import allowed_mask
+    out = allowed_mask(pa.array(["h"]), pa.array([path]),
+                       {"h": rules + [(path, True)]}).to_pylist()
+    assert out == [True]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(
+    st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1, max_size=20),
+    st.binary(min_size=0, max_size=200)), min_size=0, max_size=6))
+def test_warc_roundtrip_property(recs):
+    from htmlreader_ray.sources.warc import records_table, warc_record_bytes
+    data = b"".join(
+        warc_record_bytes(uri, "2026-01-01T00:00:00Z", payload)
+        for uri, payload in recs)
+    t = records_table(data)
+    assert t.num_rows == len(recs)
+    assert t.column("uri").to_pylist() == [u for u, _ in recs]
+    assert t.column("payload").to_pylist() == [p for _, p in recs]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)),
+                min_size=1, max_size=60),
+       st.integers(1, 4))
+def test_pagerank_local_matches_model(pairs, iters):
+    import pyarrow as pa
+    from htmlreader_ray.functions.graph import pagerank_local, SCALE
+    named = [(f"n{a}", f"n{b}") for a, b in pairs]
+    t = pagerank_local(pa.table({"src": [s for s, _ in named],
+                                 "dst": [d for _, d in named]}),
+                       iters=iters)
+    # independent model
+    edges = sorted(set(named))
+    nodes = sorted({v for e in edges for v in e})
+    n = len(nodes)
+    out = {u: sum(1 for s, _ in edges if s == u) for u in nodes}
+    base = SCALE // n
+    r = {u: base for u in nodes}
+    for _ in range(iters):
+        inflow = {u: 0 for u in nodes}
+        for s, d in edges:
+            inflow[d] += r[s] // out[s]
+        dang = sum(r[u] for u in nodes if out[u] == 0)
+        r = {u: (15 * base) // 100 + (85 * (inflow[u] + dang // n)) // 100
+             for u in nodes}
+    got = dict(zip(t.column("node").to_pylist(),
+                   t.column("rank").to_pylist()))
+    assert got == r
