@@ -108,11 +108,13 @@ def pagerank_distributed(edges, iters: int = 3, scale: int = SCALE,
                          num_partitions: int = 4):
     """Dataset[(src, dst)] -> Dataset[(node, rank)].
 
-    Scale shape per iteration: ONE hash join (rank table, one row per
-    node, onto the edge stream keyed by src), a combiner + narrow
-    groupby(dst) for inflow, and two scalar aggregates. The edge table
-    is the only corpus-scale object and it streams; only the rank table
-    (|nodes| rows) is materialized between iterations.
+    Scale shape: the (node, outdeg) table is built ONCE (one left-outer
+    join) and the rank table carries outdeg between iterations, so each
+    iteration costs exactly TWO hash joins — per-src contributions onto
+    the edge stream, and inflow back onto the node table — plus a
+    combiner groupby(dst) and a scalar dangling aggregate. The edge
+    table is the only corpus-scale object and it streams; only the rank
+    table (|nodes| rows) is materialized between iterations.
     """
     from .shuffle import combine_aggregate
 
@@ -146,18 +148,21 @@ def pagerank_distributed(edges, iters: int = 3, scale: int = SCALE,
                                pc.cast(b.column("outdeg"), pa.int64())),
         batch_format="pyarrow").materialize()
 
-    ranks = nodes.map_batches(
+    # (node, outdeg) built ONCE; outdeg travels with the rank table so
+    # no per-iteration re-join against deg is needed (outdeg is null
+    # for dangling nodes)
+    nd = _scrub(nodes, num_partitions).join(
+        _scrub(deg, num_partitions), join_type="left_outer",
+        num_partitions=num_partitions, on=("node",), right_on=("src",)
+    ).select_columns(["node", "outdeg"]).materialize()
+    nd_scrubbed = _scrub(nd, num_partitions).materialize()
+
+    rd = nd.map_batches(
         lambda b: b.append_column(
             "rank", pa.array(np.full(len(b), base, np.int64))),
         batch_format="pyarrow").materialize()
 
     for _ in range(iters):
-        # rank table + outdeg (left outer keeps dangling nodes)
-        rd = _scrub(ranks, num_partitions).join(
-            _scrub(deg, num_partitions), join_type="left_outer",
-            num_partitions=num_partitions, on=("node",), right_on=("src",)
-        ).select_columns(["node", "rank", "outdeg"]).materialize()
-
         def _dang_part(b: pa.Table) -> pa.Table:
             s = pc.sum(pc.if_else(b.column("outdeg").is_valid(),
                                   pa.scalar(0, pa.int64()),
@@ -195,15 +200,16 @@ def pagerank_distributed(edges, iters: int = 3, scale: int = SCALE,
                 ((dd - dn) * carry) // dd,
                 pc.divide(pc.multiply(pc.add(inf, dang_share), dn), dd))
             return pa.Table.from_arrays(
-                [b.column("node"), pc.cast(r, pa.int64())],
-                names=["node", "rank"])
+                [b.column("node"), b.column("outdeg"),
+                 pc.cast(r, pa.int64())],
+                names=["node", "outdeg", "rank"])
 
-        joined = _scrub(nodes, num_partitions).join(
+        joined = nd_scrubbed.join(
             _scrub(inflow, num_partitions), join_type="left_outer",
             num_partitions=num_partitions, on=("node",), right_on=("dst",))
-        ranks = joined.map_batches(
+        rd = joined.map_batches(
             _new_rank, batch_format="pyarrow").materialize()
-    return ranks
+    return rd.select_columns(["node", "rank"])
 
 
 # ------------------------------------------------------------------ auto
