@@ -237,11 +237,73 @@ def _soak_mutation(args):
     return crashes + nondet + nofix, first
 
 
+_CONF_INPUTS: list[str] | None = None
+
+
+def _conf_inputs() -> list[str]:
+    """All #data inputs from the vendored conformance corpus — the
+    spec's hardest constructs, used as mutation/crossover seeds (a very
+    different distribution from synthetic soup: these encode template /
+    foreign-content / adoption / foster corners verbatim)."""
+    global _CONF_INPUTS
+    if _CONF_INPUTS is None:
+        import glob
+        from htmlreader_ray.testing.conformance import parse_dat
+        root = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tests", "conformance")
+        inputs = []
+        for p in sorted(glob.glob(os.path.join(root, "*.dat"))):
+            with open(p, encoding="utf-8") as f:
+                for c in parse_dat(f.read()):
+                    if c.data:
+                        inputs.append(c.data)
+        _CONF_INPUTS = inputs
+    return _CONF_INPUTS
+
+
+def _soak_confmut(args):
+    """Mutate + crossover conformance-case inputs, then require the
+    fused C parser (where it does not bail) to build the EXACT tree of
+    the pure-Python kernel, both scripting flags."""
+    seed, trials = args
+    from htmlreader_ray.kernel.parser import _CPARSE
+    from htmlreader_ray.kernel.tokenizer import Tokenizer
+    from htmlreader_ray.kernel.treebuilder import TreeBuilder
+    from htmlreader_ray.testing.conformance import dump_html5lib
+
+    if _CPARSE is None:
+        return 0, None
+    corpus = _conf_inputs()
+    rng = random.Random(seed)
+    bad = 0
+    first = None
+    for _ in range(trials):
+        a = rng.choice(corpus)
+        if rng.random() < 0.5:
+            src = _mutate(rng, a)
+        else:                       # crossover: splice two cases
+            b = rng.choice(corpus)
+            i = rng.randint(0, len(a))
+            j = rng.randint(0, len(b))
+            src = a[:i] + b[j:] if rng.random() < 0.5 else \
+                a[:i] + b[:j] + a[i:]
+        for scripting in (True, False):
+            doc = _CPARSE.parse(src, scripting=scripting)
+            if doc is None:
+                continue
+            py = TreeBuilder(scripting=scripting).run(Tokenizer(src))
+            if dump_html5lib(doc) != dump_html5lib(py):
+                bad += 1
+                if first is None:
+                    first = src
+    return bad, first
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode",
-                    choices=["differential", "mutation", "cparse", "both",
-                             "all"],
+                    choices=["differential", "mutation", "cparse",
+                             "confmut", "both", "all"],
                     default="both")
     ap.add_argument("--trials", type=int, default=50000)
     ap.add_argument("--procs", type=int, default=max(os.cpu_count() - 2, 1))
@@ -250,11 +312,11 @@ def main() -> int:
 
     import multiprocessing as mp
     modes = {"both": ["differential", "mutation"],
-             "all": ["differential", "mutation", "cparse"]}.get(
-                 args.mode, [args.mode])
+             "all": ["differential", "mutation", "cparse",
+                     "confmut"]}.get(args.mode, [args.mode])
     rc = 0
     fns = {"differential": _soak_differential, "mutation": _soak_mutation,
-           "cparse": _soak_cparse}
+           "cparse": _soak_cparse, "confmut": _soak_confmut}
     for mode in modes:
         fn = fns[mode]
         per = max(args.trials // args.procs, 1)
