@@ -1712,6 +1712,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(as_i64, batch_format="pyarrow")
 
+    def dsir_q(sf_dir: str):
+        """DSIR-style data selection (hashed-unigram importance weights,
+        Xie et al. 2023): target domain = sources src0-src4, features =
+        md5-first-byte buckets (B=64), Laplace-smoothed target/corpus
+        bucket models, per-doc weight = sum of int-quantized per-bucket
+        log-ratios (functions/scoring.dsir_weights — two combiner
+        passes produce the B-row count tables, the scoring pass streams
+        with a broadcast length-B int vector). Integer after the
+        per-bucket ln quantization, so the oracle (same md5-bucket
+        arithmetic via the strpos hex parse, same IEEE ln contract as
+        unigram_logprob) matches bit-for-bit."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.scoring import dsir_weights
+
+        tgt = pa.array([f"src{i}" for i in range(5)], pa.string())
+        ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+        return dsir_weights(
+            ds, target_mask_fn=lambda b: pc.is_in(b.column("source"),
+                                                  value_set=tgt))
+
     def robots_filter(sf_dir: str):
         """Crawl-politeness filtering (RFC 9309 longest-match core):
         synthesize per-host robots.txt (h{k}: k%3==0 -> 'Disallow: /P/'
@@ -1797,6 +1818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_outdegree": host_outdegree,
         "host_pagerank": host_pagerank,
         "robots_filter": robots_filter,
+        "dsir_weights": dsir_q,
         "dedup_paragraphs": dedup_paragraphs,
         "textcontent_roundtrip": actor(q.TextContentRoundtrip),
         "html_escape": stateless(textfn.escape_batch),
@@ -1914,7 +1936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in round 3, post-rotation
         "extract_links", "url_normalize", "host_outdegree",
         "dedup_paragraphs", "host_pagerank", "warc_extract",
-        "media_resize", "robots_filter",
+        "media_resize", "robots_filter", "dsir_weights",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -2092,6 +2114,48 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d,
                  UNNEST(generate_series(0, d.doc_id % 3)) AS t(j)
             GROUP BY 1
+        """,
+        # DSIR replayed verbatim: same \s+ split + lower, the md5
+        # first byte parsed via strpos over the hex alphabet, Laplace
+        # models with the 1.0/+64 literals, and the iq_ln(x) =
+        # floor(1000*ln(x)+0.5) contract — integer sum per doc
+        "dsir_weights": """
+            WITH w AS (
+              SELECT doc_id, source,
+                     unnest(list_filter(
+                       list_transform(
+                         regexp_split_to_array(coalesce(text, ''),
+                                               '\\s+'),
+                         x -> lower(x)),
+                       x -> x <> '')) AS word
+              FROM documents
+            ), b AS (
+              SELECT doc_id, source,
+                     ((strpos('0123456789abcdef',
+                              substr(md5(word), 1, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef',
+                                substr(md5(word), 2, 1)) - 1))
+                     % 64 AS bk
+              FROM w
+            ), q AS (SELECT bk, count(*) AS n FROM b GROUP BY 1),
+            p AS (SELECT bk, count(*) AS n FROM b
+                  WHERE source IN ('src0','src1','src2','src3','src4')
+                  GROUP BY 1),
+            tot AS (SELECT (SELECT count(*) FROM b) AS qn,
+                           (SELECT count(*) FROM b WHERE source IN
+                            ('src0','src1','src2','src3','src4')) AS pn),
+            wv AS (SELECT g.bk,
+                          CAST(floor(1000 * ln((COALESCE(p.n, 0) + 1.0)
+                                               / (tot.pn + 64)) + 0.5)
+                               AS BIGINT)
+                        - CAST(floor(1000 * ln((g.n + 1.0)
+                                               / (tot.qn + 64)) + 0.5)
+                               AS BIGINT) AS wt
+                   FROM q g CROSS JOIN tot
+                   LEFT JOIN p ON p.bk = g.bk)
+            SELECT b.doc_id, CAST(SUM(wv.wt) AS BIGINT) AS dsir_e3
+            FROM b JOIN wv ON wv.bk = b.bk
+            GROUP BY b.doc_id
         """,
         # the lang-ID heuristic replayed verbatim: \S+ tokenization
         # (regexp_extract_all mirrors re.findall), per-profile hit

@@ -35,6 +35,7 @@ from __future__ import annotations
 import math
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .text import _split_words_flat
 
@@ -256,3 +257,129 @@ def top_tfidf(ds, *, text_col: str = "text", id_col: str = "doc_id",
     partials = scored.map_batches(_argmax_block, batch_format="pyarrow")
     return partials.repartition(parts).groupby(id_col) \
         .map_groups(_argmax_group, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------- DSIR
+
+DSIR_BUCKETS = 64
+
+
+class _BucketCounts:
+    """Per-batch hashed-unigram bucket counts: md5-first-byte % B per
+    DISTINCT word (md5 cached per worker), scattered to per-row counts
+    with one bincount. Emits (bucket, n) partials — the combiner input."""
+
+    def __init__(self, text_col: str = "text", buckets: int = DSIR_BUCKETS,
+                 mask_fn=None) -> None:
+        self.text_col = text_col
+        self.buckets = buckets
+        self.mask_fn = mask_fn          # batch -> BooleanArray (target rows)
+        self._cache: dict = {}
+
+    def _buckets_of(self, words) -> "object":
+        import hashlib
+
+        import numpy as np
+        uniq = pc.unique(words)
+        cache = self._cache
+        vals = np.empty(len(uniq), dtype=np.int64)
+        for i, w in enumerate(uniq.to_pylist()):
+            b = cache.get(w)
+            if b is None:
+                b = cache[w] = hashlib.md5(
+                    w.encode("utf-8")).digest()[0] % self.buckets
+            vals[i] = b
+        idx = pc.index_in(words, value_set=uniq).to_numpy(
+            zero_copy_only=False)
+        return vals[idx]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        col = batch.column(self.text_col)
+        if self.mask_fn is not None:
+            batch = batch.filter(self.mask_fn(batch))
+            col = batch.column(self.text_col)
+        _, words = _split_words_flat(pc.utf8_lower(col.combine_chunks()
+                     if isinstance(col, pa.ChunkedArray) else col))
+        if len(words) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        counts = np.bincount(self._buckets_of(words),
+                             minlength=self.buckets)
+        nz = np.nonzero(counts)[0]
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "n": pa.array(counts[nz], pa.int64())})
+
+
+def _iq_ln(x: float, scale: int = 1000) -> int:
+    # same int-quantized ln contract as unigram_surprisal: libm ln,
+    # IEEE multiply, floor(+0.5) — bit-parity with DuckDB pinned by
+    # tests/test_scoring.py
+    return math.floor(scale * math.log(x) + 0.5)
+
+
+def dsir_weights(ds, *, target_mask_fn, text_col: str = "text",
+                 id_col: str = "doc_id", buckets: int = DSIR_BUCKETS):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public): hashed
+    unigram features into ``buckets``, Laplace-smoothed bucket models
+    for the TARGET subset (rows where ``target_mask_fn`` is true) and
+    the full corpus, then per-document
+
+        dsir_e3 = sum over word occurrences of
+                  iq_ln((p_b+1)/(P+B)) - iq_ln((q_b+1)/(Q+B))
+
+    with iq_ln(x) = floor(1000*ln(x) + 0.5). Integer after the per-
+    bucket quantization, so the result is summation-order independent
+    and SQL-replayable exactly.
+
+    Scale shape: two combiner passes produce the two B-row count
+    tables (driver-side take of <= B rows each); the scoring pass
+    streams with a broadcast int weight vector of length B. Documents
+    with no words are absent (mirrors the SQL group-by)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def _counts(mask_fn):
+        parts = ds.map_batches(
+            _BucketCounts(text_col=text_col, buckets=buckets,
+                          mask_fn=mask_fn), batch_format="pyarrow")
+        agg = parts.repartition(4).groupby("bucket").aggregate(Sum("n"))
+        rows = agg.take_all()
+        out = {}
+        for r in rows:
+            if r.get("bucket") is not None:
+                out[int(r["bucket"])] = int(r["sum(n)"])
+        return out
+
+    q_counts = _counts(None)
+    p_counts = _counts(target_mask_fn)
+    q_total = sum(q_counts.values())
+    p_total = sum(p_counts.values())
+
+    wt = np.zeros(buckets, dtype=np.int64)
+    for b in q_counts:              # doc words only hit corpus buckets
+        wt[b] = (_iq_ln((p_counts.get(b, 0) + 1.0) / (p_total + buckets))
+                 - _iq_ln((q_counts[b] + 1.0) / (q_total + buckets)))
+
+    bc = _BucketCounts(text_col=text_col, buckets=buckets)
+
+    def score(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        row_ids, words = _split_words_flat(
+            pc.utf8_lower(col.combine_chunks()
+                     if isinstance(col, pa.ChunkedArray) else col))
+        ids = batch.column(id_col)
+        if len(words) == 0:
+            return pa.table({id_col: pa.array([], ids.type),
+                             "dsir_e3": pa.array([], pa.int64())})
+        w_per_word = wt[bc._buckets_of(words)]
+        sums = np.zeros(batch.num_rows, dtype=np.int64)
+        np.add.at(sums, row_ids, w_per_word)
+        has_words = np.zeros(batch.num_rows, dtype=bool)
+        has_words[row_ids] = True
+        keep = np.nonzero(has_words)[0]
+        return pa.table({id_col: pc.take(ids, pa.array(keep)),
+                         "dsir_e3": pa.array(sums[keep], pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -136,3 +136,47 @@ def test_top_tfidf_join_path_parity(ray_session):
            for r in top_tfidf(_ds(TEXTS),
                               broadcast_max_vocab=0).take_all()}
     assert got == naive_top_tfidf(TEXTS)
+
+
+def test_dsir_weights_matches_naive(ray_session):
+    """dsir_weights vs an independent hashed-bucket model."""
+    import hashlib
+    import math
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from htmlreader_ray.functions.scoring import dsir_weights
+
+    docs = [(0, "t", "the cat sat"), (1, "t", "dog dog dog"),
+            (2, "c", "the the the"), (3, "c", "cat dog"),
+            (4, "c", ""), (5, "t", "sat cat the")]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "source": pa.array([d[1] for d in docs], pa.string()),
+        "text": pa.array([d[2] for d in docs], pa.string())}))
+    out = dsir_weights(ds, target_mask_fn=lambda b: pc.equal(
+        b.column("source"), "t"))
+    got = sorted((r["doc_id"], r["dsir_e3"]) for r in out.take_all())
+
+    B = 64
+
+    def bk(w):
+        return hashlib.md5(w.encode()).digest()[0] % B
+
+    def iq(x):
+        return math.floor(1000 * math.log(x) + 0.5)
+
+    q, p = {}, {}
+    for _, s, t in docs:
+        for w in t.lower().split():
+            q[bk(w)] = q.get(bk(w), 0) + 1
+            if s == "t":
+                p[bk(w)] = p.get(bk(w), 0) + 1
+    Q, P = sum(q.values()), sum(p.values())
+    wt = {b: iq((p.get(b, 0) + 1.0) / (P + B)) - iq((q[b] + 1.0) / (Q + B))
+          for b in q}
+    ref = sorted((i, sum(wt[bk(w)] for w in t.lower().split()))
+                 for i, _, t in docs if t.split())
+    assert got == ref
