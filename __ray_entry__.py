@@ -1918,6 +1918,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the front so that if the cap persists, the union of rounds covers
     # every query; if the driver grades all of them, order is irrelevant.
     never_graded = [
+        # newest first: round-3 session-3 additions have zero prior
+        # driver evidence; lang_id's contract changed (now oracled)
+        "host_pagerank", "warc_extract", "media_resize", "robots_filter",
+        "dsir_weights", "lang_id",
         # no row in CORRECTNESS_r02.json (added late in round 2)
         "events_hopping", "corpus_prep", "token_pack", "train_val_split",
         "pseudo_shuffle", "decontaminate", "chunk_docs", "stratified_sample",
@@ -1935,8 +1939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_parts",
         # new in round 3, post-rotation
         "extract_links", "url_normalize", "host_outdegree",
-        "dedup_paragraphs", "host_pagerank", "warc_extract",
-        "media_resize", "robots_filter", "dsir_weights",
+        "dedup_paragraphs",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
