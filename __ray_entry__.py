@@ -3175,7 +3175,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type,
                    count(*) AS n_gaps,
-                   sum(gap) AS sum_gap_us,
+                   CAST(sum(gap) AS BIGINT) AS sum_gap_us,
                    max(gap) AS max_gap_us
             FROM g WHERE gap IS NOT NULL
             GROUP BY event_type
