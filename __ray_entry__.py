@@ -1414,6 +1414,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _read(sf_dir, "embeddings").map_batches(
             ann.quantize_embeddings_batch, batch_format="pyarrow")
 
+    def embedding_covariance_q(sf_dir: str):
+        """Distributed covariance over the first 16 embedding dims in the
+        exact-int quantization contract (functions/clustering.py): per-block
+        Q^T Q int64 partials, one O(d^2)-row groupby — the shuffle never
+        carries an embedding row. PCA/whitening prep at corpus scale."""
+        from htmlreader_ray.functions import clustering
+        return clustering.embedding_covariance(
+            _read(sf_dir, "embeddings", ["embedding"]), dims=16)
+
+    def kmeans_assign_q(sf_dir: str):
+        """SemDeDup-style cluster assignment: nearest of the first-8
+        centroids under exact integer squared L2 on quantized components.
+        Centroids ray.put once; one int64 matmul per batch, zero shuffles."""
+        from htmlreader_ray.functions import clustering
+        cids, c = clustering.load_centroids(sf_dir, 8)
+        return clustering.kmeans_assign(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]), cids, c)
+
+    def kmeans_step_q(sf_dir: str):
+        """One Lloyd's centroid update, assignment fused with per-block
+        per-cluster integer sums — the exchange moves k*(d+1) rows per
+        block. centroid_q = floor(sum/count), empty clusters omitted."""
+        from htmlreader_ray.functions import clustering
+        cids, c = clustering.load_centroids(sf_dir, 8)
+        return clustering.kmeans_step(
+            _read(sf_dir, "embeddings", ["embedding"]), cids, c)
+
     def inverted_index_q(sf_dir: str):
         """Search-engine sink: term -> sorted postings + df. Block-local
         distinct (term, doc) pairs, one groupby(term) merge."""
@@ -1894,6 +1921,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi": bigram_pmi_q,
         "segment_top_orders": segment_top_orders,
         "quantize_embeddings": quantize_embeddings,
+        "embedding_covariance": embedding_covariance_q,
+        "kmeans_assign": kmeans_assign_q,
+        "kmeans_step": kmeans_step_q,
         "events_rollup": events_rollup,
         "events_funnel": events_funnel,
         "event_gaps": event_gaps,
@@ -1940,6 +1970,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in round 3, post-rotation
         "extract_links", "url_normalize", "host_outdegree",
         "dedup_paragraphs",
+        # new in round 3, fifth sweep
+        "embedding_covariance", "kmeans_assign", "kmeans_step",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -3269,6 +3301,93 @@ def oracle_sql() -> dict[str, str]:
                                   AS BIGINT)
                    END AS scale_e9
             FROM s
+        """,
+        "embedding_covariance": """
+            WITH q AS (
+                SELECT vec_id, list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
+                                 AS BIGINT)) AS v
+                FROM embeddings
+            ), a AS (
+                SELECT vec_id, generate_subscripts(v, 1) AS i,
+                       unnest(v) AS qv
+                FROM q
+            ), af AS (
+                SELECT vec_id, CAST(i AS BIGINT) AS i, qv
+                FROM a WHERE i <= 16
+            ), nn AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings
+            ), sx AS (
+                SELECT i, CAST(sum(qv) AS DOUBLE) AS sx FROM af GROUP BY i
+            ), sxy AS (
+                SELECT a1.i AS i, a2.i AS j,
+                       CAST(sum(a1.qv * a2.qv) AS DOUBLE) AS sxy
+                FROM af a1 JOIN af a2 USING (vec_id)
+                GROUP BY a1.i, a2.i
+            )
+            SELECT sxy.i, sxy.j,
+                   CAST(floor(1000.0 * (sxy.sxy / nn.n
+                              - (x1.sx / nn.n) * (x2.sx / nn.n)) + 0.5)
+                        AS BIGINT) AS cov_e9
+            FROM sxy CROSS JOIN nn
+            JOIN sx x1 ON sxy.i = x1.i
+            JOIN sx x2 ON sxy.j = x2.i
+        """,
+        "kmeans_assign": """
+            WITH q AS (
+                SELECT vec_id, list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
+                                 AS BIGINT)) AS v
+                FROM embeddings
+            ), a AS (
+                SELECT vec_id, generate_subscripts(v, 1) AS i,
+                       unnest(v) AS qv
+                FROM q
+            ), c AS (
+                SELECT vec_id AS cid, i, qv AS cq FROM a WHERE vec_id < 8
+            ), d AS (
+                SELECT a.vec_id, c.cid,
+                       CAST(sum((a.qv - c.cq) * (a.qv - c.cq)) AS BIGINT)
+                           AS dist
+                FROM a JOIN c USING (i)
+                GROUP BY a.vec_id, c.cid
+            )
+            SELECT vec_id, cid AS cluster, dist AS dist_q
+            FROM d
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cid) = 1
+        """,
+        "kmeans_step": """
+            WITH q AS (
+                SELECT vec_id, list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
+                                 AS BIGINT)) AS v
+                FROM embeddings
+            ), a AS (
+                SELECT vec_id, generate_subscripts(v, 1) AS i,
+                       unnest(v) AS qv
+                FROM q
+            ), c AS (
+                SELECT vec_id AS cid, i, qv AS cq FROM a WHERE vec_id < 8
+            ), d AS (
+                SELECT a.vec_id, c.cid,
+                       sum((a.qv - c.cq) * (a.qv - c.cq)) AS dist
+                FROM a JOIN c USING (i)
+                GROUP BY a.vec_id, c.cid
+            ), best AS (
+                SELECT vec_id, cid FROM d
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY dist, cid) = 1
+            ), m AS (
+                SELECT b.cid AS cluster, CAST(a.i AS BIGINT) AS dim,
+                       CAST(sum(a.qv) AS DOUBLE) AS s,
+                       CAST(count(*) AS DOUBLE) AS cnt
+                FROM a JOIN best b USING (vec_id)
+                GROUP BY b.cid, a.i
+            )
+            SELECT cluster, dim,
+                   CAST(floor(s / cnt) AS BIGINT) AS centroid_q
+            FROM m
         """,
         "events_window_distinct": """
             SELECT date_trunc('hour', ts) AS window_start,

@@ -1,0 +1,213 @@
+"""Embedding-space statistics and clustering primitives.
+
+Training-data curation needs a handful of dense-linear-algebra passes the
+reference never had (it is an HTML engine), but that a 100 TB pipeline runs
+constantly: covariance/PCA prep over an embedding column, k-means assignment
+for SemDeDup-style cluster-then-dedup, and the Lloyd's centroid-update step.
+All three are expressed as single-pass combiner aggregations — the shuffle
+moves O(d^2) or O(k*d) partial rows per block, never an embedding row.
+
+Exactness contract (so a DuckDB oracle can replay bit-for-bit):
+- components quantize as q = floor(1000 * double(x) + 0.5) (int64); parquet
+  float32 -> double casts are exact, multiply/floor are IEEE;
+- all sums/products are exact int64 (|q| <= ~1000, d <= 64, so per-corpus
+  sums stay far below 2^53 even at 10^9 rows — the doubles that finalize
+  the statistics convert exactly);
+- every float expression in a finalizer is mirrored operation-for-operation
+  in the SQL oracle, so IEEE determinism gives equality.
+
+Scale notes:
+- `embedding_covariance`: per-block Q^T Q partials (numpy int64 matmul),
+  one tiny groupby((i,j)) — no all-to-all of rows. O(d^2) output.
+- `kmeans_assign`: centroids are a broadcast small side (ray.put once);
+  the distance kernel is one int64 matmul per batch. No shuffle at all.
+- `kmeans_step`: assignment fused with per-block per-cluster sums; the
+  exchange carries k*(d+1) rows per block. Empty clusters are omitted
+  (both sides of the oracle agree by construction).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+Q_SCALE = 1000
+
+
+def quantize_matrix(col, dims: int | None = None) -> np.ndarray:
+    """list<float> column -> (n, d) int64 matrix of floor(1000*x + 0.5)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    if n == 0:
+        return np.zeros((0, dims or 0), dtype=np.int64)
+    d = len(flat) // n
+    q = np.floor(Q_SCALE * flat + 0.5).astype(np.int64).reshape(n, d)
+    return q[:, :dims] if dims is not None else q
+
+
+# ------------------------------------------------------- covariance
+
+def embedding_covariance(ds, *, dims: int = 16,
+                         embedding_col: str = "embedding"):
+    """(i, j, cov_e9): the dims x dims covariance matrix of the quantized
+    embedding components, cov_e9 = floor(1e9 * cov(x_i, x_j) + 0.5) in the
+    exact-int contract above. 1-based indices (matching SQL
+    generate_subscripts)."""
+    from .shuffle import combine_aggregate
+
+    def partials(batch: pa.Table) -> pa.Table:
+        q = quantize_matrix(batch.column(embedding_col), dims)
+        n, d = q.shape
+        sxy = q.T @ q                      # exact int64
+        sx = q.sum(axis=0, dtype=np.int64)
+        ii, jj = np.indices((d, d))
+        i_out = np.concatenate(([0], np.arange(1, d + 1),
+                                (ii + 1).ravel())).astype(np.int64)
+        j_out = np.concatenate(([0], np.zeros(d, np.int64),
+                                (jj + 1).ravel()))
+        s_out = np.concatenate(([n], sx, sxy.ravel())).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(i_out), pa.array(j_out), pa.array(s_out)],
+            names=["i", "j", "s"])
+
+    parts = ds.map_batches(partials, batch_format="pyarrow")
+    small = combine_aggregate(parts, ["i", "j"], [("s", "sum", "s")])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        rows = {(i, j): s for i, j, s in zip(
+            batch.column("i").to_pylist(), batch.column("j").to_pylist(),
+            batch.column("s").to_pylist())}
+        n = float(rows.get((0, 0), 0))
+        out_i, out_j, out_c = [], [], []
+        for (i, j), sxy in sorted(rows.items()):
+            if i == 0 or j == 0:
+                continue
+            # mirrored verbatim by the SQL oracle: all doubles, same order
+            cov = (float(sxy) / n
+                   - (float(rows[(i, 0)]) / n) * (float(rows[(j, 0)]) / n))
+            out_i.append(i)
+            out_j.append(j)
+            out_c.append(math.floor(1000.0 * cov + 0.5))
+        return pa.Table.from_arrays(
+            [pa.array(out_i, pa.int64()), pa.array(out_j, pa.int64()),
+             pa.array(out_c, pa.int64())],
+            names=["i", "j", "cov_e9"])
+
+    return small.repartition(1).map_batches(finalize, batch_format="pyarrow",
+                                            batch_size=None)
+
+
+# ----------------------------------------------------------- k-means
+
+def load_centroids(sf_dir: str, k: int,
+                   embedding_col: str = "embedding"):
+    """First-k-by-vec_id centroids (the deterministic seeding both the
+    distributed path and the SQL oracle use). Bounded small-side read."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", embedding_col],
+                      filters=[("vec_id", "<", k)])
+    t = t.sort_by("vec_id")
+    cids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    c = quantize_matrix(t.column(embedding_col))
+    return cids, c
+
+
+def _assign_block(q: np.ndarray, cids: np.ndarray, c: np.ndarray):
+    """argmin_j sum_d (q - c_j)^2 in exact int64; ties -> lowest centroid id
+    (centroids sorted by id, np.argmin takes the first minimum)."""
+    qq = np.einsum("nd,nd->n", q, q)
+    cc = np.einsum("kd,kd->k", c, c)
+    d2 = qq[:, None] + cc[None, :] - 2 * (q @ c.T)
+    best = np.argmin(d2, axis=1)
+    return cids[best], d2[np.arange(len(q)), best]
+
+
+def kmeans_assign(ds, cids: np.ndarray, c: np.ndarray, *,
+                  id_col: str = "vec_id", embedding_col: str = "embedding"):
+    """(vec_id, cluster, dist_q): nearest centroid under exact integer
+    squared L2 on quantized components. Centroids broadcast once."""
+    import ray
+
+    ref = ray.put((cids, c))
+
+    def assign(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        cids_, c_ = ray.get(_ref)
+        if len(batch) == 0:
+            return pa.Table.from_arrays(
+                [batch.column(id_col), pa.array([], pa.int64()),
+                 pa.array([], pa.int64())],
+                names=[id_col, "cluster", "dist_q"])
+        q = quantize_matrix(batch.column(embedding_col))
+        cluster, dist = _assign_block(q, cids_, c_)
+        return pa.Table.from_arrays(
+            [batch.column(id_col), pa.array(cluster, pa.int64()),
+             pa.array(dist.astype(np.int64))],
+            names=[id_col, "cluster", "dist_q"])
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def kmeans_step(ds, cids: np.ndarray, c: np.ndarray, *,
+                embedding_col: str = "embedding"):
+    """One Lloyd's update: assign each row, then per-cluster per-dim
+    integer means, centroid_q = floor(sum_q / count). Output
+    (cluster, dim, centroid_q), dim 1-based; empty clusters omitted."""
+    import ray
+
+    from .shuffle import combine_aggregate
+
+    ref = ray.put((cids, c))
+    k, d = c.shape
+
+    def partials(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        cids_, c_ = ray.get(_ref)
+        if len(batch) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 3, names=["cluster", "dim", "s"])
+        q = quantize_matrix(batch.column(embedding_col))
+        cluster, _ = _assign_block(q, cids_, c_)
+        # cluster ids -> dense 0..k-1 positions for the accumulators
+        pos = np.searchsorted(cids_, cluster)
+        sums = np.zeros((len(cids_), q.shape[1]), dtype=np.int64)
+        np.add.at(sums, pos, q)
+        counts = np.bincount(pos, minlength=len(cids_)).astype(np.int64)
+        live = counts > 0
+        kk = int(live.sum())
+        dd = q.shape[1]
+        cl = np.repeat(cids_[live], dd + 1)
+        dim = np.tile(np.arange(0, dd + 1, dtype=np.int64), kk)
+        s = np.concatenate(
+            [np.concatenate(([counts[i]], sums[i]))
+             for i in np.flatnonzero(live)]) if kk else np.zeros(0, np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(cl, pa.int64()), pa.array(dim), pa.array(s)],
+            names=["cluster", "dim", "s"])
+
+    parts = ds.map_batches(partials, batch_format="pyarrow")
+    small = combine_aggregate(parts, ["cluster", "dim"], [("s", "sum", "s")])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        rows = {(cl, dm): s for cl, dm, s in zip(
+            batch.column("cluster").to_pylist(),
+            batch.column("dim").to_pylist(), batch.column("s").to_pylist())}
+        out_c, out_d, out_q = [], [], []
+        for (cl, dm), s in sorted(rows.items()):
+            if dm == 0:
+                continue
+            cnt = rows[(cl, 0)]
+            # SQL mirror: CAST(floor(CAST(s AS DOUBLE) / cnt) AS BIGINT)
+            out_c.append(cl)
+            out_d.append(dm)
+            out_q.append(math.floor(float(s) / float(cnt)))
+        return pa.Table.from_arrays(
+            [pa.array(out_c, pa.int64()), pa.array(out_d, pa.int64()),
+             pa.array(out_q, pa.int64())],
+            names=["cluster", "dim", "centroid_q"])
+
+    return small.repartition(1).map_batches(finalize, batch_format="pyarrow",
+                                            batch_size=None)
