@@ -1441,6 +1441,78 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return clustering.kmeans_step(
             _read(sf_dir, "embeddings", ["embedding"]), cids, c)
 
+    def mixture_sample(sf_dir: str):
+        """Data-mixing sampler: inside each source, documents are laid
+        out in deterministic md5-hash order and kept while the running
+        whitespace-token total stays within an 800-token budget — the
+        per-domain quota step of mixture construction. Two-pass grouped
+        scan (functions/scan.py): pass 1 ships only (source, bucket, sum)
+        rows; pass 2 drops whole hash-buckets past the budget before
+        sorting, so work tracks the kept prefix, not the corpus."""
+        import hashlib
+        import re
+        import pyarrow as pa
+        from htmlreader_ray.functions.scan import grouped_budget_filter
+
+        word_re = re.compile(r"\S+")
+
+        def prep(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            keys = [int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+                    for i in ids]
+            nt = [len(word_re.findall(t or "")) for t in texts]
+            return pa.Table.from_arrays(
+                [batch.column("doc_id"), batch.column("source"),
+                 pa.array(nt, pa.int64()), pa.array(keys, pa.int64())],
+                names=["doc_id", "source", "n_tokens", "__hkey"])
+
+        keyed = _read(sf_dir, "documents",
+                      ["doc_id", "source", "text"]).map_batches(
+            prep, batch_format="pyarrow")
+        out = grouped_budget_filter(
+            keyed, part_cols=["source"], order_col="__hkey",
+            tiebreak_col="doc_id", value_col="n_tokens", budget=800,
+            out_col="cum_tokens", bucket_size=1 << 52)
+        return out.map_batches(
+            lambda b: b.select(["doc_id", "source", "n_tokens",
+                                "cum_tokens"]),
+            batch_format="pyarrow")
+
+    def ccnet_buckets(sf_dir: str):
+        """CCNet-style quality bucketing: per-token corpus surprisal
+        (milli-nats, the established integer unigram contract), then
+        head/middle/tail terciles WITHIN each language by the exact rank
+        formula ((rank-1)*3)//n + 1. Ranks come from the grouped two-pass
+        scan — a count-only pass 1, bounded per-(lang, score-bucket)
+        groups in pass 2, no global sort."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.scan import grouped_ntile
+        from htmlreader_ray.functions.scoring import unigram_surprisal
+
+        scored = unigram_surprisal(
+            _read(sf_dir, "documents", ["doc_id", "text", "lang"]),
+            keep_cols=("lang",))
+
+        def ppl(batch: pa.Table) -> pa.Table:
+            denom = pc.max_element_wise(batch.column("n_words"),
+                                        pa.scalar(1, pa.int64()))
+            p = pc.divide(batch.column("surprisal_e3"), denom)
+            return pa.Table.from_arrays(
+                [batch.column("doc_id"), batch.column("lang"),
+                 p.cast(pa.int64())],
+                names=["doc_id", "lang", "ppl_mnat"])
+
+        ranked = grouped_ntile(
+            scored.map_batches(ppl, batch_format="pyarrow"),
+            part_cols=["lang"], order_col="ppl_mnat",
+            tiebreak_col="doc_id", tiles=3, out_col="bucket3",
+            bucket_size=256)
+        return ranked.map_batches(
+            lambda b: b.select(["doc_id", "lang", "ppl_mnat", "bucket3"]),
+            batch_format="pyarrow")
+
     def inverted_index_q(sf_dir: str):
         """Search-engine sink: term -> sorted postings + df. Block-local
         distinct (term, doc) pairs, one groupby(term) merge."""
@@ -1924,6 +1996,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": embedding_covariance_q,
         "kmeans_assign": kmeans_assign_q,
         "kmeans_step": kmeans_step_q,
+        "mixture_sample": mixture_sample,
+        "ccnet_buckets": ccnet_buckets,
         "events_rollup": events_rollup,
         "events_funnel": events_funnel,
         "event_gaps": event_gaps,
@@ -1972,6 +2046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_paragraphs",
         # new in round 3, fifth sweep
         "embedding_covariance", "kmeans_assign", "kmeans_step",
+        "mixture_sample", "ccnet_buckets",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -3388,6 +3463,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster, dim,
                    CAST(floor(s / cnt) AS BIGINT) AS centroid_q
             FROM m
+        """,
+        "mixture_sample": r"""
+            WITH t AS (
+                SELECT doc_id, source,
+                       CAST(length(regexp_extract_all(text, '\S+'))
+                            AS BIGINT) AS n_tokens,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 15))::BIGINT AS hkey
+                FROM documents
+            ), c AS (
+                SELECT doc_id, source, n_tokens,
+                       CAST(SUM(n_tokens) OVER (PARTITION BY source
+                            ORDER BY hkey, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS cum_tokens
+                FROM t
+            )
+            SELECT doc_id, source, n_tokens, cum_tokens
+            FROM c WHERE cum_tokens <= 800
+        """,
+        "ccnet_buckets": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                FROM documents WHERE trim(text) <> ''
+            ), counts AS (
+                SELECT w, count(*) AS c FROM words GROUP BY w
+            ), tot AS (
+                SELECT CAST(sum(c) AS DOUBLE) AS t FROM counts
+            ), vocab AS (
+                SELECT w, CAST(floor(1000 * -ln(CAST(c AS DOUBLE) / t) + 0.5)
+                               AS BIGINT) AS s
+                FROM counts, tot ORDER BY c DESC, w LIMIT 65536
+            ), perdoc AS (
+                SELECT words.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                       CAST(sum(COALESCE(vocab.s,
+                            (SELECT CAST(floor(1000 * -ln(0.5 / t) + 0.5)
+                                         AS BIGINT) FROM tot)))
+                            AS BIGINT) AS surprisal_e3
+                FROM words LEFT JOIN vocab USING (w)
+                GROUP BY words.doc_id
+            ), doc AS (
+                SELECT d.doc_id, d.lang,
+                       COALESCE(p.n_words, CAST(0 AS BIGINT)) AS n_words,
+                       COALESCE(p.surprisal_e3, CAST(0 AS BIGINT)) AS s
+                FROM documents d LEFT JOIN perdoc p USING (doc_id)
+            ), r AS (
+                SELECT doc_id, lang,
+                       s // GREATEST(n_words, CAST(1 AS BIGINT))
+                           AS ppl_mnat
+                FROM doc
+            ), w AS (
+                SELECT doc_id, lang, CAST(ppl_mnat AS BIGINT) AS ppl_mnat,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                           ORDER BY ppl_mnat, doc_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY lang) AS n
+                FROM r
+            )
+            SELECT doc_id, lang, ppl_mnat,
+                   CAST(((rn - 1) * 3) // n + 1 AS BIGINT) AS bucket3
+            FROM w
         """,
         "events_window_distinct": """
             SELECT date_trunc('hour', ts) AS window_start,

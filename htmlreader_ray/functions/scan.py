@@ -70,6 +70,107 @@ def ordered_prefix_sum(ds, *, order_col: str, value_col: str,
         scan_group, batch_format="pyarrow")
 
 
+def _grouped_scan(ds, *, part_cols, order_col, tiebreak_col, value_col,
+                  bucket_size, finish_group, skip_group=None):
+    """Shared two-pass machinery for per-partition ordered scans.
+
+    Rows are bucketed by fixed ``order_col // bucket_size`` ranges inside
+    each partition; pass 1 moves only (part, bucket, sum) through a
+    combiner groupby and prefix-sums it into per-(part, bucket) exclusive
+    offsets + per-part totals (both broadcast via ray.put); pass 2 is one
+    groupby((part, bucket)) whose groups sort locally and call
+    ``finish_group(group_sorted, offset, total)``. ``skip_group`` (given
+    offset, total) can drop a whole bucket before its rows are scanned —
+    the scale lever for budget-style early exit. ``order_col`` must be
+    non-negative integers; uniqueness comes from (order, tiebreak)."""
+    import ray
+
+    from .shuffle import combine_aggregate
+
+    part_cols = list(part_cols)
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        bucket = pc.divide(batch.column(order_col),
+                           pa.scalar(bucket_size, pa.int64()))
+        return batch.append_column("__bucket", bucket.cast(pa.int64()))
+
+    bucketed = ds.map_batches(with_bucket, batch_format="pyarrow")
+
+    sums = combine_aggregate(
+        bucketed.select_columns(part_cols + ["__bucket", value_col]),
+        part_cols + ["__bucket"], [(value_col, "sum", "__sum")]).take_all()
+    sums.sort(key=lambda r: (tuple(str(r[c]) for c in part_cols),
+                             r["__bucket"]))
+    offsets, totals = {}, {}
+    for r in sums:
+        part = tuple(r[c] for c in part_cols)
+        offsets[part + (r["__bucket"],)] = totals.get(part, 0)
+        totals[part] = totals.get(part, 0) + r["__sum"]
+    state_ref = ray.put((offsets, totals))
+
+    def scan_group(group: pa.Table, *, _ref=state_ref) -> pa.Table:
+        offs, tots = ray.get(_ref)
+        part = tuple(group.column(c)[0].as_py() for c in part_cols)
+        off = offs.get(part + (group.column("__bucket")[0].as_py(),), 0)
+        total = tots.get(part, 0)
+        if skip_group is not None and skip_group(off, total):
+            return group.drop_columns(["__bucket"]).slice(0, 0)
+        idx = pc.sort_indices(group, sort_keys=[(order_col, "ascending"),
+                                                (tiebreak_col, "ascending")])
+        group = group.take(idx).drop_columns(["__bucket"])
+        return finish_group(group, off, total)
+
+    return bucketed.groupby(part_cols + ["__bucket"]).map_groups(
+        scan_group, batch_format="pyarrow")
+
+
+def grouped_budget_filter(ds, *, part_cols, order_col, tiebreak_col,
+                          value_col, budget: int, out_col: str = "cum",
+                          bucket_size: int = 1 << 52):
+    """Keeps rows whose INCLUSIVE running ``value_col`` sum within their
+    partition (ordered by (order_col, tiebreak_col)) is <= ``budget``, and
+    adds that running sum as ``out_col``. Buckets that start past the
+    budget are dropped before their rows are sorted — per-partition work
+    is proportional to the kept prefix, not the partition."""
+
+    def finish(group: pa.Table, off: int, _total: int) -> pa.Table:
+        vals = group.column(value_col).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.cumsum(vals) + off
+        out = group.append_column(out_col, pa.array(cum, pa.int64()))
+        return out.filter(pa.array(cum <= budget))
+
+    return _grouped_scan(ds, part_cols=part_cols, order_col=order_col,
+                         tiebreak_col=tiebreak_col, value_col=value_col,
+                         bucket_size=bucket_size, finish_group=finish,
+                         skip_group=lambda off, _t: off > budget)
+
+
+def grouped_ntile(ds, *, part_cols, order_col, tiebreak_col, tiles: int,
+                  out_col: str = "tile", bucket_size: int = 256):
+    """Adds ``out_col`` = ((rank-1)*tiles) // n + 1 where rank is the
+    1-based position within the partition ordered by (order_col,
+    tiebreak_col) and n the partition size — the exact integer formula a
+    SQL oracle replays verbatim (CCNet-style head/middle/tail bucketing
+    when tiles=3). One count-only pass, then one bounded-group scan."""
+
+    def with_one(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__one", pa.array(np.ones(len(batch), np.int64)))
+
+    def finish(group: pa.Table, off: int, total: int) -> pa.Table:
+        n = len(group)
+        rank = off + np.arange(1, n + 1, dtype=np.int64)
+        tile = (rank - 1) * tiles // max(total, 1) + 1
+        return group.drop_columns(["__one"]).append_column(
+            out_col, pa.array(tile, pa.int64()))
+
+    return _grouped_scan(ds.map_batches(with_one, batch_format="pyarrow"),
+                         part_cols=part_cols, order_col=order_col,
+                         tiebreak_col=tiebreak_col, value_col="__one",
+                         bucket_size=bucket_size, finish_group=finish)
+
+
 def token_pack(ds, *, order_col: str = "doc_id", tokens_col: str = "n_tokens",
                seq_len: int = 2048, bucket_size: int = 100_000):
     """Concat-and-chunk sequence packing: documents are laid end-to-end in

@@ -79,7 +79,8 @@ class _ScoreDocs:
     Integer surprisals summed as float64 bincount weights stay exact far
     beyond any real document (< 2^53)."""
 
-    def __init__(self, ref, text_col: str, id_col: str):
+    def __init__(self, ref, text_col: str, id_col: str,
+                 keep_cols: tuple = ()):
         import numpy as np
         import ray
         vocab, self.s_oov = ray.get(ref)
@@ -88,6 +89,7 @@ class _ScoreDocs:
                                 count=len(vocab))
         self.text_col = text_col
         self.id_col = id_col
+        self.keep_cols = tuple(keep_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -106,14 +108,18 @@ class _ScoreDocs:
         return pa.Table.from_arrays(
             [batch.column(self.id_col),
              pa.array(n_words, pa.int64()),
-             pa.array(total, pa.int64())],
-            names=[self.id_col, "n_words", "surprisal_e3"])
+             pa.array(total, pa.int64())]
+            + [batch.column(c) for c in self.keep_cols],
+            names=[self.id_col, "n_words", "surprisal_e3",
+                   *self.keep_cols])
 
 
 def unigram_surprisal(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                      top_k: int = DEFAULT_TOP_K, scale: int = DEFAULT_SCALE):
-    """(doc_id, n_words, surprisal_e3): total corpus-unigram surprisal per
-    document in integer milli-nats. Empty documents score (0, 0)."""
+                      top_k: int = DEFAULT_TOP_K, scale: int = DEFAULT_SCALE,
+                      keep_cols: tuple = ()):
+    """(doc_id, n_words, surprisal_e3, *keep_cols): total corpus-unigram
+    surprisal per document in integer milli-nats. Empty documents score
+    (0, 0). ``keep_cols`` are carried through unchanged."""
     import ray
 
     counts = word_counts(ds, text_col=text_col).materialize()  # vocab-sized
@@ -128,7 +134,8 @@ def unigram_surprisal(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
     from ..stages.task_cache import as_task
     return ds.map_batches(
-        as_task(_ScoreDocs, ref=ref, text_col=text_col, id_col=id_col),
+        as_task(_ScoreDocs, ref=ref, text_col=text_col, id_col=id_col,
+                keep_cols=tuple(keep_cols)),
         batch_format="pyarrow")
 
 

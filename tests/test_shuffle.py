@@ -132,3 +132,61 @@ def test_grouped_exact_median_matches_naive(ray_session):
     for k in want:
         s = [v for kk, v in zip(keys, vals) if kk == k]
         assert got[k] == statistics.median_low(s)
+
+
+def test_grouped_budget_filter_matches_window(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from htmlreader_ray.functions.scan import grouped_budget_filter
+
+    rng = np.random.default_rng(11)
+    n = 400
+    part = rng.integers(0, 3, n)
+    order = rng.permutation(n).astype(np.int64)
+    val = rng.integers(1, 50, n).astype(np.int64)
+    t = pa.table({"g": pa.array([f"p{i}" for i in part]),
+                  "k": pa.array(order), "v": pa.array(val),
+                  "id": pa.array(np.arange(n, dtype=np.int64))})
+    budget = 800
+    ds = ray.data.from_arrow(t).repartition(7)
+    got = {r["id"]: r["cum"] for r in grouped_budget_filter(
+        ds, part_cols=["g"], order_col="k", tiebreak_col="id",
+        value_col="v", budget=budget, bucket_size=32).take_all()}
+    # brute force: inclusive running sum per partition in (k, id) order
+    want = {}
+    for g in set(f"p{i}" for i in part):
+        rows = sorted((int(order[i]), i) for i in range(n)
+                      if f"p{part[i]}" == g)
+        acc = 0
+        for _, i in rows:
+            acc += int(val[i])
+            if acc <= budget:
+                want[i] = acc
+    assert got == want
+
+
+def test_grouped_ntile_matches_rank_formula(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from htmlreader_ray.functions.scan import grouped_ntile
+
+    rng = np.random.default_rng(5)
+    n = 300
+    part = rng.integers(0, 4, n)
+    score = rng.integers(0, 1000, n).astype(np.int64)
+    t = pa.table({"g": pa.array([f"L{i}" for i in part]),
+                  "s": pa.array(score),
+                  "id": pa.array(np.arange(n, dtype=np.int64))})
+    ds = ray.data.from_arrow(t).repartition(5)
+    got = {r["id"]: r["tile"] for r in grouped_ntile(
+        ds, part_cols=["g"], order_col="s", tiebreak_col="id",
+        tiles=3, bucket_size=64).take_all()}
+    for g in set(f"L{i}" for i in part):
+        rows = sorted((int(score[i]), i) for i in range(n)
+                      if f"L{part[i]}" == g)
+        tot = len(rows)
+        for rank, (_, i) in enumerate(rows, start=1):
+            assert got[i] == (rank - 1) * 3 // tot + 1
+    assert len(got) == n
