@@ -1441,6 +1441,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return clustering.kmeans_step(
             _read(sf_dir, "embeddings", ["embedding"]), cids, c)
 
+    def semdedup_prune_q(sf_dir: str):
+        """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings
+        (first-8 centroids, exact integer L2), then inside each cluster
+        prune every row whose cosine to a lower-id clustermate is
+        >= 2/5 in the exact rational-threshold contract
+        (functions/clustering.py:semdedup_prune). One cluster-keyed
+        shuffle; Gram work row-blocked inside the group."""
+        from htmlreader_ray.functions import clustering
+        cids, c = clustering.load_centroids(sf_dir, 8)
+        return clustering.semdedup_prune(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            cids, c, tau_num=2, tau_den=5)
+
     def mixture_sample(sf_dir: str):
         """Data-mixing sampler: inside each source, documents are laid
         out in deterministic md5-hash order and kept while the running
@@ -1996,6 +2009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": embedding_covariance_q,
         "kmeans_assign": kmeans_assign_q,
         "kmeans_step": kmeans_step_q,
+        "semdedup_prune": semdedup_prune_q,
         "mixture_sample": mixture_sample,
         "ccnet_buckets": ccnet_buckets,
         "events_rollup": events_rollup,
@@ -2047,6 +2061,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in round 3, fifth sweep
         "embedding_covariance", "kmeans_assign", "kmeans_step",
         "mixture_sample", "ccnet_buckets",
+        # new in round 3, sixth sweep
+        "semdedup_prune",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -3463,6 +3479,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster, dim,
                    CAST(floor(s / cnt) AS BIGINT) AS centroid_q
             FROM m
+        """,
+        "semdedup_prune": """
+            WITH q AS (
+                SELECT vec_id, list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
+                                 AS BIGINT)) AS v
+                FROM embeddings
+            ), a AS (
+                SELECT vec_id, generate_subscripts(v, 1) AS i,
+                       unnest(v) AS qv
+                FROM q
+            ), c AS (
+                SELECT vec_id AS cid, i, qv AS cq FROM a WHERE vec_id < 8
+            ), d AS (
+                SELECT a.vec_id, c.cid,
+                       sum((a.qv - c.cq) * (a.qv - c.cq)) AS dist
+                FROM a JOIN c USING (i)
+                GROUP BY a.vec_id, c.cid
+            ), best AS (
+                SELECT vec_id, cid FROM d
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY dist, cid) = 1
+            ), qq AS (
+                SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS qq
+                FROM a GROUP BY vec_id
+            ), pairs AS (
+                SELECT b2.vec_id AS v, b1.vec_id AS u,
+                       CAST(sum(a1.qv * a2.qv) AS BIGINT) AS dot
+                FROM best b1
+                JOIN best b2 ON b1.cid = b2.cid AND b1.vec_id < b2.vec_id
+                JOIN a a1 ON a1.vec_id = b1.vec_id
+                JOIN a a2 ON a2.vec_id = b2.vec_id AND a2.i = a1.i
+                GROUP BY b2.vec_id, b1.vec_id
+            ), pruned AS (
+                SELECT DISTINCT p.v AS vec_id
+                FROM pairs p
+                JOIN qq qu ON qu.vec_id = p.u
+                JOIN qq qv ON qv.vec_id = p.v
+                WHERE p.dot > 0
+                  AND 25 * p.dot * p.dot >= 4 * qu.qq * qv.qq
+            )
+            SELECT b.vec_id, b.cid AS cluster,
+                   CAST(CASE WHEN pr.vec_id IS NULL THEN 1 ELSE 0 END
+                        AS BIGINT) AS keep
+            FROM best b LEFT JOIN pruned pr USING (vec_id)
         """,
         "mixture_sample": r"""
             WITH t AS (

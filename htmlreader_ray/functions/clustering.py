@@ -211,3 +211,95 @@ def kmeans_step(ds, cids: np.ndarray, c: np.ndarray, *,
 
     return small.repartition(1).map_batches(finalize, batch_format="pyarrow",
                                             batch_size=None)
+
+
+# ---------------------------------------------------------- SemDeDup
+
+def semdedup_prune(ds, cids: np.ndarray, c: np.ndarray, *,
+                   tau_num: int = 2, tau_den: int = 5,
+                   id_col: str = "vec_id",
+                   embedding_col: str = "embedding",
+                   block_rows: int = 2048):
+    """SemDeDup-style within-cluster semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): assign each embedding to its nearest centroid
+    (exact integer squared L2, same kernel as ``kmeans_assign``), then
+    inside each cluster mark a row PRUNED when some LOWER-id row of the
+    same cluster has cosine similarity >= tau with it. Output one row per
+    input: (vec_id, cluster, keep) with keep in {0, 1}.
+
+    Exactness contract (tau = tau_num / tau_den, a small rational):
+        cos(u, v) >= tau  <=>  dot > 0  AND
+        tau_den^2 * dot^2 >= tau_num^2 * qq_u * qq_v
+    on the quantized int64 components (q = floor(1000*x + 0.5)). With
+    d <= 64, |q| <= ~1000 and tau_den <= 20 every product stays below
+    2^63, so the DuckDB oracle replays the comparison bit-for-bit.
+
+    Deviation from the paper, on purpose: the representative kept per
+    duplicate neighborhood is the LOWEST vec_id (the paper keeps the row
+    farthest from the centroid) — keep-lowest-id is deterministic under
+    any partitioning and is a plain EXISTS self-join in SQL. Note the
+    rule is EXISTS-against-any-lower-id, not connected-components: u can
+    prune v even when u is itself pruned.
+
+    Scale shape: centroids are a broadcast small side; the ONLY shuffle
+    keys on `cluster`, and a cluster's population is corpus_size/k by
+    construction (at 10^9 rows one runs k ~ 10^5, so a group holds ~10^4
+    quantized rows). Inside a group the Gram work is row-blocked
+    (B x prefix), so peak memory is O(B * g) int64, never the full g x g
+    matrix."""
+    import ray
+
+    ref = ray.put((cids, c))
+    t2n = tau_num * tau_num
+    t2d = tau_den * tau_den
+
+    def assign(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        cids_, c_ = ray.get(_ref)
+        if len(batch) == 0:
+            return pa.Table.from_arrays(
+                [batch.column(id_col), pa.array([], pa.int64()),
+                 pa.array([], pa.list_(pa.int64()))],
+                names=[id_col, "cluster", "qv"])
+        q = quantize_matrix(batch.column(embedding_col))
+        cluster, _ = _assign_block(q, cids_, c_)
+        offs = np.arange(0, (len(q) + 1) * q.shape[1], q.shape[1],
+                         dtype=np.int64)
+        qv = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                      pa.array(q.ravel(), pa.int64()))
+        return pa.Table.from_arrays(
+            [batch.column(id_col), pa.array(cluster, pa.int64()), qv],
+            names=[id_col, "cluster", "qv"])
+
+    def prune_group(group: pa.Table) -> pa.Table:
+        if len(group) == 0 or id_col not in group.column_names:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 3,
+                names=[id_col, "cluster", "keep"])
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order].astype(np.int64)
+        qcol = group.column("qv").combine_chunks()
+        flat = qcol.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        q = flat.reshape(len(group), len(flat) // len(group))[order]
+        qq = np.einsum("nd,nd->n", q, q)
+        n = len(ids)
+        keep = np.ones(n, dtype=bool)
+        blk = block_rows
+        for s in range(1, n, blk):
+            e = min(s + blk, n)
+            dots = q[s:e] @ q[:e].T                      # exact int64
+            cond = (dots > 0) & (t2d * dots * dots
+                                 >= t2n * qq[s:e, None] * qq[None, :e])
+            lower = np.arange(e)[None, :] < np.arange(s, e)[:, None]
+            keep[s:e] = ~np.any(cond & lower, axis=1)
+        cl = group.column("cluster").to_numpy(
+            zero_copy_only=False).astype(np.int64)[order]
+        return pa.Table.from_arrays(
+            [pa.array(ids), pa.array(cl),
+             pa.array(keep.astype(np.int64))],
+            names=[id_col, "cluster", "keep"])
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    return assigned.groupby("cluster").map_groups(
+        prune_group, batch_format="pyarrow")

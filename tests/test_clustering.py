@@ -96,3 +96,79 @@ def test_assign_block_empty_cluster_ok():
     cluster, dist = clustering._assign_block(q, cids, c)
     assert list(cluster) == [0, 0]
     assert list(dist) == [2, 8]
+
+
+def _brute_semdedup(mat, cids, c, t_num, t_den):
+    q = clustering.quantize_matrix(
+        emb_table(mat).column("embedding"))
+    cl, _ = clustering._assign_block(q, cids, c)
+    n = len(q)
+    keep = [1] * n
+    for v in range(n):
+        for u in range(v):
+            if cl[u] != cl[v]:
+                continue
+            dot = int(q[u] @ q[v])
+            qa, qb = int(q[u] @ q[u]), int(q[v] @ q[v])
+            if dot > 0 and t_den * t_den * dot * dot \
+                    >= t_num * t_num * qa * qb:
+                keep[v] = 0
+                break
+    return cl, keep
+
+
+def test_semdedup_prune_matches_brute(ray_session):
+    import ray.data
+    rng = np.random.default_rng(11)
+    mat = rng.uniform(-0.6, 0.6, size=(80, 8)).astype(np.float32)
+    # plant near-duplicates: rows 50/51 copies of 3/7 with tiny noise
+    mat[50] = mat[3] + 0.001
+    mat[51] = mat[7] - 0.001
+    cids = np.array([0, 1, 2], np.int64)
+    c = clustering.quantize_matrix(
+        emb_table(mat[:3]).column("embedding"))
+    ds = ray.data.from_arrow(emb_table(mat)).repartition(7)
+    got = {r["vec_id"]: (r["cluster"], r["keep"])
+           for r in clustering.semdedup_prune(
+               ds, cids, c, tau_num=9, tau_den=10).take_all()}
+    cl, keep = _brute_semdedup(mat, cids, c, 9, 10)
+    assert len(got) == len(mat)
+    for v in range(len(mat)):
+        assert got[v] == (cl[v], keep[v]), v
+    # non-vacuous: the planted copies (and the self-identical centroids'
+    # duplicates, if any) must actually be pruned
+    assert got[50][1] == 0 and got[51][1] == 0
+    assert sum(k for _, k in got.values()) < len(mat)
+
+
+def test_semdedup_exists_rule_chain(ray_session):
+    """u prunes v even when u is itself pruned (EXISTS, not CC): three
+    identical vectors -> ids 1 and 2 both pruned by lower ids."""
+    import ray.data
+    mat = [[0.3, 0.1]] * 3
+    cids = np.array([0], np.int64)
+    c = clustering.quantize_matrix(emb_table(mat[:1]).column("embedding"))
+    got = {r["vec_id"]: r["keep"]
+           for r in clustering.semdedup_prune(
+               ray.data.from_arrow(emb_table(mat)), cids, c,
+               tau_num=9, tau_den=10).take_all()}
+    assert got == {0: 1, 1: 0, 2: 0}
+
+
+def test_semdedup_block_boundary(ray_session):
+    """The row-blocked Gram path agrees with brute force when a group
+    spans multiple blocks (block_rows=4 << group size 30)."""
+    import ray.data
+    rng = np.random.default_rng(5)
+    mat = rng.uniform(-0.5, 0.5, size=(30, 4)).astype(np.float32)
+    mat[17] = mat[2]
+    mat[5] = mat[4] + 0.0005
+    cids = np.array([0], np.int64)
+    c = clustering.quantize_matrix(emb_table(mat[:1]).column("embedding"))
+    got = {r["vec_id"]: r["keep"]
+           for r in clustering.semdedup_prune(
+               ray.data.from_arrow(emb_table(mat)), cids, c,
+               tau_num=9, tau_den=10, block_rows=4).take_all()}
+    _, keep = _brute_semdedup(mat, cids, c, 9, 10)
+    assert keep[17] == 0 and got[17] == 0
+    assert [got[v] for v in range(30)] == keep
