@@ -1441,6 +1441,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return clustering.kmeans_step(
             _read(sf_dir, "embeddings", ["embedding"]), cids, c)
 
+    def pca_power_q(sf_dir: str):
+        """Dominant singular direction of the quantized embedding matrix
+        by 3 power iterations (functions/clustering.py:pca_power). Each
+        iteration is one streaming pass shipping `dims` int64 partials
+        per block; the renormalization's integer->double conversion is
+        IEEE round-to-nearest on both sides, so the DuckDB hugeint
+        replay matches bit-for-bit."""
+        from htmlreader_ray.functions import clustering
+        return clustering.pca_power(
+            _read(sf_dir, "embeddings", ["embedding"]), dims=16, iters=3)
+
     def semdedup_prune_q(sf_dir: str):
         """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings
         (first-8 centroids, exact integer L2), then inside each cluster
@@ -1824,6 +1835,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(as_i64, batch_format="pyarrow")
 
+    def anchor_terms(sf_dir: str):
+        """Anchor-text aggregation over the link graph (the classic
+        link-based host-description / ranking signal): for every
+        ABSOLUTE link, whitespace-split the anchor text and count
+        (host, word) pairs. All-Arrow explode (utf8_split_whitespace +
+        list_parent_indices); block-local combiner partials, one narrow
+        groupby(host, word) merge — the shuffle moves one (host, word,
+        n) row per block-distinct pair, never an anchor string. The
+        oracle regenerates the synthetic ref-block anchors ('ref j')
+        from doc_id arithmetic, verifying parse -> host-normalize ->
+        tokenize -> aggregate end-to-end."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+        from htmlreader_ray.functions.urls import url_host_column
+
+        links = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            q.as_task(q.LinkExtract), batch_format="pyarrow")
+
+        def pairs(b: pa.Table) -> pa.Table:
+            t = pa.Table.from_arrays(
+                [url_host_column(b.column("href")),
+                 b.column("anchor")], names=["host", "anchor"])
+            t = t.filter(pc.not_equal(t.column("host"), ""))
+            words = pc.utf8_split_whitespace(
+                pc.utf8_lower(t.column("anchor").combine_chunks()))
+            out = pa.Table.from_arrays(
+                [t.column("host").combine_chunks().take(
+                    pc.list_parent_indices(words)),
+                 pc.list_flatten(words)], names=["host", "word"])
+            return out.filter(pc.not_equal(out.column("word"), ""))
+
+        out = combine_aggregate(
+            links.map_batches(pairs, batch_format="pyarrow"),
+            ["host", "word"], [("", "count", "cnt")])
+
+        def as_i64(b: pa.Table) -> pa.Table:
+            i = b.column_names.index("cnt")
+            return b.set_column(i, "cnt",
+                                pc.cast(b.column("cnt"), pa.int64()))
+
+        return out.map_batches(as_i64, batch_format="pyarrow")
+
     def dsir_q(sf_dir: str):
         """DSIR-style data selection (hashed-unigram importance weights,
         Xie et al. 2023): target domain = sources src0-src4, features =
@@ -1928,6 +1982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": actor(q.LinkExtract),
         "url_normalize": url_normalize,
         "host_outdegree": host_outdegree,
+        "anchor_terms": anchor_terms,
         "host_pagerank": host_pagerank,
         "robots_filter": robots_filter,
         "dsir_weights": dsir_q,
@@ -2010,6 +2065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": kmeans_assign_q,
         "kmeans_step": kmeans_step_q,
         "semdedup_prune": semdedup_prune_q,
+        "pca_power": pca_power_q,
         "mixture_sample": mixture_sample,
         "ccnet_buckets": ccnet_buckets,
         "events_rollup": events_rollup,
@@ -2062,7 +2118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance", "kmeans_assign", "kmeans_step",
         "mixture_sample", "ccnet_buckets",
         # new in round 3, sixth sweep
-        "semdedup_prune",
+        "semdedup_prune", "anchor_terms", "pca_power",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -2219,6 +2275,20 @@ def oracle_sql() -> dict[str, str]:
                 (5, '/2', 'Related two')) AS b(seq, href, anchor)
             UNION ALL
             SELECT doc_id, CAST(seq AS BIGINT), href, anchor FROM extras
+        """,
+        "anchor_terms": """
+            WITH e AS (
+              SELECT 'h' || CAST((d.doc_id * 7 + j) % 10 AS VARCHAR)
+                     || '.example.com' AS host, j
+              FROM documents d,
+                   UNNEST(generate_series(0, d.doc_id % 3)) AS t(j)
+            ), w AS (
+              SELECT host, 'ref' AS word FROM e
+              UNION ALL
+              SELECT host, CAST(j AS VARCHAR) AS word FROM e
+            )
+            SELECT host, word, CAST(count(*) AS BIGINT) AS cnt
+            FROM w GROUP BY host, word
         """,
         "url_normalize": """
             SELECT d.doc_id, CAST(6 + j AS BIGINT) AS seq,
@@ -3479,6 +3549,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster, dim,
                    CAST(floor(s / cnt) AS BIGINT) AS centroid_q
             FROM m
+        """,
+        "pca_power": """
+            WITH q AS (
+                SELECT vec_id, list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
+                                 AS BIGINT)) AS v
+                FROM embeddings
+            ), a0 AS (
+                SELECT vec_id, generate_subscripts(v, 1) AS i,
+                       unnest(v) AS qv
+                FROM q
+            ), a AS (
+                SELECT vec_id, CAST(i AS BIGINT) AS i, qv
+                FROM a0 WHERE i <= 16
+            ), v0 AS (
+                SELECT CAST(j AS BIGINT) AS i, CAST(1000 AS BIGINT) AS val
+                FROM UNNEST(generate_series(1, 16)) AS t(j)
+            ), w1 AS (
+                SELECT a.vec_id, SUM(a.qv * v0.val) AS w
+                FROM a JOIN v0 USING (i) GROUP BY a.vec_id
+            ), z1 AS (
+                SELECT a.i, SUM(a.qv * w1.w) AS z
+                FROM a JOIN w1 USING (vec_id) GROUP BY a.i
+            ), m1 AS (SELECT MAX(ABS(z)) AS m FROM z1),
+            v1 AS (
+                SELECT i, CAST(floor(1000.0 * (CAST(z AS DOUBLE)
+                               / CAST(m AS DOUBLE)) + 0.5) AS BIGINT) AS val
+                FROM z1, m1
+            ), w2 AS (
+                SELECT a.vec_id, SUM(a.qv * v1.val) AS w
+                FROM a JOIN v1 USING (i) GROUP BY a.vec_id
+            ), z2 AS (
+                SELECT a.i, SUM(a.qv * w2.w) AS z
+                FROM a JOIN w2 USING (vec_id) GROUP BY a.i
+            ), m2 AS (SELECT MAX(ABS(z)) AS m FROM z2),
+            v2 AS (
+                SELECT i, CAST(floor(1000.0 * (CAST(z AS DOUBLE)
+                               / CAST(m AS DOUBLE)) + 0.5) AS BIGINT) AS val
+                FROM z2, m2
+            ), w3 AS (
+                SELECT a.vec_id, SUM(a.qv * v2.val) AS w
+                FROM a JOIN v2 USING (i) GROUP BY a.vec_id
+            ), z3 AS (
+                SELECT a.i, SUM(a.qv * w3.w) AS z
+                FROM a JOIN w3 USING (vec_id) GROUP BY a.i
+            ), m3 AS (SELECT MAX(ABS(z)) AS m FROM z3),
+            v3 AS (
+                SELECT i, CAST(floor(1000.0 * (CAST(z AS DOUBLE)
+                               / CAST(m AS DOUBLE)) + 0.5) AS BIGINT) AS val
+                FROM z3, m3
+            )
+            SELECT v1.i AS dim, v1.val AS v1_q, v2.val AS v2_q,
+                   v3.val AS v3_q
+            FROM v1 JOIN v2 USING (i) JOIN v3 USING (i)
         """,
         "semdedup_prune": """
             WITH q AS (

@@ -303,3 +303,68 @@ def semdedup_prune(ds, cids: np.ndarray, c: np.ndarray, *,
     assigned = ds.map_batches(assign, batch_format="pyarrow")
     return assigned.groupby("cluster").map_groups(
         prune_group, batch_format="pyarrow")
+
+
+# ------------------------------------------------- PCA power iteration
+
+def pca_power(ds, *, dims: int = 16, iters: int = 3,
+              embedding_col: str = "embedding"):
+    """Dominant right-singular direction of the quantized embedding
+    matrix by power iteration (the PCA/whitening prep a curation
+    pipeline runs before embedding compression), exact enough for a SQL
+    oracle to replay bit-for-bit.
+
+    Iteration k (v_0 = [1000]*dims):
+        z = Q^T (Q v_{k-1})   -- per-block int64 matmul partials; the
+                                 cross-block merge sums PYTHON ints, so
+                                 no int64 overflow at any corpus size
+        m = max(abs(z)), v_k = floor(1000.0 * (double(z)/double(m)) + 0.5)
+    Both sides convert the exact integer z to DOUBLE with IEEE
+    round-to-nearest (exact below 2^53; at test scales z ~ 1e13), divide
+    and floor identically, so v_k matches DuckDB's hugeint SUM + CAST
+    replay. Output one row per dim (1-based): (dim, v1_q, .., v{iters}_q).
+
+    Scale shape: each iteration is one streaming pass; the per-block
+    partial is `dims` (i, s) rows, and the driver-side merge is bounded
+    by n_blocks * dims — never an embedding row. Like PageRank, an
+    iterative algorithm re-reads its input; at production scale the
+    caller materializes the (bounded-width) quantized projection once.
+    """
+    import ray
+
+    v = np.full(dims, 1000, dtype=np.int64)
+    iterates: list[np.ndarray] = []
+    for _ in range(iters):
+        ref = ray.put(v)
+
+        def partials(batch: pa.Table, *, _ref=ref) -> pa.Table:
+            if len(batch) == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.int64())] * 2, names=["i", "s"])
+            vq = ray.get(_ref)
+            q = quantize_matrix(batch.column(embedding_col), dims)
+            w = q @ vq                       # (n,) int64, |w| <= 1.6e7
+            z = q.T @ w                      # (d,) int64 block partial
+            return pa.Table.from_arrays(
+                [pa.array(np.arange(1, dims + 1, dtype=np.int64)),
+                 pa.array(z)], names=["i", "s"])
+
+        rows = ds.map_batches(partials, batch_format="pyarrow") \
+            .take_all()                      # bounded: n_blocks * dims
+        z = [0] * dims
+        for r in rows:
+            z[r["i"] - 1] += int(r["s"])     # python ints: exact
+        m = max(abs(x) for x in z)
+        if m == 0:
+            break
+        v = np.array([math.floor(1000.0 * (float(x) / float(m)) + 0.5)
+                      for x in z], dtype=np.int64)
+        iterates.append(v)
+
+    cols = [pa.array(np.arange(1, dims + 1, dtype=np.int64))]
+    names = ["dim"]
+    for k, vk in enumerate(iterates, 1):
+        cols.append(pa.array(vk))
+        names.append(f"v{k}_q")
+    import ray.data
+    return ray.data.from_arrow(pa.Table.from_arrays(cols, names=names))

@@ -172,3 +172,43 @@ def test_semdedup_block_boundary(ray_session):
     _, keep = _brute_semdedup(mat, cids, c, 9, 10)
     assert keep[17] == 0 and got[17] == 0
     assert [got[v] for v in range(30)] == keep
+
+
+def _brute_pca_power(mat, dims, iters):
+    q = clustering.quantize_matrix(
+        emb_table(mat).column("embedding"), dims)
+    v = [1000] * dims
+    outs = []
+    for _ in range(iters):
+        w = [sum(int(q[r, j]) * v[j] for j in range(dims))
+             for r in range(len(q))]
+        z = [sum(int(q[r, j]) * w[r] for r in range(len(q)))
+             for j in range(dims)]
+        m = max(abs(x) for x in z)
+        v = [math.floor(1000.0 * (float(x) / float(m)) + 0.5) for x in z]
+        outs.append(v)
+    return outs
+
+
+def test_pca_power_matches_brute_and_partition_invariant(ray_session):
+    import ray.data
+    rng = np.random.default_rng(3)
+    # planted dominant direction + noise so 3 iterations converge
+    u = rng.uniform(0.5, 1.0, size=50)
+    w = rng.uniform(-0.5, 0.5, size=6)
+    mat = (np.outer(u, w)
+           + rng.uniform(-0.05, 0.05, size=(50, 6))).astype(np.float32)
+    want = _brute_pca_power(mat, 6, 3)
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(emb_table(mat)).repartition(parts)
+        got = sorted(clustering.pca_power(ds, dims=6, iters=3).take_all(),
+                     key=lambda r: r["dim"])
+        for k in range(3):
+            assert [r[f"v{k+1}_q"] for r in got] == want[k], (parts, k)
+    # the converged iterate is parallel to numpy's dominant eigenvector
+    q = clustering.quantize_matrix(
+        emb_table(mat).column("embedding")).astype(float)
+    evec = np.linalg.eigh(q.T @ q)[1][:, -1]
+    v3 = np.array(want[2], dtype=float)
+    cos = abs(v3 @ evec) / (np.linalg.norm(v3) * np.linalg.norm(evec))
+    assert cos > 0.999
