@@ -1452,6 +1452,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return clustering.pca_power(
             _read(sf_dir, "embeddings", ["embedding"]), dims=16, iters=3)
 
+    def pca_project_q(sf_dir: str):
+        """Rank-1 embedding compression: learn the power-iteration
+        direction (same exact contract as pca_power), then one
+        broadcast-map pass emits each vector's integer projection —
+        zero shuffles after the learn step."""
+        from htmlreader_ray.functions import clustering
+        return clustering.pca_project(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            dims=16, iters=3)
+
     def semdedup_prune_q(sf_dir: str):
         """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings
         (first-8 centroids, exact integer L2), then inside each cluster
@@ -2066,6 +2076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_step": kmeans_step_q,
         "semdedup_prune": semdedup_prune_q,
         "pca_power": pca_power_q,
+        "pca_project": pca_project_q,
         "mixture_sample": mixture_sample,
         "ccnet_buckets": ccnet_buckets,
         "events_rollup": events_rollup,
@@ -2118,7 +2129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance", "kmeans_assign", "kmeans_step",
         "mixture_sample", "ccnet_buckets",
         # new in round 3, sixth sweep
-        "semdedup_prune", "anchor_terms", "pca_power",
+        "semdedup_prune", "anchor_terms", "pca_power", "pca_project",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -3603,6 +3614,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT v1.i AS dim, v1.val AS v1_q, v2.val AS v2_q,
                    v3.val AS v3_q
             FROM v1 JOIN v2 USING (i) JOIN v3 USING (i)
+        """,
+        "pca_project": """
+            WITH q AS (
+                SELECT vec_id, list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
+                                 AS BIGINT)) AS v
+                FROM embeddings
+            ), a0 AS (
+                SELECT vec_id, generate_subscripts(v, 1) AS i,
+                       unnest(v) AS qv
+                FROM q
+            ), a AS (
+                SELECT vec_id, CAST(i AS BIGINT) AS i, qv
+                FROM a0 WHERE i <= 16
+            ), v0 AS (
+                SELECT CAST(j AS BIGINT) AS i, CAST(1000 AS BIGINT) AS val
+                FROM UNNEST(generate_series(1, 16)) AS t(j)
+            ), w1 AS (
+                SELECT a.vec_id, SUM(a.qv * v0.val) AS w
+                FROM a JOIN v0 USING (i) GROUP BY a.vec_id
+            ), z1 AS (
+                SELECT a.i, SUM(a.qv * w1.w) AS z
+                FROM a JOIN w1 USING (vec_id) GROUP BY a.i
+            ), m1 AS (SELECT MAX(ABS(z)) AS m FROM z1),
+            v1 AS (
+                SELECT i, CAST(floor(1000.0 * (CAST(z AS DOUBLE)
+                               / CAST(m AS DOUBLE)) + 0.5) AS BIGINT) AS val
+                FROM z1, m1
+            ), w2 AS (
+                SELECT a.vec_id, SUM(a.qv * v1.val) AS w
+                FROM a JOIN v1 USING (i) GROUP BY a.vec_id
+            ), z2 AS (
+                SELECT a.i, SUM(a.qv * w2.w) AS z
+                FROM a JOIN w2 USING (vec_id) GROUP BY a.i
+            ), m2 AS (SELECT MAX(ABS(z)) AS m FROM z2),
+            v2 AS (
+                SELECT i, CAST(floor(1000.0 * (CAST(z AS DOUBLE)
+                               / CAST(m AS DOUBLE)) + 0.5) AS BIGINT) AS val
+                FROM z2, m2
+            ), w3 AS (
+                SELECT a.vec_id, SUM(a.qv * v2.val) AS w
+                FROM a JOIN v2 USING (i) GROUP BY a.vec_id
+            ), z3 AS (
+                SELECT a.i, SUM(a.qv * w3.w) AS z
+                FROM a JOIN w3 USING (vec_id) GROUP BY a.i
+            ), m3 AS (SELECT MAX(ABS(z)) AS m FROM z3),
+            v3 AS (
+                SELECT i, CAST(floor(1000.0 * (CAST(z AS DOUBLE)
+                               / CAST(m AS DOUBLE)) + 0.5) AS BIGINT) AS val
+                FROM z3, m3
+            )
+            SELECT a.vec_id, CAST(SUM(a.qv * v3.val) AS BIGINT) AS proj_q
+            FROM a JOIN v3 USING (i) GROUP BY a.vec_id
         """,
         "semdedup_prune": """
             WITH q AS (

@@ -330,6 +330,19 @@ def pca_power(ds, *, dims: int = 16, iters: int = 3,
     iterative algorithm re-reads its input; at production scale the
     caller materializes the (bounded-width) quantized projection once.
     """
+    iterates = _power_iterates(ds, dims=dims, iters=iters,
+                               embedding_col=embedding_col)
+    cols = [pa.array(np.arange(1, dims + 1, dtype=np.int64))]
+    names = ["dim"]
+    for k, vk in enumerate(iterates, 1):
+        cols.append(pa.array(vk))
+        names.append(f"v{k}_q")
+    import ray.data
+    return ray.data.from_arrow(pa.Table.from_arrays(cols, names=names))
+
+
+def _power_iterates(ds, *, dims: int, iters: int,
+                    embedding_col: str) -> list[np.ndarray]:
     import ray
 
     v = np.full(dims, 1000, dtype=np.int64)
@@ -360,11 +373,34 @@ def pca_power(ds, *, dims: int = 16, iters: int = 3,
         v = np.array([math.floor(1000.0 * (float(x) / float(m)) + 0.5)
                       for x in z], dtype=np.int64)
         iterates.append(v)
+    return iterates
 
-    cols = [pa.array(np.arange(1, dims + 1, dtype=np.int64))]
-    names = ["dim"]
-    for k, vk in enumerate(iterates, 1):
-        cols.append(pa.array(vk))
-        names.append(f"v{k}_q")
-    import ray.data
-    return ray.data.from_arrow(pa.Table.from_arrays(cols, names=names))
+
+def pca_project(ds, *, dims: int = 16, iters: int = 3,
+                id_col: str = "vec_id",
+                embedding_col: str = "embedding"):
+    """Per-row projection onto the power-iteration direction: learn v_k
+    with ``pca_power``'s exact contract, then one broadcast-map pass
+    emitting (vec_id, proj_q) with proj_q = sum_i q_i * v_i — exact
+    int64 (|q| <= ~1000, |v| <= 1000, d <= 64 keeps the dot below
+    2^26*d). The rank-1 embedding compression / sort key of a
+    SemDeDup-style curation pass; zero shuffles after the learn step."""
+    import ray
+
+    iterates = _power_iterates(ds, dims=dims, iters=iters,
+                               embedding_col=embedding_col)
+    v = iterates[-1] if iterates else np.zeros(dims, dtype=np.int64)
+    ref = ray.put(v)
+
+    def project(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        if len(batch) == 0:
+            return pa.Table.from_arrays(
+                [batch.column(id_col), pa.array([], pa.int64())],
+                names=[id_col, "proj_q"])
+        vq = ray.get(_ref)
+        q = quantize_matrix(batch.column(embedding_col), dims)
+        return pa.Table.from_arrays(
+            [batch.column(id_col), pa.array(q @ vq)],
+            names=[id_col, "proj_q"])
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -212,3 +212,20 @@ def test_pca_power_matches_brute_and_partition_invariant(ray_session):
     v3 = np.array(want[2], dtype=float)
     cos = abs(v3 @ evec) / (np.linalg.norm(v3) * np.linalg.norm(evec))
     assert cos > 0.999
+
+
+def test_pca_project_matches_brute(ray_session):
+    import ray.data
+    rng = np.random.default_rng(9)
+    u = rng.uniform(0.5, 1.0, size=40)
+    w = rng.uniform(-0.5, 0.5, size=5)
+    mat = (np.outer(u, w)
+           + rng.uniform(-0.05, 0.05, size=(40, 5))).astype(np.float32)
+    v3 = np.array(_brute_pca_power(mat, 5, 3)[2], dtype=np.int64)
+    q = clustering.quantize_matrix(
+        emb_table(mat).column("embedding"), 5)
+    ds = ray.data.from_arrow(emb_table(mat)).repartition(3)
+    got = {r["vec_id"]: r["proj_q"]
+           for r in clustering.pca_project(ds, dims=5, iters=3).take_all()}
+    for i in range(40):
+        assert got[i] == int(q[i] @ v3)
