@@ -1513,6 +1513,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 "cum_tokens"]),
             batch_format="pyarrow")
 
+    def temperature_sample_q(sf_dir: str):
+        """Temperature-flattened (alpha=1/2) source mixing
+        (functions/scan.py:temperature_sample): keep rate proportional
+        to 1/sqrt(group size), normalized so the smallest group keeps
+        everything. The uniform synthetic `source` column would make
+        this vacuous, so the demonstration grouping is deterministically
+        skewed from doc_id arithmetic (one 50% group + five 10% groups)
+        — the oracle regenerates it identically. Hash keys follow the
+        repo's md5-prefix convention (13 hex = 52 bits)."""
+        import hashlib
+        import pyarrow as pa
+        from htmlreader_ray.functions.scan import temperature_sample
+
+        def prep(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            grp = ["big" if i % 10 < 5 else f"m{i % 10}" for i in ids]
+            keys = [int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+                    for i in ids]
+            return pa.Table.from_arrays(
+                [batch.column("doc_id"), pa.array(grp, pa.string()),
+                 pa.array(keys, pa.int64())],
+                names=["doc_id", "grp", "__hkey"])
+
+        keyed = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+            prep, batch_format="pyarrow")
+        out = temperature_sample(keyed, source_col="grp",
+                                 hkey_col="__hkey")
+        return out.map_batches(
+            lambda b: b.rename_columns(["doc_id", "grp", "hkey"]),
+            batch_format="pyarrow")
+
     def ccnet_buckets(sf_dir: str):
         """CCNet-style quality bucketing: per-token corpus surprisal
         (milli-nats, the established integer unigram contract), then
@@ -2078,6 +2109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_power": pca_power_q,
         "pca_project": pca_project_q,
         "mixture_sample": mixture_sample,
+        "temperature_sample": temperature_sample_q,
         "ccnet_buckets": ccnet_buckets,
         "events_rollup": events_rollup,
         "events_funnel": events_funnel,
@@ -2130,6 +2162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample", "ccnet_buckets",
         # new in round 3, sixth sweep
         "semdedup_prune", "anchor_terms", "pca_power", "pca_project",
+        "temperature_sample",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -3731,6 +3764,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source, n_tokens, cum_tokens
             FROM c WHERE cum_tokens <= 800
+        """,
+        "temperature_sample": """
+            WITH g AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 < 5 THEN 'big'
+                            ELSE 'm' || CAST(doc_id % 10 AS VARCHAR)
+                       END AS grp,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 13))::BIGINT AS hkey
+                FROM documents
+            ), sizes AS (
+                SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                       CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000
+                                  + 0.5) AS BIGINT) AS w
+                FROM g GROUP BY grp
+            ), m AS (
+                SELECT s1.grp AS mgrp, s1.n AS mn, s1.w AS mw
+                FROM sizes s1
+                WHERE NOT EXISTS (
+                  SELECT 1 FROM sizes s2
+                  WHERE CAST(s2.w AS HUGEINT) * s1.n
+                        > CAST(s1.w AS HUGEINT) * s2.n
+                     OR (CAST(s2.w AS HUGEINT) * s1.n
+                         = CAST(s1.w AS HUGEINT) * s2.n
+                         AND s2.grp < s1.grp))
+            ), thr AS (
+                SELECT s.grp,
+                       (CAST(s.w AS HUGEINT) * m.mn
+                        * CAST(4503599627370496 AS HUGEINT))
+                       // (CAST(s.n AS HUGEINT) * m.mw) AS t
+                FROM sizes s, m
+            )
+            SELECT g.doc_id, g.grp, g.hkey
+            FROM g JOIN thr USING (grp)
+            WHERE g.hkey < thr.t
         """,
         "ccnet_buckets": r"""
             WITH words AS (

@@ -188,3 +188,57 @@ def token_pack(ds, *, order_col: str = "doc_id", tokens_col: str = "n_tokens",
         return batch.append_column("chunk_id", cid.cast(pa.int64()))
 
     return scanned.map_batches(chunk, batch_format="pyarrow")
+
+
+def temperature_sample(ds, *, source_col: str = "source",
+                       hkey_col: str = "__hkey"):
+    """Temperature-flattened source sampling (the alpha = 1/2 mixing rule
+    of multilingual / multi-source training-data recipes): source s is
+    downsampled at rate r_s = (w_s / n_s) / max_t(w_t / n_t) with
+    w_s = floor(sqrt(n_s) * 1000 + 0.5), so the kept mixture's source
+    shares are proportional to sqrt(n_s). A row is kept iff its
+    precomputed 52-bit hash key < floor(w_s * n_m * 2^52 / (n_s * w_m))
+    — all threshold arithmetic in arbitrary-precision ints (the SQL
+    oracle replays it in hugeint), and sqrt is IEEE correctly rounded on
+    both sides, so keep/drop decisions are bit-deterministic.
+
+    Input must already carry ``hkey_col`` (the repo's md5-prefix
+    convention, 13 hex digits = 52 bits). Two passes: a combiner
+    count-by-source (one (source, n) row per block-distinct source on
+    the wire), then a broadcast threshold map — the corpus itself never
+    shuffles. The argmax source resolves ties by lowest source string,
+    mirrored by the oracle's exact-rational NOT EXISTS."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from .shuffle import combine_aggregate
+
+    sizes = combine_aggregate(
+        ds.map_batches(lambda b: b.select([source_col]),
+                       batch_format="pyarrow"),
+        [source_col], [("", "count", "n")]).take_all()  # bounded: #sources
+    n_by_src = {r[source_col]: int(r["n"]) for r in sizes}
+    w_by_src = {s: math.floor(math.sqrt(float(n)) * 1000 + 0.5)
+                for s, n in n_by_src.items()}
+    # exact-rational argmax of w/n, ties -> lowest source string
+    m_src = None
+    for s in sorted(n_by_src):
+        if m_src is None or (w_by_src[s] * n_by_src[m_src]
+                             > w_by_src[m_src] * n_by_src[s]):
+            m_src = s
+    mn, mw = n_by_src[m_src], w_by_src[m_src]
+    thr = {s: (w_by_src[s] * mn * (1 << 52)) // (n_by_src[s] * mw)
+           for s in n_by_src}
+    ref = ray.put(thr)
+
+    def keep(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        t = ray.get(_ref)
+        lim = pa.array([t.get(s, 0)
+                        for s in batch.column(source_col).to_pylist()],
+                       pa.int64())
+        return batch.filter(pc.less(batch.column(hkey_col), lim))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

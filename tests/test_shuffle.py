@@ -190,3 +190,47 @@ def test_grouped_ntile_matches_rank_formula(ray_session):
         for rank, (_, i) in enumerate(rows, start=1):
             assert got[i] == (rank - 1) * 3 // tot + 1
     assert len(got) == n
+
+
+def test_temperature_sample_exact_and_invariant(ray_session):
+    """alpha=1/2 mixing: keep decisions match the arbitrary-precision
+    threshold replay, the smallest group keeps everything, and the
+    result is partition-invariant."""
+    import hashlib
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from htmlreader_ray.functions.scan import temperature_sample
+
+    n = 400
+    grp = ["big" if i % 4 else f"s{i % 3}" for i in range(n)]
+    keys = [int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+            for i in range(n)]
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "grp": pa.array(grp), "__hkey": pa.array(keys,
+                                                           pa.int64())})
+    # brute-force thresholds in python ints
+    from collections import Counter
+    sizes = Counter(grp)
+    w = {s: math.floor(math.sqrt(float(c)) * 1000 + 0.5)
+         for s, c in sizes.items()}
+    m = None
+    for s in sorted(sizes):
+        if m is None or w[s] * sizes[m] > w[m] * sizes[s]:
+            m = s
+    thr = {s: (w[s] * sizes[m] * (1 << 52)) // (sizes[s] * w[m])
+           for s in sizes}
+    want = {i for i in range(n) if keys[i] < thr[grp[i]]}
+    for parts in (1, 6):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        got = {r["doc_id"] for r in temperature_sample(
+            ds, source_col="grp").take_all()}
+        assert got == want, parts
+    # the smallest groups (rate 1, threshold 2^52 > any 52-bit key) all kept
+    small = {i for i in range(n) if grp[i] != "big"}
+    assert small <= want
+    # and the big group is genuinely downsampled
+    assert len(want & {i for i in range(n) if grp[i] == "big"}) \
+        < sum(1 for g in grp if g == "big")
