@@ -230,15 +230,22 @@ def temperature_sample(ds, *, source_col: str = "source",
                              > w_by_src[m_src] * n_by_src[s]):
             m_src = s
     mn, mw = n_by_src[m_src], w_by_src[m_src]
-    thr = {s: (w_by_src[s] * mn * (1 << 52)) // (n_by_src[s] * mw)
-           for s in n_by_src}
-    ref = ray.put(thr)
+    srcs = sorted(n_by_src)
+    # clamp to int64 for the vectorized take (rate-1 thresholds are 2^52,
+    # far below the clamp; anything above every 52-bit key keeps all)
+    thr_arr = np.array([min((w_by_src[s] * mn * (1 << 52))
+                            // (n_by_src[s] * mw), (1 << 62))
+                        for s in srcs], dtype=np.int64)
+    ref = ray.put((pa.array(srcs, pa.string()), thr_arr))
 
     def keep(batch: pa.Table, *, _ref=ref) -> pa.Table:
-        t = ray.get(_ref)
-        lim = pa.array([t.get(s, 0)
-                        for s in batch.column(source_col).to_pylist()],
-                       pa.int64())
-        return batch.filter(pc.less(batch.column(hkey_col), lim))
+        src_set, t = ray.get(_ref)
+        # every source is present in the pass-1 sizes by construction, so
+        # index_in never yields a null here (a null would fail loudly)
+        idx = pc.index_in(batch.column(source_col), value_set=src_set) \
+            .combine_chunks().to_numpy(zero_copy_only=False)
+        lim = t[idx.astype(np.int64)]
+        return batch.filter(
+            pc.less(batch.column(hkey_col), pa.array(lim, pa.int64())))
 
     return ds.map_batches(keep, batch_format="pyarrow")
