@@ -135,3 +135,59 @@ def test_dup_spans_shuffle_budget(ray_session):
     assert ops.count("Aggregate") == 1, ops
     assert ops.count("Sort") == 1, ops
     assert "RandomShuffle" not in ops, ops
+
+
+def test_semdedup_prune_shuffles_only_on_cluster(ray_session):
+    """SemDeDup: centroids broadcast, assignment is a map, and the ONLY
+    all-to-all is the cluster-keyed groupby feeding the prune groups
+    (Ray Data lowers map_groups to Sort on the key)."""
+    import numpy as np
+    import ray.data as rd
+
+    from htmlreader_ray.functions import clustering
+
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array([[0.1, 0.2], [0.3, 0.1], [0.15, 0.22]],
+                              pa.list_(pa.float32()))}))
+    cids = np.array([0], np.int64)
+    c = np.array([[100, 200]], np.int64)
+    out = clustering.semdedup_prune(ds, cids, c)
+    ops = _shuffle_ops(out)
+    assert len(ops) == 1 and ops[0] in ("Sort", "Aggregate"), ops
+
+
+def test_pca_project_is_map_only_after_learn(ray_session):
+    """pca_project's output plan: the learn passes run eagerly (bounded
+    take_all of dims-row partials); the emitted projection Dataset is a
+    pure broadcast map with zero shuffles."""
+    import ray.data as rd
+
+    from htmlreader_ray.functions import clustering
+
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array([[0.1, 0.2], [0.3, 0.1], [0.15, 0.22]],
+                              pa.list_(pa.float32()))}))
+    out = clustering.pca_project(ds, dims=2, iters=2)
+    assert _shuffle_ops(out) == []
+
+
+def test_temperature_sample_filter_pass_is_map_only(ray_session):
+    """temperature_sample: pass 1 (sizes) is a bounded combiner
+    aggregate consumed eagerly; the returned keep-filter Dataset itself
+    is a pure map — the corpus never shuffles."""
+    import hashlib
+
+    import ray.data as rd
+
+    from htmlreader_ray.functions.scan import temperature_sample
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(20), pa.int64()),
+        "source": pa.array(["a" if i % 4 else "b" for i in range(20)]),
+        "__hkey": pa.array(
+            [int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+             for i in range(20)], pa.int64())}))
+    out = temperature_sample(ds)
+    assert _shuffle_ops(out) == []
