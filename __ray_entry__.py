@@ -1513,6 +1513,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 "cum_tokens"]),
             batch_format="pyarrow")
 
+    def event_anomaly(sf_dir: str):
+        """Per-event-type z-score outliers (the data-validation /
+        monitoring pass): exact integer moment partials per block,
+        python-int merge, IEEE-mirrored 3-sigma flag
+        (functions/stats.py:grouped_zscore_outliers). The events table
+        never shuffles — pass 1 ships one (type, n, s1, s2) row per
+        block-distinct type, pass 2 is a broadcast filter."""
+        from htmlreader_ray.functions.stats import grouped_zscore_outliers
+        return grouped_zscore_outliers(
+            _read(sf_dir, "events", ["event_id", "event_type", "value"]),
+            group_col="event_type", value_col="value",
+            id_col="event_id", sigma=3.0)
+
     def temperature_sample_q(sf_dir: str):
         """Temperature-flattened (alpha=1/2) source mixing
         (functions/scan.py:temperature_sample): keep rate proportional
@@ -2110,6 +2123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_project": pca_project_q,
         "mixture_sample": mixture_sample,
         "temperature_sample": temperature_sample_q,
+        "event_anomaly": event_anomaly,
         "ccnet_buckets": ccnet_buckets,
         "events_rollup": events_rollup,
         "events_funnel": events_funnel,
@@ -2162,7 +2176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample", "ccnet_buckets",
         # new in round 3, sixth sweep
         "semdedup_prune", "anchor_terms", "pca_power", "pca_project",
-        "temperature_sample",
+        "temperature_sample", "event_anomaly",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -3764,6 +3778,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source, n_tokens, cum_tokens
             FROM c WHERE cum_tokens <= 800
+        """,
+        "event_anomaly": """
+            WITH q AS (
+                SELECT event_id, event_type,
+                       CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vq
+                FROM events
+            ), s AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                       SUM(vq) AS s1, SUM(vq * vq) AS s2
+                FROM q GROUP BY event_type
+            ), st AS (
+                SELECT event_type,
+                       CAST(s1 AS DOUBLE) / n AS mean,
+                       CASE WHEN CAST(s2 AS DOUBLE) / n
+                                 - (CAST(s1 AS DOUBLE) / n)
+                                   * (CAST(s1 AS DOUBLE) / n) > 0
+                            THEN sqrt(CAST(s2 AS DOUBLE) / n
+                                      - (CAST(s1 AS DOUBLE) / n)
+                                        * (CAST(s1 AS DOUBLE) / n))
+                            ELSE 0 END AS std
+                FROM s
+            )
+            SELECT q.event_id, q.event_type, q.vq
+            FROM q JOIN st USING (event_type)
+            WHERE abs(CAST(q.vq AS DOUBLE) - st.mean) > 3.0 * st.std
         """,
         "temperature_sample": """
             WITH g AS (

@@ -558,3 +558,43 @@ def test_lang_id_exact_integer_contract():
     # acceptance boundary: exactly 2% (1 hit / 50 words) is ACCEPTED
     out2 = lang_id_exact(tbl([1], ["the " + "x " * 49]))
     assert out2.column("pred_lang").to_pylist() == ["en"]
+
+
+def test_grouped_zscore_outliers_matches_brute(ray_session):
+    """Exact moment merge + IEEE flag vs a brute-force replay, plus
+    partition invariance and the var<=0 degenerate group (all-equal
+    values -> std 0 -> every row flagged unless exactly at the mean)."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from htmlreader_ray.functions.stats import grouped_zscore_outliers
+
+    rng = np.random.default_rng(21)
+    n = 300
+    grp = ["a" if i % 3 else "b" for i in range(n - 4)] + ["c"] * 4
+    val = list(rng.exponential(5.0, size=n - 4)) + [2.5] * 4
+    t = pa.table({"event_id": pa.array(range(n), pa.int64()),
+                  "event_type": pa.array(grp),
+                  "value": pa.array(val, pa.float64())})
+    vq = [math.floor(v * 1000 + 0.5) for v in val]
+    want = set()
+    for g in set(grp):
+        idx = [i for i in range(n) if grp[i] == g]
+        cnt, s1, s2 = len(idx), sum(vq[i] for i in idx), \
+            sum(vq[i] * vq[i] for i in idx)
+        mean = float(s1) / cnt
+        var = float(s2) / cnt - mean * mean
+        std = math.sqrt(var) if var > 0 else 0.0
+        want |= {i for i in idx if abs(float(vq[i]) - mean) > 3.0 * std}
+    for parts in (1, 5):
+        ds = rd.from_arrow(t).repartition(parts)
+        got = {r["event_id"] for r in grouped_zscore_outliers(
+            ds, group_col="event_type", value_col="value",
+            id_col="event_id", sigma=3.0).take_all()}
+        assert got == want, parts
+    # group c: all values identical -> zero std, nothing beyond the mean
+    assert not any(grp[i] == "c" for i in want)
+    assert want  # non-vacuous on the exponential tail
