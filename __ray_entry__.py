@@ -1889,6 +1889,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(as_i64, batch_format="pyarrow")
 
+    def host_rank_join(sf_dir: str):
+        """Propagate host PageRank onto documents (the per-doc quality
+        weight a curation pipeline applies): the bounded rank table
+        (one row per graph node; broadcast while <= the established 2M
+        small-side bound, hash join beyond) is looked up per distinct
+        (doc_id, host) link. The distinct is block-local only — a doc's
+        links are parsed inside one block by construction, so no
+        shuffle exists anywhere in this pipeline."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+
+        from htmlreader_ray.functions.graph import pagerank
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+        from htmlreader_ray.functions.urls import url_host_column
+
+        edges = _read(sf_dir, "documents",
+                      ["doc_id", "source", "text"]).map_batches(
+            q.as_task(q.HostEdges), batch_format="pyarrow")
+        edges = combine_aggregate(edges, ["src", "dst"],
+                                  [("", "count", "w")])
+        ranks = pagerank(edges.select_columns(["src", "dst"]),
+                         iters=3).take_all()   # bounded: one row per node
+        nodes = sorted(r["node"] for r in ranks)
+        by_node = {r["node"]: r["rank"] for r in ranks}
+        import numpy as np
+        ref = ray.put((pa.array(nodes, pa.string()),
+                       np.array([by_node[n] for n in nodes], np.int64)))
+
+        links = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            q.as_task(q.LinkExtract), batch_format="pyarrow")
+
+        def join_rank(b: pa.Table, *, _ref=ref) -> pa.Table:
+            nset, rk = ray.get(_ref)
+            t = pa.Table.from_arrays(
+                [b.column("doc_id"), url_host_column(b.column("href"))],
+                names=["doc_id", "host"])
+            t = t.filter(pc.not_equal(t.column("host"), ""))
+            t = t.group_by(["doc_id", "host"]).aggregate([])  # block-local
+            idx = pc.index_in(t.column("host"), value_set=nset) \
+                .combine_chunks().to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return t.append_column("rank", pa.array(rk[idx]))
+
+        return links.map_batches(join_rank, batch_format="pyarrow")
+
     def anchor_terms(sf_dir: str):
         """Anchor-text aggregation over the link graph (the classic
         link-based host-description / ranking signal): for every
@@ -2037,6 +2083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_normalize": url_normalize,
         "host_outdegree": host_outdegree,
         "anchor_terms": anchor_terms,
+        "host_rank_join": host_rank_join,
         "host_pagerank": host_pagerank,
         "robots_filter": robots_filter,
         "dsir_weights": dsir_q,
@@ -2176,7 +2223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample", "ccnet_buckets",
         # new in round 3, sixth sweep
         "semdedup_prune", "anchor_terms", "pca_power", "pca_project",
-        "temperature_sample", "event_anomaly",
+        "temperature_sample", "event_anomaly", "host_rank_join",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -2537,6 +2584,65 @@ def oracle_sql() -> dict[str, str]:
                    FROM nodes nd CROSS JOIN c CROSS JOIN d3
                    LEFT JOIN f3 f ON f.node = nd.node)
             SELECT node, CAST(r AS BIGINT) AS "rank" FROM r3
+        """,
+        # the same unrolled PageRank chain, joined back onto the distinct
+        # per-doc link hosts (host_rank_join's broadcast lookup)
+        "host_rank_join": """
+            WITH edges AS (
+              SELECT DISTINCT d.source AS src,
+                     'h' || CAST((d.doc_id * 7 + j) % 10 AS VARCHAR)
+                         || '.example.com' AS dst
+              FROM documents d,
+                   UNNEST(generate_series(0, d.doc_id % 3)) AS t(j)
+            ),
+            nodes AS (SELECT src AS node FROM edges
+                      UNION SELECT dst FROM edges),
+            c AS (SELECT COUNT(*) AS n FROM nodes),
+            deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+            r0 AS (SELECT node, 1000000000000 // c.n AS r
+                   FROM nodes, c),
+            f1 AS (SELECT e.dst AS node, SUM(r.r // g.outdeg) AS inflow
+                   FROM edges e JOIN r0 r ON r.node = e.src
+                                JOIN deg g ON g.src = e.src GROUP BY 1),
+            d1 AS (SELECT COALESCE(SUM(r.r), 0) AS dang FROM r0 r
+                   LEFT JOIN deg g ON g.src = r.node WHERE g.src IS NULL),
+            r1 AS (SELECT nd.node,
+                          (15 * (1000000000000 // c.n)) // 100 +
+                          (85 * (COALESCE(f.inflow, 0) + d1.dang // c.n))
+                          // 100 AS r
+                   FROM nodes nd CROSS JOIN c CROSS JOIN d1
+                   LEFT JOIN f1 f ON f.node = nd.node),
+            f2 AS (SELECT e.dst AS node, SUM(r.r // g.outdeg) AS inflow
+                   FROM edges e JOIN r1 r ON r.node = e.src
+                                JOIN deg g ON g.src = e.src GROUP BY 1),
+            d2 AS (SELECT COALESCE(SUM(r.r), 0) AS dang FROM r1 r
+                   LEFT JOIN deg g ON g.src = r.node WHERE g.src IS NULL),
+            r2 AS (SELECT nd.node,
+                          (15 * (1000000000000 // c.n)) // 100 +
+                          (85 * (COALESCE(f.inflow, 0) + d2.dang // c.n))
+                          // 100 AS r
+                   FROM nodes nd CROSS JOIN c CROSS JOIN d2
+                   LEFT JOIN f2 f ON f.node = nd.node),
+            f3 AS (SELECT e.dst AS node, SUM(r.r // g.outdeg) AS inflow
+                   FROM edges e JOIN r2 r ON r.node = e.src
+                                JOIN deg g ON g.src = e.src GROUP BY 1),
+            d3 AS (SELECT COALESCE(SUM(r.r), 0) AS dang FROM r2 r
+                   LEFT JOIN deg g ON g.src = r.node WHERE g.src IS NULL),
+            r3 AS (SELECT nd.node,
+                          (15 * (1000000000000 // c.n)) // 100 +
+                          (85 * (COALESCE(f.inflow, 0) + d3.dang // c.n))
+                          // 100 AS r
+                   FROM nodes nd CROSS JOIN c CROSS JOIN d3
+                   LEFT JOIN f3 f ON f.node = nd.node),
+            l AS (
+              SELECT DISTINCT d.doc_id,
+                     'h' || CAST((d.doc_id * 7 + j) % 10 AS VARCHAR)
+                         || '.example.com' AS host
+              FROM documents d,
+                   UNNEST(generate_series(0, d.doc_id % 3)) AS t(j)
+            )
+            SELECT l.doc_id, l.host, CAST(r3.r AS BIGINT) AS "rank"
+            FROM l JOIN r3 ON r3.node = l.host
         """,
         # same segmentation idiom as segment_dedup's oracle; only the
         # keep-first partition differs (per doc, not corpus-wide)
