@@ -141,6 +141,139 @@ def retention_cohorts(ds, *, ts_col: str = "ts",
     return agg.map_batches(project, batch_format="pyarrow")
 
 
+def _segments(uid_sorted: np.ndarray):
+    """Boundary arithmetic shared by the windowed kernels: for a
+    user-sorted id array return (seg_id, starts) where ``starts[seg_id]``
+    is each row's segment-start index."""
+    new_user = np.r_[True, uid_sorted[1:] != uid_sorted[:-1]]
+    seg_id = np.cumsum(new_user) - 1
+    starts = np.flatnonzero(new_user)
+    return seg_id, starts
+
+
+def _cents(col: pa.ChunkedArray) -> np.ndarray:
+    """floor(value * 100) as int64 — elementwise IEEE double multiply +
+    floor, bit-identical to the oracle's ``CAST(floor(value*100) AS
+    BIGINT)`` regardless of which engine evaluates it."""
+    v = col.combine_chunks().to_numpy(zero_copy_only=False)
+    return np.floor(v * 100.0).astype(np.int64)
+
+
+def running_totals(ds, *, ts_col: str = "ts", user_col: str = "user_id",
+                   order_col: str = "event_id", value_col: str = "value",
+                   coarse_buckets: int = 256):
+    """Per-user cumulative window: running row_number and running
+    int-cents sum over (ts, order_col) order — the distributed analogue
+    of ``SUM(...) OVER (PARTITION BY user ORDER BY ts, id ROWS UNBOUNDED
+    PRECEDING)``.
+
+    Same coarse-bucket discipline as the other sequence kernels: ONE
+    user-bucket shuffle, then a segmented numpy cumsum handles every
+    user in the bucket with zero per-user dispatch. Output is one row
+    per input event (user_id, event_id, run_n, run_cents), all int64.
+    """
+    def kernel(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 4,
+                names=[user_col, order_col, "run_n", "run_cents"])
+        uid = _np(group.column(user_col))
+        us = _np(group.column(ts_col).cast(pa.int64()))
+        eid = _np(group.column(order_col))
+        cents = _cents(group.column(value_col))
+        order = np.lexsort((eid, us, uid))
+        uid_s, eid_s, cents_s = uid[order], eid[order], cents[order]
+        seg_id, starts = _segments(uid_s)
+        cs = np.cumsum(cents_s)
+        base = np.r_[0, cs][starts]          # cumsum just before each seg
+        run_cents = cs - base[seg_id]
+        run_n = np.arange(len(uid_s), dtype=np.int64) - starts[seg_id] + 1
+        return pa.Table.from_arrays(
+            [pa.array(uid_s), pa.array(eid_s), pa.array(run_n),
+             pa.array(run_cents)],
+            names=[user_col, order_col, "run_n", "run_cents"])
+
+    return _bucketed(ds.select_columns(
+        [user_col, ts_col, order_col, value_col]),
+        user_col, coarse_buckets).map_groups(
+        kernel, batch_format="pyarrow")
+
+
+def moving_window_sums(ds, *, win: int = 4, ts_col: str = "ts",
+                       user_col: str = "user_id",
+                       order_col: str = "event_id",
+                       value_col: str = "value",
+                       coarse_buckets: int = 256):
+    """Per-user sliding window (ROWS ``win``-1 PRECEDING .. CURRENT ROW):
+    window row count and window int-cents sum, exact via prefix-sum
+    differences clamped at segment starts. One user-bucket shuffle; the
+    window never crosses a user so bucket-local evaluation is exact.
+    Output (user_id, event_id, win_n, win_cents) int64, one row per
+    event."""
+    def kernel(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 4,
+                names=[user_col, order_col, "win_n", "win_cents"])
+        uid = _np(group.column(user_col))
+        us = _np(group.column(ts_col).cast(pa.int64()))
+        eid = _np(group.column(order_col))
+        cents = _cents(group.column(value_col))
+        order = np.lexsort((eid, us, uid))
+        uid_s, eid_s, cents_s = uid[order], eid[order], cents[order]
+        seg_id, starts = _segments(uid_s)
+        csp = np.r_[0, np.cumsum(cents_s)]   # csp[i+1] = sum through i
+        gidx = np.arange(len(uid_s), dtype=np.int64)
+        lo = np.maximum(gidx - (win - 1), starts[seg_id])
+        win_cents = csp[gidx + 1] - csp[lo]
+        win_n = gidx + 1 - lo
+        return pa.Table.from_arrays(
+            [pa.array(uid_s), pa.array(eid_s), pa.array(win_n),
+             pa.array(win_cents)],
+            names=[user_col, order_col, "win_n", "win_cents"])
+
+    return _bucketed(ds.select_columns(
+        [user_col, ts_col, order_col, value_col]),
+        user_col, coarse_buckets).map_groups(
+        kernel, batch_format="pyarrow")
+
+
+def pivot_counts(ds, *, user_col: str = "user_id",
+                 type_col: str = "event_type",
+                 types: tuple[str, ...] = ("view", "click", "purchase",
+                                           "signup", "error")):
+    """Pivot (long -> wide): per-user event counts, one int64 column per
+    known type. The type set is a pipeline constant (mirrored verbatim in
+    the oracle's FILTER clauses), so the kernel is a pure combiner: each
+    block appends one 0/1 indicator column per type and group_by(user)-
+    sums them locally; the global shuffle then moves one row per
+    (block, user) with len(types)+1 small ints — never the event rows."""
+    from ray.data.aggregate import Sum
+    cols = [f"n_{t}" for t in types]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * (1 + len(types)),
+                names=[user_col, *cols])
+        tc = batch.column(type_col)
+        arrs = [batch.column(user_col)]
+        for t in types:
+            arrs.append(pc.cast(pc.equal(tc, t), pa.int64()))
+        wide = pa.Table.from_arrays(arrs, names=[user_col, *cols])
+        return wide.group_by(user_col).aggregate(
+            [(c, "sum") for c in cols]).rename_columns([user_col, *cols])
+
+    partials = ds.select_columns([user_col, type_col]).map_batches(
+        partial, batch_format="pyarrow")
+    agg = partials.groupby(user_col).aggregate(*[Sum(c) for c in cols])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns([user_col, *cols])
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
 def type_cooccurrence(ds, *, user_col: str = "user_id",
                       type_col: str = "event_type",
                       coarse_buckets: int = 256):

@@ -107,3 +107,100 @@ def test_gap_stats_many_users_bucketed(ray_session):
     got = {r["event_type"]: [r["n_gaps"], r["sum_gap_us"], r["max_gap_us"]]
            for r in out}
     assert got == agg
+
+
+def _valued_events(n=200, users=9):
+    ids = list(range(n))
+    return pa.table({
+        "event_id": pa.array(ids, pa.int64()),
+        "ts": pa.array([(i * 37 % 11) * US for i in ids],
+                       pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array([i % users for i in ids], pa.int64()),
+        "event_type": pa.array(
+            [("view", "click", "purchase")[i % 3] for i in ids]),
+        "value": pa.array([(i * 13 % 97) / 7.0 for i in ids],
+                          pa.float64()),
+    })
+
+
+def _sorted_rows(t):
+    import math
+    rows = t.to_pylist()
+    for r in rows:
+        r["ts_us"] = int(r["ts"].timestamp() * US)
+        r["cents"] = int(math.floor(r["value"] * 100.0))
+    rows.sort(key=lambda r: (r["user_id"], r["ts_us"], r["event_id"]))
+    return rows
+
+
+def test_running_totals(ray_session):
+    import ray.data
+    t = _valued_events()
+    out = analytics.running_totals(
+        ray.data.from_arrow(t), coarse_buckets=8).take_all()
+    rows = _sorted_rows(t)
+    want = {}
+    run_n = run_c = 0
+    prev_user = None
+    for r in rows:
+        if r["user_id"] != prev_user:
+            run_n = run_c = 0
+            prev_user = r["user_id"]
+        run_n += 1
+        run_c += r["cents"]
+        want[r["event_id"]] = (run_n, run_c)
+    got = {r["event_id"]: (r["run_n"], r["run_cents"]) for r in out}
+    assert got == want
+
+
+def test_moving_window_sums(ray_session):
+    import ray.data
+    t = _valued_events()
+    out = analytics.moving_window_sums(
+        ray.data.from_arrow(t), win=4, coarse_buckets=8).take_all()
+    rows = _sorted_rows(t)
+    # brute force per user
+    want = {}
+    seg = []
+    prev_user = None
+    for r in rows:
+        if r["user_id"] != prev_user:
+            seg = []
+            prev_user = r["user_id"]
+        seg.append(r["cents"])
+        w = seg[-4:]
+        want[r["event_id"]] = (len(w), sum(w))
+    got = {r["event_id"]: (r["win_n"], r["win_cents"]) for r in out}
+    assert got == want
+
+
+def test_moving_window_single_row_user(ray_session):
+    import ray.data
+    t = pa.table({
+        "event_id": pa.array([1], pa.int64()),
+        "ts": pa.array([0], pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array([42], pa.int64()),
+        "value": pa.array([1.25], pa.float64()),
+    })
+    out = analytics.moving_window_sums(
+        ray.data.from_arrow(t), win=4).take_all()
+    assert out == [{"user_id": 42, "event_id": 1,
+                    "win_n": 1, "win_cents": 125}]
+
+
+def test_pivot_counts(ray_session):
+    import ray.data
+    t = _valued_events()
+    out = analytics.pivot_counts(
+        ray.data.from_arrow(t),
+        types=("view", "click", "purchase")).take_all()
+    want = {}
+    for r in t.to_pylist():
+        c = want.setdefault(r["user_id"],
+                            {"n_view": 0, "n_click": 0, "n_purchase": 0})
+        c["n_" + r["event_type"]] += 1
+    assert len(out) == len(want)
+    for r in out:
+        w = want[r["user_id"]]
+        assert (r["n_view"], r["n_click"], r["n_purchase"]) == (
+            w["n_view"], w["n_click"], w["n_purchase"])

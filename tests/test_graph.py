@@ -110,3 +110,47 @@ def test_distributed_empty_graph(ray_session):
         pa.table({"src": pa.array([], pa.string()),
                   "dst": pa.array([], pa.string())}))
     assert pagerank_distributed(edges).count() == 0
+
+
+def _tri_dict(ds):
+    return {r["node"]: r["n_triangles"] for r in ds.take_all()}
+
+
+def test_triangle_counts_k4(ray_session):
+    """K4: every vertex sits in C(3,2)=3 triangles; duplicate and
+    reversed edges collapse."""
+    import itertools
+
+    import ray.data
+    from htmlreader_ray.functions.graph import triangle_counts
+    nodes = ["a", "b", "c", "d"]
+    pairs = list(itertools.combinations(nodes, 2))
+    # duplicates + reversed orientation + a self loop
+    src = [u for u, _ in pairs] + [v for _, v in pairs] + ["a"]
+    dst = [v for _, v in pairs] + [u for u, _ in pairs] + ["a"]
+    edges = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    assert _tri_dict(triangle_counts(edges)) == {
+        "a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangle_counts_bipartite_empty(ray_session):
+    """A bipartite graph has no triangles -> empty result."""
+    import ray.data
+    from htmlreader_ray.functions.graph import triangle_counts
+    edges = ray.data.from_arrow(pa.table(
+        {"src": ["l1", "l1", "l2", "l2"],
+         "dst": ["r1", "r2", "r1", "r2"]}))
+    assert triangle_counts(edges).count() == 0
+
+
+def test_triangle_counts_star_plus_rim(ray_session):
+    """Hub with a rim edge: exactly one triangle; hub degree skew does
+    not inflate wedge fan-out (degree orientation points rim->hub)."""
+    import ray.data
+    from htmlreader_ray.functions.graph import triangle_counts
+    rim = [f"r{i}" for i in range(20)]
+    src = ["hub"] * 20 + ["r0"]
+    dst = rim + ["r1"]
+    edges = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    assert _tri_dict(triangle_counts(edges)) == {
+        "hub": 1, "r0": 1, "r1": 1}

@@ -191,3 +191,35 @@ def test_temperature_sample_filter_pass_is_map_only(ray_session):
              for i in range(20)], pa.int64())}))
     out = temperature_sample(ds)
     assert _shuffle_ops(out) == []
+
+
+def test_dense_rank_shuffles_distribution_not_rows(ray_session):
+    """grouped_dense_rank: the rank table is built from the DISTINCT
+    (keys, val) distribution (one Aggregate from the combiner, one Sort
+    for the per-key rank groups) and hash-joined back — exactly one
+    Join, and never a groupby over the input rows themselves."""
+    import ray.data as rd
+    from htmlreader_ray.functions.shuffle import grouped_dense_rank
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(["a", "a", "b"], pa.string()),
+        "v": pa.array([1, 2, 1], pa.int64())}))
+    ops = _shuffle_ops(grouped_dense_rank(ds, ["k"], "v"))
+    assert ops.count("Join") == 1, ops
+    assert ops.count("Sort") == 1, ops
+    assert ops.count("Aggregate") == 1, ops
+    assert "RandomShuffle" not in ops, ops
+
+
+def test_triangle_counts_shuffle_budget(ray_session):
+    """triangle_counts: distinct-edge Aggregate, degree Aggregate, the
+    per-center wedge groupby (Sort), corner-count Aggregate, and the
+    three hash joins (deg_u, deg_v, closing) plus their scrub
+    Repartitions — no RandomShuffle, no full-table sort."""
+    import ray.data as rd
+    from htmlreader_ray.functions.graph import triangle_counts
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(["a", "b", "c"], pa.string()),
+        "dst": pa.array(["b", "c", "a"], pa.string())}))
+    ops = _shuffle_ops(triangle_counts(edges))
+    assert ops.count("Join") == 3, ops
+    assert "RandomShuffle" not in ops, ops
