@@ -2128,6 +2128,111 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pivot_counts(_read(sf_dir, "events",
                                   ["user_id", "event_type"]))
 
+    def top_bm25(sf_dir: str):
+        """Okapi BM25 top term per document (the retrieval-grade sibling
+        of top_tfidf): df combiner, two streaming corpus scalars, df
+        broadcast (bounded vocab) or word-keyed hash join, two-level
+        argmax. Int64 milli-point quantization under the verbatim
+        expression-tree contract — functions/scoring.top_bm25."""
+        from htmlreader_ray.functions import scoring
+        return scoring.top_bm25(_read(sf_dir, "documents",
+                                      ["doc_id", "text"]))
+
+    def user_last_event(sf_dir: str):
+        """Argmax-per-group (latest event per user, ts DESC / event_id
+        ASC tie-break): the head-1 combiner bounds the shuffle to one
+        row per (block, user) — functions/shuffle.grouped_topk k=1."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import grouped_topk
+
+        def ts_us(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [b.column("user_id"), b.column("event_id"),
+                 pc.cast(b.column("ts"), pa.int64())],
+                names=["user_id", "event_id", "ts_us"])
+
+        base = _read(sf_dir, "events", ["user_id", "event_id", "ts"]) \
+            .map_batches(ts_us, batch_format="pyarrow")
+        top = grouped_topk(base, group_col="user_id", order_col="ts_us",
+                           id_col="event_id", k=1)
+
+        def project(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [b.column("user_id"), b.column("event_id"),
+                 pc.cast(b.column("ts_us"), pa.timestamp("us"))],
+                names=["user_id", "last_event_id", "last_ts"])
+
+        return top.map_batches(project, batch_format="pyarrow")
+
+    def purchase_only_hours(sf_dir: str):
+        """Set difference (EXCEPT): 10-minute buckets that saw a
+        purchase but no error. Both sides reduce to DISTINCT truncated-hour keys via the
+        combiner BEFORE the native left_anti hash join, so the join
+        moves distinct keys, never event rows. The final projection is
+        empty-safe: an all-excluded left side still yields the typed
+        (hour_ts) schema."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        HOUR_US = 600_000_000   # 10-minute buckets
+
+        def side(t: str):
+            def hours(b: pa.Table, _t=t) -> pa.Table:
+                b = b.filter(pc.equal(b.column("event_type"), _t))
+                us = pc.cast(b.column("ts"), pa.int64())
+                # integer divide-multiply (pc.mod is absent in this
+                # pyarrow); ts is post-epoch so truncation == floor
+                h = pc.multiply(pc.divide(us, HOUR_US), HOUR_US)
+                return pa.Table.from_arrays([h], names=["hour_us"])
+            ds = _read(sf_dir, "events", ["ts", "event_type"]) \
+                .map_batches(hours, batch_format="pyarrow")
+            return combine_aggregate(ds, ["hour_us"],
+                                     [("", "count", "_c")]) \
+                .select_columns(["hour_us"])
+
+        pur, err = side("purchase"), side("error")
+        anti = pur.repartition(8).join(
+            err.repartition(8), "left_anti", 8, on=("hour_us",))
+
+        def project(b: pa.Table) -> pa.Table:
+            if "hour_us" not in b.column_names:
+                return pa.table(
+                    {"hour_ts": pa.array([], pa.timestamp("us"))})
+            return pa.Table.from_arrays(
+                [pc.cast(b.column("hour_us"), pa.timestamp("us"))],
+                names=["hour_ts"])
+
+        return anti.map_batches(project, batch_format="pyarrow")
+
+    def events_unpivot(sf_dir: str):
+        """Unpivot (wide -> long): melt the per-user pivot back into
+        (user_id, event_type, n) rows, dropping zero cells. One
+        vectorized concat per batch — the round-trip inverse of
+        events_pivot, equal to the plain GROUP BY."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.analytics import pivot_counts
+
+        types = ("view", "click", "purchase", "signup", "error")
+        wide = pivot_counts(_read(sf_dir, "events",
+                                  ["user_id", "event_type"]),
+                            types=types)
+
+        def melt(b: pa.Table) -> pa.Table:
+            parts = []
+            for t in types:
+                n = b.column(f"n_{t}")
+                part = pa.Table.from_arrays(
+                    [b.column("user_id"),
+                     pa.array([t] * len(b), pa.string()), n],
+                    names=["user_id", "event_type", "n"])
+                parts.append(part.filter(pc.greater(n, 0)))
+            return pa.concat_tables(parts)
+
+        return wide.map_batches(melt, batch_format="pyarrow")
+
     def host_cocite_triangles(sf_dir: str):
         """Graph-motif stage: triangle participation counts on the host
         CO-CITATION graph (hosts linked by the same document — the
@@ -2282,6 +2387,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spend_rank": spend_rank,
         "events_pivot": events_pivot,
         "host_cocite_triangles": host_cocite_triangles,
+        "top_bm25": top_bm25,
+        "user_last_event": user_last_event,
+        "purchase_only_hours": purchase_only_hours,
+        "events_unpivot": events_unpivot,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -2319,6 +2428,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in round 3, seventh sweep
         "events_cumsum", "events_moving_win", "spend_rank",
         "events_pivot", "host_cocite_triangles",
+        # new in round 3, eighth sweep
+        "top_bm25", "user_last_event", "purchase_only_hours",
+        "events_unpivot",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -2679,6 +2791,60 @@ def oracle_sql() -> dict[str, str]:
                    FROM nodes nd CROSS JOIN c CROSS JOIN d3
                    LEFT JOIN f3 f ON f.node = nd.node)
             SELECT node, CAST(r AS BIGINT) AS "rank" FROM r3
+        """,
+        # BM25: same floor(1000*x + 0.5) / libm-ln bit-parity contract
+        # as top_tfidf; every float expression mirrored verbatim from
+        # functions/scoring._BM25Score (k1=1.2, b=0.75)
+        "top_bm25": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                FROM documents WHERE trim(text) <> ''
+            ), n AS (
+                SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents
+            ), tot AS (
+                SELECT CAST(count(*) AS DOUBLE) AS tw FROM words
+            ), tf AS (
+                SELECT doc_id, w, count(*) AS tf FROM words GROUP BY 1, 2
+            ), dl AS (
+                SELECT doc_id, count(*) AS dl FROM words GROUP BY 1
+            ), df AS (
+                SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY 1
+            )
+            SELECT tf.doc_id, tf.w AS term,
+                   CAST(floor(1000 * (
+                       ln(((n.nd - CAST(df.df AS DOUBLE)) + 0.5)
+                          / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+                       * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                          / (CAST(tf.tf AS DOUBLE)
+                             + 1.2 * ((1.0 - 0.75)
+                                      + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                                / (tot.tw / n.nd)))))
+                   ) + 0.5) AS BIGINT) AS score_e3
+            FROM tf JOIN dl USING (doc_id) JOIN df USING (w)
+                 CROSS JOIN n CROSS JOIN tot
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                       ORDER BY score_e3 DESC, term) = 1
+        """,
+        "user_last_event": """
+            SELECT user_id, event_id AS last_event_id, ts AS last_ts
+            FROM events
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id) = 1
+        """,
+        "purchase_only_hours": """
+            SELECT DISTINCT
+                   make_timestamp((epoch_us(ts) // 600000000) * 600000000)
+                       AS hour_ts
+            FROM events WHERE event_type = 'purchase'
+            EXCEPT
+            SELECT DISTINCT
+                   make_timestamp((epoch_us(ts) // 600000000) * 600000000)
+            FROM events WHERE event_type = 'error'
+        """,
+        "events_unpivot": """
+            SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id, event_type
         """,
         "events_cumsum": """
             SELECT user_id, event_id,

@@ -266,6 +266,130 @@ def top_tfidf(ds, *, text_col: str = "text", id_col: str = "doc_id",
         .map_groups(_argmax_group, batch_format="pyarrow")
 
 
+# ------------------------------------------------------------------ BM25
+
+def _tf_dl_rows(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """(doc_id, w, tf, dl) rows: term frequency plus the document length
+    (total words) — dl is exact block-locally because a document never
+    splits across blocks."""
+    row_ids, words = _split_words_flat(batch.column(text_col))
+    ids = batch.column(id_col).take(pa.array(row_ids, pa.int64()))
+    flat = pa.table({"doc_id": ids, "w": words})
+    g = flat.group_by(["doc_id", "w"]).aggregate([([], "count_all")])
+    tf_tbl = g.select(["doc_id", "w", "count_all"]) \
+        .rename_columns(["doc_id", "w", "tf"])
+    dl = flat.group_by("doc_id").aggregate([([], "count_all")]) \
+        .select(["doc_id", "count_all"]).rename_columns(["doc_id", "dl"])
+    idx = pc.index_in(tf_tbl.column("doc_id"),
+                      value_set=dl.column("doc_id").combine_chunks())
+    return tf_tbl.append_column(
+        "dl", pc.cast(pc.take(dl.column("dl"), idx), pa.int64()))
+
+
+class _BM25Score:
+    """Okapi BM25 per (doc, term), quantized to int64 milli-points with
+    the floor(scale*x + 0.5) contract. Every float expression below is
+    mirrored VERBATIM (same literals, same parenthesization, libm ln per
+    distinct df) by the SQL oracle, so the integers match bit-for-bit:
+
+        avgdl = tw / nd                       (both DOUBLE casts of counts)
+        idf   = ln(((nd - df) + 0.5) / (df + 0.5) + 1.0)
+        norm  = tf + k1 * ((1.0 - b) + b * (dl / avgdl))
+        score = floor(scale * (idf * ((tf * (k1 + 1.0)) / norm)) + 0.5)
+    """
+
+    def __init__(self, n_docs: int, total_words: int, scale: int,
+                 k1: float = 1.2, b: float = 0.75):
+        self.nd = float(n_docs)
+        self.avgdl = float(total_words) / float(n_docs)
+        self.scale, self.k1, self.b = scale, k1, b
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        nd, avgdl = self.nd, self.avgdl
+        scale, k1, b = self.scale, self.k1, self.b
+        tf = batch.column("tf").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        dl = batch.column("dl").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        df = batch.column("df").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uniq, inv = np.unique(df, return_inverse=True)
+        idf = np.array(
+            [math.log(((nd - float(d)) + 0.5) / (float(d) + 0.5) + 1.0)
+             for d in uniq], np.float64)
+        norm = tf + k1 * ((1.0 - b) + b * (dl / avgdl))
+        scores = np.floor(
+            scale * (idf[inv] * ((tf * (k1 + 1.0)) / norm)) + 0.5
+        ).astype(np.int64)
+        out = batch.select(["doc_id", "w"]) \
+            .rename_columns(["doc_id", "term"])
+        return out.append_column("score_e3", pa.array(scores, pa.int64()))
+
+
+def top_bm25(ds, *, text_col: str = "text", id_col: str = "doc_id",
+             scale: int = DEFAULT_SCALE, k1: float = 1.2, b: float = 0.75,
+             broadcast_max_vocab: int = 2_000_000):
+    """(doc_id, term, score_e3): each document's highest-BM25 term, ties
+    broken lexicographically; documents with no words are absent.
+
+    Same plan discipline as ``top_tfidf`` — df via the partial-count
+    combiner; two corpus-global scalars (doc count, total word count)
+    from streaming aggregates; the df table broadcast once via ray.put
+    when the vocabulary is bounded, hash-joined on the word otherwise;
+    then the two-level argmax. The tf rows additionally carry dl
+    (block-exact, documents never split), so no per-doc length join is
+    needed."""
+    from ray.data.aggregate import Sum
+
+    n_docs = ds.count()
+    parts = _narrow_partitions()
+
+    def _wc(batch: pa.Table) -> pa.Table:
+        _, words = _split_words_flat(batch.column(text_col))
+        return pa.table({"c": pa.array([len(words)], pa.int64())})
+
+    total_words = int(ds.map_batches(
+        _wc, batch_format="pyarrow").sum("c") or 0)
+
+    tf = ds.map_batches(_tf_dl_rows, fn_kwargs={
+        "text_col": text_col, "id_col": id_col}, batch_format="pyarrow")
+    df_parts = ds.map_batches(_df_rows, fn_kwargs={"text_col": text_col},
+                              batch_format="pyarrow")
+    df = df_parts.repartition(parts).groupby("w").aggregate(Sum("df")) \
+        .map_batches(lambda b: b.rename_columns(["w", "df"]),
+                     batch_format="pyarrow").materialize()
+
+    score_fn = _BM25Score(n_docs, total_words, scale, k1, b)
+    if df.count() <= broadcast_max_vocab:
+        import ray
+        blocks = [t for t in ray.get(df.to_arrow_refs()) if t.num_rows]
+        df_tbl = (pa.concat_tables(blocks).combine_chunks() if blocks
+                  else pa.table({"w": pa.array([], pa.string()),
+                                 "df": pa.array([], pa.int64())}))
+        df_ref = ray.put(df_tbl)
+
+        def score_broadcast(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            dt = ray.get(df_ref)
+            idx = pc.index_in(batch.column("w"), value_set=dt.column("w"))
+            keep = idx.is_valid()
+            batch, idx = batch.filter(keep), idx.filter(keep)
+            return score_fn(batch.append_column(
+                "df", pc.take(dt.column("df"), idx)))
+
+        scored = tf.map_batches(score_broadcast, batch_format="pyarrow")
+    else:
+        joined = tf.repartition(parts).join(
+            df.repartition(parts), join_type="inner",
+            num_partitions=parts, on=("w",), right_on=("w",))
+        scored = joined.map_batches(score_fn, batch_format="pyarrow")
+
+    partials = scored.map_batches(_argmax_block, batch_format="pyarrow")
+    return partials.repartition(parts).groupby(id_col) \
+        .map_groups(_argmax_group, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------------- DSIR
 
 DSIR_BUCKETS = 64

@@ -180,3 +180,49 @@ def test_dsir_weights_matches_naive(ray_session):
     ref = sorted((i, sum(wt[bk(w)] for w in t.lower().split()))
                  for i, _, t in docs if t.split())
     assert got == ref
+
+
+def naive_top_bm25(texts, k1=1.2, b=0.75):
+    docs = {i: _words(t) for i, t in enumerate(texts)}
+    nd = float(len(texts))
+    tw = float(sum(len(w) for w in docs.values()))
+    avgdl = tw / nd
+    df = Counter()
+    for ws in docs.values():
+        df.update(set(ws))
+    best = {}
+    for i, ws in docs.items():
+        tf = Counter(ws)
+        scored = []
+        for w, c in tf.items():
+            idf = math.log(((nd - float(df[w])) + 0.5)
+                           / (float(df[w]) + 0.5) + 1.0)
+            dl = float(len(ws))
+            norm = float(c) + k1 * ((1.0 - b) + b * (dl / avgdl))
+            s = math.floor(
+                1000 * (idf * ((float(c) * (k1 + 1.0)) / norm)) + 0.5)
+            scored.append((s, w))
+        scored.sort(key=lambda sw: (-sw[0], sw[1]))
+        if scored:
+            best[i] = (scored[0][1], scored[0][0])
+    return best
+
+
+def test_top_bm25_matches_naive(ray_session):
+    from htmlreader_ray.functions.scoring import top_bm25
+    got = {r["doc_id"]: (r["term"], r["score_e3"])
+           for r in top_bm25(_ds(TEXTS)).take_all()}
+    assert got == naive_top_bm25(TEXTS)
+    assert 2 not in got and 3 not in got
+
+
+def test_top_bm25_join_path_parity(ray_session):
+    """broadcast_max_vocab=0 forces the word-keyed hash join; results
+    must be bit-identical to the broadcast path."""
+    from htmlreader_ray.functions.scoring import top_bm25
+    a = {r["doc_id"]: (r["term"], r["score_e3"])
+         for r in top_bm25(_ds(TEXTS)).take_all()}
+    c = {r["doc_id"]: (r["term"], r["score_e3"])
+         for r in top_bm25(_ds(TEXTS),
+                           broadcast_max_vocab=0).take_all()}
+    assert a == c
