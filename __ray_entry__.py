@@ -2233,6 +2233,222 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return wide.map_batches(melt, batch_format="pyarrow")
 
+    def jsonl_roundtrip(sf_dir: str):
+        """Interchange-format sink+source: documents (minus the text
+        payload) written as newline-delimited JSON (one file per block,
+        the resumable layout), read back with the Arrow-native JSON
+        reader, values bit-identical. sources/io.write_jsonl/read_jsonl."""
+        import shutil
+        import tempfile
+
+        from htmlreader_ray.sources.io import read_jsonl, write_jsonl
+        out = tempfile.mkdtemp(prefix="htmlray_jsonl_", dir="/tmp")
+        shutil.rmtree(out, ignore_errors=True)
+        write_jsonl(_read(sf_dir, "documents",
+                          ["doc_id", "lang", "source", "n_chars"]), out)
+        return read_jsonl(out)
+
+    def csv_roundtrip(sf_dir: str):
+        """Interchange-format sink+source: the nation dim written as CSV
+        (RFC-4180 quoting) and read back through the Arrow CSV reader
+        with inferred schema. sources/io.write_csv/read_csv."""
+        import shutil
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from htmlreader_ray.sources.io import read_csv, write_csv
+        out = tempfile.mkdtemp(prefix="htmlray_csv_", dir="/tmp")
+        shutil.rmtree(out, ignore_errors=True)
+        write_csv(_read(sf_dir, "nation",
+                        ["n_nationkey", "n_name", "n_regionkey"]), out)
+
+        def restore_schema(b: pa.Table) -> pa.Table:
+            # CSV is typeless; restore the table's int32 key widths
+            return pa.Table.from_arrays(
+                [pc.cast(b.column("n_nationkey"), pa.int32()),
+                 b.column("n_name"),
+                 pc.cast(b.column("n_regionkey"), pa.int32())],
+                names=["n_nationkey", "n_name", "n_regionkey"])
+
+        return read_csv(out).map_batches(restore_schema,
+                                         batch_format="pyarrow")
+
+    def type_share(sf_dir: str):
+        """Ratio-to-total (the percent-of-total window): per-type counts
+        from the combiner plus ONE scalar total; share in exact integer
+        parts-per-million ((n * 1000000) // total), so no float division
+        crosses the oracle boundary."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        base = _read(sf_dir, "events", ["event_type"])
+        total = base.count()
+        counts = combine_aggregate(base, ["event_type"],
+                                   [("", "count", "n")])
+
+        def project(b: pa.Table) -> pa.Table:
+            n = pc.cast(b.column("n"), pa.int64())
+            share = pc.divide(pc.multiply(n, 1_000_000), total)
+            return pa.Table.from_arrays(
+                [b.column("event_type"), n,
+                 pc.cast(share, pa.int64())],
+                names=["event_type", "n", "share_ppm"])
+
+        return counts.map_batches(project, batch_format="pyarrow")
+
+    def regional_revenue(sf_dir: str):
+        """TPC-H Q5-style multi-way join: revenue per nation for ASIA
+        customers served by same-nation suppliers in one order year.
+
+        Plan discipline for 100 TB: the two FACT tables each shrink
+        before anything wide — orders is date-filtered at the read and
+        hash-joined to the (keys-only, region-filtered) customer side;
+        lineitem converts to exact int cents in its first map, joins
+        supplier keys-only, and is pre-aggregated per (orderkey,
+        nationkey) by the combiner BEFORE the fact-fact join, so the
+        final join moves one row per (order, nation), never line items.
+        nation/region (constant-size dims) resolve via a driver lookup;
+        the c_nation = s_nation condition rides the composite join key.
+        Revenue sums int64 cents — order-independent, oracle-exact."""
+        import datetime
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        import ray
+        from htmlreader_ray.functions.dedup import _default_join_partitions
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        parts = _default_join_partitions()
+        nation = pa.concat_tables(
+            [t for t in ray.get(_read(sf_dir, "nation").to_arrow_refs())
+             if t.num_rows])
+        region = pa.concat_tables(
+            [t for t in ray.get(_read(sf_dir, "region").to_arrow_refs())
+             if t.num_rows])
+        asia = region.filter(pc.equal(region.column("r_name"), "ASIA")) \
+            .column("r_regionkey").combine_chunks()
+        nat = nation.filter(pc.is_in(nation.column("n_regionkey"),
+                                     value_set=asia))
+        nkeys = nat.column("n_nationkey").combine_chunks()
+
+        lo = pa.scalar(datetime.datetime(1996, 1, 1), pa.timestamp("us"))
+        hi = pa.scalar(datetime.datetime(1997, 1, 1), pa.timestamp("us"))
+
+        def ord_side(b: pa.Table) -> pa.Table:
+            keep = pc.and_(
+                pc.greater_equal(b.column("o_orderdate"), lo),
+                pc.less(b.column("o_orderdate"), hi))
+            b = b.filter(keep)
+            return b.select(["o_orderkey", "o_custkey"])
+
+        orders = _read(sf_dir, "orders",
+                       ["o_orderkey", "o_custkey", "o_orderdate"]) \
+            .map_batches(ord_side, batch_format="pyarrow")
+
+        def cust_side(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_in(b.column("c_nationkey"),
+                                  value_set=nkeys))
+            # int64 nation keys on both fact sides: the aggregate's
+            # hash shuffle widens int32 keys, so pin the width up front
+            return pa.Table.from_arrays(
+                [b.column("c_custkey"),
+                 pc.cast(b.column("c_nationkey"), pa.int64())],
+                names=["c_custkey", "c_nationkey"])
+
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+            .map_batches(cust_side, batch_format="pyarrow")
+        ordc = orders.join(cust, "inner", parts,
+                           on=("o_custkey",), right_on=("c_custkey",)) \
+            .select_columns(["o_orderkey", "c_nationkey"])
+
+        def li_side(b: pa.Table) -> pa.Table:
+            # mirrored verbatim by the oracle:
+            #   floor(100.0 * (l_extendedprice * (1.0 - l_discount)) + 0.5)
+            cents = pc.cast(pc.floor(pc.add(pc.multiply(
+                pa.scalar(100.0),
+                pc.multiply(b.column("l_extendedprice"),
+                            pc.subtract(pa.scalar(1.0),
+                                        b.column("l_discount")))),
+                pa.scalar(0.5))), pa.int64())
+            return pa.Table.from_arrays(
+                [b.column("l_orderkey"), b.column("l_suppkey"), cents],
+                names=["l_orderkey", "l_suppkey", "cents"])
+
+        li = _read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_suppkey", "l_extendedprice",
+                    "l_discount"]).map_batches(li_side,
+                                               batch_format="pyarrow")
+
+        def supp_side(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_in(b.column("s_nationkey"),
+                                  value_set=nkeys))
+            return pa.Table.from_arrays(
+                [b.column("s_suppkey"),
+                 pc.cast(b.column("s_nationkey"), pa.int64())],
+                names=["s_suppkey", "s_nationkey"])
+
+        supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+            .map_batches(supp_side, batch_format="pyarrow")
+        # repartition both sides first: empty hash partitions from a
+        # tiny build side otherwise reach Acero without a schema (the
+        # dedup._scrub_empty_blocks pitfall)
+        lis = li.repartition(parts).join(
+            supp.repartition(parts), "inner", parts,
+            on=("l_suppkey",), right_on=("s_suppkey",))
+        lis_agg = combine_aggregate(
+            lis.select_columns(["l_orderkey", "s_nationkey", "cents"]),
+            ["l_orderkey", "s_nationkey"], [("cents", "sum", "cents")])
+
+        joined = lis_agg.repartition(parts).join(
+            ordc.repartition(parts), "inner", parts,
+            on=("l_orderkey", "s_nationkey"),
+            right_on=("o_orderkey", "c_nationkey"))
+        rev = combine_aggregate(
+            joined.select_columns(["s_nationkey", "cents"]),
+            ["s_nationkey"], [("cents", "sum", "revenue_cents")])
+
+        names = nat.column("n_name").combine_chunks()
+
+        def project(b: pa.Table) -> pa.Table:
+            idx = pc.index_in(pc.cast(b.column("s_nationkey"), pa.int32()),
+                              value_set=nkeys)
+            return pa.Table.from_arrays(
+                [pc.take(names, idx),
+                 pc.cast(b.column("revenue_cents"), pa.int64())],
+                names=["n_name", "revenue_cents"])
+
+        return rev.map_batches(project, batch_format="pyarrow")
+
+    def region_nation_cross(sf_dir: str):
+        """Cross join (cartesian product) of two dims: the small side is
+        ray.put once and replicated per batch — never a shuffle."""
+        import pyarrow as pa
+
+        import ray
+
+        region = pa.concat_tables(
+            [t for t in ray.get(_read(sf_dir, "region").to_arrow_refs())
+             if t.num_rows]).combine_chunks()
+        ref = ray.put(region)
+
+        def cross(b: pa.Table) -> pa.Table:
+            import numpy as np
+            r = ray.get(ref)
+            nb, nr = b.num_rows, r.num_rows
+            left = b.column("n_name").combine_chunks().take(
+                pa.array(np.repeat(np.arange(nb, dtype=np.int64), nr)))
+            right = r.column("r_name").combine_chunks().take(
+                pa.array(np.tile(np.arange(nr, dtype=np.int64), nb)))
+            return pa.Table.from_arrays([right, left],
+                                        names=["r_name", "n_name"])
+
+        return _read(sf_dir, "nation", ["n_name"]).map_batches(
+            cross, batch_format="pyarrow")
+
     def host_cocite_triangles(sf_dir: str):
         """Graph-motif stage: triangle participation counts on the host
         CO-CITATION graph (hosts linked by the same document — the
@@ -2391,6 +2607,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_last_event": user_last_event,
         "purchase_only_hours": purchase_only_hours,
         "events_unpivot": events_unpivot,
+        "jsonl_roundtrip": jsonl_roundtrip,
+        "csv_roundtrip": csv_roundtrip,
+        "type_share": type_share,
+        "regional_revenue": regional_revenue,
+        "region_nation_cross": region_nation_cross,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -2431,6 +2652,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in round 3, eighth sweep
         "top_bm25", "user_last_event", "purchase_only_hours",
         "events_unpivot",
+        # new in round 3, ninth sweep
+        "jsonl_roundtrip", "csv_roundtrip", "type_share",
+        "regional_revenue", "region_nation_cross",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -2825,6 +3049,39 @@ def oracle_sql() -> dict[str, str]:
                  CROSS JOIN n CROSS JOIN tot
             QUALIFY ROW_NUMBER() OVER (PARTITION BY tf.doc_id
                                        ORDER BY score_e3 DESC, term) = 1
+        """,
+        "regional_revenue": """
+            SELECT n_name,
+                   CAST(SUM(CAST(floor(100.0 * (l_extendedprice
+                                 * (1.0 - l_discount)) + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "region_nation_cross": """
+            SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+        """,
+        "jsonl_roundtrip": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+        """,
+        "csv_roundtrip": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
+        """,
+        "type_share": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST((count(*) * 1000000)
+                        // (SELECT count(*) FROM events) AS BIGINT)
+                       AS share_ppm
+            FROM events GROUP BY event_type
         """,
         "user_last_event": """
             SELECT user_id, event_id AS last_event_id, ts AS last_ts

@@ -48,3 +48,46 @@ def write_corpus(ds, path: str) -> str:
     os.makedirs(path, exist_ok=True)
     ds.write_parquet(path)
     return path
+
+
+# ------------------------------------------------- interchange formats
+#
+# JSONL and CSV are the interchange surface a corpus pipeline meets at
+# its edges (raw crawls arrive as JSONL; labels/manifests as CSV). Thin
+# wrappers over the native Ray Data readers/writers so every entry point
+# in the repo goes through one place — same policy as the Lance shim.
+
+def write_jsonl(ds, path: str) -> str:
+    """Dataset -> newline-delimited JSON files under ``path`` (one file
+    per block — the same resumable many-files layout as the parquet
+    sink)."""
+    os.makedirs(path, exist_ok=True)
+    ds.write_json(path)
+    return path
+
+
+def read_jsonl(path, *, override_num_blocks: Optional[int] = None):
+    """JSONL file/dir -> ray.data.Dataset (Arrow-native JSON reader)."""
+    import ray.data
+    kw = {}
+    if override_num_blocks is not None:
+        kw["override_num_blocks"] = override_num_blocks
+    return ray.data.read_json(path, **kw)
+
+
+def write_csv(ds, path: str) -> str:
+    """Dataset -> CSV files under ``path`` (header per file, RFC-4180
+    quoting via the Arrow writer)."""
+    os.makedirs(path, exist_ok=True)
+    ds.write_csv(path)
+    return path
+
+
+def read_csv(path, *, override_num_blocks: Optional[int] = None):
+    """CSV file/dir -> ray.data.Dataset (Arrow CSV reader, schema
+    inferred)."""
+    import ray.data
+    kw = {}
+    if override_num_blocks is not None:
+        kw["override_num_blocks"] = override_num_blocks
+    return ray.data.read_csv(path, **kw)

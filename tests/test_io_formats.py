@@ -1,0 +1,39 @@
+"""Interchange-format shims (sources/io.py): JSONL and CSV sink+source
+round-trips preserve values; CSV restores via explicit casts."""
+import shutil
+import tempfile
+
+import pyarrow as pa
+import ray.data
+
+from htmlreader_ray.sources.io import (read_csv, read_jsonl, write_csv,
+                                       write_jsonl)
+
+
+def _tmp(prefix):
+    d = tempfile.mkdtemp(prefix=prefix, dir="/tmp")
+    shutil.rmtree(d, ignore_errors=True)
+    return d
+
+
+def test_jsonl_roundtrip_values(ray_session):
+    t = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "name": pa.array(['plain', 'quote"comma,', 'unié'],
+                         pa.string()),
+        "n": pa.array([10, -5, 0], pa.int64())})
+    out = _tmp("t_jsonl_")
+    write_jsonl(ray.data.from_arrow(t), out)
+    got = sorted(read_jsonl(out).take_all(), key=lambda r: r["id"])
+    assert got == sorted(t.to_pylist(), key=lambda r: r["id"])
+
+
+def test_csv_roundtrip_values(ray_session):
+    t = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "name": pa.array(['plain', 'quote"comma,', 'line'],
+                         pa.string())})
+    out = _tmp("t_csv_")
+    write_csv(ray.data.from_arrow(t), out)
+    got = sorted(read_csv(out).take_all(), key=lambda r: r["id"])
+    assert got == sorted(t.to_pylist(), key=lambda r: r["id"])
