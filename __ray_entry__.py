@@ -2449,6 +2449,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _read(sf_dir, "nation", ["n_name"]).map_batches(
             cross, batch_format="pyarrow")
 
+    def pq_encode_q(sf_dir: str):
+        """Product-quantization codes over the embedding corpus: 4
+        subspaces x 8 first-seeded codebook entries, exact-int nearest
+        sub-centroid per subspace, zero shuffles
+        (functions/clustering.pq_encode)."""
+        from htmlreader_ray.functions import clustering
+        cids, c = clustering.load_centroids(sf_dir, 8)
+        return clustering.pq_encode(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            cids, c, m=4)
+
+    def props_k_stats(sf_dir: str):
+        """JSON scalar-function surface: extract props->'k' and
+        aggregate per event type. The extraction is ONE vectorized RE2
+        pass (pc.extract_regex) — no per-row json.loads — which is the
+        engine answer to scalar JSON path access over a 100 TB column;
+        the oracle uses real json_extract to prove value parity."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def extract(b: pa.Table) -> pa.Table:
+            m = pc.extract_regex(b.column("props"),
+                                 pattern=r'"k":\s*(?P<k>-?\d+)')
+            k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+            t = pa.Table.from_arrays(
+                [b.column("event_type"), k], names=["event_type", "k"])
+            return t.filter(pc.is_valid(t.column("k")))
+
+        ds = _read(sf_dir, "events", ["event_type", "props"]) \
+            .map_batches(extract, batch_format="pyarrow")
+        return combine_aggregate(ds, ["event_type"],
+                                 [("", "count", "n"), ("k", "sum", "sum_k"),
+                                  ("k", "min", "min_k"),
+                                  ("k", "max", "max_k")]) \
+            .map_batches(lambda b: b.set_column(
+                b.column_names.index("n"), "n",
+                pc.cast(b.column("n"), pa.int64())),
+                batch_format="pyarrow")
+
+    def events_dow_hour(sf_dir: str):
+        """Date-part scalar functions: event counts per (ISO weekday,
+        hour-of-day) — the load-heatmap query. Arrow day_of_week
+        (Monday=0) + 1 == DuckDB isodow; both sides integer-exact."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def parts_fn(b: pa.Table) -> pa.Table:
+            ts = b.column("ts")
+            dow = pc.add(pc.cast(pc.day_of_week(ts), pa.int64()), 1)
+            hour = pc.cast(pc.hour(ts), pa.int64())
+            return pa.Table.from_arrays([dow, hour],
+                                        names=["dow", "hour"])
+
+        ds = _read(sf_dir, "events", ["ts"]).map_batches(
+            parts_fn, batch_format="pyarrow")
+        return combine_aggregate(ds, ["dow", "hour"],
+                                 [("", "count", "n")]) \
+            .map_batches(lambda b: b.set_column(
+                b.column_names.index("n"), "n",
+                pc.cast(b.column("n"), pa.int64())),
+                batch_format="pyarrow")
+
     def host_cocite_triangles(sf_dir: str):
         """Graph-motif stage: triangle participation counts on the host
         CO-CITATION graph (hosts linked by the same document — the
@@ -2612,6 +2676,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_share": type_share,
         "regional_revenue": regional_revenue,
         "region_nation_cross": region_nation_cross,
+        "props_k_stats": props_k_stats,
+        "events_dow_hour": events_dow_hour,
+        "pq_encode": pq_encode_q,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -2655,6 +2722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in round 3, ninth sweep
         "jsonl_roundtrip", "csv_roundtrip", "type_share",
         "regional_revenue", "region_nation_cross",
+        "props_k_stats", "events_dow_hour", "pq_encode",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -3049,6 +3117,24 @@ def oracle_sql() -> dict[str, str]:
                  CROSS JOIN n CROSS JOIN tot
             QUALIFY ROW_NUMBER() OVER (PARTITION BY tf.doc_id
                                        ORDER BY score_e3 DESC, term) = 1
+        """,
+        "props_k_stats": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(json_extract(props, '$.k') AS BIGINT) AS k
+              FROM events
+            )
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   CAST(min(k) AS BIGINT) AS min_k,
+                   CAST(max(k) AS BIGINT) AS max_k
+            FROM e WHERE k IS NOT NULL GROUP BY event_type
+        """,
+        "events_dow_hour": """
+            SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+                   CAST(hour(ts) AS BIGINT) AS hour,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
         """,
         "regional_revenue": """
             SELECT n_name,
@@ -4246,6 +4332,42 @@ def oracle_sql() -> dict[str, str]:
             FROM sxy CROSS JOIN nn
             JOIN sx x1 ON sxy.i = x1.i
             JOIN sx x2 ON sxy.j = x2.i
+        """,
+        # PQ: same quantization + first-k-seeding + exact-int-L2
+        # contract as kmeans_assign, per 16-dim subspace
+        "pq_encode": """
+            WITH q AS (
+                SELECT vec_id, list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
+                                 AS BIGINT)) AS v
+                FROM embeddings
+            ), a AS (
+                SELECT vec_id, generate_subscripts(v, 1) AS i,
+                       unnest(v) AS qv
+                FROM q
+            ), asub AS (
+                SELECT vec_id, i, qv,
+                       CAST((i - 1) // 16 AS BIGINT) AS s
+                FROM a
+            ), cb AS (
+                SELECT vec_id AS cid, i, qv AS cq, s FROM asub
+                WHERE vec_id < 8
+            ), d AS (
+                SELECT a.vec_id, cb.cid, a.s,
+                       CAST(sum((a.qv - cb.cq) * (a.qv - cb.cq))
+                            AS BIGINT) AS dist
+                FROM asub a JOIN cb ON a.i = cb.i
+                GROUP BY a.vec_id, cb.cid, a.s
+            ), best AS (
+                SELECT vec_id, s, cid, dist FROM d
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                           ORDER BY dist, cid) = 1
+            )
+            SELECT vec_id,
+                   string_agg(CAST(cid AS VARCHAR), ',' ORDER BY s)
+                       AS code,
+                   CAST(sum(dist) AS BIGINT) AS dist_q
+            FROM best GROUP BY vec_id
         """,
         "kmeans_assign": """
             WITH q AS (

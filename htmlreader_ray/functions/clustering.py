@@ -152,6 +152,54 @@ def kmeans_assign(ds, cids: np.ndarray, c: np.ndarray, *,
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def pq_encode(ds, cids: np.ndarray, c: np.ndarray, *, m: int = 4,
+              id_col: str = "vec_id", embedding_col: str = "embedding"):
+    """Product-quantization encoding — the vector-compression path a
+    billion-vector ANN index runs (Jégou et al., TPAMI 2011): split the
+    d dims into ``m`` contiguous subspaces, assign each sub-vector to
+    its nearest codebook entry under exact integer squared L2 (same
+    quantization + first-k-seeding contract as kmeans_assign), and emit
+    the code word plus the total reconstruction distance.
+
+    Returns (vec_id, code string "c0,...,c{m-1}", dist_q int64). The
+    codebook is ray.put once; one int64 matmul per (batch, subspace);
+    zero shuffles — a 64-dim float32 corpus compresses ~64x into codes
+    that downstream ADC scans read instead of the vectors."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    d = c.shape[1]
+    assert d % m == 0, (d, m)
+    sub = d // m
+    ref = ray.put((cids, c))
+
+    def encode(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        cids_, c_ = ray.get(_ref)
+        if len(batch) == 0:
+            return pa.Table.from_arrays(
+                [batch.column(id_col), pa.array([], pa.string()),
+                 pa.array([], pa.int64())],
+                names=[id_col, "code", "dist_q"])
+        q = quantize_matrix(batch.column(embedding_col))
+        total = np.zeros(len(q), np.int64)
+        str_cols = []
+        for s in range(m):
+            qs = q[:, s * sub:(s + 1) * sub]
+            cs = c_[:, s * sub:(s + 1) * sub]
+            best, dist = _assign_block(qs, cids_, cs)
+            total += dist.astype(np.int64)
+            str_cols.append(pc.cast(pa.array(best, pa.int64()),
+                                    pa.string()))
+        code = pc.binary_join_element_wise(*str_cols, ",")
+        return pa.Table.from_arrays(
+            [batch.column(id_col), code,
+             pa.array(total, pa.int64())],
+            names=[id_col, "code", "dist_q"])
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
 def kmeans_step(ds, cids: np.ndarray, c: np.ndarray, *,
                 embedding_col: str = "embedding"):
     """One Lloyd's update: assign each row, then per-cluster per-dim

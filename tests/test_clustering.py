@@ -229,3 +229,60 @@ def test_pca_project_matches_brute(ray_session):
            for r in clustering.pca_project(ds, dims=5, iters=3).take_all()}
     for i in range(40):
         assert got[i] == int(q[i] @ v3)
+
+
+def test_pq_encode_codebook_self_assigns(ray_session):
+    """Each codebook vector PQ-encodes to its own id in every subspace
+    with zero reconstruction distance."""
+    import ray.data
+
+    from htmlreader_ray.functions.clustering import pq_encode
+
+    rng = np.random.default_rng(11)
+    vecs = rng.uniform(-1, 1, (20, 8)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(range(20), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32()))})
+    from htmlreader_ray.functions.clustering import quantize_matrix
+    c = quantize_matrix(t.column("embedding"))[:4]
+    cids = np.arange(4, dtype=np.int64)
+    out = {r["vec_id"]: (r["code"], r["dist_q"])
+           for r in pq_encode(ray.data.from_arrow(t), cids, c,
+                              m=2).take_all()}
+    for j in range(4):
+        assert out[j] == (f"{j},{j}", 0)
+    # every code references a valid codebook id and dist is non-negative
+    for code, dist in out.values():
+        assert dist >= 0
+        assert all(0 <= int(x) < 4 for x in code.split(","))
+
+
+def test_pq_encode_matches_brute_force(ray_session):
+    import ray.data
+
+    from htmlreader_ray.functions.clustering import (pq_encode,
+                                                     quantize_matrix)
+    rng = np.random.default_rng(5)
+    vecs = rng.uniform(-1, 1, (50, 8)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(range(50), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32()))})
+    q = quantize_matrix(t.column("embedding"))
+    c = q[:4]
+    cids = np.arange(4, dtype=np.int64)
+    got = {r["vec_id"]: (r["code"], r["dist_q"])
+           for r in pq_encode(ray.data.from_arrow(t), cids, c,
+                              m=4).take_all()}
+    for n in range(50):
+        codes, tot = [], 0
+        for s in range(4):
+            qs, best_j, best_d = q[n, s * 2:(s + 1) * 2], -1, None
+            for j in range(4):
+                d = int(((qs - c[j, s * 2:(s + 1) * 2]) ** 2).sum())
+                if best_d is None or d < best_d:
+                    best_j, best_d = j, d
+            codes.append(str(best_j))
+            tot += best_d
+        assert got[n] == (",".join(codes), tot)
