@@ -2460,6 +2460,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
             cids, c, m=4)
 
+    def pq_adc_topk_q(sf_dir: str):
+        """ADC top-10 in the PQ compressed domain for query vector 0
+        (= codebook entry 0): driver-built m x 8 exact-int LUT, m LUT
+        lookups per vector, block-local head-k partials, one
+        repartition(1) merge (functions/clustering.pq_adc_topk)."""
+        from htmlreader_ray.functions import clustering
+        cids, c = clustering.load_centroids(sf_dir, 8)
+        return clustering.pq_adc_topk(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            cids, c, c[0], m=4, k=10)
+
+    def partitioned_roundtrip(sf_dir: str):
+        """Resumable-output surface: documents written as HIVE-
+        PARTITIONED parquet (one directory per lang — the layout that
+        lets a restarted 100 TB run skip finished partitions and a
+        reader prune at the directory level), then read back
+        partition-pruned and value-exact. The partition column comes
+        back as a hive string; the final projection restores the
+        original schema."""
+        import shutil
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        out = tempfile.mkdtemp(prefix="htmlray_hive_", dir="/tmp")
+        shutil.rmtree(out, ignore_errors=True)
+        _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]) \
+            .write_parquet(out, partition_cols=["lang"])
+
+        import ray.data
+
+        def restore(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [b.column("doc_id"),
+                 pc.cast(b.column("lang"), pa.string()),
+                 b.column("n_chars")],
+                names=["doc_id", "lang", "n_chars"])
+
+        return ray.data.read_parquet(out).map_batches(
+            restore, batch_format="pyarrow")
+
     def props_k_stats(sf_dir: str):
         """JSON scalar-function surface: extract props->'k' and
         aggregate per event type. The extraction is ONE vectorized RE2
@@ -2679,6 +2721,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_k_stats": props_k_stats,
         "events_dow_hour": events_dow_hour,
         "pq_encode": pq_encode_q,
+        "pq_adc_topk": pq_adc_topk_q,
+        "partitioned_roundtrip": partitioned_roundtrip,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -2722,7 +2766,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in round 3, ninth sweep
         "jsonl_roundtrip", "csv_roundtrip", "type_share",
         "regional_revenue", "region_nation_cross",
-        "props_k_stats", "events_dow_hour", "pq_encode",
+        "props_k_stats", "events_dow_hour", "pq_encode", "pq_adc_topk",
+        "partitioned_roundtrip",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -3155,6 +3200,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "region_nation_cross": """
             SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+        """,
+        "partitioned_roundtrip": """
+            SELECT doc_id, lang, n_chars FROM documents
         """,
         "jsonl_roundtrip": """
             SELECT doc_id, lang, source, n_chars FROM documents
@@ -4368,6 +4416,51 @@ def oracle_sql() -> dict[str, str]:
                        AS code,
                    CAST(sum(dist) AS BIGINT) AS dist_q
             FROM best GROUP BY vec_id
+        """,
+        "pq_adc_topk": """
+            WITH q AS (
+                SELECT vec_id, list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
+                                 AS BIGINT)) AS v
+                FROM embeddings
+            ), a AS (
+                SELECT vec_id, generate_subscripts(v, 1) AS i,
+                       unnest(v) AS qv
+                FROM q
+            ), asub AS (
+                SELECT vec_id, i, qv,
+                       CAST((i - 1) // 16 AS BIGINT) AS s
+                FROM a
+            ), cb AS (
+                SELECT vec_id AS cid, i, qv AS cq, s FROM asub
+                WHERE vec_id < 8
+            ), d AS (
+                SELECT a.vec_id, cb.cid, a.s,
+                       CAST(sum((a.qv - cb.cq) * (a.qv - cb.cq))
+                            AS BIGINT) AS dist
+                FROM asub a JOIN cb ON a.i = cb.i
+                GROUP BY a.vec_id, cb.cid, a.s
+            ), best AS (
+                SELECT vec_id, s, cid FROM d
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                           ORDER BY dist, cid) = 1
+            ), lut AS (
+                SELECT cb.cid, cb.s,
+                       CAST(sum((q0.qv - cb.cq) * (q0.qv - cb.cq))
+                            AS BIGINT) AS ld
+                FROM asub q0 JOIN cb ON q0.i = cb.i
+                WHERE q0.vec_id = 0
+                GROUP BY cb.cid, cb.s
+            ), adc AS (
+                SELECT b.vec_id, CAST(sum(l.ld) AS BIGINT) AS adc_dist
+                FROM best b JOIN lut l ON l.cid = b.cid AND l.s = b.s
+                GROUP BY b.vec_id
+            )
+            SELECT vec_id, adc_dist,
+                   CAST(ROW_NUMBER() OVER (ORDER BY adc_dist, vec_id)
+                        AS BIGINT) AS "rank"
+            FROM adc
+            QUALIFY ROW_NUMBER() OVER (ORDER BY adc_dist, vec_id) <= 10
         """,
         "kmeans_assign": """
             WITH q AS (

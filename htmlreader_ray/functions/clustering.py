@@ -200,6 +200,75 @@ def pq_encode(ds, cids: np.ndarray, c: np.ndarray, *, m: int = 4,
     return ds.map_batches(encode, batch_format="pyarrow")
 
 
+def pq_adc_topk(ds, cids: np.ndarray, c: np.ndarray,
+                query_q: np.ndarray, *, m: int = 4, k: int = 10,
+                id_col: str = "vec_id",
+                embedding_col: str = "embedding"):
+    """Asymmetric-distance (ADC) top-k scan in the PQ compressed domain:
+    the query's per-subspace distance to every codebook entry is a tiny
+    LUT computed ONCE on the driver (m x k_codebook exact int64 cells);
+    each corpus vector's approximate distance is then m LUT lookups on
+    its code — never a d-dim arithmetic op per vector. Here the codes
+    are derived inline (single pass over the vectors); a stored-code
+    corpus would run the same kernel over the code column alone and
+    never touch the raw vectors.
+
+    Plan: stateless map emits block-local head-k partials (<= k rows per
+    block), one repartition(1) merge — the ann.brute_force_topk shape.
+    Returns (vec_id, adc_dist, rank), rank 1..k by (dist, vec_id)."""
+    import ray
+
+    d = c.shape[1]
+    assert d % m == 0, (d, m)
+    sub = d // m
+    # LUT: lut[s, j] = ||query_sub_s - c_j_sub_s||^2, exact int64
+    lut = np.zeros((m, len(cids)), np.int64)
+    for s in range(m):
+        diff = query_q[s * sub:(s + 1) * sub][None, :] \
+            - c[:, s * sub:(s + 1) * sub]
+        lut[s] = np.einsum("kd,kd->k", diff, diff)
+    ref = ray.put((cids, c, lut))
+
+    def scan(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        cids_, c_, lut_ = ray.get(_ref)
+        if len(batch) == 0:
+            return pa.Table.from_arrays(
+                [batch.column(id_col), pa.array([], pa.int64())],
+                names=[id_col, "adc_dist"])
+        q = quantize_matrix(batch.column(embedding_col))
+        dist = np.zeros(len(q), np.int64)
+        # positional codes (centroids arrive sorted by id, so positional
+        # argmin tie-breaking == lowest-cid tie-breaking)
+        pos = np.arange(len(c_), dtype=np.int64)
+        for s in range(m):
+            qs = q[:, s * sub:(s + 1) * sub]
+            cs = c_[:, s * sub:(s + 1) * sub]
+            best, _ = _assign_block(qs, pos, cs)
+            dist += lut_[s][best]
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, dist))[:k]
+        order = np.sort(order)
+        return pa.Table.from_arrays(
+            [batch.column(id_col).take(pa.array(order)),
+             pa.array(dist[order], pa.int64())],
+            names=[id_col, "adc_dist"])
+
+    def merge(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        dist = batch.column("adc_dist").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, dist))[:k]
+        rank = np.arange(1, len(order) + 1, dtype=np.int64)
+        return pa.Table.from_arrays(
+            [batch.column(id_col).take(pa.array(order)),
+             batch.column("adc_dist").take(pa.array(order)),
+             pa.array(rank)],
+            names=[id_col, "adc_dist", "rank"])
+
+    local = ds.map_batches(scan, batch_format="pyarrow")
+    return local.repartition(1).map_batches(merge,
+                                            batch_format="pyarrow")
+
+
 def kmeans_step(ds, cids: np.ndarray, c: np.ndarray, *,
                 embedding_col: str = "embedding"):
     """One Lloyd's update: assign each row, then per-cluster per-dim

@@ -286,3 +286,29 @@ def test_pq_encode_matches_brute_force(ray_session):
             codes.append(str(best_j))
             tot += best_d
         assert got[n] == (",".join(codes), tot)
+
+
+def test_pq_adc_query_zero_ranks_itself_first(ray_session):
+    """ADC distance of the query's own vector is the total quantization
+    error of its code vs the LUT — for a codebook member it is 0, so
+    vec 0 ranks first."""
+    import ray.data
+
+    from htmlreader_ray.functions.clustering import (pq_adc_topk,
+                                                     quantize_matrix)
+    rng = np.random.default_rng(3)
+    vecs = rng.uniform(-1, 1, (30, 8)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(range(30), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32()))})
+    q = quantize_matrix(t.column("embedding"))
+    c = q[:4]
+    cids = np.arange(4, dtype=np.int64)
+    out = pq_adc_topk(ray.data.from_arrow(t), cids, c, q[0],
+                      m=2, k=5).take_all()
+    assert len(out) == 5
+    assert out[0]["vec_id"] == 0 and out[0]["adc_dist"] == 0
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+    dists = [r["adc_dist"] for r in out]
+    assert dists == sorted(dists)
