@@ -2589,6 +2589,194 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 names=["src", "dst"]), batch_format="pyarrow")
         return triangle_counts(edges)
 
+    def user_next_event(sf_dir: str):
+        """Per-row LEAD() window: each event annotated with the SAME
+        user's next event type (NULL on the user's last event). One
+        user-bucket shuffle + segmented shifted take inside the group —
+        functions/analytics.next_event_per_user; no global sort."""
+        from htmlreader_ray.functions.analytics import next_event_per_user
+
+        return next_event_per_user(
+            _read(sf_dir, "events",
+                  ["event_id", "ts", "user_id", "event_type"]))
+
+    def events_cube(sf_dir: str):
+        """GROUP BY CUBE(event_type, isodow): four combiner aggregates
+        (full grain, per-type, per-dow, grand total) unioned — each
+        level shuffles only its own pre-reduced partials, so the cube
+        costs four narrow groupbys, never a row replication by 4 as a
+        naive grouping-sets expansion would. Rolled-up positions carry
+        'ALL' / -1 sentinels to keep both schemas stable."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def project(b: pa.Table) -> pa.Table:
+            dow = pc.add(pc.cast(pc.day_of_week(b.column("ts")),
+                                 pa.int64()), 1)
+            return pa.Table.from_arrays(
+                [b.column("event_type"), dow], names=["event_type", "dow"])
+
+        base_ds = _read(sf_dir, "events", ["event_type", "ts"]) \
+            .map_batches(project, batch_format="pyarrow")
+
+        def as_i64(b: pa.Table) -> pa.Table:
+            return b.set_column(
+                b.column_names.index("n_events"), "n_events",
+                pc.cast(b.column("n_events"), pa.int64()))
+
+        lvl_td = combine_aggregate(base_ds, ["event_type", "dow"],
+                                   [("", "count", "n_events")])
+        lvl_t = combine_aggregate(base_ds, ["event_type"],
+                                  [("", "count", "n_events")]).map_batches(
+            lambda b: b.add_column(
+                1, "dow", pa.array([-1] * len(b), pa.int64())),
+            batch_format="pyarrow")
+        lvl_d = combine_aggregate(base_ds, ["dow"],
+                                  [("", "count", "n_events")]).map_batches(
+            lambda b: b.add_column(
+                0, "event_type", pa.array(["ALL"] * len(b), pa.string())),
+            batch_format="pyarrow")
+        total = base_ds.count()
+        lvl0 = ray.data.from_arrow(pa.table({
+            "event_type": pa.array(["ALL"], pa.string()),
+            "dow": pa.array([-1], pa.int64()),
+            "n_events": pa.array([total], pa.int64())}))
+        return lvl_td.union(lvl_t, lvl_d, lvl0).map_batches(
+            as_i64, batch_format="pyarrow")
+
+    def price_histogram(sf_dir: str):
+        """Fixed-width histogram of order totals: exact integer cents
+        (floor(100*x+0.5), the segment_top_orders contract) integer-
+        divided into $500 buckets, then one combiner count groupby.
+        The histogram is the canonical pre-aggregation example: each
+        block leaves at most n_buckets rows regardless of row count."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def bucket(b: pa.Table) -> pa.Table:
+            cents = pc.cast(pc.floor(pc.add(pc.multiply(
+                b.column("o_totalprice"), 100.0), 0.5)), pa.int64())
+            return pa.Table.from_arrays(
+                [pc.divide(cents, 50_000)], names=["bucket"])
+
+        ds = _read(sf_dir, "orders", ["o_totalprice"]).map_batches(
+            bucket, batch_format="pyarrow")
+        return combine_aggregate(ds, ["bucket"], [("", "count", "n")]) \
+            .map_batches(lambda b: b.set_column(
+                b.column_names.index("n"), "n",
+                pc.cast(b.column("n"), pa.int64())),
+                batch_format="pyarrow")
+
+    def regr_parts(sf_dir: str):
+        """Distributed simple-regression sufficient statistics per
+        returnflag: n, Σx, Σy, Σxy, Σx² with x = quantity (integral)
+        and y = extendedprice in exact integer cents. Slope/intercept/
+        covariance/correlation are all driver-side arithmetic on these
+        five integers — the distributed part never touches a float, so
+        the result is bitwise order-independent (the moments pattern of
+        event_anomaly applied to two variables)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def project(b: pa.Table) -> pa.Table:
+            x = pc.cast(b.column("l_quantity"), pa.int64())
+            y = pc.cast(pc.floor(pc.add(pc.multiply(
+                b.column("l_extendedprice"), 100.0), 0.5)), pa.int64())
+            return pa.Table.from_arrays(
+                [b.column("l_returnflag"), x, y,
+                 pc.multiply(x, y), pc.multiply(x, x)],
+                names=["l_returnflag", "x", "y", "xy", "xx"])
+
+        ds = _read(sf_dir, "lineitem",
+                   ["l_returnflag", "l_quantity", "l_extendedprice"]) \
+            .map_batches(project, batch_format="pyarrow")
+        return combine_aggregate(
+            ds, ["l_returnflag"],
+            [("", "count", "n"), ("x", "sum", "sum_x"),
+             ("y", "sum", "sum_y"), ("xy", "sum", "sum_xy"),
+             ("xx", "sum", "sum_xx")]).map_batches(
+            lambda b: b.set_column(
+                b.column_names.index("n"), "n",
+                pc.cast(b.column("n"), pa.int64())),
+            batch_format="pyarrow")
+
+    def day_entropy_parts(sf_dir: str):
+        """Shannon-entropy sufficient statistics of the event-type mix
+        per day: (n_total, Σ n_i·⌊1000·ln n_i + 0.5⌋) — the same
+        int-quantized libm-ln contract as unigram_logprob/top_bm25, so
+        the cross-group sum is integer-exact and order-independent.
+        H(day) = ln(N) − sum_n_ln_n_e3 / (1000·N) on the driver. Two
+        narrow combiner groupbys; the per-(day,type) count table is the
+        only shuffled state."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def project(b: pa.Table) -> pa.Table:
+            day = pc.strftime(
+                pc.floor_temporal(b.column("ts"), unit="day"), "%Y-%m-%d")
+            return pa.Table.from_arrays(
+                [day, b.column("event_type")], names=["day", "event_type"])
+
+        counts = combine_aggregate(
+            _read(sf_dir, "events", ["ts", "event_type"]).map_batches(
+                project, batch_format="pyarrow"),
+            ["day", "event_type"], [("", "count", "n")])
+
+        def nlnn(b: pa.Table) -> pa.Table:
+            n = b.column("n").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            e3 = np.floor(1000.0 * np.log(n.astype(np.float64)) + 0.5) \
+                .astype(np.int64)
+            return pa.Table.from_arrays(
+                [b.column("day"), pa.array(n), pa.array(n * e3)],
+                names=["day", "n", "n_ln_n_e3"])
+
+        parts = counts.map_batches(nlnn, batch_format="pyarrow")
+        return combine_aggregate(
+            parts, ["day"],
+            [("n", "sum", "n_total"),
+             ("n_ln_n_e3", "sum", "sum_n_ln_n_e3")])
+
+    def mode_term_by_lang(sf_dir: str):
+        """Per-group MODE with deterministic tie-break: the most
+        frequent whitespace token per language (ties → lexicographically
+        smallest word). Block-local (lang, word) Arrow group_by partials
+        → one narrow count groupby → head-1 combiner argmax
+        (functions/shuffle.grouped_topk, n DESC / word ASC) — the mode
+        never materializes a language's full word list in one place."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import (combine_aggregate,
+                                                      grouped_topk)
+        from htmlreader_ray.functions.text import _split_words_flat
+
+        def explode(b: pa.Table) -> pa.Table:
+            rows, words = _split_words_flat(b.column("text"))
+            langs = b.column("lang").combine_chunks().take(pa.array(rows))
+            t = pa.Table.from_arrays([langs, words],
+                                     names=["lang", "word"])
+            g = t.group_by(["lang", "word"]).aggregate([([], "count_all")])
+            return g.select(["lang", "word", "count_all"]) \
+                .rename_columns(["lang", "word", "n"])
+
+        parts = _read(sf_dir, "documents", ["lang", "text"]).map_batches(
+            explode, batch_format="pyarrow")
+        from ray.data.aggregate import Sum
+        dist = parts.groupby(["lang", "word"]).aggregate(Sum("n")) \
+            .map_batches(lambda b: b.rename_columns(["lang", "word", "n"]),
+                         batch_format="pyarrow")
+        top = grouped_topk(dist, group_col="lang", order_col="n",
+                           id_col="word", k=1)
+        return top.map_batches(
+            lambda b: b.select(["lang", "word", "n"]),
+            batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -2723,6 +2911,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_encode": pq_encode_q,
         "pq_adc_topk": pq_adc_topk_q,
         "partitioned_roundtrip": partitioned_roundtrip,
+        "user_next_event": user_next_event,
+        "events_cube": events_cube,
+        "price_histogram": price_histogram,
+        "regr_parts": regr_parts,
+        "day_entropy_parts": day_entropy_parts,
+        "mode_term_by_lang": mode_term_by_lang,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -2768,6 +2962,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regional_revenue", "region_nation_cross",
         "props_k_stats", "events_dow_hour", "pq_encode", "pq_adc_topk",
         "partitioned_roundtrip",
+        # new in round 3, tenth sweep
+        "user_next_event", "events_cube", "price_histogram",
+        "regr_parts", "day_entropy_parts", "mode_term_by_lang",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -3203,6 +3400,66 @@ def oracle_sql() -> dict[str, str]:
         """,
         "partitioned_roundtrip": """
             SELECT doc_id, lang, n_chars FROM documents
+        """,
+        "user_next_event": """
+            SELECT event_id,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS next_event_type
+            FROM events
+        """,
+        "events_cube": """
+            SELECT COALESCE(event_type, 'ALL') AS event_type,
+                   COALESCE(dow, -1) AS dow,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM (SELECT event_type,
+                         CAST(isodow(ts) AS BIGINT) AS dow FROM events)
+            GROUP BY CUBE(event_type, dow)
+        """,
+        "price_histogram": """
+            SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                       // 50000 AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1
+        """,
+        "regr_parts": """
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sum_x,
+                   CAST(SUM(y) AS BIGINT) AS sum_y,
+                   CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+                   CAST(SUM(x * x) AS BIGINT) AS sum_xx
+            FROM (SELECT l_returnflag,
+                         CAST(l_quantity AS BIGINT) AS x,
+                         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                             AS y
+                  FROM lineitem)
+            GROUP BY l_returnflag
+        """,
+        "day_entropy_parts": """
+            WITH c AS (
+                SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                       event_type, CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2)
+            SELECT day,
+                   CAST(SUM(n) AS BIGINT) AS n_total,
+                   CAST(SUM(n * CAST(FLOOR(1000 * LN(n) + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_n_ln_n_e3
+            FROM c GROUP BY day
+        """,
+        "mode_term_by_lang": r"""
+            WITH wc AS (
+                SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n
+                FROM (SELECT lang,
+                             unnest(regexp_split_to_array(text, '\s+'))
+                                 AS word
+                      FROM documents)
+                WHERE word <> '' GROUP BY 1, 2)
+            SELECT lang, word, n
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY lang ORDER BY n DESC, word) AS rn
+                  FROM wc)
+            WHERE rn = 1
         """,
         "jsonl_roundtrip": """
             SELECT doc_id, lang, source, n_chars FROM documents

@@ -321,3 +321,44 @@ def type_cooccurrence(ds, *, user_col: str = "user_id",
             names=["type_a", "type_b", "n_users"])
 
     return agg.map_batches(project, batch_format="pyarrow")
+
+
+def next_event_per_user(ds, *, ts_col: str = "ts", user_col: str = "user_id",
+                        type_col: str = "event_type",
+                        order_col: str = "event_id",
+                        coarse_buckets: int = 256):
+    """LEAD(type) OVER (PARTITION BY user ORDER BY ts, order_col).
+
+    Per-row window function without a global sort: rows shuffle once by
+    a coarse user-hash bucket (every row of a user lands in one group),
+    then the group kernel lexsorts (user, ts, order) and reads each
+    row's successor with a vectorized shifted take — the last event of
+    a user gets NULL. Output is one row per input row, so this is the
+    LEAD twin of ``event_gap_stats``'s LAG (reference semantics:
+    sequential enumeration order, HTMLReader Sources/HTMLDocument.m
+    tree order analogue)."""
+    def kernel(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.string())],
+                names=[order_col, "next_event_type"])
+        uid = _np(group.column(user_col))
+        us = _np(group.column(ts_col).cast(pa.int64()))
+        eid = _np(group.column(order_col))
+        order = np.lexsort((eid, us, uid))
+        uid_s = uid[order]
+        n = len(order)
+        same = np.zeros(n, dtype=bool)
+        same[:-1] = uid_s[1:] == uid_s[:-1]
+        nxt = np.zeros(n, dtype=np.int64)
+        nxt[:-1] = order[1:]
+        types = group.column(type_col).combine_chunks()
+        vals = pc.if_else(pa.array(same),
+                          types.take(pa.array(nxt)),
+                          pa.scalar(None, pa.string()))
+        return pa.Table.from_arrays(
+            [pa.array(eid[order]), vals],
+            names=[order_col, "next_event_type"])
+
+    return _bucketed(ds, user_col, coarse_buckets).map_groups(
+        kernel, batch_format="pyarrow")

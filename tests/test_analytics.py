@@ -204,3 +204,51 @@ def test_pivot_counts(ray_session):
         w = want[r["user_id"]]
         assert (r["n_view"], r["n_click"], r["n_purchase"]) == (
             w["n_view"], w["n_click"], w["n_purchase"])
+
+
+def test_next_event_per_user(ray_session):
+    import ray.data
+    ds = ray.data.from_arrow(events_table())
+    out = {r["event_id"]: r["next_event_type"]
+           for r in analytics.next_event_per_user(ds).take_all()}
+    # user 1 order: 10 (ts tie, id asc) -> 11 -> 12 -> None
+    assert out[10] == "click"
+    assert out[11] == "purchase"
+    assert out[12] is None
+    # user 2: single event
+    assert out[20] is None
+    # user 3: 30 -> 31 -> None
+    assert out[30] == "click"
+    assert out[31] is None
+    assert len(out) == 6
+
+
+def test_next_event_many_users_bucketed(ray_session):
+    # users collide in the 256-bucket space; the kernel must still
+    # segment strictly by user id inside each bucket group
+    import ray.data
+    n_users, per_user = 600, 3
+    eid, ts, uid, et = [], [], [], []
+    k = 0
+    for u in range(n_users):
+        for i in range(per_user):
+            eid.append(k)
+            ts.append((u + i * 7) * US)
+            uid.append(u)
+            et.append(f"t{i}")
+            k += 1
+    t = pa.table({
+        "event_id": pa.array(eid, pa.int64()),
+        "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array(uid, pa.int64()),
+        "event_type": pa.array(et, pa.string()),
+    })
+    out = {r["event_id"]: r["next_event_type"]
+           for r in analytics.next_event_per_user(
+               ray.data.from_arrow(t)).take_all()}
+    assert len(out) == n_users * per_user
+    for u in range(n_users):
+        base = u * per_user
+        assert out[base] == "t1"
+        assert out[base + 1] == "t2"
+        assert out[base + 2] is None
