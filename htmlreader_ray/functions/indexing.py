@@ -273,3 +273,95 @@ def bigram_pmi(ds, *, text_col: str = "text", top_k: int = 50,
 
     return scored.map_batches(local_topk, batch_format="pyarrow") \
         .repartition(1).map_batches(local_topk, batch_format="pyarrow")
+
+
+def _doc_bigram_rows(batch: pa.Table, text_col: str,
+                     id_col: str) -> pa.Table:
+    """Block-local (doc_id, w1, w2, k) adjacent-pair partial counts —
+    the per-document twin of _bigram_rows (same zero-copy shifted-view
+    construction), pre-reduced per block so the score join moves
+    (doc, bigram-type) rows, never raw token occurrences."""
+    row_ids, words = _split_words_flat(batch.column(text_col))
+    ids = batch.column(id_col).combine_chunks()
+    empty = pa.table({id_col: pa.array([], ids.type),
+                      "w1": pa.array([], pa.string()),
+                      "w2": pa.array([], pa.string()),
+                      "k": pa.array([], pa.int64())})
+    if len(words) < 2:
+        return empty
+    adjacent = pa.array(row_ids[1:] == row_ids[:-1])
+    doc = ids.take(pa.array(row_ids[1:])).filter(adjacent)
+    flat = pa.table({id_col: doc,
+                     "w1": words.slice(0, len(words) - 1).filter(adjacent),
+                     "w2": words.slice(1).filter(adjacent)})
+    if flat.num_rows == 0:
+        return empty
+    g = flat.group_by([id_col, "w1", "w2"]).aggregate([([], "count_all")])
+    return g.select([id_col, "w1", "w2", "count_all"]) \
+        .rename_columns([id_col, "w1", "w2", "k"])
+
+
+def bigram_surprisal(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                     scale: int = 1000):
+    """(doc_id, n_bigrams, bg_surprisal_e3): total corpus-bigram-LM
+    surprisal per document in integer milli-nats, MLE conditional
+    P(w2|w1) = c(w1,w2) / c(w1·) with c(w1·) the bigram-FIRST-position
+    total (so the conditional normalizes exactly). The scoring corpus
+    is the corpus itself, so every document bigram is in the model and
+    there is no OOV branch. Documents with < 2 words emit no row (the
+    SQL GROUP BY mirror).
+
+    Scale shape: both the bigram and first-word tables are TYPE tables
+    (bounded by distinct pairs, not tokens); the per-document side is
+    block-pre-reduced (doc, w1, w2, k) partials. Scores attach via two
+    narrow hash joins — the model is never broadcast — then one
+    combiner groupby per document sums k and k·s in exact int64
+    (the unigram_surprisal contract: floor(scale·−ln(c12/c1)+0.5),
+    pc.ln ≡ libm ln, pinned by test_pmi_ln_bit_parity)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .shuffle import combine_aggregate
+
+    parts = _narrow_partitions()
+
+    bi = ds.map_batches(_bigram_rows, fn_kwargs={"text_col": text_col},
+                        batch_format="pyarrow") \
+        .repartition(parts).groupby(["w1", "w2"]).aggregate(Sum("c")) \
+        .map_batches(lambda b: b.rename_columns(["w1", "w2", "c"]),
+                     batch_format="pyarrow").materialize()
+    c1 = bi.map_batches(
+        lambda b: b.group_by("w1").aggregate([("c", "sum")])
+        .rename_columns(["w1", "c1"]), batch_format="pyarrow") \
+        .repartition(parts).groupby("w1").aggregate(Sum("c1")) \
+        .map_batches(lambda b: b.rename_columns(["w1", "c1"]),
+                     batch_format="pyarrow")
+
+    def score_cols(b: pa.Table) -> pa.Table:
+        f64 = pa.float64()
+        ratio = pc.divide(pc.cast(b.column("c"), f64),
+                          pc.cast(b.column("c1"), f64))
+        s = pc.floor(pc.add(pc.multiply(
+            pc.negate(pc.ln(ratio)), float(scale)), 0.5))
+        return pa.Table.from_arrays(
+            [b.column("w1"), b.column("w2"),
+             pc.cast(s, pa.int64())], names=["w1", "w2", "s"])
+
+    scores = bi.join(c1, "inner", parts, on=("w1",)) \
+        .map_batches(score_cols, batch_format="pyarrow")
+
+    occ = ds.map_batches(
+        _doc_bigram_rows,
+        fn_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow")
+    joined = occ.join(scores, "inner", parts, on=("w1", "w2"))
+
+    def weight(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b.column(id_col), b.column("k"),
+             pc.multiply(b.column("k"), b.column("s"))],
+            names=[id_col, "k", "ks"])
+
+    return combine_aggregate(
+        joined.map_batches(weight, batch_format="pyarrow"), [id_col],
+        [("k", "sum", "n_bigrams"), ("ks", "sum", "bg_surprisal_e3")])

@@ -186,3 +186,46 @@ def grouped_exact_median(ds, keys: Sequence[str], val_col: str,
 
     return dist.groupby(keys if len(keys) > 1 else keys[0]) \
         .map_groups(pick, batch_format="pyarrow")
+
+
+def grouped_percentile_disc(ds, keys: Sequence[str], val_col: str,
+                            fracs: Sequence[tuple[str, int, int]]):
+    """PERCENTILE_DISC per group for several fractions at once, exactly:
+    shuffle only the (keys..., val, count) VALUE DISTRIBUTION (the
+    grouped_exact_median pattern), then per group pick the value at
+    1-indexed rank ceil(num·n/den) — computed in pure integers
+    ((num·n + den − 1) // den), so there is no 0.1·n float rounding
+    hazard anywhere. fracs: (out_col, num, den) with 0 < num <= den.
+    Returns one row per group: [*keys, *out_cols]."""
+    keys = list(keys)
+    dist = combine_aggregate(ds.select_columns(keys + [val_col]),
+                             keys + [val_col], [("", "count", "n")])
+
+    names = [f for f, _n, _d in fracs]
+
+    def pick(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], group.column(c).type) for c in keys]
+                + [pa.array([], group.column(val_col).type)
+                   for _ in names],
+                names=[*keys, *names])
+        order = pc.sort_indices(group.column(val_col))
+        group = group.take(order)
+        cnt = group.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        vals = group.column(val_col)
+        out = []
+        for _f, num, den in fracs:
+            k = (num * n + den - 1) // den
+            k = max(1, min(k, n))
+            idx = int(np.searchsorted(cum, k, side="left"))
+            out.append(vals.slice(idx, 1))
+        return pa.Table.from_arrays(
+            [group.column(c).slice(0, 1) for c in keys] + out,
+            names=[*keys, *names])
+
+    return dist.groupby(keys if len(keys) > 1 else keys[0]) \
+        .map_groups(pick, batch_format="pyarrow")

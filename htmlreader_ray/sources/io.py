@@ -91,3 +91,55 @@ def read_csv(path, *, override_num_blocks: Optional[int] = None):
     if override_num_blocks is not None:
         kw["override_num_blocks"] = override_num_blocks
     return ray.data.read_csv(path, **kw)
+
+
+def write_orc(ds, path: str) -> str:
+    """Dataset -> ORC files under ``path``, one file per block (the same
+    resumable many-files layout as the parquet/jsonl sinks). Ray Data
+    has no native ORC sink, so each block writes itself inside a
+    map_batches task via pyarrow.orc — distributed, no driver
+    materialization; the returned manifest (path, rows) is the only
+    thing that crosses back."""
+    import pyarrow as pa
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        import uuid
+
+        from pyarrow import orc
+        if batch.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        f = os.path.join(path, f"part-{uuid.uuid4().hex}.orc")
+        orc.write_table(batch, f)
+        return pa.table({"path": pa.array([f], pa.string()),
+                         "rows": pa.array([batch.num_rows], pa.int64())})
+
+    ds.map_batches(write_block, batch_size=None,
+                   batch_format="pyarrow").materialize()
+    return path
+
+
+def read_orc(path, *, override_num_blocks: Optional[int] = None):
+    """ORC dir -> ray.data.Dataset: the file listing streams through
+    read_binary_files (one task per file) and each task decodes its ORC
+    bytes with pyarrow.orc — a real distributed read, schema preserved
+    bit-exactly (ORC round-trips Arrow int/string/timestamp types)."""
+    import pyarrow as pa
+    import ray.data
+
+    kw = {}
+    if override_num_blocks is not None:
+        kw["override_num_blocks"] = override_num_blocks
+    files = ray.data.read_binary_files(path, **kw)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        import io as _io
+
+        from pyarrow import orc
+        tables = [orc.ORCFile(_io.BytesIO(b.as_py())).read()
+                  for b in batch.column("bytes")]
+        return pa.concat_tables(tables) if tables else pa.table({})
+
+    return files.map_batches(decode, batch_format="pyarrow")

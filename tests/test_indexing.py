@@ -143,3 +143,37 @@ def test_bigram_pmi_join_path_parity(ray_session):
             for r in bigram_pmi(_ds(TEXTS), min_count=1, top_k=10,
                                 broadcast_max_vocab=0).take_all()]
     assert fast == slow == naive_pmi(TEXTS, 1, 10)
+
+
+def test_bigram_surprisal_brute(ray_session):
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data
+
+    from htmlreader_ray.functions.indexing import bigram_surprisal
+
+    docs = ["a b a b c", "b c b c", "a a a", "solo", ""]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    # brute force
+    bigs = []
+    per_doc = {}
+    for i, d in enumerate(docs):
+        ws = d.split()
+        pairs = list(zip(ws, ws[1:]))
+        if pairs:
+            per_doc[i] = pairs
+        bigs.extend(pairs)
+    c12 = Counter(bigs)
+    c1 = Counter(w1 for w1, _ in bigs)
+    want = {}
+    for i, pairs in per_doc.items():
+        tot = 0
+        for p in pairs:
+            tot += math.floor(1000 * -math.log(c12[p] / c1[p[0]]) + 0.5)
+        want[i] = (len(pairs), tot)
+    out = {r["doc_id"]: (r["n_bigrams"], r["bg_surprisal_e3"])
+           for r in bigram_surprisal(ray.data.from_arrow(t)).take_all()}
+    assert out == want

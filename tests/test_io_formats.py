@@ -37,3 +37,23 @@ def test_csv_roundtrip_values(ray_session):
     write_csv(ray.data.from_arrow(t), out)
     got = sorted(read_csv(out).take_all(), key=lambda r: r["id"])
     assert got == sorted(t.to_pylist(), key=lambda r: r["id"])
+
+
+def test_orc_roundtrip_unit(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data
+
+    from htmlreader_ray.sources.io import read_orc, write_orc
+
+    t = pa.table({
+        "a": pa.array([1, 2, 3], pa.int64()),
+        "s": pa.array(["x", "y", None], pa.string()),
+        "ts": pa.array([1, 2, 3], pa.int64()).cast(pa.timestamp("us")),
+    })
+    out = str(tmp_path / "orc")
+    write_orc(ray.data.from_arrow(t), out)
+    back = read_orc(out).take_all()
+    got = sorted((r["a"], r["s"], r["ts"]) for r in back)
+    want = sorted((r["a"], r["s"], r["ts"]) for r in
+                  ray.data.from_arrow(t).take_all())
+    assert got == want

@@ -234,3 +234,39 @@ def test_temperature_sample_exact_and_invariant(ray_session):
     # and the big group is genuinely downsampled
     assert len(want & {i for i in range(n) if grp[i] == "big"}) \
         < sum(1 for g in grp if g == "big")
+
+
+def test_grouped_percentile_disc(ray_session):
+    import numpy as np
+    import ray.data
+    from htmlreader_ray.functions.shuffle import grouped_percentile_disc
+
+    rng = np.random.RandomState(7)
+    g = rng.randint(0, 3, 500)
+    v = rng.randint(-1000, 1000, 500)
+    t = pa.table({"g": pa.array(g, pa.int64()),
+                  "v": pa.array(v, pa.int64())})
+    out = {r["g"]: r for r in grouped_percentile_disc(
+        ray.data.from_arrow(t), ["g"], "v",
+        [("p10", 1, 10), ("p50", 1, 2), ("p90", 9, 10)]).take_all()}
+    for grp in range(3):
+        vals = np.sort(v[g == grp])
+        n = len(vals)
+        for name, num, den in [("p10", 1, 10), ("p50", 1, 2),
+                               ("p90", 9, 10)]:
+            k = max(1, min((num * n + den - 1) // den, n))
+            assert out[grp][name] == vals[k - 1], (grp, name)
+
+
+def test_grouped_percentile_disc_dup_values(ray_session):
+    # heavy ties: the distribution table is much smaller than the rows
+    import ray.data
+    from htmlreader_ray.functions.shuffle import grouped_percentile_disc
+
+    t = pa.table({"g": pa.array(["a"] * 100, pa.string()),
+                  "v": pa.array([5] * 90 + [100] * 10, pa.int64())})
+    out = grouped_percentile_disc(
+        ray.data.from_arrow(t), ["g"], "v",
+        [("p10", 1, 10), ("p90", 9, 10), ("p95", 19, 20)]).take_all()
+    assert out[0]["p10"] == 5 and out[0]["p90"] == 5
+    assert out[0]["p95"] == 100
