@@ -2913,6 +2913,98 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         ["doc_id", "lang", "n_chars"]), out)
         return read_orc(out)
 
+    def user_time_weighted(sf_dir: str):
+        """Time-weighted-average statistics per user: Σ cents_i·gap_ms
+        over consecutive same-user event pairs plus the total gap — all
+        exact int64 (functions/analytics.time_weighted_parts); the
+        weighted mean is driver arithmetic on two integers."""
+        from htmlreader_ray.functions.analytics import time_weighted_parts
+
+        return time_weighted_parts(
+            _read(sf_dir, "events",
+                  ["event_id", "ts", "user_id", "value"]))
+
+    def host_label_prop(sf_dir: str):
+        """Community/component seeding: TWO synchronous min-label
+        propagation rounds over the host co-citation graph
+        (functions/graph.label_propagation — per round one hash join +
+        one min-combiner + one outer join; the oracle unrolls the same
+        two rounds). Pinned round count keeps it SQL-checkable while
+        the library function takes any depth."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.analytics import type_cooccurrence
+        from htmlreader_ray.functions.graph import label_propagation
+        from htmlreader_ray.functions.urls import url_host_column
+
+        links = _read(sf_dir, "documents",
+                      ["doc_id", "text"]).map_batches(
+            q.as_task(q.LinkExtract), batch_format="pyarrow")
+
+        def hosts(b: pa.Table) -> pa.Table:
+            t = pa.Table.from_arrays(
+                [b.column("doc_id"), url_host_column(b.column("href"))],
+                names=["doc_id", "host"])
+            return t.filter(pc.not_equal(t.column("host"), ""))
+
+        co = type_cooccurrence(
+            links.map_batches(hosts, batch_format="pyarrow"),
+            user_col="doc_id", type_col="host")
+        edges = co.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("type_a"), b.column("type_b")],
+                names=["src", "dst"]), batch_format="pyarrow")
+        return label_propagation(edges, rounds=2)
+
+    def ipc_roundtrip(sf_dir: str):
+        """Interchange-format sink+source: Arrow IPC (Feather V2) files
+        one-per-block, per-file zero-copy decode tasks on read —
+        sources/io.write_ipc/read_ipc; values bit-identical."""
+        import shutil
+        import tempfile
+
+        from htmlreader_ray.sources.io import read_ipc, write_ipc
+        out = tempfile.mkdtemp(prefix="htmlray_ipc_", dir="/tmp")
+        shutil.rmtree(out, ignore_errors=True)
+        write_ipc(_read(sf_dir, "documents",
+                        ["doc_id", "lang", "n_chars"]), out)
+        return read_ipc(out)
+
+    def key_skew_stats(sf_dir: str):
+        """Partition-skew audit (the pre-flight a 100 TB groupby wants):
+        events hashed into 1024 user-id buckets, per-bucket counts via
+        the combiner, then the bucket-size DISTRIBUTION is summarized
+        (count / min / max / exact median by the value_median rank
+        rule). The corpus shuffles nothing — each block emits ≤1024
+        partial rows; the stats run on the ≤1024-row bucket table."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def bucket(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [pc.bit_wise_and(b.column("user_id"), 1023)],
+                names=["bucket"])
+
+        per_bucket = combine_aggregate(
+            _read(sf_dir, "events", ["user_id"]).map_batches(
+                bucket, batch_format="pyarrow"),
+            ["bucket"], [("", "count", "n")]).map_batches(
+            lambda b: b.set_column(
+                b.column_names.index("n"), "n",
+                pc.cast(b.column("n"), pa.int64())),
+            batch_format="pyarrow")
+        rows = per_bucket.take_all()  # <= 1024 rows by construction
+        ns = sorted(r["n"] for r in rows)
+        k = (len(ns) - 1) // 2  # value_median rank rule
+        return ray.data.from_arrow(pa.table({
+            "n_buckets": pa.array([len(ns)], pa.int64()),
+            "min_n": pa.array([ns[0]], pa.int64()),
+            "max_n": pa.array([ns[-1]], pa.int64()),
+            "median_n": pa.array([ns[k]], pa.int64()),
+        }))
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -3058,6 +3150,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_winsorized": value_winsorized,
         "nation_top_names": nation_top_names,
         "orc_roundtrip": orc_roundtrip,
+        "user_time_weighted": user_time_weighted,
+        "host_label_prop": host_label_prop,
+        "ipc_roundtrip": ipc_roundtrip,
+        "key_skew_stats": key_skew_stats,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -3109,6 +3205,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in round 3, eleventh sweep
         "bigram_surprisal", "dedup_keep_best", "value_winsorized",
         "nation_top_names", "orc_roundtrip",
+        # new in round 3, twelfth sweep
+        "user_time_weighted", "host_label_prop", "ipc_roundtrip",
+        "key_skew_stats",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -3691,6 +3790,83 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orc_roundtrip": """
             SELECT doc_id, lang, n_chars FROM documents
+        """,
+        "ipc_roundtrip": """
+            SELECT doc_id, lang, n_chars FROM documents
+        """,
+        "user_time_weighted": """
+            WITH s AS (
+                SELECT user_id, ts,
+                       CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+                       LEAD(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nts
+                FROM events
+            ), pairs AS (
+                SELECT user_id, cents,
+                       (epoch_us(nts) - epoch_us(ts)) // 1000 AS gap_ms
+                FROM s WHERE nts IS NOT NULL
+            )
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(gap_ms) AS BIGINT) AS total_gap_ms,
+                   CAST(SUM(cents * gap_ms) AS BIGINT) AS sum_w
+            FROM pairs GROUP BY user_id
+        """,
+        # same deterministic synthetic link structure as the triangles /
+        # pagerank oracles; two unrolled min-label rounds
+        "host_label_prop": """
+            WITH hosts AS (
+              SELECT DISTINCT d.doc_id,
+                     'h' || CAST((d.doc_id * 7 + j) % 10 AS VARCHAR)
+                         || '.example.com' AS host
+              FROM documents d,
+                   UNNEST(generate_series(0, d.doc_id % 3)) AS t(j)
+            ),
+            und AS (
+              SELECT DISTINCT a.host AS u, b.host AS v
+              FROM hosts a JOIN hosts b
+                ON a.doc_id = b.doc_id AND a.host < b.host
+            ),
+            bi AS (
+              SELECT u AS src, v AS dst FROM und
+              UNION ALL SELECT v, u FROM und
+            ),
+            l0 AS (
+              SELECT DISTINCT src AS host, src AS label FROM bi
+            ),
+            n1 AS (
+              SELECT b.dst AS host, MIN(l.label) AS nbr
+              FROM bi b JOIN l0 l ON l.host = b.src GROUP BY 1
+            ),
+            l1 AS (
+              SELECT l0.host,
+                     LEAST(l0.label, COALESCE(n1.nbr, l0.label)) AS label
+              FROM l0 LEFT JOIN n1 ON n1.host = l0.host
+            ),
+            n2 AS (
+              SELECT b.dst AS host, MIN(l.label) AS nbr
+              FROM bi b JOIN l1 l ON l.host = b.src GROUP BY 1
+            )
+            SELECT l1.host,
+                   LEAST(l1.label, COALESCE(n2.nbr, l1.label)) AS label
+            FROM l1 LEFT JOIN n2 ON n2.host = l1.host
+        """,
+        "key_skew_stats": """
+            WITH b AS (
+                SELECT user_id & 1023 AS bucket,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1
+            ), r AS (
+                SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS rn,
+                       COUNT(*) OVER () AS total
+                FROM b
+            )
+            SELECT CAST(MAX(total) AS BIGINT) AS n_buckets,
+                   CAST(MIN(n) AS BIGINT) AS min_n,
+                   CAST(MAX(n) AS BIGINT) AS max_n,
+                   CAST(MAX(CASE WHEN rn = (total - 1) // 2 + 1
+                            THEN n END) AS BIGINT) AS median_n
+            FROM r
         """,
         "jsonl_roundtrip": """
             SELECT doc_id, lang, source, n_chars FROM documents

@@ -362,3 +362,50 @@ def next_event_per_user(ds, *, ts_col: str = "ts", user_col: str = "user_id",
 
     return _bucketed(ds, user_col, coarse_buckets).map_groups(
         kernel, batch_format="pyarrow")
+
+
+def time_weighted_parts(ds, *, ts_col: str = "ts", user_col: str = "user_id",
+                        val_col: str = "value", order_col: str = "event_id",
+                        coarse_buckets: int = 256):
+    """Time-weighted-average sufficient statistics per user, exactly:
+    for each consecutive same-user event pair (i -> i+1) the EARLIER
+    event's integer cents are weighted by the pair's gap in integer ms
+    (gap_us // 1000). Returns (user_id, n_pairs, total_gap_ms, sum_w)
+    with sum_w = Σ cents_i · gap_ms_i — all int64 (cents < 10^5,
+    per-pair product < 10^15), so the time-weighted mean
+    sum_w / total_gap_ms is driver arithmetic and the distributed part
+    is order-independent. Users with < 2 events emit no row (SQL
+    GROUP-BY-over-pairs mirror). A user's rows land in ONE bucket
+    group, so the kernel emits final per-user rows — no second
+    shuffle."""
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64()),
+             pa.array([], pa.int64()), pa.array([], pa.int64())],
+            names=[user_col, "n_pairs", "total_gap_ms", "sum_w"])
+        if group.num_rows < 2:
+            return empty
+        uid = _np(group.column(user_col))
+        us = _np(group.column(ts_col).cast(pa.int64()))
+        eid = _np(group.column(order_col))
+        cents = np.floor(
+            _np(group.column(val_col)) * 100.0).astype(np.int64)
+        order = np.lexsort((eid, us, uid))
+        uid_s, us_s, c_s = uid[order], us[order], cents[order]
+        same = uid_s[1:] == uid_s[:-1]
+        if not same.any():
+            return empty
+        gap_ms = (np.diff(us_s) // 1000)[same]
+        w = c_s[:-1][same] * gap_ms
+        users = uid_s[:-1][same]
+        t = pa.table({user_col: users, "gap": gap_ms, "w": w})
+        g = t.group_by(user_col).aggregate(
+            [([], "count_all"), ("gap", "sum"), ("w", "sum")])
+        return pa.Table.from_arrays(
+            [g.column(user_col),
+             pc.cast(g.column("count_all"), pa.int64()),
+             g.column("gap_sum"), g.column("w_sum")],
+            names=[user_col, "n_pairs", "total_gap_ms", "sum_w"])
+
+    return _bucketed(ds, user_col, coarse_buckets).map_groups(
+        kernel, batch_format="pyarrow")

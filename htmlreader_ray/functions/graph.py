@@ -356,3 +356,65 @@ def pagerank(edges, iters: int = 3, scale: int = SCALE,
     if cnt <= local_max_edges:
         return pagerank(edges, iters=iters, scale=scale, mode="local")
     return pagerank_distributed(edges, iters=iters, scale=scale)
+
+
+def label_propagation(edges, rounds: int = 2, num_partitions: int = 4):
+    """Dataset[(src, dst)] -> Dataset[(host, label)] after ``rounds``
+    SYNCHRONOUS min-label rounds:
+
+        label_0(v)   = v
+        label_t+1(v) = min(label_t(v), min over neighbors label_t(u))
+
+    — the min-propagation view of connected components (the alternating
+    large-star/small-star CC in dedup.py converges the same quantity);
+    a FIXED round count is pinned so the SQL oracle can unroll the
+    recursion join-for-join. Each round costs one hash join (labels
+    onto the bidirectional edge stream), one combiner min-groupby, and
+    one left-outer join back onto the |nodes|-row label table — the
+    edge table streams, only labels materialize between rounds."""
+    from .shuffle import combine_aggregate
+
+    def _distinct(ds, cols):
+        out = combine_aggregate(ds, cols, [("", "count", "_c")])
+        return out.select_columns(cols)
+
+    und = _distinct(edges, ["src", "dst"])
+    bi = und.union(und.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("dst"), b.column("src")], names=["src", "dst"]),
+        batch_format="pyarrow")).materialize()
+
+    labels = _distinct(bi.map_batches(
+        lambda b: pa.Table.from_arrays([b.column("src")], names=["host"]),
+        batch_format="pyarrow"), ["host"]).map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("host"), b.column("host")], names=["host", "label"]),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(rounds):
+        lab_src = labels.map_batches(
+            lambda b: b.rename_columns(["src", "label"]),
+            batch_format="pyarrow")
+        contrib = _scrub(bi, num_partitions).join(
+            _scrub(lab_src, num_partitions), join_type="inner",
+            num_partitions=num_partitions, on=("src",))
+        nbr = combine_aggregate(
+            contrib.map_batches(
+                lambda b: pa.Table.from_arrays(
+                    [b.column("dst"), b.column("label")],
+                    names=["host", "lbl"]), batch_format="pyarrow"),
+            ["host"], [("lbl", "min", "nbr")])
+
+        def _new_label(b: pa.Table) -> pa.Table:
+            lab = b.column("label")
+            new = pc.min_element_wise(lab, pc.coalesce(b.column("nbr"),
+                                                       lab))
+            return pa.Table.from_arrays([b.column("host"), new],
+                                        names=["host", "label"])
+
+        joined = _scrub(labels, num_partitions).join(
+            _scrub(nbr, num_partitions), join_type="left_outer",
+            num_partitions=num_partitions, on=("host",))
+        labels = joined.map_batches(
+            _new_label, batch_format="pyarrow").materialize()
+    return labels

@@ -143,3 +143,48 @@ def read_orc(path, *, override_num_blocks: Optional[int] = None):
         return pa.concat_tables(tables) if tables else pa.table({})
 
     return files.map_batches(decode, batch_format="pyarrow")
+
+
+def write_ipc(ds, path: str) -> str:
+    """Dataset -> Arrow IPC (Feather V2) files under ``path``, one file
+    per block inside map_batches tasks — same distributed sink shape as
+    write_orc."""
+    import pyarrow as pa
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        import uuid
+
+        import pyarrow.feather as feather
+        if batch.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        f = os.path.join(path, f"part-{uuid.uuid4().hex}.arrow")
+        feather.write_feather(batch, f, compression="uncompressed")
+        return pa.table({"path": pa.array([f], pa.string()),
+                         "rows": pa.array([batch.num_rows], pa.int64())})
+
+    ds.map_batches(write_block, batch_size=None,
+                   batch_format="pyarrow").materialize()
+    return path
+
+
+def read_ipc(path, *, override_num_blocks: Optional[int] = None):
+    """Arrow IPC dir -> ray.data.Dataset, one decode task per file
+    (pa.ipc.open_file over the in-memory bytes — IPC is the zero-copy
+    wire format, so this is the cheapest of the interchange reads)."""
+    import pyarrow as pa
+    import ray.data
+
+    kw = {}
+    if override_num_blocks is not None:
+        kw["override_num_blocks"] = override_num_blocks
+    files = ray.data.read_binary_files(path, **kw)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        tables = [pa.ipc.open_file(pa.BufferReader(b.as_py())).read_all()
+                  for b in batch.column("bytes")]
+        return pa.concat_tables(tables) if tables else pa.table({})
+
+    return files.map_batches(decode, batch_format="pyarrow")

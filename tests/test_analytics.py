@@ -252,3 +252,24 @@ def test_next_event_many_users_bucketed(ray_session):
         assert out[base] == "t1"
         assert out[base + 1] == "t2"
         assert out[base + 2] is None
+
+
+def test_time_weighted_parts(ray_session):
+    import ray.data
+
+    t = events_table()
+    t = t.append_column("value", pa.array(
+        [1.25, 2.0, 3.5, 7.0, 10.0, 20.0], pa.float64()))
+    out = {r["user_id"]: r for r in analytics.time_weighted_parts(
+        ray.data.from_arrow(t)).take_all()}
+    # user 1: pairs (10->11 gap 0ms, cents 125), (11->12 gap 4_000_000ms,
+    # cents 200); user 3: (30->31 gap DAY ms, cents 1000); user 2: none
+    assert 2 not in out
+    u1 = out[1]
+    assert u1["n_pairs"] == 2
+    assert u1["total_gap_ms"] == 0 + 4_000_000
+    assert u1["sum_w"] == 125 * 0 + 200 * 4_000_000
+    u3 = out[3]
+    assert u3["n_pairs"] == 1
+    assert u3["total_gap_ms"] == DAY // 1000
+    assert u3["sum_w"] == 1000 * (DAY // 1000)

@@ -154,3 +154,36 @@ def test_triangle_counts_star_plus_rim(ray_session):
     edges = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
     assert _tri_dict(triangle_counts(edges)) == {
         "hub": 1, "r0": 1, "r1": 1}
+
+
+def test_label_propagation_two_components(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from htmlreader_ray.functions.graph import label_propagation
+
+    # component 1: a-b-c chain; component 2: x-y; isolated nodes absent
+    edges = pa.table({
+        "src": pa.array(["b", "c", "y"], pa.string()),
+        "dst": pa.array(["a", "b", "x"], pa.string()),
+    })
+    out = {r["host"]: r["label"] for r in label_propagation(
+        ray.data.from_arrow(edges), rounds=2).take_all()}
+    # two rounds reach distance-2 minima
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_label_propagation_one_round_partial(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from htmlreader_ray.functions.graph import label_propagation
+
+    # path a-b-c-d: after ONE synchronous round d only sees c
+    edges = pa.table({
+        "src": pa.array(["a", "b", "c"], pa.string()),
+        "dst": pa.array(["b", "c", "d"], pa.string()),
+    })
+    out = {r["host"]: r["label"] for r in label_propagation(
+        ray.data.from_arrow(edges), rounds=1).take_all()}
+    assert out == {"a": "a", "b": "a", "c": "b", "d": "c"}

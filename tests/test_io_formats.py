@@ -57,3 +57,19 @@ def test_orc_roundtrip_unit(ray_session, tmp_path):
     want = sorted((r["a"], r["s"], r["ts"]) for r in
                   ray.data.from_arrow(t).take_all())
     assert got == want
+
+
+def test_ipc_roundtrip_unit(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data
+
+    from htmlreader_ray.sources.io import read_ipc, write_ipc
+
+    t = pa.table({
+        "a": pa.array([1, 2, 3], pa.int64()),
+        "s": pa.array(["x", None, "z"], pa.string()),
+    })
+    out = str(tmp_path / "ipc")
+    write_ipc(ray.data.from_arrow(t), out)
+    got = sorted((r["a"], r["s"]) for r in read_ipc(out).take_all())
+    assert got == [(1, "x"), (2, None), (3, "z")]
