@@ -3005,6 +3005,145 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "median_n": pa.array([ns[k]], pa.int64()),
         }))
 
+    def value_p95(sf_dir: str):
+        """Interpolated PERCENTILE_CONT(0.95) of event value cents per
+        type: order statistics from the distribution-only shuffle, the
+        rational index (n−1)·19/20 split exactly, ONE float expression
+        replayed by the oracle with identical IEEE ops
+        (shuffle.grouped_percentile_cont)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import grouped_percentile_cont
+
+        def cents(b: pa.Table) -> pa.Table:
+            c = pc.cast(pc.floor(pc.multiply(b.column("value"), 100.0)),
+                        pa.int64())
+            return pa.Table.from_arrays(
+                [b.column("event_type"), c],
+                names=["event_type", "cents"])
+
+        ds = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+            cents, batch_format="pyarrow")
+        return grouped_percentile_cont(ds, ["event_type"], "cents",
+                                       19, 20, out_col="p95")
+
+    def events_intersect_hours(sf_dir: str):
+        """Set intersection (INTERSECT): 10-minute buckets that saw BOTH
+        a purchase and an error — the dual of purchase_only_hours'
+        EXCEPT. Both sides reduce to DISTINCT bucket keys via the
+        combiner before one semi hash join, so the join moves distinct
+        keys only."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        BUCKET_US = 600_000_000
+
+        def keyed(b: pa.Table, want: str) -> pa.Table:
+            t = b.filter(pc.equal(b.column("event_type"), want))
+            us = pc.cast(t.column("ts"), pa.int64())
+            return pa.Table.from_arrays(
+                [pc.multiply(pc.divide(us, BUCKET_US), BUCKET_US)],
+                names=["bucket_us"])
+
+        base_ds = _read(sf_dir, "events", ["ts", "event_type"])
+        purch = combine_aggregate(
+            base_ds.map_batches(lambda b: keyed(b, "purchase"),
+                                batch_format="pyarrow"),
+            ["bucket_us"], [("", "count", "_c")]) \
+            .select_columns(["bucket_us"])
+        err = combine_aggregate(
+            base_ds.map_batches(lambda b: keyed(b, "error"),
+                                batch_format="pyarrow"),
+            ["bucket_us"], [("", "count", "_c")]) \
+            .select_columns(["bucket_us"])
+        both = purch.repartition(8).join(
+            err.repartition(8), join_type="left_semi",
+            num_partitions=8, on=("bucket_us",))
+        return both.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [pc.cast(b.column("bucket_us"), pa.timestamp("us"))],
+                names=["hour_ts"]), batch_format="pyarrow")
+
+    def null_audit(sf_dir: str):
+        """Data-quality pre-flight: per-column null and NaN counts over
+        events in ONE streaming pass — each block emits a 6-row
+        (column, n_null, n_nan) partial, the combiner sums. The audit a
+        100 TB ingest runs before anything else; nothing but 6-row
+        partials ever shuffles."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def partial(b: pa.Table) -> pa.Table:
+            cols, nulls, nans = [], [], []
+            for name in b.column_names:
+                col = b.column(name)
+                cols.append(name)
+                nulls.append(col.null_count)
+                nans.append(
+                    pc.sum(pc.is_nan(col)).as_py() or 0
+                    if pa.types.is_floating(col.type) else 0)
+            return pa.Table.from_arrays(
+                [pa.array(cols, pa.string()),
+                 pa.array(nulls, pa.int64()),
+                 pa.array(nans, pa.int64())],
+                names=["column", "n_null", "n_nan"])
+
+        parts = _read(sf_dir, "events").map_batches(
+            partial, batch_format="pyarrow")
+        return combine_aggregate(
+            parts, ["column"],
+            [("n_null", "sum", "n_null"), ("n_nan", "sum", "n_nan")])
+
+    def orders_yoy(sf_dir: str):
+        """Year-over-year revenue per month: combiner sum of exact
+        integer cents by (year, month), then the bounded month table
+        LEFT-joins its own (year−1) shift — the temporal self-join
+        OLAP idiom; the orders stream is touched once."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def project(b: pa.Table) -> pa.Table:
+            d = b.column("o_orderdate")
+            cents = pc.cast(pc.floor(pc.add(pc.multiply(
+                b.column("o_totalprice"), 100.0), 0.5)), pa.int64())
+            return pa.Table.from_arrays(
+                [pc.cast(pc.year(d), pa.int64()),
+                 pc.cast(pc.month(d), pa.int64()), cents],
+                names=["y", "m", "cents"])
+
+        monthly = combine_aggregate(
+            _read(sf_dir, "orders",
+                  ["o_orderdate", "o_totalprice"]).map_batches(
+                project, batch_format="pyarrow"),
+            ["y", "m"], [("cents", "sum", "rev_cents")]).materialize()
+
+        prev = monthly.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [pc.add(b.column("y"), 1), b.column("m"),
+                 b.column("rev_cents")],
+                names=["y", "m", "prev_rev_cents"]),
+            batch_format="pyarrow")
+        out = monthly.repartition(4).join(
+            prev.repartition(4), join_type="left_outer",
+            num_partitions=4, on=("y", "m"))
+
+        def restore(b: pa.Table) -> pa.Table:
+            # the outer join's null fill upcasts the int64 column to
+            # double; cast back and pin no-prior-year to 0 (a null-free
+            # numeric contract — numeric NULLs round-trip as NaN through
+            # pandas-side comparators)
+            prev_c = pc.fill_null(
+                pc.cast(b.column("prev_rev_cents"), pa.int64()), 0)
+            return pa.Table.from_arrays(
+                [b.column("y"), b.column("m"), b.column("rev_cents"),
+                 prev_c],
+                names=["y", "m", "rev_cents", "prev_rev_cents"])
+
+        return out.map_batches(restore, batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -3154,6 +3293,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_label_prop": host_label_prop,
         "ipc_roundtrip": ipc_roundtrip,
         "key_skew_stats": key_skew_stats,
+        "value_p95": value_p95,
+        "events_intersect_hours": events_intersect_hours,
+        "null_audit": null_audit,
+        "orders_yoy": orders_yoy,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -3208,6 +3351,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in round 3, twelfth sweep
         "user_time_weighted", "host_label_prop", "ipc_roundtrip",
         "key_skew_stats",
+        # new in round 3, thirteenth sweep
+        "value_p95", "events_intersect_hours", "null_audit",
+        "orders_yoy",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -3850,6 +3996,84 @@ def oracle_sql() -> dict[str, str]:
             SELECT l1.host,
                    LEAST(l1.label, COALESCE(n2.nbr, l1.label)) AS label
             FROM l1 LEFT JOIN n2 ON n2.host = l1.host
+        """,
+        "value_p95": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(FLOOR(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), r AS (
+                SELECT event_type, cents,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY cents) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM c
+            ), p AS (
+                SELECT event_type,
+                       MIN(CASE WHEN rn = ((n - 1) * 19) // 20 + 1
+                                THEN cents END) AS lo,
+                       MIN(CASE WHEN rn = LEAST(((n - 1) * 19) // 20 + 2,
+                                                n)
+                                THEN cents END) AS hi,
+                       MIN(((n - 1) * 19) % 20) AS m
+                FROM r GROUP BY event_type
+            )
+            SELECT event_type,
+                   CAST(lo AS DOUBLE)
+                   + (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE))
+                     * (CAST(m AS DOUBLE) / CAST(20 AS DOUBLE)) AS p95
+            FROM p
+        """,
+        "events_intersect_hours": """
+            SELECT to_timestamp(
+                       (epoch_us(ts) // 600000000) * 600000000 / 1000000
+                   )::TIMESTAMP AS hour_ts
+            FROM events WHERE event_type = 'purchase'
+            INTERSECT
+            SELECT to_timestamp(
+                       (epoch_us(ts) // 600000000) * 600000000 / 1000000
+                   )::TIMESTAMP AS hour_ts
+            FROM events WHERE event_type = 'error'
+        """,
+        "null_audit": """
+            SELECT 'event_id' AS column,
+                   CAST(COUNT(*) FILTER (event_id IS NULL) AS BIGINT)
+                       AS n_null,
+                   CAST(0 AS BIGINT) AS n_nan
+            FROM events
+            UNION ALL
+            SELECT 'ts',
+                   CAST(COUNT(*) FILTER (ts IS NULL) AS BIGINT),
+                   CAST(0 AS BIGINT) FROM events
+            UNION ALL
+            SELECT 'user_id',
+                   CAST(COUNT(*) FILTER (user_id IS NULL) AS BIGINT),
+                   CAST(0 AS BIGINT) FROM events
+            UNION ALL
+            SELECT 'event_type',
+                   CAST(COUNT(*) FILTER (event_type IS NULL) AS BIGINT),
+                   CAST(0 AS BIGINT) FROM events
+            UNION ALL
+            SELECT 'value',
+                   CAST(COUNT(*) FILTER (value IS NULL) AS BIGINT),
+                   CAST(COUNT(*) FILTER (isnan(value)) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'props',
+                   CAST(COUNT(*) FILTER (props IS NULL) AS BIGINT),
+                   CAST(0 AS BIGINT) FROM events
+        """,
+        "orders_yoy": """
+            WITH monthly AS (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+                       CAST(month(o_orderdate) AS BIGINT) AS m,
+                       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS rev_cents
+                FROM orders GROUP BY 1, 2)
+            SELECT a.y, a.m, a.rev_cents,
+                   COALESCE(b.rev_cents, 0) AS prev_rev_cents
+            FROM monthly a
+            LEFT JOIN monthly b ON b.y = a.y - 1 AND b.m = a.m
         """,
         "key_skew_stats": """
             WITH b AS (

@@ -229,3 +229,43 @@ def grouped_percentile_disc(ds, keys: Sequence[str], val_col: str,
 
     return dist.groupby(keys if len(keys) > 1 else keys[0]) \
         .map_groups(pick, batch_format="pyarrow")
+
+
+def grouped_percentile_cont(ds, keys: Sequence[str], val_col: str,
+                            num: int, den: int, out_col: str = "p"):
+    """PERCENTILE_CONT per group, exactly mirrorable: the order
+    statistics come from the same distribution-only shuffle as
+    grouped_percentile_disc; the interpolation index is the rational
+    (n−1)·num/den split into integer part k0 and remainder m, and the
+    ONE float expression — lo + (hi − lo)·(m/den) — is replayed with
+    identical IEEE ops by the SQL oracle (both sides: int64→double
+    casts, one divide, one multiply, one add). Returns one float64
+    ``out_col`` row per group."""
+    keys = list(keys)
+    dist = combine_aggregate(ds.select_columns(keys + [val_col]),
+                             keys + [val_col], [("", "count", "n")])
+
+    def pick(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], group.column(c).type) for c in keys]
+                + [pa.array([], pa.float64())], names=[*keys, out_col])
+        order = pc.sort_indices(group.column(val_col))
+        group = group.take(order)
+        cnt = group.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        idx = (n - 1) * num
+        k0, m = idx // den, idx % den
+        vals = group.column(val_col)
+        lo = vals[int(np.searchsorted(cum, k0 + 1, side="left"))].as_py()
+        k1 = min(k0 + 2, n)
+        hi = vals[int(np.searchsorted(cum, k1, side="left"))].as_py()
+        p = float(lo) + (float(hi) - float(lo)) * (float(m) / float(den))
+        return pa.Table.from_arrays(
+            [group.column(c).slice(0, 1) for c in keys]
+            + [pa.array([p], pa.float64())], names=[*keys, out_col])
+
+    return dist.groupby(keys if len(keys) > 1 else keys[0]) \
+        .map_groups(pick, batch_format="pyarrow")

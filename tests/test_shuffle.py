@@ -270,3 +270,38 @@ def test_grouped_percentile_disc_dup_values(ray_session):
         [("p10", 1, 10), ("p90", 9, 10), ("p95", 19, 20)]).take_all()
     assert out[0]["p10"] == 5 and out[0]["p90"] == 5
     assert out[0]["p95"] == 100
+
+
+def test_grouped_percentile_cont(ray_session):
+    import numpy as np
+    import ray.data
+    from htmlreader_ray.functions.shuffle import grouped_percentile_cont
+
+    rng = np.random.RandomState(11)
+    g = rng.randint(0, 3, 400)
+    v = rng.randint(-500, 500, 400)
+    t = pa.table({"g": pa.array(g, pa.int64()),
+                  "v": pa.array(v, pa.int64())})
+    out = {r["g"]: r["p95"] for r in grouped_percentile_cont(
+        ray.data.from_arrow(t), ["g"], "v", 19, 20,
+        out_col="p95").take_all()}
+    for grp in range(3):
+        vals = np.sort(v[g == grp])
+        n = len(vals)
+        idx = (n - 1) * 19
+        k0, m = idx // 20, idx % 20
+        lo = float(vals[k0])
+        hi = float(vals[min(k0 + 1, n - 1)])
+        want = lo + (hi - lo) * (float(m) / 20.0)
+        assert out[grp] == want, grp
+
+
+def test_grouped_percentile_cont_single_value(ray_session):
+    import ray.data
+    from htmlreader_ray.functions.shuffle import grouped_percentile_cont
+
+    t = pa.table({"g": pa.array(["a"], pa.string()),
+                  "v": pa.array([42], pa.int64())})
+    out = grouped_percentile_cont(
+        ray.data.from_arrow(t), ["g"], "v", 19, 20).take_all()
+    assert out[0]["p"] == 42.0
