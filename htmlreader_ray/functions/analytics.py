@@ -409,3 +409,49 @@ def time_weighted_parts(ds, *, ts_col: str = "ts", user_col: str = "user_id",
 
     return _bucketed(ds, user_col, coarse_buckets).map_groups(
         kernel, batch_format="pyarrow")
+
+
+def interval_coverage(ds, *, ts_col: str = "ts", user_col: str = "user_id",
+                      order_col: str = "event_id",
+                      length_us: int = 300_000_000,
+                      coarse_buckets: int = 256):
+    """Merged-interval coverage per user for FIXED-length activity
+    windows: each event opens [ts, ts + L); overlaps merge. With sorted
+    starts and constant L the union length collapses to
+
+        Σ min(next_start − start, L)  over same-user pairs  +  L
+
+    (the interval-merge sweep without a segmented cummax), so the
+    kernel is the same vectorized lexsort + masked diff as
+    event_gap_stats, clipped at L — exact int64 microseconds end to
+    end. One row per user; a user's events land in one bucket group so
+    the kernel emits final rows."""
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64())],
+            names=[user_col, "covered_us"])
+        if group.num_rows == 0:
+            return empty
+        uid = _np(group.column(user_col))
+        us = _np(group.column(ts_col).cast(pa.int64()))
+        eid = _np(group.column(order_col))
+        order = np.lexsort((eid, us, uid))
+        uid_s, us_s = uid[order], us[order]
+        same = uid_s[1:] == uid_s[:-1]
+        contrib = np.minimum(np.diff(us_s), length_us)
+        # per-pair clipped gaps attribute to the earlier event's user;
+        # every user additionally contributes one trailing L
+        pair_users = uid_s[:-1][same]
+        t = pa.table({user_col: np.concatenate([pair_users,
+                                                np.unique(uid_s)]),
+                      "c": np.concatenate([contrib[same],
+                                           np.full(len(np.unique(uid_s)),
+                                                   length_us,
+                                                   dtype=np.int64)])})
+        g = t.group_by(user_col).aggregate([("c", "sum")])
+        return pa.Table.from_arrays(
+            [g.column(user_col), g.column("c_sum")],
+            names=[user_col, "covered_us"])
+
+    return _bucketed(ds, user_col, coarse_buckets).map_groups(
+        kernel, batch_format="pyarrow")

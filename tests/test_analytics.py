@@ -273,3 +273,35 @@ def test_time_weighted_parts(ray_session):
     assert u3["n_pairs"] == 1
     assert u3["total_gap_ms"] == DAY // 1000
     assert u3["sum_w"] == 1000 * (DAY // 1000)
+
+
+def test_interval_coverage(ray_session):
+    import ray.data
+
+    out = {r["user_id"]: r["covered_us"] for r in
+           analytics.interval_coverage(
+               ray.data.from_arrow(events_table()),
+               length_us=300_000_000).take_all()}
+    L = 300_000_000
+    # user 1: gaps 0 (tie) and 4000s -> min(0,L)+min(4e9,L)+L
+    assert out[1] == 0 + L + L
+    # user 2: single event -> L
+    assert out[2] == L
+    # user 3: gap 1 day -> L + L
+    assert out[3] == L + L
+
+
+def test_interval_coverage_overlapping(ray_session):
+    import ray.data
+
+    # events 100s apart with 300s windows: union = 2*100 + 300
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array([0, 100 * US, 200 * US],
+                       pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 7], pa.int64()),
+        "event_type": pa.array(["a", "a", "a"], pa.string()),
+    })
+    out = analytics.interval_coverage(
+        ray.data.from_arrow(t), length_us=300 * US).take_all()
+    assert out[0]["covered_us"] == 100 * US + 100 * US + 300 * US
