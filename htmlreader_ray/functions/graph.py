@@ -358,7 +358,8 @@ def pagerank(edges, iters: int = 3, scale: int = SCALE,
     return pagerank_distributed(edges, iters=iters, scale=scale)
 
 
-def label_propagation(edges, rounds: int = 2, num_partitions: int = 4):
+def label_propagation(edges, rounds: int = 2, num_partitions: int = 4,
+                      materialize_rounds: bool = True):
     """Dataset[(src, dst)] -> Dataset[(host, label)] after ``rounds``
     SYNCHRONOUS min-label rounds:
 
@@ -371,25 +372,31 @@ def label_propagation(edges, rounds: int = 2, num_partitions: int = 4):
     recursion join-for-join. Each round costs one hash join (labels
     onto the bidirectional edge stream), one combiner min-groupby, and
     one left-outer join back onto the |nodes|-row label table — the
-    edge table streams, only labels materialize between rounds."""
+    edge table streams, only labels materialize between rounds
+    (``materialize_rounds=False`` keeps the whole plan lazy so tests
+    can pin its shuffle shape)."""
     from .shuffle import combine_aggregate
 
     def _distinct(ds, cols):
         out = combine_aggregate(ds, cols, [("", "count", "_c")])
         return out.select_columns(cols)
 
+    def _mat(ds):
+        return ds.materialize() if materialize_rounds else ds
+
     und = _distinct(edges, ["src", "dst"])
-    bi = und.union(und.map_batches(
+    bi = _mat(und.union(und.map_batches(
         lambda b: pa.Table.from_arrays(
             [b.column("dst"), b.column("src")], names=["src", "dst"]),
-        batch_format="pyarrow")).materialize()
+        batch_format="pyarrow")))
 
     labels = _distinct(bi.map_batches(
         lambda b: pa.Table.from_arrays([b.column("src")], names=["host"]),
         batch_format="pyarrow"), ["host"]).map_batches(
         lambda b: pa.Table.from_arrays(
             [b.column("host"), b.column("host")], names=["host", "label"]),
-        batch_format="pyarrow").materialize()
+        batch_format="pyarrow")
+    labels = _mat(labels)
 
     for _ in range(rounds):
         lab_src = labels.map_batches(
@@ -415,6 +422,6 @@ def label_propagation(edges, rounds: int = 2, num_partitions: int = 4):
         joined = _scrub(labels, num_partitions).join(
             _scrub(nbr, num_partitions), join_type="left_outer",
             num_partitions=num_partitions, on=("host",))
-        labels = joined.map_batches(
-            _new_label, batch_format="pyarrow").materialize()
+        labels = _mat(joined.map_batches(
+            _new_label, batch_format="pyarrow"))
     return labels

@@ -223,3 +223,82 @@ def test_triangle_counts_shuffle_budget(ray_session):
     ops = _shuffle_ops(triangle_counts(edges))
     assert ops.count("Join") == 3, ops
     assert "RandomShuffle" not in ops, ops
+
+
+def test_label_propagation_per_round_budget(ray_session):
+    """Each min-label round costs exactly one inner Join (labels onto
+    the bidirectional edge stream), one Aggregate (min combiner), and
+    one left-outer Join back — plus the label table's scrub
+    Repartitions. No Sort, no RandomShuffle at any depth."""
+    import ray.data as rd
+
+    from htmlreader_ray.functions.graph import label_propagation
+
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(["a", "b"], pa.string()),
+        "dst": pa.array(["b", "c"], pa.string())}))
+
+    def unique_ops(ds):
+        # the lazy label table feeds two consumers per round; walk each
+        # op INSTANCE once or shared subtrees double-count
+        seen, found = set(), []
+
+        def walk(op):
+            if id(op) in seen:
+                return
+            seen.add(id(op))
+            name = type(op).__name__
+            if any(name.startswith(k) for k in ALL_TO_ALL):
+                found.append(name)
+            for dep in op.input_dependencies:
+                walk(dep)
+
+        walk(ds._logical_plan.dag)
+        return found
+
+    one = unique_ops(label_propagation(edges, rounds=1,
+                                       materialize_rounds=False))
+    two = unique_ops(label_propagation(edges, rounds=2,
+                                       materialize_rounds=False))
+    assert one.count("Join") == 2
+    assert two.count("Join") - one.count("Join") == 2
+    assert "Sort" not in two and "RandomShuffle" not in two
+
+
+def test_grouped_percentiles_shuffle_distribution_not_rows(ray_session):
+    """Both percentile operators groupby the combiner-reduced VALUE
+    DISTRIBUTION: one Aggregate (the distribution combiner) plus the
+    map_groups Sort — which runs over the BOUNDED distribution table,
+    never the row stream — and no Join anywhere."""
+    import ray.data as rd
+
+    from htmlreader_ray.functions.shuffle import (grouped_percentile_cont,
+                                                  grouped_percentile_disc)
+
+    t = pa.table({"g": pa.array(["a", "b"], pa.string()),
+                  "v": pa.array([1, 2], pa.int64())})
+    for make in (
+            lambda ds: grouped_percentile_disc(ds, ["g"], "v",
+                                               [("p10", 1, 10)]),
+            lambda ds: grouped_percentile_cont(ds, ["g"], "v", 19, 20)):
+        ops = _shuffle_ops(make(rd.from_arrow(t)))
+        assert "Join" not in ops and "RandomShuffle" not in ops
+        assert ops.count("Aggregate") == 1, ops
+        assert ops.count("Sort") == 1, ops  # over the distribution table
+
+
+def test_bigram_surprisal_join_budget(ray_session):
+    """Score attach is TWO hash joins on type tables (c1 onto bigrams,
+    scores onto per-doc pairs) + the type/first-word/per-doc combiner
+    Aggregates; the model is never broadcast and the row stream is
+    never sorted."""
+    import ray.data as rd
+
+    from htmlreader_ray.functions.indexing import bigram_surprisal
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": ["a b a", "b c"]}))
+    ops = _shuffle_ops(bigram_surprisal(ds))
+    assert ops.count("Join") == 2
+    assert "Sort" not in ops and "RandomShuffle" not in ops
