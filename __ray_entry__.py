@@ -3292,6 +3292,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(project, batch_format="pyarrow")
 
+    def doc_similarity_topk_q(sf_dir: str):
+        """Top-50 document pairs by quantized tf-idf dot product —
+        sparse similarity join with a df-cap stop-word fan-out guard
+        mirrored exactly by the oracle
+        (functions/indexing.doc_similarity_topk)."""
+        from htmlreader_ray.functions.indexing import doc_similarity_topk
+
+        return doc_similarity_topk(
+            _read(sf_dir, "documents", ["doc_id", "text"]))
+
+    def last_touch(sf_dir: str):
+        """Last-touch attribution: every purchase credited to the same
+        user's most recent prior click (-1 when none) — one user-bucket
+        shuffle, segmented running-max kernel
+        (functions/analytics.last_touch_attribution)."""
+        from htmlreader_ray.functions.analytics import (
+            last_touch_attribution)
+
+        return last_touch_attribution(
+            _read(sf_dir, "events",
+                  ["event_id", "ts", "user_id", "event_type"]))
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -3450,6 +3472,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_exact_k": sample_exact_k,
         "filter_reasons": filter_reasons,
         "source_profile": source_profile,
+        "doc_similarity_topk": doc_similarity_topk_q,
+        "last_touch": last_touch,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -3511,6 +3535,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_active_coverage", "weighted_median_chars", "sample_exact_k",
         # new in round 3, fifteenth sweep
         "filter_reasons", "source_profile",
+        # new in round 3, sixteenth sweep
+        "doc_similarity_topk", "last_touch",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -4293,6 +4319,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(reasons AS BIGINT) AS reasons,
                    reasons = 0 AS kept
             FROM f
+        """,
+        "doc_similarity_topk": r"""
+            WITH raw AS (
+                SELECT doc_id, unnest(ws) AS w,
+                       generate_subscripts(ws, 1) AS rn
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(text, '\s+') AS ws
+                      FROM documents)
+            ), seq AS (
+                SELECT doc_id, w,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY rn) AS pos
+                FROM raw WHERE w <> ''
+            ), tfr AS (
+                SELECT a.doc_id, a.w || ' ' || b.w AS w,
+                       COUNT(*) AS tf
+                FROM seq a JOIN seq b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                GROUP BY 1, 2
+            ), nd AS (
+                SELECT COUNT(*) AS n_docs FROM documents
+            ), dfr AS (
+                SELECT w, COUNT(*) AS df FROM tfr GROUP BY w
+            ), keep AS (
+                SELECT w, df FROM dfr, nd
+                WHERE df <= GREATEST(2, n_docs // 25)
+            ), sc AS (
+                SELECT tfr.doc_id, tfr.w,
+                       CAST(floor(1000 * (CAST(tf AS DOUBLE)
+                                  * ln(CAST(n_docs AS DOUBLE)
+                                       / CAST(df AS DOUBLE))) + 0.5)
+                            AS BIGINT) AS s
+                FROM tfr JOIN keep USING (w), nd
+            ), pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(SUM(a.s * b.s) AS BIGINT) AS sim_e6
+                FROM sc a JOIN sc b
+                  ON a.w = b.w AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, sim_e6 FROM pairs
+            ORDER BY sim_e6 DESC, doc_a, doc_b LIMIT 50
+        """,
+        "last_touch": """
+            WITH s AS (
+                SELECT event_id, user_id, ts, event_type FROM events
+            )
+            SELECT p.event_id,
+                   COALESCE((
+                       SELECT c.event_id FROM s c
+                       WHERE c.user_id = p.user_id
+                         AND c.event_type = 'click'
+                         AND (c.ts < p.ts
+                              OR (c.ts = p.ts AND c.event_id < p.event_id))
+                       ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+                   ), -1) AS touch_id
+            FROM s p WHERE p.event_type = 'purchase'
         """,
         "source_profile": """
             SELECT source,

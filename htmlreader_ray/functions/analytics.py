@@ -455,3 +455,58 @@ def interval_coverage(ds, *, ts_col: str = "ts", user_col: str = "user_id",
 
     return _bucketed(ds, user_col, coarse_buckets).map_groups(
         kernel, batch_format="pyarrow")
+
+
+def last_touch_attribution(ds, *, ts_col: str = "ts",
+                           user_col: str = "user_id",
+                           type_col: str = "event_type",
+                           order_col: str = "event_id",
+                           convert_type: str = "purchase",
+                           touch_type: str = "click",
+                           coarse_buckets: int = 256):
+    """Last-touch attribution: each conversion event is credited to the
+    SAME user's most recent touch event strictly before it in
+    (ts, order_col) order; conversions with no prior touch get -1 (a
+    null-free int contract). The kernel is one lexsort + a segmented
+    running-max of touch positions (the per-segment offset trick keeps
+    np.maximum.accumulate from leaking across users) — no Python loop
+    over rows or users."""
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64())],
+            names=[order_col, "touch_id"])
+        if group.num_rows == 0:
+            return empty
+        uid = _np(group.column(user_col))
+        us = _np(group.column(ts_col).cast(pa.int64()))
+        eid = _np(group.column(order_col))
+        types = np.asarray(group.column(type_col).to_pylist(),
+                           dtype=object)
+        order = np.lexsort((eid, us, uid))
+        uid_s, eid_s = uid[order], eid[order]
+        t_s = types[order]
+        n = len(order)
+        seg_id, _ = _segments(uid_s)
+        is_touch = t_s == touch_type
+        pos = np.where(is_touch, np.arange(n, dtype=np.int64), -1)
+        # strictly-before: shift by one so a conversion never credits a
+        # touch at its own position (types differ anyway) or after it
+        offs = seg_id * np.int64(n + 1)
+        run = np.maximum.accumulate(pos + offs) - offs
+        prev = np.full(n, -1, dtype=np.int64)
+        prev[1:] = run[:-1]
+        # the first row of each user segment must not inherit the
+        # previous user's running max
+        _, seg_starts = _segments(uid_s)
+        prev[seg_starts] = -1
+        is_conv = t_s == convert_type
+        conv_idx = np.flatnonzero(is_conv)
+        touch_pos = prev[conv_idx]
+        touch_id = np.where(touch_pos >= 0, eid_s[np.maximum(touch_pos, 0)],
+                            -1)
+        return pa.Table.from_arrays(
+            [pa.array(eid_s[conv_idx]), pa.array(touch_id)],
+            names=[order_col, "touch_id"])
+
+    return _bucketed(ds, user_col, coarse_buckets).map_groups(
+        kernel, batch_format="pyarrow")

@@ -365,3 +365,106 @@ def bigram_surprisal(ds, *, text_col: str = "text", id_col: str = "doc_id",
     return combine_aggregate(
         joined.map_batches(weight, batch_format="pyarrow"), [id_col],
         [("k", "sum", "n_bigrams"), ("ks", "sum", "bg_surprisal_e3")])
+
+
+def doc_similarity_topk(ds, *, text_col: str = "text",
+                        id_col: str = "doc_id", scale: int = 1000,
+                        top_k: int = 50, df_cap_den: int = 25):
+    """Sparse tf-idf document-similarity join over ADJACENT-BIGRAM
+    features: top-K document pairs by the integer dot product of their
+    quantized tf-idf vectors (sim_e6 = Σ_f s_a(f)·s_b(f), s = the
+    top_tfidf score_e3 contract applied to bigram features — unigrams
+    are too dense to discriminate on a small closed vocabulary, and at
+    web scale the same argument picks shingles over words).
+
+    Scale shape: features with df > n_docs // df_cap_den are DROPPED
+    before pairing (the stop-word fan-out guard — a feature shared by
+    every document contributes O(n²) pairs and no discrimination; the
+    same cap is applied by the SQL oracle, so the contract is exact,
+    not approximate). Pair generation is a feature-keyed groupby whose
+    per-group work is bounded by cap²; pair scores then flow through
+    one combiner sum and a block-local + single-merge top-K — no
+    global sort, no broadcast of the corpus."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .scoring import _TfIdfScore
+
+    parts = _narrow_partitions()
+    n_docs = ds.count()
+    cap = max(2, n_docs // df_cap_den)
+
+    def _bigram_tf(batch: pa.Table) -> pa.Table:
+        # (doc_id, w = "w1 w2", tf): per-doc adjacent-pair counts; a
+        # document lives in one batch so the counts are final
+        t = _doc_bigram_rows(batch, text_col, id_col)
+        f = pc.binary_join_element_wise(t.column("w1"), t.column("w2"),
+                                        " ")
+        return pa.Table.from_arrays(
+            [t.column(id_col), f, t.column("k")],
+            names=["doc_id", "w", "tf"])
+
+    def _bigram_df(batch: pa.Table) -> pa.Table:
+        # tf rows are unique per (doc, feature): df partial = count
+        g = batch.group_by("w").aggregate([([], "count_all")])
+        return g.select(["w", "count_all"]).rename_columns(["w", "df"])
+
+    tf = ds.map_batches(_bigram_tf, batch_format="pyarrow")
+    df = tf.map_batches(_bigram_df, batch_format="pyarrow") \
+        .repartition(parts).groupby("w").aggregate(Sum("df")) \
+        .map_batches(lambda b: b.rename_columns(["w", "df"]),
+                     batch_format="pyarrow")
+    df = df.map_batches(
+        lambda b: b.filter(pc.less_equal(b.column("df"),
+                                         pa.scalar(cap))),
+        batch_format="pyarrow").materialize()
+
+    blocks = [t for t in ray.get(df.to_arrow_refs()) if t.num_rows]
+    df_tbl = (pa.concat_tables(blocks).combine_chunks() if blocks
+              else pa.table({"w": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())}))
+    df_ref = ray.put(df_tbl)
+    score_fn = _TfIdfScore(n_docs, scale)
+
+    def score_broadcast(batch: pa.Table) -> pa.Table:
+        dt = ray.get(df_ref)
+        idx = pc.index_in(batch.column("w"), value_set=dt.column("w"))
+        keep = idx.is_valid()
+        batch, idx = batch.filter(keep), idx.filter(keep)
+        return score_fn(batch.append_column(
+            "df", pc.take(dt.column("df"), idx)))
+
+    scored = tf.map_batches(score_broadcast, batch_format="pyarrow")
+
+    def pair_group(group: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "p": pa.array([], pa.int64())})
+        if group.num_rows < 2:
+            return empty
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        s = group.column("score_e3").to_numpy(zero_copy_only=False)
+        order = np.argsort(d, kind="mergesort")
+        d, s = d[order], s[order]
+        i, j = np.triu_indices(len(d), k=1)
+        return pa.table({"doc_a": d[i], "doc_b": d[j], "p": s[i] * s[j]})
+
+    pairs = scored.repartition(parts).groupby("term") \
+        .map_groups(pair_group, batch_format="pyarrow")
+    sims = pairs.repartition(parts).groupby(["doc_a", "doc_b"]) \
+        .aggregate(Sum("p")) \
+        .map_batches(lambda b: b.rename_columns(
+            ["doc_a", "doc_b", "sim_e6"]), batch_format="pyarrow")
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        idx = pc.sort_indices(batch, sort_keys=[
+            ("sim_e6", "descending"), ("doc_a", "ascending"),
+            ("doc_b", "ascending")])
+        return batch.take(idx.slice(0, min(top_k, len(idx))))
+
+    return sims.map_batches(local_topk, batch_format="pyarrow") \
+        .repartition(1).map_batches(local_topk, batch_format="pyarrow")

@@ -305,3 +305,42 @@ def test_interval_coverage_overlapping(ray_session):
     out = analytics.interval_coverage(
         ray.data.from_arrow(t), length_us=300 * US).take_all()
     assert out[0]["covered_us"] == 100 * US + 100 * US + 300 * US
+
+
+def test_last_touch_attribution(ray_session):
+    import ray.data
+
+    # user 1: purchase(12) at 5000s; prior click(11) at 1000s -> 11
+    out = {r["event_id"]: r["touch_id"] for r in
+           analytics.last_touch_attribution(
+               ray.data.from_arrow(events_table())).take_all()}
+    assert out == {12: 11}
+
+
+def test_last_touch_no_prior_and_ties(ray_session):
+    import ray.data
+
+    # user 5: purchase before any click -> -1; later purchase credits
+    # the most recent of two clicks; a same-ts click with a SMALLER
+    # event_id than the purchase counts as prior (the oracle tie rule)
+    rows = [
+        (50, 100 * US, 5, "purchase"),   # no prior click -> -1
+        (51, 200 * US, 5, "click"),
+        (52, 300 * US, 5, "click"),
+        (53, 400 * US, 5, "purchase"),   # -> 52
+        (54, 500 * US, 5, "click"),      # same ts as 55, smaller id
+        (55, 500 * US, 5, "purchase"),   # -> 54 (tie rule)
+        (60, 100 * US, 6, "click"),
+        (61, 50 * US, 7, "purchase"),    # other user's click ignored
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    })
+    out = {r["event_id"]: r["touch_id"] for r in
+           analytics.last_touch_attribution(
+               ray.data.from_arrow(t)).take_all()}
+    assert out == {50: -1, 53: 52, 55: 54, 61: -1}

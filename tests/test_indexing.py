@@ -177,3 +177,42 @@ def test_bigram_surprisal_brute(ray_session):
     out = {r["doc_id"]: (r["n_bigrams"], r["bg_surprisal_e3"])
            for r in bigram_surprisal(ray.data.from_arrow(t)).take_all()}
     assert out == want
+
+
+def test_doc_similarity_topk_brute(ray_session):
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data
+
+    from htmlreader_ray.functions.indexing import doc_similarity_topk
+
+    docs = ["a b a b c", "a b c d", "x y x y", "x y z", "q r", ""]
+    n = len(docs)
+    cap = max(2, n // 25)
+    tf, df = {}, Counter()
+    for i, d in enumerate(docs):
+        ws = d.split()
+        c = Counter(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+        tf[i] = c
+        df.update(c.keys())
+    score = {}
+    for i, c in tf.items():
+        for w, k in c.items():
+            if df[w] <= cap:
+                score[(i, w)] = math.floor(
+                    1000 * (k * math.log(n / df[w])) + 0.5)
+    sims = Counter()
+    for (i, w), s in score.items():
+        for (j, w2), s2 in score.items():
+            if w == w2 and i < j:
+                sims[(i, j)] += s * s2
+    want = sorted(((v, a, b) for (a, b), v in sims.items()),
+                  key=lambda t: (-t[0], t[1], t[2]))[:50]
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    out = [(r["sim_e6"], r["doc_a"], r["doc_b"])
+           for r in doc_similarity_topk(
+               ray.data.from_arrow(t)).take_all()]
+    assert out == want
