@@ -3314,6 +3314,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "events",
                   ["event_id", "ts", "user_id", "event_type"]))
 
+    def part_copurchase(sf_dir: str):
+        """Market-basket affinity: top-25 part pairs by the number of
+        distinct orders containing both — order-bucket shuffle,
+        basket-size-grouped vectorized pair expansion, combiner count,
+        two-level top-K (functions/analytics.copurchase_topk)."""
+        from htmlreader_ray.functions.analytics import copurchase_topk
+
+        return copurchase_topk(
+            _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]))
+
+    def value_mad(sf_dir: str):
+        """Robust dispersion per event type: exact PERCENTILE_DISC
+        median of integer cents and the median absolute deviation
+        around it — two grouped value-DISTRIBUTION shuffles
+        (shuffle.grouped_percentile_disc), the bounded per-type median
+        table broadcast once for the deviation pass."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from htmlreader_ray.functions.shuffle import (
+            grouped_percentile_disc)
+
+        def cents(b: pa.Table) -> pa.Table:
+            c = pc.cast(pc.floor(pc.multiply(b.column("value"), 100.0)),
+                        pa.int64())
+            return pa.Table.from_arrays(
+                [b.column("event_type"), c],
+                names=["event_type", "cents"])
+
+        base_ds = _read(sf_dir, "events",
+                        ["event_type", "value"]).map_batches(
+            cents, batch_format="pyarrow")
+        med_rows = grouped_percentile_disc(
+            base_ds, ["event_type"], "cents",
+            [("med", 1, 2)]).take_all()
+        med_map = {r["event_type"]: r["med"] for r in med_rows}
+        ref = ray.put(med_map)
+
+        def dev(b: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            types = b.column("event_type").to_pylist()
+            mv = pa.array([m[t] for t in types], pa.int64())
+            d = pc.abs(pc.subtract(b.column("cents"), mv))
+            return pa.Table.from_arrays(
+                [b.column("event_type"), d],
+                names=["event_type", "dev"])
+
+        mad_ds = grouped_percentile_disc(
+            base_ds.map_batches(dev, batch_format="pyarrow"),
+            ["event_type"], "dev", [("mad", 1, 2)])
+
+        def attach(b: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            types = b.column("event_type").to_pylist()
+            mv = pa.array([m[t] for t in types], pa.int64())
+            return pa.Table.from_arrays(
+                [b.column("event_type"), mv, b.column("mad")],
+                names=["event_type", "med", "mad"])
+
+        return mad_ds.map_batches(attach, batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -3474,6 +3535,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_profile": source_profile,
         "doc_similarity_topk": doc_similarity_topk_q,
         "last_touch": last_touch,
+        "part_copurchase": part_copurchase,
+        "value_mad": value_mad,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -3537,6 +3600,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_reasons", "source_profile",
         # new in round 3, sixteenth sweep
         "doc_similarity_topk", "last_touch",
+        # new in round 3, seventeenth sweep
+        "part_copurchase", "value_mad",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -4361,6 +4426,54 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_a, doc_b, sim_e6 FROM pairs
             ORDER BY sim_e6 DESC, doc_a, doc_b LIMIT 50
+        """,
+        "part_copurchase": """
+            WITH op AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), p AS (
+                SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                       COUNT(*) AS n
+                FROM op a JOIN op b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+            )
+            SELECT part_a, part_b, CAST(n AS BIGINT) AS n_orders
+            FROM p ORDER BY n_orders DESC, part_a, part_b LIMIT 25
+        """,
+        "value_mad": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(FLOOR(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), r AS (
+                SELECT event_type, cents,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY cents) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM c
+            ), m AS (
+                SELECT event_type,
+                       MIN(CASE WHEN rn = (n + 1) // 2
+                                THEN cents END) AS med
+                FROM r GROUP BY event_type
+            ), d AS (
+                SELECT c.event_type, ABS(c.cents - m.med) AS dev
+                FROM c JOIN m USING (event_type)
+            ), r2 AS (
+                SELECT event_type, dev,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY dev) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM d
+            ), m2 AS (
+                SELECT event_type,
+                       MIN(CASE WHEN rn = (n + 1) // 2
+                                THEN dev END) AS mad
+                FROM r2 GROUP BY event_type
+            )
+            SELECT m.event_type, m.med, m2.mad
+            FROM m JOIN m2 USING (event_type)
         """,
         "last_touch": """
             WITH s AS (

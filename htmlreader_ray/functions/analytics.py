@@ -510,3 +510,78 @@ def last_touch_attribution(ds, *, ts_col: str = "ts",
 
     return _bucketed(ds, user_col, coarse_buckets).map_groups(
         kernel, batch_format="pyarrow")
+
+
+def copurchase_topk(ds, *, order_col: str = "l_orderkey",
+                    item_col: str = "l_partkey", top_k: int = 25,
+                    coarse_buckets: int = 256):
+    """Market-basket co-purchase affinity: the top-K item pairs by the
+    number of DISTINCT orders containing both items (pair counted once
+    per order regardless of line-item multiplicity).
+
+    Scale shape: (order, item) rows are block-pre-distincted, then one
+    order-bucket shuffle co-locates each order; pair expansion inside
+    the kernel is grouped by segment LENGTH (one np.triu_indices per
+    distinct basket size, broadcast across all baskets of that size —
+    no per-order Python loop) and is bounded by basket_size² per
+    order, not corpus size. Pair counts flow through a combiner
+    groupby and a block-local + single-merge top-K — no global sort.
+    """
+    from .shuffle import combine_aggregate
+
+    def predistinct(batch: pa.Table) -> pa.Table:
+        return batch.select([order_col, item_col]) \
+            .group_by([order_col, item_col]).aggregate([])
+
+    def pair_kernel(group: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64()),
+             pa.array([], pa.int64())],
+            names=["part_a", "part_b", "n"])
+        if group.num_rows < 2:
+            return empty
+        ok = _np(group.column(order_col))
+        it = _np(group.column(item_col))
+        order = np.lexsort((it, ok))
+        ok, it = ok[order], it[order]
+        # block-local predistinct can still leave cross-block dups of
+        # the same (order, item); the bucket group sees them all
+        keep = np.ones(len(ok), dtype=bool)
+        keep[1:] = (ok[1:] != ok[:-1]) | (it[1:] != it[:-1])
+        ok, it = ok[keep], it[keep]
+        _, seg_starts = _segments(ok)
+        counts = np.diff(np.append(seg_starts, len(ok)))
+        a_parts, b_parts = [], []
+        for size in np.unique(counts):
+            if size < 2:
+                continue
+            starts = seg_starts[counts == size]
+            i, j = np.triu_indices(int(size), k=1)
+            m = it[starts[:, None] + np.arange(int(size))]
+            # items are sorted within each segment, so m[:, i] < m[:, j]
+            a_parts.append(m[:, i].ravel())
+            b_parts.append(m[:, j].ravel())
+        if not a_parts:
+            return empty
+        t = pa.table({"part_a": np.concatenate(a_parts),
+                      "part_b": np.concatenate(b_parts)})
+        g = t.group_by(["part_a", "part_b"]).aggregate([([], "count_all")])
+        return g.select(["part_a", "part_b", "count_all"]) \
+            .rename_columns(["part_a", "part_b", "n"])
+
+    pairs = _bucketed(ds.map_batches(predistinct, batch_format="pyarrow"),
+                      order_col, coarse_buckets) \
+        .map_groups(pair_kernel, batch_format="pyarrow")
+    agg = combine_aggregate(pairs, ["part_a", "part_b"],
+                            [("n", "sum", "n_orders")])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        idx = pc.sort_indices(batch, sort_keys=[
+            ("n_orders", "descending"), ("part_a", "ascending"),
+            ("part_b", "ascending")])
+        return batch.take(idx.slice(0, min(top_k, len(idx))))
+
+    return agg.map_batches(local_topk, batch_format="pyarrow") \
+        .repartition(1).map_batches(local_topk, batch_format="pyarrow")

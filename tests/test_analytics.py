@@ -344,3 +344,57 @@ def test_last_touch_no_prior_and_ties(ray_session):
            analytics.last_touch_attribution(
                ray.data.from_arrow(t)).take_all()}
     assert out == {50: -1, 53: 52, 55: 54, 61: -1}
+
+
+def _brute_copurchase(rows, top_k):
+    """Brute-force distinct-order pair counts, DESC n / ASC pair order."""
+    baskets = {}
+    for ok, pk in rows:
+        baskets.setdefault(ok, set()).add(pk)
+    counts = {}
+    for items in baskets.values():
+        for a, b in itertools.combinations(sorted(items), 2):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [(a, b, n) for (a, b), n in ranked[:top_k]]
+
+
+def test_copurchase_topk(ray_session):
+    import ray.data
+
+    # order 1 has a duplicated line item (part 7 twice) -> counted once
+    rows = [(1, 7), (1, 7), (1, 3), (1, 5),
+            (2, 3), (2, 7),
+            (3, 3), (3, 7),
+            (4, 9),            # singleton basket contributes nothing
+            (5, 5), (5, 3)]
+    t = pa.table({"l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                  "l_partkey": pa.array([r[1] for r in rows], pa.int64())})
+    out = [(r["part_a"], r["part_b"], r["n_orders"]) for r in
+           analytics.copurchase_topk(
+               ray.data.from_arrow(t), top_k=3).take_all()]
+    assert out == _brute_copurchase(rows, 3)
+    assert out[0] == (3, 7, 3)
+
+
+def test_copurchase_many_orders_bucketed(ray_session):
+    import ray.data
+    import random
+
+    rng = random.Random(17)
+    rows = []
+    for ok in range(1, 121):
+        size = rng.choice([1, 2, 2, 3, 4, 6])
+        for pk in rng.sample(range(1, 30), size):
+            rows.append((ok, pk))
+            if rng.random() < 0.2:
+                rows.append((ok, pk))  # duplicate line items
+    t = pa.table({"l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                  "l_partkey": pa.array([r[1] for r in rows], pa.int64())})
+    # small coarse_buckets forces multi-order groups through the kernel;
+    # 2-block input exercises cross-block (order, item) dup removal
+    ds = ray.data.from_arrow(t).repartition(2)
+    out = [(r["part_a"], r["part_b"], r["n_orders"]) for r in
+           analytics.copurchase_topk(
+               ds, top_k=10, coarse_buckets=4).take_all()]
+    assert out == _brute_copurchase(rows, 10)
