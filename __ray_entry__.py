@@ -3375,6 +3375,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return mad_ds.map_batches(attach, batch_format="pyarrow")
 
+    def basket_hist(sf_dir: str):
+        """Basket-breadth histogram: orders per distinct-part count —
+        block predistinct, one order-bucket shuffle, per-bucket
+        vectorized segment-count partial histograms, combiner sum
+        (functions/analytics.basket_size_hist)."""
+        from htmlreader_ray.functions.analytics import basket_size_hist
+
+        return basket_size_hist(
+            _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]))
+
+    def purchase_latency(sf_dir: str):
+        """Per-user first-view→first-purchase latency in microseconds —
+        conditional-min combiner (sentinel-encoded, null-free through
+        the shuffle), one narrow user groupby, final filter to users
+        with both events in order."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        SENT = (1 << 62)
+
+        def partial_mins(b: pa.Table) -> pa.Table:
+            ts = pc.cast(b.column("ts"), pa.int64())
+            et = b.column("event_type")
+            vts = pc.if_else(pc.equal(et, "view"), ts, SENT)
+            pts = pc.if_else(pc.equal(et, "purchase"), ts, SENT)
+            return pa.Table.from_arrays(
+                [b.column("user_id"), vts, pts],
+                names=["user_id", "vts", "pts"])
+
+        mins = combine_aggregate(
+            _read(sf_dir, "events",
+                  ["ts", "user_id", "event_type"]).map_batches(
+                partial_mins, batch_format="pyarrow"),
+            ["user_id"], [("vts", "min", "first_view"),
+                          ("pts", "min", "first_purchase")])
+
+        def finish(b: pa.Table) -> pa.Table:
+            fv = b.column("first_view")
+            fp = b.column("first_purchase")
+            mask = pc.and_(pc.and_(pc.less(fv, SENT), pc.less(fp, SENT)),
+                           pc.greater_equal(fp, fv))
+            t = b.filter(mask)
+            lat = pc.subtract(t.column("first_purchase"),
+                              t.column("first_view"))
+            return pa.Table.from_arrays(
+                [t.column("user_id"), lat],
+                names=["user_id", "latency_us"])
+
+        return mins.map_batches(finish, batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -3537,6 +3588,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_touch": last_touch,
         "part_copurchase": part_copurchase,
         "value_mad": value_mad,
+        "basket_hist": basket_hist,
+        "purchase_latency": purchase_latency,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -3602,6 +3655,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_similarity_topk", "last_touch",
         # new in round 3, seventeenth sweep
         "part_copurchase", "value_mad",
+        # new in round 3, eighteenth sweep
+        "basket_hist", "purchase_latency",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -4474,6 +4529,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT m.event_type, m.med, m2.mad
             FROM m JOIN m2 USING (event_type)
+        """,
+        "basket_hist": """
+            WITH b AS (
+                SELECT l_orderkey,
+                       COUNT(DISTINCT l_partkey) AS n_parts
+                FROM lineitem GROUP BY 1
+            )
+            SELECT n_parts, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM b GROUP BY 1
+        """,
+        "purchase_latency": """
+            WITH m AS (
+                SELECT user_id,
+                       MIN(CASE WHEN event_type = 'view'
+                                THEN ts END) AS fv,
+                       MIN(CASE WHEN event_type = 'purchase'
+                                THEN ts END) AS fp
+                FROM events GROUP BY user_id
+            )
+            SELECT user_id,
+                   CAST(epoch_us(fp) - epoch_us(fv) AS BIGINT)
+                       AS latency_us
+            FROM m
+            WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv
         """,
         "last_touch": """
             WITH s AS (

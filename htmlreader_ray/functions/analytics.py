@@ -585,3 +585,53 @@ def copurchase_topk(ds, *, order_col: str = "l_orderkey",
 
     return agg.map_batches(local_topk, batch_format="pyarrow") \
         .repartition(1).map_batches(local_topk, batch_format="pyarrow")
+
+
+def basket_size_hist(ds, *, order_col: str = "l_orderkey",
+                     item_col: str = "l_partkey",
+                     coarse_buckets: int = 256):
+    """Histogram of basket breadth: for each order the number of
+    DISTINCT items it contains, then the count of orders at each
+    breadth.
+
+    Scale shape: block-local (order, item) predistinct, ONE
+    order-bucket shuffle (same co-location key as copurchase_topk so
+    a shared pipeline reuses the exchange), a vectorized np segment
+    count per bucket emitting per-bucket partial histograms
+    (n_parts, n) — at most |distinct breadths| rows per bucket —
+    then a tiny combiner groupby. The driver never sees per-order
+    rows.
+    """
+    from .shuffle import combine_aggregate
+
+    def predistinct(batch: pa.Table) -> pa.Table:
+        return batch.select([order_col, item_col]) \
+            .group_by([order_col, item_col]).aggregate([])
+
+    def hist_kernel(group: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64())],
+            names=["n_parts", "n"])
+        if group.num_rows == 0:
+            return empty
+        ok = _np(group.column(order_col))
+        it = _np(group.column(item_col))
+        order = np.lexsort((it, ok))
+        ok, it = ok[order], it[order]
+        # drop cross-block (order, item) duplicates the block-local
+        # predistinct could not see
+        keep = np.ones(len(ok), dtype=bool)
+        keep[1:] = (ok[1:] != ok[:-1]) | (it[1:] != it[:-1])
+        ok = ok[keep]
+        _, seg_starts = _segments(ok)
+        breadth = np.diff(np.append(seg_starts, len(ok)))
+        sizes, counts = np.unique(breadth, return_counts=True)
+        return pa.table({"n_parts": sizes.astype(np.int64),
+                         "n": counts.astype(np.int64)})
+
+    partials = _bucketed(
+        ds.map_batches(predistinct, batch_format="pyarrow"),
+        order_col, coarse_buckets).map_groups(
+        hist_kernel, batch_format="pyarrow")
+    return combine_aggregate(partials, ["n_parts"],
+                             [("n", "sum", "n_orders")])

@@ -398,3 +398,19 @@ def test_copurchase_many_orders_bucketed(ray_session):
            analytics.copurchase_topk(
                ds, top_k=10, coarse_buckets=4).take_all()]
     assert out == _brute_copurchase(rows, 10)
+
+
+def test_basket_size_hist(ray_session):
+    import ray.data
+
+    rows = [(1, 7), (1, 7), (1, 3), (1, 5),   # breadth 3 (dup line)
+            (2, 3), (2, 7),                   # breadth 2
+            (3, 3), (3, 7),                   # breadth 2
+            (4, 9)]                           # breadth 1
+    t = pa.table({"l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                  "l_partkey": pa.array([r[1] for r in rows], pa.int64())})
+    # 2 blocks so order 1's duplicate (order, item) pairs straddle blocks
+    ds = ray.data.from_arrow(t).repartition(2)
+    out = {r["n_parts"]: r["n_orders"] for r in
+           analytics.basket_size_hist(ds, coarse_buckets=4).take_all()}
+    assert out == {1: 1, 2: 2, 3: 1}
