@@ -3426,6 +3426,85 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return mins.map_batches(finish, batch_format="pyarrow")
 
+    def brand_share(sf_dir: str):
+        """Share-of-group in e6 fixed point: parts per (brand, size)
+        and each cell's share of its brand's total — one combiner
+        groupby; the per-brand totals (bounded by |brands|) are the
+        only materialization and ride a plain dict broadcast."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        cells = combine_aggregate(
+            _read(sf_dir, "part", ["p_brand", "p_size"]),
+            ["p_brand", "p_size"], [("p_size", "count", "n_parts")])
+        tot_rows = combine_aggregate(
+            cells, ["p_brand"], [("n_parts", "sum", "tot")]).take_all()
+        tot = {r["p_brand"]: float(r["tot"]) for r in tot_rows}
+        ref = ray.put(tot)
+
+        def share(b: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            t = np.array([m[x] for x in b.column("p_brand").to_pylist()])
+            n = pc.cast(b.column("n_parts"), pa.float64())
+            # (1e6 * n) / tot then floor — same IEEE order as the oracle
+            s = pc.cast(pc.floor(pc.divide(pc.multiply(n, 1e6),
+                                           pa.array(t))), pa.int64())
+            return pa.Table.from_arrays(
+                [b.column("p_brand"),
+                 pc.cast(b.column("p_size"), pa.int64()),
+                 pc.cast(b.column("n_parts"), pa.int64()), s],
+                names=["p_brand", "p_size", "n_parts", "share_e6"])
+
+        return cells.map_batches(share, batch_format="pyarrow")
+
+    def priority_month_delta(sf_dir: str):
+        """Month-over-month order-count delta per priority: combiner
+        groupby to the bounded (priority, month, n) table, then one
+        single-partition vectorized lag over months-present (first
+        month's lag is 0). Only the aggregate — never order rows —
+        crosses the exchange."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def to_month(b: pa.Table) -> pa.Table:
+            m = b.column("o_orderdate").to_numpy(zero_copy_only=False) \
+                .astype("datetime64[M]").astype("datetime64[D]")
+            return pa.Table.from_arrays(
+                [b.column("o_orderpriority"),
+                 pa.array(m, pa.date32())],
+                names=["priority", "month"])
+
+        cells = combine_aggregate(
+            _read(sf_dir, "orders",
+                  ["o_orderdate", "o_orderpriority"]).map_batches(
+                to_month, batch_format="pyarrow"),
+            ["priority", "month"], [("month", "count", "n_orders")])
+
+        def lag_delta(b: pa.Table) -> pa.Table:
+            pr = np.asarray(b.column("priority").to_pylist())
+            mo = b.column("month").to_numpy(zero_copy_only=False)
+            n = b.column("n_orders").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            order = np.lexsort((mo, pr))
+            pr, mo, n = pr[order], mo[order], n[order]
+            prev = np.concatenate(([0], n[:-1]))
+            first = np.ones(len(pr), dtype=bool)
+            first[1:] = pr[1:] != pr[:-1]
+            prev[first] = 0
+            return pa.table({
+                "priority": pa.array(pr, pa.string()),
+                "month": pa.array(mo, pa.date32()),
+                "n_orders": pa.array(n, pa.int64()),
+                "delta": pa.array(n - prev, pa.int64())})
+
+        return cells.repartition(1).map_batches(
+            lag_delta, batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -3590,6 +3669,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_mad": value_mad,
         "basket_hist": basket_hist,
         "purchase_latency": purchase_latency,
+        "brand_share": brand_share,
+        "priority_month_delta": priority_month_delta,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -3657,6 +3738,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_copurchase", "value_mad",
         # new in round 3, eighteenth sweep
         "basket_hist", "purchase_latency",
+        # new in round 3, nineteenth sweep
+        "brand_share", "priority_month_delta",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -4553,6 +4636,32 @@ def oracle_sql() -> dict[str, str]:
                        AS latency_us
             FROM m
             WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv
+        """,
+        "brand_share": """
+            WITH c AS (
+                SELECT p_brand, p_size, COUNT(*) AS n
+                FROM part GROUP BY 1, 2
+            ), t AS (
+                SELECT p_brand, SUM(n) AS tot FROM c GROUP BY 1
+            )
+            SELECT c.p_brand, CAST(c.p_size AS BIGINT) AS p_size,
+                   CAST(c.n AS BIGINT) AS n_parts,
+                   CAST(FLOOR(1000000.0 * c.n / t.tot) AS BIGINT)
+                       AS share_e6
+            FROM c JOIN t USING (p_brand)
+        """,
+        "priority_month_delta": """
+            WITH c AS (
+                SELECT o_orderpriority AS priority,
+                       date_trunc('month', o_orderdate) AS month,
+                       COUNT(*) AS n
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT priority, month, CAST(n AS BIGINT) AS n_orders,
+                   CAST(n - COALESCE(LAG(n) OVER (
+                       PARTITION BY priority ORDER BY month), 0)
+                       AS BIGINT) AS delta
+            FROM c
         """,
         "last_touch": """
             WITH s AS (
