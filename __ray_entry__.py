@@ -3505,6 +3505,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return cells.repartition(1).map_batches(
             lag_delta, batch_format="pyarrow")
 
+    def events_median_gap(sf_dir: str):
+        """Exact PERCENTILE_DISC median inter-event gap per type —
+        one user-bucket shuffle emits per-gap (type, gap_us) rows
+        (analytics.event_gap_values), then the value-DISTRIBUTION
+        percentile shuffle (shuffle.grouped_percentile_disc) takes
+        the exact median; only distinct (type, gap, count) rows
+        cross the second exchange."""
+        from htmlreader_ray.functions.analytics import event_gap_values
+        from htmlreader_ray.functions.shuffle import (
+            grouped_percentile_disc)
+
+        gaps = event_gap_values(
+            _read(sf_dir, "events",
+                  ["event_id", "ts", "user_id", "event_type"]))
+        return grouped_percentile_disc(
+            gaps, ["event_type"], "gap_us", [("med_gap_us", 1, 2)])
+
+    def part_type_tokens(sf_dir: str):
+        """Parts per leading p_type token — vectorized Arrow
+        split_pattern + list_element inside the batch, then one
+        combiner groupby (bounded by |distinct first tokens|)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def first_token(b: pa.Table) -> pa.Table:
+            t1 = pc.list_element(
+                pc.split_pattern(b.column("p_type"), " ",
+                                 max_splits=1), 0)
+            return pa.Table.from_arrays([t1], names=["t1"])
+
+        cells = combine_aggregate(
+            _read(sf_dir, "part", ["p_type"]).map_batches(
+                first_token, batch_format="pyarrow"),
+            ["t1"], [("t1", "count", "n_parts")])
+
+        def fix(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [b.column("t1"), pc.cast(b.column("n_parts"),
+                                         pa.int64())],
+                names=["t1", "n_parts"])
+
+        return cells.map_batches(fix, batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -3671,6 +3715,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_latency": purchase_latency,
         "brand_share": brand_share,
         "priority_month_delta": priority_month_delta,
+        "events_median_gap": events_median_gap,
+        "part_type_tokens": part_type_tokens,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -3740,6 +3786,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_hist", "purchase_latency",
         # new in round 3, nineteenth sweep
         "brand_share", "priority_month_delta",
+        # new in round 3, twentieth sweep
+        "events_median_gap", "part_type_tokens",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -4662,6 +4710,30 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY priority ORDER BY month), 0)
                        AS BIGINT) AS delta
             FROM c
+        """,
+        "events_median_gap": """
+            WITH g AS (
+                SELECT event_type,
+                       CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id)) AS BIGINT) AS gap_us
+                FROM events
+            ), r AS (
+                SELECT event_type, gap_us,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY gap_us) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM g WHERE gap_us IS NOT NULL
+            )
+            SELECT event_type,
+                   MIN(CASE WHEN rn = (n + 1) // 2
+                            THEN gap_us END) AS med_gap_us
+            FROM r GROUP BY event_type
+        """,
+        "part_type_tokens": """
+            SELECT SPLIT_PART(p_type, ' ', 1) AS t1,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts
+            FROM part GROUP BY 1
         """,
         "last_touch": """
             WITH s AS (

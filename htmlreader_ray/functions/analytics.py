@@ -635,3 +635,43 @@ def basket_size_hist(ds, *, order_col: str = "l_orderkey",
         hist_kernel, batch_format="pyarrow")
     return combine_aggregate(partials, ["n_parts"],
                              [("n", "sum", "n_orders")])
+
+
+def event_gap_values(ds, *, ts_col: str = "ts", user_col: str = "user_id",
+                     type_col: str = "event_type",
+                     order_col: str = "event_id",
+                     coarse_buckets: int = 256):
+    """Per-gap rows (type, gap_us) for downstream exact-order
+    statistics (median / percentiles of inter-arrival gaps).
+
+    Same semantics as event_gap_stats — the gap of an event is the
+    time since the SAME USER's previous event, ties on ts break by
+    ``order_col``, gaps attribute to the later event's type — but
+    emits the raw gap VALUES so a grouped value-distribution shuffle
+    (shuffle.grouped_percentile_disc) can take exact quantiles; the
+    combiner inside that shuffle collapses repeats, so what crosses
+    the second exchange is bounded by distinct (type, gap) pairs.
+    """
+    def gaps_kernel(group: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.int64())],
+            names=[type_col, "gap_us"])
+        if group.num_rows < 2:
+            return empty
+        uid = _np(group.column(user_col))
+        us = _np(group.column(ts_col).cast(pa.int64()))
+        eid = _np(group.column(order_col))
+        order = np.lexsort((eid, us, uid))
+        uid_s, us_s = uid[order], us[order]
+        same_user = uid_s[1:] == uid_s[:-1]
+        if not same_user.any():
+            return empty
+        gaps = np.diff(us_s)[same_user]
+        pos = np.flatnonzero(same_user) + 1
+        types = group.column(type_col).combine_chunks() \
+            .take(pa.array(order[pos]))
+        return pa.Table.from_arrays(
+            [types, pa.array(gaps)], names=[type_col, "gap_us"])
+
+    return _bucketed(ds, user_col, coarse_buckets).map_groups(
+        gaps_kernel, batch_format="pyarrow")

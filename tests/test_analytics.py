@@ -414,3 +414,20 @@ def test_basket_size_hist(ray_session):
     out = {r["n_parts"]: r["n_orders"] for r in
            analytics.basket_size_hist(ds, coarse_buckets=4).take_all()}
     assert out == {1: 1, 2: 2, 3: 1}
+
+
+def test_event_gap_values_median(ray_session):
+    import ray.data
+    from htmlreader_ray.functions.shuffle import grouped_percentile_disc
+
+    gaps = analytics.event_gap_values(ray.data.from_arrow(events_table()))
+    rows = sorted((r["event_type"], r["gap_us"])
+                  for r in gaps.take_all())
+    # click gaps: 0 (ts tie, user 1) and DAY (user 3); purchase: 4000s
+    assert rows == [("click", 0), ("click", DAY),
+                    ("purchase", 4_000 * US)]
+    med = {r["event_type"]: r["med_gap_us"] for r in
+           grouped_percentile_disc(gaps, ["event_type"], "gap_us",
+                                   [("med_gap_us", 1, 2)]).take_all()}
+    # PERCENTILE_DISC rank ceil(n/2): n=2 -> rank 1 -> the smaller gap
+    assert med == {"click": 0, "purchase": 4_000 * US}
