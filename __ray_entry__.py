@@ -3549,6 +3549,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return cells.map_batches(fix, batch_format="pyarrow")
 
+    def user_streaks(sf_dir: str):
+        """Islands-and-gaps: per user, total distinct active days and
+        the longest consecutive-day streak — block-local (user, day)
+        distinct, ONE coarse user-bucket shuffle, numpy run
+        segmentation in the kernel (analytics.activity_streaks);
+        mirrors the SQL day - ROW_NUMBER() islands idiom."""
+        from htmlreader_ray.functions.analytics import activity_streaks
+        return activity_streaks(
+            _read(sf_dir, "events", ["ts", "user_id"]))
+
+    def gini_by_nation(sf_dir: str):
+        """Revenue concentration per nation: exact Gini of per-customer
+        spend in e6 fixed point. Orders reduce to (custkey, cents) via
+        the combiner BEFORE the keys-only customer join, and the Gini
+        itself runs on the VALUE DISTRIBUTION only
+        (shuffle.grouped_gini_e6) — distinct cents values, not
+        customers, cross the final exchange."""
+        import os
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import (
+            combine_aggregate, grouped_gini_e6)
+
+        def ord_cents(b: pa.Table) -> pa.Table:
+            cents = pc.cast(
+                pc.floor(pc.add(pc.multiply(pa.scalar(100.0),
+                                            b.column("o_totalprice")),
+                                pa.scalar(0.5))), pa.int64())
+            return pa.Table.from_arrays(
+                [b.column("o_custkey"), cents],
+                names=["o_custkey", "cents"])
+
+        spend = combine_aggregate(
+            _read(sf_dir, "orders",
+                  ["o_custkey", "o_totalprice"]).map_batches(
+                ord_cents, batch_format="pyarrow"),
+            ["o_custkey"], [("cents", "sum", "cents")])
+        cust = _read(sf_dir, "customer",
+                     ["c_custkey", "c_nationkey"])
+        parts = int(max(8, os.path.getsize(
+            f"{sf_dir}/orders.parquet") // (32 << 20)))
+        joined = spend.join(cust, "inner", parts,
+                            on=("o_custkey",), right_on=("c_custkey",))
+
+        def slim(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [pc.cast(b.column("c_nationkey"), pa.int64()),
+                 b.column("cents")],
+                names=["nation", "cents"])
+
+        return grouped_gini_e6(
+            joined.map_batches(slim, batch_format="pyarrow"),
+            ["nation"], "cents", out_col="gini_e6", n_col="n_cust")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -3717,6 +3771,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_month_delta": priority_month_delta,
         "events_median_gap": events_median_gap,
         "part_type_tokens": part_type_tokens,
+        "user_streaks": user_streaks,
+        "gini_by_nation": gini_by_nation,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -3788,6 +3844,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_share", "priority_month_delta",
         # new in round 3, twentieth sweep
         "events_median_gap", "part_type_tokens",
+        # new in round 3, twenty-first sweep
+        "user_streaks", "gini_by_nation",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -4734,6 +4792,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT SPLIT_PART(p_type, ' ', 1) AS t1,
                    CAST(COUNT(*) AS BIGINT) AS n_parts
             FROM part GROUP BY 1
+        """,
+        "user_streaks": """
+            WITH d AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM events
+            ), g AS (
+                SELECT user_id,
+                       datediff('day', DATE '1970-01-01', day)
+                           - ROW_NUMBER() OVER (PARTITION BY user_id
+                                                ORDER BY day) AS grp
+                FROM d
+            ), s AS (
+                SELECT user_id, COUNT(*) AS streak
+                FROM g GROUP BY user_id, grp
+            )
+            SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
+                   CAST(MAX(streak) AS BIGINT) AS max_streak
+            FROM s GROUP BY user_id
+        """,
+        "gini_by_nation": """
+            WITH s AS (
+                SELECT c.c_nationkey AS nation, o.o_custkey,
+                       SUM(CAST(FLOOR(100.0 * o.o_totalprice + 0.5)
+                                AS BIGINT)) AS cents
+                FROM orders o
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                GROUP BY 1, 2
+            ), r AS (
+                SELECT nation, cents,
+                       ROW_NUMBER() OVER (PARTITION BY nation
+                                          ORDER BY cents) AS i,
+                       COUNT(*) OVER (PARTITION BY nation) AS n,
+                       SUM(cents) OVER (PARTITION BY nation) AS tot
+                FROM s
+            )
+            SELECT CAST(nation AS BIGINT) AS nation,
+                   CAST(MAX(n) AS BIGINT) AS n_cust,
+                   CAST(FLOOR(1000000.0 * SUM((2 * i - n - 1) * cents)
+                              / (MAX(n) * MAX(tot))) AS BIGINT)
+                       AS gini_e6
+            FROM r GROUP BY nation
         """,
         "last_touch": """
             WITH s AS (

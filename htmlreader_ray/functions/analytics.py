@@ -675,3 +675,65 @@ def event_gap_values(ds, *, ts_col: str = "ts", user_col: str = "user_id",
 
     return _bucketed(ds, user_col, coarse_buckets).map_groups(
         gaps_kernel, batch_format="pyarrow")
+
+
+def activity_streaks(ds, *, ts_col: str = "ts", user_col: str = "user_id",
+                     coarse_buckets: int = 256):
+    """Islands-and-gaps per user: total distinct active days and the
+    longest run of CONSECUTIVE active days.
+
+    Plan: block-local distinct of (user, day) inside map_batches (an
+    Arrow group_by, so a hot user's repeat events collapse before the
+    exchange), then ONE coarse user-bucket shuffle; the per-bucket
+    kernel re-distincts and segments runs with numpy boundary
+    arithmetic (day-diff == 1 within a user). Nothing but
+    block-distinct (user, day) rows ever cross the wire, and the
+    output is one row per user — no window function, no global sort.
+    Mirrors the SQL islands idiom (day - ROW_NUMBER() grouping)
+    bit-for-bit on integer epoch days.
+    """
+    def to_days(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int32())],
+                names=[user_col, "day"])
+        day = pc.cast(batch.column(ts_col), pa.date32())
+        t = pa.Table.from_arrays(
+            [batch.column(user_col), day], names=[user_col, "day"])
+        return t.group_by([user_col, "day"]).aggregate([])
+
+    def streak_kernel(group: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64()),
+             pa.array([], pa.int64())],
+            names=[user_col, "n_days", "max_streak"])
+        if group.num_rows == 0:
+            return empty
+        uid = _np(group.column(user_col))
+        dy = _np(group.column("day").cast(pa.int32())).astype(np.int64)
+        order = np.lexsort((dy, uid))
+        uid_s, dy_s = uid[order], dy[order]
+        # cross-block duplicates of (user, day) survive the block-local
+        # distinct; drop them here
+        keep = np.ones(len(uid_s), dtype=bool)
+        keep[1:] = (uid_s[1:] != uid_s[:-1]) | (dy_s[1:] != dy_s[:-1])
+        uid_s, dy_s = uid_s[keep], dy_s[keep]
+        new_run = np.ones(len(uid_s), dtype=bool)
+        new_run[1:] = (uid_s[1:] != uid_s[:-1]) | \
+            (dy_s[1:] - dy_s[:-1] != 1)
+        run_starts = np.flatnonzero(new_run)
+        run_len = np.diff(np.append(run_starts, len(uid_s)))
+        run_user = uid_s[run_starts]
+        user_starts = np.flatnonzero(np.concatenate(
+            ([True], run_user[1:] != run_user[:-1])))
+        n_days = np.add.reduceat(run_len, user_starts)
+        max_streak = np.maximum.reduceat(run_len, user_starts)
+        return pa.Table.from_arrays(
+            [pa.array(run_user[user_starts]),
+             pa.array(n_days.astype(np.int64)),
+             pa.array(max_streak.astype(np.int64))],
+            names=[user_col, "n_days", "max_streak"])
+
+    days = ds.map_batches(to_days, batch_format="pyarrow")
+    return _bucketed(days, user_col, coarse_buckets).map_groups(
+        streak_kernel, batch_format="pyarrow")

@@ -269,3 +269,52 @@ def grouped_percentile_cont(ds, keys: Sequence[str], val_col: str,
 
     return dist.groupby(keys if len(keys) > 1 else keys[0]) \
         .map_groups(pick, batch_format="pyarrow")
+
+
+def grouped_gini_e6(ds, keys: Sequence[str], val_col: str,
+                    out_col: str = "gini_e6", n_col: str = "n"):
+    """Exact Gini concentration index per group, in e6 fixed point,
+    from the VALUE DISTRIBUTION only: combine_aggregate counts
+    (keys..., val) rows — bounded by distinct values per group, never
+    by row count — then one tiny per-group finalize applies the
+    closed-form tie-block sum
+
+        num = sum_k v_k * (2*c_k*s_k + c_k*(c_k+1) - c_k*(n+1))
+
+    (s_k = items before block k in ascending order), which equals the
+    textbook sum_i (2i - n - 1) x_i over any tie ordering. The
+    accumulation runs in arbitrary-precision Python ints (DuckDB's
+    SUM(BIGINT) is HUGEINT — same exactness), and the ONE float
+    expression floor(1e6 * num / (n * tot)) is replayed identically by
+    the SQL oracle. Returns [*keys, n_col, out_col]."""
+    keys = list(keys)
+    dist = combine_aggregate(ds.select_columns(keys + [val_col]),
+                             keys + [val_col], [("", "count", "__c")])
+
+    def finalize(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], group.column(c).type) for c in keys]
+                + [pa.array([], pa.int64()), pa.array([], pa.int64())],
+                names=[*keys, n_col, out_col])
+        group = group.take(pc.sort_indices(group.column(val_col)))
+        vals = group.column(val_col).to_numpy(zero_copy_only=False)
+        cnts = group.column("__c").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        starts = (cum - cnts).tolist()
+        num = 0
+        tot = 0
+        for v, c, s in zip(vals.tolist(), cnts.tolist(), starts):
+            num += v * (2 * c * s + c * (c + 1) - c * (n + 1))
+            tot += v * c
+        den = n * tot
+        g = int(np.floor(1e6 * float(num) / float(den))) if den else 0
+        return pa.Table.from_arrays(
+            [group.column(c).slice(0, 1) for c in keys]
+            + [pa.array([n], pa.int64()), pa.array([g], pa.int64())],
+            names=[*keys, n_col, out_col])
+
+    return dist.groupby(keys if len(keys) > 1 else keys[0]) \
+        .map_groups(finalize, batch_format="pyarrow")

@@ -431,3 +431,23 @@ def test_event_gap_values_median(ray_session):
                                    [("med_gap_us", 1, 2)]).take_all()}
     # PERCENTILE_DISC rank ceil(n/2): n=2 -> rank 1 -> the smaller gap
     assert med == {"click": 0, "purchase": 4_000 * US}
+
+
+def test_activity_streaks(ray_session):
+    import ray.data
+    # user 1: days 0,1,2 and 5,6  -> n_days 5, max streak 3
+    # user 2: day 7 only          -> n_days 1, max streak 1
+    # user 3: days 0 and 2        -> n_days 2, max streak 1
+    days = {1: [0, 1, 1, 2, 5, 6], 2: [7], 3: [0, 2, 2]}
+    rows = [(u, d) for u, ds_ in days.items() for d in ds_]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * DAY + 3 * US for r in rows],
+                       pa.int64()).cast(pa.timestamp("us")),
+    })
+    ds = ray.data.from_arrow(t)
+    out = {r["user_id"]: r for r in
+           analytics.activity_streaks(ds).take_all()}
+    assert out[1]["n_days"] == 5 and out[1]["max_streak"] == 3
+    assert out[2]["n_days"] == 1 and out[2]["max_streak"] == 1
+    assert out[3]["n_days"] == 2 and out[3]["max_streak"] == 1

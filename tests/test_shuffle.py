@@ -305,3 +305,37 @@ def test_grouped_percentile_cont_single_value(ray_session):
     out = grouped_percentile_cont(
         ray.data.from_arrow(t), ["g"], "v", 19, 20).take_all()
     assert out[0]["p"] == 42.0
+
+
+def test_grouped_gini_e6(ray_session):
+    import math
+
+    import numpy as np
+    import ray.data
+    from htmlreader_ray.functions.shuffle import grouped_gini_e6
+
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 3, 400)
+    v = rng.integers(1, 50, 400).astype(np.int64)  # heavy ties
+    t = pa.table({"g": pa.array(g, pa.int64()),
+                  "v": pa.array(v, pa.int64())})
+    out = {r["g"]: r for r in grouped_gini_e6(
+        ray.data.from_arrow(t), ["g"], "v").take_all()}
+    for grp in range(3):
+        vals = np.sort(v[g == grp])
+        n = len(vals)
+        num = sum((2 * (i + 1) - n - 1) * int(x)
+                  for i, x in enumerate(vals))
+        want = math.floor(1e6 * float(num) / float(n * int(vals.sum())))
+        assert out[grp]["n"] == n
+        assert out[grp]["gini_e6"] == want, grp
+
+
+def test_grouped_gini_e6_equal_values(ray_session):
+    import ray.data
+    from htmlreader_ray.functions.shuffle import grouped_gini_e6
+
+    t = pa.table({"g": pa.array(["a"] * 5, pa.string()),
+                  "v": pa.array([10] * 5, pa.int64())})
+    out = grouped_gini_e6(ray.data.from_arrow(t), ["g"], "v").take_all()
+    assert out[0]["gini_e6"] == 0 and out[0]["n"] == 5
