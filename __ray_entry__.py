@@ -3603,6 +3603,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
             joined.map_batches(slim, batch_format="pyarrow"),
             ["nation"], "cents", out_col="gini_e6", n_col="n_cust")
 
+    def heavy_hitters(sf_dir: str):
+        """Deterministic two-pass frequent items (Misra & Gries 1982):
+        words with count * 200 > corpus total, exact counts — per-block
+        MG guarantee set (<= k rows/block) is the only driver
+        materialization, pass 2 counts just the broadcast candidates;
+        the full vocabulary never crosses an exchange
+        (functions/sketch.exact_heavy_hitters)."""
+        from htmlreader_ray.functions.sketch import exact_heavy_hitters
+        return exact_heavy_hitters(
+            _read(sf_dir, "documents", ["text"]), k=200)
+
+    def word_graph_recip(sf_dir: str):
+        """Reciprocity of the directed word-adjacency graph: the share
+        of distinct bigram edges (w1 -> w2), w1 != w2, whose reverse
+        bigram also occurs anywhere in the corpus (a graph-motif
+        statistic with naturally partial reciprocity — 'of the' is
+        frequent, 'the of' isn't). Block-local Arrow bigram partials
+        (indexing._bigram_rows), distinct-edge combiner, ONE
+        canonical-pair exchange where n_dir == 2 detects the reverse
+        without a self-join (functions/graph.edge_reciprocity)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.graph import edge_reciprocity
+        from htmlreader_ray.functions.indexing import _bigram_rows
+
+        def edges(b: pa.Table) -> pa.Table:
+            t = _bigram_rows(b, "text")
+            t = pa.Table.from_arrays(
+                [t.column("w1"), t.column("w2")], names=["src", "dst"])
+            return t.filter(pc.not_equal(t.column("src"),
+                                         t.column("dst")))
+
+        return edge_reciprocity(
+            _read(sf_dir, "documents", ["text"]).map_batches(
+                edges, batch_format="pyarrow"))
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -3773,6 +3809,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_tokens": part_type_tokens,
         "user_streaks": user_streaks,
         "gini_by_nation": gini_by_nation,
+        "heavy_hitters": heavy_hitters,
+        "word_graph_recip": word_graph_recip,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -3846,6 +3884,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_median_gap", "part_type_tokens",
         # new in round 3, twenty-first sweep
         "user_streaks", "gini_by_nation",
+        # new in round 3, twenty-second sweep
+        "heavy_hitters", "word_graph_recip",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -4810,6 +4850,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "heavy_hitters": r"""
+            WITH w AS (
+                SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                    AS word
+                FROM documents WHERE trim(text) <> ''
+            ), c AS (
+                SELECT word, COUNT(*) AS n FROM w GROUP BY 1
+            ), t AS (
+                SELECT SUM(n) AS tot FROM c
+            )
+            SELECT word, CAST(n AS BIGINT) AS n
+            FROM c, t WHERE n * 200 > tot
+        """,
+        "word_graph_recip": r"""
+            WITH words AS (
+                SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM documents WHERE trim(text) <> ''
+            ), bi AS (
+                SELECT b['w1'] AS src, b['w2'] AS dst FROM (
+                    SELECT unnest([{'w1': ws[i], 'w2': ws[i+1]}
+                                   for i in range(1,
+                                                  greatest(len(ws), 1))])
+                               AS b
+                    FROM words)
+            ), e AS (
+                SELECT DISTINCT src, dst FROM bi WHERE src <> dst
+            ), p AS (
+                SELECT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi,
+                       COUNT(*) AS n_dir
+                FROM e GROUP BY 1, 2
+            )
+            SELECT CAST(SUM(n_dir) AS BIGINT) AS n_edges,
+                   CAST(COALESCE(SUM(CASE WHEN n_dir = 2 THEN 2 END), 0)
+                        AS BIGINT) AS n_recip,
+                   CAST(FLOOR(1000000.0 *
+                              COALESCE(SUM(CASE WHEN n_dir = 2
+                                           THEN 2 END), 0)
+                              / SUM(n_dir)) AS BIGINT) AS recip_e6
+            FROM p
         """,
         "gini_by_nation": """
             WITH s AS (

@@ -425,3 +425,61 @@ def label_propagation(edges, rounds: int = 2, num_partitions: int = 4,
         labels = _mat(joined.map_batches(
             _new_label, batch_format="pyarrow"))
     return labels
+
+
+def edge_reciprocity(edges):
+    """Reciprocity of a directed graph: the share of distinct directed
+    edges (u, v), u != v, whose reverse (v, u) is also present.
+
+    Plan: block-local distinct of (src, dst) inside the combiner, ONE
+    canonical-pair exchange keyed on (min(src,dst), max(src,dst)) —
+    after the distinct, an unordered pair's group holds exactly 1 or 2
+    rows, so n_dir == 2 detects reciprocation without a self-join —
+    then a single bounded finalize (one row per pair survives the
+    combiner, so the last partition sees |distinct pairs| rows, never
+    edges x edges). Returns one row:
+    (n_edges, n_recip, recip_e6 = floor(1e6 * n_recip / n_edges)).
+    """
+    from .shuffle import combine_aggregate
+
+    def canon(b: pa.Table) -> pa.Table:
+        s, d = b.column("src"), b.column("dst")
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        lo = pc.min_element_wise(s, d)
+        hi = pc.max_element_wise(s, d)
+        return pa.Table.from_arrays([lo, hi], names=["lo", "hi"])
+
+    dist = combine_aggregate(edges, ["src", "dst"],
+                             [("", "count", "__w")])
+    pairs = combine_aggregate(
+        dist.map_batches(canon, batch_format="pyarrow"),
+        ["lo", "hi"], [("", "count", "n_dir")])
+
+    def partial(b: pa.Table) -> pa.Table:
+        nd = pc.cast(b.column("n_dir"), pa.int64())
+        two = pc.cast(pc.equal(nd, 2), pa.int64())
+        return pa.Table.from_arrays(
+            [pa.array([int(pc.sum(nd).as_py() or 0)], pa.int64()),
+             pa.array([2 * int(pc.sum(two).as_py() or 0)], pa.int64())],
+            names=["e", "r"])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n_edges = int(pc.sum(b.column("e")).as_py() or 0)
+        n_recip = int(pc.sum(b.column("r")).as_py() or 0)
+        r = int(np.floor(1e6 * float(n_recip) / float(n_edges))) \
+            if n_edges else 0
+        return pa.Table.from_arrays(
+            [pa.array([n_edges], pa.int64()),
+             pa.array([n_recip], pa.int64()),
+             pa.array([r], pa.int64())],
+            names=["n_edges", "n_recip", "recip_e6"])
+
+    import ray.data
+    # zero seed row: guarantees the finalize stage sees >= 1 input row
+    # even on an edge-free graph (empty upstreams can otherwise produce
+    # an empty output dataset instead of a (0, 0, 0) stats row)
+    seed = ray.data.from_arrow(pa.table(
+        {"e": pa.array([0], pa.int64()), "r": pa.array([0], pa.int64())}))
+    return seed.union(pairs.map_batches(partial, batch_format="pyarrow")) \
+        .repartition(1).map_batches(finalize, batch_format="pyarrow")

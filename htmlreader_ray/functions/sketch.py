@@ -195,3 +195,82 @@ def bloom_contains(bits: set, value: str, *, k: int = 4,
         if int(hv % np.uint64(m_bits)) not in bits:
             return False
     return True
+
+
+def _word_counts(batch: pa.Table, text_col: str) -> pa.Table:
+    """Block-local whitespace word counts (the top_terms tokenizer:
+    regex \\s+ split, empty tokens dropped)."""
+    import pyarrow.compute as pc
+    words = pc.list_flatten(pc.split_pattern_regex(
+        batch.column(text_col), pattern=r"\s+"))
+    words = words.filter(pc.not_equal(words, ""))
+    if len(words) == 0:
+        return pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.int64())],
+            names=["word", "cnt"])
+    g = pa.Table.from_arrays([words], names=["word"]) \
+        .group_by("word").aggregate([([], "count_all")])
+    return g.rename_columns(["word", "cnt"])
+
+
+def exact_heavy_hitters(ds, *, k: int = 200, text_col: str = "text"):
+    """Deterministic two-pass frequent-items: every word with global
+    count strictly above total/k, with EXACT counts.
+
+    Pass 1 is the Misra-Gries guarantee set per block: words whose
+    block-local count exceeds block_total/(k+1) — at most k per block
+    by a counting argument, and by the averaging argument any word
+    with global count > total/k must clear that bar in at least one
+    block. Candidates (plus one null-word row carrying each block's
+    token total) are the ONLY driver materialization — bounded by
+    k x blocks, independent of corpus size. Pass 2 re-scans the corpus
+    counting ONLY the broadcast candidate set (pc.is_in before the
+    combiner), so the exchange carries candidate rows, never the
+    vocabulary. Classic two-pass heavy hitters (Misra & Gries 1982);
+    the corpus is read twice, the full word distribution is never
+    shuffled (the top_terms groupby is what this replaces at scale).
+
+    Returns Dataset[(word, n)] with n * k > total, exact.
+    """
+    import pyarrow.compute as pc
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        c = _word_counts(batch, text_col)
+        if c.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64())],
+                names=["word", "cnt"])
+        cnt = c.column("cnt")
+        bt = int(pc.sum(cnt).as_py())
+        # strict MG bar: cnt * (k+1) > block_total
+        keep = c.filter(pc.greater(pc.multiply(cnt, k + 1), bt))
+        total_row = pa.Table.from_arrays(
+            [pa.array([None], pa.string()), pa.array([bt], pa.int64())],
+            names=["word", "cnt"])
+        return pa.concat_tables([keep, total_row])
+
+    rows = ds.map_batches(candidates, batch_format="pyarrow").take_all()
+    total = sum(r["cnt"] for r in rows if r["word"] is None)
+    cands = sorted({r["word"] for r in rows if r["word"] is not None})
+    cand_arr = pa.array(cands, pa.string())
+
+    def count_cands(batch: pa.Table) -> pa.Table:
+        c = _word_counts(batch, text_col)
+        if c.num_rows == 0 or len(cand_arr) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64())],
+                names=["word", "cnt"])
+        return c.filter(pc.is_in(c.column("word"), value_set=cand_arr))
+
+    from .shuffle import combine_aggregate
+    counts = combine_aggregate(
+        ds.map_batches(count_cands, batch_format="pyarrow"),
+        ["word"], [("cnt", "sum", "n")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch.column("n"), pa.int64())
+        t = pa.Table.from_arrays([batch.column("word"), n],
+                                 names=["word", "n"])
+        return t.filter(pc.greater(pc.multiply(n, k), total))
+
+    return counts.map_batches(finish, batch_format="pyarrow")

@@ -147,3 +147,35 @@ def test_bloom_filter_membership(ray_session):
     # false-positive rate stays near theory ((1-e^{-kn/m})^k ~ 11% here)
     fp = sum(bloom_contains(bits, f"absent-{i}") for i in range(500)) / 500
     assert fp < 0.3
+
+
+def test_exact_heavy_hitters(ray_session):
+    import collections
+
+    import pyarrow as pa
+    import ray.data
+    from htmlreader_ray.functions.sketch import exact_heavy_hitters
+
+    # 3 skewed hot words + a long tail, split across many small docs
+    docs = []
+    for i in range(60):
+        docs.append("hot " * 5 + f"tail{i} cold{i % 7}")
+    t = pa.table({"text": pa.array(docs)})
+    out = {r["word"]: r["n"] for r in exact_heavy_hitters(
+        ray.data.from_arrow(t), k=10).take_all()}
+    counts = collections.Counter(
+        w for d in docs for w in d.split() if w)
+    total = sum(counts.values())
+    want = {w: n for w, n in counts.items() if n * 10 > total}
+    assert out == want and "hot" in out
+
+
+def test_exact_heavy_hitters_no_hitters(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from htmlreader_ray.functions.sketch import exact_heavy_hitters
+
+    docs = [f"u{i}" for i in range(500)]  # all unique, none above n/k
+    t = pa.table({"text": pa.array(docs)})
+    out = exact_heavy_hitters(ray.data.from_arrow(t), k=50).take_all()
+    assert out == []

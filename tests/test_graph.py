@@ -187,3 +187,32 @@ def test_label_propagation_one_round_partial(ray_session):
     out = {r["host"]: r["label"] for r in label_propagation(
         ray.data.from_arrow(edges), rounds=1).take_all()}
     assert out == {"a": "a", "b": "a", "c": "b", "d": "c"}
+
+
+def test_edge_reciprocity_mixed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from htmlreader_ray.functions.graph import edge_reciprocity
+
+    # a<->b reciprocated; a->c, c->d one-way; duplicates and self-loops
+    # must not count
+    src = ["a", "b", "a", "c", "a", "x"]
+    dst = ["b", "a", "c", "d", "b", "x"]
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    out = edge_reciprocity(ray.data.from_arrow(t)).take_all()
+    assert len(out) == 1
+    r = out[0]
+    # distinct directed edges: a->b, b->a, a->c, c->d  (4)
+    assert r["n_edges"] == 4
+    assert r["n_recip"] == 2
+    assert r["recip_e6"] == 500000
+
+
+def test_edge_reciprocity_empty(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from htmlreader_ray.functions.graph import edge_reciprocity
+
+    t = pa.table({"src": pa.array(["x"]), "dst": pa.array(["x"])})
+    out = edge_reciprocity(ray.data.from_arrow(t)).take_all()
+    assert out[0]["n_edges"] == 0 and out[0]["recip_e6"] == 0
