@@ -3639,6 +3639,77 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["text"]).map_batches(
                 edges, batch_format="pyarrow"))
 
+    def event_debounce(sf_dir: str):
+        """Windowed de-dup filter: keep events whose previous
+        same-(user, type) event is > 5 min older (or absent) — one
+        coarse user-bucket shuffle, lexsort + shifted-compare kernel
+        (analytics.debounce_events); LAG-window oracle."""
+        from htmlreader_ray.functions.analytics import debounce_events
+        return debounce_events(
+            _read(sf_dir, "events",
+                  ["event_id", "ts", "user_id", "event_type"]))
+
+    def value_geomean(sf_dir: str):
+        """Geometric mean of positive event cents per type under the
+        established int-quantized ln bit-parity contract: per-block
+        DISTINCT (type, cents) carry floor(1e6·ln(cents)+0.5) partial
+        sums, ONE narrow combiner groupby(type), and the single float
+        expression floor(1000·exp(S/(1e6·n))+0.5) is replayed verbatim
+        by the oracle — multiplicative aggregation with zero
+        order-dependence in the distributed part."""
+        import math
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def partial(b: pa.Table) -> pa.Table:
+            cents = pc.cast(
+                pc.floor(pc.add(pc.multiply(pa.scalar(100.0),
+                                            b.column("value")),
+                                pa.scalar(0.5))), pa.int64())
+            t = pa.Table.from_arrays(
+                [b.column("event_type"), cents],
+                names=["event_type", "cents"])
+            t = t.filter(pc.greater(t.column("cents"), 0))
+            if t.num_rows == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.string()), pa.array([], pa.int64()),
+                     pa.array([], pa.int64())],
+                    names=["event_type", "n", "s"])
+            g = t.group_by(["event_type", "cents"]).aggregate(
+                [([], "count_all")])
+            v = g.column("cents").to_numpy(zero_copy_only=False)
+            c = g.column("count_all").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            lq = np.floor(1_000_000 * np.log(v.astype(np.float64))
+                          + 0.5).astype(np.int64)
+            out = pa.Table.from_arrays(
+                [g.column("event_type"), pa.array(c), pa.array(c * lq)],
+                names=["event_type", "n", "s"])
+            return out
+
+        sums = combine_aggregate(
+            _read(sf_dir, "events",
+                  ["event_type", "value"]).map_batches(
+                partial, batch_format="pyarrow"),
+            ["event_type"], [("n", "sum", "n"), ("s", "sum", "s")])
+
+        def finish(b: pa.Table) -> pa.Table:
+            n = b.column("n").to_pylist()
+            s = b.column("s").to_pylist()
+            gm = [int(math.floor(
+                1000.0 * math.exp(float(si) / (1_000_000.0 * float(ni)))
+                + 0.5)) for ni, si in zip(n, s)]
+            return pa.Table.from_arrays(
+                [b.column("event_type"),
+                 pc.cast(b.column("n"), pa.int64()),
+                 pa.array(gm, pa.int64())],
+                names=["event_type", "n", "geomean_e3"])
+
+        return sums.map_batches(finish, batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -3811,6 +3882,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini_by_nation": gini_by_nation,
         "heavy_hitters": heavy_hitters,
         "word_graph_recip": word_graph_recip,
+        "event_debounce": event_debounce,
+        "value_geomean": value_geomean,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -3886,6 +3959,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_streaks", "gini_by_nation",
         # new in round 3, twenty-second sweep
         "heavy_hitters", "word_graph_recip",
+        # new in round 3, twenty-third sweep
+        "event_debounce", "value_geomean",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -4850,6 +4925,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "event_debounce": """
+            WITH l AS (
+                SELECT event_id, user_id, event_type,
+                       epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id)) AS gap
+                FROM events
+            )
+            SELECT event_id, user_id, event_type FROM l
+            WHERE gap IS NULL OR gap > 300000000
+        """,
+        "value_geomean": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(FLOOR(100.0 * value + 0.5) AS BIGINT)
+                           AS cents
+                FROM events
+            ), d AS (
+                SELECT event_type, cents, COUNT(*) AS cnt
+                FROM c WHERE cents > 0 GROUP BY 1, 2
+            ), q AS (
+                SELECT event_type, cnt,
+                       CAST(FLOOR(1000000 * LN(CAST(cents AS DOUBLE))
+                                  + 0.5) AS BIGINT) AS lq
+                FROM d
+            ), s AS (
+                SELECT event_type, SUM(cnt) AS n, SUM(cnt * lq) AS s
+                FROM q GROUP BY 1
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   CAST(FLOOR(1000.0 * EXP(CAST(s AS DOUBLE)
+                              / (1000000.0 * CAST(n AS DOUBLE)))
+                              + 0.5) AS BIGINT) AS geomean_e3
+            FROM s
         """,
         "heavy_hitters": r"""
             WITH w AS (

@@ -737,3 +737,44 @@ def activity_streaks(ds, *, ts_col: str = "ts", user_col: str = "user_id",
     days = ds.map_batches(to_days, batch_format="pyarrow")
     return _bucketed(days, user_col, coarse_buckets).map_groups(
         streak_kernel, batch_format="pyarrow")
+
+
+def debounce_events(ds, *, gap_us: int = 300_000_000,
+                    ts_col: str = "ts", user_col: str = "user_id",
+                    type_col: str = "event_type",
+                    order_col: str = "event_id",
+                    coarse_buckets: int = 256):
+    """Windowed de-duplication filter: keep an event iff the SAME
+    (user, type)'s previous event is absent or more than ``gap_us``
+    older (the telemetry debounce / at-most-once-per-window rule).
+    Ties on ts break by ``order_col`` exactly like the SQL oracle's
+    LAG(... ORDER BY ts, event_id), so a same-instant repeat is
+    dropped. One coarse user-bucket shuffle; the kernel handles every
+    (user, type) run in the bucket with one lexsort + shifted compare.
+    """
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64()),
+             pa.array([], pa.string())],
+            names=[order_col, user_col, type_col])
+        if group.num_rows == 0:
+            return empty
+        uid = _np(group.column(user_col))
+        us = _np(group.column(ts_col).cast(pa.int64()))
+        eid = _np(group.column(order_col))
+        tarr = group.column(type_col).combine_chunks()
+        _, codes = np.unique(np.asarray(tarr), return_inverse=True)
+        order = np.lexsort((eid, us, codes, uid))
+        uid_s, us_s, code_s = uid[order], us[order], codes[order]
+        keep = np.ones(len(uid_s), dtype=bool)
+        same = (uid_s[1:] == uid_s[:-1]) & (code_s[1:] == code_s[:-1])
+        keep[1:] = ~same | (us_s[1:] - us_s[:-1] > gap_us)
+        idx = pa.array(order[keep])
+        return pa.Table.from_arrays(
+            [group.column(order_col).combine_chunks().take(idx),
+             group.column(user_col).combine_chunks().take(idx),
+             tarr.take(idx)],
+            names=[order_col, user_col, type_col])
+
+    return _bucketed(ds, user_col, coarse_buckets).map_groups(
+        kernel, batch_format="pyarrow")

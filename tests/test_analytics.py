@@ -451,3 +451,29 @@ def test_activity_streaks(ray_session):
     assert out[1]["n_days"] == 5 and out[1]["max_streak"] == 3
     assert out[2]["n_days"] == 1 and out[2]["max_streak"] == 1
     assert out[3]["n_days"] == 2 and out[3]["max_streak"] == 1
+
+
+def test_debounce_events(ray_session):
+    import ray.data
+    # user 1 "view": t=0, t=100s (dropped), t=400s (kept: 400s > 300s
+    # after t=0? previous is t=100 -> 300s gap exactly -> dropped)
+    # exact-gap and tie cases pinned
+    rows = [
+        (1, 0, 1, "view"),
+        (2, 100 * US, 1, "view"),        # 100s after prev -> dropped
+        (3, 400 * US, 1, "view"),        # 300s after prev -> dropped (not >)
+        (4, 701 * US, 1, "view"),        # 301s after prev -> kept
+        (5, 0, 1, "click"),              # different type -> kept
+        (6, 0, 2, "view"),               # different user -> kept
+        (7, 0, 2, "view"),               # same-instant tie -> dropped
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    })
+    kept = sorted(r["event_id"] for r in analytics.debounce_events(
+        ray.data.from_arrow(t), gap_us=300 * US).take_all())
+    assert kept == [1, 4, 5, 6]
