@@ -3710,6 +3710,108 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return sums.map_batches(finish, batch_format="pyarrow")
 
+    def rfm_scores(sf_dir: str):
+        """RFM customer scoring: quartile tiles of recency (last order
+        day), frequency (order count) and monetary (total cents) —
+        one combiner rollup of orders to the per-customer metric table,
+        then three grouped_ntile scans over that bounded table (exact
+        ((rank-1)*4)//n+1 formula, custkey tiebreak, replayed verbatim
+        by the ROW_NUMBER oracle). Order rows cross one exchange; the
+        ntile passes move only (bucket, sum) partials plus the metric
+        table itself."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.scan import grouped_ntile
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def metrics(b: pa.Table) -> pa.Table:
+            day = pc.cast(pc.cast(pc.cast(b.column("o_orderdate"),
+                                          pa.date32()), pa.int32()),
+                          pa.int64())
+            cents = pc.cast(
+                pc.floor(pc.add(pc.multiply(pa.scalar(100.0),
+                                            b.column("o_totalprice")),
+                                pa.scalar(0.5))), pa.int64())
+            return pa.Table.from_arrays(
+                [b.column("o_custkey"), day, cents],
+                names=["o_custkey", "day", "cents"])
+
+        m = combine_aggregate(
+            _read(sf_dir, "orders",
+                  ["o_custkey", "o_orderdate", "o_totalprice"])
+            .map_batches(metrics, batch_format="pyarrow"),
+            ["o_custkey"], [("day", "max", "last_day"),
+                            ("day", "count", "freq"),
+                            ("cents", "sum", "cents")])
+
+        def prep(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [b.column("o_custkey"),
+                 pc.cast(b.column("last_day"), pa.int64()),
+                 pc.cast(b.column("freq"), pa.int64()),
+                 pc.cast(b.column("cents"), pa.int64()),
+                 pa.array([0] * b.num_rows, pa.int64())],
+                names=["o_custkey", "last_day", "freq", "cents", "__g"])
+
+        scored = m.map_batches(prep, batch_format="pyarrow")
+        scored = grouped_ntile(scored, part_cols=["__g"],
+                               order_col="last_day",
+                               tiebreak_col="o_custkey", tiles=4,
+                               out_col="r_tile")
+        scored = grouped_ntile(scored, part_cols=["__g"],
+                               order_col="freq",
+                               tiebreak_col="o_custkey", tiles=4,
+                               out_col="f_tile")
+        scored = grouped_ntile(scored, part_cols=["__g"],
+                               order_col="cents",
+                               tiebreak_col="o_custkey", tiles=4,
+                               out_col="m_tile", bucket_size=1_000_000)
+        return scored.map_batches(
+            lambda b: b.select(["o_custkey", "r_tile", "f_tile",
+                                "m_tile"]),
+            batch_format="pyarrow")
+
+    def day_actives(sf_dir: str):
+        """Conditional distinct counts per day: distinct viewers,
+        purchasers and all-active users. Block-local distinct of
+        (day, user, view-flag, purchase-flag) with flag ORs (max)
+        inside the combiner, then one narrow per-day sum — user rows
+        collapse before either exchange; COUNT(DISTINCT CASE ...)
+        without ever shuffling raw events."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def flags(b: pa.Table) -> pa.Table:
+            day = pc.cast(b.column("ts"), pa.date32())
+            et = b.column("event_type")
+            return pa.Table.from_arrays(
+                [day, b.column("user_id"),
+                 pc.cast(pc.equal(et, "view"), pa.int64()),
+                 pc.cast(pc.equal(et, "purchase"), pa.int64())],
+                names=["day", "user_id", "v", "p"])
+
+        per_user = combine_aggregate(
+            _read(sf_dir, "events",
+                  ["ts", "user_id", "event_type"]).map_batches(
+                flags, batch_format="pyarrow"),
+            ["day", "user_id"], [("v", "max", "v"), ("p", "max", "p")])
+
+        out = combine_aggregate(
+            per_user, ["day"], [("v", "sum", "n_viewers"),
+                                ("p", "sum", "n_purchasers"),
+                                ("v", "count", "n_active")])
+
+        def fix(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [b.column("day"),
+                 pc.cast(b.column("n_viewers"), pa.int64()),
+                 pc.cast(b.column("n_purchasers"), pa.int64()),
+                 pc.cast(b.column("n_active"), pa.int64())],
+                names=["day", "n_viewers", "n_purchasers", "n_active"])
+
+        return out.map_batches(fix, batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -3884,6 +3986,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_graph_recip": word_graph_recip,
         "event_debounce": event_debounce,
         "value_geomean": value_geomean,
+        "rfm_scores": rfm_scores,
+        "day_actives": day_actives,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -3961,6 +4065,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters", "word_graph_recip",
         # new in round 3, twenty-third sweep
         "event_debounce", "value_geomean",
+        # new in round 3, twenty-fourth sweep
+        "rfm_scores", "day_actives",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -4925,6 +5031,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "rfm_scores": """
+            WITH m AS (
+                SELECT o_custkey,
+                       datediff('day', DATE '1970-01-01',
+                                MAX(CAST(o_orderdate AS DATE)))
+                           AS last_day,
+                       COUNT(*) AS freq,
+                       SUM(CAST(FLOOR(100.0 * o_totalprice + 0.5)
+                                AS BIGINT)) AS cents
+                FROM orders GROUP BY 1
+            ), n AS (SELECT COUNT(*) AS n FROM m)
+            SELECT o_custkey,
+                   CAST((ROW_NUMBER() OVER (ORDER BY last_day, o_custkey)
+                         - 1) * 4 // n.n + 1 AS BIGINT) AS r_tile,
+                   CAST((ROW_NUMBER() OVER (ORDER BY freq, o_custkey)
+                         - 1) * 4 // n.n + 1 AS BIGINT) AS f_tile,
+                   CAST((ROW_NUMBER() OVER (ORDER BY cents, o_custkey)
+                         - 1) * 4 // n.n + 1 AS BIGINT) AS m_tile
+            FROM m, n
+        """,
+        "day_actives": """
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(DISTINCT CASE WHEN event_type = 'view'
+                                            THEN user_id END)
+                        AS BIGINT) AS n_viewers,
+                   CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                            THEN user_id END)
+                        AS BIGINT) AS n_purchasers,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+            FROM events GROUP BY 1
         """,
         "event_debounce": """
             WITH l AS (
