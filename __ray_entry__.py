@@ -3812,6 +3812,116 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(fix, batch_format="pyarrow")
 
+    def orders_calendar(sf_dir: str):
+        """Calendar densification: orders per day INCLUDING zero days
+        (the dimension-fill shape every reporting pipeline needs). The
+        per-day counts reduce through the combiner — bounded by
+        distinct days, never order rows — and only that table reaches
+        the driver, which fills the [min, max] range vectorized;
+        mirrors the SQL generate_series LEFT JOIN."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def to_day(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [pc.cast(b.column("o_orderdate"), pa.date32())],
+                names=["day"])
+
+        counts = combine_aggregate(
+            _read(sf_dir, "orders", ["o_orderdate"]).map_batches(
+                to_day, batch_format="pyarrow"),
+            ["day"], [("day", "count", "n_orders")]).take_all()
+        days = np.array([r["day"] for r in counts],
+                        dtype="datetime64[D]").astype(np.int32)
+        n = np.array([r["n_orders"] for r in counts], dtype=np.int64)
+        lo, hi = int(days.min()), int(days.max())
+        full = np.zeros(hi - lo + 1, dtype=np.int64)
+        full[days - lo] = n
+        return pa.Table.from_arrays(
+            [pa.array(np.arange(lo, hi + 1, dtype=np.int32)
+                      .astype("datetime64[D]"), pa.date32()),
+             pa.array(full)],
+            names=["day", "n_orders"])
+
+    def _nation_spend(sf_dir: str):
+        """(nation, o_custkey, cents) per-customer spend: combiner
+        rollup of orders BEFORE the keys-only customer hash join (the
+        gini_by_nation front end, shared)."""
+        import os
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def ord_cents(b: pa.Table) -> pa.Table:
+            cents = pc.cast(
+                pc.floor(pc.add(pc.multiply(pa.scalar(100.0),
+                                            b.column("o_totalprice")),
+                                pa.scalar(0.5))), pa.int64())
+            return pa.Table.from_arrays(
+                [b.column("o_custkey"), cents],
+                names=["o_custkey", "cents"])
+
+        spend = combine_aggregate(
+            _read(sf_dir, "orders",
+                  ["o_custkey", "o_totalprice"]).map_batches(
+                ord_cents, batch_format="pyarrow"),
+            ["o_custkey"], [("cents", "sum", "cents")])
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        parts = int(max(8, os.path.getsize(
+            f"{sf_dir}/orders.parquet") // (32 << 20)))
+        joined = spend.join(cust, "inner", parts,
+                            on=("o_custkey",), right_on=("c_custkey",))
+
+        def slim(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [pc.cast(b.column("c_nationkey"), pa.int64()),
+                 b.column("o_custkey"), b.column("cents")],
+                names=["nation", "o_custkey", "cents"])
+
+        return joined.map_batches(slim, batch_format="pyarrow"), parts
+
+    def spend_cume_dist(sf_dir: str):
+        """CUME_DIST of customer spend within nation, exactly, in e6
+        fixed point: the cumulative counts come from the VALUE
+        DISTRIBUTION only (distinct (nation, cents) + counts through
+        the combiner), the per-value table (1e6·cnt_le)//n is built per
+        nation group, and ONE hash join carries it back onto the
+        per-customer spend rows — the rank never touches row order,
+        and all arithmetic is integer on both sides."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        spend, parts = _nation_spend(sf_dir)
+        dist = combine_aggregate(spend.select_columns(
+            ["nation", "cents"]), ["nation", "cents"],
+            [("", "count", "cnt")])
+
+        def cume_group(group: pa.Table) -> pa.Table:
+            if group.num_rows == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                     pa.array([], pa.int64())],
+                    names=["nation", "cents", "cume_e6"])
+            group = group.take(pc.sort_indices(group.column("cents")))
+            cnt = group.column("cnt").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            cle = np.cumsum(cnt)
+            n = int(cle[-1])
+            cume = (1_000_000 * cle) // n
+            return pa.Table.from_arrays(
+                [group.column("nation"), group.column("cents"),
+                 pa.array(cume)],
+                names=["nation", "cents", "cume_e6"])
+
+        ranks = dist.groupby("nation").map_groups(
+            cume_group, batch_format="pyarrow")
+        return spend.join(ranks, "inner", parts,
+                          on=("nation", "cents"))
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -3988,6 +4098,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_geomean": value_geomean,
         "rfm_scores": rfm_scores,
         "day_actives": day_actives,
+        "orders_calendar": orders_calendar,
+        "spend_cume_dist": spend_cume_dist,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -4067,6 +4179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_debounce", "value_geomean",
         # new in round 3, twenty-fourth sweep
         "rfm_scores", "day_actives",
+        # new in round 3, twenty-fifth sweep
+        "orders_calendar", "spend_cume_dist",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -5031,6 +5145,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "orders_calendar": """
+            WITH c AS (
+                SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+                FROM orders GROUP BY 1
+            ), r AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM c),
+            cal AS (
+                SELECT CAST(unnest(generate_series(
+                    r.lo, r.hi, INTERVAL 1 DAY)) AS DATE) AS day
+                FROM r
+            )
+            SELECT cal.day, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_orders
+            FROM cal LEFT JOIN c USING (day)
+        """,
+        "spend_cume_dist": """
+            WITH s AS (
+                SELECT c.c_nationkey AS nation, o.o_custkey,
+                       SUM(CAST(FLOOR(100.0 * o.o_totalprice + 0.5)
+                                AS BIGINT)) AS cents
+                FROM orders o
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                GROUP BY 1, 2
+            ), d AS (
+                SELECT nation, cents, COUNT(*) AS cnt
+                FROM s GROUP BY 1, 2
+            ), k AS (
+                SELECT nation, cents,
+                       SUM(cnt) OVER (PARTITION BY nation
+                                      ORDER BY cents) AS cle,
+                       SUM(cnt) OVER (PARTITION BY nation) AS n
+                FROM d
+            )
+            SELECT CAST(s.nation AS BIGINT) AS nation, s.o_custkey,
+                   CAST(s.cents AS BIGINT) AS cents,
+                   CAST((1000000 * k.cle) // k.n AS BIGINT) AS cume_e6
+            FROM s JOIN k ON s.nation = k.nation AND s.cents = k.cents
         """,
         "rfm_scores": """
             WITH m AS (
