@@ -3922,6 +3922,86 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return spend.join(ranks, "inner", parts,
                           on=("nation", "cents"))
 
+    def sessions_bounce(sf_dir: str):
+        """Session-level day rollup: sessions per start-day and the
+        bounce share (single-event sessions) in e6 fixed point. The
+        30-min gap sessionizer is the ONE order-dependent shuffle
+        (windows.session_windows, same kernel as user_sessions); the
+        session table then reduces through a per-day combiner — events
+        cross one exchange, sessions cross a bounded second."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+        from htmlreader_ray.functions.windows import session_windows
+
+        sess = session_windows(
+            _read(sf_dir, "events", ["ts", "user_id"]))
+
+        def flags(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [pc.cast(b.column("session_start"), pa.date32()),
+                 pc.cast(pc.equal(b.column("n_events"), 1), pa.int64())],
+                names=["day", "b"])
+
+        days = combine_aggregate(
+            sess.map_batches(flags, batch_format="pyarrow"),
+            ["day"], [("b", "count", "n_sessions"),
+                      ("b", "sum", "n_bounce")])
+
+        def fix(b: pa.Table) -> pa.Table:
+            ns = pc.cast(b.column("n_sessions"), pa.int64())
+            nb = pc.cast(b.column("n_bounce"), pa.int64())
+            share = pc.cast(pc.divide(
+                pc.multiply(nb, pa.scalar(1_000_000, pa.int64())), ns),
+                pa.int64())
+            return pa.Table.from_arrays(
+                [b.column("day"), ns, nb, share],
+                names=["day", "n_sessions", "n_bounce", "bounce_e6"])
+
+        return days.map_batches(fix, batch_format="pyarrow")
+
+    def part_trigrams(sf_dir: str):
+        """Top-50 character trigrams of part names — the text-feature
+        extraction shape, fully vectorized: one utf8_slice_codeunits
+        per offset (bounded by max name length, ~50 Arrow kernel calls
+        per block, zero Python loops over rows), block-local counts,
+        combiner groupby bounded by |distinct trigrams|, global sort
+        only on that tiny type table."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def tri_partial(b: pa.Table) -> pa.Table:
+            names = b.column("p_name").combine_chunks()
+            mx = pc.max(pc.utf8_length(names)).as_py() or 0
+            outs = []
+            for i in range(max(mx - 2, 0)):
+                s = pc.utf8_slice_codeunits(names, start=i, stop=i + 3)
+                outs.append(s.filter(pc.equal(pc.utf8_length(s), 3)))
+            if not outs:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.string()), pa.array([], pa.int64())],
+                    names=["tri", "n"])
+            tris = pa.concat_arrays([a.combine_chunks() if isinstance(
+                a, pa.ChunkedArray) else a for a in outs])
+            g = pa.Table.from_arrays([tris], names=["tri"]) \
+                .group_by("tri").aggregate([([], "count_all")])
+            return g.rename_columns(["tri", "n"])
+
+        counts = combine_aggregate(
+            _read(sf_dir, "part", ["p_name"]).map_batches(
+                tri_partial, batch_format="pyarrow"),
+            ["tri"], [("n", "sum", "n")])
+
+        def as_i64(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [b.column("tri"), pc.cast(b.column("n"), pa.int64())],
+                names=["tri", "n"])
+
+        return counts.map_batches(as_i64, batch_format="pyarrow") \
+            .sort(["n", "tri"], descending=[True, False]).limit(50)
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -4100,6 +4180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "day_actives": day_actives,
         "orders_calendar": orders_calendar,
         "spend_cume_dist": spend_cume_dist,
+        "sessions_bounce": sessions_bounce,
+        "part_trigrams": part_trigrams,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -4181,6 +4263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_scores", "day_actives",
         # new in round 3, twenty-fifth sweep
         "orders_calendar", "spend_cume_dist",
+        # new in round 3, twenty-sixth sweep
+        "sessions_bounce", "part_trigrams",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -5145,6 +5229,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "sessions_bounce": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w
+                                    > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events WINDOW w AS (PARTITION BY user_id
+                                         ORDER BY ts)
+            ), sess AS (
+                SELECT user_id, ts,
+                       SUM(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            ), s AS (
+                SELECT user_id, sid, MIN(ts) AS session_start,
+                       COUNT(*) AS n
+                FROM sess GROUP BY 1, 2
+            )
+            SELECT CAST(session_start AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_bounce,
+                   CAST((1000000 * SUM(CASE WHEN n = 1 THEN 1
+                                       ELSE 0 END)) // COUNT(*)
+                        AS BIGINT) AS bounce_e6
+            FROM s GROUP BY 1
+        """,
+        "part_trigrams": """
+            WITH t AS (
+                SELECT SUBSTRING(p_name, i, 3) AS tri
+                FROM part,
+                     UNNEST(generate_series(
+                         1, GREATEST(LENGTH(p_name) - 2, 0))) AS u(i)
+            )
+            SELECT tri, CAST(COUNT(*) AS BIGINT) AS n
+            FROM t GROUP BY 1 ORDER BY n DESC, tri LIMIT 50
         """,
         "orders_calendar": """
             WITH c AS (
