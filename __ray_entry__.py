@@ -4002,6 +4002,98 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return counts.map_batches(as_i64, batch_format="pyarrow") \
             .sort(["n", "tri"], descending=[True, False]).limit(50)
 
+    def events_grouping_sets(sf_dir: str):
+        """GROUPING SETS ((type, dow), (type), (dow)) — the arbitrary-
+        subset member of the rollup/cube family: ONE corpus pass
+        reduces to the bounded (type, dow) combiner table, and both
+        marginal sets derive from that table (no second scan, no
+        second wide exchange); sentinel values ('ALL', -1) + an
+        explicit gid column keep the output null-free for the driver
+        hash."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def cells(b: pa.Table) -> pa.Table:
+            ts = b.column("ts").to_numpy(zero_copy_only=False)
+            # isodow: numpy weekday is Mon=0 -> +1
+            dow = (ts.astype("datetime64[D]").view("int64") + 3) % 7 + 1
+            return pa.Table.from_arrays(
+                [b.column("event_type"), pa.array(dow.astype(np.int64))],
+                names=["event_type", "dow"])
+
+        c = combine_aggregate(
+            _read(sf_dir, "events", ["ts", "event_type"]).map_batches(
+                cells, batch_format="pyarrow"),
+            ["event_type", "dow"], [("dow", "count", "n")])
+
+        both = c.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [pa.array([0] * b.num_rows, pa.int64()),
+                 b.column("event_type"),
+                 pc.cast(b.column("dow"), pa.int64()),
+                 pc.cast(b.column("n"), pa.int64())],
+                names=["gid", "event_type", "dow", "n_events"]),
+            batch_format="pyarrow")
+        by_type = combine_aggregate(
+            c, ["event_type"], [("n", "sum", "n_events")]).map_batches(
+            lambda b: pa.Table.from_arrays(
+                [pa.array([1] * b.num_rows, pa.int64()),
+                 b.column("event_type"),
+                 pa.array([-1] * b.num_rows, pa.int64()),
+                 pc.cast(b.column("n_events"), pa.int64())],
+                names=["gid", "event_type", "dow", "n_events"]),
+            batch_format="pyarrow")
+        by_dow = combine_aggregate(
+            c, ["dow"], [("n", "sum", "n_events")]).map_batches(
+            lambda b: pa.Table.from_arrays(
+                [pa.array([2] * b.num_rows, pa.int64()),
+                 pa.array(["ALL"] * b.num_rows, pa.string()),
+                 pc.cast(b.column("dow"), pa.int64()),
+                 pc.cast(b.column("n_events"), pa.int64())],
+                names=["gid", "event_type", "dow", "n_events"]),
+            batch_format="pyarrow")
+        return both.union(by_type).union(by_dow)
+
+    def embedding_argmax_hist(sf_dir: str):
+        """Dominant-dimension histogram over the embedding column:
+        which component is each vector's maximum (first occurrence on
+        ties, exactly like the oracle's list_indexof(list_max)).
+        Vectorized numpy argmax over the fixed-width list buffer —
+        zero per-row Python — then one combiner groupby bounded by
+        the embedding dimensionality."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def dims(b: pa.Table) -> pa.Table:
+            col = b.column("embedding").combine_chunks()
+            offs = col.offsets.to_numpy(zero_copy_only=False)
+            if len(offs) < 2:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.int64())], names=["dim"])
+            widths = np.diff(offs)
+            d = int(widths[0])
+            assert (widths == d).all(), "ragged embedding column"
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            # float32 argmax, first max on ties — matches list_indexof
+            am = np.argmax(flat.reshape(-1, d), axis=1) + 1  # 1-based
+            return pa.Table.from_arrays(
+                [pa.array(am.astype(np.int64))], names=["dim"])
+
+        out = combine_aggregate(
+            _read(sf_dir, "embeddings", ["embedding"]).map_batches(
+                dims, batch_format="pyarrow"),
+            ["dim"], [("dim", "count", "n_vecs")])
+        return out.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("dim"),
+                 pc.cast(b.column("n_vecs"), pa.int64())],
+                names=["dim", "n_vecs"]),
+            batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -4182,6 +4274,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spend_cume_dist": spend_cume_dist,
         "sessions_bounce": sessions_bounce,
         "part_trigrams": part_trigrams,
+        "events_grouping_sets": events_grouping_sets,
+        "embedding_argmax_hist": embedding_argmax_hist,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -4265,6 +4359,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_calendar", "spend_cume_dist",
         # new in round 3, twenty-sixth sweep
         "sessions_bounce", "part_trigrams",
+        # new in round 3, twenty-seventh sweep
+        "events_grouping_sets", "embedding_argmax_hist",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -5229,6 +5325,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "events_grouping_sets": """
+            WITH c AS (
+                SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT CAST(0 AS BIGINT) AS gid, event_type, dow,
+                   CAST(SUM(n) AS BIGINT) AS n_events
+            FROM c GROUP BY 2, 3
+            UNION ALL
+            SELECT CAST(1 AS BIGINT), event_type, CAST(-1 AS BIGINT),
+                   CAST(SUM(n) AS BIGINT)
+            FROM c GROUP BY 2
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'ALL', dow,
+                   CAST(SUM(n) AS BIGINT)
+            FROM c GROUP BY 3
+        """,
+        "embedding_argmax_hist": """
+            SELECT CAST(list_indexof(embedding, list_max(embedding))
+                        AS BIGINT) AS dim,
+                   CAST(COUNT(*) AS BIGINT) AS n_vecs
+            FROM embeddings GROUP BY 1
         """,
         "sessions_bounce": """
             WITH flagged AS (
