@@ -4094,6 +4094,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 names=["dim", "n_vecs"]),
             batch_format="pyarrow")
 
+    def user_first3_sig(sf_dir: str):
+        """Onboarding-funnel prefix signatures: each user's first 3
+        event types joined with '>', counted per signature — one
+        user-bucket shuffle (analytics.first_k_signature, Arrow
+        binary_join composition, no per-user Python), then a combiner
+        groupby bounded by |types|^3 signatures."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.analytics import first_k_signature
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        sigs = first_k_signature(
+            _read(sf_dir, "events",
+                  ["event_id", "ts", "user_id", "event_type"]), k=3)
+        out = combine_aggregate(sigs, ["sig"],
+                                [("", "count", "n_users")])
+        return out.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("sig"),
+                 pc.cast(b.column("n_users"), pa.int64())],
+                names=["sig", "n_users"]),
+            batch_format="pyarrow")
+
+    def user_value_runs(sf_dir: str):
+        """Strictly-increasing value-run islands per user: run count
+        and longest run in exact cents (analytics.value_run_stats,
+        single user-bucket shuffle, numpy segmentation) — the LAG +
+        running-break-sum islands oracle replayed without a window
+        function."""
+        from htmlreader_ray.functions.analytics import value_run_stats
+        return value_run_stats(
+            _read(sf_dir, "events",
+                  ["event_id", "ts", "user_id", "value"]))
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -4276,6 +4310,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_trigrams": part_trigrams,
         "events_grouping_sets": events_grouping_sets,
         "embedding_argmax_hist": embedding_argmax_hist,
+        "user_first3_sig": user_first3_sig,
+        "user_value_runs": user_value_runs,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -4361,6 +4397,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions_bounce", "part_trigrams",
         # new in round 3, twenty-seventh sweep
         "events_grouping_sets", "embedding_argmax_hist",
+        # new in round 3, twenty-eighth sweep
+        "user_first3_sig", "user_value_runs",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -5325,6 +5363,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "user_first3_sig": """
+            WITH r AS (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ), s AS (
+                SELECT user_id,
+                       STRING_AGG(event_type, '>' ORDER BY rn) AS sig
+                FROM r WHERE rn <= 3 GROUP BY user_id
+            )
+            SELECT sig, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM s GROUP BY sig
+        """,
+        "user_value_runs": """
+            WITH s AS (
+                SELECT user_id, ts, event_id,
+                       CAST(FLOOR(100.0 * value + 0.5) AS BIGINT)
+                           AS cents
+                FROM events
+            ), f AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN LAG(cents) OVER w IS NULL
+                                 OR cents <= LAG(cents) OVER w
+                            THEN 1 ELSE 0 END AS brk
+                FROM s WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id)
+            ), g AS (
+                SELECT user_id,
+                       SUM(brk) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                           AS run_id
+                FROM f
+            ), r AS (
+                SELECT user_id, run_id, COUNT(*) AS len
+                FROM g GROUP BY 1, 2
+            )
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+                   CAST(MAX(len) AS BIGINT) AS max_run
+            FROM r GROUP BY 1
         """,
         "events_grouping_sets": """
             WITH c AS (

@@ -778,3 +778,99 @@ def debounce_events(ds, *, gap_us: int = 300_000_000,
 
     return _bucketed(ds, user_col, coarse_buckets).map_groups(
         kernel, batch_format="pyarrow")
+
+
+def first_k_signature(ds, *, k: int = 3, ts_col: str = "ts",
+                      user_col: str = "user_id",
+                      type_col: str = "event_type",
+                      order_col: str = "event_id",
+                      coarse_buckets: int = 256):
+    """Per-user prefix signature: the first ``k`` event types (ordered
+    by ts, tiebreak order_col) joined with '>' — the Markov-prefix /
+    onboarding-funnel shape. One coarse user-bucket shuffle; the
+    kernel picks each user's first k rows with numpy segment
+    arithmetic and composes signatures with Arrow
+    binary_join_element_wise per prefix length (no per-user Python
+    loop). Returns Dataset[(user_id, sig)]."""
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.string())],
+            names=[user_col, "sig"])
+        if group.num_rows == 0:
+            return empty
+        uid = _np(group.column(user_col))
+        us = _np(group.column(ts_col).cast(pa.int64()))
+        eid = _np(group.column(order_col))
+        order = np.lexsort((eid, us, uid))
+        uid_s = uid[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], uid_s[1:] != uid_s[:-1])))
+        counts = np.diff(np.append(starts, len(uid_s)))
+        take_n = np.minimum(counts, k)
+        types = group.column(type_col).combine_chunks()
+        users = uid_s[starts]
+        cols = []  # cols[j] = j-th event type per user (None if absent)
+        for j in range(k):
+            idx = starts + j
+            has = take_n > j
+            safe = np.where(has, idx, starts)
+            arr = types.take(pa.array(order[safe]))
+            cols.append((has, arr))
+        sig = np.empty(len(users), dtype=object)
+        for m in range(1, k + 1):
+            sel = take_n == m
+            if not sel.any():
+                continue
+            pieces = [cols[j][1].filter(pa.array(sel))
+                      for j in range(m)]
+            joined = pc.binary_join_element_wise(*pieces, ">") \
+                if m > 1 else pieces[0]
+            sig[sel] = np.asarray(joined, dtype=object)
+        return pa.Table.from_arrays(
+            [pa.array(users), pa.array(sig, pa.string())],
+            names=[user_col, "sig"])
+
+    return _bucketed(ds, user_col, coarse_buckets).map_groups(
+        kernel, batch_format="pyarrow")
+
+
+def value_run_stats(ds, *, ts_col: str = "ts", user_col: str = "user_id",
+                    value_col: str = "value", order_col: str = "event_id",
+                    coarse_buckets: int = 256):
+    """Strictly-increasing value runs per user (islands on the value
+    sequence ordered by ts, tiebreak order_col): run count and longest
+    run, in exact integer cents. Same single-shuffle numpy
+    segmentation discipline as activity_streaks."""
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64()),
+             pa.array([], pa.int64())],
+            names=[user_col, "n_runs", "max_run"])
+        if group.num_rows == 0:
+            return empty
+        uid = _np(group.column(user_col))
+        us = _np(group.column(ts_col).cast(pa.int64()))
+        eid = _np(group.column(order_col))
+        cents = np.floor(
+            100.0 * _np(group.column(value_col)).astype(np.float64)
+            + 0.5).astype(np.int64)
+        order = np.lexsort((eid, us, uid))
+        uid_s, cents_s = uid[order], cents[order]
+        new_run = np.ones(len(uid_s), dtype=bool)
+        new_run[1:] = (uid_s[1:] != uid_s[:-1]) | \
+            (cents_s[1:] <= cents_s[:-1])
+        run_starts = np.flatnonzero(new_run)
+        run_len = np.diff(np.append(run_starts, len(uid_s)))
+        run_user = uid_s[run_starts]
+        user_starts = np.flatnonzero(np.concatenate(
+            ([True], run_user[1:] != run_user[:-1])))
+        n_runs = np.diff(np.append(user_starts, len(run_user)))
+        max_run = np.maximum.reduceat(run_len, user_starts)
+        return pa.Table.from_arrays(
+            [pa.array(run_user[user_starts]),
+             pa.array(n_runs.astype(np.int64)),
+             pa.array(max_run.astype(np.int64))],
+            names=[user_col, "n_runs", "max_run"])
+
+    return _bucketed(ds, user_col, coarse_buckets).map_groups(
+        kernel, batch_format="pyarrow")

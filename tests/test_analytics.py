@@ -477,3 +477,48 @@ def test_debounce_events(ray_session):
     kept = sorted(r["event_id"] for r in analytics.debounce_events(
         ray.data.from_arrow(t), gap_us=300 * US).take_all())
     assert kept == [1, 4, 5, 6]
+
+
+def test_first_k_signature(ray_session):
+    import ray.data
+    rows = [
+        # user 1: 4 events -> first 3 types a>b>c (tie at t=0 by id)
+        (1, 0, 1, "a"), (2, 0, 1, "b"), (3, 5 * US, 1, "c"),
+        (4, 9 * US, 1, "d"),
+        # user 2: single event
+        (10, 0, 2, "x"),
+        # user 3: two events
+        (20, 3 * US, 3, "q"), (21, 1 * US, 3, "p"),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    })
+    out = {r["user_id"]: r["sig"] for r in analytics.first_k_signature(
+        ray.data.from_arrow(t), k=3).take_all()}
+    assert out == {1: "a>b>c", 2: "x", 3: "p>q"}
+
+
+def test_value_run_stats(ray_session):
+    import ray.data
+    # user 1 values: 1, 2, 3, 2, 5 -> runs [1,2,3], [2,5]: n=2, max=3
+    # user 2 values: 4, 4 -> equal breaks: runs [4], [4]: n=2, max=1
+    rows = [
+        (1, 0, 1, 1.0), (2, 1 * US, 1, 2.0), (3, 2 * US, 1, 3.0),
+        (4, 3 * US, 1, 2.0), (5, 4 * US, 1, 5.0),
+        (6, 0, 2, 4.0), (7, 1 * US, 2, 4.0),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+    })
+    out = {r["user_id"]: r for r in analytics.value_run_stats(
+        ray.data.from_arrow(t)).take_all()}
+    assert out[1]["n_runs"] == 2 and out[1]["max_run"] == 3
+    assert out[2]["n_runs"] == 2 and out[2]["max_run"] == 1
