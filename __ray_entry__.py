@@ -4128,6 +4128,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "events",
                   ["event_id", "ts", "user_id", "value"]))
 
+    def orders_above_nation_avg(sf_dir: str):
+        """Theta-filter against a group aggregate, exactly: orders
+        whose cents strictly exceed their nation's mean — the mean is
+        never computed as a float; the filter is the integer
+        cross-multiply cents·n > sum over the bounded 25-row nation
+        table (take_all broadcast), after the keys-only customer hash
+        join. Combiner-reduced aggregate, zero extra shuffles."""
+        import os
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def ocents(b: pa.Table) -> pa.Table:
+            cents = pc.cast(
+                pc.floor(pc.add(pc.multiply(pa.scalar(100.0),
+                                            b.column("o_totalprice")),
+                                pa.scalar(0.5))), pa.int64())
+            return pa.Table.from_arrays(
+                [b.column("o_orderkey"), b.column("o_custkey"), cents],
+                names=["o_orderkey", "o_custkey", "cents"])
+
+        parts = int(max(8, os.path.getsize(
+            f"{sf_dir}/orders.parquet") // (32 << 20)))
+        o = _read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_totalprice"]) \
+            .map_batches(ocents, batch_format="pyarrow")
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        joined = o.join(cust, "inner", parts,
+                        on=("o_custkey",), right_on=("c_custkey",))
+
+        def slim(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [b.column("o_orderkey"),
+                 pc.cast(b.column("c_nationkey"), pa.int64()),
+                 b.column("cents")],
+                names=["o_orderkey", "nation", "cents"])
+
+        on = joined.map_batches(slim, batch_format="pyarrow")
+        agg = combine_aggregate(on, ["nation"],
+                                [("cents", "count", "n"),
+                                 ("cents", "sum", "s")]).take_all()
+        import ray
+        ref = ray.put({r["nation"]: (int(r["n"]), int(r["s"]))
+                       for r in agg})
+
+        def above(b: pa.Table) -> pa.Table:
+            import numpy as np
+            m = ray.get(ref)
+            nat = b.column("nation").to_numpy(zero_copy_only=False)
+            cents = b.column("cents").to_numpy(zero_copy_only=False)
+            ns = np.array([m[x][0] for x in nat.tolist()], np.int64)
+            ss = np.array([m[x][1] for x in nat.tolist()], np.int64)
+            return b.filter(pa.array(cents * ns > ss))
+
+        return on.map_batches(above, batch_format="pyarrow")
+
+    def unattributed_purchases(sf_dir: str):
+        """Sequential windowed NOT EXISTS: purchases with no click by
+        the same user within the preceding hour — the last-touch
+        segmented running-max kernel keeping the touch timestamp
+        (analytics.unattributed_conversions); one user-bucket
+        shuffle."""
+        from htmlreader_ray.functions.analytics import (
+            unattributed_conversions)
+        return unattributed_conversions(
+            _read(sf_dir, "events",
+                  ["event_id", "ts", "user_id", "event_type"]))
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -4312,6 +4380,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_argmax_hist": embedding_argmax_hist,
         "user_first3_sig": user_first3_sig,
         "user_value_runs": user_value_runs,
+        "orders_above_nation_avg": orders_above_nation_avg,
+        "unattributed_purchases": unattributed_purchases,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -4399,6 +4469,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_grouping_sets", "embedding_argmax_hist",
         # new in round 3, twenty-eighth sweep
         "user_first3_sig", "user_value_runs",
+        # new in round 3, twenty-ninth sweep
+        "orders_above_nation_avg", "unattributed_purchases",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -5363,6 +5435,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "orders_above_nation_avg": """
+            WITH o AS (
+                SELECT o.o_orderkey, c.c_nationkey AS nation,
+                       CAST(FLOOR(100.0 * o.o_totalprice + 0.5)
+                            AS BIGINT) AS cents
+                FROM orders o
+                JOIN customer c ON o.o_custkey = c.c_custkey
+            ), a AS (
+                SELECT nation, COUNT(*) AS n, SUM(cents) AS s
+                FROM o GROUP BY 1
+            )
+            SELECT o.o_orderkey, CAST(o.nation AS BIGINT) AS nation,
+                   o.cents
+            FROM o JOIN a USING (nation)
+            WHERE o.cents * a.n > a.s
+        """,
+        "unattributed_purchases": """
+            SELECT p.event_id, p.user_id
+            FROM events p
+            WHERE p.event_type = 'purchase'
+              AND NOT EXISTS (
+                SELECT 1 FROM events c
+                WHERE c.user_id = p.user_id
+                  AND c.event_type = 'click'
+                  AND (c.ts < p.ts
+                       OR (c.ts = p.ts AND c.event_id < p.event_id))
+                  AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+              )
         """,
         "user_first3_sig": """
             WITH r AS (

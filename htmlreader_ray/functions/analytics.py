@@ -874,3 +874,53 @@ def value_run_stats(ds, *, ts_col: str = "ts", user_col: str = "user_id",
 
     return _bucketed(ds, user_col, coarse_buckets).map_groups(
         kernel, batch_format="pyarrow")
+
+
+def unattributed_conversions(ds, *, window_us: int = 3_600_000_000,
+                             ts_col: str = "ts",
+                             user_col: str = "user_id",
+                             type_col: str = "event_type",
+                             order_col: str = "event_id",
+                             convert_type: str = "purchase",
+                             touch_type: str = "click",
+                             coarse_buckets: int = 256):
+    """Windowed NOT EXISTS: conversions with NO touch event by the same
+    user within ``window_us`` strictly before them ((ts, order_col)
+    order, the last_touch_attribution tie rule). Same segmented
+    running-max kernel as last-touch, but keeping the touch TIMESTAMP
+    so the window check is one vectorized subtract — the sequential
+    anti-join shape (unattributed purchases / orphan conversions)."""
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64())],
+            names=[order_col, user_col])
+        if group.num_rows == 0:
+            return empty
+        uid = _np(group.column(user_col))
+        us = _np(group.column(ts_col).cast(pa.int64()))
+        eid = _np(group.column(order_col))
+        types = np.asarray(group.column(type_col).to_pylist(),
+                           dtype=object)
+        order = np.lexsort((eid, us, uid))
+        uid_s, us_s, eid_s = uid[order], us[order], eid[order]
+        t_s = types[order]
+        n = len(order)
+        seg_id, seg_starts = _segments(uid_s)
+        is_touch = t_s == touch_type
+        pos = np.where(is_touch, np.arange(n, dtype=np.int64), -1)
+        offs = seg_id * np.int64(n + 1)
+        run = np.maximum.accumulate(pos + offs) - offs
+        prev = np.full(n, -1, dtype=np.int64)
+        prev[1:] = run[:-1]
+        prev[seg_starts] = -1
+        conv_idx = np.flatnonzero(t_s == convert_type)
+        tpos = prev[conv_idx]
+        touch_us = us_s[np.maximum(tpos, 0)]
+        orphan = (tpos < 0) | (us_s[conv_idx] - touch_us > window_us)
+        keep = conv_idx[orphan]
+        return pa.Table.from_arrays(
+            [pa.array(eid_s[keep]), pa.array(uid_s[keep])],
+            names=[order_col, user_col])
+
+    return _bucketed(ds, user_col, coarse_buckets).map_groups(
+        kernel, batch_format="pyarrow")

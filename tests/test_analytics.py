@@ -522,3 +522,29 @@ def test_value_run_stats(ray_session):
         ray.data.from_arrow(t)).take_all()}
     assert out[1]["n_runs"] == 2 and out[1]["max_run"] == 3
     assert out[2]["n_runs"] == 2 and out[2]["max_run"] == 1
+
+
+def test_unattributed_conversions(ray_session):
+    import ray.data
+    H = 3600 * US
+    rows = [
+        # user 1: click at t=0, purchase at t=30min (attributed),
+        # purchase at t=2h (click 2h old -> orphan)
+        (1, 0, 1, "click"), (2, 1800 * US, 1, "purchase"),
+        (3, 7200 * US, 1, "purchase"),
+        # user 2: purchase with no click ever -> orphan
+        (4, 100 * US, 2, "purchase"),
+        # user 3: click exactly 1h before purchase -> attributed (<=)
+        (5, 0, 3, "click"), (6, H, 3, "purchase"),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    })
+    out = sorted(r["event_id"] for r in
+                 analytics.unattributed_conversions(
+                     ray.data.from_arrow(t)).take_all())
+    assert out == [3, 4]
