@@ -4196,6 +4196,94 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "events",
                   ["event_id", "ts", "user_id", "event_type"]))
 
+    def brand_supplier_counts(sf_dir: str):
+        """Distributed COUNT(DISTINCT) after a join: suppliers and
+        line items per part brand. Lineitem joins the keys-only part
+        projection (hash join sized to the big side), then the
+        distinct collapses in two NARROW stages: block-local distinct
+        (brand, suppkey) with item counts -> combiner groupby on the
+        pair -> per-brand count/sum — supplier rows, never line items,
+        cross the second exchange."""
+        import os
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        parts = int(max(8, os.path.getsize(
+            f"{sf_dir}/lineitem.parquet") // (32 << 20)))
+        li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        pt = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+        joined = li.join(pt, "inner", parts,
+                         on=("l_partkey",), right_on=("p_partkey",))
+
+        pair = combine_aggregate(
+            joined.map_batches(
+                lambda b: pa.Table.from_arrays(
+                    [b.column("p_brand"), b.column("l_suppkey")],
+                    names=["p_brand", "supp"]),
+                batch_format="pyarrow"),
+            ["p_brand", "supp"], [("", "count", "n_items")])
+        out = combine_aggregate(
+            pair, ["p_brand"], [("supp", "count", "n_supp"),
+                                ("n_items", "sum", "n_items")])
+        return out.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("p_brand"),
+                 pc.cast(b.column("n_supp"), pa.int64()),
+                 pc.cast(b.column("n_items"), pa.int64())],
+                names=["p_brand", "n_supp", "n_items"]),
+            batch_format="pyarrow")
+
+    def pareto_80(sf_dir: str):
+        """Pareto concentration: per nation, the minimum number of top
+        customers covering >= 80%% of revenue — computed entirely from
+        the VALUE DISTRIBUTION (distinct cents + counts through the
+        combiner) with the all-integer crossing formula
+        m = ceil((8·tot − 10·sum_before) / (10·v)) inside the one tie
+        block that crosses; no float share anywhere, replayed verbatim
+        by the window-cumsum oracle."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        spend, _parts = _nation_spend(sf_dir)
+        dist = combine_aggregate(
+            spend.select_columns(["nation", "cents"]),
+            ["nation", "cents"], [("", "count", "cnt")])
+
+        def cross(group: pa.Table) -> pa.Table:
+            if group.num_rows == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                     pa.array([], pa.int64())],
+                    names=["nation", "n_top", "n_cust"])
+            idx = pc.sort_indices(group.column("cents"),
+                                  sort_keys=[("", "descending")])
+            group = group.take(idx)
+            v = group.column("cents").to_numpy(zero_copy_only=False) \
+                .astype(object)
+            c = group.column("cnt").to_numpy(zero_copy_only=False) \
+                .astype(object)
+            cumc = np.cumsum(c)
+            cums = np.cumsum(v * c)
+            tot = int(cums[-1])
+            n = int(cumc[-1])
+            sb = np.concatenate(([0], cums[:-1]))
+            hit = np.flatnonzero(
+                (10 * sb < 8 * tot) & (10 * cums >= 8 * tot))[0]
+            cb = int(cumc[hit] - c[hit])
+            m = (8 * tot - 10 * int(sb[hit]) + 10 * int(v[hit]) - 1) \
+                // (10 * int(v[hit]))
+            return pa.Table.from_arrays(
+                [group.column("nation").slice(0, 1),
+                 pa.array([cb + m], pa.int64()),
+                 pa.array([n], pa.int64())],
+                names=["nation", "n_top", "n_cust"])
+
+        return dist.groupby("nation").map_groups(
+            cross, batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -4382,6 +4470,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_runs": user_value_runs,
         "orders_above_nation_avg": orders_above_nation_avg,
         "unattributed_purchases": unattributed_purchases,
+        "brand_supplier_counts": brand_supplier_counts,
+        "pareto_80": pareto_80,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -4471,6 +4561,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_first3_sig", "user_value_runs",
         # new in round 3, twenty-ninth sweep
         "orders_above_nation_avg", "unattributed_purchases",
+        # new in round 3, thirtieth sweep
+        "brand_supplier_counts", "pareto_80",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -5435,6 +5527,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "brand_supplier_counts": """
+            SELECT p.p_brand,
+                   CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT)
+                       AS n_supp,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1
+        """,
+        "pareto_80": """
+            WITH s AS (
+                SELECT c.c_nationkey AS nation, o.o_custkey,
+                       SUM(CAST(FLOOR(100.0 * o.o_totalprice + 0.5)
+                                AS BIGINT)) AS cents
+                FROM orders o
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                GROUP BY 1, 2
+            ), d AS (
+                SELECT nation, cents, COUNT(*) AS cnt
+                FROM s GROUP BY 1, 2
+            ), w AS (
+                SELECT nation, cents, cnt,
+                       COALESCE(SUM(cnt) OVER (
+                           PARTITION BY nation ORDER BY cents DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS cb,
+                       COALESCE(SUM(cents * cnt) OVER (
+                           PARTITION BY nation ORDER BY cents DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS sb,
+                       SUM(cnt) OVER (PARTITION BY nation) AS n,
+                       SUM(cents * cnt) OVER (PARTITION BY nation)
+                           AS tot
+                FROM d
+            )
+            SELECT CAST(nation AS BIGINT) AS nation,
+                   CAST(cb + (8 * tot - 10 * sb + 10 * cents - 1)
+                        // (10 * cents) AS BIGINT) AS n_top,
+                   CAST(n AS BIGINT) AS n_cust
+            FROM w
+            WHERE 10 * sb < 8 * tot
+              AND 10 * (sb + cents * cnt) >= 8 * tot
         """,
         "orders_above_nation_avg": """
             WITH o AS (
