@@ -4284,6 +4284,142 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dist.groupby("nation").map_groups(
             cross, batch_format="pyarrow")
 
+    def cohort_ltv(sf_dir: str):
+        """Cohort LTV matrix: purchase cents per (first-active-WEEK
+        cohort, week offset) — weeks, not months, because the corpus
+        spans ~1 month and monthly cohorts are a single degenerate
+        cell. ONE user-bucket shuffle; the kernel derives each user's
+        cohort ISO-week start and per-week purchase cents with integer
+        day arithmetic, emitting bounded (cohort, offset) partials;
+        one combiner groupby after."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.analytics import _bucketed, _np
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def kernel(group: pa.Table) -> pa.Table:
+            empty = pa.Table.from_arrays(
+                [pa.array([], pa.date32()), pa.array([], pa.int64()),
+                 pa.array([], pa.int64()), pa.array([], pa.int64())],
+                names=["cohort_week", "offset_w", "n_user_weeks",
+                       "cents"])
+            if group.num_rows == 0:
+                return empty
+            uid = _np(group.column("user_id"))
+            ts = group.column("ts").to_numpy(zero_copy_only=False)
+            day = ts.astype("datetime64[D]").view(np.int64)
+            # ISO week start (Monday): 1970-01-01 is a Thursday
+            mth = day - ((day + 3) % 7)
+            et = np.asarray(group.column("event_type").to_pylist(),
+                            dtype=object)
+            val = _np(group.column("value")).astype(np.float64)
+            cents = np.floor(100.0 * val + 0.5).astype(np.int64)
+            order = np.lexsort((mth, uid))
+            uid_s, mth_s = uid[order], mth[order]
+            starts = np.flatnonzero(np.concatenate(
+                ([True], uid_s[1:] != uid_s[:-1])))
+            seg = np.cumsum(np.concatenate(
+                ([False], uid_s[1:] != uid_s[:-1]))).astype(np.int64)
+            cohort = mth_s[starts][seg]           # per-row cohort month
+            is_p = (et[order] == "purchase")
+            cm, ms, cc = cohort[is_p], mth_s[is_p], cents[order][is_p]
+            if len(cm) == 0:
+                return empty
+            t = pa.Table.from_arrays(
+                [pa.array(cm), pa.array((ms - cm) // 7), pa.array(cc)],
+                names=["cm", "off", "cents"])
+            g = t.group_by(["cm", "off"]).aggregate(
+                [([], "count_all"), ("cents", "sum")])
+            cm_days = g.column("cm").to_numpy(zero_copy_only=False) \
+                .astype("datetime64[D]")
+            return pa.Table.from_arrays(
+                [pa.array(cm_days, pa.date32()),
+                 g.column("off"),
+                 pc.cast(g.column("count_all"), pa.int64()),
+                 g.column("cents_sum")],
+                names=["cohort_week", "offset_w", "n_user_weeks",
+                       "cents"])
+
+        parts = _bucketed(
+            _read(sf_dir, "events",
+                  ["ts", "user_id", "event_type", "value"]),
+            "user_id", 256).map_groups(kernel, batch_format="pyarrow")
+        out = combine_aggregate(
+            parts, ["cohort_week", "offset_w"],
+            [("n_user_weeks", "sum", "n_user_weeks"),
+             ("cents", "sum", "cents")])
+        return out.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("cohort_week"),
+                 b.column("offset_w"),
+                 pc.cast(b.column("n_user_weeks"), pa.int64()),
+                 pc.cast(b.column("cents"), pa.int64())],
+                names=["cohort_week", "offset_w", "n_user_weeks",
+                       "cents"]),
+            batch_format="pyarrow")
+
+    def type_transition_matrix(sf_dir: str):
+        """Markov transition matrix over event types: counts of
+        (type, next type) within each user's (ts, event_id)-ordered
+        stream plus the per-origin share in e6 — one user-bucket
+        shuffle emitting block-local pair counts, a (t1, t2) combiner,
+        and a bounded per-origin total broadcast (|types| rows)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from htmlreader_ray.functions.analytics import _bucketed, _np
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def kernel(group: pa.Table) -> pa.Table:
+            empty = pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.string()),
+                 pa.array([], pa.int64())],
+                names=["t1", "t2", "n"])
+            if group.num_rows < 2:
+                return empty
+            uid = _np(group.column("user_id"))
+            us = _np(group.column("ts").cast(pa.int64()))
+            eid = _np(group.column("event_id"))
+            order = np.lexsort((eid, us, uid))
+            uid_s = uid[order]
+            same = uid_s[1:] == uid_s[:-1]
+            if not same.any():
+                return empty
+            types = group.column("event_type").combine_chunks()
+            pos = np.flatnonzero(same)
+            t1 = types.take(pa.array(order[pos]))
+            t2 = types.take(pa.array(order[pos + 1]))
+            g = pa.Table.from_arrays([t1, t2], names=["t1", "t2"]) \
+                .group_by(["t1", "t2"]).aggregate([([], "count_all")])
+            return g.rename_columns(["t1", "t2", "n"])
+
+        pairs = combine_aggregate(
+            _bucketed(_read(sf_dir, "events",
+                            ["event_id", "ts", "user_id",
+                             "event_type"]),
+                      "user_id", 256).map_groups(
+                kernel, batch_format="pyarrow"),
+            ["t1", "t2"], [("n", "sum", "n")])
+        tot_rows = combine_aggregate(
+            pairs, ["t1"], [("n", "sum", "tot")]).take_all()
+        ref = ray.put({r["t1"]: int(r["tot"]) for r in tot_rows})
+
+        def share(b: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            n = b.column("n").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            tot = np.array([m[x] for x in
+                            b.column("t1").to_pylist()], np.int64)
+            return pa.Table.from_arrays(
+                [b.column("t1"), b.column("t2"),
+                 pc.cast(b.column("n"), pa.int64()),
+                 pa.array((1_000_000 * n) // tot)],
+                names=["t1", "t2", "n", "share_e6"])
+
+        return pairs.map_batches(share, batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -4472,6 +4608,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unattributed_purchases": unattributed_purchases,
         "brand_supplier_counts": brand_supplier_counts,
         "pareto_80": pareto_80,
+        "cohort_ltv": cohort_ltv,
+        "type_transition_matrix": type_transition_matrix,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -4563,6 +4701,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_above_nation_avg", "unattributed_purchases",
         # new in round 3, thirtieth sweep
         "brand_supplier_counts", "pareto_80",
+        # new in round 3, thirty-first sweep
+        "cohort_ltv", "type_transition_matrix",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -5527,6 +5667,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "cohort_ltv": """
+            WITH f AS (
+                SELECT user_id, MIN(date_trunc('week', ts)) AS cw
+                FROM events GROUP BY 1
+            ), m AS (
+                SELECT user_id, date_trunc('week', ts) AS wk,
+                       COUNT(*) AS nr,
+                       SUM(CAST(FLOOR(100.0 * value + 0.5) AS BIGINT))
+                           AS cents
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY 1, 2
+            )
+            SELECT CAST(f.cw AS DATE) AS cohort_week,
+                   CAST(datediff('day', f.cw, m.wk) // 7 AS BIGINT)
+                       AS offset_w,
+                   CAST(SUM(m.nr) AS BIGINT) AS n_user_weeks,
+                   CAST(SUM(m.cents) AS BIGINT) AS cents
+            FROM f JOIN m USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "type_transition_matrix": """
+            WITH nx AS (
+                SELECT event_type AS t1,
+                       LEAD(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS t2
+                FROM events
+            ), c AS (
+                SELECT t1, t2, COUNT(*) AS n
+                FROM nx WHERE t2 IS NOT NULL GROUP BY 1, 2
+            ), t AS (
+                SELECT t1, SUM(n) AS tot FROM c GROUP BY 1
+            )
+            SELECT c.t1, c.t2, CAST(c.n AS BIGINT) AS n,
+                   CAST((1000000 * c.n) // t.tot AS BIGINT)
+                       AS share_e6
+            FROM c JOIN t USING (t1)
         """,
         "brand_supplier_counts": """
             SELECT p.p_brand,
