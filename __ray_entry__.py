@@ -4420,6 +4420,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pairs.map_batches(share, batch_format="pyarrow")
 
+    def user_day_drill(sf_dir: str):
+        """Drill-across two fact tables on the conformed (user, day)
+        grain — events and orders — WITHOUT a full outer join: each
+        side reduces through its own combiner to
+        (user, day, n_events, 0) / (user, day, 0, n_orders) partials,
+        the union feeds one final combiner sum, and the output is
+        null-free by construction (the COALESCE full-outer oracle is
+        the semantic spec only)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def e_part(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [b.column("user_id"),
+                 pc.cast(b.column("ts"), pa.date32()),
+                 pa.array([1] * b.num_rows, pa.int64()),
+                 pa.array([0] * b.num_rows, pa.int64())],
+                names=["user_id", "day", "e", "o"])
+
+        def o_part(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [b.column("o_custkey"),
+                 pc.cast(b.column("o_orderdate"), pa.date32()),
+                 pa.array([0] * b.num_rows, pa.int64()),
+                 pa.array([1] * b.num_rows, pa.int64())],
+                names=["user_id", "day", "e", "o"])
+
+        ev = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+            e_part, batch_format="pyarrow")
+        od = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate"]).map_batches(
+            o_part, batch_format="pyarrow")
+        out = combine_aggregate(ev.union(od), ["user_id", "day"],
+                                [("e", "sum", "n_events"),
+                                 ("o", "sum", "n_orders")])
+        return out.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("user_id"), b.column("day"),
+                 pc.cast(b.column("n_events"), pa.int64()),
+                 pc.cast(b.column("n_orders"), pa.int64())],
+                names=["user_id", "day", "n_events", "n_orders"]),
+            batch_format="pyarrow")
+
+    def nation_top_spender(sf_dir: str):
+        """Argmax-with-payload per group: the single top-spending
+        customer per nation (cents DESC, custkey tiebreak) via
+        grouped_topk k=1 — block-local head-1 partials bound the
+        exchange to one row per (block, nation); ROW_NUMBER()=1
+        oracle."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import grouped_topk
+
+        spend, _parts = _nation_spend(sf_dir)
+        top = grouped_topk(spend, group_col="nation",
+                           order_col="cents", id_col="o_custkey", k=1)
+        return top.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [pc.cast(b.column("nation"), pa.int64()),
+                 b.column("o_custkey"), b.column("cents")],
+                names=["nation", "o_custkey", "cents"]),
+            batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -4610,6 +4674,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_80": pareto_80,
         "cohort_ltv": cohort_ltv,
         "type_transition_matrix": type_transition_matrix,
+        "user_day_drill": user_day_drill,
+        "nation_top_spender": nation_top_spender,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -4703,6 +4769,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_supplier_counts", "pareto_80",
         # new in round 3, thirty-first sweep
         "cohort_ltv", "type_transition_matrix",
+        # new in round 3, thirty-second sweep
+        "user_day_drill", "nation_top_spender",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -5667,6 +5735,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "user_day_drill": """
+            WITH e AS (
+                SELECT user_id, CAST(ts AS DATE) AS day,
+                       COUNT(*) AS n_events
+                FROM events GROUP BY 1, 2
+            ), o AS (
+                SELECT o_custkey AS user_id,
+                       CAST(o_orderdate AS DATE) AS day,
+                       COUNT(*) AS n_orders
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT user_id, day,
+                   CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+                   CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders
+            FROM e FULL JOIN o USING (user_id, day)
+        """,
+        "nation_top_spender": """
+            WITH s AS (
+                SELECT c.c_nationkey AS nation, o.o_custkey,
+                       SUM(CAST(FLOOR(100.0 * o.o_totalprice + 0.5)
+                                AS BIGINT)) AS cents
+                FROM orders o
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                GROUP BY 1, 2
+            ), r AS (
+                SELECT nation, o_custkey, cents,
+                       ROW_NUMBER() OVER (PARTITION BY nation
+                                          ORDER BY cents DESC,
+                                                   o_custkey) AS rn
+                FROM s
+            )
+            SELECT CAST(nation AS BIGINT) AS nation, o_custkey,
+                   CAST(cents AS BIGINT) AS cents
+            FROM r WHERE rn = 1
         """,
         "cohort_ltv": """
             WITH f AS (
