@@ -302,3 +302,46 @@ def test_bigram_surprisal_join_budget(ray_session):
     ops = _shuffle_ops(bigram_surprisal(ds))
     assert ops.count("Join") == 2
     assert "Sort" not in ops and "RandomShuffle" not in ops
+
+
+def test_edge_reciprocity_shuffle_budget(ray_session):
+    """edge_reciprocity: distinct-edge Aggregate + canonical-pair
+    Aggregate + the final single-partition Repartition — nothing else
+    (in particular no Join: n_dir==2 replaces the reverse-edge
+    self-join)."""
+    import ray.data as rd
+    from htmlreader_ray.functions.graph import edge_reciprocity
+
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(["a", "b"]), "dst": pa.array(["b", "a"])}))
+    ops = _shuffle_ops(edge_reciprocity(edges))
+    assert sorted(ops) == ["Aggregate", "Aggregate", "Repartition"], ops
+
+
+def test_heavy_hitters_pass2_shuffle_budget(ray_session):
+    """exact_heavy_hitters pass 2: ONE Aggregate (the candidate-only
+    combiner groupby) — the full vocabulary never shuffles. (Pass 1 is
+    a map + bounded take_all, executed eagerly before the plan below
+    is built.)"""
+    import ray.data as rd
+    from htmlreader_ray.functions.sketch import exact_heavy_hitters
+
+    docs = rd.from_arrow(pa.table({"text": ["hot hot hot cold"] * 4}))
+    out = exact_heavy_hitters(docs, k=4)
+    ops = _shuffle_ops(out)
+    assert ops == ["Aggregate"], ops
+
+
+def test_activity_streaks_single_shuffle(ray_session):
+    """activity_streaks: one user-bucket map_groups exchange (planned
+    as a single Sort) — block-distinct rows are the only thing that
+    crosses it."""
+    import ray.data as rd
+    from htmlreader_ray.functions.analytics import activity_streaks
+
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "ts": pa.array([0, 86_400_000_000, 0],
+                       pa.int64()).cast(pa.timestamp("us"))}))
+    ops = _shuffle_ops(activity_streaks(ev))
+    assert ops == ["Sort"], ops
