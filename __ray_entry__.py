@@ -4484,6 +4484,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 names=["nation", "o_custkey", "cents"]),
             batch_format="pyarrow")
 
+    def events_range_win(sf_dir: str):
+        """RANGE-frame window function (RANGE BETWEEN INTERVAL 1 HOUR
+        PRECEDING AND CURRENT ROW, peers included): per event the
+        same-user count and integer-cent sum inside the trailing hour
+        — analytics.range_window_sums, one user-bucket shuffle, two
+        vectorized searchsorted bounds + prefix sums."""
+        from htmlreader_ray.functions.analytics import range_window_sums
+        return range_window_sums(
+            _read(sf_dir, "events",
+                  ["event_id", "ts", "user_id", "value"]))
+
+    def lang_len_summary(sf_dir: str):
+        """Five-number summary (min, q1, median, q3, max) of document
+        length per language from ONE value-distribution exchange:
+        grouped_percentile_disc evaluates all five as integer-rational
+        ranks (min = ceil(n/1e9), max = n) over the same distinct
+        (lang, n_chars, count) table — no sort of document rows
+        anywhere."""
+        from htmlreader_ray.functions.shuffle import (
+            grouped_percentile_disc)
+        return grouped_percentile_disc(
+            _read(sf_dir, "documents", ["lang", "n_chars"]),
+            ["lang"], "n_chars",
+            [("mn", 1, 1_000_000_000), ("q1", 1, 4), ("med", 1, 2),
+             ("q3", 3, 4), ("mx", 1, 1)])
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -4676,6 +4702,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_transition_matrix": type_transition_matrix,
         "user_day_drill": user_day_drill,
         "nation_top_spender": nation_top_spender,
+        "events_range_win": events_range_win,
+        "lang_len_summary": lang_len_summary,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -4771,6 +4799,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_ltv", "type_transition_matrix",
         # new in round 3, thirty-second sweep
         "user_day_drill", "nation_top_spender",
+        # new in round 3, thirty-third sweep
+        "events_range_win", "lang_len_summary",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -5735,6 +5765,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "events_range_win": """
+            WITH s AS (
+                SELECT event_id, user_id, ts,
+                       CAST(FLOOR(100.0 * value + 0.5) AS BIGINT)
+                           AS cents
+                FROM events
+            )
+            SELECT event_id,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
+                   CAST(SUM(cents) OVER w AS BIGINT) AS cents_win
+            FROM s
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                         AND CURRENT ROW)
+        """,
+        "lang_len_summary": """
+            WITH d AS (
+                SELECT lang, n_chars, COUNT(*) AS cnt
+                FROM documents GROUP BY 1, 2
+            ), r AS (
+                SELECT lang, n_chars,
+                       SUM(cnt) OVER (PARTITION BY lang
+                                      ORDER BY n_chars) AS cum,
+                       SUM(cnt) OVER (PARTITION BY lang) AS n
+                FROM d
+            ), k AS (
+                SELECT lang, n_chars, cum, n,
+                       cum - (SELECT cnt FROM d d2
+                              WHERE d2.lang = r.lang
+                                AND d2.n_chars = r.n_chars) AS prev
+                FROM r
+            )
+            SELECT lang,
+                   MIN(CASE WHEN prev < (n + 999999999) // 1000000000
+                             AND cum >= (n + 999999999) // 1000000000
+                            THEN n_chars END) AS mn,
+                   MIN(CASE WHEN prev < (n + 3) // 4
+                             AND cum >= (n + 3) // 4
+                            THEN n_chars END) AS q1,
+                   MIN(CASE WHEN prev < (n + 1) // 2
+                             AND cum >= (n + 1) // 2
+                            THEN n_chars END) AS med,
+                   MIN(CASE WHEN prev < (3 * n + 3) // 4
+                             AND cum >= (3 * n + 3) // 4
+                            THEN n_chars END) AS q3,
+                   MIN(CASE WHEN prev < n AND cum >= n
+                            THEN n_chars END) AS mx
+            FROM k GROUP BY lang
         """,
         "user_day_drill": """
             WITH e AS (

@@ -924,3 +924,51 @@ def unattributed_conversions(ds, *, window_us: int = 3_600_000_000,
 
     return _bucketed(ds, user_col, coarse_buckets).map_groups(
         kernel, batch_format="pyarrow")
+
+
+def range_window_sums(ds, *, window_us: int = 3_600_000_000,
+                      ts_col: str = "ts", user_col: str = "user_id",
+                      value_col: str = "value",
+                      order_col: str = "event_id",
+                      coarse_buckets: int = 256):
+    """RANGE-frame window (RANGE BETWEEN INTERVAL .. PRECEDING AND
+    CURRENT ROW): per event, the count and integer-cent sum of the
+    SAME user's events with ts in [ts − window, ts] — peers (equal ts)
+    included on both ends exactly like the SQL RANGE frame. One coarse
+    user-bucket shuffle; the kernel is a lexsort + two vectorized
+    searchsorted bounds + prefix-sum differences per user segment —
+    no per-row loop, no per-user loop."""
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64()),
+             pa.array([], pa.int64())],
+            names=[order_col, "n_win", "cents_win"])
+        if group.num_rows == 0:
+            return empty
+        uid = _np(group.column(user_col))
+        us = _np(group.column(ts_col).cast(pa.int64()))
+        eid = _np(group.column(order_col))
+        cents = np.floor(
+            100.0 * _np(group.column(value_col)).astype(np.float64)
+            + 0.5).astype(np.int64)
+        order = np.lexsort((eid, us, uid))
+        uid_s, us_s, c_s = uid[order], us[order], cents[order]
+        n = len(order)
+        seg_id, seg_starts = _segments(uid_s)
+        seg_ends = np.append(seg_starts[1:], n)
+        # offset each user's timestamps into a disjoint range so ONE
+        # global searchsorted respects segment boundaries
+        span = (us_s.max() - us_s.min()) + window_us + 1 if n else 1
+        key = us_s.astype(np.int64) - us_s.min() \
+            + seg_id * np.int64(span)
+        lo = np.searchsorted(key, key - window_us, side="left")
+        hi = np.searchsorted(key, key, side="right")
+        pref = np.concatenate(([0], np.cumsum(c_s)))
+        return pa.Table.from_arrays(
+            [pa.array(eid[order]),
+             pa.array((hi - lo).astype(np.int64)),
+             pa.array(pref[hi] - pref[lo])],
+            names=[order_col, "n_win", "cents_win"])
+
+    return _bucketed(ds, user_col, coarse_buckets).map_groups(
+        kernel, batch_format="pyarrow")

@@ -548,3 +548,33 @@ def test_unattributed_conversions(ray_session):
                  analytics.unattributed_conversions(
                      ray.data.from_arrow(t)).take_all())
     assert out == [3, 4]
+
+
+def test_range_window_sums(ray_session):
+    import ray.data
+    H = 3600 * US
+    rows = [
+        # user 1: events at t=0, 30min, 90min; window=1h
+        (1, 0, 1, 1.0),
+        (2, 1800 * US, 1, 2.0),         # window covers t=0 too
+        (3, 5400 * US, 1, 4.0),         # covers only t=30min (=1h ago)
+        # user 2: ts tie -> peers included both ways (RANGE frame)
+        (4, 0, 2, 1.0),
+        (5, 0, 2, 2.0),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+    })
+    out = {r["event_id"]: r for r in analytics.range_window_sums(
+        ray.data.from_arrow(t), window_us=H).take_all()}
+    assert out[1]["n_win"] == 1 and out[1]["cents_win"] == 100
+    assert out[2]["n_win"] == 2 and out[2]["cents_win"] == 300
+    # t=5400s: 1h-ago bound is 1800s inclusive -> events 2 and 3
+    assert out[3]["n_win"] == 2 and out[3]["cents_win"] == 600
+    # peers at equal ts count for each other
+    assert out[4]["n_win"] == 2 and out[4]["cents_win"] == 300
+    assert out[5]["n_win"] == 2 and out[5]["cents_win"] == 300
