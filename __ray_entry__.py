@@ -4510,6 +4510,122 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [("mn", 1, 1_000_000_000), ("q1", 1, 4), ("med", 1, 2),
              ("q3", 3, 4), ("mx", 1, 1)])
 
+    def peak_concurrency(sf_dir: str):
+        """Peak simultaneous sessions: the interval-endpoint sweep —
+        sessions (30-min gap rule, the shared sessionizer) explode to
+        (key, ±1) endpoints with starts ordered before ends at the
+        same instant (key = 2·us + kind); a two-pass bucketed scan
+        (bucket-sum combiner → exclusive offsets broadcast → in-bucket
+        running sum) takes the global running max without any single
+        task seeing the whole endpoint stream. Tie order within equal
+        keys is provably irrelevant to the max (all deltas in an equal
+        key share a sign)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+        from htmlreader_ray.functions.windows import session_windows
+
+        sess = session_windows(
+            _read(sf_dir, "events", ["ts", "user_id"]))
+
+        B = 1 << 40
+
+        def endpoints(b: pa.Table) -> pa.Table:
+            st = pc.cast(b.column("session_start"), pa.int64())
+            en = pc.cast(b.column("session_end"), pa.int64())
+            k = pa.concat_arrays([
+                pc.add(pc.multiply(st, 2), 0).combine_chunks(),
+                pc.add(pc.multiply(en, 2), 1).combine_chunks()])
+            d = pa.array([1] * b.num_rows + [-1] * b.num_rows,
+                         pa.int64())
+            t = pa.Table.from_arrays([k, d], names=["k", "d"])
+            return t.append_column(
+                "__bucket", pc.cast(pc.divide(t.column("k"),
+                                              pa.scalar(B, pa.int64())),
+                                    pa.int64()))
+
+        eps = sess.map_batches(endpoints, batch_format="pyarrow")
+        sums = combine_aggregate(
+            eps.select_columns(["__bucket", "d"]),
+            ["__bucket"], [("d", "sum", "s"),
+                           ("d", "count", "n")]).take_all()
+        sums.sort(key=lambda r: r["__bucket"])
+        offs, acc, n_sessions = {}, 0, 0
+        for r in sums:
+            offs[r["__bucket"]] = acc
+            acc += r["s"]
+            n_sessions += r["n"]
+        n_sessions //= 2
+        ref = ray.put(offs)
+
+        def bucket_max(group: pa.Table, *, _ref=ref) -> pa.Table:
+            off = ray.get(_ref)[group.column("__bucket")[0].as_py()]
+            idx = pc.sort_indices(group.column("k"))
+            d = group.column("d").combine_chunks() \
+                .take(idx).to_numpy(zero_copy_only=False)
+            run = off + np.cumsum(d)
+            return pa.Table.from_arrays(
+                [pa.array([int(run.max())], pa.int64())], names=["m"])
+
+        bm = eps.groupby("__bucket").map_groups(
+            bucket_max, batch_format="pyarrow")
+
+        def finish(b: pa.Table) -> pa.Table:
+            pk = int(pc.max(b.column("m")).as_py() or 0)
+            return pa.Table.from_arrays(
+                [pa.array([n_sessions], pa.int64()),
+                 pa.array([pk], pa.int64())],
+                names=["n_sessions", "peak"])
+
+        return bm.repartition(1).map_batches(finish,
+                                             batch_format="pyarrow")
+
+    def region_rollup(sf_dir: str):
+        """Dimension-chain rollup: customers per (region, nation) plus
+        per-region subtotals. The nation→region chain (30 rows total)
+        is take_all + ray.put broadcast — never a shuffle join — the
+        fact side reduces through one nationkey combiner, and the
+        subtotal level derives from the bounded cell table ('ALL'
+        sentinel, null-free)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        nat = {r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+               for r in _read(sf_dir, "nation").take_all()}
+        reg = {r["r_regionkey"]: r["r_name"]
+               for r in _read(sf_dir, "region").take_all()}
+        names = {k: (reg[rk], nm) for k, (nm, rk) in nat.items()}
+        ref = ray.put(names)
+
+        cells = combine_aggregate(
+            _read(sf_dir, "customer", ["c_nationkey"]),
+            ["c_nationkey"], [("", "count", "n_cust")])
+
+        def named(b: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            pairs = [m[k] for k in
+                     b.column("c_nationkey").to_pylist()]
+            return pa.Table.from_arrays(
+                [pa.array([p[0] for p in pairs], pa.string()),
+                 pa.array([p[1] for p in pairs], pa.string()),
+                 pc.cast(b.column("n_cust"), pa.int64())],
+                names=["region", "nation", "n_cust"])
+
+        c = cells.map_batches(named, batch_format="pyarrow")
+        sub = combine_aggregate(
+            c, ["region"], [("n_cust", "sum", "n_cust")]).map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("region"),
+                 pa.array(["ALL"] * b.num_rows, pa.string()),
+                 pc.cast(b.column("n_cust"), pa.int64())],
+                names=["region", "nation", "n_cust"]),
+            batch_format="pyarrow")
+        return c.union(sub)
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -4704,6 +4820,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_top_spender": nation_top_spender,
         "events_range_win": events_range_win,
         "lang_len_summary": lang_len_summary,
+        "peak_concurrency": peak_concurrency,
+        "region_rollup": region_rollup,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -4801,6 +4919,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_day_drill", "nation_top_spender",
         # new in round 3, thirty-third sweep
         "events_range_win", "lang_len_summary",
+        # new in round 3, thirty-fourth sweep
+        "peak_concurrency", "region_rollup",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -5765,6 +5885,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "peak_concurrency": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w
+                                    > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events WINDOW w AS (PARTITION BY user_id
+                                         ORDER BY ts)
+            ), sess0 AS (
+                SELECT user_id, ts,
+                       SUM(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            ), sess AS (
+                SELECT user_id, sid, MIN(ts) AS session_start,
+                       MAX(ts) AS session_end
+                FROM sess0 GROUP BY 1, 2
+            ), e AS (
+                SELECT epoch_us(session_start) * 2 AS k, 1 AS d
+                FROM sess
+                UNION ALL
+                SELECT epoch_us(session_end) * 2 + 1, -1 FROM sess
+            ), r AS (
+                SELECT SUM(d) OVER (ORDER BY k
+                                    ROWS UNBOUNDED PRECEDING) AS c
+                FROM e
+            )
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sess)
+                       AS n_sessions,
+                   CAST(MAX(c) AS BIGINT) AS peak
+            FROM r
+        """,
+        "region_rollup": """
+            WITH c AS (
+                SELECT r.r_name AS region, n.n_name AS nation,
+                       COUNT(*) AS n_cust
+                FROM customer c
+                JOIN nation n ON c.c_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+                GROUP BY 1, 2
+            )
+            SELECT region, nation, CAST(n_cust AS BIGINT) AS n_cust
+            FROM c
+            UNION ALL
+            SELECT region, 'ALL', CAST(SUM(n_cust) AS BIGINT)
+            FROM c GROUP BY 1
         """,
         "events_range_win": """
             WITH s AS (
