@@ -4626,6 +4626,83 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow")
         return c.union(sub)
 
+    def orders_date_slice(sf_dir: str):
+        """Predicate pushdown at the READ — the prune-don't-filter
+        rule as an explicit query: a one-year date slice of orders is
+        expressed as a parquet filter (row groups outside the range
+        never leave storage) + column pruning, then one combiner
+        groupby per priority. At 100 TB this is the difference between
+        scanning a year and scanning the table."""
+        import datetime
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+        import ray.data
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        lo = datetime.datetime(1995, 1, 1)
+        hi = datetime.datetime(1996, 1, 1)
+        expr = (pads.field("o_orderdate") >= pa.scalar(lo)) & \
+               (pads.field("o_orderdate") < pa.scalar(hi))
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderdate", "o_orderpriority"], filter=expr)
+
+        # row-group pruning is coarse: re-apply the exact predicate
+        def exact(b: pa.Table) -> pa.Table:
+            d = b.column("o_orderdate")
+            m = pc.and_(pc.greater_equal(d, pa.scalar(lo)),
+                        pc.less(d, pa.scalar(hi)))
+            return pa.Table.from_arrays(
+                [b.filter(m).column("o_orderpriority")],
+                names=["o_orderpriority"])
+
+        out = combine_aggregate(
+            ds.map_batches(exact, batch_format="pyarrow"),
+            ["o_orderpriority"], [("", "count", "n_orders")])
+        return out.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("o_orderpriority"),
+                 pc.cast(b.column("n_orders"), pa.int64())],
+                names=["o_orderpriority", "n_orders"]),
+            batch_format="pyarrow")
+
+    def minmax_scaled_spend(sf_dir: str):
+        """Feature scaling: min-max normalize customer spend within
+        nation to e6 fixed point ((v − min)·1e6 // (max − min), all
+        integers). Per-nation min/max reduce through the combiner
+        (25-row take_all + ray.put broadcast); the scale itself is a
+        pure map — zero extra shuffles past the spend rollup."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        spend, _parts = _nation_spend(sf_dir)
+        mm = combine_aggregate(spend, ["nation"],
+                               [("cents", "min", "mn"),
+                                ("cents", "max", "mx")]).take_all()
+        ref = ray.put({r["nation"]: (int(r["mn"]), int(r["mx"]))
+                       for r in mm})
+
+        def scale(b: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            nat = b.column("nation").to_numpy(zero_copy_only=False)
+            v = b.column("cents").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            mn = np.array([m[x][0] for x in nat.tolist()], np.int64)
+            mx = np.array([m[x][1] for x in nat.tolist()], np.int64)
+            rng = np.maximum(mx - mn, 1)   # degenerate group -> 0
+            scaled = ((v - mn) * 1_000_000) // rng
+            return pa.Table.from_arrays(
+                [b.column("nation"), b.column("o_custkey"),
+                 b.column("cents"), pa.array(scaled)],
+                names=["nation", "o_custkey", "cents", "scaled_e6"])
+
+        return spend.map_batches(scale, batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -4822,6 +4899,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_len_summary": lang_len_summary,
         "peak_concurrency": peak_concurrency,
         "region_rollup": region_rollup,
+        "orders_date_slice": orders_date_slice,
+        "minmax_scaled_spend": minmax_scaled_spend,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -4921,6 +5000,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_win", "lang_len_summary",
         # new in round 3, thirty-fourth sweep
         "peak_concurrency", "region_rollup",
+        # new in round 3, thirty-fifth sweep
+        "orders_date_slice", "minmax_scaled_spend",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -5885,6 +5966,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "orders_date_slice": """
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1996-01-01'
+            GROUP BY 1
+        """,
+        "minmax_scaled_spend": """
+            WITH s AS (
+                SELECT c.c_nationkey AS nation, o.o_custkey,
+                       SUM(CAST(FLOOR(100.0 * o.o_totalprice + 0.5)
+                                AS BIGINT)) AS cents
+                FROM orders o
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                GROUP BY 1, 2
+            ), m AS (
+                SELECT nation, MIN(cents) AS mn, MAX(cents) AS mx
+                FROM s GROUP BY 1
+            )
+            SELECT CAST(s.nation AS BIGINT) AS nation, s.o_custkey,
+                   CAST(s.cents AS BIGINT) AS cents,
+                   CAST(((s.cents - m.mn) * 1000000)
+                        // GREATEST(m.mx - m.mn, 1) AS BIGINT)
+                       AS scaled_e6
+            FROM s JOIN m USING (nation)
         """,
         "peak_concurrency": """
             WITH flagged AS (
