@@ -4703,6 +4703,91 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return spend.map_batches(scale, batch_format="pyarrow")
 
+    def order_ship_lag(sf_dir: str):
+        """Accumulating-snapshot lag: days from order date to the
+        LAST lineitem ship date, as a histogram. Lineitem reduces to
+        one (orderkey, max ship-day) row per order through the
+        combiner BEFORE the order join (the fact-to-fact join carries
+        order-grain rows only), then a bounded lag-day combiner."""
+        import os
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def li_days(b: pa.Table) -> pa.Table:
+            d = pc.cast(pc.cast(pc.cast(b.column("l_shipdate"),
+                                        pa.date32()), pa.int32()),
+                        pa.int64())
+            return pa.Table.from_arrays(
+                [b.column("l_orderkey"), d],
+                names=["l_orderkey", "ship_day"])
+
+        last = combine_aggregate(
+            _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_shipdate"]).map_batches(
+                li_days, batch_format="pyarrow"),
+            ["l_orderkey"], [("ship_day", "max", "last_ship")])
+
+        def o_days(b: pa.Table) -> pa.Table:
+            d = pc.cast(pc.cast(pc.cast(b.column("o_orderdate"),
+                                        pa.date32()), pa.int32()),
+                        pa.int64())
+            return pa.Table.from_arrays(
+                [b.column("o_orderkey"), d],
+                names=["o_orderkey", "odate"])
+
+        parts = int(max(8, os.path.getsize(
+            f"{sf_dir}/lineitem.parquet") // (32 << 20)))
+        orders = _read(sf_dir, "orders",
+                       ["o_orderkey", "o_orderdate"]).map_batches(
+            o_days, batch_format="pyarrow")
+        joined = last.join(orders, "inner", parts,
+                           on=("l_orderkey",), right_on=("o_orderkey",))
+
+        def lag(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [pc.subtract(b.column("last_ship"), b.column("odate"))],
+                names=["lag_days"])
+
+        out = combine_aggregate(
+            joined.map_batches(lag, batch_format="pyarrow"),
+            ["lag_days"], [("", "count", "n_orders")])
+        return out.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("lag_days"),
+                 pc.cast(b.column("n_orders"), pa.int64())],
+                names=["lag_days", "n_orders"]),
+            batch_format="pyarrow")
+
+    def acctbal_bins(sf_dir: str):
+        """Signed equal-width binning: customer account balances into
+        $500 bins — floor(v / 500.0) handles NEGATIVE balances
+        correctly (floor, not truncate-toward-zero; the one IEEE
+        divide is mirrored verbatim). One combiner groupby bounded by
+        |bins|."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def bins(b: pa.Table) -> pa.Table:
+            v = b.column("c_acctbal").to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            bn = np.floor(v / 500.0).astype(np.int64)
+            return pa.Table.from_arrays([pa.array(bn)], names=["bin"])
+
+        out = combine_aggregate(
+            _read(sf_dir, "customer", ["c_acctbal"]).map_batches(
+                bins, batch_format="pyarrow"),
+            ["bin"], [("", "count", "n_cust")])
+        return out.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("bin"),
+                 pc.cast(b.column("n_cust"), pa.int64())],
+                names=["bin", "n_cust"]),
+            batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -4901,6 +4986,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_rollup": region_rollup,
         "orders_date_slice": orders_date_slice,
         "minmax_scaled_spend": minmax_scaled_spend,
+        "order_ship_lag": order_ship_lag,
+        "acctbal_bins": acctbal_bins,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -5002,6 +5089,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_concurrency", "region_rollup",
         # new in round 3, thirty-fifth sweep
         "orders_date_slice", "minmax_scaled_spend",
+        # new in round 3, thirty-sixth sweep
+        "order_ship_lag", "acctbal_bins",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -5966,6 +6055,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "order_ship_lag": """
+            WITH l AS (
+                SELECT l_orderkey,
+                       MAX(CAST(l_shipdate AS DATE)) AS last_ship
+                FROM lineitem GROUP BY 1
+            )
+            SELECT CAST(datediff('day',
+                                 CAST(o.o_orderdate AS DATE),
+                                 l.last_ship) AS BIGINT) AS lag_days,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders o JOIN l ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1
+        """,
+        "acctbal_bins": """
+            SELECT CAST(FLOOR(c_acctbal / 500.0) AS BIGINT) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_cust
+            FROM customer GROUP BY 1
         """,
         "orders_date_slice": """
             SELECT o_orderpriority,
