@@ -4788,6 +4788,99 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 names=["bin", "n_cust"]),
             batch_format="pyarrow")
 
+    def word_degree_dist(sf_dir: str):
+        """Out-degree distribution of the word-adjacency graph — the
+        standard graph-shape statistic: distinct-edge combiner →
+        per-source degree combiner → degree histogram combiner; three
+        narrow exchanges, each bounded by the type table, never by
+        corpus tokens."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.indexing import _bigram_rows
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def edges(b: pa.Table) -> pa.Table:
+            t = _bigram_rows(b, "text")
+            return pa.Table.from_arrays(
+                [t.column("w1"), t.column("w2")], names=["src", "dst"])
+
+        dist = combine_aggregate(
+            _read(sf_dir, "documents", ["text"]).map_batches(
+                edges, batch_format="pyarrow"),
+            ["src", "dst"], [("", "count", "_w")])
+        deg = combine_aggregate(dist, ["src"],
+                                [("", "count", "outdeg")])
+        hist = combine_aggregate(deg.select_columns(["outdeg"]),
+                                 ["outdeg"], [("", "count", "n_nodes")])
+        return hist.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [pc.cast(b.column("outdeg"), pa.int64()),
+                 pc.cast(b.column("n_nodes"), pa.int64())],
+                names=["outdeg", "n_nodes"]),
+            batch_format="pyarrow")
+
+    def host_doc_cap(sf_dir: str):
+        """Crawl-politeness cap: keep at most 3 docs per target host,
+        chosen in deterministic md5 order (the reproducible per-host
+        budget every crawler applies). parse → distinct (host, doc)
+        combiner → block-local ASC head-3 partials (≤ 3 rows per
+        block × host cross the exchange) → per-host final head-3; the
+        hash key is the first 64 bits of md5, compared identically to
+        the oracle's 16-hex-char SUBSTRING order."""
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+        from htmlreader_ray.functions.urls import url_host_column
+
+        links = _read(sf_dir, "documents",
+                      ["doc_id", "text"]).map_batches(
+            q.as_task(q.LinkExtract), batch_format="pyarrow")
+
+        def hd(b: pa.Table) -> pa.Table:
+            t = pa.Table.from_arrays(
+                [url_host_column(b.column("href")), b.column("doc_id")],
+                names=["host", "doc_id"])
+            return t.filter(pc.not_equal(t.column("host"), ""))
+
+        pairs = combine_aggregate(
+            links.map_batches(hd, batch_format="pyarrow"),
+            ["host", "doc_id"], [("", "count", "_c")])
+
+        def head3(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.string()),
+                     pa.array([], pa.int64())],
+                    names=["host", "doc_id"])
+            ids = b.column("doc_id").to_pylist()
+            hk = np.array([int.from_bytes(
+                hashlib.md5(str(i).encode()).digest()[:8], "big")
+                for i in ids], dtype=np.uint64)
+            hosts = np.asarray(b.column("host").to_pylist(),
+                               dtype=object)
+            idn = np.asarray(ids, dtype=np.int64)
+            order = np.lexsort((idn, hk, hosts))
+            h_s = hosts[order]
+            starts = np.flatnonzero(np.concatenate(
+                ([True], h_s[1:] != h_s[:-1])))
+            run = np.cumsum(np.concatenate(
+                ([False], h_s[1:] != h_s[:-1]))).astype(np.int64)
+            pos = np.arange(len(h_s)) - starts[run]
+            keep = order[pos < 3]
+            keep.sort()
+            return pa.Table.from_arrays(
+                [pa.array(hosts[keep], pa.string()),
+                 pa.array(idn[keep])],
+                names=["host", "doc_id"])
+
+        partials = pairs.select_columns(["host", "doc_id"]) \
+            .map_batches(head3, batch_format="pyarrow")
+        return partials.groupby("host").map_groups(
+            head3, batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -4988,6 +5081,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minmax_scaled_spend": minmax_scaled_spend,
         "order_ship_lag": order_ship_lag,
         "acctbal_bins": acctbal_bins,
+        "word_degree_dist": word_degree_dist,
+        "host_doc_cap": host_doc_cap,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -5091,6 +5186,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_date_slice", "minmax_scaled_spend",
         # new in round 3, thirty-sixth sweep
         "order_ship_lag", "acctbal_bins",
+        # new in round 3, thirty-seventh sweep
+        "word_degree_dist", "host_doc_cap",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -6055,6 +6152,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "word_degree_dist": """
+            WITH words AS (
+                SELECT regexp_split_to_array(trim(text), '\\s+') AS ws
+                FROM documents WHERE trim(text) <> ''
+            ), bi AS (
+                SELECT DISTINCT b['w1'] AS src, b['w2'] AS dst FROM (
+                    SELECT unnest([{'w1': ws[i], 'w2': ws[i+1]}
+                                   for i in range(1,
+                                                  greatest(len(ws), 1))])
+                               AS b
+                    FROM words)
+            ), deg AS (
+                SELECT src, COUNT(*) AS outdeg FROM bi GROUP BY 1
+            )
+            SELECT CAST(outdeg AS BIGINT) AS outdeg,
+                   CAST(COUNT(*) AS BIGINT) AS n_nodes
+            FROM deg GROUP BY 1
+        """,
+        "host_doc_cap": """
+            WITH hd AS (
+                SELECT DISTINCT
+                       'h' || CAST((d.doc_id * 7 + j) % 10 AS VARCHAR)
+                           || '.example.com' AS host,
+                       d.doc_id
+                FROM documents d,
+                     UNNEST(generate_series(0, d.doc_id % 3)) AS t(j)
+            ), r AS (
+                SELECT host, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY host
+                           ORDER BY SUBSTRING(md5(
+                               CAST(doc_id AS VARCHAR)), 1, 16),
+                                    doc_id) AS rn
+                FROM hd
+            )
+            SELECT host, doc_id FROM r WHERE rn <= 3
         """,
         "order_ship_lag": """
             WITH l AS (
