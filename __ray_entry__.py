@@ -4881,6 +4881,98 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return partials.groupby("host").map_groups(
             head3, batch_format="pyarrow")
 
+    def returned_revenue_share(sf_dir: str):
+        """Flag-conditional revenue share per ship month: total vs
+        returned cents and the returned share in e6 — ONE combiner
+        pass carries (month, cents, flagged-cents) partials; the share
+        is an integer floor-divide in the final projection."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def parts_fn(b: pa.Table) -> pa.Table:
+            sd = b.column("l_shipdate").to_numpy(zero_copy_only=False)
+            month = sd.astype("datetime64[M]").astype("datetime64[D]")
+            cents = pc.cast(
+                pc.floor(pc.add(pc.multiply(
+                    pa.scalar(100.0), b.column("l_extendedprice")),
+                    pa.scalar(0.5))), pa.int64())
+            r = pc.cast(pc.equal(b.column("l_returnflag"), "R"),
+                        pa.int64())
+            return pa.Table.from_arrays(
+                [pa.array(month, pa.date32()), cents,
+                 pc.multiply(r, cents)],
+                names=["month", "cents", "rcents"])
+
+        m = combine_aggregate(
+            _read(sf_dir, "lineitem",
+                  ["l_shipdate", "l_extendedprice",
+                   "l_returnflag"]).map_batches(
+                parts_fn, batch_format="pyarrow"),
+            ["month"], [("cents", "sum", "tot_cents"),
+                        ("rcents", "sum", "ret_cents")])
+
+        def share(b: pa.Table) -> pa.Table:
+            tot = b.column("tot_cents").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            ret = b.column("ret_cents").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.Table.from_arrays(
+                [b.column("month"), pa.array(tot), pa.array(ret),
+                 pa.array((1_000_000 * ret) // tot)],
+                names=["month", "tot_cents", "ret_cents",
+                       "ret_share_e6"])
+
+        return m.map_batches(share, batch_format="pyarrow")
+
+    def latency_percentiles(sf_dir: str):
+        """Global p50/p90/p99 of first-view→first-purchase latency:
+        the purchase_latency conditional-min combiner feeds the
+        value-distribution percentile shuffle with a constant group
+        key — two narrow exchanges, distinct latencies only on the
+        second."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import (
+            combine_aggregate, grouped_percentile_disc)
+
+        SENT = (1 << 62)
+
+        def partial_mins(b: pa.Table) -> pa.Table:
+            ts = pc.cast(b.column("ts"), pa.int64())
+            et = b.column("event_type")
+            vts = pc.if_else(pc.equal(et, "view"), ts, SENT)
+            pts = pc.if_else(pc.equal(et, "purchase"), ts, SENT)
+            return pa.Table.from_arrays(
+                [b.column("user_id"), vts, pts],
+                names=["user_id", "vts", "pts"])
+
+        mins = combine_aggregate(
+            _read(sf_dir, "events",
+                  ["ts", "user_id", "event_type"]).map_batches(
+                partial_mins, batch_format="pyarrow"),
+            ["user_id"], [("vts", "min", "fv"), ("pts", "min", "fp")])
+
+        def lat(b: pa.Table) -> pa.Table:
+            fv, fp = b.column("fv"), b.column("fp")
+            mask = pc.and_(pc.and_(pc.less(fv, SENT),
+                                   pc.less(fp, SENT)),
+                           pc.greater_equal(fp, fv))
+            t = b.filter(mask)
+            return pa.Table.from_arrays(
+                [pc.subtract(t.column("fp"), t.column("fv")),
+                 pa.array([0] * t.num_rows, pa.int64())],
+                names=["lat", "__g"])
+
+        vals = mins.map_batches(lat, batch_format="pyarrow")
+        out = grouped_percentile_disc(
+            vals, ["__g"], "lat",
+            [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)])
+        return out.map_batches(
+            lambda b: b.select(["p50", "p90", "p99"]),
+            batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -5083,6 +5175,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "acctbal_bins": acctbal_bins,
         "word_degree_dist": word_degree_dist,
         "host_doc_cap": host_doc_cap,
+        "returned_revenue_share": returned_revenue_share,
+        "latency_percentiles": latency_percentiles,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -5188,6 +5282,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_ship_lag", "acctbal_bins",
         # new in round 3, thirty-seventh sweep
         "word_degree_dist", "host_doc_cap",
+        # new in round 3, thirty-eighth sweep
+        "returned_revenue_share", "latency_percentiles",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -6152,6 +6248,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "returned_revenue_share": """
+            WITH l AS (
+                SELECT CAST(date_trunc('month', l_shipdate) AS DATE)
+                           AS month,
+                       CAST(FLOOR(100.0 * l_extendedprice + 0.5)
+                            AS BIGINT) AS cents,
+                       CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                           AS r
+                FROM lineitem
+            ), m AS (
+                SELECT month, SUM(cents) AS tot, SUM(r * cents) AS ret
+                FROM l GROUP BY 1
+            )
+            SELECT month, CAST(tot AS BIGINT) AS tot_cents,
+                   CAST(ret AS BIGINT) AS ret_cents,
+                   CAST((1000000 * ret) // tot AS BIGINT)
+                       AS ret_share_e6
+            FROM m
+        """,
+        "latency_percentiles": """
+            WITH m AS (
+                SELECT user_id,
+                       MIN(CASE WHEN event_type = 'view'
+                                THEN ts END) AS fv,
+                       MIN(CASE WHEN event_type = 'purchase'
+                                THEN ts END) AS fp
+                FROM events GROUP BY 1
+            ), v AS (
+                SELECT CAST(epoch_us(fp) - epoch_us(fv) AS BIGINT)
+                           AS lat
+                FROM m
+                WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv
+            ), d AS (
+                SELECT lat, COUNT(*) AS cnt FROM v GROUP BY 1
+            ), r AS (
+                SELECT lat,
+                       SUM(cnt) OVER (ORDER BY lat) AS cum,
+                       SUM(cnt) OVER () AS n
+                FROM d
+            )
+            SELECT MIN(CASE WHEN cum >= (n + 1) // 2
+                            THEN lat END) AS p50,
+                   MIN(CASE WHEN cum >= (9 * n + 9) // 10
+                            THEN lat END) AS p90,
+                   MIN(CASE WHEN cum >= (99 * n + 99) // 100
+                            THEN lat END) AS p99
+            FROM r
         """,
         "word_degree_dist": """
             WITH words AS (
