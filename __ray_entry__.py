@@ -4973,6 +4973,103 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: b.select(["p50", "p90", "p99"]),
             batch_format="pyarrow")
 
+    def events_iqr_outliers(sf_dir: str):
+        """Tukey-fence outlier counts per event type with NO float
+        fence: q1/q3 come from the value-distribution percentile
+        shuffle (bounded 5-row take_all broadcast), and the 1.5·IQR
+        fence is the doubled-integer comparison
+        2v < 2q1 − 3(q3−q1) / 2v > 2q3 + 3(q3−q1) — exact on both
+        sides. Second corpus pass is a conditional-count combiner."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from htmlreader_ray.functions.shuffle import (
+            combine_aggregate, grouped_percentile_disc)
+
+        def cents_t(b: pa.Table) -> pa.Table:
+            cents = pc.cast(
+                pc.floor(pc.add(pc.multiply(pa.scalar(100.0),
+                                            b.column("value")),
+                                pa.scalar(0.5))), pa.int64())
+            return pa.Table.from_arrays(
+                [b.column("event_type"), cents],
+                names=["event_type", "cents"])
+
+        src = _read(sf_dir, "events",
+                    ["event_type", "value"]).map_batches(
+            cents_t, batch_format="pyarrow")
+        qs = grouped_percentile_disc(
+            src, ["event_type"], "cents",
+            [("q1", 1, 4), ("q3", 3, 4)]).take_all()
+        ref = ray.put({r["event_type"]: (int(r["q1"]), int(r["q3"]))
+                       for r in qs})
+
+        def flag(b: pa.Table) -> pa.Table:
+            import numpy as np
+            m = ray.get(ref)
+            et = b.column("event_type").to_pylist()
+            v = b.column("cents").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            q1 = np.array([m[x][0] for x in et], np.int64)
+            q3 = np.array([m[x][1] for x in et], np.int64)
+            iqr3 = 3 * (q3 - q1)
+            out = ((2 * v < 2 * q1 - iqr3) |
+                   (2 * v > 2 * q3 + iqr3)).astype(np.int64)
+            return pa.Table.from_arrays(
+                [b.column("event_type"), pa.array(out)],
+                names=["event_type", "o"])
+
+        agg = combine_aggregate(
+            src.map_batches(flag, batch_format="pyarrow"),
+            ["event_type"], [("o", "count", "n_events"),
+                             ("o", "sum", "n_outliers")])
+        return agg.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("event_type"),
+                 pc.cast(b.column("n_events"), pa.int64()),
+                 pc.cast(b.column("n_outliers"), pa.int64())],
+                names=["event_type", "n_events", "n_outliers"]),
+            batch_format="pyarrow")
+
+    def value_benford(sf_dir: str):
+        """Benford first-digit audit over positive cents: vectorized
+        string-slice first digit (cast → utf8_slice — no per-row
+        Python), one combiner groupby, 9-row total broadcast for the
+        e6 share."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def digits(b: pa.Table) -> pa.Table:
+            cents = pc.cast(
+                pc.floor(pc.add(pc.multiply(pa.scalar(100.0),
+                                            b.column("value")),
+                                pa.scalar(0.5))), pa.int64())
+            pos = cents.filter(pc.greater(cents, 0)) \
+                if isinstance(cents, pa.ChunkedArray) \
+                else cents.filter(pc.greater(cents, 0))
+            d = pc.cast(pc.utf8_slice_codeunits(
+                pc.cast(pos, pa.string()), start=0, stop=1), pa.int64())
+            return pa.Table.from_arrays([d], names=["digit"])
+
+        t = combine_aggregate(
+            _read(sf_dir, "events", ["value"]).map_batches(
+                digits, batch_format="pyarrow"),
+            ["digit"], [("", "count", "n")])
+        rows = t.take_all()
+        tot = sum(int(r["n"]) for r in rows)
+
+        def share(b: pa.Table) -> pa.Table:
+            n = b.column("n").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.Table.from_arrays(
+                [b.column("digit"), pa.array(n),
+                 pa.array((1_000_000 * n) // tot)],
+                names=["digit", "n", "share_e6"])
+
+        return t.map_batches(share, batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -5177,6 +5274,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_doc_cap": host_doc_cap,
         "returned_revenue_share": returned_revenue_share,
         "latency_percentiles": latency_percentiles,
+        "events_iqr_outliers": events_iqr_outliers,
+        "value_benford": value_benford,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -5284,6 +5383,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_degree_dist", "host_doc_cap",
         # new in round 3, thirty-eighth sweep
         "returned_revenue_share", "latency_percentiles",
+        # new in round 3, thirty-ninth sweep
+        "events_iqr_outliers", "value_benford",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -6248,6 +6349,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "events_iqr_outliers": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(FLOOR(100.0 * value + 0.5) AS BIGINT)
+                           AS cents
+                FROM events
+            ), d AS (
+                SELECT event_type, cents, COUNT(*) AS cnt
+                FROM c GROUP BY 1, 2
+            ), r AS (
+                SELECT event_type, cents,
+                       SUM(cnt) OVER (PARTITION BY event_type
+                                      ORDER BY cents) AS cum,
+                       SUM(cnt) OVER (PARTITION BY event_type) AS n
+                FROM d
+            ), q AS (
+                SELECT event_type,
+                       MIN(CASE WHEN cum >= (n + 3) // 4
+                                THEN cents END) AS q1,
+                       MIN(CASE WHEN cum >= (3 * n + 3) // 4
+                                THEN cents END) AS q3
+                FROM r GROUP BY 1
+            )
+            SELECT c.event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN 2 * c.cents
+                                      < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                                   OR 2 * c.cents
+                                      > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_outliers
+            FROM c JOIN q USING (event_type) GROUP BY 1
+        """,
+        "value_benford": """
+            WITH c AS (
+                SELECT CAST(FLOOR(100.0 * value + 0.5) AS BIGINT)
+                           AS cents
+                FROM events
+            ), f AS (
+                SELECT CAST(SUBSTRING(CAST(cents AS VARCHAR), 1, 1)
+                            AS BIGINT) AS digit
+                FROM c WHERE cents > 0
+            ), t AS (
+                SELECT digit, COUNT(*) AS n FROM f GROUP BY 1
+            ), st AS (SELECT SUM(n) AS tot FROM t)
+            SELECT digit, CAST(n AS BIGINT) AS n,
+                   CAST((1000000 * n) // tot AS BIGINT) AS share_e6
+            FROM t, st
         """,
         "returned_revenue_share": """
             WITH l AS (
