@@ -5070,6 +5070,94 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return t.map_batches(share, batch_format="pyarrow")
 
+    def daily_autocorr(sf_dir: str):
+        """Lag-1 autocorrelation of daily event counts — the
+        time-series health statistic: the corpus reduces through ONE
+        per-day combiner (bounded by distinct days); the consecutive-
+        present-day pair moments are exact integers and the lone float
+        expression 1e6·num / sqrt(dx·dy) is replayed verbatim by the
+        oracle."""
+        import math
+
+        import numpy as np
+        import pyarrow as pa
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def to_day(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.Table.from_arrays(
+                [pc.cast(b.column("ts"), pa.date32())], names=["day"])
+
+        rows = combine_aggregate(
+            _read(sf_dir, "events", ["ts"]).map_batches(
+                to_day, batch_format="pyarrow"),
+            ["day"], [("day", "count", "n")]).take_all()
+        rows.sort(key=lambda r: r["day"])
+        n = np.array([int(r["n"]) for r in rows], dtype=object)
+        x, y = n[:-1], n[1:]
+        m = len(x)
+        sx, sy = int(sum(x)), int(sum(y))
+        sxy = int(sum(a * b for a, b in zip(x, y)))
+        sxx = int(sum(a * a for a in x))
+        syy = int(sum(b * b for b in y))
+        num = m * sxy - sx * sy
+        dx, dy = m * sxx - sx * sx, m * syy - sy * sy
+        r = int(math.floor(1_000_000.0 * float(num)
+                           / math.sqrt(float(dx) * float(dy)))) \
+            if dx > 0 and dy > 0 else 0
+        return pa.Table.from_arrays(
+            [pa.array([r], pa.int64()), pa.array([m], pa.int64())],
+            names=["r_e6", "n_pairs"])
+
+    def zipf_slope(sf_dir: str):
+        """Zipf log-log slope of the top-30 word frequencies under the
+        int-quantized ln contract: word counts reduce through the
+        combiner (type-table bound), the global top-30 sorts a tiny
+        table with a deterministic (n DESC, word) tiebreak, and the
+        least-squares slope runs on floor(1e6·ln+0.5)-quantized
+        integer moments — the lone float divide mirrored by the
+        oracle."""
+        import math
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def words(b: pa.Table) -> pa.Table:
+            w = pc.list_flatten(pc.split_pattern_regex(
+                b.column("text"), pattern=r"\s+"))
+            w = w.filter(pc.not_equal(w, ""))
+            return pa.Table.from_arrays([w], names=["w"])
+
+        counts = combine_aggregate(
+            _read(sf_dir, "documents", ["text"]).map_batches(
+                words, batch_format="pyarrow"),
+            ["w"], [("", "count", "n")])
+        top = counts.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("w"), pc.cast(b.column("n"), pa.int64())],
+                names=["w", "n"]),
+            batch_format="pyarrow") \
+            .sort(["n", "w"], descending=[True, False]).limit(30) \
+            .take_all()
+        xs, ys = [], []
+        for rnk, r in enumerate(top, start=1):
+            xs.append(math.floor(1_000_000 * math.log(float(rnk))
+                                 + 0.5))
+            ys.append(math.floor(1_000_000 * math.log(float(r["n"]))
+                                 + 0.5))
+        m = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        num = m * sxy - sx * sy
+        den = m * sxx - sx * sx
+        slope = int(math.floor(1_000_000.0 * float(num) / float(den)))
+        return pa.Table.from_arrays(
+            [pa.array([slope], pa.int64()),
+             pa.array([m], pa.int64())],
+            names=["slope_e6", "n_terms"])
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -5276,6 +5364,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latency_percentiles": latency_percentiles,
         "events_iqr_outliers": events_iqr_outliers,
         "value_benford": value_benford,
+        "daily_autocorr": daily_autocorr,
+        "zipf_slope": zipf_slope,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -5385,6 +5475,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_revenue_share", "latency_percentiles",
         # new in round 3, thirty-ninth sweep
         "events_iqr_outliers", "value_benford",
+        # new in round 3, fortieth sweep
+        "daily_autocorr", "zipf_slope",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -6349,6 +6441,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "daily_autocorr": """
+            WITH d AS (
+                SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+                FROM events GROUP BY 1
+            ), p AS (
+                SELECT n AS x, LEAD(n) OVER (ORDER BY day) AS y FROM d
+            ), v AS (
+                SELECT x, y FROM p WHERE y IS NOT NULL
+            ), st AS (
+                SELECT COUNT(*) AS m, SUM(x) AS sx, SUM(y) AS sy,
+                       SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+                       SUM(y * y) AS syy
+                FROM v
+            )
+            SELECT CAST(FLOOR(1000000.0 * (m * sxy - sx * sy)
+                              / SQRT(CAST(m * sxx - sx * sx AS DOUBLE)
+                                     * CAST(m * syy - sy * sy
+                                            AS DOUBLE)))
+                        AS BIGINT) AS r_e6,
+                   CAST(m AS BIGINT) AS n_pairs
+            FROM st
+        """,
+        "zipf_slope": """
+            WITH c AS (
+                SELECT word, COUNT(*) AS n FROM (
+                    SELECT unnest(regexp_split_to_array(trim(text),
+                                                        '\\s+')) AS word
+                    FROM documents WHERE trim(text) <> ''
+                ) GROUP BY 1
+            ), top AS (
+                SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, word)
+                           AS rnk
+                FROM c ORDER BY n DESC, word LIMIT 30
+            ), q AS (
+                SELECT CAST(FLOOR(1000000 * LN(CAST(rnk AS DOUBLE))
+                                  + 0.5) AS BIGINT) AS x,
+                       CAST(FLOOR(1000000 * LN(CAST(n AS DOUBLE))
+                                  + 0.5) AS BIGINT) AS y
+                FROM top
+            ), st AS (
+                SELECT COUNT(*) AS m, SUM(x) AS sx, SUM(y) AS sy,
+                       SUM(x * y) AS sxy, SUM(x * x) AS sxx
+                FROM q
+            )
+            SELECT CAST(FLOOR(1000000.0 * (m * sxy - sx * sy)
+                              / CAST(m * sxx - sx * sx AS DOUBLE))
+                        AS BIGINT) AS slope_e6,
+                   CAST(m AS BIGINT) AS n_terms
+            FROM st
         """,
         "events_iqr_outliers": """
             WITH c AS (
