@@ -5158,6 +5158,98 @@ def queries() -> dict[str, Callable[[str], Any]]:
              pa.array([m], pa.int64())],
             names=["slope_e6", "n_terms"])
 
+    def brand_hhi(sf_dir: str):
+        """Herfindahl concentration index of brand shares within each
+        leading p_type token, all-integer: (token, brand) counts
+        through the combiner, per-token Σn² and total through a second
+        narrow combiner, hhi_e6 = (1e6·Σn²) // tot² — no float share
+        anywhere."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def tok(b: pa.Table) -> pa.Table:
+            t1 = pc.list_element(
+                pc.split_pattern(b.column("p_type"), " ",
+                                 max_splits=1), 0)
+            return pa.Table.from_arrays(
+                [t1, b.column("p_brand")], names=["t1", "brand"])
+
+        cells = combine_aggregate(
+            _read(sf_dir, "part", ["p_type", "p_brand"]).map_batches(
+                tok, batch_format="pyarrow"),
+            ["t1", "brand"], [("", "count", "n")])
+
+        def squares(b: pa.Table) -> pa.Table:
+            n = pc.cast(b.column("n"), pa.int64())
+            return pa.Table.from_arrays(
+                [b.column("t1"), n, pc.multiply(n, n)],
+                names=["t1", "n", "n2"])
+
+        agg = combine_aggregate(
+            cells.map_batches(squares, batch_format="pyarrow"),
+            ["t1"], [("n", "sum", "tot"), ("n2", "sum", "s2"),
+                     ("n", "count", "n_brands")])
+
+        def hhi(b: pa.Table) -> pa.Table:
+            tot = b.column("tot").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            s2 = b.column("s2").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.Table.from_arrays(
+                [b.column("t1"),
+                 pc.cast(b.column("n_brands"), pa.int64()),
+                 pa.array(tot),
+                 pa.array((1_000_000 * s2) // (tot * tot))],
+                names=["t1", "n_brands", "n_parts", "hhi_e6"])
+
+        return agg.map_batches(hhi, batch_format="pyarrow")
+
+    def lexical_diversity(sf_dir: str):
+        """Type-token ratio per document (the lexical-diversity
+        quality signal): per-doc word and distinct-word counts —
+        both computed INSIDE the block with one Arrow group_by over
+        (row, word) (documents never split across the flat_map
+        output), ratio in e6 as an integer floor-divide; no shuffle
+        at all — a pure map stage."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def tt(b: pa.Table) -> pa.Table:
+            words = pc.split_pattern_regex(b.column("text"),
+                                           pattern=r"\s+")
+            flat = pc.list_flatten(words).combine_chunks()
+            n_per = pc.list_value_length(words) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            rid = np.repeat(np.arange(len(b), dtype=np.int64), n_per)
+            ok = np.asarray(pc.not_equal(flat, "").combine_chunks()
+                            if isinstance(pc.not_equal(flat, ""),
+                                          pa.ChunkedArray)
+                            else pc.not_equal(flat, ""))
+            rid = rid[ok]
+            w = flat.filter(pa.array(ok))
+            pairs = pa.Table.from_arrays(
+                [pa.array(rid), w], names=["rid", "w"])
+            dist = pairs.group_by(["rid", "w"]).aggregate([])
+            n_words = np.bincount(rid, minlength=len(b)) \
+                .astype(np.int64)
+            drid = dist.column("rid").to_numpy(zero_copy_only=False)
+            n_dist = np.bincount(drid, minlength=len(b)) \
+                .astype(np.int64)
+            ratio = np.where(
+                n_words > 0, (1_000_000 * n_dist) //
+                np.maximum(n_words, 1), 0)
+            return pa.Table.from_arrays(
+                [b.column("doc_id"), pa.array(n_words),
+                 pa.array(n_dist), pa.array(ratio)],
+                names=["doc_id", "n_words", "n_distinct", "ttr_e6"])
+
+        return _read(sf_dir, "documents",
+                     ["doc_id", "text"]).map_batches(
+            tt, batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -5366,6 +5458,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_benford": value_benford,
         "daily_autocorr": daily_autocorr,
         "zipf_slope": zipf_slope,
+        "brand_hhi": brand_hhi,
+        "lexical_diversity": lexical_diversity,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -5477,6 +5571,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_iqr_outliers", "value_benford",
         # new in round 3, fortieth sweep
         "daily_autocorr", "zipf_slope",
+        # new in round 3, forty-first sweep
+        "brand_hhi", "lexical_diversity",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -6441,6 +6537,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "brand_hhi": """
+            WITH c AS (
+                SELECT SPLIT_PART(p_type, ' ', 1) AS t1, p_brand,
+                       COUNT(*) AS n
+                FROM part GROUP BY 1, 2
+            ), a AS (
+                SELECT t1, SUM(n) AS tot, SUM(n * n) AS s2,
+                       COUNT(*) AS n_brands
+                FROM c GROUP BY 1
+            )
+            SELECT t1, CAST(n_brands AS BIGINT) AS n_brands,
+                   CAST(tot AS BIGINT) AS n_parts,
+                   CAST((1000000 * s2) // (tot * tot) AS BIGINT)
+                       AS hhi_e6
+            FROM a
+        """,
+        "lexical_diversity": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text),
+                                                    '\\s+')) AS word
+                FROM documents WHERE trim(text) <> ''
+            ), c AS (
+                SELECT doc_id, COUNT(*) AS n_words,
+                       COUNT(DISTINCT word) AS n_distinct
+                FROM w GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(c.n_words, 0) AS BIGINT) AS n_words,
+                   CAST(COALESCE(c.n_distinct, 0) AS BIGINT)
+                       AS n_distinct,
+                   CAST(COALESCE((1000000 * c.n_distinct)
+                                 // c.n_words, 0) AS BIGINT)
+                       AS ttr_e6
+            FROM documents d LEFT JOIN c USING (doc_id)
         """,
         "daily_autocorr": """
             WITH d AS (
