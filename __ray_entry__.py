@@ -5250,6 +5250,106 @@ def queries() -> dict[str, Callable[[str], Any]]:
                      ["doc_id", "text"]).map_batches(
             tt, batch_format="pyarrow")
 
+    def dow_uniformity(sf_dir: str):
+        """Chi-square goodness-of-fit against a uniform day-of-week
+        distribution, per event type, all-integer: chi² against
+        e = tot/7 algebraically reduces to (7·Σo² − tot²)/tot, so
+        chi2_e6 = (1e6·(7·Σo² − tot²)) // tot needs no float expected
+        value. One (type, isodow) combiner, one per-type moment
+        combiner."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def cells(b: pa.Table) -> pa.Table:
+            ts = b.column("ts").to_numpy(zero_copy_only=False)
+            dow = (ts.astype("datetime64[D]").view("int64") + 3) % 7 + 1
+            return pa.Table.from_arrays(
+                [b.column("event_type"),
+                 pa.array(dow.astype(np.int64))],
+                names=["event_type", "dow"])
+
+        c = combine_aggregate(
+            _read(sf_dir, "events", ["ts", "event_type"]).map_batches(
+                cells, batch_format="pyarrow"),
+            ["event_type", "dow"], [("dow", "count", "o")])
+
+        def sq(b: pa.Table) -> pa.Table:
+            o = pc.cast(b.column("o"), pa.int64())
+            return pa.Table.from_arrays(
+                [b.column("event_type"), o, pc.multiply(o, o)],
+                names=["event_type", "o", "o2"])
+
+        a = combine_aggregate(
+            c.map_batches(sq, batch_format="pyarrow"),
+            ["event_type"], [("o", "sum", "tot"), ("o2", "sum", "s2")])
+
+        def chi(b: pa.Table) -> pa.Table:
+            tot = b.column("tot").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            s2 = b.column("s2").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            chi2 = (1_000_000 * (7 * s2 - tot * tot)) // tot
+            return pa.Table.from_arrays(
+                [b.column("event_type"), pa.array(tot),
+                 pa.array(chi2)],
+                names=["event_type", "n_events", "chi2_e6"])
+
+        return a.map_batches(chi, batch_format="pyarrow")
+
+    def type_burstiness(sf_dir: str):
+        """Fano factor (variance-to-mean of per-minute arrival counts,
+        minutes present) per event type, all-integer:
+        fano_e6 = (1e6·(m·Σx² − (Σx)²)) // (m·Σx). One
+        (type, minute) combiner, one per-type moment combiner — the
+        burstiness / overdispersion telemetry statistic."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def cells(b: pa.Table) -> pa.Table:
+            mins = pc.cast(pc.divide(
+                pc.cast(b.column("ts"), pa.int64()),
+                pa.scalar(60_000_000, pa.int64())), pa.int64())
+            return pa.Table.from_arrays(
+                [b.column("event_type"), mins],
+                names=["event_type", "minute"])
+
+        c = combine_aggregate(
+            _read(sf_dir, "events", ["ts", "event_type"]).map_batches(
+                cells, batch_format="pyarrow"),
+            ["event_type", "minute"], [("minute", "count", "x")])
+
+        def sq(b: pa.Table) -> pa.Table:
+            x = pc.cast(b.column("x"), pa.int64())
+            one = pa.array([1] * b.num_rows, pa.int64())
+            return pa.Table.from_arrays(
+                [b.column("event_type"), x, pc.multiply(x, x), one],
+                names=["event_type", "x", "x2", "one"])
+
+        a = combine_aggregate(
+            c.map_batches(sq, batch_format="pyarrow"),
+            ["event_type"], [("x", "sum", "sx"), ("x2", "sum", "sx2"),
+                             ("one", "sum", "m")])
+
+        def fano(b: pa.Table) -> pa.Table:
+            sx = b.column("sx").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            sx2 = b.column("sx2").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            m = b.column("m").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            f = (1_000_000 * (m * sx2 - sx * sx)) // (m * sx)
+            return pa.Table.from_arrays(
+                [b.column("event_type"), pa.array(m), pa.array(sx),
+                 pa.array(f)],
+                names=["event_type", "n_minutes", "n_events",
+                       "fano_e6"])
+
+        return a.map_batches(fano, batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -5460,6 +5560,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_slope": zipf_slope,
         "brand_hhi": brand_hhi,
         "lexical_diversity": lexical_diversity,
+        "dow_uniformity": dow_uniformity,
+        "type_burstiness": type_burstiness,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -5573,6 +5675,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_autocorr", "zipf_slope",
         # new in round 3, forty-first sweep
         "brand_hhi", "lexical_diversity",
+        # new in round 3, forty-second sweep
+        "dow_uniformity", "type_burstiness",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -6537,6 +6641,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "dow_uniformity": """
+            WITH c AS (
+                SELECT event_type, isodow(ts) AS dow, COUNT(*) AS o
+                FROM events GROUP BY 1, 2
+            ), a AS (
+                SELECT event_type, SUM(o) AS tot, SUM(o * o) AS s2
+                FROM c GROUP BY 1
+            )
+            SELECT event_type, CAST(tot AS BIGINT) AS n_events,
+                   CAST((1000000 * (7 * s2 - tot * tot)) // tot
+                        AS BIGINT) AS chi2_e6
+            FROM a
+        """,
+        "type_burstiness": """
+            WITH c AS (
+                SELECT event_type, epoch_us(ts) // 60000000 AS minute,
+                       COUNT(*) AS x
+                FROM events GROUP BY 1, 2
+            ), a AS (
+                SELECT event_type, SUM(x) AS sx, SUM(x * x) AS sx2,
+                       COUNT(*) AS m
+                FROM c GROUP BY 1
+            )
+            SELECT event_type, CAST(m AS BIGINT) AS n_minutes,
+                   CAST(sx AS BIGINT) AS n_events,
+                   CAST((1000000 * (m * sx2 - sx * sx)) // (m * sx)
+                        AS BIGINT) AS fano_e6
+            FROM a
         """,
         "brand_hhi": """
             WITH c AS (
