@@ -5350,6 +5350,101 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return a.map_batches(fano, batch_format="pyarrow")
 
+    def id_overlap_audit(sf_dir: str):
+        """Cross-table entity-overlap audit: how much do event users
+        and order customers overlap (counts + Jaccard in e6)? Tagged
+        distinct ids from each side union into ONE flag-max combiner;
+        per-block partial sums + a single-row merge — no join, no id
+        list ever materializes."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def e_ids(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [b.column("user_id"),
+                 pa.array([1] * b.num_rows, pa.int64()),
+                 pa.array([0] * b.num_rows, pa.int64())],
+                names=["id", "e", "o"])
+
+        def o_ids(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [b.column("o_custkey"),
+                 pa.array([0] * b.num_rows, pa.int64()),
+                 pa.array([1] * b.num_rows, pa.int64())],
+                names=["id", "e", "o"])
+
+        ids = _read(sf_dir, "events", ["user_id"]).map_batches(
+            e_ids, batch_format="pyarrow").union(
+            _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+                o_ids, batch_format="pyarrow"))
+        flags = combine_aggregate(ids, ["id"],
+                                  [("e", "max", "e"), ("o", "max", "o")])
+
+        def partial(b: pa.Table) -> pa.Table:
+            e = pc.cast(b.column("e"), pa.int64())
+            o = pc.cast(b.column("o"), pa.int64())
+            both = pc.multiply(e, o)
+            return pa.Table.from_arrays(
+                [pa.array([int(pc.sum(e).as_py() or 0)], pa.int64()),
+                 pa.array([int(pc.sum(o).as_py() or 0)], pa.int64()),
+                 pa.array([int(pc.sum(both).as_py() or 0)],
+                          pa.int64())],
+                names=["ne", "no", "nb"])
+
+        def finish(b: pa.Table) -> pa.Table:
+            ne = int(pc.sum(b.column("ne")).as_py() or 0)
+            no = int(pc.sum(b.column("no")).as_py() or 0)
+            nb = int(pc.sum(b.column("nb")).as_py() or 0)
+            un = ne + no - nb
+            j = (1_000_000 * nb) // un if un else 0
+            return pa.Table.from_arrays(
+                [pa.array([ne], pa.int64()), pa.array([no], pa.int64()),
+                 pa.array([nb], pa.int64()), pa.array([j], pa.int64())],
+                names=["n_event_ids", "n_order_ids", "n_both",
+                       "jaccard_e6"])
+
+        return flags.map_batches(partial, batch_format="pyarrow") \
+            .repartition(1).map_batches(finish, batch_format="pyarrow")
+
+    def independence_chi2(sf_dir: str):
+        """Chi-square INDEPENDENCE test on the (linestatus, returnflag)
+        contingency table, integer-quantized per cell:
+        cell_e6 = (1e6·(N·o − r·c)²) // (N·r·c), summed — the floor is
+        applied identically on both sides, so the statistic is exact
+        by definition. One cell combiner; margins derive from the
+        bounded cell table."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        cells = combine_aggregate(
+            _read(sf_dir, "lineitem",
+                  ["l_linestatus", "l_returnflag"]),
+            ["l_linestatus", "l_returnflag"], [("", "count", "o")]) \
+            .take_all()
+        rows = {}
+        cols = {}
+        N = 0
+        for r in cells:
+            rows[r["l_linestatus"]] = rows.get(r["l_linestatus"], 0) \
+                + int(r["o"])
+            cols[r["l_returnflag"]] = cols.get(r["l_returnflag"], 0) \
+                + int(r["o"])
+            N += int(r["o"])
+        chi = 0
+        for r in cells:
+            o = int(r["o"])
+            ri = rows[r["l_linestatus"]]
+            cj = cols[r["l_returnflag"]]
+            chi += (1_000_000 * (N * o - ri * cj) ** 2) \
+                // (N * ri * cj)
+        return pa.Table.from_arrays(
+            [pa.array([chi], pa.int64()), pa.array([N], pa.int64()),
+             pa.array([len(cells)], pa.int64())],
+            names=["chi2_e6", "n_items", "n_cells"])
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -5562,6 +5657,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexical_diversity": lexical_diversity,
         "dow_uniformity": dow_uniformity,
         "type_burstiness": type_burstiness,
+        "id_overlap_audit": id_overlap_audit,
+        "independence_chi2": independence_chi2,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -5677,6 +5774,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_hhi", "lexical_diversity",
         # new in round 3, forty-second sweep
         "dow_uniformity", "type_burstiness",
+        # new in round 3, forty-third sweep
+        "id_overlap_audit", "independence_chi2",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -6641,6 +6740,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "id_overlap_audit": """
+            WITH e AS (SELECT DISTINCT user_id AS id FROM events),
+            o AS (SELECT DISTINCT o_custkey AS id FROM orders),
+            b AS (SELECT COUNT(*) AS nb FROM e JOIN o USING (id)),
+            ne AS (SELECT COUNT(*) AS n FROM e),
+            no AS (SELECT COUNT(*) AS n FROM o)
+            SELECT CAST(ne.n AS BIGINT) AS n_event_ids,
+                   CAST(no.n AS BIGINT) AS n_order_ids,
+                   CAST(b.nb AS BIGINT) AS n_both,
+                   CAST((1000000 * b.nb)
+                        // (ne.n + no.n - b.nb) AS BIGINT)
+                       AS jaccard_e6
+            FROM ne, no, b
+        """,
+        "independence_chi2": """
+            WITH c AS (
+                SELECT l_linestatus, l_returnflag, COUNT(*) AS o
+                FROM lineitem GROUP BY 1, 2
+            ), r AS (
+                SELECT l_linestatus, SUM(o) AS ri FROM c GROUP BY 1
+            ), k AS (
+                SELECT l_returnflag, SUM(o) AS cj FROM c GROUP BY 1
+            ), n AS (SELECT SUM(o) AS N FROM c)
+            SELECT CAST(SUM((1000000 *
+                             (n.N * c.o - r.ri * k.cj)
+                             * (n.N * c.o - r.ri * k.cj))
+                            // (n.N * r.ri * k.cj)) AS BIGINT)
+                       AS chi2_e6,
+                   CAST(MAX(n.N) AS BIGINT) AS n_items,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells
+            FROM c
+            JOIN r USING (l_linestatus)
+            JOIN k USING (l_returnflag)
+            CROSS JOIN n
         """,
         "dow_uniformity": """
             WITH c AS (
