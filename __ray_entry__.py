@@ -5445,6 +5445,96 @@ def queries() -> dict[str, Callable[[str], Any]]:
              pa.array([len(cells)], pa.int64())],
             names=["chi2_e6", "n_items", "n_cells"])
 
+    def trigram_hapax(sf_dir: str):
+        """Hapax statistics over word TRIGRAMS (the n-gram novelty /
+        memorization-risk signal): type count, token count, hapax
+        count and hapax share of the vocabulary in e6. Block-local
+        Arrow trigram partials (two shifted zero-copy slices), one
+        type-table combiner, single-row integer finalize."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.scoring import word_counts  # noqa: F401
+        from htmlreader_ray.functions.indexing import _split_words_flat
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def tri_rows(b: pa.Table) -> pa.Table:
+            row_ids, words = _split_words_flat(b.column("text"))
+            if len(words) < 3:
+                return pa.table({"g": pa.array([], pa.string()),
+                                 "c": pa.array([], pa.int64())})
+            same = pa.array((row_ids[2:] == row_ids[:-2]))
+            g = pc.binary_join_element_wise(
+                words.slice(0, len(words) - 2),
+                words.slice(1, len(words) - 2),
+                words.slice(2), " ")
+            flat = pa.table({"g": g.filter(same)})
+            t = flat.group_by("g").aggregate([([], "count_all")])
+            return t.rename_columns(["g", "c"])
+
+        types = combine_aggregate(
+            _read(sf_dir, "documents", ["text"]).map_batches(
+                tri_rows, batch_format="pyarrow"),
+            ["g"], [("c", "sum", "n")])
+
+        def partial(b: pa.Table) -> pa.Table:
+            n = pc.cast(b.column("n"), pa.int64())
+            hap = pc.cast(pc.equal(n, 1), pa.int64())
+            return pa.Table.from_arrays(
+                [pa.array([b.num_rows], pa.int64()),
+                 pa.array([int(pc.sum(n).as_py() or 0)], pa.int64()),
+                 pa.array([int(pc.sum(hap).as_py() or 0)], pa.int64())],
+                names=["v", "t", "h"])
+
+        def finish(b: pa.Table) -> pa.Table:
+            v = int(pc.sum(b.column("v")).as_py() or 0)
+            t = int(pc.sum(b.column("t")).as_py() or 0)
+            h = int(pc.sum(b.column("h")).as_py() or 0)
+            return pa.Table.from_arrays(
+                [pa.array([v], pa.int64()), pa.array([t], pa.int64()),
+                 pa.array([h], pa.int64()),
+                 pa.array([(1_000_000 * h) // v if v else 0],
+                          pa.int64())],
+                names=["vocab", "n_tokens", "n_hapax",
+                       "hapax_share_e6"])
+
+        return types.map_batches(partial, batch_format="pyarrow") \
+            .repartition(1).map_batches(finish, batch_format="pyarrow")
+
+    def hill_tail_index(sf_dir: str):
+        """Hill tail-index estimator over the top-100 customer spends:
+        alpha_e6 = (k−1)·1e12 // Σ(q_i − q_k) with
+        q = floor(1e6·ln(cents)+0.5) — the heavy-tail diagnostic under
+        the quantized-ln contract. Spend reduces through the combiner;
+        the top-100 comes from the two-stage head-k (block partials
+        bound the exchange); ln math runs on 100 integers."""
+        import math
+
+        import pyarrow as pa
+        from htmlreader_ray.functions.shuffle import grouped_topk
+
+        spend, _parts = _nation_spend(sf_dir)
+
+        def const_g(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [pa.array([0] * b.num_rows, pa.int64()),
+                 b.column("o_custkey"), b.column("cents")],
+                names=["__g", "o_custkey", "cents"])
+
+        top = grouped_topk(
+            spend.map_batches(const_g, batch_format="pyarrow"),
+            group_col="__g", order_col="cents", id_col="o_custkey",
+            k=100).take_all()
+        top.sort(key=lambda r: (-int(r["cents"]), int(r["o_custkey"])))
+        q = [math.floor(1_000_000 * math.log(float(r["cents"])) + 0.5)
+             for r in top]
+        k = len(q)
+        denom = sum(qi - q[-1] for qi in q[:-1])
+        alpha = ((k - 1) * 10**12) // denom if denom else 0
+        return pa.Table.from_arrays(
+            [pa.array([alpha], pa.int64()), pa.array([k], pa.int64())],
+            names=["alpha_e6", "k"])
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -5659,6 +5749,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_burstiness": type_burstiness,
         "id_overlap_audit": id_overlap_audit,
         "independence_chi2": independence_chi2,
+        "trigram_hapax": trigram_hapax,
+        "hill_tail_index": hill_tail_index,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -5776,6 +5868,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dow_uniformity", "type_burstiness",
         # new in round 3, forty-third sweep
         "id_overlap_audit", "independence_chi2",
+        # new in round 3, forty-fourth sweep
+        "trigram_hapax", "hill_tail_index",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -6740,6 +6834,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "trigram_hapax": """
+            WITH words AS (
+                SELECT regexp_split_to_array(trim(text), '\\s+') AS ws
+                FROM documents WHERE trim(text) <> ''
+            ), t AS (
+                SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+                FROM words,
+                     UNNEST(generate_series(
+                         1, greatest(len(ws) - 2, 1))) AS u(i)
+                WHERE len(ws) >= 3
+            ), c AS (
+                SELECT g, COUNT(*) AS n FROM t GROUP BY 1
+            ), s AS (
+                SELECT COUNT(*) AS v, SUM(n) AS t,
+                       SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS h
+                FROM c
+            )
+            SELECT CAST(v AS BIGINT) AS vocab,
+                   CAST(t AS BIGINT) AS n_tokens,
+                   CAST(h AS BIGINT) AS n_hapax,
+                   CAST((1000000 * h) // v AS BIGINT)
+                       AS hapax_share_e6
+            FROM s
+        """,
+        "hill_tail_index": """
+            WITH s AS (
+                SELECT o_custkey,
+                       SUM(CAST(FLOOR(100.0 * o_totalprice + 0.5)
+                                AS BIGINT)) AS cents
+                FROM orders GROUP BY 1
+            ), j AS (
+                SELECT s.cents FROM s
+                JOIN customer c ON s.o_custkey = c.c_custkey
+                ORDER BY s.cents DESC, s.o_custkey LIMIT 100
+            ), q AS (
+                SELECT CAST(FLOOR(1000000 * LN(CAST(cents AS DOUBLE))
+                                  + 0.5) AS BIGINT) AS q,
+                       ROW_NUMBER() OVER (ORDER BY cents DESC) AS rn,
+                       COUNT(*) OVER () AS k
+                FROM j
+            ), tail AS (
+                SELECT MIN(CASE WHEN rn = k THEN q END) AS qk,
+                       MAX(k) AS k
+                FROM q
+            )
+            SELECT CAST(((tail.k - 1) * 1000000000000)
+                        // (SELECT SUM(q.q - tail.qk) FROM q
+                            WHERE q.rn < tail.k) AS BIGINT)
+                       AS alpha_e6,
+                   CAST(tail.k AS BIGINT) AS k
+            FROM tail
         """,
         "id_overlap_audit": """
             WITH e AS (SELECT DISTINCT user_id AS id FROM events),
