@@ -5535,6 +5535,113 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [pa.array([alpha], pa.int64()), pa.array([k], pa.int64())],
             names=["alpha_e6", "k"])
 
+    def stickiness(sf_dir: str):
+        """Product stickiness (DAU/WAU) per ISO week:
+        (1e6·Σdau) // (7·wau), all-integer. ONE block-distinct
+        (day, user) combiner feeds both levels — daily actives sum
+        per week, weekly actives re-distinct over the bounded
+        (day, user) table — raw events shuffle once, never twice."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def du(b: pa.Table) -> pa.Table:
+            day = pc.cast(b.column("ts"), pa.date32())
+            t = pa.Table.from_arrays(
+                [day, b.column("user_id")], names=["day", "user_id"])
+            return t.group_by(["day", "user_id"]).aggregate([])
+
+        day_user = combine_aggregate(
+            _read(sf_dir, "events", ["ts", "user_id"]).map_batches(
+                du, batch_format="pyarrow"),
+            ["day", "user_id"], [("", "count", "_c")])
+
+        def to_week(b: pa.Table) -> pa.Table:
+            d = pc.cast(pc.cast(b.column("day"), pa.int32()),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+            wk = d - ((d + 3) % 7)
+            return pa.Table.from_arrays(
+                [pa.array(wk.astype("int32"), pa.date32()),
+                 b.column("user_id")],
+                names=["week", "user_id"])
+
+        wk_user = day_user.map_batches(to_week, batch_format="pyarrow")
+        sum_dau = combine_aggregate(
+            wk_user, ["week"], [("", "count", "sum_dau")])
+        wau_t = combine_aggregate(
+            combine_aggregate(wk_user, ["week", "user_id"],
+                              [("", "count", "_c")]),
+            ["week"], [("", "count", "wau")])
+
+        import ray
+        wau_map = ray.put({r["week"]: int(r["wau"])
+                           for r in wau_t.take_all()})
+
+        def finish(b: pa.Table) -> pa.Table:
+            m = ray.get(wau_map)
+            wk = b.column("week").to_pylist()
+            sd = b.column("sum_dau").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            wau = np.array([m[w] for w in wk], np.int64)
+            st = (1_000_000 * sd) // (7 * wau)
+            return pa.Table.from_arrays(
+                [b.column("week"), pa.array(wau), pa.array(sd),
+                 pa.array(st)],
+                names=["week", "wau", "sum_dau", "stickiness_e6"])
+
+        return sum_dau.map_batches(finish, batch_format="pyarrow")
+
+    def behavior_segments(sf_dir: str):
+        """Behavioral segmentation by event-type bitmask at the
+        (user, day) grain (per-user lifetime masks are degenerate —
+        every user eventually hits every type): the OR of type bits
+        (view=1, click=2, purchase=4, signup=8, error=16) per
+        user-day, then user-days per mask — flag-max combiner, mask
+        map, histogram combiner; exchanges bounded by user-days then
+        by 2^5 masks."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        BITS = [("view", 1), ("click", 2), ("purchase", 4),
+                ("signup", 8), ("error", 16)]
+
+        def flags(b: pa.Table) -> pa.Table:
+            et = b.column("event_type")
+            day = pc.cast(b.column("ts"), pa.date32())
+            cols = [b.column("user_id"), day]
+            names = ["user_id", "day"]
+            for name, _bit in BITS:
+                cols.append(pc.cast(pc.equal(et, name), pa.int64()))
+                names.append(f"f_{name}")
+            return pa.Table.from_arrays(cols, names=names)
+
+        per_user = combine_aggregate(
+            _read(sf_dir, "events",
+                  ["user_id", "ts", "event_type"]).map_batches(
+                flags, batch_format="pyarrow"),
+            ["user_id", "day"],
+            [(f"f_{n}", "max", f"f_{n}") for n, _ in BITS])
+
+        def mask(b: pa.Table) -> pa.Table:
+            import numpy as np
+            m = np.zeros(b.num_rows, dtype=np.int64)
+            for name, bit in BITS:
+                m += bit * b.column(f"f_{name}") \
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.Table.from_arrays([pa.array(m)], names=["mask"])
+
+        hist = combine_aggregate(
+            per_user.map_batches(mask, batch_format="pyarrow"),
+            ["mask"], [("", "count", "n_user_days")])
+        return hist.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("mask"),
+                 pc.cast(b.column("n_user_days"), pa.int64())],
+                names=["mask", "n_user_days"]),
+            batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -5751,6 +5858,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "independence_chi2": independence_chi2,
         "trigram_hapax": trigram_hapax,
         "hill_tail_index": hill_tail_index,
+        "stickiness": stickiness,
+        "behavior_segments": behavior_segments,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -5870,6 +5979,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "id_overlap_audit", "independence_chi2",
         # new in round 3, forty-fourth sweep
         "trigram_hapax", "hill_tail_index",
+        # new in round 3, forty-fifth sweep
+        "stickiness", "behavior_segments",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -6834,6 +6945,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "stickiness": """
+            WITH du AS (
+                SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                FROM events
+            ), dau AS (
+                SELECT day, COUNT(*) AS dau FROM du GROUP BY 1
+            ), wk AS (
+                SELECT CAST(date_trunc('week', day) AS DATE) AS week,
+                       SUM(dau) AS sum_dau
+                FROM dau GROUP BY 1
+            ), wu AS (
+                SELECT DISTINCT CAST(date_trunc('week', day) AS DATE)
+                           AS week, user_id
+                FROM du
+            ), wau AS (
+                SELECT week, COUNT(*) AS wau FROM wu GROUP BY 1
+            )
+            SELECT wk.week, CAST(wau.wau AS BIGINT) AS wau,
+                   CAST(wk.sum_dau AS BIGINT) AS sum_dau,
+                   CAST((1000000 * wk.sum_dau) // (7 * wau.wau)
+                        AS BIGINT) AS stickiness_e6
+            FROM wk JOIN wau USING (week)
+        """,
+        "behavior_segments": """
+            WITH f AS (
+                SELECT user_id, CAST(ts AS DATE) AS day,
+                       MAX(CASE WHEN event_type = 'view'
+                                THEN 1 ELSE 0 END) AS v,
+                       MAX(CASE WHEN event_type = 'click'
+                                THEN 1 ELSE 0 END) AS c,
+                       MAX(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS p,
+                       MAX(CASE WHEN event_type = 'signup'
+                                THEN 1 ELSE 0 END) AS s,
+                       MAX(CASE WHEN event_type = 'error'
+                                THEN 1 ELSE 0 END) AS e
+                FROM events GROUP BY 1, 2
+            )
+            SELECT CAST(v + 2 * c + 4 * p + 8 * s + 16 * e AS BIGINT)
+                       AS mask,
+                   CAST(COUNT(*) AS BIGINT) AS n_user_days
+            FROM f GROUP BY 1
         """,
         "trigram_hapax": """
             WITH words AS (
