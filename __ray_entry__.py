@@ -5642,6 +5642,107 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 names=["mask", "n_user_days"]),
             batch_format="pyarrow")
 
+    def order_gap_cv2(sf_dir: str):
+        """Squared coefficient of variation of customer reorder gaps
+        (days between consecutive orders per customer), all-integer:
+        cv² = var/mean² reduces to (m·Σx² − Sx²)/Sx², so
+        cv2_e6 = (1e6·(m·Σx² − Sx²)) // Sx² needs no float. ONE
+        customer-bucket shuffle emits per-block integer moment
+        partials; a single-row merge finishes."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.analytics import _bucketed, _np
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def prep(b: pa.Table) -> pa.Table:
+            d = pc.cast(pc.cast(pc.cast(b.column("o_orderdate"),
+                                        pa.date32()), pa.int32()),
+                        pa.int64())
+            return pa.Table.from_arrays(
+                [b.column("o_custkey"), b.column("o_orderkey"), d],
+                names=["o_custkey", "o_orderkey", "day"])
+
+        def gaps_kernel(group: pa.Table) -> pa.Table:
+            empty = pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.int64())],
+                names=["m", "sx", "sx2"])
+            if group.num_rows < 2:
+                return empty
+            cust = _np(group.column("o_custkey"))
+            ok = _np(group.column("o_orderkey"))
+            day = _np(group.column("day"))
+            order = np.lexsort((ok, day, cust))
+            c_s, d_s = cust[order], day[order]
+            same = c_s[1:] == c_s[:-1]
+            if not same.any():
+                return empty
+            g = np.diff(d_s)[same].astype(np.int64)
+            return pa.Table.from_arrays(
+                [pa.array([len(g)], pa.int64()),
+                 pa.array([int(g.sum())], pa.int64()),
+                 pa.array([int((g * g).sum())], pa.int64())],
+                names=["m", "sx", "sx2"])
+
+        parts = _bucketed(
+            _read(sf_dir, "orders",
+                  ["o_custkey", "o_orderkey",
+                   "o_orderdate"]).map_batches(
+                prep, batch_format="pyarrow"),
+            "o_custkey", 256).map_groups(gaps_kernel,
+                                         batch_format="pyarrow")
+
+        def finish(b: pa.Table) -> pa.Table:
+            m = int(pc.sum(b.column("m")).as_py() or 0)
+            sx = int(pc.sum(b.column("sx")).as_py() or 0)
+            sx2 = int(pc.sum(b.column("sx2")).as_py() or 0)
+            cv2 = (1_000_000 * (m * sx2 - sx * sx)) // (sx * sx) \
+                if sx else 0
+            return pa.Table.from_arrays(
+                [pa.array([m], pa.int64()),
+                 pa.array([cv2], pa.int64())],
+                names=["n_gaps", "cv2_e6"])
+
+        return parts.repartition(1).map_batches(
+            finish, batch_format="pyarrow")
+
+    def discount_band_qty(sf_dir: str):
+        """Quantity profile per discount band: items, total quantity
+        and average quantity in e6 per floor(100·discount+0.5) band —
+        one combiner pass, integer average in the projection."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def band(b: pa.Table) -> pa.Table:
+            bd = pc.cast(pc.floor(pc.add(pc.multiply(
+                pa.scalar(100.0), b.column("l_discount")),
+                pa.scalar(0.5))), pa.int64())
+            q = pc.cast(pc.floor(pc.add(b.column("l_quantity"),
+                                        pa.scalar(0.5))), pa.int64())
+            return pa.Table.from_arrays([bd, q], names=["band", "q"])
+
+        agg = combine_aggregate(
+            _read(sf_dir, "lineitem",
+                  ["l_discount", "l_quantity"]).map_batches(
+                band, batch_format="pyarrow"),
+            ["band"], [("q", "count", "n_items"),
+                       ("q", "sum", "sum_qty")])
+
+        def avg(b: pa.Table) -> pa.Table:
+            n = b.column("n_items").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            sq = b.column("sum_qty").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.Table.from_arrays(
+                [b.column("band"), pa.array(n), pa.array(sq),
+                 pa.array((1_000_000 * sq) // n)],
+                names=["band", "n_items", "sum_qty", "avg_qty_e6"])
+
+        return agg.map_batches(avg, batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -5860,6 +5961,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hill_tail_index": hill_tail_index,
         "stickiness": stickiness,
         "behavior_segments": behavior_segments,
+        "order_gap_cv2": order_gap_cv2,
+        "discount_band_qty": discount_band_qty,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -5981,6 +6084,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trigram_hapax", "hill_tail_index",
         # new in round 3, forty-fifth sweep
         "stickiness", "behavior_segments",
+        # new in round 3, forty-sixth sweep
+        "order_gap_cv2", "discount_band_qty",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -6945,6 +7050,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "order_gap_cv2": """
+            WITH g AS (
+                SELECT datediff('day',
+                           LAG(CAST(o_orderdate AS DATE)) OVER w,
+                           CAST(o_orderdate AS DATE)) AS x
+                FROM orders
+                WINDOW w AS (PARTITION BY o_custkey
+                             ORDER BY CAST(o_orderdate AS DATE),
+                                      o_orderkey)
+            ), v AS (SELECT x FROM g WHERE x IS NOT NULL),
+            st AS (
+                SELECT COUNT(*) AS m, SUM(x) AS sx, SUM(x * x) AS sx2
+                FROM v
+            )
+            SELECT CAST(m AS BIGINT) AS n_gaps,
+                   CAST((1000000 * (m * sx2 - sx * sx)) // (sx * sx)
+                        AS BIGINT) AS cv2_e6
+            FROM st
+        """,
+        "discount_band_qty": """
+            SELECT CAST(FLOOR(100.0 * l_discount + 0.5) AS BIGINT)
+                       AS band,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_qty,
+                   CAST((1000000 *
+                         SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)))
+                        // COUNT(*) AS BIGINT) AS avg_qty_e6
+            FROM lineitem GROUP BY 1
         """,
         "stickiness": """
             WITH du AS (
