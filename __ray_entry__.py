@@ -5743,6 +5743,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(avg, batch_format="pyarrow")
 
+    def session_depth_dist(sf_dir: str):
+        """Session-length distribution (sessions per event count):
+        the shared 30-min sessionizer is the one order-dependent
+        shuffle; its bounded session table reduces through a
+        depth-histogram combiner."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+        from htmlreader_ray.functions.windows import session_windows
+
+        sess = session_windows(
+            _read(sf_dir, "events", ["ts", "user_id"]))
+        out = combine_aggregate(
+            sess.select_columns(["n_events"]),
+            ["n_events"], [("", "count", "n_sessions")])
+        return out.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [pc.cast(b.column("n_events"), pa.int64()),
+                 pc.cast(b.column("n_sessions"), pa.int64())],
+                names=["n_events", "n_sessions"]),
+            batch_format="pyarrow")
+
+    def weekend_lift(sf_dir: str):
+        """Weekend-vs-weekday activity lift per event type in e6,
+        normalized by observed day counts and computed as one integer
+        cross-multiply ((1e6·we·n_wd_days) // (wd·n_we_days)) — no
+        float rate anywhere. One (type, is_weekend) combiner plus a
+        bounded distinct-day table."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def cells(b: pa.Table) -> pa.Table:
+            ts = b.column("ts").to_numpy(zero_copy_only=False)
+            day = ts.astype("datetime64[D]").view("int64")
+            dow = (day + 3) % 7 + 1          # isodow
+            we = (dow >= 6).astype(np.int64)
+            return pa.Table.from_arrays(
+                [b.column("event_type"), pa.array(we),
+                 pa.array(day.astype(np.int64))],
+                names=["event_type", "we", "day"])
+
+        src = _read(sf_dir, "events",
+                    ["ts", "event_type"]).map_batches(
+            cells, batch_format="pyarrow")
+        counts = combine_aggregate(src, ["event_type", "we"],
+                                   [("", "count", "n")]).take_all()
+        days = combine_aggregate(src.select_columns(["day", "we"]),
+                                 ["day", "we"],
+                                 [("", "count", "_c")]).take_all()
+        n_we_days = sum(1 for r in days if r["we"] == 1)
+        n_wd_days = sum(1 for r in days if r["we"] == 0)
+        agg = {}
+        for r in counts:
+            a = agg.setdefault(r["event_type"], [0, 0])
+            a[r["we"]] += int(r["n"])
+        types = sorted(agg)
+        wd = [agg[t][0] for t in types]
+        we = [agg[t][1] for t in types]
+        lift = [(1_000_000 * w * n_wd_days) // (d * n_we_days)
+                if d and n_we_days else 0
+                for w, d in zip(we, wd)]
+        return pa.Table.from_arrays(
+            [pa.array(types, pa.string()),
+             pa.array(wd, pa.int64()), pa.array(we, pa.int64()),
+             pa.array(lift, pa.int64())],
+            names=["event_type", "n_weekday", "n_weekend", "lift_e6"])
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -5963,6 +6032,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "behavior_segments": behavior_segments,
         "order_gap_cv2": order_gap_cv2,
         "discount_band_qty": discount_band_qty,
+        "session_depth_dist": session_depth_dist,
+        "weekend_lift": weekend_lift,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -6086,6 +6157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stickiness", "behavior_segments",
         # new in round 3, forty-sixth sweep
         "order_gap_cv2", "discount_band_qty",
+        # new in round 3, forty-seventh sweep
+        "session_depth_dist", "weekend_lift",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -7050,6 +7123,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "session_depth_dist": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w
+                                    > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events WINDOW w AS (PARTITION BY user_id
+                                         ORDER BY ts)
+            ), sess0 AS (
+                SELECT user_id,
+                       SUM(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            ), s AS (
+                SELECT user_id, sid, COUNT(*) AS n_events
+                FROM sess0 GROUP BY 1, 2
+            )
+            SELECT CAST(n_events AS BIGINT) AS n_events,
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions
+            FROM s GROUP BY 1
+        """,
+        "weekend_lift": """
+            WITH c AS (
+                SELECT event_type,
+                       CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END
+                           AS we,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            ), d AS (
+                SELECT CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END
+                           AS we,
+                       COUNT(DISTINCT CAST(ts AS DATE)) AS nd
+                FROM events GROUP BY 1
+            ), p AS (
+                SELECT event_type,
+                       SUM(CASE WHEN we = 0 THEN n ELSE 0 END) AS wd,
+                       SUM(CASE WHEN we = 1 THEN n ELSE 0 END)
+                           AS wend
+                FROM c GROUP BY 1
+            ), nd AS (
+                SELECT MAX(CASE WHEN we = 0 THEN nd END) AS n_wd,
+                       MAX(CASE WHEN we = 1 THEN nd END) AS n_we
+                FROM d
+            )
+            SELECT p.event_type, CAST(p.wd AS BIGINT) AS n_weekday,
+                   CAST(p.wend AS BIGINT) AS n_weekend,
+                   CAST((1000000 * p.wend * nd.n_wd)
+                        // (p.wd * nd.n_we) AS BIGINT) AS lift_e6
+            FROM p, nd
         """,
         "order_gap_cv2": """
             WITH g AS (
