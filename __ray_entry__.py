@@ -5812,6 +5812,89 @@ def queries() -> dict[str, Callable[[str], Any]]:
              pa.array(lift, pa.int64())],
             names=["event_type", "n_weekday", "n_weekend", "lift_e6"])
 
+    def global_quiet_gap(sf_dir: str):
+        """Monitoring gap detector: the longest quiet period on the
+        GLOBAL event timeline at minute resolution — distinct active
+        minutes through the combiner (bounded by the time span, never
+        by events), one single-partition sorted diff for the max gap."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def mins(b: pa.Table) -> pa.Table:
+            m = pc.cast(pc.divide(pc.cast(b.column("ts"), pa.int64()),
+                                  pa.scalar(60_000_000, pa.int64())),
+                        pa.int64())
+            return pa.Table.from_arrays([m], names=["minute"])
+
+        dist = combine_aggregate(
+            _read(sf_dir, "events", ["ts"]).map_batches(
+                mins, batch_format="pyarrow"),
+            ["minute"], [("", "count", "_c")])
+
+        def finish(b: pa.Table) -> pa.Table:
+            m = np.sort(b.column("minute")
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+            gap = int(np.diff(m).max()) if len(m) > 1 else 0
+            return pa.Table.from_arrays(
+                [pa.array([len(m)], pa.int64()),
+                 pa.array([gap], pa.int64())],
+                names=["n_active_minutes", "max_gap_minutes"])
+
+        return dist.repartition(1).map_batches(
+            finish, batch_format="pyarrow")
+
+    def dominant_type_dist(sf_dir: str):
+        """Users per dominant event type (argmax with (n DESC, type)
+        tiebreak per user, then a histogram): (user, type) counts
+        through the combiner, two-stage head-1 per user bounds the
+        argmax exchange, final 5-row histogram combiner."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        ut = combine_aggregate(
+            _read(sf_dir, "events",
+                  ["user_id", "event_type"]),
+            ["user_id", "event_type"], [("", "count", "n")])
+
+        def head1(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.int64()), pa.array([], pa.string()),
+                     pa.array([], pa.int64())],
+                    names=["user_id", "event_type", "n"])
+            uid = b.column("user_id").to_numpy(zero_copy_only=False)
+            n = pc.cast(b.column("n"), pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            et = np.asarray(b.column("event_type").to_pylist(),
+                            dtype=object)
+            order = np.lexsort((et, -n, uid))
+            u_s = uid[order]
+            first = np.concatenate(([True], u_s[1:] != u_s[:-1]))
+            keep = order[first]
+            keep.sort()
+            return pa.Table.from_arrays(
+                [pa.array(uid[keep]), pa.array(et[keep], pa.string()),
+                 pa.array(n[keep])],
+                names=["user_id", "event_type", "n"])
+
+        partials = ut.map_batches(head1, batch_format="pyarrow")
+        per_user = partials.groupby("user_id").map_groups(
+            head1, batch_format="pyarrow")
+        hist = combine_aggregate(
+            per_user.select_columns(["event_type"]),
+            ["event_type"], [("", "count", "n_users")])
+        return hist.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("event_type"),
+                 pc.cast(b.column("n_users"), pa.int64())],
+                names=["event_type", "n_users"]),
+            batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -6034,6 +6117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discount_band_qty": discount_band_qty,
         "session_depth_dist": session_depth_dist,
         "weekend_lift": weekend_lift,
+        "global_quiet_gap": global_quiet_gap,
+        "dominant_type_dist": dominant_type_dist,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -6159,6 +6244,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_gap_cv2", "discount_band_qty",
         # new in round 3, forty-seventh sweep
         "session_depth_dist", "weekend_lift",
+        # new in round 3, forty-eighth sweep
+        "global_quiet_gap", "dominant_type_dist",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -7123,6 +7210,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "global_quiet_gap": """
+            WITH m AS (
+                SELECT DISTINCT epoch_us(ts) // 60000000 AS minute
+                FROM events
+            ), g AS (
+                SELECT minute - LAG(minute) OVER (ORDER BY minute)
+                           AS gap
+                FROM m
+            )
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM m)
+                       AS n_active_minutes,
+                   CAST(COALESCE(MAX(gap), 0) AS BIGINT)
+                       AS max_gap_minutes
+            FROM g
+        """,
+        "dominant_type_dist": """
+            WITH c AS (
+                SELECT user_id, event_type, COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            ), r AS (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY n DESC,
+                                                   event_type) AS rn
+                FROM c
+            )
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM r WHERE rn = 1 GROUP BY 1
         """,
         "session_depth_dist": """
             WITH flagged AS (
