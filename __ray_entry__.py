@@ -5895,6 +5895,79 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 names=["event_type", "n_users"]),
             batch_format="pyarrow")
 
+    def label_balance(sf_dir: str):
+        """Class-balance audit over the embeddings label column:
+        per-label counts and e6 share — one combiner groupby, bounded
+        total broadcast (the training-set balance check)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        t = combine_aggregate(
+            _read(sf_dir, "embeddings", ["label"]).map_batches(
+                lambda b: pa.Table.from_arrays(
+                    [pc.cast(b.column("label"), pa.int64())],
+                    names=["label"]),
+                batch_format="pyarrow"),
+            ["label"], [("", "count", "n")])
+        rows = t.take_all()
+        tot = sum(int(r["n"]) for r in rows)
+
+        def share(b: pa.Table) -> pa.Table:
+            n = pc.cast(b.column("n"), pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            return pa.Table.from_arrays(
+                [b.column("label"), pa.array(n.astype(np.int64)),
+                 pa.array((1_000_000 * n.astype(np.int64)) // tot)],
+                names=["label", "n_vecs", "share_e6"])
+
+        return t.map_batches(share, batch_format="pyarrow")
+
+    def char_class_profile(sf_dir: str):
+        """Character-class profile per language: total chars, spaces
+        and vowels with e6 shares — three vectorized Arrow regex-count
+        kernels per block (no per-row Python), one combiner groupby
+        per lang, integer shares."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def counts(b: pa.Table) -> pa.Table:
+            txt = b.column("text")
+            return pa.Table.from_arrays(
+                [b.column("lang"),
+                 pc.cast(pc.utf8_length(txt), pa.int64()),
+                 pc.cast(pc.count_substring_regex(txt, "[ ]"),
+                         pa.int64()),
+                 pc.cast(pc.count_substring_regex(txt, "[aeiou]"),
+                         pa.int64())],
+                names=["lang", "ch", "sp", "vw"])
+
+        agg = combine_aggregate(
+            _read(sf_dir, "documents", ["lang", "text"]).map_batches(
+                counts, batch_format="pyarrow"),
+            ["lang"], [("ch", "sum", "chars"), ("sp", "sum", "spaces"),
+                       ("vw", "sum", "vowels")])
+
+        def share(b: pa.Table) -> pa.Table:
+            ch = b.column("chars").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            sp = b.column("spaces").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            vw = b.column("vowels").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.Table.from_arrays(
+                [b.column("lang"), pa.array(ch), pa.array(sp),
+                 pa.array(vw),
+                 pa.array((1_000_000 * sp) // ch),
+                 pa.array((1_000_000 * vw) // ch)],
+                names=["lang", "chars", "spaces", "vowels",
+                       "space_share_e6", "vowel_share_e6"])
+
+        return agg.map_batches(share, batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -6119,6 +6192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekend_lift": weekend_lift,
         "global_quiet_gap": global_quiet_gap,
         "dominant_type_dist": dominant_type_dist,
+        "label_balance": label_balance,
+        "char_class_profile": char_class_profile,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -6246,6 +6321,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_depth_dist", "weekend_lift",
         # new in round 3, forty-eighth sweep
         "global_quiet_gap", "dominant_type_dist",
+        # new in round 3, forty-ninth sweep
+        "label_balance", "char_class_profile",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -7210,6 +7287,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "label_balance": """
+            WITH t AS (
+                SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n
+                FROM embeddings GROUP BY 1
+            ), s AS (SELECT SUM(n) AS tot FROM t)
+            SELECT label, CAST(n AS BIGINT) AS n_vecs,
+                   CAST((1000000 * n) // tot AS BIGINT) AS share_e6
+            FROM t, s
+        """,
+        "char_class_profile": """
+            WITH c AS (
+                SELECT lang, SUM(LENGTH(text)) AS chars,
+                       SUM(LENGTH(text) - LENGTH(
+                           REPLACE(text, ' ', ''))) AS spaces,
+                       SUM(LENGTH(text) - LENGTH(
+                           regexp_replace(text, '[aeiou]', '', 'g')))
+                           AS vowels
+                FROM documents GROUP BY 1
+            )
+            SELECT lang, CAST(chars AS BIGINT) AS chars,
+                   CAST(spaces AS BIGINT) AS spaces,
+                   CAST(vowels AS BIGINT) AS vowels,
+                   CAST((1000000 * spaces) // chars AS BIGINT)
+                       AS space_share_e6,
+                   CAST((1000000 * vowels) // chars AS BIGINT)
+                       AS vowel_share_e6
+            FROM c
         """,
         "global_quiet_gap": """
             WITH m AS (
