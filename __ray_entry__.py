@@ -5968,6 +5968,76 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(share, batch_format="pyarrow")
 
+    def bigram_head_coverage(sf_dir: str):
+        """Head-coverage of the bigram distribution: what share of
+        all bigram tokens do the top-100 types cover? (The
+        vocabulary-truncation planning number for n-gram LMs.) Bigram
+        type table through the combiner, deterministic
+        (count DESC, w1, w2) top-100, integer e6 share."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.indexing import _bigram_rows
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        types = combine_aggregate(
+            _read(sf_dir, "documents", ["text"]).map_batches(
+                lambda b: _bigram_rows(b, "text"),
+                batch_format="pyarrow"),
+            ["w1", "w2"], [("c", "sum", "n")])
+        typed = types.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("w1"), b.column("w2"),
+                 pc.cast(b.column("n"), pa.int64())],
+                names=["w1", "w2", "n"]),
+            batch_format="pyarrow")
+        total = typed.sum("n")
+        top = typed.sort(["n", "w1", "w2"],
+                         descending=[True, False, False]) \
+            .limit(100).take_all()
+        covered = sum(int(r["n"]) for r in top)
+        return pa.Table.from_arrays(
+            [pa.array([len(top)], pa.int64()),
+             pa.array([covered], pa.int64()),
+             pa.array([int(total)], pa.int64()),
+             pa.array([(1_000_000 * covered) // int(total)],
+                      pa.int64())],
+            names=["k", "covered_tokens", "total_tokens",
+                   "coverage_e6"])
+
+    def user_lifespan_hist(sf_dir: str):
+        """User lifetime span histogram (days between first and last
+        event): per-user min/max through ONE combiner, span histogram
+        through a second bounded combiner."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def days(b: pa.Table) -> pa.Table:
+            d = pc.cast(pc.cast(pc.cast(b.column("ts"), pa.date32()),
+                                pa.int32()), pa.int64())
+            return pa.Table.from_arrays(
+                [b.column("user_id"), d], names=["user_id", "day"])
+
+        mm = combine_aggregate(
+            _read(sf_dir, "events", ["ts", "user_id"]).map_batches(
+                days, batch_format="pyarrow"),
+            ["user_id"], [("day", "min", "mn"), ("day", "max", "mx")])
+
+        def span(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [pc.subtract(b.column("mx"), b.column("mn"))],
+                names=["span_days"])
+
+        hist = combine_aggregate(
+            mm.map_batches(span, batch_format="pyarrow"),
+            ["span_days"], [("", "count", "n_users")])
+        return hist.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [pc.cast(b.column("span_days"), pa.int64()),
+                 pc.cast(b.column("n_users"), pa.int64())],
+                names=["span_days", "n_users"]),
+            batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -6194,6 +6264,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dominant_type_dist": dominant_type_dist,
         "label_balance": label_balance,
         "char_class_profile": char_class_profile,
+        "bigram_head_coverage": bigram_head_coverage,
+        "user_lifespan_hist": user_lifespan_hist,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -6323,6 +6395,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_quiet_gap", "dominant_type_dist",
         # new in round 3, forty-ninth sweep
         "label_balance", "char_class_profile",
+        # new in round 3, fiftieth sweep
+        "bigram_head_coverage", "user_lifespan_hist",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -7287,6 +7361,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "bigram_head_coverage": """
+            WITH words AS (
+                SELECT regexp_split_to_array(trim(text), '\\s+') AS ws
+                FROM documents WHERE trim(text) <> ''
+            ), bi AS (
+                SELECT b['w1'] AS w1, b['w2'] AS w2, COUNT(*) AS n
+                FROM (
+                    SELECT unnest([{'w1': ws[i], 'w2': ws[i+1]}
+                                   for i in range(1,
+                                                  greatest(len(ws), 1))])
+                               AS b
+                    FROM words) GROUP BY 1, 2
+            ), top AS (
+                SELECT n FROM bi ORDER BY n DESC, w1, w2 LIMIT 100
+            ), s AS (
+                SELECT (SELECT COUNT(*) FROM top) AS k,
+                       (SELECT SUM(n) FROM top) AS covered,
+                       (SELECT SUM(n) FROM bi) AS total
+            )
+            SELECT CAST(k AS BIGINT) AS k,
+                   CAST(covered AS BIGINT) AS covered_tokens,
+                   CAST(total AS BIGINT) AS total_tokens,
+                   CAST((1000000 * covered) // total AS BIGINT)
+                       AS coverage_e6
+            FROM s
+        """,
+        "user_lifespan_hist": """
+            WITH m AS (
+                SELECT user_id,
+                       datediff('day', MIN(CAST(ts AS DATE)),
+                                MAX(CAST(ts AS DATE))) AS span_days
+                FROM events GROUP BY 1
+            )
+            SELECT CAST(span_days AS BIGINT) AS span_days,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM m GROUP BY 1
         """,
         "label_balance": """
             WITH t AS (
