@@ -6038,6 +6038,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 names=["span_days", "n_users"]),
             batch_format="pyarrow")
 
+    def cents_mod_hist(sf_dir: str):
+        """Pricing rounding audit: distribution of the last two digits
+        of order cents (cents mod 100) — the fraud/rounding-anomaly
+        fingerprint; one bounded combiner (≤ 100 cells)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def mod(b: pa.Table) -> pa.Table:
+            cents = pc.cast(
+                pc.floor(pc.add(pc.multiply(pa.scalar(100.0),
+                                            b.column("o_totalprice")),
+                                pa.scalar(0.5))), pa.int64())
+            import numpy as np
+            m = cents.to_numpy(zero_copy_only=False) % 100
+            return pa.Table.from_arrays(
+                [pa.array(m.astype(np.int64))], names=["mod100"])
+
+        out = combine_aggregate(
+            _read(sf_dir, "orders", ["o_totalprice"]).map_batches(
+                mod, batch_format="pyarrow"),
+            ["mod100"], [("", "count", "n_orders")])
+        return out.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("mod100"),
+                 pc.cast(b.column("n_orders"), pa.int64())],
+                names=["mod100", "n_orders"]),
+            batch_format="pyarrow")
+
+    def supplier_bal_box(sf_dir: str):
+        """Five-number summary of supplier account balances per REGION
+        (covers the supplier table + the nation→region dim chain):
+        the 30-row dim chain rides a broadcast, balances quantize to
+        signed cents, and all five statistics come from ONE
+        value-distribution exchange (multi-fraction
+        grouped_percentile_disc, min = ceil(n/1e9), max = n)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from htmlreader_ray.functions.shuffle import (
+            grouped_percentile_disc)
+
+        nat = {r["n_nationkey"]: r["n_regionkey"]
+               for r in _read(sf_dir, "nation").take_all()}
+        reg = {r["r_regionkey"]: r["r_name"]
+               for r in _read(sf_dir, "region").take_all()}
+        names = {k: reg[rk] for k, rk in nat.items()}
+        ref = ray.put(names)
+
+        def prep(b: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            cents = pc.cast(
+                pc.floor(pc.add(pc.multiply(pa.scalar(100.0),
+                                            b.column("s_acctbal")),
+                                pa.scalar(0.5))), pa.int64())
+            region = pa.array(
+                [m[k] for k in b.column("s_nationkey").to_pylist()],
+                pa.string())
+            return pa.Table.from_arrays(
+                [region, cents], names=["region", "cents"])
+
+        src = _read(sf_dir, "supplier",
+                    ["s_nationkey", "s_acctbal"]).map_batches(
+            prep, batch_format="pyarrow")
+        return grouped_percentile_disc(
+            src, ["region"], "cents",
+            [("mn", 1, 1_000_000_000), ("q1", 1, 4), ("med", 1, 2),
+             ("q3", 3, 4), ("mx", 1, 1)])
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -6266,6 +6335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_class_profile": char_class_profile,
         "bigram_head_coverage": bigram_head_coverage,
         "user_lifespan_hist": user_lifespan_hist,
+        "cents_mod_hist": cents_mod_hist,
+        "supplier_bal_box": supplier_bal_box,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -6397,6 +6468,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_balance", "char_class_profile",
         # new in round 3, fiftieth sweep
         "bigram_head_coverage", "user_lifespan_hist",
+        # new in round 3, fifty-first sweep
+        "cents_mod_hist", "supplier_bal_box",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -7361,6 +7434,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "cents_mod_hist": """
+            SELECT CAST(FLOOR(100.0 * o_totalprice + 0.5) AS BIGINT)
+                       % 100 AS mod100,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1
+        """,
+        "supplier_bal_box": """
+            WITH s AS (
+                SELECT r.r_name AS region,
+                       CAST(FLOOR(100.0 * su.s_acctbal + 0.5)
+                            AS BIGINT) AS cents
+                FROM supplier su
+                JOIN nation n ON su.s_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+            ), d AS (
+                SELECT region, cents, COUNT(*) AS cnt
+                FROM s GROUP BY 1, 2
+            ), r AS (
+                SELECT region, cents,
+                       SUM(cnt) OVER (PARTITION BY region
+                                      ORDER BY cents) AS cum,
+                       SUM(cnt) OVER (PARTITION BY region) AS n
+                FROM d
+            )
+            SELECT region,
+                   MIN(CASE WHEN cum >= (n + 999999999) // 1000000000
+                            THEN cents END) AS mn,
+                   MIN(CASE WHEN cum >= (n + 3) // 4
+                            THEN cents END) AS q1,
+                   MIN(CASE WHEN cum >= (n + 1) // 2
+                            THEN cents END) AS med,
+                   MIN(CASE WHEN cum >= (3 * n + 3) // 4
+                            THEN cents END) AS q3,
+                   MIN(CASE WHEN cum >= n THEN cents END) AS mx
+            FROM r GROUP BY region
         """,
         "bigram_head_coverage": """
             WITH words AS (
