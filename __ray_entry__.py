@@ -6107,6 +6107,109 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [("mn", 1, 1_000_000_000), ("q1", 1, 4), ("med", 1, 2),
              ("q3", 3, 4), ("mx", 1, 1)])
 
+    def conversion_by_depth(sf_dir: str):
+        """Session-outcome funnel: conversion rate (session contains a
+        purchase) by session depth — ONE user-bucket shuffle; the
+        kernel sessionizes (30-min gap), reduces each session to
+        (depth, converted) with numpy reduceat, and emits bounded
+        (depth, n, conv) partials; combiner + integer e6 rate after."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.analytics import _bucketed, _np
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        GAP = 1800 * 1_000_000
+
+        def kernel(group: pa.Table) -> pa.Table:
+            empty = pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.int64())],
+                names=["depth", "n", "conv"])
+            if group.num_rows == 0:
+                return empty
+            uid = _np(group.column("user_id"))
+            us = _np(group.column("ts").cast(pa.int64()))
+            isp = (np.asarray(group.column("event_type").to_pylist(),
+                              dtype=object) == "purchase") \
+                .astype(np.int64)
+            order = np.lexsort((us, uid))
+            uid_s, us_s, p_s = uid[order], us[order], isp[order]
+            new = np.ones(len(uid_s), dtype=bool)
+            new[1:] = (uid_s[1:] != uid_s[:-1]) | \
+                (us_s[1:] - us_s[:-1] > GAP)
+            starts = np.flatnonzero(new)
+            depth = np.diff(np.append(starts, len(uid_s)))
+            conv = (np.add.reduceat(p_s, starts) > 0).astype(np.int64)
+            t = pa.table({"depth": pa.array(depth.astype(np.int64)),
+                          "conv": pa.array(conv)})
+            g = t.group_by("depth").aggregate(
+                [([], "count_all"), ("conv", "sum")])
+            return pa.Table.from_arrays(
+                [g.column("depth"),
+                 pc.cast(g.column("count_all"), pa.int64()),
+                 pc.cast(g.column("conv_sum"), pa.int64())],
+                names=["depth", "n", "conv"])
+
+        parts = _bucketed(
+            _read(sf_dir, "events",
+                  ["ts", "user_id", "event_type"]),
+            "user_id", 256).map_groups(kernel, batch_format="pyarrow")
+        agg = combine_aggregate(parts, ["depth"],
+                                [("n", "sum", "n_sessions"),
+                                 ("conv", "sum", "n_converting")])
+
+        def rate(b: pa.Table) -> pa.Table:
+            n = b.column("n_sessions").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            c = b.column("n_converting") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.Table.from_arrays(
+                [b.column("depth"), pa.array(n), pa.array(c),
+                 pa.array((1_000_000 * c) // n)],
+                names=["depth", "n_sessions", "n_converting",
+                       "conv_rate_e6"])
+
+        return agg.map_batches(rate, batch_format="pyarrow")
+
+    def repeat_purchase_rate(sf_dir: str):
+        """Repeat-purchase rate: share of purchasing users active on
+        ≥ 2 distinct purchase DAYS — block-distinct (user, day) of
+        purchases, per-user day-count combiner, single integer row."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def pd_(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b.column("event_type"), "purchase"))
+            day = pc.cast(t.column("ts"), pa.date32())
+            out = pa.Table.from_arrays(
+                [t.column("user_id"), day], names=["user_id", "day"])
+            return out.group_by(["user_id", "day"]).aggregate([])
+
+        days = combine_aggregate(
+            _read(sf_dir, "events",
+                  ["ts", "user_id", "event_type"]).map_batches(
+                pd_, batch_format="pyarrow"),
+            ["user_id", "day"], [("", "count", "_c")])
+        per_user = combine_aggregate(days, ["user_id"],
+                                     [("", "count", "nd")])
+
+        def finish(b: pa.Table) -> pa.Table:
+            nd = pc.cast(b.column("nd"), pa.int64())
+            n = b.num_rows
+            rep = int(pc.sum(pc.cast(pc.greater_equal(nd, 2),
+                                     pa.int64())).as_py() or 0)
+            return pa.Table.from_arrays(
+                [pa.array([n], pa.int64()), pa.array([rep], pa.int64()),
+                 pa.array([(1_000_000 * rep) // n if n else 0],
+                          pa.int64())],
+                names=["n_purchasers", "n_repeat", "repeat_rate_e6"])
+
+        # bounded (≤ users) — single partition finalize
+        return per_user.repartition(1).map_batches(
+            finish, batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -6337,6 +6440,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_lifespan_hist": user_lifespan_hist,
         "cents_mod_hist": cents_mod_hist,
         "supplier_bal_box": supplier_bal_box,
+        "conversion_by_depth": conversion_by_depth,
+        "repeat_purchase_rate": repeat_purchase_rate,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -6470,6 +6575,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_head_coverage", "user_lifespan_hist",
         # new in round 3, fifty-first sweep
         "cents_mod_hist", "supplier_bal_box",
+        # new in round 3, fifty-second sweep
+        "conversion_by_depth", "repeat_purchase_rate",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -7434,6 +7541,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "conversion_by_depth": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_type,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w
+                                    > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events WINDOW w AS (PARTITION BY user_id
+                                         ORDER BY ts)
+            ), sess0 AS (
+                SELECT user_id, event_type,
+                       SUM(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            ), s AS (
+                SELECT user_id, sid, COUNT(*) AS depth,
+                       MAX(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS conv
+                FROM sess0 GROUP BY 1, 2
+            )
+            SELECT CAST(depth AS BIGINT) AS depth,
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(conv) AS BIGINT) AS n_converting,
+                   CAST((1000000 * SUM(conv)) // COUNT(*) AS BIGINT)
+                       AS conv_rate_e6
+            FROM s GROUP BY 1
+        """,
+        "repeat_purchase_rate": """
+            WITH d AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM events WHERE event_type = 'purchase'
+            ), u AS (
+                SELECT user_id, COUNT(*) AS nd FROM d GROUP BY 1
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_purchasers,
+                   CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_repeat,
+                   CAST((1000000 *
+                         SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END))
+                        // COUNT(*) AS BIGINT) AS repeat_rate_e6
+            FROM u
         """,
         "cents_mod_hist": """
             SELECT CAST(FLOOR(100.0 * o_totalprice + 0.5) AS BIGINT)
