@@ -6210,6 +6210,79 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return per_user.repartition(1).map_batches(
             finish, batch_format="pyarrow")
 
+    def word_len_dist(sf_dir: str):
+        """Word-length histogram over the corpus: vectorized split +
+        utf8_length per block, one bounded combiner (the tokenizer
+        sanity profile)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def lens(b: pa.Table) -> pa.Table:
+            w = pc.list_flatten(pc.split_pattern_regex(
+                b.column("text"), pattern=r"\s+"))
+            w = w.filter(pc.not_equal(w, ""))
+            return pa.Table.from_arrays(
+                [pc.cast(pc.utf8_length(w), pa.int64())],
+                names=["wlen"])
+
+        out = combine_aggregate(
+            _read(sf_dir, "documents", ["text"]).map_batches(
+                lens, batch_format="pyarrow"),
+            ["wlen"], [("", "count", "n_words")])
+        return out.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("wlen"),
+                 pc.cast(b.column("n_words"), pa.int64())],
+                names=["wlen", "n_words"]),
+            batch_format="pyarrow")
+
+    def type_profile_cosine(sf_dir: str):
+        """Hourly-profile similarity matrix: cosine (e6) between the
+        24-hour activity profiles of every event-type pair — one
+        (type, hour) combiner (≤ 5·24 cells), exact integer dot
+        products, the lone float sqrt mirrored by the oracle. The
+        profile-similarity shape behind behavioral clustering."""
+        import math
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def cells(b: pa.Table) -> pa.Table:
+            hr = pc.hour(b.column("ts"))
+            return pa.Table.from_arrays(
+                [b.column("event_type"), pc.cast(hr, pa.int64())],
+                names=["event_type", "hour"])
+
+        rows = combine_aggregate(
+            _read(sf_dir, "events", ["ts", "event_type"]).map_batches(
+                cells, batch_format="pyarrow"),
+            ["event_type", "hour"], [("", "count", "n")]).take_all()
+        prof: dict = {}
+        for r in rows:
+            prof.setdefault(r["event_type"], [0] * 24)[r["hour"]] = \
+                int(r["n"])
+        types = sorted(prof)
+        t1o, t2o, cos = [], [], []
+        for i, a in enumerate(types):
+            for bname in types[i + 1:]:
+                va, vb = prof[a], prof[bname]
+                dot = sum(x * y for x, y in zip(va, vb))
+                na = sum(x * x for x in va)
+                nb = sum(y * y for y in vb)
+                c = int(math.floor(
+                    1_000_000.0 * float(dot)
+                    / math.sqrt(float(na) * float(nb)))) \
+                    if na and nb else 0
+                t1o.append(a)
+                t2o.append(bname)
+                cos.append(c)
+        return pa.Table.from_arrays(
+            [pa.array(t1o, pa.string()), pa.array(t2o, pa.string()),
+             pa.array(cos, pa.int64())],
+            names=["t1", "t2", "cos_e6"])
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -6442,6 +6515,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_bal_box": supplier_bal_box,
         "conversion_by_depth": conversion_by_depth,
         "repeat_purchase_rate": repeat_purchase_rate,
+        "word_len_dist": word_len_dist,
+        "type_profile_cosine": type_profile_cosine,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -6577,6 +6652,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cents_mod_hist", "supplier_bal_box",
         # new in round 3, fifty-second sweep
         "conversion_by_depth", "repeat_purchase_rate",
+        # new in round 3, fifty-third sweep
+        "word_len_dist", "type_profile_cosine",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -7541,6 +7618,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "word_len_dist": """
+            SELECT CAST(LENGTH(word) AS BIGINT) AS wlen,
+                   CAST(COUNT(*) AS BIGINT) AS n_words
+            FROM (
+                SELECT unnest(regexp_split_to_array(trim(text),
+                                                    '\\s+')) AS word
+                FROM documents WHERE trim(text) <> ''
+            ) GROUP BY 1
+        """,
+        "type_profile_cosine": """
+            WITH c AS (
+                SELECT event_type, hour(ts) AS hr, COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            ), p AS (
+                SELECT a.event_type AS t1, b.event_type AS t2,
+                       SUM(a.n * b.n) AS dot
+                FROM c a JOIN c b ON a.hr = b.hr
+                                  AND a.event_type < b.event_type
+                GROUP BY 1, 2
+            ), nrm AS (
+                SELECT event_type, SUM(n * n) AS n2 FROM c GROUP BY 1
+            )
+            SELECT p.t1, p.t2,
+                   CAST(FLOOR(1000000.0 * p.dot
+                              / SQRT(CAST(na.n2 AS DOUBLE)
+                                     * CAST(nb.n2 AS DOUBLE)))
+                        AS BIGINT) AS cos_e6
+            FROM p JOIN nrm na ON na.event_type = p.t1
+                   JOIN nrm nb ON nb.event_type = p.t2
         """,
         "conversion_by_depth": """
             WITH flagged AS (
