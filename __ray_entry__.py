@@ -6354,6 +6354,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 names=["tax_band", "disc_band", "n_items"]),
             batch_format="pyarrow")
 
+    def activity_gini(sf_dir: str):
+        """Activity-inequality Gini over events-per-user (how
+        concentrated is traffic among users?): per-user count
+        combiner, then the distribution-only closed-form Gini
+        (shuffle.grouped_gini_e6) with a constant group key — distinct
+        counts, not users, cross the final exchange."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import (
+            combine_aggregate, grouped_gini_e6)
+
+        per_user = combine_aggregate(
+            _read(sf_dir, "events", ["user_id"]),
+            ["user_id"], [("", "count", "n")])
+
+        def prep(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [pa.array([0] * b.num_rows, pa.int64()),
+                 pc.cast(b.column("n"), pa.int64())],
+                names=["__g", "n"])
+
+        out = grouped_gini_e6(
+            per_user.map_batches(prep, batch_format="pyarrow"),
+            ["__g"], "n", out_col="gini_e6", n_col="n_users")
+        return out.map_batches(
+            lambda b: b.select(["n_users", "gini_e6"]),
+            batch_format="pyarrow")
+
+    def name_key_audit(sf_dir: str):
+        """Referential string-format audit: does the numeric suffix of
+        s_name match s_suppkey? Vectorized regexp extract + integer
+        compare per block (no per-row Python), single-row partial-sum
+        merge — the name/key consistency check every ingest pipeline
+        runs."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate  # noqa: F401
+
+        def audit(b: pa.Table) -> pa.Table:
+            digits = pc.extract_regex(b.column("s_name"),
+                                      pattern=r"#(?P<d>[0-9]+)$")
+            d = pc.cast(pc.struct_field(digits, "d"), pa.int64())
+            ok = pc.equal(d, pc.cast(b.column("s_suppkey"), pa.int64()))
+            bad = pc.sum(pc.cast(pc.invert(pc.fill_null(ok, False)),
+                                 pa.int64()))
+            return pa.Table.from_arrays(
+                [pa.array([b.num_rows], pa.int64()),
+                 pa.array([int(bad.as_py() or 0)], pa.int64())],
+                names=["n", "bad"])
+
+        parts = _read(sf_dir, "supplier",
+                      ["s_name", "s_suppkey"]).map_batches(
+            audit, batch_format="pyarrow")
+
+        def finish(b: pa.Table) -> pa.Table:
+            n = int(pc.sum(b.column("n")).as_py() or 0)
+            bad = int(pc.sum(b.column("bad")).as_py() or 0)
+            return pa.Table.from_arrays(
+                [pa.array([n], pa.int64()),
+                 pa.array([bad], pa.int64())],
+                names=["n_suppliers", "n_mismatch"])
+
+        return parts.repartition(1).map_batches(
+            finish, batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -6590,6 +6655,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_profile_cosine": type_profile_cosine,
         "bipartite_density": bipartite_density,
         "tax_discount_heat": tax_discount_heat,
+        "activity_gini": activity_gini,
+        "name_key_audit": name_key_audit,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -6729,6 +6796,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_len_dist", "type_profile_cosine",
         # new in round 3, fifty-fourth sweep
         "bipartite_density", "tax_discount_heat",
+        # new in round 3, fifty-fifth sweep
+        "activity_gini", "name_key_audit",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -7693,6 +7762,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "activity_gini": """
+            WITH c AS (
+                SELECT user_id, COUNT(*) AS n
+                FROM events GROUP BY 1
+            ), r AS (
+                SELECT n,
+                       ROW_NUMBER() OVER (ORDER BY n) AS i,
+                       COUNT(*) OVER () AS m,
+                       SUM(n) OVER () AS tot
+                FROM c
+            )
+            SELECT CAST(MAX(m) AS BIGINT) AS n_users,
+                   CAST(FLOOR(1000000.0 * SUM((2 * i - m - 1) * n)
+                              / (MAX(m) * MAX(tot))) AS BIGINT)
+                       AS gini_e6
+            FROM r
+        """,
+        "name_key_audit": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                   CAST(SUM(CASE WHEN CAST(regexp_extract(
+                                s_name, '#([0-9]+)$', 1) AS BIGINT)
+                                 <> s_suppkey
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_mismatch
+            FROM supplier
         """,
         "bipartite_density": """
             WITH p AS (
