@@ -6419,6 +6419,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return parts.repartition(1).map_batches(
             finish, batch_format="pyarrow")
 
+    def sessions_per_user_dist(sf_dir: str):
+        """Sessions-per-user histogram: the shared sessionizer's
+        bounded session table reduces through a per-user count
+        combiner and then a histogram combiner."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+        from htmlreader_ray.functions.windows import session_windows
+
+        sess = session_windows(
+            _read(sf_dir, "events", ["ts", "user_id"]))
+        per_user = combine_aggregate(
+            sess.select_columns(["user_id"]),
+            ["user_id"], [("", "count", "ns")])
+        hist = combine_aggregate(per_user, ["ns"],
+                                 [("", "count", "n_users")])
+        return hist.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [pc.cast(b.column("ns"), pa.int64()),
+                 pc.cast(b.column("n_users"), pa.int64())],
+                names=["n_sessions", "n_users"]),
+            batch_format="pyarrow")
+
+    def order_status_share(sf_dir: str):
+        """Order-status mix (covers o_orderstatus) with e6 shares —
+        one bounded combiner + total broadcast."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        t = combine_aggregate(
+            _read(sf_dir, "orders", ["o_orderstatus"]),
+            ["o_orderstatus"], [("", "count", "n")])
+        rows = t.take_all()
+        tot = sum(int(r["n"]) for r in rows)
+
+        def share(b: pa.Table) -> pa.Table:
+            n = pc.cast(b.column("n"), pa.int64()) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.Table.from_arrays(
+                [b.column("o_orderstatus"), pa.array(n),
+                 pa.array((1_000_000 * n) // tot)],
+                names=["o_orderstatus", "n_orders", "share_e6"])
+
+        return t.map_batches(share, batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -6657,6 +6704,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tax_discount_heat": tax_discount_heat,
         "activity_gini": activity_gini,
         "name_key_audit": name_key_audit,
+        "sessions_per_user_dist": sessions_per_user_dist,
+        "order_status_share": order_status_share,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -6798,6 +6847,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bipartite_density", "tax_discount_heat",
         # new in round 3, fifty-fifth sweep
         "activity_gini", "name_key_audit",
+        # new in round 3, fifty-sixth sweep
+        "sessions_per_user_dist", "order_status_share",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -7762,6 +7813,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "sessions_per_user_dist": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w
+                                    > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events WINDOW w AS (PARTITION BY user_id
+                                         ORDER BY ts)
+            ), u AS (
+                SELECT user_id, SUM(new_session) AS ns
+                FROM flagged GROUP BY 1
+            )
+            SELECT CAST(ns AS BIGINT) AS n_sessions,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM u GROUP BY 1
+        """,
+        "order_status_share": """
+            WITH t AS (
+                SELECT o_orderstatus, COUNT(*) AS n
+                FROM orders GROUP BY 1
+            ), s AS (SELECT SUM(n) AS tot FROM t)
+            SELECT o_orderstatus, CAST(n AS BIGINT) AS n_orders,
+                   CAST((1000000 * n) // tot AS BIGINT) AS share_e6
+            FROM t, s
         """,
         "activity_gini": """
             WITH c AS (
