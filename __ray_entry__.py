@@ -6466,6 +6466,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return t.map_batches(share, batch_format="pyarrow")
 
+    def prefix_cluster_hist(sf_dir: str):
+        """Prefix-duplication candidate clusters: documents grouped by
+        their first 40 characters (the cheap prefix-dedup heuristic),
+        cluster-size histogram — vectorized utf8_slice, prefix-count
+        combiner (bounded by distinct prefixes), histogram combiner."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def prefix(b: pa.Table) -> pa.Table:
+            p = pc.utf8_slice_codeunits(b.column("text"), start=0,
+                                        stop=40)
+            return pa.Table.from_arrays([p], names=["prefix"])
+
+        clusters = combine_aggregate(
+            _read(sf_dir, "documents", ["text"]).map_batches(
+                prefix, batch_format="pyarrow"),
+            ["prefix"], [("", "count", "sz")])
+        hist = combine_aggregate(clusters.select_columns(["sz"]),
+                                 ["sz"], [("", "count", "n_clusters")])
+        return hist.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [pc.cast(b.column("sz"), pa.int64()),
+                 pc.cast(b.column("n_clusters"), pa.int64())],
+                names=["cluster_size", "n_clusters"]),
+            batch_format="pyarrow")
+
+    def ts_resolution_audit(sf_dir: str):
+        """Timestamp-resolution audit: how many event timestamps are
+        second-/minute-aligned vs carry sub-second precision — the
+        ingest-pipeline clock-quality check; one single-row partial
+        merge, all counts from two vectorized modulo kernels."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def audit(b: pa.Table) -> pa.Table:
+            us = pc.cast(b.column("ts"), pa.int64())
+            sec = pc.cast(pc.equal(
+                pc.subtract(us, pc.multiply(pc.divide(
+                    us, pa.scalar(1_000_000, pa.int64())),
+                    pa.scalar(1_000_000, pa.int64()))),
+                pa.scalar(0, pa.int64())), pa.int64())
+            mn = pc.cast(pc.equal(
+                pc.subtract(us, pc.multiply(pc.divide(
+                    us, pa.scalar(60_000_000, pa.int64())),
+                    pa.scalar(60_000_000, pa.int64()))),
+                pa.scalar(0, pa.int64())), pa.int64())
+            return pa.Table.from_arrays(
+                [pa.array([b.num_rows], pa.int64()),
+                 pa.array([int(pc.sum(sec).as_py() or 0)], pa.int64()),
+                 pa.array([int(pc.sum(mn).as_py() or 0)], pa.int64())],
+                names=["n", "sec_aligned", "min_aligned"])
+
+        parts = _read(sf_dir, "events", ["ts"]).map_batches(
+            audit, batch_format="pyarrow")
+
+        def finish(b: pa.Table) -> pa.Table:
+            n = int(pc.sum(b.column("n")).as_py() or 0)
+            sa = int(pc.sum(b.column("sec_aligned")).as_py() or 0)
+            ma = int(pc.sum(b.column("min_aligned")).as_py() or 0)
+            return pa.Table.from_arrays(
+                [pa.array([n], pa.int64()), pa.array([sa], pa.int64()),
+                 pa.array([ma], pa.int64())],
+                names=["n_events", "sec_aligned", "min_aligned"])
+
+        return parts.repartition(1).map_batches(
+            finish, batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -6706,6 +6774,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_key_audit": name_key_audit,
         "sessions_per_user_dist": sessions_per_user_dist,
         "order_status_share": order_status_share,
+        "prefix_cluster_hist": prefix_cluster_hist,
+        "ts_resolution_audit": ts_resolution_audit,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -6849,6 +6919,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activity_gini", "name_key_audit",
         # new in round 3, fifty-sixth sweep
         "sessions_per_user_dist", "order_status_share",
+        # new in round 3, fifty-seventh sweep
+        "prefix_cluster_hist", "ts_resolution_audit",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -7813,6 +7885,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "prefix_cluster_hist": """
+            WITH p AS (
+                SELECT SUBSTRING(text, 1, 40) AS prefix, COUNT(*) AS sz
+                FROM documents GROUP BY 1
+            )
+            SELECT CAST(sz AS BIGINT) AS cluster_size,
+                   CAST(COUNT(*) AS BIGINT) AS n_clusters
+            FROM p GROUP BY 1
+        """,
+        "ts_resolution_audit": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN epoch_us(ts) % 1000000 = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS sec_aligned,
+                   CAST(SUM(CASE WHEN epoch_us(ts) % 60000000 = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS min_aligned
+            FROM events
         """,
         "sessions_per_user_dist": """
             WITH flagged AS (
