@@ -6534,6 +6534,73 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return parts.repartition(1).map_batches(
             finish, batch_format="pyarrow")
 
+    def anchor_len_box(sf_dir: str):
+        """Five-number summary of anchor-text lengths across the
+        extracted link table (anchor quality profile): parse →
+        utf8_length (codepoints, NBSP included) → ONE
+        value-distribution exchange for all five order statistics."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import (
+            grouped_percentile_disc)
+
+        links = _read(sf_dir, "documents",
+                      ["doc_id", "text"]).map_batches(
+            q.as_task(q.LinkExtract), batch_format="pyarrow")
+
+        def lens(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [pa.array([0] * b.num_rows, pa.int64()),
+                 pc.cast(pc.utf8_length(b.column("anchor")),
+                         pa.int64())],
+                names=["__g", "alen"])
+
+        out = grouped_percentile_disc(
+            links.map_batches(lens, batch_format="pyarrow"),
+            ["__g"], "alen",
+            [("mn", 1, 1_000_000_000), ("q1", 1, 4), ("med", 1, 2),
+             ("q3", 3, 4), ("mx", 1, 1)])
+        return out.map_batches(
+            lambda b: b.select(["mn", "q1", "med", "q3", "mx"]),
+            batch_format="pyarrow")
+
+    def href_scheme_share(sf_dir: str):
+        """Link scheme mix (https / http / relative) with e6 shares:
+        vectorized case-folded starts_with kernels over the extracted
+        href column, bounded combiner, total broadcast."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        links = _read(sf_dir, "documents",
+                      ["doc_id", "text"]).map_batches(
+            q.as_task(q.LinkExtract), batch_format="pyarrow")
+
+        def scheme(b: pa.Table) -> pa.Table:
+            h = pc.utf8_lower(b.column("href"))
+            sch = pc.if_else(
+                pc.starts_with(h, "https://"), "https",
+                pc.if_else(pc.starts_with(h, "http://"), "http",
+                           "rel"))
+            return pa.Table.from_arrays([sch], names=["scheme"])
+
+        t = combine_aggregate(
+            links.map_batches(scheme, batch_format="pyarrow"),
+            ["scheme"], [("", "count", "n")])
+        rows = t.take_all()
+        tot = sum(int(r["n"]) for r in rows)
+
+        def share(b: pa.Table) -> pa.Table:
+            n = pc.cast(b.column("n"), pa.int64()) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.Table.from_arrays(
+                [b.column("scheme"), pa.array(n),
+                 pa.array((1_000_000 * n) // tot)],
+                names=["scheme", "n_links", "share_e6"])
+
+        return t.map_batches(share, batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -6776,6 +6843,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_status_share": order_status_share,
         "prefix_cluster_hist": prefix_cluster_hist,
         "ts_resolution_audit": ts_resolution_audit,
+        "anchor_len_box": anchor_len_box,
+        "href_scheme_share": href_scheme_share,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -6921,6 +6990,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions_per_user_dist", "order_status_share",
         # new in round 3, fifty-seventh sweep
         "prefix_cluster_hist", "ts_resolution_audit",
+        # new in round 3, fifty-eighth sweep
+        "anchor_len_box", "href_scheme_share",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -7885,6 +7956,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "anchor_len_box": """
+            WITH links AS (
+                SELECT 'ref ' || CAST(j AS VARCHAR) AS anchor,
+                       (CASE WHEN j % 2 = 0 THEN 'https'
+                             ELSE 'http' END) AS scheme
+                FROM documents d,
+                     UNNEST(generate_series(0, d.doc_id % 3)) AS t(j)
+                UNION ALL
+                SELECT b.anchor, 'rel'
+                FROM documents d CROSS JOIN (VALUES
+                    ('Home'), ('Archive'),
+                    ('Contact' || chr(160) || 'Us'),
+                    ('Terms'), ('Related one'),
+                    ('Related two')) AS b(anchor)
+            )
+            , d AS (
+                SELECT LENGTH(anchor) AS alen, COUNT(*) AS cnt
+                FROM links GROUP BY 1
+            ), r AS (
+                SELECT alen, SUM(cnt) OVER (ORDER BY alen) AS cum,
+                       SUM(cnt) OVER () AS n
+                FROM d
+            )
+            SELECT MIN(CASE WHEN cum >= (n + 999999999) // 1000000000
+                            THEN alen END) AS mn,
+                   MIN(CASE WHEN cum >= (n + 3) // 4
+                            THEN alen END) AS q1,
+                   MIN(CASE WHEN cum >= (n + 1) // 2
+                            THEN alen END) AS med,
+                   MIN(CASE WHEN cum >= (3 * n + 3) // 4
+                            THEN alen END) AS q3,
+                   MIN(CASE WHEN cum >= n THEN alen END) AS mx
+            FROM r
+        """,
+        "href_scheme_share": """
+            WITH links AS (
+                SELECT 'ref ' || CAST(j AS VARCHAR) AS anchor,
+                       (CASE WHEN j % 2 = 0 THEN 'https'
+                             ELSE 'http' END) AS scheme
+                FROM documents d,
+                     UNNEST(generate_series(0, d.doc_id % 3)) AS t(j)
+                UNION ALL
+                SELECT b.anchor, 'rel'
+                FROM documents d CROSS JOIN (VALUES
+                    ('Home'), ('Archive'),
+                    ('Contact' || chr(160) || 'Us'),
+                    ('Terms'), ('Related one'),
+                    ('Related two')) AS b(anchor)
+            )
+            , t AS (
+                SELECT scheme, COUNT(*) AS n FROM links GROUP BY 1
+            ), s AS (SELECT SUM(n) AS tot FROM t)
+            SELECT scheme, CAST(n AS BIGINT) AS n_links,
+                   CAST((1000000 * n) // tot AS BIGINT) AS share_e6
+            FROM t, s
         """,
         "prefix_cluster_hist": """
             WITH p AS (
