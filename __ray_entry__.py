@@ -6601,6 +6601,81 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return t.map_batches(share, batch_format="pyarrow")
 
+    def title_roundtrip_len(sf_dir: str):
+        """RCDATA/entity parse parity as lengths: parse each generated
+        page, take the <title> textContent (entity &raquo; decodes to
+        one codepoint through the real tokenizer) and histogram its
+        length — the oracle regenerates 'Doc N » corpus' from doc_id
+        arithmetic, so any RCDATA or entity divergence shifts a
+        bucket."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def kernel(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_pylist()
+            texts = b.column("text").to_pylist()
+            out = []
+            for key, t in zip(ids, texts):
+                doc = q.parse(q.build_page(int(key), t or ""))
+                tlen = 0
+                for node in doc.elements_in_tree_order():
+                    if node.tag == "title":
+                        tlen = len(node.text_content)
+                        break
+                out.append(tlen)
+            return pa.Table.from_arrays(
+                [pa.array(out, pa.int64())], names=["tlen"])
+
+        hist = combine_aggregate(
+            _read(sf_dir, "documents",
+                  ["doc_id", "text"]).map_batches(
+                kernel, batch_format="pyarrow"),
+            ["tlen"], [("", "count", "n_docs")])
+        return hist.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("tlen"),
+                 pc.cast(b.column("n_docs"), pa.int64())],
+                names=["tlen", "n_docs"]),
+            batch_format="pyarrow")
+
+    def comment_count_by_variant(sf_dir: str):
+        """Comment-node parse parity per template variant: variant 4
+        pages carry exactly two comments (a '---'-bearing decorative
+        comment and an IE conditional — both tokenizer edge cases),
+        the rest none; counts per (doc_id %% 5) pin the comment path
+        of the real tree builder against doc_id arithmetic."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.kernel.dom import Comment
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def kernel(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_pylist()
+            texts = b.column("text").to_pylist()
+            var, nc = [], []
+            for key, t in zip(ids, texts):
+                doc = q.parse(q.build_page(int(key), t or ""))
+                n = sum(1 for node in doc.tree_order()
+                        if isinstance(node, Comment))
+                var.append(int(key) % 5)
+                nc.append(n)
+            return pa.Table.from_arrays(
+                [pa.array(var, pa.int64()), pa.array(nc, pa.int64())],
+                names=["variant", "n_comments"])
+
+        agg = combine_aggregate(
+            _read(sf_dir, "documents",
+                  ["doc_id", "text"]).map_batches(
+                kernel, batch_format="pyarrow"),
+            ["variant", "n_comments"], [("", "count", "n_docs")])
+        return agg.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("variant"), b.column("n_comments"),
+                 pc.cast(b.column("n_docs"), pa.int64())],
+                names=["variant", "n_comments", "n_docs"]),
+            batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -6845,6 +6920,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_resolution_audit": ts_resolution_audit,
         "anchor_len_box": anchor_len_box,
         "href_scheme_share": href_scheme_share,
+        "title_roundtrip_len": title_roundtrip_len,
+        "comment_count_by_variant": comment_count_by_variant,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -6992,6 +7069,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_cluster_hist", "ts_resolution_audit",
         # new in round 3, fifty-eighth sweep
         "anchor_len_box", "href_scheme_share",
+        # new in round 3, fifty-ninth sweep
+        "title_roundtrip_len", "comment_count_by_variant",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -7956,6 +8035,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "title_roundtrip_len": """
+            SELECT CAST(LENGTH('Doc ' || CAST(doc_id AS VARCHAR)
+                               || ' \u00bb corpus') AS BIGINT)
+                       AS tlen,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "comment_count_by_variant": """
+            SELECT CAST(doc_id % 5 AS BIGINT) AS variant,
+                   CAST(CASE WHEN doc_id % 5 = 4 THEN 2 ELSE 0 END
+                        AS BIGINT) AS n_comments,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1, 2
         """,
         "anchor_len_box": """
             WITH links AS (
