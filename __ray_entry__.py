@@ -6676,6 +6676,79 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 names=["variant", "n_comments", "n_docs"]),
             batch_format="pyarrow")
 
+    def serialize_idempotence_audit(sf_dir: str):
+        """Serializer fixpoint invariant, end-to-end: parse each
+        generated page, serialize, REPARSE the serialization and
+        serialize again — the two serializations must be identical
+        (the html5lib serializer-idempotence property). The zero
+        mismatch column is the contract: any tokenizer/tree/serializer
+        drift in either direction breaks it. Runs the full kernel
+        twice per doc."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.kernel.serialize import serialize_fragment
+
+        def kernel(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_pylist()
+            texts = b.column("text").to_pylist()
+            bad = 0
+            for key, t in zip(ids, texts):
+                doc = q.parse(q.build_page(int(key), t or ""))
+                s1 = serialize_fragment(doc)
+                s2 = serialize_fragment(q.parse(s1))
+                if s1 != s2:
+                    bad += 1
+            return pa.Table.from_arrays(
+                [pa.array([b.num_rows], pa.int64()),
+                 pa.array([bad], pa.int64())],
+                names=["n", "bad"])
+
+        parts = _read(sf_dir, "documents",
+                      ["doc_id", "text"]).map_batches(
+            kernel, batch_format="pyarrow")
+
+        def finish(b: pa.Table) -> pa.Table:
+            n = int(pc.sum(b.column("n")).as_py() or 0)
+            bad = int(pc.sum(b.column("bad")).as_py() or 0)
+            return pa.Table.from_arrays(
+                [pa.array([n], pa.int64()),
+                 pa.array([bad], pa.int64())],
+                names=["n_docs", "n_nonidempotent"])
+
+        return parts.repartition(1).map_batches(
+            finish, batch_format="pyarrow")
+
+    def value_digits_hist(sf_dir: str):
+        """Magnitude profile: events per (type, digit count of cents)
+        — the all-integer log-scale histogram (digit count ⇔ decade
+        bucket, no float log anywhere); one bounded combiner."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def digits(b: pa.Table) -> pa.Table:
+            cents = pc.cast(
+                pc.floor(pc.add(pc.multiply(pa.scalar(100.0),
+                                            b.column("value")),
+                                pa.scalar(0.5))), pa.int64())
+            nd = pc.cast(pc.utf8_length(pc.cast(cents, pa.string())),
+                         pa.int64())
+            return pa.Table.from_arrays(
+                [b.column("event_type"), nd],
+                names=["event_type", "n_digits"])
+
+        out = combine_aggregate(
+            _read(sf_dir, "events",
+                  ["event_type", "value"]).map_batches(
+                digits, batch_format="pyarrow"),
+            ["event_type", "n_digits"], [("", "count", "n_events")])
+        return out.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("event_type"), b.column("n_digits"),
+                 pc.cast(b.column("n_events"), pa.int64())],
+                names=["event_type", "n_digits", "n_events"]),
+            batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -6922,6 +6995,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "href_scheme_share": href_scheme_share,
         "title_roundtrip_len": title_roundtrip_len,
         "comment_count_by_variant": comment_count_by_variant,
+        "serialize_idempotence_audit": serialize_idempotence_audit,
+        "value_digits_hist": value_digits_hist,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -7071,6 +7146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_len_box", "href_scheme_share",
         # new in round 3, fifty-ninth sweep
         "title_roundtrip_len", "comment_count_by_variant",
+        # new in round 3, sixtieth sweep
+        "serialize_idempotence_audit", "value_digits_hist",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -8035,6 +8112,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "serialize_idempotence_audit": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(0 AS BIGINT) AS n_nonidempotent
+            FROM documents
+        """,
+        "value_digits_hist": """
+            SELECT event_type,
+                   CAST(LENGTH(CAST(CAST(FLOOR(100.0 * value + 0.5)
+                                         AS BIGINT) AS VARCHAR))
+                        AS BIGINT) AS n_digits,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
         """,
         "title_roundtrip_len": """
             SELECT CAST(LENGTH('Doc ' || CAST(doc_id AS VARCHAR)
