@@ -6749,6 +6749,116 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 names=["event_type", "n_digits", "n_events"]),
             batch_format="pyarrow")
 
+    def qty_price_spearman(sf_dir: str):
+        """Spearman rank correlation between part size and retail
+        price with EXACT tie handling: doubled average ranks
+        (2·avg = 2·cnt_less + cnt_eq + 1, integer) come from two
+        combiner-reduced VALUE DISTRIBUTIONS broadcast as rank maps;
+        per-block integer moment partials; the lone float expression
+        1e6·num/(sqrt(da)·sqrt(db)) mirrored verbatim. (int64 moment
+        headroom: safe to ~3e9 rows; the SQL side is HUGEINT.)"""
+        import math
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def xy(b: pa.Table) -> pa.Table:
+            x = pc.cast(b.column("p_size"), pa.int64())
+            y = pc.cast(pc.floor(pc.add(pc.multiply(
+                pa.scalar(100.0), b.column("p_retailprice")),
+                pa.scalar(0.5))), pa.int64())
+            return pa.Table.from_arrays([x, y], names=["x", "y"])
+
+        src = _read(sf_dir, "part",
+                    ["p_size", "p_retailprice"]).map_batches(
+            xy, batch_format="pyarrow")
+
+        def rank_map(col: str):
+            rows = combine_aggregate(src.select_columns([col]),
+                                     [col], [("", "count", "c")]) \
+                .take_all()
+            rows.sort(key=lambda r: r[col])
+            out, less = {}, 0
+            for r in rows:
+                c = int(r["c"])
+                out[r[col]] = 2 * less + c + 1
+                less += c
+            return out
+
+        rx = ray.put(rank_map("x"))
+        ry = ray.put(rank_map("y"))
+
+        def moments(b: pa.Table) -> pa.Table:
+            mx, my = ray.get(rx), ray.get(ry)
+            a = np.array([mx[v] for v in
+                          b.column("x").to_pylist()], np.int64)
+            c = np.array([my[v] for v in
+                          b.column("y").to_pylist()], np.int64)
+            return pa.Table.from_arrays(
+                [pa.array([len(a)], pa.int64()),
+                 pa.array([int(a.sum())], pa.int64()),
+                 pa.array([int(c.sum())], pa.int64()),
+                 pa.array([int((a * c).sum())], pa.int64()),
+                 pa.array([int((a * a).sum())], pa.int64()),
+                 pa.array([int((c * c).sum())], pa.int64())],
+                names=["n", "sa", "sb", "sab", "saa", "sbb"])
+
+        parts = src.map_batches(moments, batch_format="pyarrow")
+
+        def finish(b: pa.Table) -> pa.Table:
+            tot = {k: int(pc.sum(b.column(k)).as_py() or 0)
+                   for k in ["n", "sa", "sb", "sab", "saa", "sbb"]}
+            n = tot["n"]
+            num = n * tot["sab"] - tot["sa"] * tot["sb"]
+            da = n * tot["saa"] - tot["sa"] ** 2
+            db = n * tot["sbb"] - tot["sb"] ** 2
+            rho = int(math.floor(1_000_000.0 * float(num)
+                                 / (math.sqrt(float(da))
+                                    * math.sqrt(float(db))))) \
+                if da > 0 and db > 0 else 0
+            return pa.Table.from_arrays(
+                [pa.array([n], pa.int64()),
+                 pa.array([rho], pa.int64())],
+                names=["n_parts", "rho_e6"])
+
+        return parts.repartition(1).map_batches(
+            finish, batch_format="pyarrow")
+
+    def hour_activity_gini(sf_dir: str):
+        """Gini concentration of traffic across hours-of-day —
+        load-balance inequality: hourly count combiner (24 cells),
+        distribution-only Gini with a constant group key."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import (
+            combine_aggregate, grouped_gini_e6)
+
+        def cells(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [pc.cast(pc.hour(b.column("ts")), pa.int64())],
+                names=["hr"])
+
+        hours = combine_aggregate(
+            _read(sf_dir, "events", ["ts"]).map_batches(
+                cells, batch_format="pyarrow"),
+            ["hr"], [("", "count", "n")])
+
+        def prep(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [pa.array([0] * b.num_rows, pa.int64()),
+                 pc.cast(b.column("n"), pa.int64())],
+                names=["__g", "n"])
+
+        out = grouped_gini_e6(
+            hours.map_batches(prep, batch_format="pyarrow"),
+            ["__g"], "n", out_col="gini_e6", n_col="n_hours")
+        return out.map_batches(
+            lambda b: b.select(["n_hours", "gini_e6"]),
+            batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -6997,6 +7107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "comment_count_by_variant": comment_count_by_variant,
         "serialize_idempotence_audit": serialize_idempotence_audit,
         "value_digits_hist": value_digits_hist,
+        "qty_price_spearman": qty_price_spearman,
+        "hour_activity_gini": hour_activity_gini,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -7148,6 +7260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "title_roundtrip_len", "comment_count_by_variant",
         # new in round 3, sixtieth sweep
         "serialize_idempotence_audit", "value_digits_hist",
+        # new in round 3, sixty-first sweep
+        "qty_price_spearman", "hour_activity_gini",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -8112,6 +8226,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "qty_price_spearman": """
+            WITH p AS (
+                SELECT CAST(p_size AS BIGINT) AS x,
+                       CAST(FLOOR(100.0 * p_retailprice + 0.5)
+                            AS BIGINT) AS y
+                FROM part
+            ), rx AS (
+                SELECT x, 2 * (SUM(COUNT(*)) OVER (ORDER BY x)
+                               - COUNT(*)) + COUNT(*) + 1 AS a
+                FROM p GROUP BY x
+            ), ry AS (
+                SELECT y, 2 * (SUM(COUNT(*)) OVER (ORDER BY y)
+                               - COUNT(*)) + COUNT(*) + 1 AS b
+                FROM p GROUP BY y
+            ), j AS (
+                SELECT rx.a, ry.b FROM p
+                JOIN rx USING (x) JOIN ry USING (y)
+            ), st AS (
+                SELECT COUNT(*) AS n, SUM(a) AS sa, SUM(b) AS sb,
+                       SUM(a * b) AS sab, SUM(a * a) AS saa,
+                       SUM(b * b) AS sbb
+                FROM j
+            )
+            SELECT CAST(n AS BIGINT) AS n_parts,
+                   CAST(FLOOR(1000000.0 * (n * sab - sa * sb)
+                              / (SQRT(CAST(n * saa - sa * sa
+                                           AS DOUBLE))
+                                 * SQRT(CAST(n * sbb - sb * sb
+                                             AS DOUBLE))))
+                        AS BIGINT) AS rho_e6
+            FROM st
+        """,
+        "hour_activity_gini": """
+            WITH c AS (
+                SELECT hour(ts) AS hr, COUNT(*) AS n
+                FROM events GROUP BY 1
+            ), r AS (
+                SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS i,
+                       COUNT(*) OVER () AS m, SUM(n) OVER () AS tot
+                FROM c
+            )
+            SELECT CAST(MAX(m) AS BIGINT) AS n_hours,
+                   CAST(FLOOR(1000000.0 * SUM((2 * i - m - 1) * n)
+                              / (MAX(m) * MAX(tot))) AS BIGINT)
+                       AS gini_e6
+            FROM r
         """,
         "serialize_idempotence_audit": """
             SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
