@@ -6859,6 +6859,94 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: b.select(["n_hours", "gini_e6"]),
             batch_format="pyarrow")
 
+    def weekend_value_ttest(sf_dir: str):
+        """Welch t-statistic for weekend vs weekday purchase cents:
+        the A/B-test primitive. All six moments are exact integers
+        through ONE combiner; the t expression is a fixed float chain
+        — mean = double(s)/n, var = (double(ss) − double(s)·s/n)/(n−1),
+        t = (ma − mb)/sqrt(va/na + vb/nb) — written with the identical
+        operation order on both sides."""
+        import math
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def cells(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b.column("event_type"), "purchase"))
+            ts = t.column("ts").to_numpy(zero_copy_only=False)
+            dow = (ts.astype("datetime64[D]").view("int64") + 3) % 7 + 1
+            we = (dow >= 6).astype(np.int64)
+            cents = np.floor(100.0 * t.column("value")
+                             .to_numpy(zero_copy_only=False)
+                             .astype(np.float64) + 0.5).astype(np.int64)
+            return pa.table({"we": pa.array(we),
+                             "c": pa.array(cents),
+                             "c2": pa.array(cents * cents)})
+
+        agg = combine_aggregate(
+            _read(sf_dir, "events",
+                  ["ts", "event_type", "value"]).map_batches(
+                cells, batch_format="pyarrow"),
+            ["we"], [("c", "count", "n"), ("c", "sum", "s"),
+                     ("c2", "sum", "ss")]).take_all()
+        m = {int(r["we"]): (int(r["n"]), int(r["s"]), int(r["ss"]))
+             for r in agg}
+        na, sa, saa = m.get(0, (0, 0, 0))
+        nb, sb, sbb = m.get(1, (0, 0, 0))
+        if na > 1 and nb > 1:
+            ma = float(sa) / na
+            mb = float(sb) / nb
+            va = (float(saa) - float(sa) * sa / na) / (na - 1)
+            vb = (float(sbb) - float(sb) * sb / nb) / (nb - 1)
+            t = (ma - mb) / math.sqrt(va / na + vb / nb)
+            t_e6 = int(math.floor(1_000_000.0 * t))
+        else:
+            t_e6 = 0
+        return pa.Table.from_arrays(
+            [pa.array([na], pa.int64()), pa.array([nb], pa.int64()),
+             pa.array([t_e6], pa.int64())],
+            names=["n_weekday", "n_weekend", "t_e6"])
+
+    def chars_per_word_box(sf_dir: str):
+        """Five-number summary of per-document chars-per-word in e3
+        ((1000·n_chars)//n_words, integer): per-doc ratio map + ONE
+        value-distribution exchange."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import (
+            grouped_percentile_disc)
+
+        def ratio(b: pa.Table) -> pa.Table:
+            w = pc.split_pattern_regex(pc.utf8_trim_whitespace(
+                b.column("text")), pattern=r"\s+")
+            nw = pc.cast(pc.list_value_length(w), pa.int64())
+            t = pa.Table.from_arrays(
+                [pc.cast(b.column("n_chars"), pa.int64()), nw],
+                names=["nc", "nw"]).filter(
+                pc.and_(pc.greater(nw, 0),
+                        pc.not_equal(pc.utf8_trim_whitespace(
+                            b.column("text")), "")))
+            r = pc.divide(pc.multiply(t.column("nc"),
+                                      pa.scalar(1000, pa.int64())),
+                          t.column("nw"))
+            return pa.Table.from_arrays(
+                [pa.array([0] * t.num_rows, pa.int64()),
+                 pc.cast(r, pa.int64())],
+                names=["__g", "cpw"])
+
+        out = grouped_percentile_disc(
+            _read(sf_dir, "documents",
+                  ["text", "n_chars"]).map_batches(
+                ratio, batch_format="pyarrow"),
+            ["__g"], "cpw",
+            [("mn", 1, 1_000_000_000), ("q1", 1, 4), ("med", 1, 2),
+             ("q3", 3, 4), ("mx", 1, 1)])
+        return out.map_batches(
+            lambda b: b.select(["mn", "q1", "med", "q3", "mx"]),
+            batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -7109,6 +7197,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_digits_hist": value_digits_hist,
         "qty_price_spearman": qty_price_spearman,
         "hour_activity_gini": hour_activity_gini,
+        "weekend_value_ttest": weekend_value_ttest,
+        "chars_per_word_box": chars_per_word_box,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -7262,6 +7352,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "serialize_idempotence_audit", "value_digits_hist",
         # new in round 3, sixty-first sweep
         "qty_price_spearman", "hour_activity_gini",
+        # new in round 3, sixty-second sweep
+        "weekend_value_ttest", "chars_per_word_box",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -8226,6 +8318,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "weekend_value_ttest": """
+            WITH c AS (
+                SELECT CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END
+                           AS we,
+                       CAST(FLOOR(100.0 * value + 0.5) AS BIGINT)
+                           AS cents
+                FROM events WHERE event_type = 'purchase'
+            ), m AS (
+                SELECT we, COUNT(*) AS n, SUM(cents) AS s,
+                       SUM(cents * cents) AS ss
+                FROM c GROUP BY 1
+            ), p AS (
+                SELECT MAX(CASE WHEN we = 0 THEN n END) AS na,
+                       MAX(CASE WHEN we = 0 THEN s END) AS sa,
+                       MAX(CASE WHEN we = 0 THEN ss END) AS saa,
+                       MAX(CASE WHEN we = 1 THEN n END) AS nb,
+                       MAX(CASE WHEN we = 1 THEN s END) AS sb,
+                       MAX(CASE WHEN we = 1 THEN ss END) AS sbb
+                FROM m
+            )
+            SELECT CAST(na AS BIGINT) AS n_weekday,
+                   CAST(nb AS BIGINT) AS n_weekend,
+                   CAST(FLOOR(1000000.0 *
+                        ((CAST(sa AS DOUBLE) / na
+                          - CAST(sb AS DOUBLE) / nb)
+                         / SQRT(((CAST(saa AS DOUBLE)
+                                  - CAST(sa AS DOUBLE) * sa / na)
+                                 / (na - 1)) / na
+                                + ((CAST(sbb AS DOUBLE)
+                                    - CAST(sb AS DOUBLE) * sb / nb)
+                                   / (nb - 1)) / nb)))
+                        AS BIGINT) AS t_e6
+            FROM p
+        """,
+        "chars_per_word_box": """
+            WITH d AS (
+                SELECT n_chars,
+                       len(regexp_split_to_array(trim(text),
+                                                 '\s+')) AS n_words
+                FROM documents WHERE trim(text) <> ''
+            ), r AS (
+                SELECT (1000 * n_chars) // n_words AS cpw,
+                       COUNT(*) AS cnt
+                FROM d WHERE n_words > 0 GROUP BY 1
+            ), w AS (
+                SELECT cpw, SUM(cnt) OVER (ORDER BY cpw) AS cum,
+                       SUM(cnt) OVER () AS n
+                FROM r
+            )
+            SELECT MIN(CASE WHEN cum >= (n + 999999999) // 1000000000
+                            THEN cpw END) AS mn,
+                   MIN(CASE WHEN cum >= (n + 3) // 4
+                            THEN cpw END) AS q1,
+                   MIN(CASE WHEN cum >= (n + 1) // 2
+                            THEN cpw END) AS med,
+                   MIN(CASE WHEN cum >= (3 * n + 3) // 4
+                            THEN cpw END) AS q3,
+                   MIN(CASE WHEN cum >= n THEN cpw END) AS mx
+            FROM w
         """,
         "qty_price_spearman": """
             WITH p AS (
