@@ -6947,6 +6947,99 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: b.select(["mn", "q1", "med", "q3", "mx"]),
             batch_format="pyarrow")
 
+    def weekend_mwu(sf_dir: str):
+        """Mann-Whitney rank-sum U (doubled, exact with ties) for
+        weekend vs weekday purchase cents — the nonparametric sibling
+        of the Welch t: ONE (cents, side) distribution combiner, then
+        a single bounded sorted scan computes tie-corrected doubled
+        ranks and 2U = Σcnt_a·r2 − na(na+1) in pure integers."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def cells(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b.column("event_type"), "purchase"))
+            ts = t.column("ts").to_numpy(zero_copy_only=False)
+            dow = (ts.astype("datetime64[D]").view("int64") + 3) % 7 + 1
+            we = (dow >= 6).astype(np.int64)
+            cents = np.floor(100.0 * t.column("value")
+                             .to_numpy(zero_copy_only=False)
+                             .astype(np.float64) + 0.5).astype(np.int64)
+            return pa.table({"cents": pa.array(cents),
+                             "a": pa.array((1 - we)),
+                             "b_": pa.array(we)})
+
+        dist = combine_aggregate(
+            _read(sf_dir, "events",
+                  ["ts", "event_type", "value"]).map_batches(
+                cells, batch_format="pyarrow"),
+            ["cents"], [("a", "sum", "ca"), ("b_", "sum", "cb")])
+
+        def finish(b: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(b.column("cents"))
+            t = b.take(idx)
+            ca = t.column("ca").to_numpy(zero_copy_only=False) \
+                .astype(object)
+            cb = t.column("cb").to_numpy(zero_copy_only=False) \
+                .astype(object)
+            tot = ca + cb
+            cum = np.cumsum(tot)
+            r2 = 2 * (cum - tot) + tot + 1
+            na, nb = int(sum(ca)), int(sum(cb))
+            sra = int(sum(c * r for c, r in zip(ca, r2)))
+            u2 = sra - na * (na + 1)
+            return pa.Table.from_arrays(
+                [pa.array([na], pa.int64()), pa.array([nb], pa.int64()),
+                 pa.array([u2], pa.int64())],
+                names=["n_weekday", "n_weekend", "u2"])
+
+        return dist.repartition(1).map_batches(
+            finish, batch_format="pyarrow")
+
+    def top_type_by_hour(sf_dir: str):
+        """Dominant event type per hour-of-day (argmax with
+        (n DESC, type) tiebreak): 24·|types| combiner, head-1 over the
+        bounded cell table."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        cellsd = combine_aggregate(
+            _read(sf_dir, "events",
+                  ["ts", "event_type"]).map_batches(
+                lambda b: pa.Table.from_arrays(
+                    [pc.cast(pc.hour(b.column("ts")), pa.int64()),
+                     b.column("event_type")],
+                    names=["hr", "event_type"]),
+                batch_format="pyarrow"),
+            ["hr", "event_type"], [("", "count", "n")])
+
+        def head1(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.int64()), pa.array([], pa.string()),
+                     pa.array([], pa.int64())],
+                    names=["hr", "event_type", "n"])
+            hr = b.column("hr").to_numpy(zero_copy_only=False)
+            n = pc.cast(b.column("n"), pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            et = np.asarray(b.column("event_type").to_pylist(),
+                            dtype=object)
+            order = np.lexsort((et, -n, hr))
+            h_s = hr[order]
+            first = np.concatenate(([True], h_s[1:] != h_s[:-1]))
+            keep = order[first]
+            keep.sort()
+            return pa.Table.from_arrays(
+                [pa.array(hr[keep]), pa.array(et[keep], pa.string()),
+                 pa.array(n[keep])],
+                names=["hr", "event_type", "n"])
+
+        return cellsd.repartition(1).map_batches(
+            head1, batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -7199,6 +7292,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hour_activity_gini": hour_activity_gini,
         "weekend_value_ttest": weekend_value_ttest,
         "chars_per_word_box": chars_per_word_box,
+        "weekend_mwu": weekend_mwu,
+        "top_type_by_hour": top_type_by_hour,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -7354,6 +7449,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_price_spearman", "hour_activity_gini",
         # new in round 3, sixty-second sweep
         "weekend_value_ttest", "chars_per_word_box",
+        # new in round 3, sixty-third sweep
+        "weekend_mwu", "top_type_by_hour",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -8318,6 +8415,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "weekend_mwu": """
+            WITH c AS (
+                SELECT CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END
+                           AS we,
+                       CAST(FLOOR(100.0 * value + 0.5) AS BIGINT)
+                           AS cents
+                FROM events WHERE event_type = 'purchase'
+            ), d AS (
+                SELECT cents,
+                       SUM(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS ca,
+                       SUM(CASE WHEN we = 1 THEN 1 ELSE 0 END) AS cb
+                FROM c GROUP BY 1
+            ), r AS (
+                SELECT cents, ca, cb,
+                       2 * (SUM(ca + cb) OVER (ORDER BY cents)
+                            - (ca + cb)) + (ca + cb) + 1 AS r2
+                FROM d
+            ), st AS (
+                SELECT SUM(ca) AS na, SUM(cb) AS nb,
+                       SUM(ca * r2) AS sra
+                FROM r
+            )
+            SELECT CAST(na AS BIGINT) AS n_weekday,
+                   CAST(nb AS BIGINT) AS n_weekend,
+                   CAST(sra - na * (na + 1) AS BIGINT) AS u2
+            FROM st
+        """,
+        "top_type_by_hour": """
+            WITH c AS (
+                SELECT hour(ts) AS hr, event_type, COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            ), r AS (
+                SELECT hr, event_type, n,
+                       ROW_NUMBER() OVER (PARTITION BY hr
+                                          ORDER BY n DESC,
+                                                   event_type) AS rn
+                FROM c
+            )
+            SELECT CAST(hr AS BIGINT) AS hr, event_type,
+                   CAST(n AS BIGINT) AS n
+            FROM r WHERE rn = 1
         """,
         "weekend_value_ttest": """
             WITH c AS (
