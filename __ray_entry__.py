@@ -7040,6 +7040,93 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return cellsd.repartition(1).map_batches(
             head1, batch_format="pyarrow")
 
+    def weekend_ks(sf_dir: str):
+        """Two-sample Kolmogorov-Smirnov D between weekend and weekday
+        purchase cents, ALL-INTEGER: D = max|F_a − F_b| evaluates as
+        max|cum_a·nb − cum_b·na| over the shared value distribution,
+        then d_e6 = (1e6·max)//(na·nb) — no float CDF anywhere.
+        Completes the nonparametric pair-test family (t, U, KS) on the
+        same single distribution combiner."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def cells(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b.column("event_type"), "purchase"))
+            ts = t.column("ts").to_numpy(zero_copy_only=False)
+            dow = (ts.astype("datetime64[D]").view("int64") + 3) % 7 + 1
+            we = (dow >= 6).astype(np.int64)
+            cents = np.floor(100.0 * t.column("value")
+                             .to_numpy(zero_copy_only=False)
+                             .astype(np.float64) + 0.5).astype(np.int64)
+            return pa.table({"cents": pa.array(cents),
+                             "a": pa.array((1 - we)),
+                             "b_": pa.array(we)})
+
+        dist = combine_aggregate(
+            _read(sf_dir, "events",
+                  ["ts", "event_type", "value"]).map_batches(
+                cells, batch_format="pyarrow"),
+            ["cents"], [("a", "sum", "ca"), ("b_", "sum", "cb")])
+
+        def finish(b: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(b.column("cents"))
+            t = b.take(idx)
+            ca = t.column("ca").to_numpy(zero_copy_only=False) \
+                .astype(object)
+            cb = t.column("cb").to_numpy(zero_copy_only=False) \
+                .astype(object)
+            cuma = np.cumsum(ca)
+            cumb = np.cumsum(cb)
+            na, nb = int(cuma[-1]), int(cumb[-1])
+            dmax = int(max(abs(int(x) * nb - int(y) * na)
+                           for x, y in zip(cuma, cumb))) \
+                if na and nb else 0
+            d_e6 = (1_000_000 * dmax) // (na * nb) if na and nb else 0
+            return pa.Table.from_arrays(
+                [pa.array([na], pa.int64()), pa.array([nb], pa.int64()),
+                 pa.array([d_e6], pa.int64())],
+                names=["n_weekday", "n_weekend", "d_e6"])
+
+        return dist.repartition(1).map_batches(
+            finish, batch_format="pyarrow")
+
+    def peak_day_share(sf_dir: str):
+        """Peak-day concentration per event type: the busiest day's
+        share of the type's events in e6 — (type, day) combiner, then
+        per-type max/total from the bounded cell table."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        cellsd = combine_aggregate(
+            _read(sf_dir, "events",
+                  ["ts", "event_type"]).map_batches(
+                lambda b: pa.Table.from_arrays(
+                    [b.column("event_type"),
+                     pc.cast(b.column("ts"), pa.date32())],
+                    names=["event_type", "day"]),
+                batch_format="pyarrow"),
+            ["event_type", "day"], [("", "count", "n")])
+        agg = combine_aggregate(cellsd, ["event_type"],
+                                [("n", "max", "peak"),
+                                 ("n", "sum", "tot")])
+
+        def share(b: pa.Table) -> pa.Table:
+            pk = b.column("peak").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            tot = b.column("tot").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.Table.from_arrays(
+                [b.column("event_type"), pa.array(pk), pa.array(tot),
+                 pa.array((1_000_000 * pk) // tot)],
+                names=["event_type", "peak_day", "n_events",
+                       "peak_share_e6"])
+
+        return agg.map_batches(share, batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -7294,6 +7381,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chars_per_word_box": chars_per_word_box,
         "weekend_mwu": weekend_mwu,
         "top_type_by_hour": top_type_by_hour,
+        "weekend_ks": weekend_ks,
+        "peak_day_share": peak_day_share,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -7451,6 +7540,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekend_value_ttest", "chars_per_word_box",
         # new in round 3, sixty-third sweep
         "weekend_mwu", "top_type_by_hour",
+        # new in round 3, sixty-fourth sweep
+        "weekend_ks", "peak_day_share",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -8415,6 +8506,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "weekend_ks": """
+            WITH c AS (
+                SELECT CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END
+                           AS we,
+                       CAST(FLOOR(100.0 * value + 0.5) AS BIGINT)
+                           AS cents
+                FROM events WHERE event_type = 'purchase'
+            ), d AS (
+                SELECT cents,
+                       SUM(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS ca,
+                       SUM(CASE WHEN we = 1 THEN 1 ELSE 0 END) AS cb
+                FROM c GROUP BY 1
+            ), r AS (
+                SELECT SUM(ca) OVER (ORDER BY cents) AS cuma,
+                       SUM(cb) OVER (ORDER BY cents) AS cumb,
+                       SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+                FROM d
+            )
+            SELECT CAST(MAX(na) AS BIGINT) AS n_weekday,
+                   CAST(MAX(nb) AS BIGINT) AS n_weekend,
+                   CAST((1000000 * MAX(ABS(cuma * nb - cumb * na)))
+                        // (MAX(na) * MAX(nb)) AS BIGINT) AS d_e6
+            FROM r
+        """,
+        "peak_day_share": """
+            WITH c AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            ), a AS (
+                SELECT event_type, MAX(n) AS peak, SUM(n) AS tot
+                FROM c GROUP BY 1
+            )
+            SELECT event_type, CAST(peak AS BIGINT) AS peak_day,
+                   CAST(tot AS BIGINT) AS n_events,
+                   CAST((1000000 * peak) // tot AS BIGINT)
+                       AS peak_share_e6
+            FROM a
         """,
         "weekend_mwu": """
             WITH c AS (
