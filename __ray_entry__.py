@@ -7127,6 +7127,83 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(share, batch_format="pyarrow")
 
+    def type_copresence(sf_dir: str):
+        """User co-presence matrix over event types: for every type
+        pair, how many users have BOTH — per-user flag-max combiner,
+        then per-block flag-product partials (10 pairs × blocks rows)
+        and one tiny merge; no self-join."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        TYPES = ["click", "error", "purchase", "signup", "view"]
+
+        def flags(b: pa.Table) -> pa.Table:
+            et = b.column("event_type")
+            cols = [b.column("user_id")]
+            names = ["user_id"]
+            for name in TYPES:
+                cols.append(pc.cast(pc.equal(et, name), pa.int64()))
+                names.append(f"f_{name}")
+            return pa.Table.from_arrays(cols, names=names)
+
+        per_user = combine_aggregate(
+            _read(sf_dir, "events",
+                  ["user_id", "event_type"]).map_batches(
+                flags, batch_format="pyarrow"),
+            ["user_id"],
+            [(f"f_{n}", "max", f"f_{n}") for n in TYPES])
+
+        def pair_partials(b: pa.Table) -> pa.Table:
+            f = {n: b.column(f"f_{n}")
+                 .to_numpy(zero_copy_only=False).astype(np.int64)
+                 for n in TYPES}
+            t1o, t2o, no = [], [], []
+            for i, a in enumerate(TYPES):
+                for c in TYPES[i + 1:]:
+                    t1o.append(a)
+                    t2o.append(c)
+                    no.append(int((f[a] * f[c]).sum()))
+            return pa.Table.from_arrays(
+                [pa.array(t1o, pa.string()), pa.array(t2o, pa.string()),
+                 pa.array(no, pa.int64())],
+                names=["t1", "t2", "n_users"])
+
+        out = combine_aggregate(
+            per_user.map_batches(pair_partials, batch_format="pyarrow"),
+            ["t1", "t2"], [("n_users", "sum", "n_users")])
+        return out.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("t1"), b.column("t2"),
+                 pc.cast(b.column("n_users"), pa.int64())],
+                names=["t1", "t2", "n_users"]),
+            batch_format="pyarrow")
+
+    def dom_profile(sf_dir: str):
+        """Day-of-month order profile (calendar-artifact check: month
+        ends, the 31st): one ≤ 31-cell combiner."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def dom(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [pc.cast(pc.day(b.column("o_orderdate")), pa.int64())],
+                names=["dom"])
+
+        out = combine_aggregate(
+            _read(sf_dir, "orders", ["o_orderdate"]).map_batches(
+                dom, batch_format="pyarrow"),
+            ["dom"], [("", "count", "n_orders")])
+        return out.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("dom"),
+                 pc.cast(b.column("n_orders"), pa.int64())],
+                names=["dom", "n_orders"]),
+            batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -7383,6 +7460,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_type_by_hour": top_type_by_hour,
         "weekend_ks": weekend_ks,
         "peak_day_share": peak_day_share,
+        "type_copresence": type_copresence,
+        "dom_profile": dom_profile,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -7542,6 +7621,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekend_mwu", "top_type_by_hour",
         # new in round 3, sixty-fourth sweep
         "weekend_ks", "peak_day_share",
+        # new in round 3, sixty-fifth sweep
+        "type_copresence", "dom_profile",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -8506,6 +8587,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "type_copresence": """
+            WITH f AS (
+                SELECT user_id,
+                       MAX(CASE WHEN event_type = 'click'
+                                THEN 1 ELSE 0 END) AS click,
+                       MAX(CASE WHEN event_type = 'error'
+                                THEN 1 ELSE 0 END) AS error,
+                       MAX(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS purchase,
+                       MAX(CASE WHEN event_type = 'signup'
+                                THEN 1 ELSE 0 END) AS signup,
+                       MAX(CASE WHEN event_type = 'view'
+                                THEN 1 ELSE 0 END) AS view
+                FROM events GROUP BY 1
+            )
+            SELECT 'click' AS t1, 'error' AS t2,
+                   CAST(SUM(click * error) AS BIGINT) AS n_users
+            FROM f
+            UNION ALL SELECT 'click', 'purchase',
+                   CAST(SUM(click * purchase) AS BIGINT) FROM f
+            UNION ALL SELECT 'click', 'signup',
+                   CAST(SUM(click * signup) AS BIGINT) FROM f
+            UNION ALL SELECT 'click', 'view',
+                   CAST(SUM(click * view) AS BIGINT) FROM f
+            UNION ALL SELECT 'error', 'purchase',
+                   CAST(SUM(error * purchase) AS BIGINT) FROM f
+            UNION ALL SELECT 'error', 'signup',
+                   CAST(SUM(error * signup) AS BIGINT) FROM f
+            UNION ALL SELECT 'error', 'view',
+                   CAST(SUM(error * view) AS BIGINT) FROM f
+            UNION ALL SELECT 'purchase', 'signup',
+                   CAST(SUM(purchase * signup) AS BIGINT) FROM f
+            UNION ALL SELECT 'purchase', 'view',
+                   CAST(SUM(purchase * view) AS BIGINT) FROM f
+            UNION ALL SELECT 'signup', 'view',
+                   CAST(SUM(signup * view) AS BIGINT) FROM f
+        """,
+        "dom_profile": """
+            SELECT CAST(day(o_orderdate) AS BIGINT) AS dom,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1
         """,
         "weekend_ks": """
             WITH c AS (
