@@ -7204,6 +7204,105 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 names=["dom", "n_orders"]),
             batch_format="pyarrow")
 
+    def type_affinity_lift(sf_dir: str):
+        """Association lift between event-type pairs:
+        lift_e6 = (1e6·n_both·N) // (n_a·n_b) — the market-basket
+        support/lift shape on user flags; same flag-max combiner as
+        type_copresence plus per-type totals, all integer."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        TYPES = ["click", "error", "purchase", "signup", "view"]
+
+        def flags(b: pa.Table) -> pa.Table:
+            et = b.column("event_type")
+            cols = [b.column("user_id")]
+            names = ["user_id"]
+            for name in TYPES:
+                cols.append(pc.cast(pc.equal(et, name), pa.int64()))
+                names.append(f"f_{name}")
+            return pa.Table.from_arrays(cols, names=names)
+
+        per_user = combine_aggregate(
+            _read(sf_dir, "events",
+                  ["user_id", "event_type"]).map_batches(
+                flags, batch_format="pyarrow"),
+            ["user_id"],
+            [(f"f_{n}", "max", f"f_{n}") for n in TYPES])
+
+        def partials(b: pa.Table) -> pa.Table:
+            f = {n: b.column(f"f_{n}")
+                 .to_numpy(zero_copy_only=False).astype(np.int64)
+                 for n in TYPES}
+            row = [b.num_rows] + [int(f[n].sum()) for n in TYPES]
+            names = ["N"] + [f"t_{n}" for n in TYPES]
+            for i, a in enumerate(TYPES):
+                for c in TYPES[i + 1:]:
+                    row.append(int((f[a] * f[c]).sum()))
+                    names.append(f"b_{a}_{c}")
+            return pa.Table.from_arrays(
+                [pa.array([v], pa.int64()) for v in row], names=names)
+
+        def finish(b: pa.Table) -> pa.Table:
+            tot = {c: int(pc.sum(b.column(c)).as_py() or 0)
+                   for c in b.column_names}
+            N = tot["N"]
+            t1o, t2o, nb, lf = [], [], [], []
+            for i, a in enumerate(TYPES):
+                for c in TYPES[i + 1:]:
+                    n_both = tot[f"b_{a}_{c}"]
+                    ta, tc = tot[f"t_{a}"], tot[f"t_{c}"]
+                    t1o.append(a)
+                    t2o.append(c)
+                    nb.append(n_both)
+                    lf.append((1_000_000 * n_both * N) // (ta * tc)
+                              if ta and tc else 0)
+            return pa.Table.from_arrays(
+                [pa.array(t1o, pa.string()),
+                 pa.array(t2o, pa.string()),
+                 pa.array(nb, pa.int64()), pa.array(lf, pa.int64())],
+                names=["t1", "t2", "n_both", "lift_e6"])
+
+        return per_user.map_batches(partials, batch_format="pyarrow") \
+            .repartition(1).map_batches(finish, batch_format="pyarrow")
+
+    def orderkey_density_audit(sf_dir: str):
+        """Key-density audit: how many order keys are missing from the
+        [min, max] range (sequence completeness after ingest) — min /
+        max / distinct count through ONE combiner pass, single integer
+        row."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        dist = combine_aggregate(
+            _read(sf_dir, "orders", ["o_orderkey"]),
+            ["o_orderkey"], [("", "count", "_c")])
+
+        def partial(b: pa.Table) -> pa.Table:
+            k = b.column("o_orderkey")
+            return pa.Table.from_arrays(
+                [pa.array([int(pc.min(k).as_py())], pa.int64()),
+                 pa.array([int(pc.max(k).as_py())], pa.int64()),
+                 pa.array([b.num_rows], pa.int64())],
+                names=["mn", "mx", "nd"])
+
+        def finish(b: pa.Table) -> pa.Table:
+            mn = int(pc.min(b.column("mn")).as_py())
+            mx = int(pc.max(b.column("mx")).as_py())
+            nd = int(pc.sum(b.column("nd")).as_py() or 0)
+            return pa.Table.from_arrays(
+                [pa.array([mn], pa.int64()), pa.array([mx], pa.int64()),
+                 pa.array([nd], pa.int64()),
+                 pa.array([(mx - mn + 1) - nd], pa.int64())],
+                names=["min_key", "max_key", "n_distinct",
+                       "n_missing"])
+
+        return dist.map_batches(partial, batch_format="pyarrow") \
+            .repartition(1).map_batches(finish, batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -7462,6 +7561,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_day_share": peak_day_share,
         "type_copresence": type_copresence,
         "dom_profile": dom_profile,
+        "type_affinity_lift": type_affinity_lift,
+        "orderkey_density_audit": orderkey_density_audit,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -7623,6 +7724,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekend_ks", "peak_day_share",
         # new in round 3, sixty-fifth sweep
         "type_copresence", "dom_profile",
+        # new in round 3, sixty-sixth sweep
+        "type_affinity_lift", "orderkey_density_audit",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -8587,6 +8690,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "type_affinity_lift": """
+            WITH f AS (
+                SELECT user_id,
+                       MAX(CASE WHEN event_type = 'click'
+                                THEN 1 ELSE 0 END) AS click,
+                       MAX(CASE WHEN event_type = 'error'
+                                THEN 1 ELSE 0 END) AS error,
+                       MAX(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS purchase,
+                       MAX(CASE WHEN event_type = 'signup'
+                                THEN 1 ELSE 0 END) AS signup,
+                       MAX(CASE WHEN event_type = 'view'
+                                THEN 1 ELSE 0 END) AS view
+                FROM events GROUP BY 1
+            ), s AS (
+                SELECT COUNT(*) AS N, SUM(click) AS c, SUM(error) AS e,
+                       SUM(purchase) AS p, SUM(signup) AS g,
+                       SUM(view) AS v,
+                       SUM(click * error) AS ce,
+                       SUM(click * purchase) AS cp,
+                       SUM(click * signup) AS cg,
+                       SUM(click * view) AS cv,
+                       SUM(error * purchase) AS ep,
+                       SUM(error * signup) AS eg,
+                       SUM(error * view) AS ev,
+                       SUM(purchase * signup) AS pg,
+                       SUM(purchase * view) AS pv,
+                       SUM(signup * view) AS gv
+                FROM f
+            )
+            SELECT 'click' AS t1, 'error' AS t2,
+                   CAST(ce AS BIGINT) AS n_both,
+                   CAST((1000000 * ce * N) // (c * e) AS BIGINT)
+                       AS lift_e6 FROM s
+            UNION ALL SELECT 'click', 'purchase', CAST(cp AS BIGINT),
+                   CAST((1000000 * cp * N) // (c * p) AS BIGINT) FROM s
+            UNION ALL SELECT 'click', 'signup', CAST(cg AS BIGINT),
+                   CAST((1000000 * cg * N) // (c * g) AS BIGINT) FROM s
+            UNION ALL SELECT 'click', 'view', CAST(cv AS BIGINT),
+                   CAST((1000000 * cv * N) // (c * v) AS BIGINT) FROM s
+            UNION ALL SELECT 'error', 'purchase', CAST(ep AS BIGINT),
+                   CAST((1000000 * ep * N) // (e * p) AS BIGINT) FROM s
+            UNION ALL SELECT 'error', 'signup', CAST(eg AS BIGINT),
+                   CAST((1000000 * eg * N) // (e * g) AS BIGINT) FROM s
+            UNION ALL SELECT 'error', 'view', CAST(ev AS BIGINT),
+                   CAST((1000000 * ev * N) // (e * v) AS BIGINT) FROM s
+            UNION ALL SELECT 'purchase', 'signup', CAST(pg AS BIGINT),
+                   CAST((1000000 * pg * N) // (p * g) AS BIGINT) FROM s
+            UNION ALL SELECT 'purchase', 'view', CAST(pv AS BIGINT),
+                   CAST((1000000 * pv * N) // (p * v) AS BIGINT) FROM s
+            UNION ALL SELECT 'signup', 'view', CAST(gv AS BIGINT),
+                   CAST((1000000 * gv * N) // (g * v) AS BIGINT) FROM s
+        """,
+        "orderkey_density_audit": """
+            SELECT CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+                   CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+                   CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)
+                       AS n_distinct,
+                   CAST(MAX(o_orderkey) - MIN(o_orderkey) + 1
+                        - COUNT(DISTINCT o_orderkey) AS BIGINT)
+                       AS n_missing
+            FROM orders
         """,
         "type_copresence": """
             WITH f AS (
