@@ -7303,6 +7303,96 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dist.map_batches(partial, batch_format="pyarrow") \
             .repartition(1).map_batches(finish, batch_format="pyarrow")
 
+    def transition_entropy(sf_dir: str):
+        """Behavioral predictability: Shannon entropy (e3 nats) of
+        each event type's NEXT-type transition row under the
+        quantized-ln contract — per-term
+        floor(1000·(−(n/tot)·ln(n/tot)) + 0.5) summed as integers,
+        so only the per-cell float is mirrored, never a running sum.
+        Reuses the user-bucket transition pair machinery."""
+        import math
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.analytics import _bucketed, _np
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def kernel(group: pa.Table) -> pa.Table:
+            empty = pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.string()),
+                 pa.array([], pa.int64())],
+                names=["t1", "t2", "n"])
+            if group.num_rows < 2:
+                return empty
+            uid = _np(group.column("user_id"))
+            us = _np(group.column("ts").cast(pa.int64()))
+            eid = _np(group.column("event_id"))
+            order = np.lexsort((eid, us, uid))
+            uid_s = uid[order]
+            same = uid_s[1:] == uid_s[:-1]
+            if not same.any():
+                return empty
+            types = group.column("event_type").combine_chunks()
+            pos = np.flatnonzero(same)
+            t1 = types.take(pa.array(order[pos]))
+            t2 = types.take(pa.array(order[pos + 1]))
+            g = pa.Table.from_arrays([t1, t2], names=["t1", "t2"]) \
+                .group_by(["t1", "t2"]).aggregate([([], "count_all")])
+            return g.rename_columns(["t1", "t2", "n"])
+
+        pairs = combine_aggregate(
+            _bucketed(_read(sf_dir, "events",
+                            ["event_id", "ts", "user_id",
+                             "event_type"]),
+                      "user_id", 256).map_groups(
+                kernel, batch_format="pyarrow"),
+            ["t1", "t2"], [("n", "sum", "n")]).take_all()
+        tot: dict = {}
+        for r in pairs:
+            tot[r["t1"]] = tot.get(r["t1"], 0) + int(r["n"])
+        h: dict = {}
+        for r in pairs:
+            p = int(r["n"]) / tot[r["t1"]]
+            h[r["t1"]] = h.get(r["t1"], 0) + math.floor(
+                1000.0 * (-p * math.log(p)) + 0.5)
+        types = sorted(tot)
+        return pa.Table.from_arrays(
+            [pa.array(types, pa.string()),
+             pa.array([tot[t] for t in types], pa.int64()),
+             pa.array([h[t] for t in types], pa.int64())],
+            names=["t1", "n_transitions", "entropy_e3"])
+
+    def source_lang_chi2(sf_dir: str):
+        """Chi-square independence of (source, lang) over documents —
+        is language mix uniform across sources? Same per-cell integer
+        quantization as independence_chi2; one bounded cell
+        combiner."""
+        import pyarrow as pa
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        cells = combine_aggregate(
+            _read(sf_dir, "documents", ["source", "lang"]),
+            ["source", "lang"], [("", "count", "o")]).take_all()
+        rows: dict = {}
+        cols: dict = {}
+        N = 0
+        for r in cells:
+            rows[r["source"]] = rows.get(r["source"], 0) + int(r["o"])
+            cols[r["lang"]] = cols.get(r["lang"], 0) + int(r["o"])
+            N += int(r["o"])
+        chi = 0
+        for r in cells:
+            o = int(r["o"])
+            ri = rows[r["source"]]
+            cj = cols[r["lang"]]
+            chi += (1_000_000 * (N * o - ri * cj) ** 2) \
+                // (N * ri * cj)
+        return pa.Table.from_arrays(
+            [pa.array([chi], pa.int64()), pa.array([N], pa.int64()),
+             pa.array([len(cells)], pa.int64())],
+            names=["chi2_e6", "n_docs", "n_cells"])
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -7563,6 +7653,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dom_profile": dom_profile,
         "type_affinity_lift": type_affinity_lift,
         "orderkey_density_audit": orderkey_density_audit,
+        "transition_entropy": transition_entropy,
+        "source_lang_chi2": source_lang_chi2,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -7726,6 +7818,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_copresence", "dom_profile",
         # new in round 3, sixty-sixth sweep
         "type_affinity_lift", "orderkey_density_audit",
+        # new in round 3, sixty-seventh sweep
+        "transition_entropy", "source_lang_chi2",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -8690,6 +8784,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "transition_entropy": """
+            WITH nx AS (
+                SELECT event_type AS t1,
+                       LEAD(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS t2
+                FROM events
+            ), c AS (
+                SELECT t1, t2, COUNT(*) AS n
+                FROM nx WHERE t2 IS NOT NULL GROUP BY 1, 2
+            ), t AS (
+                SELECT t1, SUM(n) AS tot FROM c GROUP BY 1
+            )
+            SELECT c.t1, CAST(t.tot AS BIGINT) AS n_transitions,
+                   CAST(SUM(FLOOR(1000.0 *
+                        (-(CAST(c.n AS DOUBLE) / t.tot)
+                         * LN(CAST(c.n AS DOUBLE) / t.tot)) + 0.5))
+                        AS BIGINT) AS entropy_e3
+            FROM c JOIN t USING (t1)
+            GROUP BY c.t1, t.tot
+        """,
+        "source_lang_chi2": """
+            WITH c AS (
+                SELECT source, lang, COUNT(*) AS o
+                FROM documents GROUP BY 1, 2
+            ), r AS (SELECT source, SUM(o) AS ri FROM c GROUP BY 1),
+            k AS (SELECT lang, SUM(o) AS cj FROM c GROUP BY 1),
+            n AS (SELECT SUM(o) AS N FROM c)
+            SELECT CAST(SUM((1000000 *
+                             (n.N * c.o - r.ri * k.cj)
+                             * (n.N * c.o - r.ri * k.cj))
+                            // (n.N * r.ri * k.cj)) AS BIGINT)
+                       AS chi2_e6,
+                   CAST(MAX(n.N) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells
+            FROM c JOIN r USING (source) JOIN k USING (lang)
+            CROSS JOIN n
         """,
         "type_affinity_lift": """
             WITH f AS (
