@@ -7393,6 +7393,124 @@ def queries() -> dict[str, Callable[[str], Any]]:
              pa.array([len(cells)], pa.int64())],
             names=["chi2_e6", "n_docs", "n_cells"])
 
+    def new_returning_mix(sf_dir: str):
+        """New-vs-returning mix per day: an event is 'new' iff it
+        falls on its user's first active day. ONE user-bucket shuffle;
+        the kernel derives each user's first day and flags every event
+        vectorized (per-row first-day gather via segment ids), then
+        bounded (day, new/returning) partials; combiner after."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.analytics import _bucketed, _np
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def kernel(group: pa.Table) -> pa.Table:
+            empty = pa.Table.from_arrays(
+                [pa.array([], pa.date32()), pa.array([], pa.int64()),
+                 pa.array([], pa.int64())],
+                names=["day", "new", "ret"])
+            if group.num_rows == 0:
+                return empty
+            uid = _np(group.column("user_id"))
+            ts = group.column("ts").to_numpy(zero_copy_only=False)
+            day = ts.astype("datetime64[D]").view("int64")
+            order = np.lexsort((day, uid))
+            uid_s, day_s = uid[order], day[order]
+            starts = np.flatnonzero(np.concatenate(
+                ([True], uid_s[1:] != uid_s[:-1])))
+            seg = np.cumsum(np.concatenate(
+                ([False], uid_s[1:] != uid_s[:-1]))).astype(np.int64)
+            first = day_s[starts][seg]
+            is_new = (day_s == first).astype(np.int64)
+            t = pa.table({
+                "day": pa.array(day_s.astype("int32"), pa.date32()),
+                "new": pa.array(is_new),
+                "ret": pa.array(1 - is_new)})
+            g = t.group_by("day").aggregate(
+                [("new", "sum"), ("ret", "sum")])
+            return g.rename_columns(["day", "new", "ret"])
+
+        parts = _bucketed(
+            _read(sf_dir, "events", ["ts", "user_id"]),
+            "user_id", 256).map_groups(kernel, batch_format="pyarrow")
+        out = combine_aggregate(parts, ["day"],
+                                [("new", "sum", "n_new"),
+                                 ("ret", "sum", "n_returning")])
+        return out.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("day"),
+                 pc.cast(b.column("n_new"), pa.int64()),
+                 pc.cast(b.column("n_returning"), pa.int64())],
+                names=["day", "n_new", "n_returning"]),
+            batch_format="pyarrow")
+
+    def lines_value_pearson(sf_dir: str):
+        """Pearson r between basket size and basket value (order
+        grain), completing the correlation family alongside Spearman:
+        per-order (n_lines, cents) through ONE combiner, exact integer
+        moments per block, the lone float expression
+        1e6·num/(sqrt(dx)·sqrt(dy)) mirrored verbatim."""
+        import math
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def li(b: pa.Table) -> pa.Table:
+            cents = pc.cast(
+                pc.floor(pc.add(pc.multiply(pa.scalar(100.0),
+                                            b.column("l_extendedprice")),
+                                pa.scalar(0.5))), pa.int64())
+            return pa.Table.from_arrays(
+                [b.column("l_orderkey"), cents,
+                 pa.array([1] * b.num_rows, pa.int64())],
+                names=["l_orderkey", "cents", "one"])
+
+        per_order = combine_aggregate(
+            _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_extendedprice"]).map_batches(
+                li, batch_format="pyarrow"),
+            ["l_orderkey"], [("one", "sum", "x"),
+                             ("cents", "sum", "y")])
+
+        def moments(b: pa.Table) -> pa.Table:
+            # cents² sums overflow int64 past ~1e5 orders per block —
+            # accumulate in arbitrary-precision Python ints and ship
+            # the partials as strings (the oracle side is HUGEINT)
+            x = b.column("x").to_numpy(zero_copy_only=False) \
+                .astype(object)
+            y = b.column("y").to_numpy(zero_copy_only=False) \
+                .astype(object)
+            vals = [len(x), int(sum(x)), int(sum(y)),
+                    int(sum(a * c for a, c in zip(x, y))),
+                    int(sum(a * a for a in x)),
+                    int(sum(c * c for c in y))]
+            return pa.Table.from_arrays(
+                [pa.array([str(v)], pa.string()) for v in vals],
+                names=["n", "sx", "sy", "sxy", "sxx", "syy"])
+
+        parts = per_order.map_batches(moments, batch_format="pyarrow")
+
+        def finish(b: pa.Table) -> pa.Table:
+            t = {k: sum(int(v) for v in b.column(k).to_pylist())
+                 for k in ["n", "sx", "sy", "sxy", "sxx", "syy"]}
+            n = t["n"]
+            num = n * t["sxy"] - t["sx"] * t["sy"]
+            dx = n * t["sxx"] - t["sx"] ** 2
+            dy = n * t["syy"] - t["sy"] ** 2
+            r = int(math.floor(1_000_000.0 * float(num)
+                               / (math.sqrt(float(dx))
+                                  * math.sqrt(float(dy))))) \
+                if dx > 0 and dy > 0 else 0
+            return pa.Table.from_arrays(
+                [pa.array([n], pa.int64()), pa.array([r], pa.int64())],
+                names=["n_orders", "r_e6"])
+
+        return parts.repartition(1).map_batches(
+            finish, batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -7655,6 +7773,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orderkey_density_audit": orderkey_density_audit,
         "transition_entropy": transition_entropy,
         "source_lang_chi2": source_lang_chi2,
+        "new_returning_mix": new_returning_mix,
+        "lines_value_pearson": lines_value_pearson,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -7820,6 +7940,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_affinity_lift", "orderkey_density_audit",
         # new in round 3, sixty-seventh sweep
         "transition_entropy", "source_lang_chi2",
+        # new in round 3, sixty-eighth sweep
+        "new_returning_mix", "lines_value_pearson",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -8784,6 +8906,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "new_returning_mix": """
+            WITH f AS (
+                SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+                FROM events GROUP BY 1
+            )
+            SELECT CAST(e.ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN CAST(e.ts AS DATE) = f.first_day
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_new,
+                   CAST(SUM(CASE WHEN CAST(e.ts AS DATE) <> f.first_day
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_returning
+            FROM events e JOIN f USING (user_id)
+            GROUP BY 1
+        """,
+        "lines_value_pearson": """
+            WITH o AS (
+                SELECT l_orderkey, COUNT(*) AS x,
+                       SUM(CAST(FLOOR(100.0 * l_extendedprice + 0.5)
+                                AS BIGINT)) AS y
+                FROM lineitem GROUP BY 1
+            ), st AS (
+                SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                       SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+                       SUM(y * y) AS syy
+                FROM o
+            )
+            SELECT CAST(n AS BIGINT) AS n_orders,
+                   CAST(FLOOR(1000000.0 * (n * sxy - sx * sy)
+                              / (SQRT(CAST(n * sxx - sx * sx
+                                           AS DOUBLE))
+                                 * SQRT(CAST(n * syy - sy * sy
+                                             AS DOUBLE))))
+                        AS BIGINT) AS r_e6
+            FROM st
         """,
         "transition_entropy": """
             WITH nx AS (
