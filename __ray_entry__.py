@@ -7511,6 +7511,89 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return parts.repartition(1).map_batches(
             finish, batch_format="pyarrow")
 
+    def map_next_word(sf_dir: str):
+        """Markov MAP estimate per word: the most likely next word
+        (count DESC, w2 tiebreak) for every first word — the
+        conditional-mode / language-model-argmax shape: bigram type
+        combiner, two-stage head-1 per w1."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.indexing import _bigram_rows
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        types = combine_aggregate(
+            _read(sf_dir, "documents", ["text"]).map_batches(
+                lambda b: _bigram_rows(b, "text"),
+                batch_format="pyarrow"),
+            ["w1", "w2"], [("c", "sum", "n")])
+
+        def head1(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.string()), pa.array([], pa.string()),
+                     pa.array([], pa.int64())],
+                    names=["w1", "w2", "n"])
+            w1 = np.asarray(b.column("w1").to_pylist(), dtype=object)
+            w2 = np.asarray(b.column("w2").to_pylist(), dtype=object)
+            n = pc.cast(b.column("n"), pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            order = np.lexsort((w2, -n, w1))
+            w1s = w1[order]
+            first = np.concatenate(([True], w1s[1:] != w1s[:-1]))
+            keep = order[first]
+            keep.sort()
+            return pa.Table.from_arrays(
+                [pa.array(w1[keep], pa.string()),
+                 pa.array(w2[keep], pa.string()),
+                 pa.array(n[keep])],
+                names=["w1", "w2", "n"])
+
+        partials = types.map_batches(head1, batch_format="pyarrow")
+        return partials.groupby("w1").map_groups(
+            head1, batch_format="pyarrow")
+
+    def value_share_topk_users(sf_dir: str):
+        """Concentration headline: the top-10 users' share of total
+        event value in e6 — per-user cent sums through the combiner,
+        two-stage head-10, exact integer share against the
+        partial-sum total."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import (
+            combine_aggregate, grouped_topk)
+
+        def cents(b: pa.Table) -> pa.Table:
+            c = pc.cast(pc.floor(pc.add(pc.multiply(
+                pa.scalar(100.0), b.column("value")),
+                pa.scalar(0.5))), pa.int64())
+            return pa.Table.from_arrays(
+                [b.column("user_id"), c], names=["user_id", "cents"])
+
+        per_user = combine_aggregate(
+            _read(sf_dir, "events",
+                  ["user_id", "value"]).map_batches(
+                cents, batch_format="pyarrow"),
+            ["user_id"], [("cents", "sum", "cents")]).materialize()
+        tot = int(per_user.sum("cents") or 0)
+
+        def cg(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "__g", pa.array([0] * b.num_rows, pa.int64()))
+
+        top = grouped_topk(
+            per_user.map_batches(cg, batch_format="pyarrow"),
+            group_col="__g", order_col="cents", id_col="user_id",
+            k=10).take_all()
+        s = sum(int(r["cents"]) for r in top)
+        return pa.Table.from_arrays(
+            [pa.array([len(top)], pa.int64()),
+             pa.array([s], pa.int64()), pa.array([tot], pa.int64()),
+             pa.array([(1_000_000 * s) // tot if tot else 0],
+                      pa.int64())],
+            names=["k", "top_cents", "total_cents", "share_e6"])
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -7775,6 +7858,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_chi2": source_lang_chi2,
         "new_returning_mix": new_returning_mix,
         "lines_value_pearson": lines_value_pearson,
+        "map_next_word": map_next_word,
+        "value_share_topk_users": value_share_topk_users,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -7942,6 +8027,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transition_entropy", "source_lang_chi2",
         # new in round 3, sixty-eighth sweep
         "new_returning_mix", "lines_value_pearson",
+        # new in round 3, sixty-ninth sweep
+        "map_next_word", "value_share_topk_users",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -8906,6 +8993,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "map_next_word": """
+            WITH words AS (
+                SELECT regexp_split_to_array(trim(text), '\\s+') AS ws
+                FROM documents WHERE trim(text) <> ''
+            ), bi AS (
+                SELECT b['w1'] AS w1, b['w2'] AS w2, COUNT(*) AS n
+                FROM (
+                    SELECT unnest([{'w1': ws[i], 'w2': ws[i+1]}
+                                   for i in range(1,
+                                                  greatest(len(ws), 1))])
+                               AS b
+                    FROM words) GROUP BY 1, 2
+            ), r AS (
+                SELECT w1, w2, n,
+                       ROW_NUMBER() OVER (PARTITION BY w1
+                                          ORDER BY n DESC, w2) AS rn
+                FROM bi
+            )
+            SELECT w1, w2, CAST(n AS BIGINT) AS n
+            FROM r WHERE rn = 1
+        """,
+        "value_share_topk_users": """
+            WITH u AS (
+                SELECT user_id,
+                       SUM(CAST(FLOOR(100.0 * value + 0.5) AS BIGINT))
+                           AS cents
+                FROM events GROUP BY 1
+            ), t AS (
+                SELECT cents FROM u
+                ORDER BY cents DESC, user_id LIMIT 10
+            )
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS k,
+                   (SELECT CAST(SUM(cents) AS BIGINT) FROM t)
+                       AS top_cents,
+                   (SELECT CAST(SUM(cents) AS BIGINT) FROM u)
+                       AS total_cents,
+                   CAST((1000000 * (SELECT SUM(cents) FROM t))
+                        // (SELECT SUM(cents) FROM u) AS BIGINT)
+                       AS share_e6
         """,
         "new_returning_mix": """
             WITH f AS (
