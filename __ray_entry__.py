@@ -7594,6 +7594,104 @@ def queries() -> dict[str, Callable[[str], Any]]:
                       pa.int64())],
             names=["k", "top_cents", "total_cents", "share_e6"])
 
+    def activity_lorenz(sf_dir: str):
+        """Lorenz-curve points for activity concentration: the share
+        of all events held by the bottom 20/50/80%% of users (by event
+        count), all-integer — per-user count combiner, ONE bounded
+        sorted scan over the count DISTRIBUTION with integer rank cuts
+        k = ceil(p·n) and value split inside the boundary tie block."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        per_user = combine_aggregate(
+            _read(sf_dir, "events", ["user_id"]),
+            ["user_id"], [("", "count", "n")])
+        dist = combine_aggregate(
+            per_user.select_columns(["n"]), ["n"],
+            [("", "count", "cnt")])
+
+        def finish(b: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(b.column("n"))
+            t = b.take(idx)
+            v = t.column("n").to_numpy(zero_copy_only=False) \
+                .astype(object)
+            c = t.column("cnt").to_numpy(zero_copy_only=False) \
+                .astype(object)
+            cumc = np.cumsum(c)
+            cums = np.cumsum(v * c)
+            n = int(cumc[-1])
+            tot = int(cums[-1])
+            out = []
+            for num, den in ((1, 5), (1, 2), (4, 5)):
+                k = (num * n + den - 1) // den
+                i = int(np.searchsorted(cumc, k, side="left"))
+                before = int(cums[i]) - int(v[i]) * int(c[i])
+                cb = int(cumc[i]) - int(c[i])
+                held = before + (k - cb) * int(v[i])
+                out.append((1_000_000 * held) // tot if tot else 0)
+            return pa.Table.from_arrays(
+                [pa.array([n], pa.int64()),
+                 pa.array([out[0]], pa.int64()),
+                 pa.array([out[1]], pa.int64()),
+                 pa.array([out[2]], pa.int64())],
+                names=["n_users", "bottom20_e6", "bottom50_e6",
+                       "bottom80_e6"])
+
+        return dist.repartition(1).map_batches(
+            finish, batch_format="pyarrow")
+
+    def signup_conversion(sf_dir: str):
+        """Ordered funnel conversion: users whose first signup
+        PRECEDES (or equals) their first purchase, over all
+        signed-up users — the sentinel-encoded conditional-min
+        combiner (null-free), single integer row with an e6 rate."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        SENT = (1 << 62)
+
+        def mins(b: pa.Table) -> pa.Table:
+            ts = pc.cast(b.column("ts"), pa.int64())
+            et = b.column("event_type")
+            sg = pc.if_else(pc.equal(et, "signup"), ts, SENT)
+            pu = pc.if_else(pc.equal(et, "purchase"), ts, SENT)
+            return pa.Table.from_arrays(
+                [b.column("user_id"), sg, pu],
+                names=["user_id", "sg", "pu"])
+
+        m = combine_aggregate(
+            _read(sf_dir, "events",
+                  ["ts", "user_id", "event_type"]).map_batches(
+                mins, batch_format="pyarrow"),
+            ["user_id"], [("sg", "min", "sg"), ("pu", "min", "pu")])
+
+        def partial(b: pa.Table) -> pa.Table:
+            sg, pu = b.column("sg"), b.column("pu")
+            has_sg = pc.less(sg, SENT)
+            conv = pc.and_(pc.and_(has_sg, pc.less(pu, SENT)),
+                           pc.greater_equal(pu, sg))
+            return pa.Table.from_arrays(
+                [pa.array([int(pc.sum(pc.cast(has_sg, pa.int64()))
+                               .as_py() or 0)], pa.int64()),
+                 pa.array([int(pc.sum(pc.cast(conv, pa.int64()))
+                               .as_py() or 0)], pa.int64())],
+                names=["ns", "nc"])
+
+        def finish(b: pa.Table) -> pa.Table:
+            ns = int(pc.sum(b.column("ns")).as_py() or 0)
+            nc = int(pc.sum(b.column("nc")).as_py() or 0)
+            return pa.Table.from_arrays(
+                [pa.array([ns], pa.int64()), pa.array([nc], pa.int64()),
+                 pa.array([(1_000_000 * nc) // ns if ns else 0],
+                          pa.int64())],
+                names=["n_signups", "n_converted", "conv_e6"])
+
+        return m.map_batches(partial, batch_format="pyarrow") \
+            .repartition(1).map_batches(finish, batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -7860,6 +7958,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lines_value_pearson": lines_value_pearson,
         "map_next_word": map_next_word,
         "value_share_topk_users": value_share_topk_users,
+        "activity_lorenz": activity_lorenz,
+        "signup_conversion": signup_conversion,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -8029,6 +8129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "new_returning_mix", "lines_value_pearson",
         # new in round 3, sixty-ninth sweep
         "map_next_word", "value_share_topk_users",
+        # new in round 3, seventieth sweep
+        "activity_lorenz", "signup_conversion",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -8993,6 +9095,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "activity_lorenz": """
+            WITH u AS (
+                SELECT user_id, COUNT(*) AS n
+                FROM events GROUP BY 1
+            ), r AS (
+                SELECT n,
+                       ROW_NUMBER() OVER (ORDER BY n, user_id) AS i,
+                       SUM(n) OVER (ORDER BY n, user_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                       COUNT(*) OVER () AS m, SUM(n) OVER () AS tot
+                FROM u
+            )
+            SELECT CAST(MAX(m) AS BIGINT) AS n_users,
+                   CAST((1000000 * MAX(CASE WHEN i = (m + 4) // 5
+                                            THEN cum END))
+                        // MAX(tot) AS BIGINT) AS bottom20_e6,
+                   CAST((1000000 * MAX(CASE WHEN i = (m + 1) // 2
+                                            THEN cum END))
+                        // MAX(tot) AS BIGINT) AS bottom50_e6,
+                   CAST((1000000 * MAX(CASE WHEN i = (4 * m + 4) // 5
+                                            THEN cum END))
+                        // MAX(tot) AS BIGINT) AS bottom80_e6
+            FROM r
+        """,
+        "signup_conversion": """
+            WITH m AS (
+                SELECT user_id,
+                       MIN(CASE WHEN event_type = 'signup'
+                                THEN ts END) AS sg,
+                       MIN(CASE WHEN event_type = 'purchase'
+                                THEN ts END) AS pu
+                FROM events GROUP BY 1
+            )
+            SELECT CAST(COUNT(sg) AS BIGINT) AS n_signups,
+                   CAST(SUM(CASE WHEN sg IS NOT NULL
+                                  AND pu IS NOT NULL AND pu >= sg
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_converted,
+                   CAST((1000000 *
+                         SUM(CASE WHEN sg IS NOT NULL
+                                   AND pu IS NOT NULL AND pu >= sg
+                                  THEN 1 ELSE 0 END))
+                        // COUNT(sg) AS BIGINT) AS conv_e6
+            FROM m
         """,
         "map_next_word": """
             WITH words AS (
