@@ -7692,6 +7692,84 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return m.map_batches(partial, batch_format="pyarrow") \
             .repartition(1).map_batches(finish, batch_format="pyarrow")
 
+    def lang_len_kruskal(sf_dir: str):
+        """Kruskal-Wallis H (no tie correction, documented) across the
+        five languages on document length — the k-sample nonparametric
+        test completing the family: ONE (n_chars, lang) distribution
+        combiner, doubled tie-average ranks (integers), per-lang rank
+        sums in fixed lang order, the final float chain
+        H = 3/(N(N+1))·Σ(R2_g²/n_g) − 3(N+1) mirrored verbatim."""
+        import math
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        dist = combine_aggregate(
+            _read(sf_dir, "documents", ["lang", "n_chars"]),
+            ["n_chars", "lang"], [("", "count", "c")]).take_all()
+        # doubled average rank per distinct n_chars over ALL langs
+        byv: dict = {}
+        for r in dist:
+            byv[int(r["n_chars"])] = byv.get(int(r["n_chars"]), 0) \
+                + int(r["c"])
+        vals = sorted(byv)
+        r2 = {}
+        less = 0
+        for v in vals:
+            c = byv[v]
+            r2[v] = 2 * less + c + 1
+            less += c
+        langs = sorted({r["lang"] for r in dist})
+        R2 = {g: 0 for g in langs}
+        ng = {g: 0 for g in langs}
+        for r in dist:
+            g, v, c = r["lang"], int(r["n_chars"]), int(r["c"])
+            R2[g] += c * r2[v]
+            ng[g] += c
+        N = sum(ng.values())
+        acc = 0.0
+        for g in langs:               # fixed lang order both sides
+            acc += float(R2[g]) * R2[g] / ng[g]
+        h = 3.0 / (float(N) * (N + 1)) * acc - 3.0 * (N + 1)
+        return pa.Table.from_arrays(
+            [pa.array([N], pa.int64()),
+             pa.array([len(langs)], pa.int64()),
+             pa.array([int(math.floor(1_000_000.0 * h))], pa.int64())],
+            names=["n_docs", "k", "h_e6"])
+
+    def status_by_year(sf_dir: str):
+        """Order-status mix per year with e6 shares — (year, status)
+        combiner, per-year totals from the bounded cell table."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def cells(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [pc.cast(pc.year(b.column("o_orderdate")), pa.int64()),
+                 b.column("o_orderstatus")],
+                names=["yr", "o_orderstatus"])
+
+        c = combine_aggregate(
+            _read(sf_dir, "orders",
+                  ["o_orderdate", "o_orderstatus"]).map_batches(
+                cells, batch_format="pyarrow"),
+            ["yr", "o_orderstatus"], [("", "count", "n")]).take_all()
+        tot: dict = {}
+        for r in c:
+            tot[r["yr"]] = tot.get(r["yr"], 0) + int(r["n"])
+        c.sort(key=lambda r: (r["yr"], r["o_orderstatus"]))
+        return pa.Table.from_arrays(
+            [pa.array([r["yr"] for r in c], pa.int64()),
+             pa.array([r["o_orderstatus"] for r in c], pa.string()),
+             pa.array([int(r["n"]) for r in c], pa.int64()),
+             pa.array([(1_000_000 * int(r["n"])) // tot[r["yr"]]
+                       for r in c], pa.int64())],
+            names=["yr", "o_orderstatus", "n_orders", "share_e6"])
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -7960,6 +8038,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_share_topk_users": value_share_topk_users,
         "activity_lorenz": activity_lorenz,
         "signup_conversion": signup_conversion,
+        "lang_len_kruskal": lang_len_kruskal,
+        "status_by_year": status_by_year,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -8131,6 +8211,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "map_next_word", "value_share_topk_users",
         # new in round 3, seventieth sweep
         "activity_lorenz", "signup_conversion",
+        # new in round 3, seventy-first sweep
+        "lang_len_kruskal", "status_by_year",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -9095,6 +9177,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "lang_len_kruskal": """
+            WITH d AS (
+                SELECT n_chars, lang, COUNT(*) AS c
+                FROM documents GROUP BY 1, 2
+            ), v AS (
+                SELECT n_chars, SUM(c) AS cv FROM d GROUP BY 1
+            ), rk AS (
+                SELECT n_chars,
+                       2 * (SUM(cv) OVER (ORDER BY n_chars) - cv)
+                           + cv + 1 AS r2
+                FROM v
+            ), g AS (
+                SELECT d.lang, SUM(d.c * rk.r2) AS R2,
+                       SUM(d.c) AS ng
+                FROM d JOIN rk USING (n_chars) GROUP BY 1
+            ), p AS (
+                SELECT SUM(ng) AS N, COUNT(*) AS k,
+                       MAX(CASE WHEN lang = (SELECT MIN(lang) FROM g)
+                                THEN 0 END) AS _z
+                FROM g
+            ), acc AS (
+                SELECT (SELECT SUM(CAST(R2 AS DOUBLE) * R2 / ng)
+                        FROM (SELECT R2, ng FROM g ORDER BY lang))
+                           AS a,
+                       (SELECT SUM(ng) FROM g) AS N,
+                       (SELECT COUNT(*) FROM g) AS k
+            )
+            SELECT CAST(N AS BIGINT) AS n_docs,
+                   CAST(k AS BIGINT) AS k,
+                   CAST(FLOOR(1000000.0 *
+                        (3.0 / (CAST(N AS DOUBLE) * (N + 1)) * a
+                         - 3.0 * (N + 1))) AS BIGINT) AS h_e6
+            FROM acc
+        """,
+        "status_by_year": """
+            WITH c AS (
+                SELECT year(o_orderdate) AS yr, o_orderstatus,
+                       COUNT(*) AS n
+                FROM orders GROUP BY 1, 2
+            ), t AS (
+                SELECT yr, SUM(n) AS tot FROM c GROUP BY 1
+            )
+            SELECT CAST(c.yr AS BIGINT) AS yr, c.o_orderstatus,
+                   CAST(c.n AS BIGINT) AS n_orders,
+                   CAST((1000000 * c.n) // t.tot AS BIGINT)
+                       AS share_e6
+            FROM c JOIN t USING (yr)
         """,
         "activity_lorenz": """
             WITH u AS (
