@@ -7770,6 +7770,104 @@ def queries() -> dict[str, Callable[[str], Any]]:
                        for r in c], pa.int64())],
             names=["yr", "o_orderstatus", "n_orders", "share_e6"])
 
+    def user_day_intensity_box(sf_dir: str):
+        """Five-number summary of per-user-day event intensity: one
+        (user, day) count combiner, then the multi-fraction
+        distribution exchange for all five order statistics."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import (
+            combine_aggregate, grouped_percentile_disc)
+
+        def ud(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [b.column("user_id"),
+                 pc.cast(b.column("ts"), pa.date32())],
+                names=["user_id", "day"])
+
+        counts = combine_aggregate(
+            _read(sf_dir, "events", ["ts", "user_id"]).map_batches(
+                ud, batch_format="pyarrow"),
+            ["user_id", "day"], [("", "count", "n")])
+
+        def prep(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [pa.array([0] * b.num_rows, pa.int64()),
+                 pc.cast(b.column("n"), pa.int64())],
+                names=["__g", "nev"])
+
+        out = grouped_percentile_disc(
+            counts.map_batches(prep, batch_format="pyarrow"),
+            ["__g"], "nev",
+            [("mn", 1, 1_000_000_000), ("q1", 1, 4), ("med", 1, 2),
+             ("q3", 3, 4), ("mx", 1, 1)])
+        return out.map_batches(
+            lambda b: b.select(["mn", "q1", "med", "q3", "mx"]),
+            batch_format="pyarrow")
+
+    def purchase_value_new_vs_ret(sf_dir: str):
+        """Purchase-value contrast between a user's FIRST active day
+        and later days (does first-day spend differ?): the first-day
+        gather kernel flags each purchase, integer cent sums ride one
+        user-bucket shuffle, e6 averages in the single-row finalize."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.analytics import _bucketed, _np
+
+        def kernel(group: pa.Table) -> pa.Table:
+            empty = pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 4,
+                names=["nn", "sn", "nr", "sr"])
+            if group.num_rows == 0:
+                return empty
+            uid = _np(group.column("user_id"))
+            ts = group.column("ts").to_numpy(zero_copy_only=False)
+            day = ts.astype("datetime64[D]").view("int64")
+            et = np.asarray(group.column("event_type").to_pylist(),
+                            dtype=object)
+            cents = np.floor(100.0 * _np(group.column("value"))
+                             .astype(np.float64) + 0.5).astype(np.int64)
+            order = np.lexsort((day, uid))
+            uid_s, day_s = uid[order], day[order]
+            starts = np.flatnonzero(np.concatenate(
+                ([True], uid_s[1:] != uid_s[:-1])))
+            seg = np.cumsum(np.concatenate(
+                ([False], uid_s[1:] != uid_s[:-1]))).astype(np.int64)
+            first = day_s[starts][seg]
+            isp = (et[order] == "purchase")
+            new = (day_s == first) & isp
+            ret = (day_s != first) & isp
+            c_s = cents[order]
+            return pa.Table.from_arrays(
+                [pa.array([int(new.sum())], pa.int64()),
+                 pa.array([int(c_s[new].sum())], pa.int64()),
+                 pa.array([int(ret.sum())], pa.int64()),
+                 pa.array([int(c_s[ret].sum())], pa.int64())],
+                names=["nn", "sn", "nr", "sr"])
+
+        parts = _bucketed(
+            _read(sf_dir, "events",
+                  ["ts", "user_id", "event_type", "value"]),
+            "user_id", 256).map_groups(kernel, batch_format="pyarrow")
+
+        def finish(b: pa.Table) -> pa.Table:
+            nn = int(pc.sum(b.column("nn")).as_py() or 0)
+            sn = int(pc.sum(b.column("sn")).as_py() or 0)
+            nr = int(pc.sum(b.column("nr")).as_py() or 0)
+            sr = int(pc.sum(b.column("sr")).as_py() or 0)
+            return pa.Table.from_arrays(
+                [pa.array([nn], pa.int64()), pa.array([nr], pa.int64()),
+                 pa.array([(1_000_000 * sn) // nn if nn else 0],
+                          pa.int64()),
+                 pa.array([(1_000_000 * sr) // nr if nr else 0],
+                          pa.int64())],
+                names=["n_first_day", "n_later",
+                       "avg_first_e6", "avg_later_e6"])
+
+        return parts.repartition(1).map_batches(
+            finish, batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -8040,6 +8138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "signup_conversion": signup_conversion,
         "lang_len_kruskal": lang_len_kruskal,
         "status_by_year": status_by_year,
+        "user_day_intensity_box": user_day_intensity_box,
+        "purchase_value_new_vs_ret": purchase_value_new_vs_ret,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -8213,6 +8313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activity_lorenz", "signup_conversion",
         # new in round 3, seventy-first sweep
         "lang_len_kruskal", "status_by_year",
+        # new in round 3, seventy-second sweep
+        "user_day_intensity_box", "purchase_value_new_vs_ret",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -9177,6 +9279,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "user_day_intensity_box": """
+            WITH c AS (
+                SELECT user_id, CAST(ts AS DATE) AS day,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            ), d AS (
+                SELECT n, COUNT(*) AS cnt FROM c GROUP BY 1
+            ), r AS (
+                SELECT n, SUM(cnt) OVER (ORDER BY n) AS cum,
+                       SUM(cnt) OVER () AS tot
+                FROM d
+            )
+            SELECT MIN(CASE WHEN cum >= (tot + 999999999)
+                                        // 1000000000
+                            THEN n END) AS mn,
+                   MIN(CASE WHEN cum >= (tot + 3) // 4
+                            THEN n END) AS q1,
+                   MIN(CASE WHEN cum >= (tot + 1) // 2
+                            THEN n END) AS med,
+                   MIN(CASE WHEN cum >= (3 * tot + 3) // 4
+                            THEN n END) AS q3,
+                   MIN(CASE WHEN cum >= tot THEN n END) AS mx
+            FROM r
+        """,
+        "purchase_value_new_vs_ret": """
+            WITH f AS (
+                SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+                FROM events GROUP BY 1
+            ), p AS (
+                SELECT CASE WHEN CAST(e.ts AS DATE) = f.first_day
+                            THEN 1 ELSE 0 END AS is_new,
+                       CAST(FLOOR(100.0 * e.value + 0.5) AS BIGINT)
+                           AS cents
+                FROM events e JOIN f USING (user_id)
+                WHERE e.event_type = 'purchase'
+            )
+            SELECT CAST(SUM(is_new) AS BIGINT) AS n_first_day,
+                   CAST(SUM(1 - is_new) AS BIGINT) AS n_later,
+                   CAST((1000000 * SUM(is_new * cents))
+                        // SUM(is_new) AS BIGINT) AS avg_first_e6,
+                   CAST((1000000 * SUM((1 - is_new) * cents))
+                        // SUM(1 - is_new) AS BIGINT) AS avg_later_e6
+            FROM p
         """,
         "lang_len_kruskal": """
             WITH d AS (
