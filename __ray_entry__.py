@@ -7868,6 +7868,82 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return parts.repartition(1).map_batches(
             finish, batch_format="pyarrow")
 
+    def reorder_gap_hist(sf_dir: str):
+        """Reorder-gap histogram (days between consecutive orders per
+        customer): one customer-bucket shuffle emits gap values, one
+        bounded day-gap combiner — the inter-purchase-interval
+        distribution behind CLV models."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.analytics import _bucketed, _np
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def prep(b: pa.Table) -> pa.Table:
+            d = pc.cast(pc.cast(pc.cast(b.column("o_orderdate"),
+                                        pa.date32()), pa.int32()),
+                        pa.int64())
+            return pa.Table.from_arrays(
+                [b.column("o_custkey"), b.column("o_orderkey"), d],
+                names=["o_custkey", "o_orderkey", "day"])
+
+        def gaps(group: pa.Table) -> pa.Table:
+            empty = pa.Table.from_arrays(
+                [pa.array([], pa.int64())], names=["gap_days"])
+            if group.num_rows < 2:
+                return empty
+            cust = _np(group.column("o_custkey"))
+            ok = _np(group.column("o_orderkey"))
+            day = _np(group.column("day"))
+            order = np.lexsort((ok, day, cust))
+            c_s, d_s = cust[order], day[order]
+            same = c_s[1:] == c_s[:-1]
+            if not same.any():
+                return empty
+            g = np.diff(d_s)[same].astype(np.int64)
+            return pa.Table.from_arrays([pa.array(g)],
+                                        names=["gap_days"])
+
+        parts = _bucketed(
+            _read(sf_dir, "orders",
+                  ["o_custkey", "o_orderkey",
+                   "o_orderdate"]).map_batches(
+                prep, batch_format="pyarrow"),
+            "o_custkey", 256).map_groups(gaps, batch_format="pyarrow")
+        out = combine_aggregate(parts, ["gap_days"],
+                                [("", "count", "n_gaps")])
+        return out.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("gap_days"),
+                 pc.cast(b.column("n_gaps"), pa.int64())],
+                names=["gap_days", "n_gaps"]),
+            batch_format="pyarrow")
+
+    def props_len_box(sf_dir: str):
+        """Payload-width profile of the props JSON column: five-number
+        summary of its string length from one distribution exchange."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import (
+            grouped_percentile_disc)
+
+        def lens(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [pa.array([0] * b.num_rows, pa.int64()),
+                 pc.cast(pc.utf8_length(b.column("props")),
+                         pa.int64())],
+                names=["__g", "plen"])
+
+        out = grouped_percentile_disc(
+            _read(sf_dir, "events", ["props"]).map_batches(
+                lens, batch_format="pyarrow"),
+            ["__g"], "plen",
+            [("mn", 1, 1_000_000_000), ("q1", 1, 4), ("med", 1, 2),
+             ("q3", 3, 4), ("mx", 1, 1)])
+        return out.map_batches(
+            lambda b: b.select(["mn", "q1", "med", "q3", "mx"]),
+            batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -8140,6 +8216,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "status_by_year": status_by_year,
         "user_day_intensity_box": user_day_intensity_box,
         "purchase_value_new_vs_ret": purchase_value_new_vs_ret,
+        "reorder_gap_hist": reorder_gap_hist,
+        "props_len_box": props_len_box,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -8315,6 +8393,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_len_kruskal", "status_by_year",
         # new in round 3, seventy-second sweep
         "user_day_intensity_box", "purchase_value_new_vs_ret",
+        # new in round 3, seventy-third sweep
+        "reorder_gap_hist", "props_len_box",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -9279,6 +9359,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "reorder_gap_hist": """
+            WITH g AS (
+                SELECT datediff('day',
+                           LAG(CAST(o_orderdate AS DATE)) OVER w,
+                           CAST(o_orderdate AS DATE)) AS gap_days
+                FROM orders
+                WINDOW w AS (PARTITION BY o_custkey
+                             ORDER BY CAST(o_orderdate AS DATE),
+                                      o_orderkey)
+            )
+            SELECT CAST(gap_days AS BIGINT) AS gap_days,
+                   CAST(COUNT(*) AS BIGINT) AS n_gaps
+            FROM g WHERE gap_days IS NOT NULL GROUP BY 1
+        """,
+        "props_len_box": """
+            WITH d AS (
+                SELECT LENGTH(props) AS plen, COUNT(*) AS cnt
+                FROM events GROUP BY 1
+            ), r AS (
+                SELECT plen, SUM(cnt) OVER (ORDER BY plen) AS cum,
+                       SUM(cnt) OVER () AS n
+                FROM d
+            )
+            SELECT MIN(CASE WHEN cum >= (n + 999999999) // 1000000000
+                            THEN plen END) AS mn,
+                   MIN(CASE WHEN cum >= (n + 3) // 4
+                            THEN plen END) AS q1,
+                   MIN(CASE WHEN cum >= (n + 1) // 2
+                            THEN plen END) AS med,
+                   MIN(CASE WHEN cum >= (3 * n + 3) // 4
+                            THEN plen END) AS q3,
+                   MIN(CASE WHEN cum >= n THEN plen END) AS mx
+            FROM r
         """,
         "user_day_intensity_box": """
             WITH c AS (
