@@ -7944,6 +7944,90 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: b.select(["mn", "q1", "med", "q3", "mx"]),
             batch_format="pyarrow")
 
+    def nation_priority_heat(sf_dir: str):
+        """Order-priority mix per nation (25×5 heat matrix with e6
+        shares): keys-only customer hash join, bounded cell combiner,
+        per-nation totals from the cell table."""
+        import os
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        parts = int(max(8, os.path.getsize(
+            f"{sf_dir}/orders.parquet") // (32 << 20)))
+        o = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        joined = o.join(cust, "inner", parts,
+                        on=("o_custkey",), right_on=("c_custkey",))
+        cells = combine_aggregate(
+            joined.map_batches(
+                lambda b: pa.Table.from_arrays(
+                    [pc.cast(b.column("c_nationkey"), pa.int64()),
+                     b.column("o_orderpriority")],
+                    names=["nation", "priority"]),
+                batch_format="pyarrow"),
+            ["nation", "priority"], [("", "count", "n")]).take_all()
+        tot: dict = {}
+        for r in cells:
+            tot[r["nation"]] = tot.get(r["nation"], 0) + int(r["n"])
+        cells.sort(key=lambda r: (r["nation"], r["priority"]))
+        return pa.Table.from_arrays(
+            [pa.array([r["nation"] for r in cells], pa.int64()),
+             pa.array([r["priority"] for r in cells], pa.string()),
+             pa.array([int(r["n"]) for r in cells], pa.int64()),
+             pa.array([(1_000_000 * int(r["n"])) // tot[r["nation"]]
+                       for r in cells], pa.int64())],
+            names=["nation", "priority", "n_orders", "share_e6"])
+
+    def word_position_bias(sf_dir: str):
+        """Positional bias per word: the mean relative position
+        (e6, floor((1e6·(i−1))//(len−1) per token, integer-summed) of
+        each word inside its documents — does a token live at document
+        heads or tails? Vectorized per-token position arithmetic on
+        the flattened word stream, one per-word combiner."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.indexing import _split_words_flat
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def pos_rows(b: pa.Table) -> pa.Table:
+            row_ids, words = _split_words_flat(b.column("text"))
+            if len(words) == 0:
+                return pa.table({"w": pa.array([], pa.string()),
+                                 "q": pa.array([], pa.int64()),
+                                 "one": pa.array([], pa.int64())})
+            rid = row_ids.astype(np.int64)
+            starts = np.flatnonzero(np.concatenate(
+                ([True], rid[1:] != rid[:-1])))
+            seg = np.cumsum(np.concatenate(
+                ([False], rid[1:] != rid[:-1]))).astype(np.int64)
+            lens = np.diff(np.append(starts, len(rid)))
+            pos = np.arange(len(rid), dtype=np.int64) - starts[seg]
+            den = np.maximum(lens[seg] - 1, 1)
+            q = (1_000_000 * pos) // den
+            return pa.table({"w": words, "q": pa.array(q),
+                             "one": pa.array(np.ones(len(rid),
+                                                     np.int64))})
+
+        agg = combine_aggregate(
+            _read(sf_dir, "documents", ["text"]).map_batches(
+                pos_rows, batch_format="pyarrow"),
+            ["w"], [("q", "sum", "sq"), ("one", "sum", "n")])
+
+        def mean(b: pa.Table) -> pa.Table:
+            sq = b.column("sq").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            n = b.column("n").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.Table.from_arrays(
+                [b.column("w"), pa.array(n), pa.array(sq // n)],
+                names=["w", "n_tokens", "mean_pos_e6"])
+
+        return agg.map_batches(mean, batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -8218,6 +8302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_value_new_vs_ret": purchase_value_new_vs_ret,
         "reorder_gap_hist": reorder_gap_hist,
         "props_len_box": props_len_box,
+        "nation_priority_heat": nation_priority_heat,
+        "word_position_bias": word_position_bias,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -8395,6 +8481,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_day_intensity_box", "purchase_value_new_vs_ret",
         # new in round 3, seventy-third sweep
         "reorder_gap_hist", "props_len_box",
+        # new in round 3, seventy-fourth sweep
+        "nation_priority_heat", "word_position_bias",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -9359,6 +9447,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "nation_priority_heat": """
+            WITH c AS (
+                SELECT cu.c_nationkey AS nation, o.o_orderpriority
+                           AS priority,
+                       COUNT(*) AS n
+                FROM orders o
+                JOIN customer cu ON o.o_custkey = cu.c_custkey
+                GROUP BY 1, 2
+            ), t AS (
+                SELECT nation, SUM(n) AS tot FROM c GROUP BY 1
+            )
+            SELECT CAST(c.nation AS BIGINT) AS nation, c.priority,
+                   CAST(c.n AS BIGINT) AS n_orders,
+                   CAST((1000000 * c.n) // t.tot AS BIGINT)
+                       AS share_e6
+            FROM c JOIN t USING (nation)
+        """,
+        "word_position_bias": """
+            WITH words AS (
+                SELECT regexp_split_to_array(trim(text), '\\s+') AS ws
+                FROM documents WHERE trim(text) <> ''
+            ), p AS (
+                SELECT ws[i] AS w,
+                       (1000000 * (i - 1))
+                           // GREATEST(len(ws) - 1, 1) AS q
+                FROM words,
+                     UNNEST(generate_series(1, len(ws))) AS g(i)
+            )
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(q) // COUNT(*) AS BIGINT)
+                       AS mean_pos_e6
+            FROM p GROUP BY 1
         """,
         "reorder_gap_hist": """
             WITH g AS (
