@@ -8028,6 +8028,132 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(mean, batch_format="pyarrow")
 
+    def len_ttr_spearman(sf_dir: str):
+        """Does lexical diversity fall with document length? Spearman
+        rank correlation between n_chars and the per-doc type-token
+        ratio (e6), tie-exact doubled ranks from two distribution
+        combiners over DERIVED per-doc features; same mirrored float
+        finale as qty_price_spearman."""
+        import math
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def feats(b: pa.Table) -> pa.Table:
+            words = pc.split_pattern_regex(b.column("text"),
+                                           pattern=r"\s+")
+            flat = pc.list_flatten(words).combine_chunks()
+            n_per = pc.list_value_length(words) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            rid = np.repeat(np.arange(len(b), dtype=np.int64), n_per)
+            ok = np.asarray(pc.not_equal(flat, ""))
+            rid2 = rid[ok]
+            w = flat.filter(pa.array(ok))
+            pairs = pa.Table.from_arrays(
+                [pa.array(rid2), w], names=["rid", "w"])
+            dist = pairs.group_by(["rid", "w"]).aggregate([])
+            n_words = np.bincount(rid2, minlength=len(b)) \
+                .astype(np.int64)
+            drid = dist.column("rid").to_numpy(zero_copy_only=False)
+            n_dist = np.bincount(drid, minlength=len(b)) \
+                .astype(np.int64)
+            keep = n_words > 0
+            ttr = (1_000_000 * n_dist[keep]) // n_words[keep]
+            nc = pc.cast(b.column("n_chars"), pa.int64()) \
+                .to_numpy(zero_copy_only=False)[keep]
+            return pa.table({"x": pa.array(nc.astype(np.int64)),
+                             "y": pa.array(ttr)})
+
+        src = _read(sf_dir, "documents",
+                    ["text", "n_chars"]).map_batches(
+            feats, batch_format="pyarrow").materialize()
+
+        def rank_map(col: str):
+            rows = combine_aggregate(src.select_columns([col]),
+                                     [col], [("", "count", "c")]) \
+                .take_all()
+            rows.sort(key=lambda r: r[col])
+            out, less = {}, 0
+            for r in rows:
+                c = int(r["c"])
+                out[r[col]] = 2 * less + c + 1
+                less += c
+            return out
+
+        rx = ray.put(rank_map("x"))
+        ry = ray.put(rank_map("y"))
+
+        def moments(b: pa.Table) -> pa.Table:
+            mx, my = ray.get(rx), ray.get(ry)
+            a = np.array([mx[v] for v in b.column("x").to_pylist()],
+                         dtype=object)
+            c = np.array([my[v] for v in b.column("y").to_pylist()],
+                         dtype=object)
+            vals = [len(a), int(sum(a)), int(sum(c)),
+                    int(sum(p * q for p, q in zip(a, c))),
+                    int(sum(p * p for p in a)),
+                    int(sum(q * q for q in c))]
+            return pa.Table.from_arrays(
+                [pa.array([str(v)], pa.string()) for v in vals],
+                names=["n", "sa", "sb", "sab", "saa", "sbb"])
+
+        parts = src.map_batches(moments, batch_format="pyarrow")
+
+        def finish(b: pa.Table) -> pa.Table:
+            t = {k: sum(int(v) for v in b.column(k).to_pylist())
+                 for k in ["n", "sa", "sb", "sab", "saa", "sbb"]}
+            n = t["n"]
+            num = n * t["sab"] - t["sa"] * t["sb"]
+            da = n * t["saa"] - t["sa"] ** 2
+            db = n * t["sbb"] - t["sb"] ** 2
+            rho = int(math.floor(1_000_000.0 * float(num)
+                                 / (math.sqrt(float(da))
+                                    * math.sqrt(float(db))))) \
+                if da > 0 and db > 0 else 0
+            return pa.Table.from_arrays(
+                [pa.array([n], pa.int64()), pa.array([rho], pa.int64())],
+                names=["n_docs", "rho_e6"])
+
+        return parts.repartition(1).map_batches(
+            finish, batch_format="pyarrow")
+
+    def minute_load_p95(sf_dir: str):
+        """Capacity planning: p50/p95/p99 of per-minute event load —
+        minute-count combiner (bounded by the time span) + the
+        multi-fraction distribution exchange."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import (
+            combine_aggregate, grouped_percentile_disc)
+
+        mins = combine_aggregate(
+            _read(sf_dir, "events", ["ts"]).map_batches(
+                lambda b: pa.Table.from_arrays(
+                    [pc.cast(pc.divide(
+                        pc.cast(b.column("ts"), pa.int64()),
+                        pa.scalar(60_000_000, pa.int64())),
+                        pa.int64())],
+                    names=["minute"]),
+                batch_format="pyarrow"),
+            ["minute"], [("", "count", "load")])
+
+        def prep(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [pa.array([0] * b.num_rows, pa.int64()),
+                 pc.cast(b.column("load"), pa.int64())],
+                names=["__g", "load"])
+
+        out = grouped_percentile_disc(
+            mins.map_batches(prep, batch_format="pyarrow"),
+            ["__g"], "load",
+            [("p50", 1, 2), ("p95", 19, 20), ("p99", 99, 100)])
+        return out.map_batches(
+            lambda b: b.select(["p50", "p95", "p99"]),
+            batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -8304,6 +8430,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_len_box": props_len_box,
         "nation_priority_heat": nation_priority_heat,
         "word_position_bias": word_position_bias,
+        "len_ttr_spearman": len_ttr_spearman,
+        "minute_load_p95": minute_load_p95,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -8483,6 +8611,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reorder_gap_hist", "props_len_box",
         # new in round 3, seventy-fourth sweep
         "nation_priority_heat", "word_position_bias",
+        # new in round 3, seventy-fifth sweep
+        "len_ttr_spearman", "minute_load_p95",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -9447,6 +9577,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "len_ttr_spearman": """
+            WITH w AS (
+                SELECT doc_id, n_chars,
+                       unnest(regexp_split_to_array(trim(text),
+                                                    '\\s+')) AS word
+                FROM documents WHERE trim(text) <> ''
+            ), f AS (
+                SELECT doc_id, MAX(n_chars) AS x,
+                       (1000000 * COUNT(DISTINCT word))
+                           // COUNT(*) AS y
+                FROM w GROUP BY doc_id
+            ), rx AS (
+                SELECT x, 2 * (SUM(COUNT(*)) OVER (ORDER BY x)
+                               - COUNT(*)) + COUNT(*) + 1 AS a
+                FROM f GROUP BY x
+            ), ry AS (
+                SELECT y, 2 * (SUM(COUNT(*)) OVER (ORDER BY y)
+                               - COUNT(*)) + COUNT(*) + 1 AS b
+                FROM f GROUP BY y
+            ), j AS (
+                SELECT rx.a, ry.b FROM f
+                JOIN rx USING (x) JOIN ry USING (y)
+            ), st AS (
+                SELECT COUNT(*) AS n, SUM(a) AS sa, SUM(b) AS sb,
+                       SUM(a * b) AS sab, SUM(a * a) AS saa,
+                       SUM(b * b) AS sbb
+                FROM j
+            )
+            SELECT CAST(n AS BIGINT) AS n_docs,
+                   CAST(FLOOR(1000000.0 * (n * sab - sa * sb)
+                              / (SQRT(CAST(n * saa - sa * sa
+                                           AS DOUBLE))
+                                 * SQRT(CAST(n * sbb - sb * sb
+                                             AS DOUBLE))))
+                        AS BIGINT) AS rho_e6
+            FROM st
+        """,
+        "minute_load_p95": """
+            WITH m AS (
+                SELECT epoch_us(ts) // 60000000 AS minute,
+                       COUNT(*) AS load
+                FROM events GROUP BY 1
+            ), d AS (
+                SELECT load, COUNT(*) AS cnt FROM m GROUP BY 1
+            ), r AS (
+                SELECT load, SUM(cnt) OVER (ORDER BY load) AS cum,
+                       SUM(cnt) OVER () AS n
+                FROM d
+            )
+            SELECT MIN(CASE WHEN cum >= (n + 1) // 2
+                            THEN load END) AS p50,
+                   MIN(CASE WHEN cum >= (19 * n + 19) // 20
+                            THEN load END) AS p95,
+                   MIN(CASE WHEN cum >= (99 * n + 99) // 100
+                            THEN load END) AS p99
+            FROM r
         """,
         "nation_priority_heat": """
             WITH c AS (
