@@ -8154,6 +8154,76 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: b.select(["p50", "p95", "p99"]),
             batch_format="pyarrow")
 
+    def spend_theil(sf_dir: str):
+        """Theil-T inequality index of customer spend (the
+        entropy-based member completing the Gini/Lorenz family),
+        via T = Σ x·ln(x·N/tot) / tot: ONLY the ln is quantized
+        (L_v = floor(1e6·ln(r)+0.5), the proven bit-parity idiom —
+        an r·ln(r) product inside the floor hit a one-ulp boundary
+        and was rewritten); the aggregate Σc·v·L_v is exact integer
+        and the final (Σ)//tot lands in e6. Distribution-only."""
+        import math
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def cents(b: pa.Table) -> pa.Table:
+            c = pc.cast(pc.floor(pc.add(pc.multiply(
+                pa.scalar(100.0), b.column("o_totalprice")),
+                pa.scalar(0.5))), pa.int64())
+            return pa.Table.from_arrays(
+                [b.column("o_custkey"), c], names=["o_custkey", "c"])
+
+        spend = combine_aggregate(
+            _read(sf_dir, "orders",
+                  ["o_custkey", "o_totalprice"]).map_batches(
+                cents, batch_format="pyarrow"),
+            ["o_custkey"], [("c", "sum", "v")])
+        dist = combine_aggregate(
+            spend.select_columns(["v"]), ["v"],
+            [("", "count", "cnt")]).take_all()
+        N = sum(int(r["cnt"]) for r in dist)
+        tot = sum(int(r["v"]) * int(r["cnt"]) for r in dist)
+        acc = 0
+        for r in dist:
+            v, c = int(r["v"]), int(r["cnt"])
+            ratio = float(v * N) / tot
+            acc += c * v * math.floor(1_000_000.0
+                                      * math.log(ratio) + 0.5)
+        return pa.Table.from_arrays(
+            [pa.array([N], pa.int64()),
+             pa.array([acc // tot], pa.int64())],
+            names=["n_cust", "theil_e6"])
+
+    def supplier_nation_counts(sf_dir: str):
+        """Supplier distribution across nations with e6 shares — the
+        supplier-dim balance audit; one bounded combiner."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        t = combine_aggregate(
+            _read(sf_dir, "supplier", ["s_nationkey"]).map_batches(
+                lambda b: pa.Table.from_arrays(
+                    [pc.cast(b.column("s_nationkey"), pa.int64())],
+                    names=["nation"]),
+                batch_format="pyarrow"),
+            ["nation"], [("", "count", "n")])
+        rows = t.take_all()
+        tot = sum(int(r["n"]) for r in rows)
+
+        def share(b: pa.Table) -> pa.Table:
+            n = pc.cast(b.column("n"), pa.int64()) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.Table.from_arrays(
+                [b.column("nation"), pa.array(n),
+                 pa.array((1_000_000 * n) // tot)],
+                names=["nation", "n_suppliers", "share_e6"])
+
+        return t.map_batches(share, batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -8432,6 +8502,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_position_bias": word_position_bias,
         "len_ttr_spearman": len_ttr_spearman,
         "minute_load_p95": minute_load_p95,
+        "spend_theil": spend_theil,
+        "supplier_nation_counts": supplier_nation_counts,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -8613,6 +8685,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_priority_heat", "word_position_bias",
         # new in round 3, seventy-fifth sweep
         "len_ttr_spearman", "minute_load_p95",
+        # new in round 3, seventy-sixth sweep
+        "spend_theil", "supplier_nation_counts",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -9577,6 +9651,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "spend_theil": """
+            WITH s AS (
+                SELECT o_custkey,
+                       SUM(CAST(FLOOR(100.0 * o_totalprice + 0.5)
+                                AS BIGINT)) AS v
+                FROM orders GROUP BY 1
+            ), d AS (
+                SELECT v, COUNT(*) AS cnt FROM s GROUP BY 1
+            ), t AS (
+                SELECT SUM(cnt) AS N, SUM(v * cnt) AS tot FROM d
+            )
+            SELECT CAST(t.N AS BIGINT) AS n_cust,
+                   CAST(SUM(d.cnt * d.v *
+                        CAST(FLOOR(1000000.0 *
+                             LN(CAST(d.v * t.N AS DOUBLE) / t.tot)
+                             + 0.5) AS BIGINT)) // MAX(t.tot)
+                        AS BIGINT) AS theil_e6
+            FROM d, t GROUP BY t.N
+        """,
+        "supplier_nation_counts": """
+            WITH t AS (
+                SELECT CAST(s_nationkey AS BIGINT) AS nation,
+                       COUNT(*) AS n
+                FROM supplier GROUP BY 1
+            ), s AS (SELECT SUM(n) AS tot FROM t)
+            SELECT nation, CAST(n AS BIGINT) AS n_suppliers,
+                   CAST((1000000 * n) // tot AS BIGINT) AS share_e6
+            FROM t, s
         """,
         "len_ttr_spearman": """
             WITH w AS (
