@@ -8224,6 +8224,99 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return t.map_batches(share, batch_format="pyarrow")
 
+    def rare_token_share(sf_dir: str):
+        """Rare-token density per document (the rare-word quality
+        signal): tokens whose corpus frequency is strictly below the
+        vocabulary median, as an e6 share per doc — vocabulary
+        combiner → bounded rare-set broadcast → vectorized is_in per
+        block; no second shuffle."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        vocab = combine_aggregate(
+            _read(sf_dir, "documents", ["text"]).map_batches(
+                lambda b: pa.Table.from_arrays(
+                    [pc.list_flatten(pc.split_pattern_regex(
+                        b.column("text"), pattern=r"\s+"))],
+                    names=["w"]).filter(
+                    pc.not_equal(pa.Table.from_arrays(
+                        [pc.list_flatten(pc.split_pattern_regex(
+                            b.column("text"), pattern=r"\s+"))],
+                        names=["w"]).column("w"), "")),
+                batch_format="pyarrow"),
+            ["w"], [("", "count", "n")]).take_all()
+        counts = sorted(int(r["n"]) for r in vocab)
+        med = counts[(len(counts) - 1) // 2]   # floor((n-1)/2)+1 rank
+        rare = pa.array(sorted(r["w"] for r in vocab
+                               if int(r["n"]) < med), pa.string())
+
+        def share(b: pa.Table) -> pa.Table:
+            words = pc.split_pattern_regex(b.column("text"),
+                                           pattern=r"\s+")
+            flat = pc.list_flatten(words).combine_chunks()
+            n_per = pc.list_value_length(words) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            rid = np.repeat(np.arange(len(b), dtype=np.int64), n_per)
+            ok = np.asarray(pc.not_equal(flat, ""))
+            rid = rid[ok]
+            w = flat.filter(pa.array(ok))
+            isr = np.asarray(pc.is_in(w, value_set=rare)) \
+                .astype(np.int64)
+            n_words = np.bincount(rid, minlength=len(b)) \
+                .astype(np.int64)
+            n_rare = np.bincount(rid, weights=isr, minlength=len(b)) \
+                .astype(np.int64)
+            shr = np.where(n_words > 0,
+                           (1_000_000 * n_rare)
+                           // np.maximum(n_words, 1), 0)
+            return pa.Table.from_arrays(
+                [b.column("doc_id"), pa.array(n_words),
+                 pa.array(n_rare), pa.array(shr)],
+                names=["doc_id", "n_words", "n_rare",
+                       "rare_share_e6"])
+
+        return _read(sf_dir, "documents",
+                     ["doc_id", "text"]).map_batches(
+            share, batch_format="pyarrow")
+
+    def brand_type_lift(sf_dir: str):
+        """Cross-feature association lift between brand and leading
+        type token over parts (lift_e6 = (1e6·n·N)//(nb·nt)): one
+        bounded cell combiner, margins derived from the cell table."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def cells(b: pa.Table) -> pa.Table:
+            t1 = pc.list_element(
+                pc.split_pattern(b.column("p_type"), " ",
+                                 max_splits=1), 0)
+            return pa.Table.from_arrays(
+                [b.column("p_brand"), t1], names=["brand", "tok"])
+
+        c = combine_aggregate(
+            _read(sf_dir, "part", ["p_brand", "p_type"]).map_batches(
+                cells, batch_format="pyarrow"),
+            ["brand", "tok"], [("", "count", "n")]).take_all()
+        nb: dict = {}
+        nt: dict = {}
+        N = 0
+        for r in c:
+            nb[r["brand"]] = nb.get(r["brand"], 0) + int(r["n"])
+            nt[r["tok"]] = nt.get(r["tok"], 0) + int(r["n"])
+            N += int(r["n"])
+        c.sort(key=lambda r: (r["brand"], r["tok"]))
+        return pa.Table.from_arrays(
+            [pa.array([r["brand"] for r in c], pa.string()),
+             pa.array([r["tok"] for r in c], pa.string()),
+             pa.array([int(r["n"]) for r in c], pa.int64()),
+             pa.array([(1_000_000 * int(r["n"]) * N)
+                       // (nb[r["brand"]] * nt[r["tok"]])
+                       for r in c], pa.int64())],
+            names=["brand", "tok", "n_parts", "lift_e6"])
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -8504,6 +8597,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minute_load_p95": minute_load_p95,
         "spend_theil": spend_theil,
         "supplier_nation_counts": supplier_nation_counts,
+        "rare_token_share": rare_token_share,
+        "brand_type_lift": brand_type_lift,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -8687,6 +8782,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "len_ttr_spearman", "minute_load_p95",
         # new in round 3, seventy-sixth sweep
         "spend_theil", "supplier_nation_counts",
+        # new in round 3, seventy-seventh sweep
+        "rare_token_share", "brand_type_lift",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -9651,6 +9748,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "rare_token_share": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text),
+                                                    '\\s+')) AS word
+                FROM documents WHERE trim(text) <> ''
+            ), v AS (
+                SELECT word, COUNT(*) AS n FROM w GROUP BY 1
+            ), m AS (
+                SELECT n AS med FROM (
+                    SELECT n, ROW_NUMBER() OVER (ORDER BY n, word)
+                               AS rn,
+                           COUNT(*) OVER () AS k
+                    FROM v) WHERE rn = (k - 1) // 2 + 1
+            ), r AS (
+                SELECT w.doc_id, COUNT(*) AS n_words,
+                       SUM(CASE WHEN v.n < m.med THEN 1 ELSE 0 END)
+                           AS n_rare
+                FROM w JOIN v USING (word) CROSS JOIN m
+                GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(r.n_words, 0) AS BIGINT) AS n_words,
+                   CAST(COALESCE(r.n_rare, 0) AS BIGINT) AS n_rare,
+                   CAST(COALESCE((1000000 * r.n_rare) // r.n_words, 0)
+                        AS BIGINT) AS rare_share_e6
+            FROM documents d LEFT JOIN r USING (doc_id)
+        """,
+        "brand_type_lift": """
+            WITH c AS (
+                SELECT p_brand AS brand,
+                       SPLIT_PART(p_type, ' ', 1) AS tok,
+                       COUNT(*) AS n
+                FROM part GROUP BY 1, 2
+            ), b AS (SELECT brand, SUM(n) AS nb FROM c GROUP BY 1),
+            t AS (SELECT tok, SUM(n) AS nt FROM c GROUP BY 1),
+            s AS (SELECT SUM(n) AS N FROM c)
+            SELECT c.brand, c.tok, CAST(c.n AS BIGINT) AS n_parts,
+                   CAST((1000000 * c.n * s.N) // (b.nb * t.nt)
+                        AS BIGINT) AS lift_e6
+            FROM c JOIN b USING (brand) JOIN t USING (tok)
+            CROSS JOIN s
         """,
         "spend_theil": """
             WITH s AS (
