@@ -8317,6 +8317,94 @@ def queries() -> dict[str, Callable[[str], Any]]:
                        for r in c], pa.int64())],
             names=["brand", "tok", "n_parts", "lift_e6"])
 
+    def vocab_growth(sf_dir: str):
+        """Heaps-law vocabulary growth points WITHOUT ordered
+        accumulation: the vocabulary at doc-id cutoff X is exactly the
+        words whose MIN(doc_id) < X, so ONE (word, min-doc) combiner
+        yields every curve point — no sequential scan, no re-reads."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def words(b: pa.Table) -> pa.Table:
+            ws = pc.split_pattern_regex(b.column("text"),
+                                        pattern=r"\s+")
+            flat = pc.list_flatten(ws).combine_chunks()
+            import numpy as np
+            n_per = pc.list_value_length(ws) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            rid = np.repeat(ids, n_per)
+            ok = np.asarray(pc.not_equal(flat, ""))
+            return pa.Table.from_arrays(
+                [flat.filter(pa.array(ok)),
+                 pa.array(rid[ok].astype(np.int64))],
+                names=["w", "doc_id"])
+
+        firsts = combine_aggregate(
+            _read(sf_dir, "documents",
+                  ["doc_id", "text"]).map_batches(
+                words, batch_format="pyarrow"),
+            ["w"], [("doc_id", "min", "first_doc")]).take_all()
+        n_docs = int(_read(sf_dir, "documents",
+                           ["doc_id"]).count())
+        cuts = [(10, n_docs // 10), (50, n_docs // 2),
+                (100, n_docs)]
+        out_p, out_n, out_v = [], [], []
+        for pct, cut in cuts:
+            out_p.append(pct)
+            out_n.append(cut)
+            out_v.append(sum(1 for r in firsts
+                             if int(r["first_doc"]) < cut))
+        return pa.Table.from_arrays(
+            [pa.array(out_p, pa.int64()), pa.array(out_n, pa.int64()),
+             pa.array(out_v, pa.int64())],
+            names=["cut_pct", "n_docs", "vocab"])
+
+    def type_share_drift(sf_dir: str):
+        """Week-over-week share stability per event type: the max
+        absolute change of a type's weekly share (e6) across
+        consecutive ISO weeks — bounded (week, type) cells, integer
+        shares, driver diff over ≤ weeks·types rows."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def cells(b: pa.Table) -> pa.Table:
+            ts = b.column("ts").to_numpy(zero_copy_only=False)
+            d = ts.astype("datetime64[D]").view("int64")
+            wk = d - ((d + 3) % 7)
+            return pa.Table.from_arrays(
+                [pa.array(wk.astype(np.int64)),
+                 b.column("event_type")],
+                names=["wk", "event_type"])
+
+        c = combine_aggregate(
+            _read(sf_dir, "events", ["ts", "event_type"]).map_batches(
+                cells, batch_format="pyarrow"),
+            ["wk", "event_type"], [("", "count", "n")]).take_all()
+        tot: dict = {}
+        for r in c:
+            tot[r["wk"]] = tot.get(r["wk"], 0) + int(r["n"])
+        share: dict = {}
+        for r in c:
+            share[(r["event_type"], r["wk"])] = \
+                (1_000_000 * int(r["n"])) // tot[r["wk"]]
+        types = sorted({r["event_type"] for r in c})
+        out_t, out_d = [], []
+        for t in types:
+            # LAG semantics: consecutive PRESENT weeks only
+            wks = sorted(w for (tt, w) in share if tt == t)
+            drifts = [abs(share[(t, wks[i + 1])] - share[(t, wks[i])])
+                      for i in range(len(wks) - 1)]
+            out_t.append(t)
+            out_d.append(max(drifts) if drifts else 0)
+        return pa.Table.from_arrays(
+            [pa.array(out_t, pa.string()),
+             pa.array(out_d, pa.int64())],
+            names=["event_type", "max_drift_e6"])
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -8599,6 +8687,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nation_counts": supplier_nation_counts,
         "rare_token_share": rare_token_share,
         "brand_type_lift": brand_type_lift,
+        "vocab_growth": vocab_growth,
+        "type_share_drift": type_share_drift,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -8784,6 +8874,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spend_theil", "supplier_nation_counts",
         # new in round 3, seventy-seventh sweep
         "rare_token_share", "brand_type_lift",
+        # new in round 3, seventy-eighth sweep
+        "vocab_growth", "type_share_drift",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -9748,6 +9840,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_days,
                    CAST(MAX(streak) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id
+        """,
+        "vocab_growth": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text),
+                                                    '\\s+')) AS word
+                FROM documents WHERE trim(text) <> ''
+            ), f AS (
+                SELECT word, MIN(doc_id) AS first_doc
+                FROM w GROUP BY 1
+            ), n AS (SELECT COUNT(*) AS nd FROM documents)
+            SELECT CAST(10 AS BIGINT) AS cut_pct,
+                   CAST(n.nd // 10 AS BIGINT) AS n_docs,
+                   CAST((SELECT COUNT(*) FROM f
+                         WHERE first_doc < n.nd // 10) AS BIGINT)
+                       AS vocab
+            FROM n
+            UNION ALL
+            SELECT 50, CAST(n.nd // 2 AS BIGINT),
+                   CAST((SELECT COUNT(*) FROM f
+                         WHERE first_doc < n.nd // 2) AS BIGINT)
+            FROM n
+            UNION ALL
+            SELECT 100, CAST(n.nd AS BIGINT),
+                   CAST((SELECT COUNT(*) FROM f
+                         WHERE first_doc < n.nd) AS BIGINT)
+            FROM n
+        """,
+        "type_share_drift": """
+            WITH c AS (
+                SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+                       event_type, COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            ), t AS (
+                SELECT wk, SUM(n) AS tot FROM c GROUP BY 1
+            ), s AS (
+                SELECT c.event_type, c.wk,
+                       (1000000 * c.n) // t.tot AS sh
+                FROM c JOIN t USING (wk)
+            ), d AS (
+                SELECT event_type,
+                       ABS(sh - LAG(sh) OVER (PARTITION BY event_type
+                                              ORDER BY wk)) AS dr
+                FROM s
+            )
+            SELECT event_type,
+                   CAST(COALESCE(MAX(dr), 0) AS BIGINT)
+                       AS max_drift_e6
+            FROM d GROUP BY 1
         """,
         "rare_token_share": """
             WITH w AS (
