@@ -8405,6 +8405,206 @@ def queries() -> dict[str, Callable[[str], Any]]:
              pa.array(out_d, pa.int64())],
             names=["event_type", "max_drift_e6"])
 
+    def km_survival(sf_dir: str):
+        """Kaplan-Meier product-limit estimator of first-activity →
+        first-purchase latency with administrative censoring at H=3
+        days (the survival-analysis operator: per-day at-risk table +
+        product-limit survival, reported as cumulative log-survival via
+        the quantized-ln bit-parity idiom so both sides aggregate exact
+        integers). ONE per-user combiner (min over all events, min over
+        purchases) → bounded duration distribution → driver finalize
+        over ≤ H+1 rows. Censored users (latency ≥ H or, in general
+        corpora, no purchase) stay in the risk set through every event
+        day, so n_d − e_d > 0 is guaranteed whenever censoring mass is
+        non-zero (verified 2/23/313 censored at sf0.001/0.01/0.1)."""
+        import math
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        H = 3
+        US_DAY = 86_400_000_000
+
+        def mins(b: pa.Table) -> pa.Table:
+            t = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                        pa.int64())
+            tp = pc.if_else(
+                pc.equal(b.column("event_type"), "purchase"),
+                t, pa.scalar(None, pa.int64()))
+            return pa.Table.from_arrays(
+                [b.column("user_id"), t, tp],
+                names=["user_id", "t", "tp"])
+
+        per_user = combine_aggregate(
+            _read(sf_dir, "events",
+                  ["user_id", "ts", "event_type"]).map_batches(
+                mins, batch_format="pyarrow"),
+            ["user_id"], [("t", "min", "f0"), ("tp", "min", "p0")])
+
+        def dur(b: pa.Table) -> pa.Table:
+            days = pc.divide(pc.subtract(b.column("p0"),
+                                         b.column("f0")),
+                             pa.scalar(US_DAY, pa.int64()))
+            cens = pc.or_kleene(pc.is_null(days),
+                                pc.greater_equal(days, pa.scalar(H)))
+            day = pc.if_else(pc.fill_null(cens, True),
+                             pa.scalar(-1, pa.int64()), days)
+            return pa.Table.from_arrays([day], names=["day"])
+
+        dist = combine_aggregate(
+            per_user.map_batches(dur, batch_format="pyarrow"),
+            ["day"], [("", "count", "cnt")]).take_all()
+        n_total = sum(int(r["cnt"]) for r in dist)
+        events = {int(r["day"]): int(r["cnt"]) for r in dist
+                  if int(r["day"]) >= 0}
+        out_d, out_n, out_e, out_s = [], [], [], []
+        seen = 0
+        log_s = 0
+        for d in sorted(events):
+            e = events[d]
+            n_at = n_total - seen
+            log_s += math.floor(
+                1_000_000.0 * math.log(float(n_at - e) / n_at) + 0.5)
+            out_d.append(d)
+            out_n.append(n_at)
+            out_e.append(e)
+            out_s.append(log_s)
+            seen += e
+        return pa.Table.from_arrays(
+            [pa.array(out_d, pa.int64()), pa.array(out_n, pa.int64()),
+             pa.array(out_e, pa.int64()), pa.array(out_s, pa.int64())],
+            names=["day", "at_risk", "events", "log_s_e6"])
+
+    def daily_runs_test(sf_dir: str):
+        """Wald-Wolfowitz runs test on the daily event-count sequence
+        vs its lower median (randomness-of-load audit): days strictly
+        above/below the median form a ±1 sequence whose run count R is
+        compared against the all-integer e6/e12-quantized null moments
+        μ = 2·n1·n2/(n1+n2) + 1 and σ² — no float anywhere, so the
+        contract is exact. Bounded daily table (~31 rows) from one
+        count combiner; the sequence scan is driver-side over that
+        bounded table, mirroring LAG-over-days."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        US_DAY = 86_400_000_000
+
+        def days(b: pa.Table) -> pa.Table:
+            t = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                        pa.int64())
+            return pa.Table.from_arrays(
+                [pc.divide(t, pa.scalar(US_DAY, pa.int64()))],
+                names=["day"])
+
+        daily = combine_aggregate(
+            _read(sf_dir, "events", ["ts"]).map_batches(
+                days, batch_format="pyarrow"),
+            ["day"], [("", "count", "n")]).take_all()
+        counts = sorted(int(r["n"]) for r in daily)
+        med = counts[(len(counts) - 1) // 2]
+        labs = [1 if int(r["n"]) > med else 0
+                for r in sorted(daily, key=lambda r: int(r["day"]))
+                if int(r["n"]) != med]
+        n1 = sum(labs)
+        n2 = len(labs) - n1
+        runs = 1 + sum(1 for i in range(1, len(labs))
+                       if labs[i] != labs[i - 1])
+        mu_e6 = 1_000_000 + (2_000_000 * n1 * n2) // (n1 + n2)
+        var_e12 = (10 ** 12 * 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)) \
+            // ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+        return pa.Table.from_arrays(
+            [pa.array([n1], pa.int64()), pa.array([n2], pa.int64()),
+             pa.array([runs], pa.int64()),
+             pa.array([mu_e6], pa.int64()),
+             pa.array([var_e12], pa.int64())],
+            names=["n_above", "n_below", "runs", "mu_e6", "var_e12"])
+
+    def char_bigram_entropy(sf_dir: str):
+        """Corpus character-bigram entropy (the entropy-rate proxy used
+        for gibberish/boilerplate screening): adjacent code-point pairs
+        within each document, counted fully vectorized (one UTF-32
+        decode per block, np.unique over packed uint64 keys — no Python
+        loop over rows), reduced to a bounded (c1, c2) cell table by
+        the combiner, then H = −Σ n·L(n/T)/T with ONLY the ln quantized
+        (the spend_theil idiom) so the aggregate is exact integer."""
+        import math
+
+        import numpy as np
+        import pyarrow as pa
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def cells(b: pa.Table) -> pa.Table:
+            texts = b.column("text").to_pylist()
+            joined = "\x00".join(texts)
+            cp = np.frombuffer(joined.encode("utf-32-le"),
+                               dtype=np.uint32).astype(np.int64)
+            c1, c2 = cp[:-1], cp[1:]
+            ok = (c1 != 0) & (c2 != 0)
+            key = (c1[ok] << 21) | c2[ok]     # code points < 2^21
+            uk, cnt = np.unique(key, return_counts=True)
+            return pa.Table.from_arrays(
+                [pa.array(uk >> 21), pa.array(uk & ((1 << 21) - 1)),
+                 pa.array(cnt.astype(np.int64))],
+                names=["c1", "c2", "n"])
+
+        dist = combine_aggregate(
+            _read(sf_dir, "documents", ["text"]).map_batches(
+                cells, batch_format="pyarrow"),
+            ["c1", "c2"], [("n", "sum", "n")]).take_all()
+        tot = sum(int(r["n"]) for r in dist)
+        acc = 0
+        for r in dist:
+            n = int(r["n"])
+            acc += n * math.floor(
+                1_000_000.0 * math.log(float(n) / tot) + 0.5)
+        return pa.Table.from_arrays(
+            [pa.array([tot], pa.int64()),
+             pa.array([len(dist)], pa.int64()),
+             pa.array([-acc // tot], pa.int64())],
+            names=["n_bigrams", "n_cells", "h2_e6"])
+
+    def mann_kendall_trend(sf_dir: str):
+        """Mann-Kendall trend test on the daily event-count sequence
+        (monotone-trend audit, the time-ordered complement of
+        daily_runs_test): S = Σ_{i<j} sign(x_j − x_i) plus the
+        tie-corrected null variance NUMERATOR n(n−1)(2n+5) −
+        Σ t(t−1)(2t+5) — reported un-divided so every column is an
+        exact integer. Bounded daily table from one count combiner;
+        the O(D²) pair scan is driver-side over ≤ ~31 rows."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        US_DAY = 86_400_000_000
+
+        def days(b: pa.Table) -> pa.Table:
+            t = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                        pa.int64())
+            return pa.Table.from_arrays(
+                [pc.divide(t, pa.scalar(US_DAY, pa.int64()))],
+                names=["day"])
+
+        daily = combine_aggregate(
+            _read(sf_dir, "events", ["ts"]).map_batches(
+                days, batch_format="pyarrow"),
+            ["day"], [("", "count", "n")]).take_all()
+        seq = [int(r["n"]) for r in
+               sorted(daily, key=lambda r: int(r["day"]))]
+        nd = len(seq)
+        s = sum((seq[j] > seq[i]) - (seq[j] < seq[i])
+                for i in range(nd) for j in range(i + 1, nd))
+        ties: dict = {}
+        for v in seq:
+            ties[v] = ties.get(v, 0) + 1
+        var_num = nd * (nd - 1) * (2 * nd + 5) - sum(
+            t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1)
+        return pa.Table.from_arrays(
+            [pa.array([nd], pa.int64()), pa.array([s], pa.int64()),
+             pa.array([var_num], pa.int64())],
+            names=["n_days", "s_stat", "var_num"])
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -8689,6 +8889,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_type_lift": brand_type_lift,
         "vocab_growth": vocab_growth,
         "type_share_drift": type_share_drift,
+        "km_survival": km_survival,
+        "daily_runs_test": daily_runs_test,
+        "char_bigram_entropy": char_bigram_entropy,
+        "mann_kendall_trend": mann_kendall_trend,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -8876,6 +9080,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rare_token_share", "brand_type_lift",
         # new in round 3, seventy-eighth sweep
         "vocab_growth", "type_share_drift",
+        # new in round 3, seventy-ninth sweep
+        "km_survival", "daily_runs_test",
+        # new in round 3, eightieth sweep
+        "char_bigram_entropy", "mann_kendall_trend",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -13741,6 +13949,116 @@ def oracle_sql() -> dict[str, str]:
                 FROM flat
             )
             SELECT doc_id, seg_idx, seg FROM ranked WHERE rn = 1
+        """,
+        "km_survival": """
+            WITH f AS (
+                SELECT user_id, MIN(epoch_us(ts)) AS f0,
+                       MIN(CASE WHEN event_type = 'purchase'
+                                THEN epoch_us(ts) END) AS p0
+                FROM events GROUP BY 1
+            ), d AS (
+                SELECT CASE WHEN p0 IS NOT NULL
+                             AND (p0 - f0) // 86400000000 < 3
+                            THEN (p0 - f0) // 86400000000
+                            ELSE -1 END AS day
+                FROM f
+            ), e AS (
+                SELECT day, COUNT(*) AS ev FROM d
+                WHERE day >= 0 GROUP BY 1
+            ), n AS (SELECT COUNT(*) AS nt FROM d),
+            k AS (
+                SELECT day, ev,
+                       nt - COALESCE(SUM(ev) OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS at_risk
+                FROM e CROSS JOIN n
+            ), t AS (
+                SELECT day, at_risk, ev,
+                       CAST(FLOOR(1000000.0 *
+                            LN(CAST(at_risk - ev AS DOUBLE) / at_risk)
+                            + 0.5) AS BIGINT) AS L
+                FROM k
+            )
+            SELECT CAST(day AS BIGINT) AS day,
+                   CAST(at_risk AS BIGINT) AS at_risk,
+                   CAST(ev AS BIGINT) AS events,
+                   CAST(SUM(L) OVER (ORDER BY day) AS BIGINT)
+                       AS log_s_e6
+            FROM t
+        """,
+        "daily_runs_test": """
+            WITH d AS (
+                SELECT epoch_us(ts) // 86400000000 AS day,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1
+            ), m AS (
+                SELECT n AS med FROM (
+                    SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS rn,
+                           COUNT(*) OVER () AS k
+                    FROM d) WHERE rn = (k - 1) // 2 + 1
+            ), l AS (
+                SELECT day, CASE WHEN n > med THEN 1 ELSE 0 END AS lab
+                FROM d CROSS JOIN m WHERE n <> med
+            ), r AS (
+                SELECT lab, LAG(lab) OVER (ORDER BY day) AS prev
+                FROM l
+            ), s AS (
+                SELECT SUM(lab) AS n1, COUNT(*) - SUM(lab) AS n2,
+                       1 + COUNT(*) FILTER (WHERE prev IS NOT NULL
+                                            AND lab <> prev) AS runs
+                FROM r
+            )
+            SELECT CAST(n1 AS BIGINT) AS n_above,
+                   CAST(n2 AS BIGINT) AS n_below,
+                   CAST(runs AS BIGINT) AS runs,
+                   CAST(1000000 + (2000000 * n1 * n2) // (n1 + n2)
+                        AS BIGINT) AS mu_e6,
+                   CAST((1000000000000 * 2 * n1 * n2 *
+                         (2 * n1 * n2 - n1 - n2))
+                        // ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+                        AS BIGINT) AS var_e12
+            FROM s
+        """,
+        "char_bigram_entropy": """
+            WITH p AS (
+                SELECT unicode(substr(text, i.i, 1)) AS c1,
+                       unicode(substr(text, i.i + 1, 1)) AS c2
+                FROM documents,
+                     (SELECT unnest(generate_series(1,
+                          length(text) - 1)) AS i) i
+                WHERE length(text) >= 2
+            ), d AS (
+                SELECT c1, c2, COUNT(*) AS n FROM p GROUP BY 1, 2
+            ), t AS (SELECT SUM(n) AS tot FROM d)
+            SELECT CAST(t.tot AS BIGINT) AS n_bigrams,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST(-SUM(d.n * CAST(FLOOR(1000000.0 *
+                        LN(CAST(d.n AS DOUBLE) / t.tot) + 0.5)
+                        AS BIGINT)) // MAX(t.tot) AS BIGINT) AS h2_e6
+            FROM d, t GROUP BY t.tot
+        """,
+        "mann_kendall_trend": """
+            WITH d AS (
+                SELECT epoch_us(ts) // 86400000000 AS day,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1
+            ), s AS (
+                SELECT SUM(CASE WHEN b.n > a.n THEN 1
+                                WHEN b.n < a.n THEN -1
+                                ELSE 0 END) AS s_stat
+                FROM d a JOIN d b ON b.day > a.day
+            ), k AS (SELECT COUNT(*) AS nd FROM d),
+            tt AS (
+                SELECT COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+                           AS tie_sum
+                FROM (SELECT COUNT(*) AS t FROM d GROUP BY n)
+                WHERE t > 1
+            )
+            SELECT CAST(k.nd AS BIGINT) AS n_days,
+                   CAST(s.s_stat AS BIGINT) AS s_stat,
+                   CAST(k.nd * (k.nd - 1) * (2 * k.nd + 5)
+                        - tt.tie_sum AS BIGINT) AS var_num
+            FROM k, s, tt
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

@@ -345,3 +345,52 @@ def test_activity_streaks_single_shuffle(ray_session):
                        pa.int64()).cast(pa.timestamp("us"))}))
     ops = _shuffle_ops(activity_streaks(ev))
     assert ops == ["Sort"], ops
+
+
+def test_combine_aggregate_single_shuffle(ray_session):
+    """combine_aggregate — the helper under most of the query surface —
+    plans exactly ONE all-to-all (the merge Aggregate over block-local
+    partials); the partial pass itself is a plain map. Regressing this
+    to two exchanges would double the shuffle volume of ~200 queries."""
+    import ray.data as rd
+    from htmlreader_ray.functions.shuffle import combine_aggregate
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(["a", "b"]), "v": pa.array([1, 2], pa.int64())}))
+    for specs in ([("", "count", "n")],
+                  [("v", "sum", "s"), ("v", "min", "lo")]):
+        ops = _shuffle_ops(combine_aggregate(ds, ["k"], specs))
+        assert ops == ["Aggregate"], ops
+
+
+def test_grouped_gini_shuffle_distribution_not_rows(ray_session):
+    """grouped_gini_e6 shuffles only the (key, value) DISTRIBUTION:
+    one combiner Aggregate + the map_groups Sort over that bounded
+    table; no Join, and the row stream itself never sorts."""
+    import ray.data as rd
+    from htmlreader_ray.functions.shuffle import grouped_gini_e6
+
+    ds = rd.from_arrow(pa.table({
+        "g": pa.array(["a", "a", "b"]),
+        "v": pa.array([1, 2, 3], pa.int64())}))
+    ops = _shuffle_ops(grouped_gini_e6(ds, ["g"], "v"))
+    assert "Join" not in ops and "RandomShuffle" not in ops
+    assert ops.count("Aggregate") == 1, ops
+    assert ops.count("Sort") == 1, ops
+
+
+def test_grouped_topk_partials_only_shuffle(ray_session):
+    """grouped_topk: block-local head-k partials are the only rows that
+    reach the exchange (planned as the map_groups Sort); no extra
+    Aggregate/Join sneaks in."""
+    import ray.data as rd
+    from htmlreader_ray.functions.shuffle import grouped_topk
+
+    ds = rd.from_arrow(pa.table({
+        "g": pa.array(["a", "a", "b"]),
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "v": pa.array([5, 4, 3], pa.int64())}))
+    ops = _shuffle_ops(grouped_topk(ds, group_col="g", order_col="v",
+                                    id_col="id", k=1))
+    assert "Join" not in ops and "Aggregate" not in ops, ops
+    assert ops.count("Sort") == 1, ops

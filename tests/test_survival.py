@@ -1,0 +1,121 @@
+"""Unit tests for the seventy-ninth/eightieth-sweep statistical
+operators (km_survival, daily_runs_test, mann_kendall_trend) on a
+hand-built micro corpus — in particular the KM right-censoring branch
+for users with NO purchase at all, which the synthetic sf corpora
+never exercise (every synthetic user purchases). Each case also runs
+the registered DuckDB oracle on the same tmp parquet as a
+differential check, mirroring the driver compare."""
+
+import math
+import sys
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, "/root/repo")
+import __ray_entry__ as entrymod  # noqa: E402
+
+US_DAY = 86_400_000_000
+T0 = 1_700_000_000_000_000  # an arbitrary epoch-us anchor
+
+
+def _write_events(tmp_path, rows):
+    """rows: (user_id, day_offset_float, event_type)."""
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([T0 + int(d * US_DAY) for _u, d, _e in rows],
+                       pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array([u for u, _d, _e in rows], pa.int64()),
+        "event_type": pa.array([e for _u, _d, e in rows], pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def _oracle(sf_dir, name):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet')")
+    return con.sql(entrymod.oracle_sql()[name]).arrow()
+
+
+def _sorted_rows(tbl, key):
+    return sorted(tbl.to_pylist(), key=lambda r: r[key])
+
+
+def test_km_censors_users_without_any_purchase(ray_session, tmp_path):
+    # A: purchase on its first-activity day (duration 0)
+    # B: first purchase 5 days after first activity (>= H=3 -> censored)
+    # C: never purchases (p0 NULL -> censored) — the branch the sf
+    #    corpora never hit
+    # D: purchase 1.5 days in (floor -> day 1)
+    sf = _write_events(tmp_path, [
+        (1, 0.0, "purchase"),
+        (2, 0.0, "view"), (2, 5.0, "purchase"),
+        (3, 0.25, "view"), (3, 2.0, "view"),
+        (4, 1.0, "view"), (4, 2.5, "purchase"),
+    ])
+    out = entrymod.queries()["km_survival"](sf).to_pylist()
+    def L(num, den):
+        return math.floor(1e6 * math.log(num / den) + 0.5)
+    assert out == [
+        {"day": 0, "at_risk": 4, "events": 1, "log_s_e6": L(3, 4)},
+        {"day": 1, "at_risk": 3, "events": 1,
+         "log_s_e6": L(3, 4) + L(2, 3)},
+    ]
+    assert _sorted_rows(_oracle(sf, "km_survival"), "day") == out
+
+
+def test_daily_runs_and_mann_kendall_micro(ray_session, tmp_path):
+    # daily counts over 6 days: 1, 3, 1, 3, 3, 2 -> lower median = 2
+    # (sorted 1,1,2,3,3,3 -> rank (6-1)//2+1 = 3rd = 2); day 5 (count
+    # 2) is dropped; labels by day: 0,1,0,1,1 -> 4 runs, n1=3, n2=2
+    counts = [1, 3, 1, 3, 3, 2]
+    rows = []
+    for day, c in enumerate(counts):
+        for k in range(c):
+            rows.append((100 + k, day + k * 1e-3, "view"))
+    sf = _write_events(tmp_path, rows)
+
+    rt = entrymod.queries()["daily_runs_test"](sf).to_pylist()[0]
+    n1, n2 = 3, 2
+    assert rt == {
+        "n_above": n1, "n_below": n2, "runs": 4,
+        "mu_e6": 1_000_000 + 2_000_000 * n1 * n2 // (n1 + n2),
+        "var_e12": (10 ** 12 * 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2))
+                   // ((n1 + n2) ** 2 * (n1 + n2 - 1)),
+    }
+    assert _oracle(sf, "daily_runs_test").to_pylist() == [rt]
+
+    mk = entrymod.queries()["mann_kendall_trend"](sf).to_pylist()[0]
+    # pairs i<j over [1,3,1,3,3,2]: S = sum sign(x_j - x_i)
+    s = sum((counts[j] > counts[i]) - (counts[j] < counts[i])
+            for i in range(6) for j in range(i + 1, 6))
+    ties = {1: 2, 3: 3}   # count value -> multiplicity (>1 only)
+    var_num = 6 * 5 * 17 - sum(t * (t - 1) * (2 * t + 5)
+                               for t in ties.values())
+    assert mk == {"n_days": 6, "s_stat": s, "var_num": var_num}
+    assert _oracle(sf, "mann_kendall_trend").to_pylist() == [mk]
+
+
+def test_char_bigram_entropy_micro(ray_session, tmp_path):
+    # "ab" + "ba" -> bigrams: ab, ba (one each); H = ln 2
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["ab", "ba"], pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = entrymod.queries()["char_bigram_entropy"](
+        str(tmp_path)).to_pylist()[0]
+    half_ln = math.floor(1e6 * math.log(0.5) + 0.5)
+    assert out == {"n_bigrams": 2, "n_cells": 2,
+                   "h2_e6": -(2 * half_ln) // 2}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    assert con.sql(entrymod.oracle_sql()["char_bigram_entropy"]) \
+        .arrow().to_pylist() == [out]
