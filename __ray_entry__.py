@@ -8605,6 +8605,106 @@ def queries() -> dict[str, Callable[[str], Any]]:
              pa.array([var_num], pa.int64())],
             names=["n_days", "s_stat", "var_num"])
 
+    def changepoint_scores(sf_dir: str):
+        """Binary-segmentation changepoint scan over the daily
+        event-count sequence: for every split i the between-segment
+        SSE reduction is the exact rational
+        (s1·n2 − s2·n1)² / (n1·n2·D), so the full per-split score
+        TABLE is emitted as integer (num, den) pairs — no float, no
+        argmax ulp hazard, and the consumer (or a later round) picks
+        the max by cross-multiplication. Bounded daily combiner; the
+        ≤ D−1 split rows are driver-side."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        US_DAY = 86_400_000_000
+
+        def days(b: pa.Table) -> pa.Table:
+            t = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                        pa.int64())
+            return pa.Table.from_arrays(
+                [pc.divide(t, pa.scalar(US_DAY, pa.int64()))],
+                names=["day"])
+
+        daily = sorted(combine_aggregate(
+            _read(sf_dir, "events", ["ts"]).map_batches(
+                days, batch_format="pyarrow"),
+            ["day"], [("", "count", "n")]).take_all(),
+            key=lambda r: int(r["day"]))
+        dd = len(daily)
+        tot = sum(int(r["n"]) for r in daily)
+        out_i, out_day, out_s1, out_num, out_den = [], [], [], [], []
+        s1 = 0
+        for i, r in enumerate(daily[:-1], start=1):
+            s1 += int(r["n"])
+            diff = s1 * (dd - i) - (tot - s1) * i
+            out_i.append(i)
+            out_day.append(int(r["day"]))
+            out_s1.append(s1)
+            out_num.append(diff * diff)
+            out_den.append(i * (dd - i) * dd)
+        return pa.Table.from_arrays(
+            [pa.array(out_i, pa.int64()),
+             pa.array(out_day, pa.int64()),
+             pa.array(out_s1, pa.int64()),
+             pa.array(out_num, pa.int64()),
+             pa.array(out_den, pa.int64())],
+            names=["split_idx", "day", "sum_left", "num", "den"])
+
+    def type_leadlag(sf_dir: str):
+        """Lead-lag cross-correlation components between the 'view'
+        and 'purchase' daily series at lags −3…+3 (does viewing lead
+        purchasing?): per lag, the Pearson sufficient statistics
+        (n, Σxy, Σx, Σy, Σx², Σy²) over the overlapping day window —
+        every column an exact integer, so no correlation float ever
+        crosses the oracle boundary. ONE (day, type) cell combiner;
+        the 7-lag scan is driver-side over ≤ 7·D pairs."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        US_DAY = 86_400_000_000
+
+        def cells(b: pa.Table) -> pa.Table:
+            t = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                        pa.int64())
+            return pa.Table.from_arrays(
+                [pc.divide(t, pa.scalar(US_DAY, pa.int64())),
+                 b.column("event_type")],
+                names=["day", "event_type"])
+
+        rows = combine_aggregate(
+            _read(sf_dir, "events", ["ts", "event_type"]).map_batches(
+                cells, batch_format="pyarrow"),
+            ["day", "event_type"], [("", "count", "n")]).take_all()
+        x = {int(r["day"]): int(r["n"]) for r in rows
+             if r["event_type"] == "view"}
+        y = {int(r["day"]): int(r["n"]) for r in rows
+             if r["event_type"] == "purchase"}
+        cols = {k: [] for k in ("lag", "n_days", "sxy", "sx", "sy",
+                                "sxx", "syy")}
+        for lag in range(-3, 4):
+            n = sxy = sx = sy = sxx = syy = 0
+            for d, xv in x.items():
+                yv = y.get(d + lag)
+                if yv is None:
+                    continue
+                n += 1
+                sxy += xv * yv
+                sx += xv
+                sy += yv
+                sxx += xv * xv
+                syy += yv * yv
+            for k, v in (("lag", lag), ("n_days", n), ("sxy", sxy),
+                         ("sx", sx), ("sy", sy), ("sxx", sxx),
+                         ("syy", syy)):
+                cols[k].append(v)
+        return pa.Table.from_arrays(
+            [pa.array(cols[k], pa.int64()) for k in
+             ("lag", "n_days", "sxy", "sx", "sy", "sxx", "syy")],
+            names=["lag", "n_days", "sxy", "sx", "sy", "sxx", "syy"])
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -8893,6 +8993,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_runs_test": daily_runs_test,
         "char_bigram_entropy": char_bigram_entropy,
         "mann_kendall_trend": mann_kendall_trend,
+        "changepoint_scores": changepoint_scores,
+        "type_leadlag": type_leadlag,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -9084,6 +9186,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "km_survival", "daily_runs_test",
         # new in round 3, eightieth sweep
         "char_bigram_entropy", "mann_kendall_trend",
+        # new in round 3, eighty-first sweep
+        "changepoint_scores", "type_leadlag",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -14059,6 +14163,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(k.nd * (k.nd - 1) * (2 * k.nd + 5)
                         - tt.tie_sum AS BIGINT) AS var_num
             FROM k, s, tt
+        """,
+        "changepoint_scores": """
+            WITH d AS (
+                SELECT epoch_us(ts) // 86400000000 AS day,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1
+            ), c AS (
+                SELECT day,
+                       ROW_NUMBER() OVER (ORDER BY day) AS i,
+                       SUM(n) OVER (ORDER BY day) AS s1,
+                       COUNT(*) OVER () AS dd,
+                       SUM(n) OVER () AS tot
+                FROM d
+            )
+            SELECT CAST(i AS BIGINT) AS split_idx,
+                   CAST(day AS BIGINT) AS day,
+                   CAST(s1 AS BIGINT) AS sum_left,
+                   CAST((s1 * (dd - i) - (tot - s1) * i) *
+                        (s1 * (dd - i) - (tot - s1) * i)
+                        AS BIGINT) AS num,
+                   CAST(i * (dd - i) * dd AS BIGINT) AS den
+            FROM c WHERE i < dd
+        """,
+        "type_leadlag": """
+            WITH d AS (
+                SELECT epoch_us(ts) // 86400000000 AS day,
+                       event_type, COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            ), x AS (SELECT day, n FROM d WHERE event_type = 'view'),
+            y AS (SELECT day, n FROM d WHERE event_type = 'purchase'),
+            lags AS (SELECT unnest(generate_series(-3, 3)) AS lag)
+            SELECT CAST(lags.lag AS BIGINT) AS lag,
+                   CAST(COUNT(y.day) AS BIGINT) AS n_days,
+                   CAST(COALESCE(SUM(x.n * y.n), 0) AS BIGINT) AS sxy,
+                   CAST(COALESCE(SUM(CASE WHEN y.day IS NOT NULL
+                                     THEN x.n END), 0) AS BIGINT)
+                       AS sx,
+                   CAST(COALESCE(SUM(y.n), 0) AS BIGINT) AS sy,
+                   CAST(COALESCE(SUM(CASE WHEN y.day IS NOT NULL
+                                     THEN x.n * x.n END), 0)
+                        AS BIGINT) AS sxx,
+                   CAST(COALESCE(SUM(y.n * y.n), 0) AS BIGINT) AS syy
+            FROM lags
+            CROSS JOIN x
+            LEFT JOIN y ON y.day = x.day + lags.lag
+            GROUP BY lags.lag
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

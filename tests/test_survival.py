@@ -119,3 +119,45 @@ def test_char_bigram_entropy_micro(ray_session, tmp_path):
                 f"read_parquet('{tmp_path}/documents.parquet')")
     assert con.sql(entrymod.oracle_sql()["char_bigram_entropy"]) \
         .arrow().to_pylist() == [out]
+
+
+def test_changepoint_scores_micro(ray_session, tmp_path):
+    # counts [1, 1, 5, 5] on days 0..3 -> the max num/den must land on
+    # split i=2 (the true level shift): 256/16 vs 64/12 at i=1,3
+    rows = []
+    for day, c in enumerate([1, 1, 5, 5]):
+        for k in range(c):
+            rows.append((200 + k, day + k * 1e-3, "view"))
+    sf = _write_events(tmp_path, rows)
+    out = entrymod.queries()["changepoint_scores"](sf).to_pylist()
+    d0 = T0 // US_DAY    # absolute epoch day of the fixture anchor
+    assert out == [
+        {"split_idx": 1, "day": d0, "sum_left": 1, "num": 64,
+         "den": 12},
+        {"split_idx": 2, "day": d0 + 1, "sum_left": 2, "num": 256,
+         "den": 16},
+        {"split_idx": 3, "day": d0 + 2, "sum_left": 7, "num": 64,
+         "den": 12},
+    ]
+    best = max(out, key=lambda r: (r["num"] / r["den"]))
+    assert best["split_idx"] == 2
+    assert _sorted_rows(_oracle(sf, "changepoint_scores"),
+                        "split_idx") == out
+
+
+def test_type_leadlag_micro(ray_session, tmp_path):
+    # views: day0 x2, day1 x3; purchases: day1 x1, day2 x4
+    rows = ([(1, 0.0, "view")] * 2 + [(1, 1.0, "view")] * 3
+            + [(2, 1.0, "purchase")] + [(2, 2.0, "purchase")] * 4)
+    rows = [(u, d + i * 1e-4, e) for i, (u, d, e) in enumerate(rows)]
+    sf = _write_events(tmp_path, rows)
+    out = {r["lag"]: r for r in
+           entrymod.queries()["type_leadlag"](sf).to_pylist()}
+    assert out[1] == {"lag": 1, "n_days": 2, "sxy": 14, "sx": 5,
+                      "sy": 5, "sxx": 13, "syy": 17}
+    assert out[0] == {"lag": 0, "n_days": 1, "sxy": 3, "sx": 3,
+                      "sy": 1, "sxx": 9, "syy": 1}
+    assert out[-3]["n_days"] == 0 and out[-3]["sxy"] == 0
+    got = {r["lag"]: r for r in
+           _oracle(sf, "type_leadlag").to_pylist()}
+    assert got == out
