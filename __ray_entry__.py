@@ -8705,6 +8705,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
              ("lag", "n_days", "sxy", "sx", "sy", "sxx", "syy")],
             names=["lag", "n_days", "sxy", "sx", "sy", "sxx", "syy"])
 
+    def lognormal_fit_chars(sf_dir: str):
+        """Method-of-moments lognormal fit of the document length
+        distribution (the standard web-corpus length model): sufficient
+        statistics N, Σ c·L, Σ c·L² with L = floor(1e3·ln(len)+0.5),
+        computed over the BOUNDED distinct-length distribution (one
+        combiner; never per-row ln). e3 quantization keeps Σ c·L²
+        inside int64 to ~3·10¹¹ docs (L² ≤ ~3·10⁷ at len ≤ 10⁶);
+        beyond that ship Python-int partials as strings (the
+        established Σcents² idiom). Consumer: μ̂ = s1/N/1e3,
+        σ̂² = s2/N/1e6 − μ̂²."""
+        import math
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        dist = combine_aggregate(
+            _read(sf_dir, "documents", ["n_chars"]).map_batches(
+                lambda b: b.filter(
+                    pc.greater_equal(b.column("n_chars"), 1)),
+                batch_format="pyarrow"),
+            ["n_chars"], [("", "count", "c")]).take_all()
+        n = s1 = s2 = 0
+        for r in dist:
+            ln = int(r["n_chars"])
+            c = int(r["c"])
+            lq = math.floor(1_000.0 * math.log(float(ln)) + 0.5)
+            n += c
+            s1 += c * lq
+            s2 += c * lq * lq
+        return pa.Table.from_arrays(
+            [pa.array([n], pa.int64()), pa.array([s1], pa.int64()),
+             pa.array([s2], pa.int64())],
+            names=["n_docs", "sum_ln_e3", "sum_ln2_e6"])
+
+    def user_transition_entropy_q(sf_dir: str):
+        """Per-user behavioral-sequence entropy (SURVEY §2.10 sequence
+        family): Shannon entropy of each user's transition distribution
+        in e6 — one coarse user-bucket shuffle, vectorized cell counts,
+        quantized-ln exact-integer per-user aggregate. Users with < 2
+        events are omitted (the LEAD contract)."""
+        from htmlreader_ray.functions.analytics import \
+            user_transition_entropy
+        return user_transition_entropy(
+            _read(sf_dir, "events", ["user_id", "ts", "event_type",
+                                     "event_id"]))
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -8995,6 +9042,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mann_kendall_trend": mann_kendall_trend,
         "changepoint_scores": changepoint_scores,
         "type_leadlag": type_leadlag,
+        "lognormal_fit_chars": lognormal_fit_chars,
+        "user_transition_entropy": user_transition_entropy_q,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -9188,6 +9237,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_bigram_entropy", "mann_kendall_trend",
         # new in round 3, eighty-first sweep
         "changepoint_scores", "type_leadlag",
+        # new in round 3, eighty-second sweep
+        "lognormal_fit_chars", "user_transition_entropy",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -14209,6 +14260,41 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN x
             LEFT JOIN y ON y.day = x.day + lags.lag
             GROUP BY lags.lag
+        """,
+        "lognormal_fit_chars": """
+            WITH d AS (
+                SELECT n_chars, COUNT(*) AS c FROM documents
+                WHERE n_chars >= 1 GROUP BY 1
+            ), q AS (
+                SELECT c,
+                       CAST(FLOOR(1000.0 *
+                            LN(CAST(n_chars AS DOUBLE)) + 0.5)
+                            AS BIGINT) AS lq
+                FROM d
+            )
+            SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
+                   CAST(SUM(c * lq) AS BIGINT) AS sum_ln_e3,
+                   CAST(SUM(c * lq * lq) AS BIGINT) AS sum_ln2_e6
+            FROM q
+        """,
+        "user_transition_entropy": """
+            WITH s AS (
+                SELECT user_id, event_type AS t1,
+                       LEAD(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS t2
+                FROM events
+            ), c AS (
+                SELECT user_id, t1, t2, COUNT(*) AS n FROM s
+                WHERE t2 IS NOT NULL GROUP BY 1, 2, 3
+            ), u AS (
+                SELECT user_id, SUM(n) AS tot FROM c GROUP BY 1
+            )
+            SELECT c.user_id,
+                   CAST(MAX(u.tot) AS BIGINT) AS n_trans,
+                   CAST(-SUM(c.n * CAST(FLOOR(1000000.0 *
+                        LN(CAST(c.n AS DOUBLE) / u.tot) + 0.5)
+                        AS BIGINT)) // MAX(u.tot) AS BIGINT) AS ent_e6
+            FROM c JOIN u USING (user_id) GROUP BY c.user_id
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

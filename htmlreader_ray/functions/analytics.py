@@ -972,3 +972,59 @@ def range_window_sums(ds, *, window_us: int = 3_600_000_000,
 
     return _bucketed(ds, user_col, coarse_buckets).map_groups(
         kernel, batch_format="pyarrow")
+
+
+def user_transition_entropy(ds, *, ts_col: str = "ts",
+                            user_col: str = "user_id",
+                            type_col: str = "event_type",
+                            order_col: str = "event_id",
+                            coarse_buckets: int = 256):
+    """Per-user behavioral-sequence entropy: Shannon entropy (e6 fixed
+    point) of each user's (type -> next type) transition distribution,
+    ordered by ts (tiebreak ``order_col``). Users with fewer than two
+    events have no transitions and are omitted — the SQL LEAD/GROUP BY
+    contract. Same single coarse-bucket shuffle + numpy segmentation
+    discipline as first_k_signature; the per-(user, pair) cell counts
+    come from one np.unique over packed keys, and the quantized-ln
+    term L = floor(1e6·ln(n/tot)+0.5) is evaluated with np.log —
+    bit-identical to math.log and DuckDB LN on this platform (libm;
+    the bigram_pmi/indexing.py contract) — so the per-user aggregate
+    -Σ n·L // tot is exact integer."""
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64()),
+             pa.array([], pa.int64())],
+            names=[user_col, "n_trans", "ent_e6"])
+        if group.num_rows == 0:
+            return empty
+        uid = _np(group.column(user_col))
+        us = _np(group.column(ts_col).cast(pa.int64()))
+        eid = _np(group.column(order_col))
+        order = np.lexsort((eid, us, uid))
+        uid_s = uid[order]
+        types = group.column(type_col).combine_chunks()
+        tcodes, tidx = np.unique(np.asarray(types), return_inverse=True)
+        tc_s = tidx[order]
+        same = uid_s[1:] == uid_s[:-1]
+        if not same.any():
+            return empty
+        u_pair = uid_s[:-1][same]
+        c1 = tc_s[:-1][same].astype(np.int64)
+        c2 = tc_s[1:][same].astype(np.int64)
+        k = len(tcodes)
+        key = (u_pair * k + c1) * k + c2
+        ukey, cnt = np.unique(key, return_counts=True)
+        cell_uid = ukey // (k * k)
+        # per-user transition totals over the cell table
+        uu, uinv = np.unique(cell_uid, return_inverse=True)
+        tot = np.bincount(uinv, weights=cnt).astype(np.int64)
+        L = np.floor(1_000_000.0 * np.log(
+            cnt.astype(np.float64) / tot[uinv]) + 0.5).astype(np.int64)
+        acc = np.bincount(uinv, weights=cnt * L).astype(np.int64)
+        ent = -acc // tot
+        return pa.Table.from_arrays(
+            [pa.array(uu), pa.array(tot), pa.array(ent)],
+            names=[user_col, "n_trans", "ent_e6"])
+
+    return _bucketed(ds, user_col, coarse_buckets).map_groups(
+        kernel, batch_format="pyarrow")

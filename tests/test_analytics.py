@@ -578,3 +578,31 @@ def test_range_window_sums(ray_session):
     # peers at equal ts count for each other
     assert out[4]["n_win"] == 2 and out[4]["cents_win"] == 300
     assert out[5]["n_win"] == 2 and out[5]["cents_win"] == 300
+
+
+def test_user_transition_entropy(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from htmlreader_ray.functions.analytics import user_transition_entropy
+
+    US = 3_600_000_000
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 3, 3], pa.int64()),
+        # user 1: view -> click -> view; user 2: single (omitted);
+        # user 3: two rows at the SAME ts -> event_id tiebreak decides
+        "ts": pa.array([0, US, 2 * US, 0, 5 * US, 5 * US],
+                       pa.int64()).cast(pa.timestamp("us")),
+        "event_id": pa.array([10, 11, 12, 13, 15, 14], pa.int64()),
+        "event_type": ["view", "click", "view", "view",
+                       "purchase", "signup"],
+    }))
+    out = {r["user_id"]: r for r in
+           user_transition_entropy(ev).take_all()}
+    ln2_e6 = -math.floor(1e6 * math.log(0.5) + 0.5)
+    # user 1: cells {view>click: 1, click>view: 1}, tot 2 -> H = ln 2
+    assert out[1] == {"user_id": 1, "n_trans": 2, "ent_e6": ln2_e6}
+    # user 3: one transition signup>purchase (event_id 14 before 15)
+    assert out[3] == {"user_id": 3, "n_trans": 1, "ent_e6": 0}
+    assert 2 not in out

@@ -394,3 +394,19 @@ def test_grouped_topk_partials_only_shuffle(ray_session):
                                     id_col="id", k=1))
     assert "Join" not in ops and "Aggregate" not in ops, ops
     assert ops.count("Sort") == 1, ops
+
+
+def test_user_transition_entropy_single_shuffle(ray_session):
+    """user_transition_entropy: ONE coarse user-bucket exchange
+    (planned as the map_groups Sort) — same budget as
+    activity_streaks; no Aggregate/Join."""
+    import ray.data as rd
+    from htmlreader_ray.functions.analytics import user_transition_entropy
+
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([0, 1], pa.int64()).cast(pa.timestamp("us")),
+        "event_id": pa.array([0, 1], pa.int64()),
+        "event_type": ["a", "b"]}))
+    ops = _shuffle_ops(user_transition_entropy(ev))
+    assert ops == ["Sort"], ops
