@@ -8752,6 +8752,107 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "events", ["user_id", "ts", "event_type",
                                      "event_id"]))
 
+    def haar_energy(sf_dir: str):
+        """Unnormalized Haar wavelet detail energy of the daily
+        event-count sequence per dyadic level (the multi-scale
+        burstiness decomposition): the day sequence is truncated to
+        its largest power-of-two prefix (by index), and level j's
+        energy is Σ_blocks (Σleft − Σright)² over blocks of 2^j days —
+        every quantity an exact integer. Bounded daily combiner; the
+        dyadic scan is driver-side over ≤ 32 rows."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        US_DAY = 86_400_000_000
+
+        def days(b: pa.Table) -> pa.Table:
+            t = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                        pa.int64())
+            return pa.Table.from_arrays(
+                [pc.divide(t, pa.scalar(US_DAY, pa.int64()))],
+                names=["day"])
+
+        daily = sorted(combine_aggregate(
+            _read(sf_dir, "events", ["ts"]).map_batches(
+                days, batch_format="pyarrow"),
+            ["day"], [("", "count", "n")]).take_all(),
+            key=lambda r: int(r["day"]))
+        x = [int(r["n"]) for r in daily]
+        p = 1
+        while p * 2 <= len(x):
+            p *= 2
+        x = x[:p]
+        out_j, out_b, out_e = [], [], []
+        j = 1
+        while (1 << j) <= p:
+            size = 1 << j
+            half = size >> 1
+            energy = 0
+            n_blocks = 0
+            for s in range(0, p, size):
+                d = sum(x[s:s + half]) - sum(x[s + half:s + size])
+                energy += d * d
+                n_blocks += 1
+            out_j.append(j)
+            out_b.append(n_blocks)
+            out_e.append(energy)
+            j += 1
+        return pa.Table.from_arrays(
+            [pa.array(out_j, pa.int64()), pa.array(out_b, pa.int64()),
+             pa.array(out_e, pa.int64())],
+            names=["level", "n_blocks", "energy"])
+
+    def daily_type_kl(sf_dir: str):
+        """Per-day KL divergence of the event-type mix from the global
+        mix (the drift/anomaly divergence, complementing the z-score
+        pass): KL_e6 = Σ_t n·L // tot_d with
+        L = floor(1e6·ln((n·G)/(tot_d·g_t))+0.5) — products exact in
+        int64 (< 2^53, so the one double division is bit-mirrored),
+        ONLY the ln quantized. One (day, type) cell combiner; the
+        ≤ days×types finalize is driver-side."""
+        import math
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        US_DAY = 86_400_000_000
+
+        def cells(b: pa.Table) -> pa.Table:
+            t = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                        pa.int64())
+            return pa.Table.from_arrays(
+                [pc.divide(t, pa.scalar(US_DAY, pa.int64())),
+                 b.column("event_type")],
+                names=["day", "t"])
+
+        rows = combine_aggregate(
+            _read(sf_dir, "events", ["ts", "event_type"]).map_batches(
+                cells, batch_format="pyarrow"),
+            ["day", "t"], [("", "count", "n")]).take_all()
+        tot: dict = {}
+        gt: dict = {}
+        big_g = 0
+        for r in rows:
+            d, t, n = int(r["day"]), r["t"], int(r["n"])
+            tot[d] = tot.get(d, 0) + n
+            gt[t] = gt.get(t, 0) + n
+            big_g += n
+        acc: dict = {}
+        for r in rows:
+            d, t, n = int(r["day"]), r["t"], int(r["n"])
+            lq = math.floor(1_000_000.0 * math.log(
+                float(n * big_g) / (tot[d] * gt[t])) + 0.5)
+            acc[d] = acc.get(d, 0) + n * lq
+        days_sorted = sorted(tot)
+        return pa.Table.from_arrays(
+            [pa.array(days_sorted, pa.int64()),
+             pa.array([tot[d] for d in days_sorted], pa.int64()),
+             pa.array([acc[d] // tot[d] for d in days_sorted],
+                      pa.int64())],
+            names=["day", "n_events", "kl_e6"])
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -9044,6 +9145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_leadlag": type_leadlag,
         "lognormal_fit_chars": lognormal_fit_chars,
         "user_transition_entropy": user_transition_entropy_q,
+        "haar_energy": haar_energy,
+        "daily_type_kl": daily_type_kl,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -9239,6 +9342,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "changepoint_scores", "type_leadlag",
         # new in round 3, eighty-second sweep
         "lognormal_fit_chars", "user_transition_entropy",
+        # new in round 3, eighty-third sweep
+        "haar_energy", "daily_type_kl",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -14295,6 +14400,55 @@ def oracle_sql() -> dict[str, str]:
                         LN(CAST(c.n AS DOUBLE) / u.tot) + 0.5)
                         AS BIGINT)) // MAX(u.tot) AS BIGINT) AS ent_e6
             FROM c JOIN u USING (user_id) GROUP BY c.user_id
+        """,
+        "haar_energy": """
+            WITH d AS (
+                SELECT epoch_us(ts) // 86400000000 AS day,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1
+            ), o AS (
+                SELECT n, ROW_NUMBER() OVER (ORDER BY day) - 1 AS idx,
+                       COUNT(*) OVER () AS dd
+                FROM d
+            ), p AS (
+                SELECT MAX(1 << s.i) AS pw
+                FROM (SELECT unnest(generate_series(0, 40)) AS i) s,
+                     (SELECT MAX(dd) AS dd FROM o) m
+                WHERE (1 << s.i) <= m.dd
+            ), lv AS (
+                SELECT unnest(generate_series(1, 40)) AS j
+            ), e AS (
+                SELECT lv.j AS j, o.idx // (1 << lv.j) AS blk,
+                       SUM(CASE WHEN (o.idx // (1 << (lv.j - 1))) % 2
+                                = 0 THEN o.n ELSE 0 END) AS ls,
+                       SUM(CASE WHEN (o.idx // (1 << (lv.j - 1))) % 2
+                                = 1 THEN o.n ELSE 0 END) AS rs
+                FROM o, p, lv
+                WHERE o.idx < p.pw AND (1 << lv.j) <= p.pw
+                GROUP BY 1, 2
+            )
+            SELECT CAST(j AS BIGINT) AS level,
+                   CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                   CAST(SUM((ls - rs) * (ls - rs)) AS BIGINT)
+                       AS energy
+            FROM e GROUP BY 1
+        """,
+        "daily_type_kl": """
+            WITH c AS (
+                SELECT epoch_us(ts) // 86400000000 AS day,
+                       event_type AS t, COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            ), d AS (SELECT day, SUM(n) AS tot FROM c GROUP BY 1),
+            g AS (SELECT t, SUM(n) AS gt FROM c GROUP BY 1),
+            s AS (SELECT SUM(n) AS G FROM c)
+            SELECT CAST(c.day AS BIGINT) AS day,
+                   CAST(MAX(d.tot) AS BIGINT) AS n_events,
+                   CAST(SUM(c.n * CAST(FLOOR(1000000.0 *
+                        LN(CAST(c.n * s.G AS DOUBLE) /
+                           (d.tot * g.gt)) + 0.5) AS BIGINT))
+                        // MAX(d.tot) AS BIGINT) AS kl_e6
+            FROM c JOIN d USING (day) JOIN g USING (t) CROSS JOIN s
+            GROUP BY c.day
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

@@ -161,3 +161,40 @@ def test_type_leadlag_micro(ray_session, tmp_path):
     got = {r["lag"]: r for r in
            _oracle(sf, "type_leadlag").to_pylist()}
     assert got == out
+
+
+def test_haar_energy_micro(ray_session, tmp_path):
+    # counts [1,2,3,4,10] -> truncated to the 2^2 prefix [1,2,3,4]
+    # level 1: (1-2)^2 + (3-4)^2 = 2 over 2 blocks
+    # level 2: ((1+2)-(3+4))^2 = 16 over 1 block
+    rows = []
+    for day, c in enumerate([1, 2, 3, 4, 10]):
+        for k in range(c):
+            rows.append((300 + k, day + k * 1e-3, "view"))
+    sf = _write_events(tmp_path, rows)
+    out = entrymod.queries()["haar_energy"](sf).to_pylist()
+    assert out == [
+        {"level": 1, "n_blocks": 2, "energy": 2},
+        {"level": 2, "n_blocks": 1, "energy": 16},
+    ]
+    assert _sorted_rows(_oracle(sf, "haar_energy"), "level") == out
+
+
+def test_daily_type_kl_micro(ray_session, tmp_path):
+    # day0: 3 view + 1 purchase; day1: 1 view + 3 purchase
+    # global mix is 50/50, so both days diverge identically:
+    # KL = (3*L(1.5) + 1*L(0.5)) // 4 in e6
+    rows = ([(1, 0.0, "view")] * 3 + [(1, 0.0, "purchase")]
+            + [(2, 1.0, "view")] + [(2, 1.0, "purchase")] * 3)
+    rows = [(u, d + i * 1e-4, e) for i, (u, d, e) in enumerate(rows)]
+    sf = _write_events(tmp_path, rows)
+    out = entrymod.queries()["daily_type_kl"](sf).to_pylist()
+    l15 = math.floor(1e6 * math.log(1.5) + 0.5)
+    l05 = math.floor(1e6 * math.log(0.5) + 0.5)
+    kl = (3 * l15 + l05) // 4
+    d0 = T0 // US_DAY
+    assert out == [
+        {"day": d0, "n_events": 4, "kl_e6": kl},
+        {"day": d0 + 1, "n_events": 4, "kl_e6": kl},
+    ]
+    assert _sorted_rows(_oracle(sf, "daily_type_kl"), "day") == out
