@@ -8853,6 +8853,115 @@ def queries() -> dict[str, Callable[[str], Any]]:
                       pa.int64())],
             names=["day", "n_events", "kl_e6"])
 
+    def nation_profile_jaccard(sf_dir: str):
+        """Weighted-Jaccard similarity matrix between per-nation
+        order-priority profiles (Σmin/Σmax over the dense
+        nation×priority count matrix, e6) — the profile-similarity
+        operator over bounded dimension tables. Customer dim
+        broadcast once via ray.put (never a shuffle join on orders);
+        ONE (nation, priority) combiner; the ≤ 25² pair scan is
+        driver-side."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        cust = _read(sf_dir, "customer").select_columns(
+            ["c_custkey", "c_nationkey"]).take_all()
+        lookup_ref = ray.put((
+            pa.array([r["c_custkey"] for r in cust], pa.int64()),
+            pa.array([int(r["c_nationkey"]) for r in cust],
+                     pa.int64())))
+
+        class AttachNation:
+            def __init__(self, ref):
+                self.keys, self.nations = ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                idx = pc.index_in(batch.column("o_custkey"),
+                                  value_set=self.keys)
+                return pa.Table.from_arrays(
+                    [pc.fill_null(self.nations.take(idx), -1),
+                     batch.column("o_orderpriority")],
+                    names=["nation", "pr"])
+
+        cells = combine_aggregate(
+            _read(sf_dir, "orders",
+                  ["o_custkey", "o_orderpriority"]).map_batches(
+                AttachNation, fn_constructor_kwargs={"ref": lookup_ref},
+                concurrency=4, batch_format="pyarrow"),
+            ["nation", "pr"], [("", "count", "n")]).take_all()
+        prof: dict = {}
+        prs = set()
+        for r in cells:
+            prof.setdefault(int(r["nation"]), {})[r["pr"]] = int(r["n"])
+            prs.add(r["pr"])
+        nations = sorted(prof)
+        out_a, out_b, out_j = [], [], []
+        for i, a in enumerate(nations):
+            for b in nations[i + 1:]:
+                smin = smax = 0
+                for p in prs:
+                    x = prof[a].get(p, 0)
+                    y = prof[b].get(p, 0)
+                    smin += min(x, y)
+                    smax += max(x, y)
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append((1_000_000 * smin) // smax)
+        return pa.Table.from_arrays(
+            [pa.array(out_a, pa.int64()), pa.array(out_b, pa.int64()),
+             pa.array(out_j, pa.int64())],
+            names=["nation_a", "nation_b", "jaccard_e6"])
+
+    def dow_seasonal_profile(sf_dir: str):
+        """Day-of-week seasonal profile of daily load: per ISO dow the
+        lower-median daily count and the MAD (lower median of absolute
+        deviations) — the robust seasonal baseline for the control
+        chart. Exact integers; one daily combiner; the ≤ 7×5 finalize
+        is driver-side. dow = (epochday + 3) % 7 + 1 (the repo's
+        pinned arithmetic convention, no tz functions on either
+        side)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        US_DAY = 86_400_000_000
+
+        def days(b: pa.Table) -> pa.Table:
+            t = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                        pa.int64())
+            return pa.Table.from_arrays(
+                [pc.divide(t, pa.scalar(US_DAY, pa.int64()))],
+                names=["day"])
+
+        daily = combine_aggregate(
+            _read(sf_dir, "events", ["ts"]).map_batches(
+                days, batch_format="pyarrow"),
+            ["day"], [("", "count", "n")]).take_all()
+        bydow: dict = {}
+        for r in daily:
+            dow = (int(r["day"]) + 3) % 7 + 1
+            bydow.setdefault(dow, []).append(int(r["n"]))
+
+        def lower_median(vals):
+            vs = sorted(vals)
+            return vs[(len(vs) - 1) // 2]
+
+        out_d, out_n, out_m, out_a = [], [], [], []
+        for dow in sorted(bydow):
+            vals = bydow[dow]
+            med = lower_median(vals)
+            mad = lower_median([abs(v - med) for v in vals])
+            out_d.append(dow)
+            out_n.append(len(vals))
+            out_m.append(med)
+            out_a.append(mad)
+        return pa.Table.from_arrays(
+            [pa.array(out_d, pa.int64()), pa.array(out_n, pa.int64()),
+             pa.array(out_m, pa.int64()), pa.array(out_a, pa.int64())],
+            names=["dow", "n_days", "median_n", "mad_n"])
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -9147,6 +9256,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_transition_entropy": user_transition_entropy_q,
         "haar_energy": haar_energy,
         "daily_type_kl": daily_type_kl,
+        "nation_profile_jaccard": nation_profile_jaccard,
+        "dow_seasonal_profile": dow_seasonal_profile,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -9344,6 +9455,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lognormal_fit_chars", "user_transition_entropy",
         # new in round 3, eighty-third sweep
         "haar_energy", "daily_type_kl",
+        # new in round 3, eighty-fourth sweep
+        "nation_profile_jaccard", "dow_seasonal_profile",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -14449,6 +14562,64 @@ def oracle_sql() -> dict[str, str]:
                         // MAX(d.tot) AS BIGINT) AS kl_e6
             FROM c JOIN d USING (day) JOIN g USING (t) CROSS JOIN s
             GROUP BY c.day
+        """,
+        "nation_profile_jaccard": """
+            WITH c AS (
+                SELECT CAST(cu.c_nationkey AS BIGINT) AS nation,
+                       o.o_orderpriority AS pr, COUNT(*) AS n
+                FROM orders o
+                JOIN customer cu ON cu.c_custkey = o.o_custkey
+                GROUP BY 1, 2
+            ), nn AS (SELECT DISTINCT nation FROM c),
+            pp AS (SELECT DISTINCT pr FROM c),
+            d AS (
+                SELECT nn.nation, pp.pr, COALESCE(c.n, 0) AS n
+                FROM nn CROSS JOIN pp
+                LEFT JOIN c ON c.nation = nn.nation AND c.pr = pp.pr
+            ), j AS (
+                SELECT a.nation AS nation_a, b.nation AS nation_b,
+                       SUM(LEAST(a.n, b.n)) AS smin,
+                       SUM(GREATEST(a.n, b.n)) AS smax
+                FROM d a JOIN d b
+                  ON a.pr = b.pr AND a.nation < b.nation
+                GROUP BY 1, 2
+            )
+            SELECT nation_a, nation_b,
+                   CAST((1000000 * smin) // smax AS BIGINT)
+                       AS jaccard_e6
+            FROM j
+        """,
+        "dow_seasonal_profile": """
+            WITH d AS (
+                SELECT epoch_us(ts) // 86400000000 AS day,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1
+            ), w AS (
+                SELECT (day + 3) % 7 + 1 AS dow, n FROM d
+            ), m AS (
+                SELECT dow, n AS med FROM (
+                    SELECT dow, n,
+                           ROW_NUMBER() OVER (PARTITION BY dow
+                                              ORDER BY n) AS rn,
+                           COUNT(*) OVER (PARTITION BY dow) AS k
+                    FROM w) WHERE rn = (k - 1) // 2 + 1
+            ), a AS (
+                SELECT w.dow, ABS(w.n - m.med) AS dev, m.med
+                FROM w JOIN m USING (dow)
+            ), md AS (
+                SELECT dow, dev AS mad FROM (
+                    SELECT dow, dev,
+                           ROW_NUMBER() OVER (PARTITION BY dow
+                                              ORDER BY dev) AS rn,
+                           COUNT(*) OVER (PARTITION BY dow) AS k
+                    FROM a) WHERE rn = (k - 1) // 2 + 1
+            )
+            SELECT CAST(w.dow AS BIGINT) AS dow,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(MAX(m.med) AS BIGINT) AS median_n,
+                   CAST(MAX(md.mad) AS BIGINT) AS mad_n
+            FROM w JOIN m USING (dow) JOIN md USING (dow)
+            GROUP BY 1
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash
