@@ -8962,6 +8962,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
              pa.array(out_m, pa.int64()), pa.array(out_a, pa.int64())],
             names=["dow", "n_days", "median_n", "mad_n"])
 
+    def host_hits(sf_dir: str):
+        """HITS hub/authority ranking over the extracted host link
+        graph (the bipartite complement of host_pagerank: hubs =
+        sources that point at well-cited hosts): parse → a[href] →
+        distinct host pairs via the combiner, then 2 unnormalized
+        alternating rounds in exact path-count integers
+        (functions/graph.py:hits_local — summation-order independent,
+        SQL-unrolled by the oracle)."""
+        import ray
+        import pyarrow as pa
+        import ray.data
+        from htmlreader_ray.functions.graph import hits_local
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        edges = _read(sf_dir, "documents",
+                      ["doc_id", "source", "text"]).map_batches(
+            q.as_task(q.HostEdges), batch_format="pyarrow")
+        edges = combine_aggregate(edges, ["src", "dst"],
+                                  [("", "count", "w")])
+        parts = [t for t in ray.get(
+            edges.select_columns(["src", "dst"]).to_arrow_refs())
+            if t.num_rows]
+        t = (pa.concat_tables(parts) if parts
+             else pa.table({"src": pa.array([], pa.string()),
+                            "dst": pa.array([], pa.string())}))
+        return hits_local(t, iters=2)
+
+    def supplier_load_hist(sf_dir: str):
+        """Histogram of lineitems-per-supplier (the work-distribution /
+        load-balance audit on the assignment dimension): one supplier
+        combiner, then the bounded load-value distribution — shuffle
+        carries one row per block-distinct supplier, output one row
+        per distinct load."""
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        per_supp = combine_aggregate(
+            _read(sf_dir, "lineitem", ["l_suppkey"]),
+            ["l_suppkey"], [("", "count", "n")])
+        hist = combine_aggregate(
+            per_supp.select_columns(["n"]), ["n"],
+            [("", "count", "n_suppliers")])
+        return hist.map_batches(
+            lambda b: b.rename_columns(["n_items", "n_suppliers"]),
+            batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -9258,6 +9303,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_type_kl": daily_type_kl,
         "nation_profile_jaccard": nation_profile_jaccard,
         "dow_seasonal_profile": dow_seasonal_profile,
+        "host_hits": host_hits,
+        "supplier_load_hist": supplier_load_hist,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -9457,6 +9504,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "haar_energy", "daily_type_kl",
         # new in round 3, eighty-fourth sweep
         "nation_profile_jaccard", "dow_seasonal_profile",
+        # new in round 3, eighty-fifth sweep
+        "host_hits", "supplier_load_hist",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -14620,6 +14669,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(md.mad) AS BIGINT) AS mad_n
             FROM w JOIN m USING (dow) JOIN md USING (dow)
             GROUP BY 1
+        """,
+        "host_hits": """
+            WITH e AS (
+              SELECT DISTINCT d.source AS src,
+                     'h' || CAST((d.doc_id * 7 + j) % 10 AS VARCHAR)
+                         || '.example.com' AS dst
+              FROM documents d,
+                   UNNEST(generate_series(0, d.doc_id % 3)) AS t(j)
+            ),
+            nodes AS (SELECT src AS node FROM e
+                      UNION SELECT dst FROM e),
+            a1 AS (SELECT dst, COUNT(*) AS a FROM e GROUP BY 1),
+            h1 AS (SELECT e.src, SUM(a1.a) AS h FROM e
+                   JOIN a1 ON a1.dst = e.dst GROUP BY 1),
+            a2 AS (SELECT e.dst, SUM(h1.h) AS a FROM e
+                   JOIN h1 ON h1.src = e.src GROUP BY 1),
+            h2 AS (SELECT e.src, SUM(a2.a) AS h FROM e
+                   JOIN a2 ON a2.dst = e.dst GROUP BY 1)
+            SELECT n.node,
+                   CAST(COALESCE(h2.h, 0) AS BIGINT) AS hub,
+                   CAST(COALESCE(a2.a, 0) AS BIGINT) AS auth
+            FROM nodes n
+            LEFT JOIN h2 ON h2.src = n.node
+            LEFT JOIN a2 ON a2.dst = n.node
+        """,
+        "supplier_load_hist": """
+            WITH c AS (
+                SELECT l_suppkey, COUNT(*) AS n FROM lineitem
+                GROUP BY 1
+            )
+            SELECT CAST(n AS BIGINT) AS n_items,
+                   CAST(COUNT(*) AS BIGINT) AS n_suppliers
+            FROM c GROUP BY 1
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

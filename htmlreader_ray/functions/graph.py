@@ -483,3 +483,49 @@ def edge_reciprocity(edges):
         {"e": pa.array([0], pa.int64()), "r": pa.array([0], pa.int64())}))
     return seed.union(pairs.map_batches(partial, batch_format="pyarrow")) \
         .repartition(1).map_batches(finalize, batch_format="pyarrow")
+
+
+def hits_local(edges: pa.Table, iters: int = 2,
+               local_max_edges: int = 5_000_000) -> pa.Table:
+    """Unnormalized HITS hub/authority scores after ``iters``
+    alternating rounds — a_k(v) = Σ_{u→v} h_{k-1}(u), then
+    h_k(u) = Σ_{u→v} a_k(v), starting h_0 = 1 — over the DISTINCT
+    (src, dst) graph. Unnormalized scores are exact path-count
+    integers, so the result is summation-order independent and the
+    oracle unrolls the same rounds in SQL (the pagerank_local
+    discipline; magnitudes grow by ≤ max_outdeg·max_indeg per round —
+    int64-safe for iters=2 up to ~10^4 degrees). Like pagerank_local
+    this runs on the combiner-reduced edge table; past
+    ``local_max_edges`` compose the same rounds as join +
+    groupby-sum per iteration (the pagerank_distributed shape)."""
+    src = pc.cast(edges.column("src"), pa.string())
+    dst = pc.cast(edges.column("dst"), pa.string())
+    if len(src) == 0:
+        return pa.table({"node": pa.array([], pa.string()),
+                         "hub": pa.array([], pa.int64()),
+                         "auth": pa.array([], pa.int64())})
+    if len(src) > local_max_edges:
+        raise NotImplementedError(
+            "hits_local is the bounded-edge-table path; for larger "
+            "graphs run the per-iteration join+groupby composition "
+            "(pagerank_distributed shape)")
+    both = pa.chunked_array(
+        list(src.chunks) + list(dst.chunks), pa.string())
+    nodes = pc.unique(both)
+    nodes = nodes.take(pc.sort_indices(nodes))
+    idx = pc.index_in(both, value_set=nodes).to_numpy(
+        zero_copy_only=False)
+    m = len(src)
+    si, di = idx[:m].astype(np.int64), idx[m:].astype(np.int64)
+    pair = si * len(nodes) + di
+    keep = np.unique(pair)
+    si, di = keep // len(nodes), keep % len(nodes)
+    n = len(nodes)
+    h = np.ones(n, dtype=np.int64)
+    a = np.zeros(n, dtype=np.int64)
+    for _ in range(iters):
+        a = np.bincount(di, weights=h[si], minlength=n).astype(np.int64)
+        h = np.bincount(si, weights=a[di], minlength=n).astype(np.int64)
+    return pa.table({"node": nodes,
+                     "hub": pa.array(h),
+                     "auth": pa.array(a)})

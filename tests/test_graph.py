@@ -216,3 +216,34 @@ def test_edge_reciprocity_empty(ray_session):
     t = pa.table({"src": pa.array(["x"]), "dst": pa.array(["x"])})
     out = edge_reciprocity(ray.data.from_arrow(t)).take_all()
     assert out[0]["n_edges"] == 0 and out[0]["recip_e6"] == 0
+
+
+def test_hits_local_two_rounds_exact():
+    import pyarrow as pa
+
+    from htmlreader_ray.functions.graph import hits_local
+
+    # a->x, a->y, b->x (duplicate edge collapses)
+    edges = pa.table({"src": ["a", "a", "b", "b"],
+                      "dst": ["x", "y", "x", "x"]})
+    out = {r["node"]: r for r in hits_local(edges, iters=2).to_pylist()}
+    # round 1: a(x)=2, a(y)=1; h(a)=3, h(b)=2
+    # round 2: a(x)=h(a)+h(b)=5, a(y)=h(a)=3; h(a)=8, h(b)=5
+    assert out["a"] == {"node": "a", "hub": 8, "auth": 0}
+    assert out["b"] == {"node": "b", "hub": 5, "auth": 0}
+    assert out["x"] == {"node": "x", "hub": 0, "auth": 5}
+    assert out["y"] == {"node": "y", "hub": 0, "auth": 3}
+
+
+def test_hits_local_empty_and_guard():
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from htmlreader_ray.functions.graph import hits_local
+
+    empty = pa.table({"src": pa.array([], pa.string()),
+                      "dst": pa.array([], pa.string())})
+    assert hits_local(empty).num_rows == 0
+    big = pa.table({"src": ["a", "b"], "dst": ["b", "a"]})
+    with _pytest.raises(NotImplementedError):
+        hits_local(big, local_max_edges=1)
