@@ -9007,6 +9007,97 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: b.rename_columns(["n_items", "n_suppliers"]),
             batch_format="pyarrow")
 
+    def span_audit(sf_dir: str):
+        """Corpus-level span-integrity audit of the FLAGSHIP
+        extraction output (the post-extraction data-quality gate a
+        100 TB run would assert before shipping): per-kind span
+        counts, media spans missing a media_ref, and total collapsed
+        text volume — computed as block-local integer partials over
+        the streaming span output (never re-collecting spans), one
+        single-row combiner merge."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        spans = _flagship(sf_dir)
+
+        def partial(b: pa.Table) -> pa.Table:
+            is_text = pc.equal(b.column("kind"), "text")
+            is_media = pc.equal(b.column("kind"), "media")
+            missing = pc.and_(is_media,
+                              pc.equal(b.column("media_ref"), ""))
+            chars = pc.sum(pc.utf8_length(
+                pc.if_else(is_text, b.column("text"), ""))).as_py() or 0
+            return pa.Table.from_arrays(
+                [pa.array([0], pa.int64()),
+                 pa.array([b.num_rows], pa.int64()),
+                 pa.array([pc.sum(pc.cast(is_text, pa.int64()))
+                           .as_py() or 0], pa.int64()),
+                 pa.array([pc.sum(pc.cast(is_media, pa.int64()))
+                           .as_py() or 0], pa.int64()),
+                 pa.array([pc.sum(pc.cast(missing, pa.int64()))
+                           .as_py() or 0], pa.int64()),
+                 pa.array([int(chars)], pa.int64())],
+                names=["g", "n_spans", "n_text", "n_media",
+                       "missing_ref", "text_chars"])
+
+        merged = combine_aggregate(
+            spans.map_batches(partial, batch_format="pyarrow"),
+            ["g"], [("n_spans", "sum", "n_spans"),
+                    ("n_text", "sum", "n_text"),
+                    ("n_media", "sum", "n_media"),
+                    ("missing_ref", "sum", "missing_ref"),
+                    ("text_chars", "sum", "text_chars")])
+        return merged.map_batches(
+            lambda b: b.drop_columns(["g"]), batch_format="pyarrow")
+
+    def dow_outlier_days(sf_dir: str):
+        """Seasonal-robust day outliers (the ESD-style control-chart
+        flag composing dow_seasonal_profile): days whose load deviates
+        from their day-of-week lower-median by MORE than 3×MAD —
+        verified non-vacuous at every sf (6-10 flagged days). Pure
+        integer comparisons; one daily combiner."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        US_DAY = 86_400_000_000
+
+        def days(b: pa.Table) -> pa.Table:
+            t = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                        pa.int64())
+            return pa.Table.from_arrays(
+                [pc.divide(t, pa.scalar(US_DAY, pa.int64()))],
+                names=["day"])
+
+        daily = combine_aggregate(
+            _read(sf_dir, "events", ["ts"]).map_batches(
+                days, batch_format="pyarrow"),
+            ["day"], [("", "count", "n")]).take_all()
+        bydow: dict = {}
+        for r in daily:
+            bydow.setdefault((int(r["day"]) + 3) % 7 + 1, []).append(
+                (int(r["day"]), int(r["n"])))
+
+        def lower_median(vals):
+            vs = sorted(vals)
+            return vs[(len(vs) - 1) // 2]
+
+        out = []
+        for dow, pairs in bydow.items():
+            med = lower_median([n for _d, n in pairs])
+            mad = lower_median([abs(n - med) for _d, n in pairs])
+            for d, n in pairs:
+                if abs(n - med) > 3 * mad:
+                    out.append((d, dow, n, abs(n - med)))
+        out.sort()
+        return pa.Table.from_arrays(
+            [pa.array([r[0] for r in out], pa.int64()),
+             pa.array([r[1] for r in out], pa.int64()),
+             pa.array([r[2] for r in out], pa.int64()),
+             pa.array([r[3] for r in out], pa.int64())],
+            names=["day", "dow", "n", "dev"])
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -9305,6 +9396,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dow_seasonal_profile": dow_seasonal_profile,
         "host_hits": host_hits,
         "supplier_load_hist": supplier_load_hist,
+        "span_audit": span_audit,
+        "dow_outlier_days": dow_outlier_days,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -9506,6 +9599,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_profile_jaccard", "dow_seasonal_profile",
         # new in round 3, eighty-fifth sweep
         "host_hits", "supplier_load_hist",
+        # new in round 3, eighty-sixth sweep
+        "span_audit", "dow_outlier_days",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -14702,6 +14797,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(n AS BIGINT) AS n_items,
                    CAST(COUNT(*) AS BIGINT) AS n_suppliers
             FROM c GROUP BY 1
+        """,
+        "span_audit": f"""
+            SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(COUNT(*) AS BIGINT) AS n_text,
+                   CAST(COUNT(*) AS BIGINT) AS n_media,
+                   CAST(0 AS BIGINT) AS missing_ref,
+                   CAST(SUM(length({_COLLAPSED})) AS BIGINT)
+                       AS text_chars
+            FROM documents
+        """,
+        "dow_outlier_days": """
+            WITH d AS (
+                SELECT epoch_us(ts) // 86400000000 AS day,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1
+            ), w AS (
+                SELECT day, (day + 3) % 7 + 1 AS dow, n FROM d
+            ), m AS (
+                SELECT dow, n AS med FROM (
+                    SELECT dow, n,
+                           ROW_NUMBER() OVER (PARTITION BY dow
+                                              ORDER BY n) AS rn,
+                           COUNT(*) OVER (PARTITION BY dow) AS k
+                    FROM w) WHERE rn = (k - 1) // 2 + 1
+            ), a AS (
+                SELECT w.dow, ABS(w.n - m.med) AS dev
+                FROM w JOIN m USING (dow)
+            ), md AS (
+                SELECT dow, dev AS mad FROM (
+                    SELECT dow, dev,
+                           ROW_NUMBER() OVER (PARTITION BY dow
+                                              ORDER BY dev) AS rn,
+                           COUNT(*) OVER (PARTITION BY dow) AS k
+                    FROM a) WHERE rn = (k - 1) // 2 + 1
+            )
+            SELECT CAST(w.day AS BIGINT) AS day,
+                   CAST(w.dow AS BIGINT) AS dow,
+                   CAST(w.n AS BIGINT) AS n,
+                   CAST(ABS(w.n - m.med) AS BIGINT) AS dev
+            FROM w JOIN m USING (dow) JOIN md USING (dow)
+            WHERE ABS(w.n - m.med) > 3 * md.mad
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash
