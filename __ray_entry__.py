@@ -9098,6 +9098,103 @@ def queries() -> dict[str, Callable[[str], Any]]:
              pa.array([r[3] for r in out], pa.int64())],
             names=["day", "dow", "n", "dev"])
 
+    def doc_bigram_entropy(sf_dir: str):
+        """Per-document word-bigram entropy (the sequence-level
+        repetitiveness signal, complementing corpus-level
+        char_bigram_entropy and per-user transition entropy): MAP-ONLY
+        — each document row is complete in its batch, so there is no
+        shuffle at all; adjacent-pair cells per doc via one np.unique
+        over packed codes, vectorized quantized-ln (np.log ≡ math.log
+        ≡ DuckDB LN, the pinned libm contract). Docs with < 2 words
+        are omitted (the LEAD contract)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def ent(b: pa.Table) -> pa.Table:
+            trimmed = pc.utf8_trim_whitespace(b.column("text"))
+            keep = pc.not_equal(trimmed, "")
+            t = b.filter(keep)
+            trimmed = pc.utf8_trim_whitespace(t.column("text"))
+            ws = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+            flat = np.asarray(pc.list_flatten(ws).combine_chunks(),
+                              dtype=object)
+            lens = pc.list_value_length(ws).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            if len(flat) == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                     pa.array([], pa.int64())],
+                    names=["doc_id", "n_bigrams", "ent_e6"])
+            row = np.repeat(np.arange(len(lens)), lens)
+            # adjacent pairs within the same doc
+            ok = row[:-1] == row[1:]
+            _codes, cidx = np.unique(flat, return_inverse=True)
+            k = len(_codes)
+            r = row[:-1][ok]
+            key = (r * k + cidx[:-1][ok]) * k + cidx[1:][ok]
+            ukey, cnt = np.unique(key, return_counts=True)
+            cell_row = ukey // (k * k)
+            uu, uinv = np.unique(cell_row, return_inverse=True)
+            tot = np.bincount(uinv, weights=cnt).astype(np.int64)
+            lq = np.floor(1_000_000.0 * np.log(
+                cnt.astype(np.float64) / tot[uinv]) + 0.5) \
+                .astype(np.int64)
+            acc = np.bincount(uinv, weights=cnt * lq).astype(np.int64)
+            doc_ids = t.column("doc_id").to_numpy(
+                zero_copy_only=False)[uu]
+            return pa.Table.from_arrays(
+                [pa.array(doc_ids.astype(np.int64)), pa.array(tot),
+                 pa.array(-acc // tot)],
+                names=["doc_id", "n_bigrams", "ent_e6"])
+
+        return _read(sf_dir, "documents",
+                     ["doc_id", "text"]).map_batches(
+            ent, batch_format="pyarrow")
+
+    def cusum_path(sf_dir: str):
+        """Two-sided CUSUM control-chart path over the daily sequence
+        with the global lower-median as reference value k:
+        S⁺_t = max(0, S⁺_{t-1} + x_t − k), S⁻_t mirrored — the
+        streaming drift monitor, exact integers end-to-end (the
+        oracle replays the recursion with a RECURSIVE CTE). Bounded
+        daily combiner; the sequential pass is driver-side over ≤ ~31
+        rows."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        US_DAY = 86_400_000_000
+
+        def days(b: pa.Table) -> pa.Table:
+            t = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                        pa.int64())
+            return pa.Table.from_arrays(
+                [pc.divide(t, pa.scalar(US_DAY, pa.int64()))],
+                names=["day"])
+
+        daily = sorted(combine_aggregate(
+            _read(sf_dir, "events", ["ts"]).map_batches(
+                days, batch_format="pyarrow"),
+            ["day"], [("", "count", "n")]).take_all(),
+            key=lambda r: int(r["day"]))
+        counts = sorted(int(r["n"]) for r in daily)
+        med = counts[(len(counts) - 1) // 2]
+        out_d, out_n, out_p, out_m = [], [], [], []
+        sp = sn = 0
+        for r in daily:
+            d, n = int(r["day"]), int(r["n"])
+            sp = max(0, sp + n - med)
+            sn = max(0, sn + med - n)
+            out_d.append(d)
+            out_n.append(n)
+            out_p.append(sp)
+            out_m.append(sn)
+        return pa.Table.from_arrays(
+            [pa.array(out_d, pa.int64()), pa.array(out_n, pa.int64()),
+             pa.array(out_p, pa.int64()), pa.array(out_m, pa.int64())],
+            names=["day", "n", "s_pos", "s_neg"])
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -9398,6 +9495,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_load_hist": supplier_load_hist,
         "span_audit": span_audit,
         "dow_outlier_days": dow_outlier_days,
+        "doc_bigram_entropy": doc_bigram_entropy,
+        "cusum_path": cusum_path,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -9601,6 +9700,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_hits", "supplier_load_hist",
         # new in round 3, eighty-sixth sweep
         "span_audit", "dow_outlier_days",
+        # new in round 3, eighty-seventh sweep
+        "doc_bigram_entropy", "cusum_path",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -14838,6 +14939,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ABS(w.n - m.med) AS BIGINT) AS dev
             FROM w JOIN m USING (dow) JOIN md USING (dow)
             WHERE ABS(w.n - m.med) > 3 * md.mad
+        """,
+        "doc_bigram_entropy": """
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS ws
+                FROM documents WHERE trim(text) <> ''
+            ), p AS (
+                SELECT doc_id, ws[g.i] AS w1, ws[g.i + 1] AS w2
+                FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS g(i)
+                WHERE len(ws) >= 2
+            ), c AS (
+                SELECT doc_id, w1, w2, COUNT(*) AS n FROM p
+                GROUP BY 1, 2, 3
+            ), u AS (
+                SELECT doc_id, SUM(n) AS tot FROM c GROUP BY 1
+            )
+            SELECT c.doc_id,
+                   CAST(MAX(u.tot) AS BIGINT) AS n_bigrams,
+                   CAST(-SUM(c.n * CAST(FLOOR(1000000.0 *
+                        LN(CAST(c.n AS DOUBLE) / u.tot) + 0.5)
+                        AS BIGINT)) // MAX(u.tot) AS BIGINT) AS ent_e6
+            FROM c JOIN u USING (doc_id) GROUP BY c.doc_id
+        """,
+        "cusum_path": """
+            WITH RECURSIVE d AS (
+                SELECT epoch_us(ts) // 86400000000 AS day,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1
+            ), o AS (
+                SELECT day, n,
+                       ROW_NUMBER() OVER (ORDER BY day) AS i
+                FROM d
+            ), m AS (
+                SELECT n AS med FROM (
+                    SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS rn,
+                           COUNT(*) OVER () AS k
+                    FROM d) WHERE rn = (k - 1) // 2 + 1
+            ), r AS (
+                SELECT o.i, o.day, o.n,
+                       GREATEST(0, o.n - m.med) AS sp,
+                       GREATEST(0, m.med - o.n) AS sn
+                FROM o, m WHERE o.i = 1
+                UNION ALL
+                SELECT o.i, o.day, o.n,
+                       GREATEST(0, r.sp + o.n - m.med),
+                       GREATEST(0, r.sn + m.med - o.n)
+                FROM r JOIN o ON o.i = r.i + 1 CROSS JOIN m
+            )
+            SELECT CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n,
+                   CAST(sp AS BIGINT) AS s_pos,
+                   CAST(sn AS BIGINT) AS s_neg
+            FROM r
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

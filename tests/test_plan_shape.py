@@ -410,3 +410,13 @@ def test_user_transition_entropy_single_shuffle(ray_session):
         "event_type": ["a", "b"]}))
     ops = _shuffle_ops(user_transition_entropy(ev))
     assert ops == ["Sort"], ops
+
+
+def test_doc_bigram_entropy_is_map_only(ray_session):
+    """doc_bigram_entropy: each document row is complete in its batch,
+    so the whole query plans ZERO all-to-all operators."""
+    import __ray_entry__ as entrymod
+
+    ds = entrymod.queries()["doc_bigram_entropy"](
+        "/root/testdata/sf0.001")
+    assert _shuffle_ops(ds) == []

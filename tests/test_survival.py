@@ -198,3 +198,19 @@ def test_daily_type_kl_micro(ray_session, tmp_path):
         {"day": d0 + 1, "n_events": 4, "kl_e6": kl},
     ]
     assert _sorted_rows(_oracle(sf, "daily_type_kl"), "day") == out
+
+
+def test_cusum_path_micro(ray_session, tmp_path):
+    # counts [5,1,1,5], lower median k=1:
+    # sp: 4, 4, 4, 8 ; sn stays 0
+    rows = []
+    for day, c in enumerate([5, 1, 1, 5]):
+        for k in range(c):
+            rows.append((400 + k, day + k * 1e-3, "view"))
+    sf = _write_events(tmp_path, rows)
+    out = entrymod.queries()["cusum_path"](sf).to_pylist()
+    d0 = T0 // US_DAY
+    assert [(r["day"] - d0, r["n"], r["s_pos"], r["s_neg"])
+            for r in out] == [
+        (0, 5, 4, 0), (1, 1, 4, 0), (2, 1, 4, 0), (3, 5, 8, 0)]
+    assert _sorted_rows(_oracle(sf, "cusum_path"), "day") == out
