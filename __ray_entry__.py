@@ -9195,6 +9195,111 @@ def queries() -> dict[str, Callable[[str], Any]]:
              pa.array(out_p, pa.int64()), pa.array(out_m, pa.int64())],
             names=["day", "n", "s_pos", "s_neg"])
 
+    def dup_cluster_hist(sf_dir: str):
+        """Duplicate-cluster size histogram (the dedup tuning signal:
+        how much of the corpus sits in clusters of size 2, 3, …):
+        md5-digest shuffle ONLY (the exact_dedup discipline — text
+        never crosses the exchange), digest-count combiner, then the
+        bounded cluster-size distribution."""
+        import hashlib
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def digest(b: pa.Table) -> pa.Table:
+            texts = pc.cast(b.column("text"), pa.binary()).to_pylist()
+            return pa.Table.from_arrays(
+                [pa.array([hashlib.md5(t or b"").hexdigest()
+                           for t in texts], pa.string())],
+                names=["ck"])
+
+        per_digest = combine_aggregate(
+            _read(sf_dir, "documents", ["text"]).map_batches(
+                digest, batch_format="pyarrow"),
+            ["ck"], [("", "count", "n")])
+        hist = combine_aggregate(
+            per_digest.select_columns(["n"]), ["n"],
+            [("", "count", "n_clusters")])
+        return hist.map_batches(
+            lambda b: b.rename_columns(["cluster_size", "n_clusters"]),
+            batch_format="pyarrow")
+
+    def wordgram_dup_rate(sf_dir: str):
+        """Cross-document duplication rate of word 5-grams (the
+        shingle-level near-dup pressure gauge feeding the MinHash
+        threshold choice): per-doc DISTINCT shingles via one Arrow
+        group_by per block, md5-keyed shuffle (never gram strings at
+        scale), (gram, doc) combiner → per-gram doc counts → bounded
+        count distribution → one corpus row. Docs with < 5 words
+        contribute nothing (the slice contract)."""
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        K = 5
+
+        def grams(b: pa.Table) -> pa.Table:
+            trimmed = pc.utf8_trim_whitespace(b.column("text"))
+            t = b.filter(pc.not_equal(trimmed, ""))
+            if t.num_rows == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.string()),
+                     pa.array([], pa.int64())], names=["gm", "doc_id"])
+            ws = pc.split_pattern_regex(
+                pc.utf8_trim_whitespace(t.column("text")),
+                pattern=r"\s+")
+            flat = pc.list_flatten(ws).combine_chunks()
+            lens = pc.list_value_length(ws).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            row = np.repeat(np.arange(len(lens)), lens)
+            n = len(row)
+            if n < K:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.string()),
+                     pa.array([], pa.int64())], names=["gm", "doc_id"])
+            ok = row[: n - K + 1] == row[K - 1:]
+            parts = [flat.slice(j, n - K + 1) for j in range(K)]
+            joined = pc.binary_join_element_wise(*parts, " ")
+            mask = pa.array(ok)
+            doc_ids = t.column("doc_id").to_numpy(
+                zero_copy_only=False)[row[: n - K + 1][ok]]
+            dist = pa.Table.from_arrays(
+                [joined.filter(mask),
+                 pa.array(doc_ids.astype(np.int64))],
+                names=["g", "doc_id"]).group_by(
+                ["g", "doc_id"]).aggregate([])
+            gs = dist.column("g").to_pylist()
+            return pa.Table.from_arrays(
+                [pa.array([hashlib.md5(g.encode()).hexdigest()
+                           for g in gs], pa.string()),
+                 dist.column("doc_id")],
+                names=["gm", "doc_id"])
+
+        pairs = combine_aggregate(
+            _read(sf_dir, "documents",
+                  ["doc_id", "text"]).map_batches(
+                grams, batch_format="pyarrow"),
+            ["gm", "doc_id"], [("", "count", "c")])
+        per_gram = combine_aggregate(
+            pairs.select_columns(["gm"]), ["gm"],
+            [("", "count", "nd")])
+        dist = combine_aggregate(
+            per_gram.select_columns(["nd"]), ["nd"],
+            [("", "count", "k")]).take_all()
+        types = sum(int(r["k"]) for r in dist)
+        multi = sum(int(r["k"]) for r in dist if int(r["nd"]) >= 2)
+        return pa.Table.from_arrays(
+            [pa.array([types], pa.int64()),
+             pa.array([multi], pa.int64()),
+             pa.array([(1_000_000 * multi) // types if types else 0],
+                      pa.int64())],
+            names=["n_gram_types", "n_multi_doc_types",
+                   "dup_rate_e6"])
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -9497,6 +9602,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dow_outlier_days": dow_outlier_days,
         "doc_bigram_entropy": doc_bigram_entropy,
         "cusum_path": cusum_path,
+        "dup_cluster_hist": dup_cluster_hist,
+        "wordgram_dup_rate": wordgram_dup_rate,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -9702,6 +9809,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_audit", "dow_outlier_days",
         # new in round 3, eighty-seventh sweep
         "doc_bigram_entropy", "cusum_path",
+        # new in round 3, eighty-eighth sweep
+        "dup_cluster_hist", "wordgram_dup_rate",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -14991,6 +15100,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sp AS BIGINT) AS s_pos,
                    CAST(sn AS BIGINT) AS s_neg
             FROM r
+        """,
+        "dup_cluster_hist": """
+            WITH c AS (
+                SELECT COUNT(*) AS n FROM documents GROUP BY text
+            )
+            SELECT CAST(n AS BIGINT) AS cluster_size,
+                   CAST(COUNT(*) AS BIGINT) AS n_clusters
+            FROM c GROUP BY 1
+        """,
+        "wordgram_dup_rate": """
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS ws
+                FROM documents WHERE trim(text) <> ''
+            ), g AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(ws[g.i:g.i + 4], ' ') AS gram
+                FROM w, UNNEST(generate_series(1, len(ws) - 4)) AS g(i)
+                WHERE len(ws) >= 5
+            ), c AS (
+                SELECT gram, COUNT(*) AS nd FROM g GROUP BY 1
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_gram_types,
+                   CAST(COUNT(*) FILTER (WHERE nd >= 2) AS BIGINT)
+                       AS n_multi_doc_types,
+                   CAST((1000000 * COUNT(*) FILTER (WHERE nd >= 2))
+                        // COUNT(*) AS BIGINT) AS dup_rate_e6
+            FROM c
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash
