@@ -9300,6 +9300,107 @@ def queries() -> dict[str, Callable[[str], Any]]:
             names=["n_gram_types", "n_multi_doc_types",
                    "dup_rate_e6"])
 
+    def ship_lag_median_by_priority(sf_dir: str):
+        """Exact median order→ship lag (days) per order priority —
+        the fulfillment-SLA profile: large-large NATIVE hash join
+        (lineitem ⋈ orders on the order key, both sides partitioned),
+        then the lag DISTRIBUTION-only median (grouped_exact_median —
+        the shuffle after the join carries one (priority, lag, count)
+        row per block-distinct cell, never lineitem rows)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import (combine_aggregate,
+                                                      grouped_exact_median)
+
+        US_DAY = 86_400_000_000
+        li = _read(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_shipdate"])
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"])
+        joined = li.join(orders, "inner", 16,
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+
+        def lag(b: pa.Table) -> pa.Table:
+            s = pc.cast(pc.cast(b.column("l_shipdate"),
+                                pa.timestamp("us")), pa.int64())
+            o = pc.cast(pc.cast(b.column("o_orderdate"),
+                                pa.timestamp("us")), pa.int64())
+            return pa.Table.from_arrays(
+                [b.column("o_orderpriority"),
+                 pc.divide(pc.subtract(s, o),
+                           pa.scalar(US_DAY, pa.int64()))],
+                names=["o_orderpriority", "lag_days"])
+
+        lags = joined.map_batches(lag, batch_format="pyarrow")
+        med = grouped_exact_median(lags, ["o_orderpriority"],
+                                   "lag_days", out_col="median_lag")
+        n = combine_aggregate(lags.select_columns(["o_orderpriority"]),
+                              ["o_orderpriority"],
+                              [("", "count", "n_items")])
+        # repartition scrubs the zero-column empty blocks that
+        # groupby/aggregate outputs can carry (they poison Acero hash
+        # joins — see graph._scrub / ray-data-pitfalls)
+        out = med.repartition(4).join(n.repartition(4), "inner", 4,
+                                      on=("o_orderpriority",))
+        return out.select_columns(
+            ["o_orderpriority", "n_items", "median_lag"])
+
+    def dedup_impact_report(sf_dir: str):
+        """Corpus-level exact-dedup impact report (the before/after
+        savings estimate a 100 TB dedup run prints first): docs,
+        surviving clusters, removed duplicate rows and the removed
+        character share — md5-digest-only shuffle, per-digest
+        (count, chars) combiner, then block-local single-row partials
+        so the digest table itself never reaches the driver."""
+        import hashlib
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def digest(b: pa.Table) -> pa.Table:
+            texts = pc.cast(b.column("text"), pa.binary()).to_pylist()
+            return pa.Table.from_arrays(
+                [pa.array([hashlib.md5(t or b"").hexdigest()
+                           for t in texts], pa.string()),
+                 pc.cast(b.column("n_chars"), pa.int64())],
+                names=["ck", "n_chars"])
+
+        per_digest = combine_aggregate(
+            _read(sf_dir, "documents",
+                  ["text", "n_chars"]).map_batches(
+                digest, batch_format="pyarrow"),
+            ["ck"], [("", "count", "c"), ("n_chars", "max", "h")])
+
+        def partial(b: pa.Table) -> pa.Table:
+            c = b.column("c").to_numpy(zero_copy_only=False)
+            h = b.column("h").to_numpy(zero_copy_only=False)
+            return pa.Table.from_arrays(
+                [pa.array([0], pa.int64()),
+                 pa.array([int(c.sum())], pa.int64()),
+                 pa.array([b.num_rows], pa.int64()),
+                 pa.array([int(((c - 1) * h).sum())], pa.int64()),
+                 pa.array([int((c * h).sum())], pa.int64())],
+                names=["g", "n_docs", "n_survivors", "removed_chars",
+                       "total_chars"])
+
+        merged = combine_aggregate(
+            per_digest.map_batches(partial, batch_format="pyarrow"),
+            ["g"], [("n_docs", "sum", "n_docs"),
+                    ("n_survivors", "sum", "n_survivors"),
+                    ("removed_chars", "sum", "removed_chars"),
+                    ("total_chars", "sum", "total_chars")]).take_all()
+        r = merged[0]
+        total = int(r["total_chars"])
+        return pa.Table.from_arrays(
+            [pa.array([int(r["n_docs"])], pa.int64()),
+             pa.array([int(r["n_survivors"])], pa.int64()),
+             pa.array([int(r["removed_chars"])], pa.int64()),
+             pa.array([(1_000_000 * int(r["removed_chars"])) // total
+                       if total else 0], pa.int64())],
+            names=["n_docs", "n_survivors", "removed_chars",
+                   "removed_share_e6"])
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -9604,6 +9705,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_path": cusum_path,
         "dup_cluster_hist": dup_cluster_hist,
         "wordgram_dup_rate": wordgram_dup_rate,
+        "ship_lag_median_by_priority": ship_lag_median_by_priority,
+        "dedup_impact_report": dedup_impact_report,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -9811,6 +9914,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_entropy", "cusum_path",
         # new in round 3, eighty-eighth sweep
         "dup_cluster_hist", "wordgram_dup_rate",
+        # new in round 3, eighty-ninth sweep
+        "ship_lag_median_by_priority", "dedup_impact_report",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -15127,6 +15232,40 @@ def oracle_sql() -> dict[str, str]:
                        AS n_multi_doc_types,
                    CAST((1000000 * COUNT(*) FILTER (WHERE nd >= 2))
                         // COUNT(*) AS BIGINT) AS dup_rate_e6
+            FROM c
+        """,
+        "ship_lag_median_by_priority": """
+            WITH j AS (
+                SELECT o.o_orderpriority,
+                       (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+                           // 86400000000 AS lag_days
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+            ), m AS (
+                SELECT o_orderpriority, lag_days AS median_lag FROM (
+                    SELECT o_orderpriority, lag_days,
+                           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                              ORDER BY lag_days) AS rn,
+                           COUNT(*) OVER (PARTITION BY o_orderpriority)
+                               AS k
+                    FROM j) WHERE rn = (k - 1) // 2 + 1
+            )
+            SELECT j.o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(MAX(m.median_lag) AS BIGINT) AS median_lag
+            FROM j JOIN m USING (o_orderpriority)
+            GROUP BY j.o_orderpriority
+        """,
+        "dedup_impact_report": """
+            WITH c AS (
+                SELECT COUNT(*) AS c, MAX(n_chars) AS h
+                FROM documents GROUP BY text
+            )
+            SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_survivors,
+                   CAST(SUM((c - 1) * h) AS BIGINT) AS removed_chars,
+                   CAST((1000000 * SUM((c - 1) * h)) // SUM(c * h)
+                        AS BIGINT) AS removed_share_e6
             FROM c
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
