@@ -9401,6 +9401,140 @@ def queries() -> dict[str, Callable[[str], Any]]:
             names=["n_docs", "n_survivors", "removed_chars",
                    "removed_share_e6"])
 
+    def word_copresence_lift(sf_dir: str):
+        """Word-pair association mining by DOCUMENT COPRESENCE (the
+        unordered complement of adjacency-based bigram_pmi): lift_e6 =
+        (c12·N)/(c1·c2) over distinct-per-doc word sets. Per block:
+        Arrow group_by distinct (doc, word), then per-doc pair
+        expansion (bounded by the vocabulary, ≤ v² cells); ONE pair
+        combiner + ONE word combiner; all-integer finale."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def distinct_words(b: pa.Table) -> pa.Table:
+            trimmed = pc.utf8_trim_whitespace(b.column("text"))
+            t = b.filter(pc.not_equal(trimmed, ""))
+            if t.num_rows == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.int64()), pa.array([], pa.string())],
+                    names=["doc_id", "w"])
+            ws = pc.split_pattern_regex(
+                pc.utf8_trim_whitespace(t.column("text")),
+                pattern=r"\s+")
+            flat = pc.list_flatten(ws)
+            lens = pc.list_value_length(ws).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return pa.Table.from_arrays(
+                [pa.array(np.repeat(ids, lens).astype(np.int64)), flat],
+                names=["doc_id", "w"]).group_by(
+                ["doc_id", "w"]).aggregate([])
+
+        def pairs(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.string()), pa.array([], pa.string())],
+                    names=["w1", "w2"])
+            order = pc.sort_indices(
+                b, sort_keys=[("doc_id", "ascending"),
+                              ("w", "ascending")])
+            t = b.take(order)
+            doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+            words = np.asarray(t.column("w").combine_chunks(),
+                               dtype=object)
+            out1, out2 = [], []
+            start = 0
+            for i in range(1, len(doc) + 1):
+                if i == len(doc) or doc[i] != doc[start]:
+                    seg = words[start:i]
+                    if len(seg) > 1:
+                        ii, jj = np.triu_indices(len(seg), k=1)
+                        out1.append(seg[ii])
+                        out2.append(seg[jj])
+                    start = i
+            if not out1:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.string()), pa.array([], pa.string())],
+                    names=["w1", "w2"])
+            return pa.Table.from_arrays(
+                [pa.array(np.concatenate(out1), pa.string()),
+                 pa.array(np.concatenate(out2), pa.string())],
+                names=["w1", "w2"])
+
+        dw = _read(sf_dir, "documents",
+                   ["doc_id", "text"]).map_batches(
+            distinct_words, batch_format="pyarrow")
+        pair_counts = combine_aggregate(
+            dw.map_batches(pairs, batch_format="pyarrow"),
+            ["w1", "w2"], [("", "count", "c12")]).take_all()
+        singles = {r["w"]: int(r["c"]) for r in combine_aggregate(
+            dw.select_columns(["w"]), ["w"],
+            [("", "count", "c")]).take_all()}
+        nd = int(_read(sf_dir, "documents", ["text"]).map_batches(
+            lambda b: b.filter(pc.not_equal(
+                pc.utf8_trim_whitespace(b.column("text")), "")),
+            batch_format="pyarrow").count())
+        rows = sorted((r["w1"], r["w2"], int(r["c12"]))
+                      for r in pair_counts)
+        return pa.Table.from_arrays(
+            [pa.array([r[0] for r in rows], pa.string()),
+             pa.array([r[1] for r in rows], pa.string()),
+             pa.array([r[2] for r in rows], pa.int64()),
+             pa.array([(1_000_000 * r[2] * nd)
+                       // (singles[r[0]] * singles[r[1]])
+                       for r in rows], pa.int64())],
+            names=["w1", "w2", "n_docs_both", "lift_e6"])
+
+    def host_rank_fusion(sf_dir: str):
+        """Reciprocal-rank fusion of two host rankings (distinct-edge
+        outdegree and 2-round HITS authority) — the IR rank-fusion
+        operator, all-integer: rrf_e9 = Σ 10⁹//(60 + rank), ranks by
+        (metric DESC, node ASC) row-number over the union node set.
+        Bounded host table; one distinct-edge combiner feeds both
+        rankings."""
+        import ray
+        import pyarrow as pa
+        from htmlreader_ray.functions.graph import hits_local
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        edges = _read(sf_dir, "documents",
+                      ["doc_id", "source", "text"]).map_batches(
+            q.as_task(q.HostEdges), batch_format="pyarrow")
+        edges = combine_aggregate(edges, ["src", "dst"],
+                                  [("", "count", "w")])
+        parts = [t for t in ray.get(
+            edges.select_columns(["src", "dst"]).to_arrow_refs())
+            if t.num_rows]
+        t = (pa.concat_tables(parts) if parts
+             else pa.table({"src": pa.array([], pa.string()),
+                            "dst": pa.array([], pa.string())}))
+        hits = {r["node"]: (int(r["hub"]), int(r["auth"]))
+                for r in hits_local(t, iters=2).to_pylist()}
+        outd: dict = {}
+        for s, d in zip(t.column("src").to_pylist(),
+                        t.column("dst").to_pylist()):
+            outd.setdefault(s, set()).add(d)
+        nodes = sorted(hits)
+        met_out = {n: len(outd.get(n, ())) for n in nodes}
+        met_auth = {n: hits[n][1] for n in nodes}
+
+        def ranks(metric):
+            order = sorted(nodes, key=lambda n: (-metric[n], n))
+            return {n: i + 1 for i, n in enumerate(order)}
+
+        r_out = ranks(met_out)
+        r_auth = ranks(met_auth)
+        rrf = {n: 10 ** 9 // (60 + r_out[n])
+               + 10 ** 9 // (60 + r_auth[n]) for n in nodes}
+        return pa.Table.from_arrays(
+            [pa.array(nodes, pa.string()),
+             pa.array([r_out[n] for n in nodes], pa.int64()),
+             pa.array([r_auth[n] for n in nodes], pa.int64()),
+             pa.array([rrf[n] for n in nodes], pa.int64())],
+            names=["node", "rank_outdeg", "rank_auth", "rrf_e9"])
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -9707,6 +9841,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wordgram_dup_rate": wordgram_dup_rate,
         "ship_lag_median_by_priority": ship_lag_median_by_priority,
         "dedup_impact_report": dedup_impact_report,
+        "word_copresence_lift": word_copresence_lift,
+        "host_rank_fusion": host_rank_fusion,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -9916,6 +10052,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_cluster_hist", "wordgram_dup_rate",
         # new in round 3, eighty-ninth sweep
         "ship_lag_median_by_priority", "dedup_impact_report",
+        # new in round 3, ninetieth sweep
+        "word_copresence_lift", "host_rank_fusion",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -15267,6 +15405,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000000 * SUM((c - 1) * h)) // SUM(c * h)
                         AS BIGINT) AS removed_share_e6
             FROM c
+        """,
+        "word_copresence_lift": """
+            WITH w AS (
+                SELECT DISTINCT doc_id,
+                       unnest(regexp_split_to_array(trim(text),
+                                                    '\\s+')) AS word
+                FROM documents WHERE trim(text) <> ''
+            ), n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM w),
+            s AS (SELECT word, COUNT(*) AS c FROM w GROUP BY 1),
+            p AS (
+                SELECT a.word AS w1, b.word AS w2, COUNT(*) AS c12
+                FROM w a JOIN w b
+                  ON a.doc_id = b.doc_id AND a.word < b.word
+                GROUP BY 1, 2
+            )
+            SELECT p.w1, p.w2, CAST(p.c12 AS BIGINT) AS n_docs_both,
+                   CAST((1000000 * p.c12 * n.nd) // (s1.c * s2.c)
+                        AS BIGINT) AS lift_e6
+            FROM p CROSS JOIN n
+            JOIN s s1 ON s1.word = p.w1
+            JOIN s s2 ON s2.word = p.w2
+        """,
+        "host_rank_fusion": """
+            WITH e AS (
+              SELECT DISTINCT d.source AS src,
+                     'h' || CAST((d.doc_id * 7 + j) % 10 AS VARCHAR)
+                         || '.example.com' AS dst
+              FROM documents d,
+                   UNNEST(generate_series(0, d.doc_id % 3)) AS t(j)
+            ),
+            nodes AS (SELECT src AS node FROM e
+                      UNION SELECT dst FROM e),
+            od AS (SELECT src, COUNT(DISTINCT dst) AS m FROM e
+                   GROUP BY 1),
+            a1 AS (SELECT dst, COUNT(*) AS a FROM e GROUP BY 1),
+            h1 AS (SELECT e.src, SUM(a1.a) AS h FROM e
+                   JOIN a1 ON a1.dst = e.dst GROUP BY 1),
+            a2 AS (SELECT e.dst, SUM(h1.h) AS a FROM e
+                   JOIN h1 ON h1.src = e.src GROUP BY 1),
+            m AS (
+                SELECT n.node, COALESCE(od.m, 0) AS mo,
+                       COALESCE(a2.a, 0) AS ma
+                FROM nodes n
+                LEFT JOIN od ON od.src = n.node
+                LEFT JOIN a2 ON a2.dst = n.node
+            ), r AS (
+                SELECT node,
+                       ROW_NUMBER() OVER (ORDER BY mo DESC, node)
+                           AS rank_outdeg,
+                       ROW_NUMBER() OVER (ORDER BY ma DESC, node)
+                           AS rank_auth
+                FROM m
+            )
+            SELECT node, CAST(rank_outdeg AS BIGINT) AS rank_outdeg,
+                   CAST(rank_auth AS BIGINT) AS rank_auth,
+                   CAST(1000000000 // (60 + rank_outdeg)
+                        + 1000000000 // (60 + rank_auth) AS BIGINT)
+                       AS rrf_e9
+            FROM r
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash
