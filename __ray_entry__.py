@@ -9535,6 +9535,120 @@ def queries() -> dict[str, Callable[[str], Any]]:
              pa.array([rrf[n] for n in nodes], pa.int64())],
             names=["node", "rank_outdeg", "rank_auth", "rrf_e9"])
 
+    def orders_skyline(sf_dir: str):
+        """2-D skyline (Pareto front) of orders on (totalprice cents ↑,
+        orderdate ↑) — the dominance-query operator. Distributive:
+        skyline(A∪B) ⊆ skyline(A) ∪ skyline(B), so each block emits
+        its LOCAL skyline (vectorized sort + running-max) and the
+        driver merges the bounded partial fronts with the same kernel.
+        Strict dominance (≥,≥ with one >): exact duplicates both
+        survive."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def local_skyline(cents, days, keys):
+            order = np.lexsort((-days, -cents))
+            c, d, k = cents[order], days[order], keys[order]
+            keep = np.zeros(len(c), dtype=bool)
+            best = -(1 << 62)
+            i = 0
+            while i < len(c):
+                j = i
+                while j < len(c) and c[j] == c[i]:
+                    j += 1
+                grp_max = d[i]           # sorted desc within group
+                # survivors of an equal-price group: the max-date rows
+                # (duplicates included), unless some strictly-higher
+                # price already reached a date >= grp_max
+                keep[i:j] = (d[i:j] == grp_max) & (grp_max > best)
+                best = max(best, grp_max)
+                i = j
+            return c[keep], d[keep], k[keep]
+
+        US_DAY = 86_400_000_000
+
+        def partial(b: pa.Table) -> pa.Table:
+            cents = pc.cast(pc.floor(pc.add(pc.multiply(
+                pa.scalar(100.0), b.column("o_totalprice")),
+                pa.scalar(0.5))), pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            days = pc.divide(pc.cast(pc.cast(
+                b.column("o_orderdate"), pa.timestamp("us")),
+                pa.int64()), pa.scalar(US_DAY, pa.int64())) \
+                .to_numpy(zero_copy_only=False)
+            keys = b.column("o_orderkey").to_numpy(
+                zero_copy_only=False)
+            c, d, k = local_skyline(cents.astype(np.int64),
+                                    days.astype(np.int64),
+                                    keys.astype(np.int64))
+            return pa.Table.from_arrays(
+                [pa.array(k), pa.array(c), pa.array(d)],
+                names=["o_orderkey", "cents", "day"])
+
+        parts = _read(sf_dir, "orders",
+                      ["o_orderkey", "o_totalprice",
+                       "o_orderdate"]).map_batches(
+            partial, batch_format="pyarrow").take_all()
+        import numpy as np2  # noqa: F401  (clarity: same numpy)
+        cents = np.array([int(r["cents"]) for r in parts], np.int64)
+        days = np.array([int(r["day"]) for r in parts], np.int64)
+        keys = np.array([int(r["o_orderkey"]) for r in parts],
+                        np.int64)
+        c, d, k = local_skyline(cents, days, keys)
+        order = np.argsort(k)
+        return pa.Table.from_arrays(
+            [pa.array(k[order]), pa.array(c[order]),
+             pa.array(d[order])],
+            names=["o_orderkey", "cents", "day"])
+
+    def durbin_watson_daily(sf_dir: str):
+        """Durbin-Watson serial-correlation diagnostic of the daily
+        series against its OLS linear trend, EXACT: residuals are kept
+        as the integers E_t = x_t·nD − A − nB·t (the common rational
+        denominator n·D cancels in the DW ratio), and the two DW
+        components Σ(E_t−E_{t−1})² and ΣE_t² are shipped as decimal
+        STRINGS (the Σcents² Python-int idiom — DuckDB sums in
+        HUGEINT, Python in arbitrary precision; both serialize to the
+        same digits). No float anywhere."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        US_DAY = 86_400_000_000
+
+        def days(b: pa.Table) -> pa.Table:
+            t = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                        pa.int64())
+            return pa.Table.from_arrays(
+                [pc.divide(t, pa.scalar(US_DAY, pa.int64()))],
+                names=["day"])
+
+        daily = sorted(combine_aggregate(
+            _read(sf_dir, "events", ["ts"]).map_batches(
+                days, batch_format="pyarrow"),
+            ["day"], [("", "count", "n")]).take_all(),
+            key=lambda r: int(r["day"]))
+        xs = [int(r["n"]) for r in daily]
+        n = len(xs)
+        ts = list(range(n))           # 0-based index, both sides
+        st = sum(ts)
+        stt = sum(t * t for t in ts)
+        sx = sum(xs)
+        stx = sum(t * x for t, x in zip(ts, xs))
+        big_d = n * stt - st * st
+        big_b = n * stx - st * sx
+        big_a = sx * big_d - big_b * st
+        e = [x * n * big_d - big_a - n * big_b * t
+             for t, x in zip(ts, xs)]
+        num = sum((e[i] - e[i - 1]) ** 2 for i in range(1, n))
+        den = sum(v * v for v in e)
+        return pa.Table.from_arrays(
+            [pa.array([n], pa.int64()),
+             pa.array([str(num)], pa.string()),
+             pa.array([str(den)], pa.string())],
+            names=["n_days", "dw_num", "dw_den"])
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -9843,6 +9957,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_impact_report": dedup_impact_report,
         "word_copresence_lift": word_copresence_lift,
         "host_rank_fusion": host_rank_fusion,
+        "orders_skyline": orders_skyline,
+        "durbin_watson_daily": durbin_watson_daily,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -10054,6 +10170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_lag_median_by_priority", "dedup_impact_report",
         # new in round 3, ninetieth sweep
         "word_copresence_lift", "host_rank_fusion",
+        # new in round 3, ninety-first sweep
+        "orders_skyline", "durbin_watson_daily",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -15464,6 +15582,64 @@ def oracle_sql() -> dict[str, str]:
                         + 1000000000 // (60 + rank_auth) AS BIGINT)
                        AS rrf_e9
             FROM r
+        """,
+        "orders_skyline": """
+            WITH o AS (
+                SELECT o_orderkey,
+                       CAST(FLOOR(100.0 * o_totalprice + 0.5)
+                            AS BIGINT) AS cents,
+                       epoch_us(o_orderdate) // 86400000000 AS day
+                FROM orders
+            ), g AS (
+                SELECT cents, MAX(day) AS gmax FROM o GROUP BY 1
+            ), w AS (
+                SELECT cents, gmax,
+                       MAX(gmax) OVER (ORDER BY cents DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS best
+                FROM g
+            )
+            SELECT o.o_orderkey, o.cents, CAST(o.day AS BIGINT) AS day
+            FROM o JOIN w USING (cents)
+            WHERE o.day = w.gmax
+              AND (w.best IS NULL OR w.gmax > w.best)
+        """,
+        "durbin_watson_daily": """
+            WITH d AS (
+                SELECT epoch_us(ts) // 86400000000 AS day,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1
+            ), o AS (
+                SELECT CAST(n AS HUGEINT) AS x,
+                       CAST(ROW_NUMBER() OVER (ORDER BY day) - 1
+                            AS HUGEINT) AS t
+                FROM d
+            ), s AS (
+                SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                       SUM(t) AS st, SUM(t * t) AS stt,
+                       SUM(x) AS sx, SUM(t * x) AS stx
+                FROM o
+            ), c AS (
+                SELECT n, st, sx,
+                       n * stt - st * st AS dd,
+                       n * stx - st * sx AS bb
+                FROM s
+            ), c2 AS (
+                SELECT n, dd, bb, sx * dd - bb * st AS aa FROM c
+            ), e AS (
+                SELECT o.t,
+                       o.x * c2.n * c2.dd - c2.aa - c2.n * c2.bb * o.t
+                           AS ev
+                FROM o, c2
+            ), l AS (
+                SELECT t, ev, LAG(ev) OVER (ORDER BY t) AS pv FROM e
+            )
+            SELECT (SELECT CAST(n AS BIGINT) FROM s) AS n_days,
+                   CAST(SUM((ev - pv) * (ev - pv))
+                        FILTER (WHERE pv IS NOT NULL) AS VARCHAR)
+                       AS dw_num,
+                   CAST(SUM(ev * ev) AS VARCHAR) AS dw_den
+            FROM l
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

@@ -214,3 +214,29 @@ def test_cusum_path_micro(ray_session, tmp_path):
             for r in out] == [
         (0, 5, 4, 0), (1, 1, 4, 0), (2, 1, 4, 0), (3, 5, 8, 0)]
     assert _sorted_rows(_oracle(sf, "cusum_path"), "day") == out
+
+
+def test_orders_skyline_micro(ray_session, tmp_path):
+    # cents/day pairs: skyline keeps the max-date rows per price level
+    # unless a strictly higher price already reached that date.
+    # (1) 1000/day0 in-group dominated; (2),(4) 1000/day2 duplicates
+    # survive; (5) 800/day2 dominated by (2); (3),(6) 500/day5 survive.
+    t = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "o_totalprice": pa.array([10.0, 10.0, 5.0, 10.0, 8.0, 5.0],
+                                 pa.float64()),
+        "o_orderdate": pa.array(
+            [T0, T0 + 2 * US_DAY, T0 + 5 * US_DAY, T0 + 2 * US_DAY,
+             T0 + 2 * US_DAY, T0 + 5 * US_DAY],
+            pa.int64()).cast(pa.timestamp("us")),
+    })
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    out = entrymod.queries()["orders_skyline"](
+        str(tmp_path)).to_pylist()
+    assert [r["o_orderkey"] for r in out] == [2, 3, 4, 6]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/orders.parquet')")
+    got = sorted(con.sql(entrymod.oracle_sql()["orders_skyline"])
+                 .arrow().to_pylist(), key=lambda r: r["o_orderkey"])
+    assert got == out
