@@ -9649,6 +9649,77 @@ def queries() -> dict[str, Callable[[str], Any]]:
              pa.array([str(den)], pa.string())],
             names=["n_days", "dw_num", "dw_den"])
 
+    def theil_sen_slope_daily(sf_dir: str):
+        """Theil-Sen robust trend estimator of the daily event-count
+        series — the median of all pairwise slopes (x_j−x_i)/(d_j−d_i),
+        EXACT: slopes stay rationals ordered by cross-multiplication
+        (via Fraction), and the output pins the two CENTRAL slopes
+        (ranks ⌈m/2⌉ and ⌊m/2⌋+1 under the total order
+        (dy/dx, dy, dx)) as integer (dy, dx) pairs — no float division
+        anywhere. ONE day-count combiner; the O(D²) pair scan is
+        driver-side over ≤ ~31 days."""
+        from fractions import Fraction
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        US_DAY = 86_400_000_000
+
+        def days(b: pa.Table) -> pa.Table:
+            t = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                        pa.int64())
+            return pa.Table.from_arrays(
+                [pc.divide(t, pa.scalar(US_DAY, pa.int64()))],
+                names=["day"])
+
+        daily = sorted(combine_aggregate(
+            _read(sf_dir, "events", ["ts"]).map_batches(
+                days, batch_format="pyarrow"),
+            ["day"], [("", "count", "n")]).take_all(),
+            key=lambda r: int(r["day"]))
+        ds_ = [int(r["day"]) for r in daily]
+        xs = [int(r["n"]) for r in daily]
+        nd = len(xs)
+        slopes = []
+        for i in range(nd):
+            for j in range(i + 1, nd):
+                dy, dx = xs[j] - xs[i], ds_[j] - ds_[i]
+                slopes.append((Fraction(dy, dx), dy, dx))
+        slopes.sort()
+        m = len(slopes)
+        lo, hi = slopes[(m - 1) // 2], slopes[m // 2]
+        return pa.Table.from_arrays(
+            [pa.array([nd], pa.int64()), pa.array([m], pa.int64()),
+             pa.array([lo[1]], pa.int64()), pa.array([lo[2]], pa.int64()),
+             pa.array([hi[1]], pa.int64()), pa.array([hi[2]], pa.int64())],
+            names=["n_days", "n_pairs", "lo_dy", "lo_dx",
+                   "hi_dy", "hi_dx"])
+
+    def readability_counts(sf_dir: str):
+        """Per-document readability raw material (the Flesch-Kincaid
+        ingredients): sentence-terminator runs, words, and the
+        vowel-group syllable proxy — three vectorized RE2 count
+        kernels per block (`pc.count_substring_regex`, the same RE2
+        DuckDB uses), MAP-ONLY: no shuffle, rows are doc-complete."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def counts(b: pa.Table) -> pa.Table:
+            txt = b.column("text")
+            return pa.Table.from_arrays(
+                [b.column("doc_id"),
+                 pc.cast(pc.count_substring_regex(txt, "[.!?]+"),
+                         pa.int64()),
+                 pc.cast(pc.count_substring_regex(txt, r"\S+"),
+                         pa.int64()),
+                 pc.cast(pc.count_substring_regex(
+                     txt, "[aeiouyAEIOUY]+"), pa.int64())],
+                names=["doc_id", "n_sent", "n_words", "n_syll"])
+
+        return _read(sf_dir, "documents", ["doc_id", "text"]) \
+            .map_batches(counts, batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -9959,6 +10030,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_rank_fusion": host_rank_fusion,
         "orders_skyline": orders_skyline,
         "durbin_watson_daily": durbin_watson_daily,
+        "theil_sen_slope_daily": theil_sen_slope_daily,
+        "readability_counts": readability_counts,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -10172,6 +10245,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_copresence_lift", "host_rank_fusion",
         # new in round 3, ninety-first sweep
         "orders_skyline", "durbin_watson_daily",
+        # new in round 3, ninety-second sweep
+        "theil_sen_slope_daily", "readability_counts",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -15640,6 +15715,45 @@ def oracle_sql() -> dict[str, str]:
                        AS dw_num,
                    CAST(SUM(ev * ev) AS VARCHAR) AS dw_den
             FROM l
+        """,
+        "theil_sen_slope_daily": """
+            WITH d AS (
+                SELECT epoch_us(ts) // 86400000000 AS day,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1
+            ), p AS (
+                SELECT CAST(b.n - a.n AS BIGINT) AS dy,
+                       CAST(b.day - a.day AS BIGINT) AS dx
+                FROM d a JOIN d b ON b.day > a.day
+            ), r AS (
+                -- double ordering is exact here: dx <= ~60 so two
+                -- distinct fractions differ by >= 1/dx1/dx2 >> ulp
+                SELECT dy, dx,
+                       ROW_NUMBER() OVER (
+                           ORDER BY CAST(dy AS DOUBLE) / dx, dy, dx)
+                           AS rk,
+                       COUNT(*) OVER () AS m
+                FROM p
+            )
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_days,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_pairs,
+                   MAX(CASE WHEN rk = (m + 1) // 2 THEN dy END)
+                       AS lo_dy,
+                   MAX(CASE WHEN rk = (m + 1) // 2 THEN dx END)
+                       AS lo_dx,
+                   MAX(CASE WHEN rk = m // 2 + 1 THEN dy END) AS hi_dy,
+                   MAX(CASE WHEN rk = m // 2 + 1 THEN dx END) AS hi_dx
+            FROM r
+        """,
+        "readability_counts": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[.!?]+'))
+                        AS BIGINT) AS n_sent,
+                   CAST(len(regexp_extract_all(text, '\\S+'))
+                        AS BIGINT) AS n_words,
+                   CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                        AS BIGINT) AS n_syll
+            FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

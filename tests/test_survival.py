@@ -240,3 +240,37 @@ def test_orders_skyline_micro(ray_session, tmp_path):
     got = sorted(con.sql(entrymod.oracle_sql()["orders_skyline"])
                  .arrow().to_pylist(), key=lambda r: r["o_orderkey"])
     assert got == out
+
+
+def test_theil_sen_micro(ray_session, tmp_path):
+    # days 0,1,3 (gap!) with counts [2,5,3] -> slopes:
+    # (0,1): 3/1; (0,3): 1/3; (1,3): -2/2 = -1. Sorted: -1, 1/3, 3;
+    # m=3 so lo == hi == the middle slope (dy=1, dx=3).
+    rows = []
+    for day, c in [(0, 2), (1, 5), (3, 3)]:
+        for k in range(c):
+            rows.append((300 + k, day + k * 1e-3, "view"))
+    sf = _write_events(tmp_path, rows)
+    out = entrymod.queries()["theil_sen_slope_daily"](sf).to_pylist()
+    assert out == [{"n_days": 3, "n_pairs": 3,
+                    "lo_dy": 1, "lo_dx": 3, "hi_dy": 1, "hi_dx": 3}]
+    assert _oracle(sf, "theil_sen_slope_daily").to_pylist() == out
+
+
+def test_readability_counts_micro(ray_session, tmp_path):
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["Hi there! Go now. Ok?", "xyz"], pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = sorted(entrymod.queries()["readability_counts"](
+        str(tmp_path)).take_all(), key=lambda r: r["doc_id"])
+    assert out == [
+        {"doc_id": 0, "n_sent": 3, "n_words": 5, "n_syll": 6},
+        {"doc_id": 1, "n_sent": 0, "n_words": 1, "n_syll": 1}]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    assert _sorted_rows(con.sql(
+        entrymod.oracle_sql()["readability_counts"]).arrow(),
+        "doc_id") == out
