@@ -9720,6 +9720,90 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _read(sf_dir, "documents", ["doc_id", "text"]) \
             .map_batches(counts, batch_format="pyarrow")
 
+    def value_ewma_daily(sf_dir: str):
+        """EWMA smoothing path (α = 1/8) of the daily event-count
+        series, EXACT: with M_t = 8^t·E_t the recursion becomes the
+        integer M_t = 8^(t−1)·x_t + 7·M_{t−1}, M_0 = x_0, so the
+        smoothed path ships as decimal-string numerators (denominator
+        8^t) plus a floor-quantized ewma_e6 — 8^30·x·10^6 ≈ 10^37
+        stays inside both Python ints and DuckDB HUGEINT. ONE
+        day-count combiner; the 30-step recursion is driver-side."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        US_DAY = 86_400_000_000
+
+        def days(b: pa.Table) -> pa.Table:
+            t = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                        pa.int64())
+            return pa.Table.from_arrays(
+                [pc.divide(t, pa.scalar(US_DAY, pa.int64()))],
+                names=["day"])
+
+        daily = sorted(combine_aggregate(
+            _read(sf_dir, "events", ["ts"]).map_batches(
+                days, batch_format="pyarrow"),
+            ["day"], [("", "count", "n")]).take_all(),
+            key=lambda r: int(r["day"]))
+        ts_, xs_, nums, e6s = [], [], [], []
+        m = p = 0
+        for t, r in enumerate(daily):
+            x = int(r["n"])
+            if t == 0:
+                m, p = x, 1
+            else:
+                m, p = p * x + 7 * m, p * 8
+            ts_.append(t)
+            xs_.append(x)
+            nums.append(str(m))
+            e6s.append((1_000_000 * m) // p)
+        return pa.Table.from_arrays(
+            [pa.array(ts_, pa.int64()),
+             pa.array([int(r["day"]) for r in daily], pa.int64()),
+             pa.array(xs_, pa.int64()),
+             pa.array(nums, pa.string()),
+             pa.array(e6s, pa.int64())],
+            names=["t", "day", "x", "ewma_num", "ewma_e6"])
+
+    _TAG_KEYWORDS = ("merge", "window", "stream", "filter", "customer")
+
+    def keyword_tag_counts(sf_dir: str):
+        """Dictionary-based taxonomy tagging: count each keyword of a
+        small broadcast pattern list per document (non-overlapping
+        literal substring semantics on BOTH sides) and emit the long
+        (doc_id, keyword, n) tag table for n > 0. One vectorized
+        `pc.count_substring` kernel per keyword per block, MAP-ONLY —
+        the pattern list is a constant captured by the closure (at
+        real scale: ray.put once), never a shuffle."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        kws = _TAG_KEYWORDS
+
+        def tag(b: pa.Table) -> pa.Table:
+            txt = b.column("text")
+            ids, names, counts = [], [], []
+            for kw in kws:
+                n = pc.cast(pc.count_substring(txt, kw), pa.int64())
+                keep = pc.greater(n, 0)
+                ids.append(pc.filter(b.column("doc_id"), keep))
+                counts.append(pc.filter(n, keep))
+                names.append(pa.array([kw] * len(ids[-1]),
+                                      pa.string()))
+            return pa.Table.from_arrays(
+                [pa.concat_arrays([a.combine_chunks() if
+                                   isinstance(a, pa.ChunkedArray)
+                                   else a for a in ids]),
+                 pa.concat_arrays(names),
+                 pa.concat_arrays([c.combine_chunks() if
+                                   isinstance(c, pa.ChunkedArray)
+                                   else c for c in counts])],
+                names=["doc_id", "keyword", "n"])
+
+        return _read(sf_dir, "documents", ["doc_id", "text"]) \
+            .map_batches(tag, batch_format="pyarrow")
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -10032,6 +10116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "durbin_watson_daily": durbin_watson_daily,
         "theil_sen_slope_daily": theil_sen_slope_daily,
         "readability_counts": readability_counts,
+        "value_ewma_daily": value_ewma_daily,
+        "keyword_tag_counts": keyword_tag_counts,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -10247,6 +10333,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_skyline", "durbin_watson_daily",
         # new in round 3, ninety-second sweep
         "theil_sen_slope_daily", "readability_counts",
+        # new in round 3, ninety-third sweep
+        "value_ewma_daily", "keyword_tag_counts",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -15754,6 +15842,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
                         AS BIGINT) AS n_syll
             FROM documents
+        """,
+        "value_ewma_daily": """
+            WITH RECURSIVE d AS (
+                SELECT epoch_us(ts) // 86400000000 AS day,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1
+            ), o AS (
+                SELECT CAST(day AS BIGINT) AS day,
+                       CAST(n AS HUGEINT) AS x,
+                       CAST(ROW_NUMBER() OVER (ORDER BY day) - 1
+                            AS BIGINT) AS t
+                FROM d
+            ), r AS (
+                SELECT t, day, x, x AS m, CAST(1 AS HUGEINT) AS p
+                FROM o WHERE t = 0
+                UNION ALL
+                SELECT o.t, o.day, o.x,
+                       r.p * o.x + 7 * r.m, r.p * 8
+                FROM r JOIN o ON o.t = r.t + 1
+            )
+            SELECT t, day, CAST(x AS BIGINT) AS x,
+                   CAST(m AS VARCHAR) AS ewma_num,
+                   CAST((1000000 * m) // p AS BIGINT) AS ewma_e6
+            FROM r
+        """,
+        "keyword_tag_counts": """
+            WITH k AS (
+                SELECT * FROM (VALUES ('merge'), ('window'),
+                               ('stream'), ('filter'),
+                               ('customer')) AS v(kw)
+            )
+            SELECT doc_id, kw AS keyword,
+                   CAST((length(text) -
+                         length(replace(text, kw, '')))
+                        // length(kw) AS BIGINT) AS n
+            FROM documents CROSS JOIN k
+            WHERE length(text) - length(replace(text, kw, '')) > 0
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

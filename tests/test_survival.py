@@ -274,3 +274,41 @@ def test_readability_counts_micro(ray_session, tmp_path):
     assert _sorted_rows(con.sql(
         entrymod.oracle_sql()["readability_counts"]).arrow(),
         "doc_id") == out
+
+
+def test_value_ewma_daily_micro(ray_session, tmp_path):
+    # counts [8, 16, 8] -> M: 8 (p=1); 1*16+7*8=72 (p=8) -> 9.0;
+    # 8*8+7*72=568 (p=64) -> 8.875
+    rows = []
+    for day, c in [(0, 8), (1, 16), (2, 8)]:
+        for k in range(c):
+            rows.append((400 + k, day + k * 1e-3, "view"))
+    sf = _write_events(tmp_path, rows)
+    out = entrymod.queries()["value_ewma_daily"](sf).to_pylist()
+    d0 = T0 // US_DAY
+    assert out == [
+        {"t": 0, "day": d0, "x": 8, "ewma_num": "8",
+         "ewma_e6": 8_000_000},
+        {"t": 1, "day": d0 + 1, "x": 16, "ewma_num": "72",
+         "ewma_e6": 9_000_000},
+        {"t": 2, "day": d0 + 2, "x": 8, "ewma_num": "568",
+         "ewma_e6": 8_875_000}]
+    assert _sorted_rows(_oracle(sf, "value_ewma_daily"), "t") == out
+
+
+def test_keyword_tag_counts_micro(ray_session, tmp_path):
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["merge merge stream", "xyz"], pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = sorted(entrymod.queries()["keyword_tag_counts"](
+        str(tmp_path)).take_all(), key=lambda r: r["keyword"])
+    assert out == [{"doc_id": 0, "keyword": "merge", "n": 2},
+                   {"doc_id": 0, "keyword": "stream", "n": 1}]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    assert sorted(con.sql(
+        entrymod.oracle_sql()["keyword_tag_counts"]).arrow()
+        .to_pylist(), key=lambda r: r["keyword"]) == out
