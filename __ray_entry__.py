@@ -9804,6 +9804,136 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _read(sf_dir, "documents", ["doc_id", "text"]) \
             .map_batches(tag, batch_format="pyarrow")
 
+    def host_adamic_adar(sf_dir: str):
+        """Adamic-Adar link-prediction scores on the doc→host
+        bipartite graph: for every host pair co-cited by a document,
+        aa_e9 = Σ_docs ⌊10⁹/ln(deg_doc) + 0.5⌋ where deg_doc is the
+        doc's DISTINCT-host count (common-neighbor weighting — rarer
+        co-citers count more). Per-doc rows are block-local (the
+        extractor expands one doc row inside one block), so deg and
+        the triu pair expansion (bounded by per-doc host fanout) are
+        map-side; ONE pair combiner carries (host_a, host_b, n, aa)
+        partial sums. ln quantized per distinct deg (same libm double
+        on both sides)."""
+        import math
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+        from htmlreader_ray.functions.urls import url_host_column
+
+        links = _read(sf_dir, "documents",
+                      ["doc_id", "text"]).map_batches(
+            q.as_task(q.LinkExtract), batch_format="pyarrow")
+
+        def pair_partials(b: pa.Table) -> pa.Table:
+            t = pa.Table.from_arrays(
+                [b.column("doc_id"),
+                 url_host_column(b.column("href"))],
+                names=["doc_id", "host"])
+            t = t.filter(pc.not_equal(t.column("host"), ""))
+            t = t.group_by(["doc_id", "host"]).aggregate([])
+            empty = pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.string()),
+                 pa.array([], pa.int64())],
+                names=["host_a", "host_b", "aa_e9"])
+            if t.num_rows == 0:
+                return empty
+            order = pc.sort_indices(
+                t, sort_keys=[("doc_id", "ascending"),
+                              ("host", "ascending")])
+            t = t.take(order)
+            doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+            hosts = np.asarray(t.column("host").combine_chunks(),
+                               dtype=object)
+            h1, h2, w = [], [], []
+            start = 0
+            for i in range(1, len(doc) + 1):
+                if i == len(doc) or doc[i] != doc[start]:
+                    deg = i - start
+                    if deg > 1:
+                        seg = hosts[start:i]
+                        ii, jj = np.triu_indices(deg, k=1)
+                        h1.append(seg[ii])
+                        h2.append(seg[jj])
+                        w.append(np.full(
+                            len(ii),
+                            math.floor(1e9 / math.log(deg) + 0.5),
+                            np.int64))
+                    start = i
+            if not h1:
+                return empty
+            return pa.Table.from_arrays(
+                [pa.array(np.concatenate(h1), pa.string()),
+                 pa.array(np.concatenate(h2), pa.string()),
+                 pa.array(np.concatenate(w))],
+                names=["host_a", "host_b", "aa_e9"])
+
+        agg = combine_aggregate(
+            links.map_batches(pair_partials, batch_format="pyarrow"),
+            ["host_a", "host_b"],
+            [("", "count", "n_docs"), ("aa_e9", "sum", "aa_e9")])
+        return agg.map_batches(
+            lambda b: b.set_column(
+                b.column_names.index("n_docs"), "n_docs",
+                pc.cast(b.column("n_docs"), pa.int64())),
+            batch_format="pyarrow")
+
+    def top_supplier_revenue(sf_dir: str):
+        """TPC-H Q15 shape: per-supplier revenue over a 3-month
+        shipdate slice, keeping ALL suppliers that hit the maximum
+        (tie semantics intact). Cents quantized per row with the
+        repo-standard floor(100·(p·(1−d)) + 0.5) IEEE contract,
+        block-local partial sums by suppkey (Arrow group_by) before
+        ONE narrow supplier combiner; the max filter and the
+        name attach run on the bounded supplier dim (broadcast side
+        at scale, never a shuffle join)."""
+        import datetime
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        lo = pa.scalar(datetime.datetime(1996, 1, 1),
+                       pa.timestamp("us"))
+        hi = pa.scalar(datetime.datetime(1996, 4, 1),
+                       pa.timestamp("us"))
+
+        def partial(b: pa.Table) -> pa.Table:
+            sd = pc.cast(b.column("l_shipdate"), pa.timestamp("us"))
+            keep = pc.and_(pc.greater_equal(sd, lo), pc.less(sd, hi))
+            t = b.filter(keep)
+            rev = pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+            cents = pc.cast(
+                pc.floor(pc.add(pc.multiply(pa.scalar(100.0), rev),
+                                pa.scalar(0.5))), pa.int64())
+            flat = pa.table({"l_suppkey": t.column("l_suppkey"),
+                             "cents": cents})
+            g = flat.group_by("l_suppkey").aggregate([("cents", "sum")])
+            return g.select(["l_suppkey", "cents_sum"]) \
+                .rename_columns(["l_suppkey", "cents"])
+
+        totals = combine_aggregate(
+            _read(sf_dir, "lineitem",
+                  ["l_suppkey", "l_extendedprice", "l_discount",
+                   "l_shipdate"]).map_batches(
+                partial, batch_format="pyarrow"),
+            ["l_suppkey"], [("cents", "sum", "total_cents")]).take_all()
+        best = max(int(r["total_cents"]) for r in totals)
+        winners = sorted(int(r["l_suppkey"]) for r in totals
+                         if int(r["total_cents"]) == best)
+        names = {int(r["s_suppkey"]): r["s_name"] for r in
+                 _read(sf_dir, "supplier",
+                       ["s_suppkey", "s_name"]).take_all()}
+        return pa.Table.from_arrays(
+            [pa.array(winners, pa.int64()),
+             pa.array([names[k] for k in winners], pa.string()),
+             pa.array([best] * len(winners), pa.int64())],
+            names=["s_suppkey", "s_name", "total_cents"])
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -10118,6 +10248,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability_counts": readability_counts,
         "value_ewma_daily": value_ewma_daily,
         "keyword_tag_counts": keyword_tag_counts,
+        "host_adamic_adar": host_adamic_adar,
+        "top_supplier_revenue": top_supplier_revenue,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -10335,6 +10467,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theil_sen_slope_daily", "readability_counts",
         # new in round 3, ninety-third sweep
         "value_ewma_daily", "keyword_tag_counts",
+        # new in round 3, ninety-fourth sweep
+        "host_adamic_adar", "top_supplier_revenue",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -15879,6 +16013,48 @@ def oracle_sql() -> dict[str, str]:
                         // length(kw) AS BIGINT) AS n
             FROM documents CROSS JOIN k
             WHERE length(text) - length(replace(text, kw, '')) > 0
+        """,
+        # Adamic-Adar replays the ref-links generator (the
+        # host_outdegree contract): doc d links hosts
+        # h((7d+j)%10).example.com for j in 0..d%3, all distinct.
+        "host_adamic_adar": """
+            WITH e AS (
+                SELECT DISTINCT d.doc_id,
+                       'h' || CAST((d.doc_id * 7 + j) % 10 AS VARCHAR)
+                       || '.example.com' AS host
+                FROM documents d,
+                     UNNEST(generate_series(0, d.doc_id % 3)) AS t(j)
+            ), g AS (
+                SELECT doc_id, COUNT(*) AS deg FROM e GROUP BY 1
+            ), p AS (
+                SELECT a.host AS host_a, b.host AS host_b,
+                       CAST(FLOOR(1000000000.0 / LN(g.deg) + 0.5)
+                            AS BIGINT) AS w
+                FROM e a
+                JOIN e b ON a.doc_id = b.doc_id AND a.host < b.host
+                JOIN g ON g.doc_id = a.doc_id
+                WHERE g.deg >= 2
+            )
+            SELECT host_a, host_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(w) AS BIGINT) AS aa_e9
+            FROM p GROUP BY 1, 2
+        """,
+        "top_supplier_revenue": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       SUM(CAST(FLOOR(100.0 * (l_extendedprice *
+                           (1.0 - l_discount)) + 0.5) AS BIGINT))
+                           AS total_cents
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY 1
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   CAST(r.total_cents AS BIGINT) AS total_cents
+            FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+            WHERE r.total_cents = (SELECT MAX(total_cents) FROM r)
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

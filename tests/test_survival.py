@@ -312,3 +312,69 @@ def test_keyword_tag_counts_micro(ray_session, tmp_path):
     assert sorted(con.sql(
         entrymod.oracle_sql()["keyword_tag_counts"]).arrow()
         .to_pylist(), key=lambda r: r["keyword"]) == out
+
+
+def test_host_adamic_adar_micro(ray_session, tmp_path):
+    # ref-links generator: doc d cites hosts h((7d+j)%10), j=0..d%3.
+    # d=0 -> {h0} (no pairs); d=1 -> {h7,h8}; d=2 -> {h4,h5,h6}.
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["alpha", "beta", "gamma"], pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = sorted(entrymod.queries()["host_adamic_adar"](
+        str(tmp_path)).take_all(),
+        key=lambda r: (r["host_a"], r["host_b"]))
+    w2 = math.floor(1e9 / math.log(2) + 0.5)
+    w3 = math.floor(1e9 / math.log(3) + 0.5)
+    h = "{}.example.com".format
+    assert out == [
+        {"host_a": h("h4"), "host_b": h("h5"), "n_docs": 1,
+         "aa_e9": w3},
+        {"host_a": h("h4"), "host_b": h("h6"), "n_docs": 1,
+         "aa_e9": w3},
+        {"host_a": h("h5"), "host_b": h("h6"), "n_docs": 1,
+         "aa_e9": w3},
+        {"host_a": h("h7"), "host_b": h("h8"), "n_docs": 1,
+         "aa_e9": w2}]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    assert sorted(con.sql(
+        entrymod.oracle_sql()["host_adamic_adar"]).arrow().to_pylist(),
+        key=lambda r: (r["host_a"], r["host_b"])) == out
+
+
+def test_top_supplier_revenue_ties_micro(ray_session, tmp_path):
+    # suppliers 1 and 2 tie at 1000 cents; supplier 1 also has an
+    # out-of-slice row that must be filtered out.
+    import datetime as dt
+    inside = dt.datetime(1996, 2, 1)
+    outside = dt.datetime(1997, 2, 1)
+    li = pa.table({
+        "l_suppkey": pa.array([1, 2, 2, 3, 1], pa.int64()),
+        "l_extendedprice": pa.array([10.0, 5.0, 5.0, 1.0, 99.0],
+                                    pa.float64()),
+        "l_discount": pa.array([0.0] * 5, pa.float64()),
+        "l_shipdate": pa.array(
+            [inside, inside, inside, inside, outside],
+            pa.timestamp("us")),
+    })
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    sup = pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["S1", "S2", "S3"], pa.string()),
+    })
+    pq.write_table(sup, str(tmp_path / "supplier.parquet"))
+    out = entrymod.queries()["top_supplier_revenue"](
+        str(tmp_path)).to_pylist()
+    assert out == [
+        {"s_suppkey": 1, "s_name": "S1", "total_cents": 1000},
+        {"s_suppkey": 2, "s_name": "S2", "total_cents": 1000}]
+    con = duckdb.connect()
+    for t in ("lineitem", "supplier"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{t}.parquet')")
+    assert _sorted_rows(con.sql(
+        entrymod.oracle_sql()["top_supplier_revenue"]).arrow(),
+        "s_suppkey") == out
