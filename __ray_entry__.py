@@ -9934,6 +9934,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
              pa.array([best] * len(winners), pa.int64())],
             names=["s_suppkey", "s_name", "total_cents"])
 
+    def late_event_audit(sf_dir: str):
+        """Streaming watermark audit: per user, how many events arrive
+        (by event_id order) with an event time > 1 h behind the user's
+        running max — the late-data rate an ingester must side-output.
+        ONE coarse user-bucket exchange, per-user running max inside
+        the group (functions/analytics.late_event_arrivals)."""
+        from htmlreader_ray.functions.analytics import (
+            late_event_arrivals)
+        return late_event_arrivals(
+            _read(sf_dir, "events", ["user_id", "ts", "event_id"]))
+
     base = {
         # flagship + parse kernel surface (SURVEY §2.1/§2.2)
         "extract_interleaved": _flagship,
@@ -10250,6 +10261,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_tag_counts": keyword_tag_counts,
         "host_adamic_adar": host_adamic_adar,
         "top_supplier_revenue": top_supplier_revenue,
+        "anchor_depth_profile": actor(q.AnchorDepths),
+        "late_event_audit": late_event_audit,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -10469,6 +10482,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_ewma_daily", "keyword_tag_counts",
         # new in round 3, ninety-fourth sweep
         "host_adamic_adar", "top_supplier_revenue",
+        # new in round 3, ninety-fifth sweep
+        "anchor_depth_profile", "late_event_audit",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -16055,6 +16070,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(r.total_cents AS BIGINT) AS total_cents
             FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
             WHERE r.total_cents = (SELECT MAX(total_cents) FROM r)
+        """,
+        # Anchor depths are template-constant by construction: ref
+        # links at 3 (multiplicity doc_id%3+1), footer Terms at 4,
+        # nav(3)+aside(2) at 5 — the real parser must agree.
+        "anchor_depth_profile": """
+            SELECT doc_id, CAST(3 AS BIGINT) AS depth,
+                   CAST(doc_id % 3 + 1 AS BIGINT) AS n_anchors
+            FROM documents
+            UNION ALL
+            SELECT doc_id, CAST(4 AS BIGINT), CAST(1 AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT doc_id, CAST(5 AS BIGINT), CAST(5 AS BIGINT)
+            FROM documents
+        """,
+        "late_event_audit": """
+            WITH w AS (
+                SELECT user_id, ts,
+                       MAX(ts) OVER (PARTITION BY user_id
+                           ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS pm
+                FROM events
+            )
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(*) FILTER (WHERE pm IS NOT NULL AND
+                        epoch_us(ts) < epoch_us(pm) - 3600000000)
+                        AS BIGINT) AS n_late
+            FROM w GROUP BY 1
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

@@ -1028,3 +1028,52 @@ def user_transition_entropy(ds, *, ts_col: str = "ts",
 
     return _bucketed(ds, user_col, coarse_buckets).map_groups(
         kernel, batch_format="pyarrow")
+
+
+def late_event_arrivals(ds, *, ts_col: str = "ts",
+                        user_col: str = "user_id",
+                        order_col: str = "event_id",
+                        lateness_us: int = 3_600_000_000,
+                        coarse_buckets: int = 256):
+    """Watermark / out-of-order-arrival audit per user.
+
+    Treating ``order_col`` as ARRIVAL order, an event is LATE when its
+    event time ``ts`` sits more than ``lateness_us`` behind the user's
+    running max event time over strictly earlier arrivals — the
+    watermark test a streaming ingester applies before dropping or
+    side-outputting a record. A user's first arrival is never late.
+    ONE coarse user-bucket exchange; inside the group a per-user
+    ``np.maximum.accumulate`` running max (segment loop bounded by the
+    users in the bucket) — no global sort. Returns
+    (user_id, n_events, n_late)."""
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64()),
+             pa.array([], pa.int64())],
+            names=[user_col, "n_events", "n_late"])
+        if group.num_rows == 0:
+            return empty
+        uid = _np(group.column(user_col))
+        us = _np(group.column(ts_col).cast(pa.int64()))
+        eid = _np(group.column(order_col))
+        order = np.lexsort((eid, uid))
+        uid_s, us_s = uid[order], us[order]
+        n = len(order)
+        late = np.zeros(n, dtype=bool)
+        starts = np.flatnonzero(
+            np.r_[True, uid_s[1:] != uid_s[:-1]])
+        ends = np.r_[starts[1:], n]
+        for s, e in zip(starts, ends):
+            if e - s > 1:
+                cm = np.maximum.accumulate(us_s[s:e])
+                late[s + 1:e] = us_s[s + 1:e] < cm[:-1] - lateness_us
+        users = uid_s[starts]
+        n_events = (ends - starts).astype(np.int64)
+        n_late = np.add.reduceat(late.astype(np.int64), starts)
+        return pa.Table.from_arrays(
+            [pa.array(users.astype(np.int64)), pa.array(n_events),
+             pa.array(n_late.astype(np.int64))],
+            names=[user_col, "n_events", "n_late"])
+
+    return _bucketed(ds, user_col, coarse_buckets).map_groups(
+        kernel, batch_format="pyarrow")

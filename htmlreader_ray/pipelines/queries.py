@@ -113,6 +113,50 @@ def ref_links_block(doc_key: int) -> str:
     return "".join(out)
 
 
+class AnchorDepths:
+    """Anchor tree-DEPTH census over the generated pages: for every
+    a[href] count its Element ancestors and emit the per-doc
+    (depth, n_anchors) histogram. By construction the depths are
+    template-constant — nav/aside anchors sit at depth 5
+    (a<li<ul<nav|aside<body<html), the footer Terms link at 4, and the
+    ref-block links at 3 with multiplicity doc_id%3+1 — so the oracle
+    is a pure UNION ALL over doc_id arithmetic while the value still
+    crosses the real tokenizer + tree builder (implied <li> end tags,
+    quirks-mode variants)."""
+
+    def __init__(self) -> None:
+        self.sel = compile_selector("a[href]")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernel.dom import Element
+
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_depth, out_n = [], [], []
+        for key, t in zip(ids, texts):
+            page = build_page(int(key), t or "").replace(
+                "</body>", ref_links_block(int(key)) + "</body>")
+            doc = parse(page)
+            counts: dict = {}
+            for node in doc.elements_in_tree_order():
+                if self.sel.matches(node):
+                    d = 0
+                    p = node.parent
+                    while isinstance(p, Element):
+                        d += 1
+                        p = p.parent
+                    counts[d] = counts.get(d, 0) + 1
+            for d in sorted(counts):
+                out_id.append(key)
+                out_depth.append(d)
+                out_n.append(counts[d])
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_depth, pa.int64()),
+             pa.array(out_n, pa.int64())],
+            names=["doc_id", "depth", "n_anchors"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and

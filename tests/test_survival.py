@@ -378,3 +378,45 @@ def test_top_supplier_revenue_ties_micro(ray_session, tmp_path):
     assert _sorted_rows(con.sql(
         entrymod.oracle_sql()["top_supplier_revenue"]).arrow(),
         "s_suppkey") == out
+
+
+def test_late_event_audit_micro(ray_session, tmp_path):
+    # user 1 arrivals (by event_id): ts 12:00, then 10:00 (2 h behind
+    # the running max -> late), then 11:31 (29 min behind -> on time).
+    sf = _write_events(tmp_path, [
+        (1, 0.5, "view"),
+        (1, 0.5 - 2 / 24, "view"),
+        (1, 0.48, "view"),
+        (2, 0.1, "view")])
+    out = _sorted_rows(
+        pa.Table.from_pylist(entrymod.queries()["late_event_audit"](
+            sf).take_all()), "user_id")
+    assert out == [
+        {"user_id": 1, "n_events": 3, "n_late": 1},
+        {"user_id": 2, "n_events": 1, "n_late": 0}]
+    assert _sorted_rows(_oracle(sf, "late_event_audit"),
+                        "user_id") == out
+
+
+def test_anchor_depth_profile_micro(ray_session, tmp_path):
+    docs = pa.table({
+        "doc_id": pa.array([0, 2], pa.int64()),
+        "text": pa.array(["alpha", "beta"], pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = sorted(entrymod.queries()["anchor_depth_profile"](
+        str(tmp_path)).take_all(),
+        key=lambda r: (r["doc_id"], r["depth"]))
+    assert out == [
+        {"doc_id": 0, "depth": 3, "n_anchors": 1},
+        {"doc_id": 0, "depth": 4, "n_anchors": 1},
+        {"doc_id": 0, "depth": 5, "n_anchors": 5},
+        {"doc_id": 2, "depth": 3, "n_anchors": 3},
+        {"doc_id": 2, "depth": 4, "n_anchors": 1},
+        {"doc_id": 2, "depth": 5, "n_anchors": 5}]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    assert sorted(con.sql(
+        entrymod.oracle_sql()["anchor_depth_profile"]).arrow()
+        .to_pylist(), key=lambda r: (r["doc_id"], r["depth"])) == out
