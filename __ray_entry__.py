@@ -9934,6 +9934,129 @@ def queries() -> dict[str, Callable[[str], Any]]:
              pa.array([best] * len(winners), pa.int64())],
             names=["s_suppkey", "s_name", "total_cents"])
 
+    def dirichlet_topk_docs(sf_dir: str):
+        """Query-likelihood retrieval with Dirichlet smoothing (μ=2000)
+        — the LM complement of top_bm25: score(q,d) = Σ_{t∈q}
+        ln((tf_td + μ·cf_t/|C|)/(dl_d + μ)), top-10 docs by
+        (score DESC, doc_id ASC). The query terms are a tiny constant
+        set, so tf extraction is MAP-SIDE (no vocab-wide df table):
+        one 4-row term combiner for (cf_t, |C|), then a streaming
+        score pass emitting block-local top-10 partials merged once
+        driver-side. ln quantized ⌊10⁶·ln+0.5⌋ per row (same libm on
+        both sides); terms with cf=0 drop out (inner-join mirror)."""
+        import math
+
+        import numpy as np
+        import pyarrow as pa
+        from htmlreader_ray.functions.scoring import _split_words_flat
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        TERMS = ("merge", "stream", "window")
+        MU = 2000.0
+
+        def cf_partial(b: pa.Table) -> pa.Table:
+            _, words = _split_words_flat(b.column("text"))
+            w = np.asarray(words, dtype=object)
+            terms = list(TERMS) + [""]
+            ns = [int((w == t).sum()) for t in TERMS] + [len(w)]
+            return pa.Table.from_arrays(
+                [pa.array(terms, pa.string()),
+                 pa.array(ns, pa.int64())], names=["term", "n"])
+
+        stats = {r["term"]: int(r["n"]) for r in combine_aggregate(
+            _read(sf_dir, "documents", ["text"]).map_batches(
+                cf_partial, batch_format="pyarrow"),
+            ["term"], [("n", "sum", "n")]).take_all()}
+        tw = stats.pop("")
+        cfs = [(t, stats.get(t, 0)) for t in TERMS
+               if stats.get(t, 0) > 0]
+
+        def score_block(b: pa.Table) -> pa.Table:
+            ids, words = _split_words_flat(b.column("text"))
+            doc_ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            n = len(doc_ids)
+            ids = np.asarray(ids)
+            w = np.asarray(words, dtype=object)
+            dl = np.bincount(ids, minlength=n).astype(np.int64)
+            tfs = [np.bincount(ids[w == t], minlength=n)
+                   .astype(np.int64) for t, _ in cfs]
+            out_id, out_s = [], []
+            for i in range(n):
+                if dl[i] == 0:
+                    continue
+                s = 0
+                for (t, cf), tf in zip(cfs, tfs):
+                    s += math.floor(1e6 * math.log(
+                        (tf[i] + MU * cf / tw) / (dl[i] + MU)) + 0.5)
+                out_id.append(int(doc_ids[i]))
+                out_s.append(s)
+            top = sorted(zip(out_s, out_id),
+                         key=lambda p: (-p[0], p[1]))[:10]
+            return pa.Table.from_arrays(
+                [pa.array([d for _, d in top], pa.int64()),
+                 pa.array([s for s, _ in top], pa.int64())],
+                names=["doc_id", "score_e6"])
+
+        parts = _read(sf_dir, "documents",
+                      ["doc_id", "text"]).map_batches(
+            score_block, batch_format="pyarrow").take_all()
+        top = sorted(((int(r["score_e6"]), int(r["doc_id"]))
+                      for r in parts),
+                     key=lambda p: (-p[0], p[1]))[:10]
+        return pa.Table.from_arrays(
+            [pa.array([d for _, d in top], pa.int64()),
+             pa.array([s for s, _ in top], pa.int64())],
+            names=["doc_id", "score_e6"])
+
+    def embedding_norm_bands(sf_dir: str):
+        """Embedding L1-norm histogram with an EXACT integer contract:
+        each float32 coordinate quantizes to q = ⌊x·2²⁰ + 0.5⌋ (every
+        step exact in f64 — cast, power-of-two multiply, +0.5 on a
+        ≤2²¹ magnitude, floor — so NO libm and no summation-order
+        hazard), norm1_q = Σ|q| as int64, band = norm1_q // 2¹⁸.
+        (L1, not L2: the corpus vectors are unit-normalized, so L2
+        collapses to one band while L1 spreads by direction
+        sparsity.) Vectorized flatten + reduceat per block; ONE
+        narrow band combiner."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def partial(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.int64()), pa.array([], pa.int64())],
+                    names=["band", "n"])
+            emb = b.column("embedding")
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            flat = pc.list_flatten(emb).to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            q = np.floor(flat * 1048576.0 + 0.5).astype(np.int64)
+            lens = pc.list_value_length(emb).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            norm1 = np.add.reduceat(np.abs(q), starts)
+            band = norm1 // 262_144
+            ub, cnt = np.unique(band, return_counts=True)
+            return pa.Table.from_arrays(
+                [pa.array(ub.astype(np.int64)),
+                 pa.array(cnt.astype(np.int64))],
+                names=["band", "n"])
+
+        agg = combine_aggregate(
+            _read(sf_dir, "embeddings", ["embedding"]).map_batches(
+                partial, batch_format="pyarrow"),
+            ["band"], [("n", "sum", "n_vecs")])
+        import pyarrow.compute as pc2
+        return agg.map_batches(
+            lambda b: b.set_column(
+                b.column_names.index("n_vecs"), "n_vecs",
+                pc2.cast(b.column("n_vecs"), pa.int64())),
+            batch_format="pyarrow")
+
     def late_event_audit(sf_dir: str):
         """Streaming watermark audit: per user, how many events arrive
         (by event_id order) with an event time > 1 h behind the user's
@@ -10263,6 +10386,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier_revenue": top_supplier_revenue,
         "anchor_depth_profile": actor(q.AnchorDepths),
         "late_event_audit": late_event_audit,
+        "dirichlet_topk_docs": dirichlet_topk_docs,
+        "embedding_norm_bands": embedding_norm_bands,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -10484,6 +10609,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_adamic_adar", "top_supplier_revenue",
         # new in round 3, ninety-fifth sweep
         "anchor_depth_profile", "late_event_audit",
+        # new in round 3, ninety-sixth sweep
+        "dirichlet_topk_docs", "embedding_norm_bands",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -16099,6 +16226,59 @@ def oracle_sql() -> dict[str, str]:
                         epoch_us(ts) < epoch_us(pm) - 3600000000)
                         AS BIGINT) AS n_late
             FROM w GROUP BY 1
+        """,
+        "dirichlet_topk_docs": """
+            WITH w AS (
+                SELECT doc_id, unnest(list_filter(
+                    regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                    x -> x <> '')) AS word
+                FROM documents
+            ), tot AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS tw FROM w
+            ), cf AS (
+                SELECT word AS term, CAST(COUNT(*) AS BIGINT) AS cf
+                FROM w
+                WHERE word IN ('merge', 'stream', 'window')
+                GROUP BY 1
+            ), dl AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+                FROM w GROUP BY 1
+            ), tfx AS (
+                SELECT doc_id, word AS term,
+                       CAST(COUNT(*) AS BIGINT) AS tf
+                FROM w
+                WHERE word IN ('merge', 'stream', 'window')
+                GROUP BY 1, 2
+            ), s AS (
+                SELECT dl.doc_id,
+                       SUM(CAST(FLOOR(1000000.0 * LN(
+                           (CAST(COALESCE(tfx.tf, 0) AS DOUBLE)
+                            + 2000.0 * cf.cf / tot.tw)
+                           / (CAST(dl.dl AS DOUBLE) + 2000.0))
+                           + 0.5) AS BIGINT)) AS score_e6
+                FROM dl CROSS JOIN cf CROSS JOIN tot
+                LEFT JOIN tfx ON tfx.doc_id = dl.doc_id
+                             AND tfx.term = cf.term
+                GROUP BY 1
+            )
+            SELECT doc_id, CAST(score_e6 AS BIGINT) AS score_e6
+            FROM s ORDER BY score_e6 DESC, doc_id LIMIT 10
+        """,
+        # q = floor(x*2^20 + 0.5) is exact in f64 (cast from float32,
+        # power-of-two multiply, +0.5 below 2^52, floor) — no libm,
+        # no summation-order hazard; L1 because the corpus vectors
+        # are unit-normalized (L2 collapses to one band).
+        "embedding_norm_bands": """
+            WITH q AS (
+                SELECT vec_id, list_aggregate(
+                    list_transform(embedding, x ->
+                        abs(CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0
+                             + 0.5) AS BIGINT))), 'sum') AS norm1
+                FROM embeddings
+            )
+            SELECT CAST(norm1 // 262144 AS BIGINT) AS band,
+                   CAST(COUNT(*) AS BIGINT) AS n_vecs
+            FROM q GROUP BY 1
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

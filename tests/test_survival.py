@@ -420,3 +420,54 @@ def test_anchor_depth_profile_micro(ray_session, tmp_path):
     assert sorted(con.sql(
         entrymod.oracle_sql()["anchor_depth_profile"]).arrow()
         .to_pylist(), key=lambda r: (r["doc_id"], r["depth"])) == out
+
+
+def test_dirichlet_topk_docs_micro(ray_session, tmp_path):
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["merge merge stream", "other words here",
+                          "window", ""], pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = entrymod.queries()["dirichlet_topk_docs"](
+        str(tmp_path)).to_pylist()
+    tw, mu = 7, 2000.0
+    cf = {"merge": 2, "stream": 1, "window": 1}
+    tf = {0: {"merge": 2, "stream": 1, "window": 0},
+          1: {"merge": 0, "stream": 0, "window": 0},
+          2: {"merge": 0, "stream": 0, "window": 1}}
+    dl = {0: 3, 1: 3, 2: 1}
+
+    def score(d):
+        return sum(math.floor(1e6 * math.log(
+            (tf[d][t] + mu * cf[t] / tw) / (dl[d] + mu)) + 0.5)
+            for t in cf)
+    want = sorted(((score(d), d) for d in (0, 1, 2)),
+                  key=lambda p: (-p[0], p[1]))
+    assert out == [{"doc_id": d, "score_e6": s} for s, d in want]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    assert con.sql(entrymod.oracle_sql()["dirichlet_topk_docs"]) \
+        .arrow().to_pylist() == out
+
+
+def test_embedding_norm_bands_micro(ray_session, tmp_path):
+    emb = pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([[0.5, -0.25], [0.0, 0.0]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 1], pa.int32()),
+    })
+    pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+    out = _sorted_rows(pa.Table.from_pylist(
+        entrymod.queries()["embedding_norm_bands"](
+            str(tmp_path)).take_all()), "band")
+    # |524288| + |-262144| = 786432 -> band 3; zeros -> band 0
+    assert out == [{"band": 0, "n_vecs": 1}, {"band": 3, "n_vecs": 1}]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/embeddings.parquet')")
+    assert _sorted_rows(con.sql(
+        entrymod.oracle_sql()["embedding_norm_bands"]).arrow(),
+        "band") == out
