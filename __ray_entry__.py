@@ -10057,6 +10057,108 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 pc2.cast(b.column("n_vecs"), pa.int64())),
             batch_format="pyarrow")
 
+    def monthly_top_orders(sf_dir: str):
+        """Top-3 orders by price per calendar month — windowed top-k
+        per group through the head-k combiner (functions/shuffle.
+        grouped_topk): each block reduces to ≤ k rows per month BEFORE
+        the shuffle, so a hot month moves k·blocks rows, never the
+        month's order set. Cents integer, (cents DESC, orderkey ASC)
+        tie-break pinned on both sides."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import grouped_topk
+
+        def project(b: pa.Table) -> pa.Table:
+            d = pc.cast(b.column("o_orderdate"), pa.timestamp("us"))
+            month = pc.add(pc.multiply(pc.cast(pc.year(d), pa.int64()),
+                                       pa.scalar(100, pa.int64())),
+                           pc.cast(pc.month(d), pa.int64()))
+            cents = pc.cast(pc.floor(pc.add(pc.multiply(
+                pa.scalar(100.0), b.column("o_totalprice")),
+                pa.scalar(0.5))), pa.int64())
+            return pa.Table.from_arrays(
+                [month, b.column("o_orderkey"), cents],
+                names=["month", "o_orderkey", "cents"])
+
+        base_ds = _read(sf_dir, "orders",
+                        ["o_orderkey", "o_orderdate",
+                         "o_totalprice"]).map_batches(
+            project, batch_format="pyarrow")
+        return grouped_topk(base_ds, group_col="month",
+                            order_col="cents", id_col="o_orderkey",
+                            k=3)
+
+    def bloom_semi_prefilter(sf_dir: str):
+        """Broadcast-Bloom semi-join prefilter AUDIT: build a Bloom
+        filter (m=4096, k=4, the md5 sketch-family hash) over
+        high-value order keys (o_totalprice > 498000), probe every
+        lineitem row, and account EXACTLY for what a bloom-prefiltered
+        semi join would pass: (n_build_keys, n_probe_rows,
+        n_bloom_pass, n_true, n_false_pos). Build side is bounded by
+        the threshold (broadcast at scale — m_bits must grow with the
+        build side; the fixed 4096 here is the demo-scale point on
+        that curve, chosen so false positives are OBSERVABLE). Probe
+        hashes per DISTINCT key per block; single-row partials, one
+        tiny driver sum."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.sketch import (_cm_hash,
+                                                     bloom_bits)
+
+        M, K, TH = 4096, 4, 498000.0
+
+        def keys(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.greater(b.column("o_totalprice"),
+                                    pa.scalar(TH)))
+            return pa.Table.from_arrays(
+                [pc.cast(t.column("o_orderkey"), pa.string())],
+                names=["key"])
+
+        hv = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_totalprice"]).map_batches(
+            keys, batch_format="pyarrow")
+        bits = frozenset(
+            int(r["bit"]) for r in bloom_bits(
+                hv, k=K, m_bits=M, text_col="key").take_all())
+        true_keys = frozenset(r["key"] for r in hv.take_all())
+        n_build = len(true_keys)
+
+        def probe(b: pa.Table) -> pa.Table:
+            g = pa.Table.from_arrays(
+                [pc.cast(b.column("l_orderkey"), pa.string())],
+                names=["key"]).group_by("key").aggregate(
+                [([], "count_all")])
+            ks = g.column("key").to_pylist()
+            ns = np.asarray(g.column("count_all").to_pylist(), np.int64)
+            ok = np.ones(len(ks), dtype=bool)
+            for seed in range(K):
+                hvv = _cm_hash(ks, seed)
+                pos = (hvv % np.uint64(M)).astype(np.int64)
+                ok &= np.fromiter((int(p) in bits for p in pos),
+                                  bool, len(pos))
+            true = np.fromiter((k in true_keys for k in ks),
+                               bool, len(ks))
+            return pa.Table.from_arrays(
+                [pa.array([int(ns.sum())], pa.int64()),
+                 pa.array([int(ns[ok].sum())], pa.int64()),
+                 pa.array([int(ns[true].sum())], pa.int64())],
+                names=["rows", "bloom", "true"])
+
+        parts = _read(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+            probe, batch_format="pyarrow").take_all()
+        n_rows = sum(int(r["rows"]) for r in parts)
+        n_pass = sum(int(r["bloom"]) for r in parts)
+        n_true = sum(int(r["true"]) for r in parts)
+        return pa.Table.from_arrays(
+            [pa.array([n_build], pa.int64()),
+             pa.array([n_rows], pa.int64()),
+             pa.array([n_pass], pa.int64()),
+             pa.array([n_true], pa.int64()),
+             pa.array([n_pass - n_true], pa.int64())],
+            names=["n_build_keys", "n_probe_rows", "n_bloom_pass",
+                   "n_true", "n_false_pos"])
+
     def late_event_audit(sf_dir: str):
         """Streaming watermark audit: per user, how many events arrive
         (by event_id order) with an event time > 1 h behind the user's
@@ -10388,6 +10490,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_event_audit": late_event_audit,
         "dirichlet_topk_docs": dirichlet_topk_docs,
         "embedding_norm_bands": embedding_norm_bands,
+        "monthly_top_orders": monthly_top_orders,
+        "bloom_semi_prefilter": bloom_semi_prefilter,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -10611,6 +10715,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_depth_profile", "late_event_audit",
         # new in round 3, ninety-sixth sweep
         "dirichlet_topk_docs", "embedding_norm_bands",
+        # new in round 3, ninety-seventh sweep
+        "monthly_top_orders", "bloom_semi_prefilter",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -16279,6 +16385,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(norm1 // 262144 AS BIGINT) AS band,
                    CAST(COUNT(*) AS BIGINT) AS n_vecs
             FROM q GROUP BY 1
+        """,
+        "monthly_top_orders": """
+            WITH o AS (
+                SELECT CAST(year(o_orderdate) * 100
+                            + month(o_orderdate) AS BIGINT) AS month,
+                       o_orderkey,
+                       CAST(FLOOR(100.0 * o_totalprice + 0.5)
+                            AS BIGINT) AS cents
+                FROM orders
+            ), r AS (
+                SELECT month, o_orderkey, cents,
+                       ROW_NUMBER() OVER (PARTITION BY month
+                           ORDER BY cents DESC, o_orderkey) AS rk
+                FROM o
+            )
+            SELECT month, o_orderkey, cents FROM r WHERE rk <= 3
+        """,
+        "bloom_semi_prefilter": """
+            WITH hv AS (
+                SELECT CAST(o_orderkey AS VARCHAR) AS key
+                FROM orders WHERE o_totalprice > 498000.0
+            ), seeds AS (
+                SELECT unnest(generate_series(0, 3)) AS seed
+            ), bits AS (
+                SELECT DISTINCT
+                       (concat('0x',
+                               substr(md5(s.seed::VARCHAR || hv.key),
+                                      1, 16))::UBIGINT % 4096)::BIGINT
+                           AS bit
+                FROM hv, seeds s
+            ), pk AS (
+                SELECT CAST(l_orderkey AS VARCHAR) AS key,
+                       COUNT(*) AS n
+                FROM lineitem GROUP BY 1
+            ), pass AS (
+                SELECT pk.key, pk.n FROM pk
+                WHERE (SELECT COUNT(*) FROM seeds s
+                       WHERE (concat('0x',
+                              substr(md5(s.seed::VARCHAR || pk.key),
+                                     1, 16))::UBIGINT % 4096)::BIGINT
+                             IN (SELECT bit FROM bits)) = 4
+            )
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM hv)
+                       AS n_build_keys,
+                   (SELECT CAST(SUM(n) AS BIGINT) FROM pk)
+                       AS n_probe_rows,
+                   (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT)
+                    FROM pass) AS n_bloom_pass,
+                   (SELECT CAST(COALESCE(SUM(pk.n), 0) AS BIGINT)
+                    FROM pk JOIN hv ON hv.key = pk.key) AS n_true,
+                   (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT)
+                    FROM pass)
+                   - (SELECT CAST(COALESCE(SUM(pk.n), 0) AS BIGINT)
+                      FROM pk JOIN hv ON hv.key = pk.key)
+                       AS n_false_pos
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

@@ -471,3 +471,58 @@ def test_embedding_norm_bands_micro(ray_session, tmp_path):
     assert _sorted_rows(con.sql(
         entrymod.oracle_sql()["embedding_norm_bands"]).arrow(),
         "band") == out
+
+
+def test_monthly_top_orders_micro(ray_session, tmp_path):
+    import datetime as dt
+    d1, d2 = dt.datetime(1996, 1, 10), dt.datetime(1996, 2, 10)
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "o_totalprice": pa.array([50.0, 70.0, 70.0, 60.0, 10.0],
+                                 pa.float64()),
+        "o_orderdate": pa.array([d1, d1, d1, d1, d2],
+                                pa.timestamp("us")),
+    })
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    out = sorted(entrymod.queries()["monthly_top_orders"](
+        str(tmp_path)).take_all(),
+        key=lambda r: (r["month"], -r["cents"], r["o_orderkey"]))
+    # Jan: 7000(#2), 7000(#3 — tie, higher key), 6000(#4); #1 drops.
+    assert out == [
+        {"month": 199601, "o_orderkey": 2, "cents": 7000},
+        {"month": 199601, "o_orderkey": 3, "cents": 7000},
+        {"month": 199601, "o_orderkey": 4, "cents": 6000},
+        {"month": 199602, "o_orderkey": 5, "cents": 1000}]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/orders.parquet')")
+    assert sorted(con.sql(
+        entrymod.oracle_sql()["monthly_top_orders"]).arrow()
+        .to_pylist(),
+        key=lambda r: (r["month"], -r["cents"], r["o_orderkey"])) == out
+
+
+def test_bloom_semi_prefilter_micro(ray_session, tmp_path):
+    import datetime as dt
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_totalprice": pa.array([499000.0, 100.0], pa.float64()),
+    })
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+    })
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    out = entrymod.queries()["bloom_semi_prefilter"](
+        str(tmp_path)).to_pylist()[0]
+    assert out["n_build_keys"] == 1
+    assert out["n_probe_rows"] == 4
+    assert out["n_true"] == 2
+    assert out["n_bloom_pass"] >= 2          # no false negatives
+    assert out["n_false_pos"] == out["n_bloom_pass"] - 2
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{t}.parquet')")
+    assert con.sql(entrymod.oracle_sql()["bloom_semi_prefilter"]) \
+        .arrow().to_pylist() == [out]
