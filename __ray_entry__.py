@@ -10159,6 +10159,108 @@ def queries() -> dict[str, Callable[[str], Any]]:
             names=["n_build_keys", "n_probe_rows", "n_bloom_pass",
                    "n_true", "n_false_pos"])
 
+    def lang_word_jsd(sf_dir: str):
+        """Jensen-Shannon divergence between the 'en' and 'fr' word
+        distributions — the corpus-mix drift measure (symmetric,
+        bounded, unlike KL). With integer counts a_w, b_w and totals
+        A, B the mixture ratios are INTEGER rationals: P/M =
+        2·a·B/(aB + bA), so the per-word log terms quantize as
+        ⌊10⁶·ln(2.0·a·B/(aB+bA))+0.5⌋ (all products < 2⁵³, exact in
+        f64) and JSD = (s1/(2A) + s2/(2B))/10⁶ with s1 = Σ a·L1,
+        s2 = Σ b·L2 — integers end to end. ONE (lang, word) type
+        combiner (vocab-bounded), driver finale."""
+        import math
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.scoring import _split_words_flat
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def lw_rows(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.is_in(
+                b.column("lang"),
+                value_set=pa.array(["en", "fr"], pa.string())))
+            ids, words = _split_words_flat(t.column("text"))
+            langs = np.asarray(t.column("lang").combine_chunks(),
+                               dtype=object)[np.asarray(ids)] \
+                if t.num_rows else np.array([], dtype=object)
+            return pa.Table.from_arrays(
+                [pa.array(langs, pa.string()), words],
+                names=["lang", "w"]).group_by(
+                ["lang", "w"]).aggregate([([], "count_all")]) \
+                .rename_columns(["lang", "w", "n"])
+
+        rows = combine_aggregate(
+            _read(sf_dir, "documents", ["lang", "text"]).map_batches(
+                lw_rows, batch_format="pyarrow"),
+            ["lang", "w"], [("n", "sum", "n")]).take_all()
+        a: dict = {}
+        b_: dict = {}
+        for r in rows:
+            (a if r["lang"] == "en" else b_)[r["w"]] = int(r["n"])
+        big_a, big_b = sum(a.values()), sum(b_.values())
+        vocab = sorted(set(a) | set(b_))
+        s1 = s2 = 0
+        for w in vocab:
+            aw, bw = a.get(w, 0), b_.get(w, 0)
+            den = aw * big_b + bw * big_a
+            if aw > 0:
+                s1 += aw * math.floor(1e6 * math.log(
+                    2.0 * aw * big_b / den) + 0.5)
+            if bw > 0:
+                s2 += bw * math.floor(1e6 * math.log(
+                    2.0 * bw * big_a / den) + 0.5)
+        return pa.Table.from_arrays(
+            [pa.array([len(vocab)], pa.int64()),
+             pa.array([big_a], pa.int64()),
+             pa.array([big_b], pa.int64()),
+             pa.array([s1], pa.int64()),
+             pa.array([s2], pa.int64())],
+            names=["n_words", "a_total", "b_total", "s1", "s2"])
+
+    def simpson_diversity_by_lang(sf_dir: str):
+        """Simpson lexical-diversity index per language, EXACT: the
+        repeat probability is Σ c_w(c_w−1) / (N(N−1)) — both sides
+        pure integers, no quantization at all (the rational
+        complement of the TTR in lexical_diversity). Same
+        (lang, word) type combiner; per-lang finale is a 5-row
+        groupby."""
+        import numpy as np
+        import pyarrow as pa
+        from htmlreader_ray.functions.scoring import _split_words_flat
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def lw_rows(b: pa.Table) -> pa.Table:
+            ids, words = _split_words_flat(b.column("text"))
+            langs = np.asarray(b.column("lang").combine_chunks(),
+                               dtype=object)[np.asarray(ids)] \
+                if b.num_rows else np.array([], dtype=object)
+            return pa.Table.from_arrays(
+                [pa.array(langs, pa.string()), words],
+                names=["lang", "w"]).group_by(
+                ["lang", "w"]).aggregate([([], "count_all")]) \
+                .rename_columns(["lang", "w", "n"])
+
+        rows = combine_aggregate(
+            _read(sf_dir, "documents", ["lang", "text"]).map_batches(
+                lw_rows, batch_format="pyarrow"),
+            ["lang", "w"], [("n", "sum", "n")]).take_all()
+        acc: dict = {}
+        for r in rows:
+            c = int(r["n"])
+            st = acc.setdefault(r["lang"], [0, 0, 0])
+            st[0] += 1
+            st[1] += c
+            st[2] += c * (c - 1)
+        langs = sorted(acc)
+        return pa.Table.from_arrays(
+            [pa.array(langs, pa.string()),
+             pa.array([acc[g][0] for g in langs], pa.int64()),
+             pa.array([acc[g][1] for g in langs], pa.int64()),
+             pa.array([acc[g][2] for g in langs], pa.int64())],
+            names=["lang", "n_types", "n_tokens", "sum_cc1"])
+
     def late_event_audit(sf_dir: str):
         """Streaming watermark audit: per user, how many events arrive
         (by event_id order) with an event time > 1 h behind the user's
@@ -10492,6 +10594,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norm_bands": embedding_norm_bands,
         "monthly_top_orders": monthly_top_orders,
         "bloom_semi_prefilter": bloom_semi_prefilter,
+        "lang_word_jsd": lang_word_jsd,
+        "simpson_diversity_by_lang": simpson_diversity_by_lang,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -10717,6 +10821,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dirichlet_topk_docs", "embedding_norm_bands",
         # new in round 3, ninety-seventh sweep
         "monthly_top_orders", "bloom_semi_prefilter",
+        # new in round 3, ninety-eighth sweep
+        "lang_word_jsd", "simpson_diversity_by_lang",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -16440,6 +16546,55 @@ def oracle_sql() -> dict[str, str]:
                    - (SELECT CAST(COALESCE(SUM(pk.n), 0) AS BIGINT)
                       FROM pk JOIN hv ON hv.key = pk.key)
                        AS n_false_pos
+        """,
+        "lang_word_jsd": """
+            WITH w AS (
+                SELECT lang, unnest(list_filter(
+                    regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                    x -> x <> '')) AS word
+                FROM documents WHERE lang IN ('en', 'fr')
+            ), t AS (
+                SELECT word,
+                       CAST(COUNT(*) FILTER (WHERE lang = 'en')
+                            AS BIGINT) AS a,
+                       CAST(COUNT(*) FILTER (WHERE lang = 'fr')
+                            AS BIGINT) AS b
+                FROM w GROUP BY 1
+            ), tot AS (
+                SELECT SUM(a) AS ta, SUM(b) AS tb FROM t
+            ), terms AS (
+                SELECT CASE WHEN a > 0 THEN a * CAST(FLOOR(
+                           1000000.0 * LN(2.0 * a * tb
+                               / (a * tb + b * ta)) + 0.5)
+                           AS BIGINT) ELSE 0 END AS t1,
+                       CASE WHEN b > 0 THEN b * CAST(FLOOR(
+                           1000000.0 * LN(2.0 * b * ta
+                               / (a * tb + b * ta)) + 0.5)
+                           AS BIGINT) ELSE 0 END AS t2
+                FROM t CROSS JOIN tot
+            )
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM t)
+                       AS n_words,
+                   (SELECT CAST(ta AS BIGINT) FROM tot) AS a_total,
+                   (SELECT CAST(tb AS BIGINT) FROM tot) AS b_total,
+                   CAST(SUM(t1) AS BIGINT) AS s1,
+                   CAST(SUM(t2) AS BIGINT) AS s2
+            FROM terms
+        """,
+        "simpson_diversity_by_lang": """
+            WITH w AS (
+                SELECT lang, unnest(list_filter(
+                    regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                    x -> x <> '')) AS word
+                FROM documents
+            ), t AS (
+                SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c
+                FROM w GROUP BY 1, 2
+            )
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(SUM(c * (c - 1)) AS BIGINT) AS sum_cc1
+            FROM t GROUP BY 1
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

@@ -526,3 +526,50 @@ def test_bloom_semi_prefilter_micro(ray_session, tmp_path):
                     f"read_parquet('{tmp_path}/{t}.parquet')")
     assert con.sql(entrymod.oracle_sql()["bloom_semi_prefilter"]) \
         .arrow().to_pylist() == [out]
+
+
+def test_lang_word_jsd_micro(ray_session, tmp_path):
+    # en: "x x y" (a_x=2, a_y=1, A=3); fr: "x z" (b_x=1, b_z=1, B=2)
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "lang": pa.array(["en", "fr"], pa.string()),
+        "text": pa.array(["x x y", "x z"], pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = entrymod.queries()["lang_word_jsd"](
+        str(tmp_path)).to_pylist()[0]
+
+    def L(num, den):
+        return math.floor(1e6 * math.log(num / den) + 0.5)
+    # x: den = 2*2 + 1*3 = 7 -> L1=ln(8/7), L2=ln(6/7)
+    # y: den = 1*2 = 2 -> L1=ln(4/2); z: den = 1*3 -> L2=ln(6/3)
+    s1 = 2 * L(2.0 * 2 * 2, 7) + 1 * L(2.0 * 1 * 2, 2)
+    s2 = 1 * L(2.0 * 1 * 3, 7) + 1 * L(2.0 * 1 * 3, 3)
+    assert out == {"n_words": 3, "a_total": 3, "b_total": 2,
+                   "s1": s1, "s2": s2}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    assert con.sql(entrymod.oracle_sql()["lang_word_jsd"]).arrow() \
+        .to_pylist() == [out]
+
+
+def test_simpson_diversity_micro(ray_session, tmp_path):
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "lang": pa.array(["en", "de"], pa.string()),
+        "text": pa.array(["x x x y", "a b"], pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = _sorted_rows(pa.Table.from_pylist(
+        entrymod.queries()["simpson_diversity_by_lang"](
+            str(tmp_path)).to_pylist()), "lang")
+    assert out == [
+        {"lang": "de", "n_types": 2, "n_tokens": 2, "sum_cc1": 0},
+        {"lang": "en", "n_types": 2, "n_tokens": 4, "sum_cc1": 6}]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    assert _sorted_rows(con.sql(
+        entrymod.oracle_sql()["simpson_diversity_by_lang"]).arrow(),
+        "lang") == out
