@@ -10261,6 +10261,161 @@ def queries() -> dict[str, Callable[[str], Any]]:
              pa.array([acc[g][2] for g in langs], pa.int64())],
             names=["lang", "n_types", "n_tokens", "sum_cc1"])
 
+    def user_hour_bitmap_hist(sf_dir: str):
+        """Bitmap-index rollup: each user's 24-bit hour-of-day
+        activity mask, then the popcount histogram (how many users
+        are 1-hour, 2-hour, … 24-hour active) — the roaring-bitmap
+        OLAP idiom expressed with combiners only: OR of one-hot masks
+        ≡ SUM of 2^h over the DISTINCT (user, hour) set, so it's
+        distinct-combiner → per-user sum-combiner → popcount →
+        histogram combiner. No bit-or aggregate needed anywhere."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def uh(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [b.column("user_id"),
+                 pc.cast(pc.hour(b.column("ts")), pa.int64())],
+                names=["user_id", "h"])
+
+        distinct = combine_aggregate(
+            _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+                uh, batch_format="pyarrow"),
+            ["user_id", "h"], [("", "count", "_n")])
+
+        def onehot(b: pa.Table) -> pa.Table:
+            h = b.column("h").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.Table.from_arrays(
+                [b.column("user_id"),
+                 pa.array(np.left_shift(np.int64(1), h))],
+                names=["user_id", "bit"])
+
+        masks = combine_aggregate(
+            distinct.map_batches(onehot, batch_format="pyarrow"),
+            ["user_id"], [("bit", "sum", "mask")])
+
+        def pop(b: pa.Table) -> pa.Table:
+            m = b.column("mask").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            cnt = np.zeros(len(m), dtype=np.int64)
+            for i in range(24):
+                cnt += (m >> i) & 1
+            return pa.Table.from_arrays([pa.array(cnt)],
+                                        names=["n_active_hours"])
+
+        hist = combine_aggregate(
+            masks.map_batches(pop, batch_format="pyarrow"),
+            ["n_active_hours"], [("", "count", "n_users")])
+        return hist.map_batches(
+            lambda b: b.set_column(
+                b.column_names.index("n_users"), "n_users",
+                pc.cast(b.column("n_users"), pa.int64())),
+            batch_format="pyarrow")
+
+    def sorted_neighbor_pairs(sf_dir: str):
+        """Sorted-neighborhood record linkage on part names: adjacent
+        rows in the global (p_name, p_partkey) order whose edit
+        distance ≤ 2 are candidate duplicates. NO global sort: name
+        PREFIX buckets are contiguous ranges of the sort order, so
+        each bucket group sorts locally and emits its in-bucket
+        adjacent pairs, plus one (first, last) boundary row — the
+        driver stitches the bounded boundary list into the ≤
+        n_buckets cross-bucket pairs. Skew bound: the hottest prefix
+        bucket (one sort + linear pairs), never the table."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+
+        def _lev(a: str, b: str) -> int:
+            if a == b:
+                return 0
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[-1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        def add_pfx(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "pfx", pc.utf8_slice_codeunits(
+                    b.column("p_name"), 0, 2))
+
+        def kernel(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.int64()), pa.array([], pa.string()),
+                     pa.array([], pa.int64()), pa.array([], pa.string()),
+                     pa.array([], pa.int64()), pa.array([], pa.int64())],
+                    names=["key1", "name1", "key2", "name2", "dist",
+                           "flag"])
+            order = pc.sort_indices(
+                g, sort_keys=[("p_name", "ascending"),
+                              ("p_partkey", "ascending")])
+            t = g.take(order)
+            names = t.column("p_name").to_pylist()
+            keys = t.column("p_partkey").to_pylist()
+            k1, n1, k2, n2, dd, flag = [], [], [], [], [], []
+            for i in range(1, len(names)):
+                d = _lev(names[i - 1], names[i])
+                if d <= 2:
+                    k1.append(keys[i - 1])
+                    n1.append(names[i - 1])
+                    k2.append(keys[i])
+                    n2.append(names[i])
+                    dd.append(d)
+                    flag.append(0)
+            # boundary markers: group first (flag 1) and last (flag 2)
+            for idx, f in ((0, 1), (len(names) - 1, 2)):
+                k1.append(keys[idx])
+                n1.append(names[idx])
+                k2.append(keys[idx])
+                n2.append(names[idx])
+                dd.append(-1)
+                flag.append(f)
+            return pa.Table.from_arrays(
+                [pa.array(k1, pa.int64()), pa.array(n1, pa.string()),
+                 pa.array(k2, pa.int64()), pa.array(n2, pa.string()),
+                 pa.array(dd, pa.int64()), pa.array(flag, pa.int64())],
+                names=["key1", "name1", "key2", "name2", "dist",
+                       "flag"])
+
+        out = _read(sf_dir, "part", ["p_partkey", "p_name"]) \
+            .map_batches(add_pfx, batch_format="pyarrow") \
+            .groupby("pfx").map_groups(kernel, batch_format="pyarrow") \
+            .materialize()
+        bounds = sorted(
+            ((r["name1"], r["key1"], int(r["flag"])) for r in
+             out.filter(expr="flag > 0").take_all()))
+        k1, n1, k2, n2, dd = [], [], [], [], []
+        # consecutive (last-of-bucket, first-of-next-bucket) in global
+        # order: bounds sorted by (name, key) alternate first/last per
+        # bucket; stitch each last (flag 2) to the following first
+        for i in range(1, len(bounds)):
+            if bounds[i - 1][2] == 2 and bounds[i][2] == 1:
+                a, b_ = bounds[i - 1], bounds[i]
+                d = _lev(a[0], b_[0])
+                if d <= 2:
+                    k1.append(a[1])
+                    n1.append(a[0])
+                    k2.append(b_[1])
+                    n2.append(b_[0])
+                    dd.append(d)
+        extra = pa.Table.from_arrays(
+            [pa.array(k1, pa.int64()), pa.array(n1, pa.string()),
+             pa.array(k2, pa.int64()), pa.array(n2, pa.string()),
+             pa.array(dd, pa.int64())],
+            names=["key1", "name1", "key2", "name2", "dist"])
+        pairs = out.filter(expr="flag == 0").map_batches(
+            lambda b: b.drop_columns(["flag"]),
+            batch_format="pyarrow")
+        return pairs.union(ray.data.from_arrow(extra))
+
     def late_event_audit(sf_dir: str):
         """Streaming watermark audit: per user, how many events arrive
         (by event_id order) with an event time > 1 h behind the user's
@@ -10596,6 +10751,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_prefilter": bloom_semi_prefilter,
         "lang_word_jsd": lang_word_jsd,
         "simpson_diversity_by_lang": simpson_diversity_by_lang,
+        "user_hour_bitmap_hist": user_hour_bitmap_hist,
+        "sorted_neighbor_pairs": sorted_neighbor_pairs,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -10823,6 +10980,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_top_orders", "bloom_semi_prefilter",
         # new in round 3, ninety-eighth sweep
         "lang_word_jsd", "simpson_diversity_by_lang",
+        # new in round 3, ninety-ninth sweep
+        "user_hour_bitmap_hist", "sorted_neighbor_pairs",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -16595,6 +16754,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c) AS BIGINT) AS n_tokens,
                    CAST(SUM(c * (c - 1)) AS BIGINT) AS sum_cc1
             FROM t GROUP BY 1
+        """,
+        "user_hour_bitmap_hist": """
+            WITH dh AS (
+                SELECT DISTINCT user_id, hour(ts) AS h FROM events
+            ), m AS (
+                SELECT user_id, CAST(SUM(1::BIGINT << h) AS BIGINT)
+                           AS mask
+                FROM dh GROUP BY 1
+            ), p AS (
+                SELECT m.user_id,
+                       CAST(SUM((m.mask >> s.i) & 1) AS BIGINT)
+                           AS pop
+                FROM m, (SELECT unnest(generate_series(0, 23)) AS i) s
+                GROUP BY 1
+            )
+            SELECT pop AS n_active_hours,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM p GROUP BY 1
+        """,
+        "sorted_neighbor_pairs": """
+            WITH s AS (
+                SELECT p_partkey, p_name,
+                       LAG(p_name) OVER w AS pn,
+                       LAG(p_partkey) OVER w AS pk
+                FROM part
+                WINDOW w AS (ORDER BY p_name, p_partkey)
+            )
+            SELECT pk AS key1, pn AS name1,
+                   p_partkey AS key2, p_name AS name2,
+                   CAST(levenshtein(pn, p_name) AS BIGINT) AS dist
+            FROM s
+            WHERE pn IS NOT NULL AND levenshtein(pn, p_name) <= 2
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

@@ -573,3 +573,43 @@ def test_simpson_diversity_micro(ray_session, tmp_path):
     assert _sorted_rows(con.sql(
         entrymod.oracle_sql()["simpson_diversity_by_lang"]).arrow(),
         "lang") == out
+
+
+def test_user_hour_bitmap_hist_micro(ray_session, tmp_path):
+    # user 1 hits hours {0, 5} (0 twice) -> pop 2; user 2 hour {3}.
+    sf = _write_events(tmp_path, [
+        (1, 0.0, "view"), (1, 0.001, "view"), (1, 5 / 24, "view"),
+        (2, 3 / 24, "view")])
+    out = _sorted_rows(pa.Table.from_pylist(
+        entrymod.queries()["user_hour_bitmap_hist"](sf).take_all()),
+        "n_active_hours")
+    assert out == [{"n_active_hours": 1, "n_users": 1},
+                   {"n_active_hours": 2, "n_users": 1}]
+    assert _sorted_rows(_oracle(sf, "user_hour_bitmap_hist"),
+                        "n_active_hours") == out
+
+
+def test_sorted_neighbor_pairs_micro(ray_session, tmp_path):
+    # "aa"/"ab" are globally adjacent but land in DIFFERENT 2-char
+    # prefix buckets — the pair must surface via the boundary stitch.
+    part = pa.table({
+        "p_partkey": pa.array([1, 2, 3, 4, 10, 11], pa.int64()),
+        "p_name": pa.array(["blue bolt", "blue bole", "cyan ring",
+                            "cyan rings", "aa", "ab"], pa.string()),
+    })
+    pq.write_table(part, str(tmp_path / "part.parquet"))
+    out = sorted(entrymod.queries()["sorted_neighbor_pairs"](
+        str(tmp_path)).take_all(), key=lambda r: (r["name1"]))
+    assert out == [
+        {"key1": 10, "name1": "aa", "key2": 11, "name2": "ab",
+         "dist": 1},
+        {"key1": 2, "name1": "blue bole", "key2": 1,
+         "name2": "blue bolt", "dist": 1},
+        {"key1": 3, "name1": "cyan ring", "key2": 4,
+         "name2": "cyan rings", "dist": 1}]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW part AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/part.parquet')")
+    assert sorted(con.sql(
+        entrymod.oracle_sql()["sorted_neighbor_pairs"]).arrow()
+        .to_pylist(), key=lambda r: (r["name1"])) == out
