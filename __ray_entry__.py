@@ -10416,6 +10416,108 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow")
         return pairs.union(ray.data.from_arrow(extra))
 
+    def range_partition_sort(sf_dir: str):
+        """TeraSort shape — sample-splitter range partitioning for a
+        global ORDER BY at scale: a DETERMINISTIC md5 sample
+        (hexdigest[:2] < '08', ≈3.1%) of order cents elects 7
+        splitters (sample ranks i·n/8), every row range-partitions by
+        searchsorted, and the output is the per-partition manifest
+        (pid, n_rows, min_cents, max_cents) a partitioned sorted
+        write would produce — partitions are globally ordered by
+        construction (max of pid k ≤ min of pid k+1). The sample is
+        the only driver materialization; at real scale drop the
+        sample rate, not the splitter count."""
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def cents_of(b: pa.Table):
+            return pc.cast(pc.floor(pc.add(pc.multiply(
+                pa.scalar(100.0), b.column("o_totalprice")),
+                pa.scalar(0.5))), pa.int64())
+
+        def sample(b: pa.Table) -> pa.Table:
+            keys = b.column("o_orderkey").to_pylist()
+            keep = np.fromiter(
+                (hashlib.md5(str(k).encode()).hexdigest()[:2] < "08"
+                 for k in keys), bool, len(keys))
+            return pa.Table.from_arrays(
+                [cents_of(b).filter(pa.array(keep))], names=["c"])
+
+        src = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        samp = sorted(int(r["c"]) for r in src.map_batches(
+            sample, batch_format="pyarrow").take_all())
+        n = len(samp)
+        splitters = np.asarray([samp[i * n // 8] for i in range(1, 8)],
+                               np.int64)
+
+        def assign(b: pa.Table) -> pa.Table:
+            c = cents_of(b).to_numpy(zero_copy_only=False)
+            pid = np.searchsorted(splitters, c, side="right") \
+                .astype(np.int64)
+            return pa.Table.from_arrays(
+                [pa.array(pid), pa.array(c)], names=["pid", "c"])
+
+        man = combine_aggregate(
+            src.map_batches(assign, batch_format="pyarrow"),
+            ["pid"], [("", "count", "n_rows"), ("c", "min", "min_cents"),
+                      ("c", "max", "max_cents")])
+        return man.map_batches(
+            lambda b: b.set_column(
+                b.column_names.index("n_rows"), "n_rows",
+                pc.cast(b.column("n_rows"), pa.int64())),
+            batch_format="pyarrow")
+
+    def cms_topk_audit(sf_dir: str):
+        """Sketch-vs-exact audit: Count-Min estimates (4×256 md5
+        cells — deliberately narrow so collisions are VISIBLE) against
+        the exact counts of the top-20 words, reporting the
+        overestimation per word — the sketch-sizing tuning signal.
+        Word-type combiner for exact counts; CM cells via the
+        established md5 partial (sum-merge); both tables bounded, one
+        driver probe."""
+        import numpy as np
+        import pyarrow as pa
+        from htmlreader_ray.functions.scoring import _split_words_flat
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+        from htmlreader_ray.functions.sketch import (_cm_hash,
+                                                     cm_partial_batch)
+
+        def words_tbl(b: pa.Table) -> pa.Table:
+            _, ws = _split_words_flat(b.column("text"))
+            return pa.Table.from_arrays([ws], names=["w"])
+
+        wstream = _read(sf_dir, "documents", ["text"]).map_batches(
+            words_tbl, batch_format="pyarrow")
+        exact = combine_aggregate(wstream, ["w"],
+                                  [("", "count", "n")]).take_all()
+        top = sorted(((int(r["n"]), r["w"]) for r in exact),
+                     key=lambda p: (-p[0], p[1]))[:20]
+        cells = {(int(r["row"]), int(r["col"])): int(r["n"])
+                 for r in combine_aggregate(
+            wstream.map_batches(
+                lambda b: cm_partial_batch(b, text_col="w"),
+                batch_format="pyarrow"),
+            ["row", "col"], [("n", "sum", "n")]).take_all()}
+        out_w, out_e, out_c = [], [], []
+        for cnt, w in top:
+            est = min(cells[(seed, int(_cm_hash([w], seed)[0]
+                                       % np.uint64(256)))]
+                      for seed in range(4))
+            out_w.append(w)
+            out_e.append(cnt)
+            out_c.append(est)
+        return pa.Table.from_arrays(
+            [pa.array(out_w, pa.string()),
+             pa.array(out_e, pa.int64()),
+             pa.array(out_c, pa.int64()),
+             pa.array([c - e for e, c in zip(out_e, out_c)],
+                      pa.int64())],
+            names=["word", "exact", "cms_est", "overest"])
+
     def late_event_audit(sf_dir: str):
         """Streaming watermark audit: per user, how many events arrive
         (by event_id order) with an event time > 1 h behind the user's
@@ -10753,6 +10855,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simpson_diversity_by_lang": simpson_diversity_by_lang,
         "user_hour_bitmap_hist": user_hour_bitmap_hist,
         "sorted_neighbor_pairs": sorted_neighbor_pairs,
+        "range_partition_sort": range_partition_sort,
+        "cms_topk_audit": cms_topk_audit,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -10982,6 +11086,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_word_jsd", "simpson_diversity_by_lang",
         # new in round 3, ninety-ninth sweep
         "user_hour_bitmap_hist", "sorted_neighbor_pairs",
+        # new in round 3, hundredth sweep
+        "range_partition_sort", "cms_topk_audit",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -16786,6 +16892,70 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(pn, p_name) AS BIGINT) AS dist
             FROM s
             WHERE pn IS NOT NULL AND levenshtein(pn, p_name) <= 2
+        """,
+        "range_partition_sort": """
+            WITH o AS (
+                SELECT o_orderkey,
+                       CAST(FLOOR(100.0 * o_totalprice + 0.5)
+                            AS BIGINT) AS c
+                FROM orders
+            ), samp AS (
+                SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn,
+                       COUNT(*) OVER () AS n
+                FROM o
+                WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2)
+                      < '08'
+            ), spl AS (
+                SELECT s.c AS v FROM samp s
+                JOIN (SELECT unnest(generate_series(1, 7)) AS i) g
+                  ON s.rn = (g.i * s.n) // 8 + 1
+            ), p AS (
+                SELECT (SELECT COUNT(*) FROM spl
+                        WHERE spl.v <= o.c) AS pid, o.c
+                FROM o
+            )
+            SELECT CAST(pid AS BIGINT) AS pid,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(MIN(c) AS BIGINT) AS min_cents,
+                   CAST(MAX(c) AS BIGINT) AS max_cents
+            FROM p GROUP BY 1
+        """,
+        "cms_topk_audit": """
+            WITH w AS (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                    x -> x <> '')) AS word
+                FROM documents
+            ), ex AS (
+                SELECT word, CAST(COUNT(*) AS BIGINT) AS exact
+                FROM w GROUP BY 1
+            ), top AS (
+                SELECT word, exact FROM ex
+                ORDER BY exact DESC, word LIMIT 20
+            ), seeds AS (
+                SELECT unnest(generate_series(0, 3)) AS seed
+            ), cells AS (
+                SELECT s.seed AS row,
+                       (concat('0x',
+                               substr(md5(s.seed::VARCHAR || w.word),
+                                      1, 16))::UBIGINT % 256)::BIGINT
+                           AS col,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM w, seeds s GROUP BY 1, 2
+            ), est AS (
+                SELECT t.word, MIN(c.n) AS cms_est
+                FROM top t
+                JOIN seeds s ON TRUE
+                JOIN cells c ON c.row = s.seed AND c.col =
+                    (concat('0x',
+                            substr(md5(s.seed::VARCHAR || t.word),
+                                   1, 16))::UBIGINT % 256)::BIGINT
+                GROUP BY 1
+            )
+            SELECT t.word, t.exact,
+                   CAST(e.cms_est AS BIGINT) AS cms_est,
+                   CAST(e.cms_est - t.exact AS BIGINT) AS overest
+            FROM top t JOIN est e ON e.word = t.word
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

@@ -613,3 +613,47 @@ def test_sorted_neighbor_pairs_micro(ray_session, tmp_path):
     assert sorted(con.sql(
         entrymod.oracle_sql()["sorted_neighbor_pairs"]).arrow()
         .to_pylist(), key=lambda r: (r["name1"])) == out
+
+
+def test_range_partition_sort_micro(ray_session, tmp_path):
+    orders = pa.table({
+        "o_orderkey": pa.array(list(range(1, 201)), pa.int64()),
+        "o_totalprice": pa.array(
+            [float(((k * 37) % 100) + 1) for k in range(1, 201)],
+            pa.float64()),
+    })
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    out = sorted(entrymod.queries()["range_partition_sort"](
+        str(tmp_path)).take_all(), key=lambda r: r["pid"])
+    # manifest invariants: all rows covered, partitions globally ordered
+    assert sum(r["n_rows"] for r in out) == 200
+    for a, b in zip(out, out[1:]):
+        assert a["pid"] < b["pid"]
+        assert a["max_cents"] <= b["min_cents"]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/orders.parquet')")
+    assert _sorted_rows(con.sql(
+        entrymod.oracle_sql()["range_partition_sort"]).arrow(),
+        "pid") == out
+
+
+def test_cms_topk_audit_micro(ray_session, tmp_path):
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["a a a b b c", "a b d"], pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = entrymod.queries()["cms_topk_audit"](
+        str(tmp_path)).to_pylist()
+    assert [r["word"] for r in out] == ["a", "b", "c", "d"]
+    assert [r["exact"] for r in out] == [4, 3, 1, 1]
+    for r in out:
+        # the Count-Min guarantee: never an underestimate
+        assert r["cms_est"] >= r["exact"]
+        assert r["overest"] == r["cms_est"] - r["exact"]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    assert con.sql(entrymod.oracle_sql()["cms_topk_audit"]).arrow() \
+        .to_pylist() == out
