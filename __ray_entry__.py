@@ -10518,6 +10518,87 @@ def queries() -> dict[str, Callable[[str], Any]]:
                       pa.int64())],
             names=["word", "exact", "cms_est", "overest"])
 
+    def checkpoint_run_manifest(sf_dir: str):
+        """The resumable-run surface as a GRADED query (north-rule:
+        per-partition lineage + metrics, resume from checkpoint):
+        build 4 deterministic corpus files (doc_id % 4 groups), run
+        pipelines/run.run_extract with shard_size=2 (→ 2 shards,
+        each its own output dir + manifest record), then run it
+        AGAIN — the second pass must skip both completed shards via
+        the manifest — and emit the deterministic manifest columns
+        (shard_idx, n_docs, n_spans). Docs/spans per shard are
+        construction-known (2 spans per doc), so the oracle is pure
+        doc_id arithmetic."""
+        import glob
+        import os
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.pipelines.run import run_extract
+        from htmlreader_ray.sources.corpus import BuildInterleaved
+        from htmlreader_ray.state.manifest import RunManifest
+
+        base = tempfile.mkdtemp(prefix="htmlray_ckpt_", dir="/tmp")
+        files = []
+        for s in range(4):
+            gdir = os.path.join(base, f"g{s}")
+
+            def pick(b: pa.Table, _s=s) -> pa.Table:
+                keep = pc.equal(
+                    pc.bit_wise_and(b.column("doc_id"),
+                                    pa.scalar(3, pa.int64())),
+                    pa.scalar(_s, pa.int64()))
+                return b.filter(keep)
+
+            _read(sf_dir, "documents").map_batches(
+                pick, batch_format="pyarrow").map_batches(
+                BuildInterleaved(), batch_format="pyarrow") \
+                .repartition(1).write_parquet(gdir)
+            files.extend(sorted(glob.glob(f"{gdir}/*.parquet")))
+
+        out_dir = os.path.join(base, "run")
+        run_extract(files, out_dir, shard_size=2)
+        run_extract(files, out_dir, shard_size=2)   # resume: no-op
+        man = RunManifest(out_dir)
+        recs = sorted((sid, man.record(sid)) for sid in man.completed())
+        return pa.Table.from_arrays(
+            [pa.array(range(len(recs)), pa.int64()),
+             pa.array([int(r["docs"]) for _s, r in recs], pa.int64()),
+             pa.array([int(r["spans"]) for _s, r in recs], pa.int64())],
+            names=["shard_idx", "n_docs", "n_spans"])
+
+    def doc_len_log2_hist(sf_dir: str):
+        """Magnitude-class histogram of document word counts: bits =
+        bit_length(n_words) (0 for empty docs) — the EXACT integer
+        twin of a log2 histogram, no libm anywhere (SQL mirrors with
+        length(bin(n))). Per-block word counts via one split kernel;
+        ONE narrow bits combiner."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.scoring import _split_words_flat
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def bits_of(b: pa.Table) -> pa.Table:
+            ids, _words = _split_words_flat(b.column("text"))
+            n = np.bincount(np.asarray(ids),
+                            minlength=b.num_rows).astype(np.int64)
+            bits = np.fromiter((int(x).bit_length() for x in n),
+                               np.int64, len(n))
+            return pa.Table.from_arrays([pa.array(bits)],
+                                        names=["bits"])
+
+        hist = combine_aggregate(
+            _read(sf_dir, "documents", ["text"]).map_batches(
+                bits_of, batch_format="pyarrow"),
+            ["bits"], [("", "count", "n_docs")])
+        return hist.map_batches(
+            lambda b: b.set_column(
+                b.column_names.index("n_docs"), "n_docs",
+                pc.cast(b.column("n_docs"), pa.int64())),
+            batch_format="pyarrow")
+
     def late_event_audit(sf_dir: str):
         """Streaming watermark audit: per user, how many events arrive
         (by event_id order) with an event time > 1 h behind the user's
@@ -10857,6 +10938,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_neighbor_pairs": sorted_neighbor_pairs,
         "range_partition_sort": range_partition_sort,
         "cms_topk_audit": cms_topk_audit,
+        "checkpoint_run_manifest": checkpoint_run_manifest,
+        "doc_len_log2_hist": doc_len_log2_hist,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -11088,6 +11171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_hour_bitmap_hist", "sorted_neighbor_pairs",
         # new in round 3, hundredth sweep
         "range_partition_sort", "cms_topk_audit",
+        # new in round 3, hundred-first sweep
+        "checkpoint_run_manifest", "doc_len_log2_hist",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -16956,6 +17041,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(e.cms_est AS BIGINT) AS cms_est,
                    CAST(e.cms_est - t.exact AS BIGINT) AS overest
             FROM top t JOIN est e ON e.word = t.word
+        """,
+        # Shards are doc_id%4 groups two-files-per-shard; 2 spans per
+        # doc (text + media) by corpus construction.
+        "checkpoint_run_manifest": """
+            WITH g AS (SELECT doc_id % 4 AS gi FROM documents)
+            SELECT CAST(0 AS BIGINT) AS shard_idx,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(2 * COUNT(*) AS BIGINT) AS n_spans
+            FROM g WHERE gi IN (0, 1)
+            UNION ALL
+            SELECT CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+                   CAST(2 * COUNT(*) AS BIGINT)
+            FROM g WHERE gi IN (2, 3)
+        """,
+        "doc_len_log2_hist": """
+            WITH c AS (
+                SELECT len(regexp_extract_all(coalesce(text, ''),
+                                              '\\S+')) AS n
+                FROM documents
+            )
+            SELECT CAST(CASE WHEN n = 0 THEN 0
+                        ELSE length(bin(n)) END AS BIGINT) AS bits,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM c GROUP BY 1
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

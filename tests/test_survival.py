@@ -657,3 +657,43 @@ def test_cms_topk_audit_micro(ray_session, tmp_path):
                 f"read_parquet('{tmp_path}/documents.parquet')")
     assert con.sql(entrymod.oracle_sql()["cms_topk_audit"]).arrow() \
         .to_pylist() == out
+
+
+def test_checkpoint_run_manifest_micro(ray_session, tmp_path):
+    docs = pa.table({
+        "doc_id": pa.array(list(range(8)), pa.int64()),
+        "text": pa.array([f"doc {i} body" for i in range(8)],
+                         pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = entrymod.queries()["checkpoint_run_manifest"](
+        str(tmp_path)).to_pylist()
+    # shard0 = groups {0,1} -> docs {0,1,4,5}; shard1 -> {2,3,6,7}
+    assert out == [
+        {"shard_idx": 0, "n_docs": 4, "n_spans": 8},
+        {"shard_idx": 1, "n_docs": 4, "n_spans": 8}]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    assert _sorted_rows(con.sql(
+        entrymod.oracle_sql()["checkpoint_run_manifest"]).arrow(),
+        "shard_idx") == out
+
+
+def test_doc_len_log2_hist_micro(ray_session, tmp_path):
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["", "a", "a b c", "w " * 8], pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = _sorted_rows(pa.Table.from_pylist(
+        entrymod.queries()["doc_len_log2_hist"](
+            str(tmp_path)).take_all()), "bits")
+    assert out == [{"bits": 0, "n_docs": 1}, {"bits": 1, "n_docs": 1},
+                   {"bits": 2, "n_docs": 1}, {"bits": 4, "n_docs": 1}]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    assert _sorted_rows(con.sql(
+        entrymod.oracle_sql()["doc_len_log2_hist"]).arrow(),
+        "bits") == out
