@@ -697,3 +697,56 @@ def test_doc_len_log2_hist_micro(ray_session, tmp_path):
     assert _sorted_rows(con.sql(
         entrymod.oracle_sql()["doc_len_log2_hist"]).arrow(),
         "bits") == out
+
+
+def test_lang_length_pct_rank_micro(ray_session, tmp_path):
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "lang": pa.array(["en", "en", "en", "fr"], pa.string()),
+        "n_chars": pa.array([10, 10, 20, 7], pa.int64()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = _sorted_rows(pa.Table.from_pylist(
+        entrymod.queries()["lang_length_pct_rank"](
+            str(tmp_path)).take_all()), "doc_id")
+    # en: two 10s share rank 1 (num 0), the 20 has num 2; den = 2.
+    # fr singleton: num 0, den 0 (the N=1 PERCENT_RANK edge).
+    assert out == [
+        {"doc_id": 0, "lang": "en", "n_chars": 10, "rk_num": 0,
+         "rk_den": 2},
+        {"doc_id": 1, "lang": "en", "n_chars": 10, "rk_num": 0,
+         "rk_den": 2},
+        {"doc_id": 2, "lang": "en", "n_chars": 20, "rk_num": 2,
+         "rk_den": 2},
+        {"doc_id": 3, "lang": "fr", "n_chars": 7, "rk_num": 0,
+         "rk_den": 0}]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    assert _sorted_rows(con.sql(
+        entrymod.oracle_sql()["lang_length_pct_rank"]).arrow(),
+        "doc_id") == out
+
+
+def test_nation_top3_names_concat_micro(ray_session, tmp_path):
+    cust = pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "c_name": pa.array(["A", "B", "C", "D", "E", "F"],
+                           pa.string()),
+        "c_nationkey": pa.array([0, 0, 0, 0, 1, 1], pa.int32()),
+        "c_acctbal": pa.array([5.0, 9.0, 9.0, 1.0, 3.0, 2.0],
+                              pa.float64()),
+    })
+    pq.write_table(cust, str(tmp_path / "customer.parquet"))
+    out = _sorted_rows(entrymod.queries()["nation_top3_names_concat"](
+        str(tmp_path)), "nation")
+    # nation 0: 900(B), 900(C tie by key), 500(A); D drops.
+    assert out == [
+        {"nation": 0, "n_top": 3, "top_names": "B,C,A"},
+        {"nation": 1, "n_top": 2, "top_names": "E,F"}]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/customer.parquet')")
+    assert _sorted_rows(con.sql(
+        entrymod.oracle_sql()["nation_top3_names_concat"]).arrow(),
+        "nation") == out
