@@ -10698,6 +10698,117 @@ def queries() -> dict[str, Callable[[str], Any]]:
              pa.array([r[2] for r in rows], pa.string())],
             names=["nation", "n_top", "top_names"])
 
+    def daily_value_ohlc(sf_dir: str):
+        """Daily OHLC rollup of event value — the distributed
+        FIRST/LAST-by-key aggregate: open = value at min (ts,
+        event_id), close = at max, high/low = max/min, all integer
+        cents. Each block emits ≤ one partial row per day carrying
+        (open_key, open, close_key, close, high, low, n); the ≤
+        30·blocks partials merge driver-side by key comparison —
+        order-independent, no sort, no shuffle."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        US_DAY = 86_400_000_000
+
+        def partial(b: pa.Table) -> pa.Table:
+            ts = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+            eid = b.column("event_id").to_numpy(zero_copy_only=False)
+            cents = pc.cast(pc.floor(pc.add(pc.multiply(
+                pa.scalar(100.0), b.column("value")),
+                pa.scalar(0.5))), pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            day = ts // US_DAY
+            out = []
+            for d in np.unique(day):
+                m = day == d
+                t, e, c = ts[m], eid[m], cents[m]
+                key = np.lexsort((e, t))
+                out.append((int(d), int(t[key[0]]), int(e[key[0]]),
+                            int(c[key[0]]), int(t[key[-1]]),
+                            int(e[key[-1]]), int(c[key[-1]]),
+                            int(c.max()), int(c.min()), len(c)))
+            cols = list(zip(*out)) if out else [[]] * 10
+            names = ["day", "ot", "oe", "open", "ct", "ce", "close",
+                     "high", "low", "n"]
+            return pa.Table.from_arrays(
+                [pa.array(list(c), pa.int64()) for c in cols],
+                names=names)
+
+        parts = _read(sf_dir, "events",
+                      ["ts", "event_id", "value"]).map_batches(
+            partial, batch_format="pyarrow").take_all()
+        acc: dict = {}
+        for r in parts:
+            d = int(r["day"])
+            cur = acc.get(d)
+            cand = tuple(int(r[k]) for k in
+                         ("ot", "oe", "open", "ct", "ce", "close",
+                          "high", "low", "n"))
+            if cur is None:
+                acc[d] = list(cand)
+            else:
+                if (cand[0], cand[1]) < (cur[0], cur[1]):
+                    cur[0], cur[1], cur[2] = cand[0], cand[1], cand[2]
+                if (cand[3], cand[4]) > (cur[3], cur[4]):
+                    cur[3], cur[4], cur[5] = cand[3], cand[4], cand[5]
+                cur[6] = max(cur[6], cand[6])
+                cur[7] = min(cur[7], cand[7])
+                cur[8] += cand[8]
+        days = sorted(acc)
+        return pa.Table.from_arrays(
+            [pa.array(days, pa.int64())] +
+            [pa.array([acc[d][i] for d in days], pa.int64())
+             for i in (2, 6, 7, 5, 8)],
+            names=["day", "open_cents", "high_cents", "low_cents",
+                   "close_cents", "n"])
+
+    def zorder_locality_audit(sf_dir: str):
+        """Z-ORDER (Morton) data-layout audit: interleave the bits of
+        the 8-bit price band and 8-bit order-day band into a 16-bit
+        Morton code and report the occupancy histogram of its top-8
+        bits — the 2-D locality measure a Z-ordered file layout
+        would cluster by. Pure integer bit algebra on both sides
+        (the SQL mirrors the interleave as an 8-term shift sum);
+        ONE narrow bucket combiner."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        US_DAY = 86_400_000_000
+
+        def morton(b: pa.Table) -> pa.Table:
+            cents = pc.cast(pc.floor(pc.add(pc.multiply(
+                pa.scalar(100.0), b.column("o_totalprice")),
+                pa.scalar(0.5))), pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            day = pc.divide(pc.cast(pc.cast(
+                b.column("o_orderdate"), pa.timestamp("us")),
+                pa.int64()), pa.scalar(US_DAY, pa.int64())) \
+                .to_numpy(zero_copy_only=False)
+            x = (cents // 200_000).clip(0, 255).astype(np.int64)
+            y = (day % 256).astype(np.int64)
+            code = np.zeros(len(x), np.int64)
+            for i in range(8):
+                code |= ((x >> i) & 1) << (2 * i)
+                code |= ((y >> i) & 1) << (2 * i + 1)
+            return pa.Table.from_arrays(
+                [pa.array(code >> 8)], names=["zbucket"])
+
+        hist = combine_aggregate(
+            _read(sf_dir, "orders",
+                  ["o_totalprice", "o_orderdate"]).map_batches(
+                morton, batch_format="pyarrow"),
+            ["zbucket"], [("", "count", "n_rows")])
+        return hist.map_batches(
+            lambda b: b.set_column(
+                b.column_names.index("n_rows"), "n_rows",
+                pc.cast(b.column("n_rows"), pa.int64())),
+            batch_format="pyarrow")
+
     def late_event_audit(sf_dir: str):
         """Streaming watermark audit: per user, how many events arrive
         (by event_id order) with an event time > 1 h behind the user's
@@ -11041,6 +11152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_log2_hist": doc_len_log2_hist,
         "lang_length_pct_rank": lang_length_pct_rank,
         "nation_top3_names_concat": nation_top3_names_concat,
+        "daily_value_ohlc": daily_value_ohlc,
+        "zorder_locality_audit": zorder_locality_audit,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -11276,6 +11389,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "checkpoint_run_manifest", "doc_len_log2_hist",
         # new in round 3, hundred-second sweep
         "lang_length_pct_rank", "nation_top3_names_concat",
+        # new in round 3, hundred-third sweep
+        "daily_value_ohlc", "zorder_locality_audit",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -17193,6 +17308,65 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(c_name, ','
                        ORDER BY cents DESC, c_custkey) AS top_names
             FROM r WHERE rk <= 3 GROUP BY 1
+        """,
+        "daily_value_ohlc": """
+            WITH e AS (
+                SELECT epoch_us(ts) // 86400000000 AS day,
+                       epoch_us(ts) AS tus, event_id,
+                       CAST(FLOOR(100.0 * value + 0.5) AS BIGINT)
+                           AS cents
+                FROM events
+            ), r AS (
+                SELECT day, cents,
+                       ROW_NUMBER() OVER (PARTITION BY day
+                           ORDER BY tus, event_id) AS rn_a,
+                       ROW_NUMBER() OVER (PARTITION BY day
+                           ORDER BY tus DESC, event_id DESC) AS rn_d
+                FROM e
+            )
+            SELECT CAST(day AS BIGINT) AS day,
+                   MAX(CASE WHEN rn_a = 1 THEN cents END)
+                       AS open_cents,
+                   MAX(cents) AS high_cents,
+                   MIN(cents) AS low_cents,
+                   MAX(CASE WHEN rn_d = 1 THEN cents END)
+                       AS close_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM r GROUP BY 1
+        """,
+        "zorder_locality_audit": """
+            WITH o AS (
+                SELECT CAST(FLOOR(100.0 * o_totalprice + 0.5)
+                            AS BIGINT) AS cents,
+                       CAST(epoch_us(o_orderdate) // 86400000000
+                            AS BIGINT) AS day
+                FROM orders
+            ), xy AS (
+                SELECT LEAST(GREATEST(cents // 200000, 0), 255) AS x,
+                       day % 256 AS y
+                FROM o
+            ), c AS (
+                SELECT (((x >> 0) & 1) * 1
+                        + ((y >> 0) & 1) * 2
+                        + ((x >> 1) & 1) * 4
+                        + ((y >> 1) & 1) * 8
+                        + ((x >> 2) & 1) * 16
+                        + ((y >> 2) & 1) * 32
+                        + ((x >> 3) & 1) * 64
+                        + ((y >> 3) & 1) * 128
+                        + ((x >> 4) & 1) * 256
+                        + ((y >> 4) & 1) * 512
+                        + ((x >> 5) & 1) * 1024
+                        + ((y >> 5) & 1) * 2048
+                        + ((x >> 6) & 1) * 4096
+                        + ((y >> 6) & 1) * 8192
+                        + ((x >> 7) & 1) * 16384
+                        + ((y >> 7) & 1) * 32768) AS code
+                FROM xy
+            )
+            SELECT CAST(code // 256 AS BIGINT) AS zbucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM c GROUP BY 1
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

@@ -750,3 +750,62 @@ def test_nation_top3_names_concat_micro(ray_session, tmp_path):
     assert _sorted_rows(con.sql(
         entrymod.oracle_sql()["nation_top3_names_concat"]).arrow(),
         "nation") == out
+
+
+def test_daily_value_ohlc_micro(ray_session, tmp_path):
+    # day 0 (by arrival ts order): 3.0, 1.0, 9.0, 2.0
+    # -> open 300, high 900, low 100, close 200; day 1: single 5.0
+    rows = [(1, 0.10, "view"), (1, 0.20, "view"), (1, 0.30, "view"),
+            (1, 0.40, "view"), (2, 1.5, "view")]
+    t = pa.table({
+        "event_id": pa.array(range(5), pa.int64()),
+        "ts": pa.array([T0 + int(d * US_DAY) for _u, d, _e in rows],
+                       pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array([u for u, _d, _e in rows], pa.int64()),
+        "event_type": pa.array(["view"] * 5, pa.string()),
+        "value": pa.array([3.0, 1.0, 9.0, 2.0, 5.0], pa.float64()),
+        "props": pa.array(["{}"] * 5, pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = entrymod.queries()["daily_value_ohlc"](
+        str(tmp_path)).to_pylist()
+    da = (T0 + int(0.10 * US_DAY)) // US_DAY
+    db = (T0 + int(1.5 * US_DAY)) // US_DAY
+    assert out == [
+        {"day": da, "open_cents": 300, "high_cents": 900,
+         "low_cents": 100, "close_cents": 200, "n": 4},
+        {"day": db, "open_cents": 500, "high_cents": 500,
+         "low_cents": 500, "close_cents": 500, "n": 1}]
+    assert _sorted_rows(_oracle(str(tmp_path), "daily_value_ohlc"),
+                        "day") == out
+
+
+def test_zorder_locality_audit_micro(ray_session, tmp_path):
+    import datetime as dt
+    # x = cents//200000 clip 255; y = epoch-day % 256; zbucket=code>>8
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_totalprice": pa.array([0.0, 999999.0], pa.float64()),
+        "o_orderdate": pa.array([dt.datetime(1970, 1, 1)] * 2,
+                                pa.timestamp("us")),
+    })
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    out = _sorted_rows(pa.Table.from_pylist(
+        entrymod.queries()["zorder_locality_audit"](
+            str(tmp_path)).take_all()), "zbucket")
+
+    def code(x, y):
+        c = 0
+        for i in range(8):
+            c |= ((x >> i) & 1) << (2 * i)
+            c |= ((y >> i) & 1) << (2 * i + 1)
+        return c
+    assert out == [
+        {"zbucket": code(0, 0) >> 8, "n_rows": 1},
+        {"zbucket": code(255, 0) >> 8, "n_rows": 1}]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/orders.parquet')")
+    assert _sorted_rows(con.sql(
+        entrymod.oracle_sql()["zorder_locality_audit"]).arrow(),
+        "zbucket") == out
