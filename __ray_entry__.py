@@ -10809,6 +10809,154 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 pc.cast(b.column("n_rows"), pa.int64())),
             batch_format="pyarrow")
 
+    def hll_group_audit(sf_dir: str):
+        """Per-group HyperLogLog audit — distinct users per event
+        type as HLL registers (b=8, the md5 register contract)
+        beside the EXACT distinct count. The float harmonic mean is
+        replaced by its exact dyadic numerator Σ_j 2^(60−rho_j)
+        (rho ≤ 57, so every term is an int64; the 2^60 denominator
+        is implicit) shipped as a decimal string — sketch state and
+        truth are both driver-checkable with zero float. Registers
+        are MAX-mergeable through one (type, register) combiner."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+        from htmlreader_ray.functions.sketch import hll_partial_batch
+
+        def regs(b: pa.Table) -> pa.Table:
+            keys = pa.Table.from_arrays(
+                [b.column("event_type"),
+                 pc.cast(b.column("user_id"), pa.string())],
+                names=["event_type", "key"])
+            parts = []
+            for t in pc.unique(keys.column("event_type")).to_pylist():
+                sub = keys.filter(pc.equal(
+                    keys.column("event_type"), t))
+                p = hll_partial_batch(sub, text_col="key")
+                parts.append(p.add_column(
+                    0, "event_type",
+                    pa.array([t] * len(p), pa.string())))
+            return pa.concat_tables(parts) if parts else \
+                pa.Table.from_arrays(
+                    [pa.array([], pa.string()), pa.array([], pa.int64()),
+                     pa.array([], pa.int64())],
+                    names=["event_type", "register", "rho"])
+
+        src = _read(sf_dir, "events", ["event_type", "user_id"])
+        reg_rows = combine_aggregate(
+            src.map_batches(regs, batch_format="pyarrow"),
+            ["event_type", "register"],
+            [("rho", "max", "rho")]).take_all()
+        exact = {r["event_type"]: int(r["n"]) for r in
+                 combine_aggregate(
+            combine_aggregate(src, ["event_type", "user_id"],
+                              [("", "count", "_c")]),
+            ["event_type"], [("", "count", "n")]).take_all()}
+        by_type: dict = {}
+        for r in reg_rows:
+            by_type.setdefault(r["event_type"], {})[
+                int(r["register"])] = int(r["rho"])
+        types = sorted(exact)
+        nz, hs = [], []
+        for t in types:
+            regs_t = by_type.get(t, {})
+            nz.append(256 - len(regs_t))
+            hs.append(str(sum(1 << (60 - r) for r in regs_t.values())
+                          + (256 - len(regs_t)) * (1 << 60)))
+        return pa.Table.from_arrays(
+            [pa.array(types, pa.string()),
+             pa.array([exact[t] for t in types], pa.int64()),
+             pa.array(nz, pa.int64()),
+             pa.array(hs, pa.string())],
+            names=["event_type", "n_exact", "n_zero_regs",
+                   "harmonic_num"])
+
+    def fk_integrity_audit(sf_dir: str):
+        """Referential-integrity audit across the star schema: for
+        each FK edge, (child rows, distinct child keys, orphan keys
+        absent from the parent). Child keys reduce to DISTINCT via
+        the combiner BEFORE the native left_anti hash join, so the
+        join moves key sets, never child rows; small parents
+        (nation) would broadcast at scale — same plan either way."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        edges = [
+            ("lineitem->orders", "lineitem", "l_orderkey",
+             "orders", "o_orderkey"),
+            ("orders->customer", "orders", "o_custkey",
+             "customer", "c_custkey"),
+            ("customer->nation", "customer", "c_nationkey",
+             "nation", "n_nationkey"),
+            ("supplier->nation", "supplier", "s_nationkey",
+             "nation", "n_nationkey"),
+        ]
+        import numpy as np
+
+        rel_ids = {e[0]: i for i, e in enumerate(edges)}
+
+        def tagged(table, col, tag, side):
+            rid = rel_ids[tag]
+
+            def f(b: pa.Table, _c=col) -> pa.Table:
+                k = pc.cast(b.column(_c), pa.int64())
+                n = len(k)
+                return pa.Table.from_arrays(
+                    [pa.array([rid] * n, pa.int64()),
+                     pa.array([side] * n, pa.int64()), k,
+                     pc.bit_wise_and(k, pa.scalar(63, pa.int64()))],
+                    names=["rid", "side", "key", "bkt"])
+            return _read(sf_dir, table, [col]).map_batches(
+                f, batch_format="pyarrow")
+
+        # ONE coarse key-bucket exchange carries BOTH sides of every
+        # edge; the per-bucket kernel does the distinct, the counts
+        # and the membership probe vectorized — no 150k-key global
+        # sort, no separate join pass
+        stream = None
+        for name, t, c, p, pk in edges:
+            for tbl, col, side in ((t, c, 0), (p, pk, 1)):
+                part = tagged(tbl, col, name, side)
+                stream = part if stream is None else \
+                    stream.union(part)
+
+        def kernel(g: pa.Table) -> pa.Table:
+            rid = g.column("rid").to_numpy(zero_copy_only=False)
+            side = g.column("side").to_numpy(zero_copy_only=False)
+            key = g.column("key").to_numpy(zero_copy_only=False)
+            out = []
+            for r in np.unique(rid):
+                m = rid == r
+                ck = key[m & (side == 0)]
+                pk_ = np.unique(key[m & (side == 1)])
+                dk, cnt = np.unique(ck, return_counts=True)
+                orph = int((~np.isin(dk, pk_)).sum())
+                out.append((int(r), int(cnt.sum()), len(dk), orph))
+            cols = list(zip(*out)) if out else [[]] * 4
+            return pa.Table.from_arrays(
+                [pa.array(list(c), pa.int64()) for c in cols],
+                names=["rid", "nr", "nk", "no"])
+
+        parts = combine_aggregate(
+            stream.groupby("bkt").map_groups(
+                kernel, batch_format="pyarrow"),
+            ["rid"], [("nr", "sum", "nr"), ("nk", "sum", "nk"),
+                      ("no", "sum", "no")]).take_all()
+        stats = {int(r["rid"]): (int(r["nr"]), int(r["nk"]))
+                 for r in parts}
+        orph = {int(r["rid"]): int(r["no"]) for r in parts}
+        rels = [e[0] for e in edges]
+        stats = {e[0]: stats[rel_ids[e[0]]] for e in edges}
+        orph = {e[0]: orph[rel_ids[e[0]]] for e in edges}
+        return pa.Table.from_arrays(
+            [pa.array(rels, pa.string()),
+             pa.array([stats[r][0] for r in rels], pa.int64()),
+             pa.array([stats[r][1] for r in rels], pa.int64()),
+             pa.array([orph.get(r, 0) for r in rels], pa.int64())],
+            names=["relation", "n_child_rows", "n_child_keys",
+                   "n_orphan_keys"])
+
     def late_event_audit(sf_dir: str):
         """Streaming watermark audit: per user, how many events arrive
         (by event_id order) with an event time > 1 h behind the user's
@@ -11154,6 +11302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_top3_names_concat": nation_top3_names_concat,
         "daily_value_ohlc": daily_value_ohlc,
         "zorder_locality_audit": zorder_locality_audit,
+        "hll_group_audit": hll_group_audit,
+        "fk_integrity_audit": fk_integrity_audit,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -11391,6 +11541,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_length_pct_rank", "nation_top3_names_concat",
         # new in round 3, hundred-third sweep
         "daily_value_ohlc", "zorder_locality_audit",
+        # new in round 3, hundred-fourth sweep
+        "hll_group_audit", "fk_integrity_audit",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -17367,6 +17519,88 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(code // 256 AS BIGINT) AS zbucket,
                    CAST(COUNT(*) AS BIGINT) AS n_rows
             FROM c GROUP BY 1
+        """,
+        # rho = 56 - bit_length(rest) + 1 with the bin()-length
+        # idiom; harmonic numerator Σ 2^(60-rho) is exact dyadic.
+        "hll_group_audit": """
+            WITH h AS (
+                SELECT event_type,
+                       concat('0x', substr(md5(
+                           CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT
+                           AS hv
+                FROM events
+            ), rr AS (
+                SELECT event_type,
+                       CAST(hv >> 56 AS BIGINT) AS register,
+                       CAST(hv % 72057594037927936 AS BIGINT) AS rest
+                FROM h
+            ), r2 AS (
+                SELECT event_type, register,
+                       MAX(CASE WHEN rest = 0 THEN 57
+                           ELSE 56 - length(bin(rest)) + 1 END) AS rho
+                FROM rr GROUP BY 1, 2
+            ), agg AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n_hit,
+                       SUM(CAST(1::BIGINT << (60 - rho) AS HUGEINT))
+                           AS hit_sum
+                FROM r2 GROUP BY 1
+            ), ex AS (
+                SELECT event_type,
+                       CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                           AS n_exact
+                FROM events GROUP BY 1
+            )
+            SELECT ex.event_type, ex.n_exact,
+                   CAST(256 - agg.n_hit AS BIGINT) AS n_zero_regs,
+                   CAST(agg.hit_sum
+                        + CAST(256 - agg.n_hit AS HUGEINT)
+                          * 1152921504606846976 AS VARCHAR)
+                       AS harmonic_num
+            FROM ex JOIN agg USING (event_type)
+        """,
+        "fk_integrity_audit": """
+            WITH e1 AS (
+                SELECT 'lineitem->orders' AS relation,
+                       CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+                       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+                           AS n_child_keys,
+                       (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                        (SELECT DISTINCT l_orderkey FROM lineitem) c
+                        WHERE c.l_orderkey NOT IN
+                              (SELECT o_orderkey FROM orders))
+                           AS n_orphan_keys
+                FROM lineitem
+            ), e2 AS (
+                SELECT 'orders->customer',
+                       CAST(COUNT(*) AS BIGINT),
+                       CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+                       (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                        (SELECT DISTINCT o_custkey FROM orders) c
+                        WHERE c.o_custkey NOT IN
+                              (SELECT c_custkey FROM customer))
+                FROM orders
+            ), e3 AS (
+                SELECT 'customer->nation',
+                       CAST(COUNT(*) AS BIGINT),
+                       CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+                       (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                        (SELECT DISTINCT c_nationkey FROM customer) c
+                        WHERE c.c_nationkey NOT IN
+                              (SELECT n_nationkey FROM nation))
+                FROM customer
+            ), e4 AS (
+                SELECT 'supplier->nation',
+                       CAST(COUNT(*) AS BIGINT),
+                       CAST(COUNT(DISTINCT s_nationkey) AS BIGINT),
+                       (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                        (SELECT DISTINCT s_nationkey FROM supplier) c
+                        WHERE c.s_nationkey NOT IN
+                              (SELECT n_nationkey FROM nation))
+                FROM supplier
+            )
+            SELECT * FROM e1 UNION ALL SELECT * FROM e2
+            UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

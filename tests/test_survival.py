@@ -809,3 +809,78 @@ def test_zorder_locality_audit_micro(ray_session, tmp_path):
     assert _sorted_rows(con.sql(
         entrymod.oracle_sql()["zorder_locality_audit"]).arrow(),
         "zbucket") == out
+
+
+def test_hll_group_audit_micro(ray_session, tmp_path):
+    import hashlib as hl
+    sf = _write_events(tmp_path, [
+        (7, 0.1, "view"), (7, 0.2, "view"), (9, 0.3, "view"),
+        (7, 0.4, "purchase")])
+    out = _sorted_rows(
+        entrymod.queries()["hll_group_audit"](sf), "event_type")
+
+    def reg_rho(key):
+        hv = int.from_bytes(hl.md5(key.encode()).digest()[:8], "big")
+        rest = hv & ((1 << 56) - 1)
+        rho = 56 - rest.bit_length() + 1 if rest else 57
+        return hv >> 56, rho
+
+    def expect(keys):
+        regs = {}
+        for k in keys:
+            r, p = reg_rho(k)
+            regs[r] = max(regs.get(r, 0), p)
+        num = sum(1 << (60 - p) for p in regs.values()) \
+            + (256 - len(regs)) * (1 << 60)
+        return 256 - len(regs), str(num)
+
+    zv, hv_ = expect(["7", "9"])
+    zp, hp = expect(["7"])
+    assert out == [
+        {"event_type": "purchase", "n_exact": 1, "n_zero_regs": zp,
+         "harmonic_num": hp},
+        {"event_type": "view", "n_exact": 2, "n_zero_regs": zv,
+         "harmonic_num": hv_}]
+    assert _sorted_rows(_oracle(sf, "hll_group_audit"),
+                        "event_type") == out
+
+
+def test_fk_integrity_audit_micro(ray_session, tmp_path):
+    # orders 5 and 6 appear in lineitem; 6 is MISSING from orders ->
+    # one orphan key on the lineitem->orders edge.
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([5, 5, 6], pa.int64())}),
+        str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([5], pa.int64()),
+        "o_custkey": pa.array([1], pa.int64())}),
+        str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1], pa.int64()),
+        "c_nationkey": pa.array([0], pa.int32())}),
+        str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1], pa.int64()),
+        "s_nationkey": pa.array([3], pa.int32())}),
+        str(tmp_path / "supplier.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0], pa.int32())}),
+        str(tmp_path / "nation.parquet"))
+    out = _sorted_rows(entrymod.queries()["fk_integrity_audit"](
+        str(tmp_path)), "relation")
+    assert out == [
+        {"relation": "customer->nation", "n_child_rows": 1,
+         "n_child_keys": 1, "n_orphan_keys": 0},
+        {"relation": "lineitem->orders", "n_child_rows": 3,
+         "n_child_keys": 2, "n_orphan_keys": 1},
+        {"relation": "orders->customer", "n_child_rows": 1,
+         "n_child_keys": 1, "n_orphan_keys": 0},
+        {"relation": "supplier->nation", "n_child_rows": 1,
+         "n_child_keys": 1, "n_orphan_keys": 1}]
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{t}.parquet')")
+    assert _sorted_rows(con.sql(
+        entrymod.oracle_sql()["fk_integrity_audit"]).arrow(),
+        "relation") == out
