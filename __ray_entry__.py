@@ -10957,6 +10957,120 @@ def queries() -> dict[str, Callable[[str], Any]]:
             names=["relation", "n_child_rows", "n_child_keys",
                    "n_orphan_keys"])
 
+    def merge_upsert_audit(sf_dir: str):
+        """MERGE INTO / CDC upsert semantics over the key space: a
+        deterministic update feed (urgent orders repriced +1000
+        cents; synthetic NEW keys o_orderkey+10⁷ for keys ≡ 0 mod
+        97) merges into the base by key, classifying every output
+        row as inserted / updated / unchanged and summing the
+        post-merge cents. Both sides stream from the same scan into
+        ONE coarse key-bucket exchange (the fk_integrity shape); the
+        bucket kernel classifies vectorized; one single-row
+        combine."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def rows(b: pa.Table) -> pa.Table:
+            k = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+            cents = pc.cast(pc.floor(pc.add(pc.multiply(
+                pa.scalar(100.0), b.column("o_totalprice")),
+                pa.scalar(0.5))), pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            urgent = pc.equal(b.column("o_orderpriority"),
+                              pa.scalar("1-URGENT")).to_numpy(
+                zero_copy_only=False)
+            new = (k % 97) == 0
+            keys = np.concatenate(
+                [k, k[urgent], k[new] + 10_000_000])
+            side = np.concatenate(
+                [np.zeros(len(k), np.int64),
+                 np.ones(int(urgent.sum()) + int(new.sum()),
+                         np.int64)])
+            val = np.concatenate(
+                [cents, cents[urgent] + 1000,
+                 np.full(int(new.sum()), 555, np.int64)])
+            return pa.Table.from_arrays(
+                [pa.array(keys), pa.array(side), pa.array(val),
+                 pa.array(keys & 63)],
+                names=["key", "side", "cents", "bkt"])
+
+        def kernel(g: pa.Table) -> pa.Table:
+            key = g.column("key").to_numpy(zero_copy_only=False)
+            side = g.column("side").to_numpy(zero_copy_only=False)
+            cents = g.column("cents").to_numpy(zero_copy_only=False)
+            bk, bc = key[side == 0], cents[side == 0]
+            uk, uc = key[side == 1], cents[side == 1]
+            in_upd = np.isin(bk, uk)
+            in_base = np.isin(uk, bk)
+            n_ins = int((~in_base).sum())
+            n_upd = int(in_base.sum())
+            n_same = int((~in_upd).sum())
+            total = int(bc[~in_upd].sum()) + int(uc.sum())
+            return pa.Table.from_arrays(
+                [pa.array([len(bk)], pa.int64()),
+                 pa.array([len(uk)], pa.int64()),
+                 pa.array([n_ins], pa.int64()),
+                 pa.array([n_upd], pa.int64()),
+                 pa.array([n_same], pa.int64()),
+                 pa.array([total], pa.int64())],
+                names=["nb", "nu", "ni", "nd", "ns", "tc"])
+
+        parts = _read(sf_dir, "orders",
+                      ["o_orderkey", "o_totalprice",
+                       "o_orderpriority"]).map_batches(
+            rows, batch_format="pyarrow").groupby("bkt").map_groups(
+            kernel, batch_format="pyarrow").take_all()
+        agg = [sum(int(r[c]) for r in parts)
+               for c in ("nb", "nu", "ni", "nd", "ns", "tc")]
+        return pa.Table.from_arrays(
+            [pa.array([v], pa.int64()) for v in agg],
+            names=["n_base", "n_updates", "n_inserted", "n_updated",
+                   "n_unchanged", "total_cents_after"])
+
+    def per_lang_sample_k(sf_dir: str):
+        """Deterministic per-GROUP sample without replacement: the 5
+        smallest md5(doc_id) hashes per language (order-by-hash
+        sampling, stratified) through the head-k combiner — ≤
+        k·blocks rows per language cross the shuffle. Rank within
+        language pinned (hash ASC, doc_id ASC)."""
+        import hashlib
+
+        import pyarrow as pa
+        from htmlreader_ray.functions.shuffle import grouped_topk
+
+        def keyed(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_pylist()
+            neg = [-int(hashlib.md5(str(i).encode())
+                        .hexdigest()[:15], 16) for i in ids]
+            return pa.Table.from_arrays(
+                [b.column("lang"), b.column("doc_id"),
+                 pa.array(neg, pa.int64())],
+                names=["lang", "doc_id", "negh"])
+
+        top = grouped_topk(
+            _read(sf_dir, "documents",
+                  ["doc_id", "lang"]).map_batches(
+                keyed, batch_format="pyarrow"),
+            group_col="lang", order_col="negh", id_col="doc_id",
+            k=5).take_all()
+        by_lang: dict = {}
+        for r in top:
+            by_lang.setdefault(r["lang"], []).append(
+                (-int(r["negh"]), int(r["doc_id"])))
+        langs, ranks, ids = [], [], []
+        for g in sorted(by_lang):
+            for i, (_h, d) in enumerate(sorted(by_lang[g]), 1):
+                langs.append(g)
+                ranks.append(i)
+                ids.append(d)
+        return pa.Table.from_arrays(
+            [pa.array(langs, pa.string()),
+             pa.array(ranks, pa.int64()),
+             pa.array(ids, pa.int64())],
+            names=["lang", "rank", "doc_id"])
+
     def late_event_audit(sf_dir: str):
         """Streaming watermark audit: per user, how many events arrive
         (by event_id order) with an event time > 1 h behind the user's
@@ -11304,6 +11418,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_locality_audit": zorder_locality_audit,
         "hll_group_audit": hll_group_audit,
         "fk_integrity_audit": fk_integrity_audit,
+        "merge_upsert_audit": merge_upsert_audit,
+        "per_lang_sample_k": per_lang_sample_k,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -11543,6 +11659,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_value_ohlc", "zorder_locality_audit",
         # new in round 3, hundred-fourth sweep
         "hll_group_audit", "fk_integrity_audit",
+        # new in round 3, hundred-fifth sweep
+        "merge_upsert_audit", "per_lang_sample_k",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -17601,6 +17719,53 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM e1 UNION ALL SELECT * FROM e2
             UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
+        """,
+        "merge_upsert_audit": """
+            WITH base AS (
+                SELECT o_orderkey AS k,
+                       CAST(FLOOR(100.0 * o_totalprice + 0.5)
+                            AS BIGINT) AS cents
+                FROM orders
+            ), upd AS (
+                SELECT o_orderkey AS k,
+                       CAST(FLOOR(100.0 * o_totalprice + 0.5)
+                            AS BIGINT) + 1000 AS cents
+                FROM orders WHERE o_orderpriority = '1-URGENT'
+                UNION ALL
+                SELECT o_orderkey + 10000000, 555
+                FROM orders WHERE o_orderkey % 97 = 0
+            ), m AS (
+                SELECT b.cents AS bc, u.cents AS uc
+                FROM base b FULL JOIN upd u ON u.k = b.k
+            )
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM base)
+                       AS n_base,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM upd)
+                       AS n_updates,
+                   CAST(COUNT(*) FILTER (WHERE bc IS NULL)
+                        AS BIGINT) AS n_inserted,
+                   CAST(COUNT(*) FILTER (WHERE bc IS NOT NULL
+                        AND uc IS NOT NULL) AS BIGINT) AS n_updated,
+                   CAST(COUNT(*) FILTER (WHERE uc IS NULL)
+                        AS BIGINT) AS n_unchanged,
+                   CAST(SUM(COALESCE(uc, bc)) AS BIGINT)
+                       AS total_cents_after
+            FROM m
+        """,
+        "per_lang_sample_k": """
+            WITH h AS (
+                SELECT lang, doc_id,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 15))::UBIGINT AS hv
+                FROM documents
+            ), r AS (
+                SELECT lang, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                           ORDER BY hv, doc_id) AS rank
+                FROM h
+            )
+            SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id
+            FROM r WHERE rank <= 5
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

@@ -884,3 +884,56 @@ def test_fk_integrity_audit_micro(ray_session, tmp_path):
     assert _sorted_rows(con.sql(
         entrymod.oracle_sql()["fk_integrity_audit"]).arrow(),
         "relation") == out
+
+
+def test_merge_upsert_audit_micro(ray_session, tmp_path):
+    import datetime as dt
+    # keys 1,2,97*2=194: 2 is URGENT (update +1000); 194 % 97 == 0
+    # also spawns NEW key 10000194 (insert, 555); key 1 unchanged.
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 194], pa.int64()),
+        "o_totalprice": pa.array([10.0, 20.0, 30.0], pa.float64()),
+        "o_orderpriority": pa.array(
+            ["5-LOW", "1-URGENT", "3-MEDIUM"], pa.string()),
+    })
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    out = entrymod.queries()["merge_upsert_audit"](
+        str(tmp_path)).to_pylist()
+    # after: key1 1000 (unchanged), key2 2000+1000 (updated),
+    # key194 3000 (unchanged), key10000194 555 (inserted)
+    assert out == [{
+        "n_base": 3, "n_updates": 2, "n_inserted": 1,
+        "n_updated": 1, "n_unchanged": 2,
+        "total_cents_after": 1000 + 3000 + 3000 + 555}]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/orders.parquet')")
+    assert con.sql(entrymod.oracle_sql()["merge_upsert_audit"]) \
+        .arrow().to_pylist() == out
+
+
+def test_per_lang_sample_k_micro(ray_session, tmp_path):
+    import hashlib as hl
+    docs = pa.table({
+        "doc_id": pa.array(list(range(12)), pa.int64()),
+        "lang": pa.array(["en"] * 8 + ["fr"] * 4, pa.string()),
+        "text": pa.array(["x"] * 12, pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = entrymod.queries()["per_lang_sample_k"](
+        str(tmp_path)).to_pylist()
+
+    def h(i):
+        return int(hl.md5(str(i).encode()).hexdigest()[:15], 16)
+    want = []
+    for lang, ids in (("en", range(8)), ("fr", range(8, 12))):
+        picks = sorted((h(i), i) for i in ids)[:5]
+        want += [{"lang": lang, "rank": r, "doc_id": d}
+                 for r, (_hv, d) in enumerate(picks, 1)]
+    assert out == want
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    assert sorted(con.sql(
+        entrymod.oracle_sql()["per_lang_sample_k"]).arrow()
+        .to_pylist(), key=lambda r: (r["lang"], r["rank"])) == out
