@@ -11071,6 +11071,125 @@ def queries() -> dict[str, Callable[[str], Any]]:
              pa.array(ids, pa.int64())],
             names=["lang", "rank", "doc_id"])
 
+    def e2e_curation_pipeline(sf_dir: str):
+        """END-TO-END training-data curation in one graded entry:
+        real HTML extraction (the flagship kernel) → quality gate
+        (≥100 chars AND ≥20 words on the EXTRACTED text) → exact
+        dedup by content digest → corpus report (n_extracted,
+        n_quality_kept, n_unique_kept, n_dupes_removed,
+        total_chars_kept). Extraction streams; quality is a map
+        filter; dedup is the digest-only combiner — chars of the
+        survivors sum per distinct digest (identical text ⇒
+        identical length). The oracle replays it all on
+        collapse(source text), so a parser bug anywhere breaks the
+        hash."""
+        import hashlib
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        # two narrow passes over the materialized extraction: a
+        # count and the digest combiner (materialize once, not twice)
+        ext = _flagship(sf_dir).materialize()
+        n_extracted = int(ext.filter(
+            expr="kind == 'text'").count())
+
+        def digests(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b.column("kind"),
+                                  pa.scalar("text")))
+            txt = t.column("text")
+            chars = pc.utf8_length(txt)
+            words = pc.count_substring_regex(txt, r"\S+")
+            keep = pc.and_(pc.greater_equal(chars, pa.scalar(100)),
+                           pc.greater_equal(words, pa.scalar(20)))
+            kept = t.filter(keep)
+            texts = kept.column("text").to_pylist()
+            dig = [hashlib.md5(s.encode("utf-8")).hexdigest()
+                   for s in texts]
+            return pa.Table.from_arrays(
+                [pa.array(dig, pa.string()),
+                 pc.cast(pc.utf8_length(kept.column("text")),
+                         pa.int64())],
+                names=["digest", "chars"])
+
+        uniq = combine_aggregate(
+            ext.map_batches(digests, batch_format="pyarrow"),
+            ["digest"], [("", "count", "n"),
+                         ("chars", "min", "chars")]).take_all()
+        n_quality = sum(int(r["n"]) for r in uniq)
+        n_unique = len(uniq)
+        total_chars = sum(int(r["chars"]) for r in uniq)
+        return pa.Table.from_arrays(
+            [pa.array([n_extracted], pa.int64()),
+             pa.array([n_quality], pa.int64()),
+             pa.array([n_unique], pa.int64()),
+             pa.array([n_quality - n_unique], pa.int64()),
+             pa.array([total_chars], pa.int64())],
+            names=["n_extracted", "n_quality_kept", "n_unique_kept",
+                   "n_dupes_removed", "total_chars_kept"])
+
+    def source_dup_crosstab(sf_dir: str):
+        """Cross-source contamination matrix: for every exact-dup
+        cluster (identical raw text), count duplicate DOC PAIRS by
+        unordered source pair — which feeds copy which. Scale-safe:
+        clusters collapse to per-(digest, source) COUNTS before the
+        exchange, the per-digest group is bounded by the source
+        count (≤ 20), and pair counts come from count products —
+        a million-doc hot cluster crosses the wire as ≤ 20 rows."""
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def dig_rows(b: pa.Table) -> pa.Table:
+            texts = b.column("text").to_pylist()
+            dig = [hashlib.md5((s or "").encode("utf-8")).hexdigest()
+                   for s in texts]
+            return pa.Table.from_arrays(
+                [pa.array(dig, pa.string()), b.column("source")],
+                names=["digest", "source"])
+
+        per_ds = combine_aggregate(
+            _read(sf_dir, "documents",
+                  ["text", "source"]).map_batches(
+                dig_rows, batch_format="pyarrow"),
+            ["digest", "source"], [("", "count", "n")])
+
+        def pairs(g: pa.Table) -> pa.Table:
+            srcs = g.column("source").to_pylist()
+            ns = [int(x) for x in g.column("n").to_pylist()]
+            a, b_, w = [], [], []
+            for i in range(len(srcs)):
+                if ns[i] > 1:
+                    a.append(srcs[i])
+                    b_.append(srcs[i])
+                    w.append(ns[i] * (ns[i] - 1) // 2)
+                for j in range(i + 1, len(srcs)):
+                    s1, s2 = sorted((srcs[i], srcs[j]))
+                    a.append(s1)
+                    b_.append(s2)
+                    w.append(ns[i] * ns[j])
+            return pa.Table.from_arrays(
+                [pa.array(a, pa.string()), pa.array(b_, pa.string()),
+                 pa.array(w, pa.int64())],
+                names=["source_a", "source_b", "w"])
+
+        # the crosstab is bounded by sources² — materialize it typed
+        # so a dup-free corpus still returns the (a, b, n) schema
+        acc: dict = {}
+        for r in per_ds.groupby("digest").map_groups(
+                pairs, batch_format="pyarrow").take_all():
+            k = (r["source_a"], r["source_b"])
+            acc[k] = acc.get(k, 0) + int(r["w"])
+        ks = sorted(acc)
+        return pa.Table.from_arrays(
+            [pa.array([k[0] for k in ks], pa.string()),
+             pa.array([k[1] for k in ks], pa.string()),
+             pa.array([acc[k] for k in ks], pa.int64())],
+            names=["source_a", "source_b", "n_dup_pairs"])
+
     def late_event_audit(sf_dir: str):
         """Streaming watermark audit: per user, how many events arrive
         (by event_id order) with an event time > 1 h behind the user's
@@ -11420,6 +11539,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_integrity_audit": fk_integrity_audit,
         "merge_upsert_audit": merge_upsert_audit,
         "per_lang_sample_k": per_lang_sample_k,
+        "e2e_curation_pipeline": e2e_curation_pipeline,
+        "source_dup_crosstab": source_dup_crosstab,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -11661,6 +11782,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_group_audit", "fk_integrity_audit",
         # new in round 3, hundred-fifth sweep
         "merge_upsert_audit", "per_lang_sample_k",
+        # new in round 3, hundred-sixth sweep
+        "e2e_curation_pipeline", "source_dup_crosstab",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -17766,6 +17889,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id
             FROM r WHERE rank <= 5
+        """,
+        # The whole curation chain replayed on collapse(source text):
+        # extraction provably returns it, the gate and dedup follow.
+        "e2e_curation_pipeline": """
+            WITH c AS (
+                SELECT trim(regexp_replace(coalesce(text, ''),
+                            '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ), kept AS (
+                SELECT t, length(t) AS chars FROM c
+                WHERE length(t) >= 100
+                  AND len(regexp_extract_all(t, '\\S+')) >= 20
+            ), u AS (
+                SELECT t, MIN(chars) AS chars, COUNT(*) AS n
+                FROM kept GROUP BY 1
+            )
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c)
+                       AS n_extracted,
+                   CAST(COALESCE(SUM(n), 0) AS BIGINT)
+                       AS n_quality_kept,
+                   CAST(COUNT(*) AS BIGINT) AS n_unique_kept,
+                   CAST(COALESCE(SUM(n), 0) - COUNT(*) AS BIGINT)
+                       AS n_dupes_removed,
+                   CAST(COALESCE(SUM(chars), 0) AS BIGINT)
+                       AS total_chars_kept
+            FROM u
+        """,
+        "source_dup_crosstab": """
+            WITH d AS (
+                SELECT coalesce(text, '') AS t, source, doc_id
+                FROM documents
+            )
+            SELECT LEAST(a.source, b.source) AS source_a,
+                   GREATEST(a.source, b.source) AS source_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+            FROM d a JOIN d b
+              ON a.t = b.t AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

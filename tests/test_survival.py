@@ -937,3 +937,52 @@ def test_per_lang_sample_k_micro(ray_session, tmp_path):
     assert sorted(con.sql(
         entrymod.oracle_sql()["per_lang_sample_k"]).arrow()
         .to_pylist(), key=lambda r: (r["lang"], r["rank"])) == out
+
+
+def test_e2e_curation_pipeline_micro(ray_session, tmp_path):
+    long_uniq = " ".join(f"tok{i}" for i in range(30))      # kept
+    dup = " ".join(f"dup{i}" for i in range(30))            # kept x2
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([long_uniq, dup, dup, "too short"],
+                         pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "source": pa.array(["s"] * 4, pa.string()),
+        "n_chars": pa.array([1] * 4, pa.int64()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = entrymod.queries()["e2e_curation_pipeline"](
+        str(tmp_path)).to_pylist()
+    assert out == [{
+        "n_extracted": 4, "n_quality_kept": 3, "n_unique_kept": 2,
+        "n_dupes_removed": 1,
+        "total_chars_kept": len(long_uniq) + len(dup)}]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    assert con.sql(entrymod.oracle_sql()["e2e_curation_pipeline"]) \
+        .arrow().to_pylist() == out
+
+
+def test_source_dup_crosstab_micro(ray_session, tmp_path):
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["same", "same", "same", "other", "uniq"],
+                         pa.string()),
+        "source": pa.array(["s1", "s2", "s1", "s1", "s2"],
+                           pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = entrymod.queries()["source_dup_crosstab"](
+        str(tmp_path)).to_pylist()
+    # "same" cluster: s1 x2, s2 x1 -> (s1,s1):1, (s1,s2):2
+    assert out == [
+        {"source_a": "s1", "source_b": "s1", "n_dup_pairs": 1},
+        {"source_a": "s1", "source_b": "s2", "n_dup_pairs": 2}]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    assert sorted(con.sql(
+        entrymod.oracle_sql()["source_dup_crosstab"]).arrow()
+        .to_pylist(),
+        key=lambda r: (r["source_a"], r["source_b"])) == out
