@@ -11190,6 +11190,108 @@ def queries() -> dict[str, Callable[[str], Any]]:
              pa.array([acc[k] for k in ks], pa.int64())],
             names=["source_a", "source_b", "n_dup_pairs"])
 
+    def user_daily_gapfill(sf_dir: str):
+        """Calendar gap-filling with linear interpolation — the
+        time-series imputation staple, EXACT: per user, every
+        calendar day between first and last activity gets a row;
+        gap days carry the interpolation as the integer rational
+        (num, den) = (y1·(d2−d) + y2·(d−d1), d2−d1) — no float.
+        ONE coarse user-bucket exchange; the kernel walks each
+        user's ≤31-day spine vectorized-per-user."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.analytics import _bucketed
+
+        US_DAY = 86_400_000_000
+
+        def days_tbl(b: pa.Table) -> pa.Table:
+            t = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                        pa.int64())
+            return pa.Table.from_arrays(
+                [b.column("user_id"),
+                 pc.divide(t, pa.scalar(US_DAY, pa.int64()))],
+                names=["user_id", "day"])
+
+        def kernel(g: pa.Table) -> pa.Table:
+            empty = pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 5,
+                names=["user_id", "day", "present", "num", "den"])
+            if g.num_rows == 0:
+                return empty
+            uid = g.column("user_id").to_numpy(zero_copy_only=False)
+            day = g.column("day").to_numpy(zero_copy_only=False)
+            out_u, out_d, out_p, out_n, out_dn = [], [], [], [], []
+            order = np.lexsort((day, uid))
+            uid_s, day_s = uid[order], day[order]
+            starts = np.flatnonzero(
+                np.r_[True, uid_s[1:] != uid_s[:-1]])
+            ends = np.r_[starts[1:], len(uid_s)]
+            for s, e in zip(starts, ends):
+                u = int(uid_s[s])
+                ds_, cs = np.unique(day_s[s:e], return_counts=True)
+                for i in range(len(ds_)):
+                    out_u.append(u)
+                    out_d.append(int(ds_[i]))
+                    out_p.append(1)
+                    out_n.append(int(cs[i]))
+                    out_dn.append(1)
+                    if i + 1 < len(ds_):
+                        d1, d2 = int(ds_[i]), int(ds_[i + 1])
+                        y1, y2 = int(cs[i]), int(cs[i + 1])
+                        for d in range(d1 + 1, d2):
+                            out_u.append(u)
+                            out_d.append(d)
+                            out_p.append(0)
+                            out_n.append(y1 * (d2 - d)
+                                         + y2 * (d - d1))
+                            out_dn.append(d2 - d1)
+            return pa.Table.from_arrays(
+                [pa.array(out_u, pa.int64()),
+                 pa.array(out_d, pa.int64()),
+                 pa.array(out_p, pa.int64()),
+                 pa.array(out_n, pa.int64()),
+                 pa.array(out_dn, pa.int64())],
+                names=["user_id", "day", "present", "num", "den"])
+
+        return _bucketed(
+            _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+                days_tbl, batch_format="pyarrow"),
+            "user_id", 256).map_groups(kernel, batch_format="pyarrow")
+
+    def rounding_policy_audit(sf_dir: str):
+        """Numeric-policy audit: where do HALF-UP cents
+        (⌊100p+0.5⌋, the repo contract) and BANKER'S rounding
+        (round-half-to-even) disagree on order totals? Reports row
+        count, divergent rows and the summed cent drift — the
+        financial-pipeline policy check. Map-only single-row
+        partials; np.rint mirrors DuckDB round_even exactly (both
+        IEEE round-half-even on the same double)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def partial(b: pa.Table) -> pa.Table:
+            p = b.column("o_totalprice").to_numpy(
+                zero_copy_only=False)
+            half_up = np.floor(100.0 * p + 0.5).astype(np.int64)
+            bankers = np.rint(100.0 * p).astype(np.int64)
+            diff = half_up - bankers
+            return pa.Table.from_arrays(
+                [pa.array([len(p)], pa.int64()),
+                 pa.array([int((diff != 0).sum())], pa.int64()),
+                 pa.array([int(diff.sum())], pa.int64())],
+                names=["n", "nd", "sd"])
+
+        parts = _read(sf_dir, "orders",
+                      ["o_totalprice"]).map_batches(
+            partial, batch_format="pyarrow").take_all()
+        return pa.Table.from_arrays(
+            [pa.array([sum(int(r["n"]) for r in parts)], pa.int64()),
+             pa.array([sum(int(r["nd"]) for r in parts)], pa.int64()),
+             pa.array([sum(int(r["sd"]) for r in parts)], pa.int64())],
+            names=["n_rows", "n_divergent", "cent_drift"])
+
     def late_event_audit(sf_dir: str):
         """Streaming watermark audit: per user, how many events arrive
         (by event_id order) with an event time > 1 h behind the user's
@@ -11541,6 +11643,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "per_lang_sample_k": per_lang_sample_k,
         "e2e_curation_pipeline": e2e_curation_pipeline,
         "source_dup_crosstab": source_dup_crosstab,
+        "user_daily_gapfill": user_daily_gapfill,
+        "rounding_policy_audit": rounding_policy_audit,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -11784,6 +11888,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_upsert_audit", "per_lang_sample_k",
         # new in round 3, hundred-sixth sweep
         "e2e_curation_pipeline", "source_dup_crosstab",
+        # new in round 3, hundred-seventh sweep
+        "user_daily_gapfill", "rounding_policy_audit",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -17927,6 +18033,68 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b
               ON a.t = b.t AND a.doc_id < b.doc_id
             GROUP BY 1, 2
+        """,
+        "user_daily_gapfill": """
+            WITH c AS (
+                SELECT user_id,
+                       CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                           AS day,
+                       CAST(COUNT(*) AS BIGINT) AS y
+                FROM events GROUP BY 1, 2
+            ), b AS (
+                SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+                FROM c GROUP BY 1
+            ), spine AS (
+                SELECT b.user_id,
+                       CAST(unnest(generate_series(b.d0, b.d1))
+                            AS BIGINT) AS day
+                FROM b
+            ), j AS (
+                SELECT s.user_id, s.day, c.y
+                FROM spine s LEFT JOIN c
+                  ON c.user_id = s.user_id AND c.day = s.day
+            ), w AS (
+                SELECT user_id, day, y,
+                       last_value(y IGNORE NULLS) OVER pw AS py,
+                       last_value(CASE WHEN y IS NOT NULL THEN day
+                                  END IGNORE NULLS) OVER pw AS pd,
+                       first_value(y IGNORE NULLS) OVER nw AS ny,
+                       first_value(CASE WHEN y IS NOT NULL THEN day
+                                   END IGNORE NULLS) OVER nw AS nd
+                FROM j
+                WINDOW pw AS (PARTITION BY user_id ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW),
+                       nw AS (PARTITION BY user_id ORDER BY day
+                              ROWS BETWEEN CURRENT ROW
+                              AND UNBOUNDED FOLLOWING)
+            )
+            SELECT user_id, day,
+                   CAST(CASE WHEN y IS NOT NULL THEN 1 ELSE 0 END
+                        AS BIGINT) AS present,
+                   CAST(CASE WHEN y IS NOT NULL THEN y
+                        ELSE py * (nd - day) + ny * (day - pd)
+                        END AS BIGINT) AS num,
+                   CAST(CASE WHEN y IS NOT NULL THEN 1
+                        ELSE nd - pd END AS BIGINT) AS den
+            FROM w
+        """,
+        # np.rint and DuckDB round_even are both IEEE
+        # round-half-to-even on the identical double 100.0*p
+        "rounding_policy_audit": """
+            WITH r AS (
+                SELECT CAST(FLOOR(100.0 * o_totalprice + 0.5)
+                            AS BIGINT)
+                       - CAST(round_even(100.0 * o_totalprice, 0)
+                              AS BIGINT) AS diff
+                FROM orders
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) FILTER (WHERE diff <> 0) AS BIGINT)
+                       AS n_divergent,
+                   CAST(COALESCE(SUM(diff), 0) AS BIGINT)
+                       AS cent_drift
+            FROM r
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

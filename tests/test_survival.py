@@ -986,3 +986,44 @@ def test_source_dup_crosstab_micro(ray_session, tmp_path):
         entrymod.oracle_sql()["source_dup_crosstab"]).arrow()
         .to_pylist(),
         key=lambda r: (r["source_a"], r["source_b"])) == out
+
+
+def test_user_daily_gapfill_micro(ray_session, tmp_path):
+    # user 1 active on days d, d+3 (counts 2, 5) -> gap days d+1, d+2
+    # interpolate: num = 2*(d2-x) + 5*(x-d1), den = 3
+    sf = _write_events(tmp_path, [
+        (1, 0.0, "view"), (1, 0.001, "view"),
+        (1, 3.0, "view"), (1, 3.001, "view"), (1, 3.002, "view"),
+        (1, 3.003, "view"), (1, 3.004, "view")])
+    out = sorted(entrymod.queries()["user_daily_gapfill"](
+        sf).take_all(), key=lambda r: r["day"])
+    d = T0 // US_DAY
+    assert out == [
+        {"user_id": 1, "day": d, "present": 1, "num": 2, "den": 1},
+        {"user_id": 1, "day": d + 1, "present": 0,
+         "num": 2 * 2 + 5 * 1, "den": 3},
+        {"user_id": 1, "day": d + 2, "present": 0,
+         "num": 2 * 1 + 5 * 2, "den": 3},
+        {"user_id": 1, "day": d + 3, "present": 1, "num": 5,
+         "den": 1}]
+    assert _sorted_rows(_oracle(sf, "user_daily_gapfill"),
+                        "day") == out
+
+
+def test_rounding_policy_audit_micro(ray_session, tmp_path):
+    # 0.125 -> 12.5 cents: half-up 13, banker's 12 -> divergent +1;
+    # 0.135 is 13.5 in decimal but NOT exactly .5 in binary -> both
+    # agree; 1.0 -> 100 exact, agree.
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_totalprice": pa.array([0.125, 1.0, 0.145], pa.float64()),
+    })
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    out = entrymod.queries()["rounding_policy_audit"](
+        str(tmp_path)).to_pylist()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/orders.parquet')")
+    assert con.sql(entrymod.oracle_sql()["rounding_policy_audit"]) \
+        .arrow().to_pylist() == out
+    assert out[0]["n_rows"] == 3 and out[0]["n_divergent"] >= 1
