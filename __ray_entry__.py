@@ -11645,6 +11645,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_dup_crosstab": source_dup_crosstab,
         "user_daily_gapfill": user_daily_gapfill,
         "rounding_policy_audit": rounding_policy_audit,
+        "html_table_cells": actor(q.TableCells),
+        "form_disabled_census": actor(q.ControlsCensus),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -11890,6 +11892,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e2e_curation_pipeline", "source_dup_crosstab",
         # new in round 3, hundred-seventh sweep
         "user_daily_gapfill", "rounding_policy_audit",
+        # new in round 3, hundred-eighth sweep
+        "html_table_cells", "form_disabled_census",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -18095,6 +18099,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(SUM(diff), 0) AS BIGINT)
                        AS cent_drift
             FROM r
+        """,
+        # Table grid by construction: header row + doc_id%3+4 data
+        # cells, 2 per row; the real in-table parser must agree.
+        "html_table_cells": """
+            SELECT doc_id, CAST(0 AS BIGINT) AS r,
+                   CAST(0 AS BIGINT) AS c, 'h0' AS cell
+            FROM documents
+            UNION ALL
+            SELECT doc_id, CAST(0 AS BIGINT), CAST(1 AS BIGINT), 'h1'
+            FROM documents
+            UNION ALL
+            SELECT d.doc_id,
+                   CAST(1 + j // 2 AS BIGINT),
+                   CAST(j % 2 AS BIGINT),
+                   'c' || CAST(d.doc_id AS VARCHAR) || '-'
+                       || CAST(j AS VARCHAR)
+            FROM documents d,
+                 UNNEST(generate_series(0, d.doc_id % 3 + 3)) t(j)
+        """,
+        # controls: (d%3+1) inputs + select + (d%4+1) options +
+        # button + fieldset; disabled: fieldset cascade when d odd,
+        # button when d%5==0.
+        "form_disabled_census": """
+            SELECT doc_id,
+                   CAST(doc_id % 3 + 1 + 1 + doc_id % 4 + 1 + 1 + 1
+                        AS BIGINT) AS n_controls,
+                   CAST(CASE WHEN doc_id % 2 = 1
+                             THEN doc_id % 3 + 2 ELSE 0 END
+                        + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS n_disabled
+            FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

@@ -113,6 +113,95 @@ def ref_links_block(doc_key: int) -> str:
     return "".join(out)
 
 
+class TableCells:
+    """Data-table extraction through the real in-table insertion
+    modes: a deterministic table (implied </tr>/</td> everywhere, a
+    <th> header row, doc_id%3+4 data cells laid 2 per row) parses and
+    re-emits as the (doc_id, r, c, cell) grid — the tabular-extraction
+    use case (reference: HTMLReader table handling,
+    Sources/HTMLParser.m in-table modes). The oracle regenerates the
+    grid from doc_id arithmetic, so a broken implied end tag or a
+    misplaced foster parent scrambles the coordinates."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_r, out_c, out_t = [], [], [], []
+        for key in ids:
+            d = int(key)
+            n = d % 3 + 4
+            cells = "".join(
+                ("<tr>" if i % 2 == 0 else "")
+                + f"<td>c{d}-{i}" for i in range(n))
+            page = (f"<!DOCTYPE html><html><body><table id=t>"
+                    f"<tr><th>h0<th>h1{cells}</table></body></html>")
+            doc = parse(page)
+            table = next(el for el in doc.elements_in_tree_order()
+                         if el.tag == "table")
+            r = 0
+            for el in table.elements_in_tree_order():
+                if el.tag == "tr":
+                    c = 0
+                    for cell in el.children:
+                        if getattr(cell, "tag", None) in ("td", "th"):
+                            out_id.append(key)
+                            out_r.append(r)
+                            out_c.append(c)
+                            out_t.append(cell.text_content)
+                            c += 1
+                    r += 1
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_r, pa.int64()),
+             pa.array(out_c, pa.int64()),
+             pa.array(out_t, pa.string())],
+            names=["doc_id", "r", "c", "cell"])
+
+
+class ControlsCensus:
+    """Form-control census through the :disabled CASCADE (a disabled
+    <fieldset> disables its descendant controls — reference selector
+    semantics, Sources/HTMLSelector.m): doc_id%3+1 inputs inside a
+    fieldset disabled when doc_id is odd, a select with doc_id%4+1
+    options, and a button disabled when doc_id%5==0."""
+
+    def __init__(self) -> None:
+        self.all_sel = compile_selector(
+            "input, select, option, button, fieldset")
+        self.dis_sel = compile_selector(":disabled")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_n, out_d = [], [], []
+        for key in ids:
+            d = int(key)
+            fs_dis = " disabled" if d % 2 == 1 else ""
+            btn_dis = " disabled" if d % 5 == 0 else ""
+            inputs = "".join(f"<input id=i{j}>"
+                             for j in range(d % 3 + 1))
+            opts = "".join(f"<option>o{j}</option>"
+                           for j in range(d % 4 + 1))
+            page = (f"<!DOCTYPE html><html><body><form>"
+                    f"<fieldset{fs_dis}>{inputs}</fieldset>"
+                    f"<select>{opts}</select>"
+                    f"<button{btn_dis}>go</button>"
+                    f"</form></body></html>")
+            doc = parse(page)
+            n = nd = 0
+            for el in doc.elements_in_tree_order():
+                if self.all_sel.matches(el):
+                    n += 1
+                    if self.dis_sel.matches(el):
+                        nd += 1
+            out_id.append(key)
+            out_n.append(n)
+            out_d.append(nd)
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_n, pa.int64()),
+             pa.array(out_d, pa.int64())],
+            names=["doc_id", "n_controls", "n_disabled"])
+
+
 class AnchorDepths:
     """Anchor tree-DEPTH census over the generated pages: for every
     a[href] count its Element ancestors and emit the per-doc

@@ -1027,3 +1027,52 @@ def test_rounding_policy_audit_micro(ray_session, tmp_path):
     assert con.sql(entrymod.oracle_sql()["rounding_policy_audit"]) \
         .arrow().to_pylist() == out
     assert out[0]["n_rows"] == 3 and out[0]["n_divergent"] >= 1
+
+
+def test_html_table_cells_micro(ray_session, tmp_path):
+    docs = pa.table({
+        "doc_id": pa.array([2], pa.int64()),
+        "text": pa.array(["x"], pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = sorted(entrymod.queries()["html_table_cells"](
+        str(tmp_path)).take_all(), key=lambda r: (r["r"], r["c"]))
+    # d=2 -> 6 data cells over 3 rows after the header
+    assert out == [
+        {"doc_id": 2, "r": 0, "c": 0, "cell": "h0"},
+        {"doc_id": 2, "r": 0, "c": 1, "cell": "h1"},
+        {"doc_id": 2, "r": 1, "c": 0, "cell": "c2-0"},
+        {"doc_id": 2, "r": 1, "c": 1, "cell": "c2-1"},
+        {"doc_id": 2, "r": 2, "c": 0, "cell": "c2-2"},
+        {"doc_id": 2, "r": 2, "c": 1, "cell": "c2-3"},
+        {"doc_id": 2, "r": 3, "c": 0, "cell": "c2-4"},
+        {"doc_id": 2, "r": 3, "c": 1, "cell": "c2-5"}]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    assert sorted(con.sql(
+        entrymod.oracle_sql()["html_table_cells"]).arrow()
+        .to_pylist(), key=lambda r: (r["r"], r["c"])) == out
+
+
+def test_form_disabled_census_micro(ray_session, tmp_path):
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 5], pa.int64()),
+        "text": pa.array(["x"] * 3, pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = _sorted_rows(pa.Table.from_pylist(
+        entrymod.queries()["form_disabled_census"](
+            str(tmp_path)).take_all()), "doc_id")
+    # d=0: 5 controls, button disabled; d=1: fieldset cascade (3);
+    # d=5: cascade (4) + button (1)
+    assert out == [
+        {"doc_id": 0, "n_controls": 5, "n_disabled": 1},
+        {"doc_id": 1, "n_controls": 7, "n_disabled": 3},
+        {"doc_id": 5, "n_controls": 8, "n_disabled": 5}]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    assert _sorted_rows(con.sql(
+        entrymod.oracle_sql()["form_disabled_census"]).arrow(),
+        "doc_id") == out
