@@ -11647,6 +11647,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rounding_policy_audit": rounding_policy_audit,
         "html_table_cells": actor(q.TableCells),
         "form_disabled_census": actor(q.ControlsCensus),
+        "foreign_content_census": actor(q.ForeignContentCensus),
+        "scripting_flag_diff": actor(q.ScriptingFlagDiff),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -11894,6 +11896,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_daily_gapfill", "rounding_policy_audit",
         # new in round 3, hundred-eighth sweep
         "html_table_cells", "form_disabled_census",
+        # new in round 3, hundred-ninth sweep
+        "foreign_content_census", "scripting_flag_diff",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -18129,6 +18133,24 @@ def oracle_sql() -> dict[str, str]:
                              THEN doc_id % 3 + 2 ELSE 0 END
                         + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
                         AS BIGINT) AS n_disabled
+            FROM documents
+        """,
+        # svg: svg + (d%2+1) circles + text; math: math + mi +
+        # (d%3+1) mn + annotation-xml; the integration-point <p> is
+        # HTML (exactly 1).
+        "foreign_content_census": """
+            SELECT doc_id,
+                   CAST(doc_id % 2 + 3 AS BIGINT) AS n_svg,
+                   CAST(doc_id % 3 + 4 AS BIGINT) AS n_math,
+                   CAST(1 AS BIGINT) AS n_html_ip
+            FROM documents
+        """,
+        # scripting on: noscript is RAWTEXT (html/head/body/noscript
+        # = 4); off: + p + span + (d%3) em children.
+        "scripting_flag_diff": """
+            SELECT doc_id,
+                   CAST(4 AS BIGINT) AS n_elems_on,
+                   CAST(6 + doc_id % 3 AS BIGINT) AS n_elems_off
             FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):

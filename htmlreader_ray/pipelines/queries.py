@@ -202,6 +202,82 @@ class ControlsCensus:
             names=["doc_id", "n_controls", "n_disabled"])
 
 
+class ForeignContentCensus:
+    """Foreign-content namespace census: generated pages with an SVG
+    island (doc_id%2+1 circles + a text), a MathML island (mi +
+    doc_id%3+1 mns + an annotation-xml text/html INTEGRATION POINT
+    holding an HTML <p>) — counts per namespace prove the tree
+    builder switched in and out of foreign content at the right
+    places (reference foreign-content rules,
+    Sources/HTMLParser.m in-foreign-content)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernel.dom import MATHML_NS, SVG_NS
+
+        ids = batch.column("doc_id").to_pylist()
+        out = ([], [], [], [])
+        for key in ids:
+            d = int(key)
+            circles = "<circle r=1 />" * (d % 2 + 1)
+            mns = "".join(f"<mn>{j}</mn>" for j in range(d % 3 + 1))
+            page = (f"<!DOCTYPE html><html><body>"
+                    f"<svg viewBox=\"0 0 1 1\">{circles}"
+                    f"<text>t</text></svg>"
+                    f"<math><mi>x</mi>{mns}"
+                    f"<annotation-xml encoding=\"text/html\">"
+                    f"<p>ip</p></annotation-xml></math>"
+                    f"</body></html>")
+            doc = parse(page)
+            n_svg = n_math = n_p = 0
+            for el in doc.elements_in_tree_order():
+                if el.namespace == SVG_NS:
+                    n_svg += 1
+                elif el.namespace == MATHML_NS:
+                    n_math += 1
+                elif el.tag == "p":
+                    n_p += 1
+            out[0].append(key)
+            out[1].append(n_svg)
+            out[2].append(n_math)
+            out[3].append(n_p)
+        return pa.Table.from_arrays(
+            [pa.array(out[0], pa.int64()),
+             pa.array(out[1], pa.int64()),
+             pa.array(out[2], pa.int64()),
+             pa.array(out[3], pa.int64())],
+            names=["doc_id", "n_svg", "n_math", "n_html_ip"])
+
+
+class ScriptingFlagDiff:
+    """The scripting-flag semantics as a graded diff: <noscript> is
+    RAWTEXT when scripting is on (reference parity,
+    Sources/HTMLParser.m:500/914) but parses its children when off —
+    the same page parsed both ways must differ by exactly the
+    construction-known element count."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_on, out_off = [], [], []
+        for key in ids:
+            d = int(key)
+            extra = "<em>e</em>" * (d % 3)
+            page = (f"<!DOCTYPE html><html><body><noscript>"
+                    f"<p>a</p><span>b</span>{extra}"
+                    f"</noscript></body></html>")
+            n_on = sum(1 for _ in parse(
+                page, scripting=True).elements_in_tree_order())
+            n_off = sum(1 for _ in parse(
+                page, scripting=False).elements_in_tree_order())
+            out_id.append(key)
+            out_on.append(n_on)
+            out_off.append(n_off)
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_on, pa.int64()),
+             pa.array(out_off, pa.int64())],
+            names=["doc_id", "n_elems_on", "n_elems_off"])
+
+
 class AnchorDepths:
     """Anchor tree-DEPTH census over the generated pages: for every
     a[href] count its Element ancestors and emit the per-doc

@@ -1076,3 +1076,34 @@ def test_form_disabled_census_micro(ray_session, tmp_path):
     assert _sorted_rows(con.sql(
         entrymod.oracle_sql()["form_disabled_census"]).arrow(),
         "doc_id") == out
+
+
+def test_foreign_and_scripting_micro(ray_session, tmp_path):
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 5], pa.int64()),
+        "text": pa.array(["x"] * 3, pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    fc = _sorted_rows(pa.Table.from_pylist(
+        entrymod.queries()["foreign_content_census"](
+            str(tmp_path)).take_all()), "doc_id")
+    assert fc == [
+        {"doc_id": 0, "n_svg": 3, "n_math": 4, "n_html_ip": 1},
+        {"doc_id": 1, "n_svg": 4, "n_math": 5, "n_html_ip": 1},
+        {"doc_id": 5, "n_svg": 4, "n_math": 6, "n_html_ip": 1}]
+    sd = _sorted_rows(pa.Table.from_pylist(
+        entrymod.queries()["scripting_flag_diff"](
+            str(tmp_path)).take_all()), "doc_id")
+    assert sd == [
+        {"doc_id": 0, "n_elems_on": 4, "n_elems_off": 6},
+        {"doc_id": 1, "n_elems_on": 4, "n_elems_off": 7},
+        {"doc_id": 5, "n_elems_on": 4, "n_elems_off": 8}]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    assert _sorted_rows(con.sql(
+        entrymod.oracle_sql()["foreign_content_census"]).arrow(),
+        "doc_id") == fc
+    assert _sorted_rows(con.sql(
+        entrymod.oracle_sql()["scripting_flag_diff"]).arrow(),
+        "doc_id") == sd
