@@ -11649,6 +11649,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "form_disabled_census": actor(q.ControlsCensus),
         "foreign_content_census": actor(q.ForeignContentCensus),
         "scripting_flag_diff": actor(q.ScriptingFlagDiff),
+        "template_content_census": actor(q.TemplateCensus),
+        "entity_edge_cases": actor(q.EntityEdgeCases),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -11898,6 +11900,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_table_cells", "form_disabled_census",
         # new in round 3, hundred-ninth sweep
         "foreign_content_census", "scripting_flag_diff",
+        # new in round 3, hundred-tenth sweep
+        "template_content_census", "entity_edge_cases",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -18151,6 +18155,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(4 AS BIGINT) AS n_elems_on,
                    CAST(6 + doc_id % 3 AS BIGINT) AS n_elems_off
+            FROM documents
+        """,
+        "template_content_census": """
+            SELECT doc_id,
+                   CAST(doc_id % 3 + 1 AS BIGINT) AS n_tpl_items,
+                   CAST(doc_id % 2 + 1 AS BIGINT) AS n_list_items
+            FROM documents
+        """,
+        # expected decodings of the cycled entity edge cases (legacy
+        # no-semicolon prefixes, out-of-range/NUL -> U+FFFD, double
+        # escaping), wrapped X..Y
+        "entity_edge_cases": """
+            SELECT doc_id,
+                   CASE doc_id % 6
+                       WHEN 0 THEN 'X' || chr(172) || 'it;Y'
+                       WHEN 1 THEN 'X' || chr(65533) || 'Y'
+                       WHEN 2 THEN 'X' || chr(65533) || 'Y'
+                       WHEN 3 THEN 'X&lt;Y'
+                       WHEN 4 THEN 'X' || chr(220) || 'Y'
+                       ELSE 'X' || chr(169) || '=ZY'
+                   END AS decoded
             FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):

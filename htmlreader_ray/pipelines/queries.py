@@ -278,6 +278,79 @@ class ScriptingFlagDiff:
             names=["doc_id", "n_elems_on", "n_elems_off"])
 
 
+class TemplateCensus:
+    """<template> parse census — the IN TEMPLATE insertion mode lets
+    bare <li> live directly under template content (no implied <ul>,
+    no foster move) while the sibling real list behaves normally.
+    The reference SKIPS template.dat; this repo implements it, and
+    this query pins it through the graded gate: (doc_id, n_tpl_items
+    = d%3+1, n_list_items = d%2+1), classified by nearest-template
+    ancestry."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_t, out_l = [], [], []
+        for key in ids:
+            d = int(key)
+            tpl = "<li>t</li>" * (d % 3 + 1)
+            real = "<li>r</li>" * (d % 2 + 1)
+            page = (f"<!DOCTYPE html><html><body>"
+                    f"<template>{tpl}</template>"
+                    f"<ul>{real}</ul></body></html>")
+            doc = parse(page)
+            n_t = n_l = 0
+            for el in doc.elements_in_tree_order():
+                if el.tag != "li":
+                    continue
+                p, in_tpl = el.parent, False
+                while p is not None:
+                    if getattr(p, "tag", None) == "template":
+                        in_tpl = True
+                        break
+                    p = p.parent
+                if in_tpl:
+                    n_t += 1
+                else:
+                    n_l += 1
+            out_id.append(key)
+            out_t.append(n_t)
+            out_l.append(n_l)
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_t, pa.int64()),
+             pa.array(out_l, pa.int64())],
+            names=["doc_id", "n_tpl_items", "n_list_items"])
+
+
+_ENTITY_CASES = ("&notit;", "&#x110000;", "&#0;", "&amp;lt;",
+                 "&Uuml", "&copy=Z")
+
+
+class EntityEdgeCases:
+    """Char-ref decoder edge branches through the graded gate: legacy
+    no-semicolon longest-prefix matches (&notit; → ¬it;, &Uuml → Ü,
+    &copy=Z → ©=Z in TEXT context), out-of-range and NUL numeric refs
+    (→ U+FFFD), and double-escaping (&amp;lt; → literal &lt;) —
+    reference entity table semantics (Sources/HTMLTokenizer.m
+    character-reference state)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_t = [], []
+        for key in ids:
+            case = _ENTITY_CASES[int(key) % len(_ENTITY_CASES)]
+            doc = parse(f"<!DOCTYPE html><html><body><p>X{case}Y</p>"
+                        f"</body></html>")
+            p = next(el for el in doc.elements_in_tree_order()
+                     if el.tag == "p")
+            out_id.append(key)
+            out_t.append(p.text_content)
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_t, pa.string())],
+            names=["doc_id", "decoded"])
+
+
 class AnchorDepths:
     """Anchor tree-DEPTH census over the generated pages: for every
     a[href] count its Element ancestors and emit the per-doc

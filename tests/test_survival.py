@@ -1107,3 +1107,31 @@ def test_foreign_and_scripting_micro(ray_session, tmp_path):
     assert _sorted_rows(con.sql(
         entrymod.oracle_sql()["scripting_flag_diff"]).arrow(),
         "doc_id") == sd
+
+
+def test_template_and_entities_micro(ray_session, tmp_path):
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(["x"] * 6, pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    tc = _sorted_rows(pa.Table.from_pylist(
+        entrymod.queries()["template_content_census"](
+            str(tmp_path)).take_all()), "doc_id")
+    assert tc == [{"doc_id": d, "n_tpl_items": d % 3 + 1,
+                   "n_list_items": d % 2 + 1} for d in range(6)]
+    ee = _sorted_rows(pa.Table.from_pylist(
+        entrymod.queries()["entity_edge_cases"](
+            str(tmp_path)).take_all()), "doc_id")
+    assert [r["decoded"] for r in ee] == [
+        "X¬it;Y", "X�Y", "X�Y", "X&lt;Y",
+        "XÜY", "X©=ZY"]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    assert _sorted_rows(con.sql(
+        entrymod.oracle_sql()["template_content_census"]).arrow(),
+        "doc_id") == tc
+    assert _sorted_rows(con.sql(
+        entrymod.oracle_sql()["entity_edge_cases"]).arrow(),
+        "doc_id") == ee
