@@ -11651,6 +11651,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scripting_flag_diff": actor(q.ScriptingFlagDiff),
         "template_content_census": actor(q.TemplateCensus),
         "entity_edge_cases": actor(q.EntityEdgeCases),
+        "adoption_agency_census": actor(q.AdoptionCensus),
+        "rawtext_payload_len": actor(q.RawtextPayloadLen),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -11902,6 +11904,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "foreign_content_census", "scripting_flag_diff",
         # new in round 3, hundred-tenth sweep
         "template_content_census", "entity_edge_cases",
+        # new in round 3, hundred-eleventh sweep
+        "adoption_agency_census", "rawtext_payload_len",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -18176,6 +18180,25 @@ def oracle_sql() -> dict[str, str]:
                        WHEN 4 THEN 'X' || chr(220) || 'Y'
                        ELSE 'X' || chr(169) || '=ZY'
                    END AS decoded
+            FROM documents
+        """,
+        # spec-determined counts per misnesting case (i splits, b
+        # clones, a triples)
+        "adoption_agency_census": """
+            SELECT doc_id,
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2
+                        ELSE 0 END AS BIGINT) AS n_b,
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 2 ELSE 0 END
+                        AS BIGINT) AS n_i,
+                   CAST(CASE doc_id % 3 WHEN 2 THEN 3 ELSE 0 END
+                        AS BIGINT) AS n_a,
+                   CAST(1 AS BIGINT) AS n_p
+            FROM documents
+        """,
+        "rawtext_payload_len": """
+            SELECT doc_id,
+                   CAST(17 + doc_id % 7 AS BIGINT) AS script_len,
+                   CAST(8 + doc_id % 5 AS BIGINT) AS style_len
             FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):

@@ -351,6 +351,75 @@ class EntityEdgeCases:
             names=["doc_id", "decoded"])
 
 
+_AAA_CASES = ("<p>1<b>2<i>3</b>4</i>5</p>",
+              "<b><p>x</b>y</p>",
+              "<a>1<p>2<a>3</p>")
+
+
+class AdoptionCensus:
+    """Adoption-agency node-multiplication census: the three classic
+    misnesting shapes (formatting split, block-in-formatting clone,
+    nested <a>) cycled per doc; the resulting element counts are
+    spec-determined (i splits to 2, b clones to 2, a triples) —
+    reference adoption agency, Sources/HTMLParser.m:1422."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "n_b", "n_i", "n_a", "n_p")}
+        for key in ids:
+            case = _AAA_CASES[int(key) % 3]
+            doc = parse(f"<!DOCTYPE html><html><body>{case}"
+                        f"</body></html>")
+            cnt = {"b": 0, "i": 0, "a": 0, "p": 0}
+            for el in doc.elements_in_tree_order():
+                if el.tag in cnt:
+                    cnt[el.tag] += 1
+            cols["doc_id"].append(key)
+            cols["n_b"].append(cnt["b"])
+            cols["n_i"].append(cnt["i"])
+            cols["n_a"].append(cnt["a"])
+            cols["n_p"].append(cnt["p"])
+        return pa.Table.from_arrays(
+            [pa.array(cols[k], pa.int64()) for k in
+             ("doc_id", "n_b", "n_i", "n_a", "n_p")],
+            names=["doc_id", "n_b", "n_i", "n_a", "n_p"])
+
+
+class RawtextPayloadLen:
+    """RAWTEXT fidelity through the gate: script/style bodies with
+    embedded fake end tags ('</b>', CSS comments) must survive
+    verbatim — lengths are construction-known (17 + d%7 script,
+    8 + d%5 style). Reference RAWTEXT/script-data states,
+    Sources/HTMLTokenizer.m."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_s, out_c = [], [], []
+        for key in ids:
+            d = int(key)
+            sbody = 'var a = "</b>";//' + "x" * (d % 7)
+            cbody = ".c{}/*" + "y" * (d % 5) + "*/"
+            page = (f"<!DOCTYPE html><html><head>"
+                    f"<script>{sbody}</script>"
+                    f"<style>{cbody}</style>"
+                    f"</head><body>z</body></html>")
+            doc = parse(page)
+            sl = cl = -1
+            for el in doc.elements_in_tree_order():
+                if el.tag == "script":
+                    sl = len(el.text_content)
+                elif el.tag == "style":
+                    cl = len(el.text_content)
+            out_id.append(key)
+            out_s.append(sl)
+            out_c.append(cl)
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_s, pa.int64()),
+             pa.array(out_c, pa.int64())],
+            names=["doc_id", "script_len", "style_len"])
+
+
 class AnchorDepths:
     """Anchor tree-DEPTH census over the generated pages: for every
     a[href] count its Element ancestors and emit the per-doc

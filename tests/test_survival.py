@@ -1135,3 +1135,33 @@ def test_template_and_entities_micro(ray_session, tmp_path):
     assert _sorted_rows(con.sql(
         entrymod.oracle_sql()["entity_edge_cases"]).arrow(),
         "doc_id") == ee
+
+
+def test_adoption_and_rawtext_micro(ray_session, tmp_path):
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 6], pa.int64()),
+        "text": pa.array(["x"] * 4, pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    aa = _sorted_rows(pa.Table.from_pylist(
+        entrymod.queries()["adoption_agency_census"](
+            str(tmp_path)).take_all()), "doc_id")
+    assert aa == [
+        {"doc_id": 0, "n_b": 1, "n_i": 2, "n_a": 0, "n_p": 1},
+        {"doc_id": 1, "n_b": 2, "n_i": 0, "n_a": 0, "n_p": 1},
+        {"doc_id": 2, "n_b": 0, "n_i": 0, "n_a": 3, "n_p": 1},
+        {"doc_id": 6, "n_b": 1, "n_i": 2, "n_a": 0, "n_p": 1}]
+    rt = _sorted_rows(pa.Table.from_pylist(
+        entrymod.queries()["rawtext_payload_len"](
+            str(tmp_path)).take_all()), "doc_id")
+    assert rt == [{"doc_id": d, "script_len": 17 + d % 7,
+                   "style_len": 8 + d % 5} for d in (0, 1, 2, 6)]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    assert _sorted_rows(con.sql(
+        entrymod.oracle_sql()["adoption_agency_census"]).arrow(),
+        "doc_id") == aa
+    assert _sorted_rows(con.sql(
+        entrymod.oracle_sql()["rawtext_payload_len"]).arrow(),
+        "doc_id") == rt
