@@ -11292,6 +11292,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
              pa.array([sum(int(r["sd"]) for r in parts)], pa.int64())],
             names=["n_rows", "n_divergent", "cent_drift"])
 
+    def type_share_wilson(sf_dir: str):
+        """Wilson score confidence interval (z=1.96) for each event
+        type's share — the ranking-safe proportion CI. The bound
+        needs sqrt, but IEEE sqrt is CORRECTLY ROUNDED (unlike ln),
+        so the full float expression tree is mirrored verbatim on
+        both sides and quantized ⌊10⁶·x+0.5⌋ — bit-stable without a
+        rational contract. ONE type combiner; 5-type driver
+        finale."""
+        import math
+
+        import pyarrow as pa
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        counts = {r["event_type"]: int(r["n"]) for r in
+                  combine_aggregate(
+            _read(sf_dir, "events", ["event_type"]),
+            ["event_type"], [("", "count", "n")]).take_all()}
+        n = sum(counts.values())
+        types = sorted(counts)
+        los, his = [], []
+        for t in types:
+            k = counts[t]
+            ph = k / n
+            den = 1 + 1.96 * 1.96 / n
+            center = (ph + 1.96 * 1.96 / (2 * n)) / den
+            half = 1.96 * math.sqrt(
+                ph * (1 - ph) / n + 1.96 * 1.96 / (4 * n * n)) / den
+            los.append(math.floor(1e6 * (center - half) + 0.5))
+            his.append(math.floor(1e6 * (center + half) + 0.5))
+        return pa.Table.from_arrays(
+            [pa.array(types, pa.string()),
+             pa.array([counts[t] for t in types], pa.int64()),
+             pa.array([n] * len(types), pa.int64()),
+             pa.array(los, pa.int64()),
+             pa.array(his, pa.int64())],
+            names=["event_type", "k", "n", "wilson_lo_e6",
+                   "wilson_hi_e6"])
+
     def late_event_audit(sf_dir: str):
         """Streaming watermark audit: per user, how many events arrive
         (by event_id order) with an event time > 1 h behind the user's
@@ -11653,6 +11691,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_edge_cases": actor(q.EntityEdgeCases),
         "adoption_agency_census": actor(q.AdoptionCensus),
         "rawtext_payload_len": actor(q.RawtextPayloadLen),
+        "attr_edge_census": actor(q.AttrEdgeCensus),
+        "type_share_wilson": type_share_wilson,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -11906,6 +11946,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "template_content_census", "entity_edge_cases",
         # new in round 3, hundred-eleventh sweep
         "adoption_agency_census", "rawtext_payload_len",
+        # new in round 3, hundred-twelfth sweep
+        "attr_edge_census", "type_share_wilson",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -18200,6 +18242,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(17 + doc_id % 7 AS BIGINT) AS script_len,
                    CAST(8 + doc_id % 5 AS BIGINT) AS style_len
             FROM documents
+        """,
+        "attr_edge_census": """
+            SELECT doc_id,
+                   CASE doc_id % 4
+                       WHEN 0 THEN 'a=1,b=,c=3'
+                       WHEN 1 THEN 'x=a/b,y=c&d,z='
+                       WHEN 2 THEN 'checked='
+                       ELSE 'a=UP,ab=2'
+                   END AS attrs_csv
+            FROM documents
+        """,
+        # sqrt is IEEE correctly rounded, so the mirrored float
+        # expression tree is bit-stable (unlike ln-based contracts)
+        "type_share_wilson": """
+            WITH c AS (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k
+                FROM events GROUP BY 1
+            ), t AS (
+                SELECT CAST(SUM(k) AS BIGINT) AS n FROM c
+            )
+            SELECT c.event_type, c.k, t.n,
+                   CAST(FLOOR(1000000.0 * (
+                       ((CAST(c.k AS DOUBLE) / t.n)
+                        + 1.96 * 1.96 / (2 * t.n))
+                       / (1 + 1.96 * 1.96 / t.n)
+                       - 1.96 * sqrt(
+                           (CAST(c.k AS DOUBLE) / t.n)
+                           * (1 - CAST(c.k AS DOUBLE) / t.n) / t.n
+                           + 1.96 * 1.96 / (4 * t.n * t.n))
+                         / (1 + 1.96 * 1.96 / t.n)) + 0.5)
+                        AS BIGINT) AS wilson_lo_e6,
+                   CAST(FLOOR(1000000.0 * (
+                       ((CAST(c.k AS DOUBLE) / t.n)
+                        + 1.96 * 1.96 / (2 * t.n))
+                       / (1 + 1.96 * 1.96 / t.n)
+                       + 1.96 * sqrt(
+                           (CAST(c.k AS DOUBLE) / t.n)
+                           * (1 - CAST(c.k AS DOUBLE) / t.n) / t.n
+                           + 1.96 * 1.96 / (4 * t.n * t.n))
+                         / (1 + 1.96 * 1.96 / t.n)) + 0.5)
+                        AS BIGINT) AS wilson_hi_e6
+            FROM c CROSS JOIN t
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

@@ -420,6 +420,41 @@ class RawtextPayloadLen:
             names=["doc_id", "script_len", "style_len"])
 
 
+_ATTR_CASES = (
+    ("<div a=1 a=2 b c='3'>x</div>", "div"),
+    ("<div x=a/b y=c&amp;d z>x</div>", "div"),
+    ("<br/ ><input checked>", "input"),
+    ("<div A=UP aB=2>x</div>", "div"),
+)
+
+
+class AttrEdgeCensus:
+    """Attribute-tokenizer edge census: duplicate attribute (FIRST
+    wins), empty/boolean values, '/' inside an unquoted value,
+    entity decoding in values, self-closing solidus on a void, and
+    ASCII-only name folding — reference attribute states,
+    Sources/HTMLTokenizer.m:193-201. Emits the parsed attribute dict
+    as a sorted k=v CSV per cycled case."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_csv = [], []
+        for key in ids:
+            frag, want = _ATTR_CASES[int(key) % len(_ATTR_CASES)]
+            doc = parse(f"<!DOCTYPE html><html><body>{frag}"
+                        f"</body></html>")
+            el = next(e for e in doc.elements_in_tree_order()
+                      if e.tag == want)
+            csv = ",".join(f"{k}={v}" for k, v in
+                           sorted(el.attrs.items()))
+            out_id.append(key)
+            out_csv.append(csv)
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_csv, pa.string())],
+            names=["doc_id", "attrs_csv"])
+
+
 class AnchorDepths:
     """Anchor tree-DEPTH census over the generated pages: for every
     a[href] count its Element ancestors and emit the per-doc

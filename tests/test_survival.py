@@ -1165,3 +1165,40 @@ def test_adoption_and_rawtext_micro(ray_session, tmp_path):
     assert _sorted_rows(con.sql(
         entrymod.oracle_sql()["rawtext_payload_len"]).arrow(),
         "doc_id") == rt
+
+
+def test_attr_edges_and_wilson_micro(ray_session, tmp_path):
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["x"] * 4, pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    ae = _sorted_rows(pa.Table.from_pylist(
+        entrymod.queries()["attr_edge_census"](
+            str(tmp_path)).take_all()), "doc_id")
+    assert [r["attrs_csv"] for r in ae] == [
+        "a=1,b=,c=3", "x=a/b,y=c&d,z=", "checked=", "a=UP,ab=2"]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    assert _sorted_rows(con.sql(
+        entrymod.oracle_sql()["attr_edge_census"]).arrow(),
+        "doc_id") == ae
+
+    # Wilson: k=3 of n=4 -> hand-check one bound end to end
+    sf = _write_events(tmp_path, [
+        (1, 0.1, "view"), (1, 0.2, "view"), (1, 0.3, "view"),
+        (2, 0.4, "purchase")])
+    out = _sorted_rows(entrymod.queries()["type_share_wilson"](sf),
+                       "event_type")
+    ph, n = 3 / 4, 4
+    den = 1 + 1.96 * 1.96 / n
+    center = (ph + 1.96 * 1.96 / (2 * n)) / den
+    half = 1.96 * math.sqrt(
+        ph * (1 - ph) / n + 1.96 * 1.96 / (4 * n * n)) / den
+    assert out[1] == {
+        "event_type": "view", "k": 3, "n": 4,
+        "wilson_lo_e6": math.floor(1e6 * (center - half) + 0.5),
+        "wilson_hi_e6": math.floor(1e6 * (center + half) + 0.5)}
+    assert _sorted_rows(_oracle(sf, "type_share_wilson"),
+                        "event_type") == out
