@@ -11330,6 +11330,105 @@ def queries() -> dict[str, Callable[[str], Any]]:
             names=["event_type", "k", "n", "wilson_lo_e6",
                    "wilson_hi_e6"])
 
+    def fd_violation_audit(sf_dir: str):
+        """Functional-dependency profiling (schema discovery): for
+        candidate FDs lang→source, source→lang, lang→(n_chars%7),
+        count violations Σ_groups (distinct_rhs − 1) and the
+        violating-group count. ONE distinct (lhs_col, lhs, rhs)
+        combiner per FD (vocab-bounded), unioned into a single
+        stream; all-integer finale."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def proj(b: pa.Table) -> pa.Table:
+            mod7 = pc.cast(pc.bit_wise_and(
+                b.column("n_chars"), pa.scalar(7, pa.int64())),
+                pa.string())
+            lang = b.column("lang")
+            src = b.column("source")
+
+            def tag(name, lhs, rhs):
+                return pa.Table.from_arrays(
+                    [pa.array([name] * len(b), pa.string()),
+                     lhs if not isinstance(lhs, pa.ChunkedArray)
+                     else lhs.combine_chunks(),
+                     rhs if not isinstance(rhs, pa.ChunkedArray)
+                     else rhs.combine_chunks()],
+                    names=["fd", "lhs", "rhs"])
+            return pa.concat_tables([
+                tag("lang->source", lang, src),
+                tag("source->lang", src, lang),
+                tag("lang->chars_and7", lang, mod7)])
+
+        dist = combine_aggregate(
+            _read(sf_dir, "documents",
+                  ["lang", "source", "n_chars"]).map_batches(
+                proj, batch_format="pyarrow"),
+            ["fd", "lhs", "rhs"], [("", "count", "_c")]).take_all()
+        acc: dict = {}
+        for r in dist:
+            acc.setdefault(r["fd"], {}).setdefault(
+                r["lhs"], set()).add(r["rhs"])
+        fds = sorted(acc)
+        viols, groups = [], []
+        for f in fds:
+            v = sum(len(s) - 1 for s in acc[f].values())
+            g = sum(1 for s in acc[f].values() if len(s) > 1)
+            viols.append(v)
+            groups.append(g)
+        return pa.Table.from_arrays(
+            [pa.array(fds, pa.string()),
+             pa.array(groups, pa.int64()),
+             pa.array(viols, pa.int64())],
+            names=["fd", "n_violating_groups", "n_violations"])
+
+    def customers_all_urgent(sf_dir: str):
+        """Relational DIVISION (the ∀ quantifier): customers all of
+        whose orders are 1-URGENT (and who have ≥1 order) — the
+        missing complement to the EXISTS/NOT-EXISTS pair. Per-block
+        (custkey, n, n_urgent) partials through ONE narrow customer
+        combiner; keep n == n_urgent."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def partial(b: pa.Table) -> pa.Table:
+            urgent = pc.cast(pc.equal(
+                b.column("o_orderpriority"),
+                pa.scalar("1-URGENT")), pa.int64())
+            return pa.Table.from_arrays(
+                [b.column("o_custkey"),
+                 urgent if not isinstance(urgent, pa.ChunkedArray)
+                 else urgent.combine_chunks()],
+                names=["c", "u"])
+
+        agg = combine_aggregate(
+            _read(sf_dir, "orders",
+                  ["o_custkey", "o_orderpriority"]).map_batches(
+                partial, batch_format="pyarrow"),
+            ["c"], [("", "count", "n"), ("u", "sum", "nu")])
+
+        def keep(b: pa.Table) -> pa.Table:
+            n = pc.cast(b.column("n"), pa.int64())
+            nu = pc.cast(b.column("nu"), pa.int64())
+            t = pa.Table.from_arrays(
+                [b.column("c"), n, nu],
+                names=["c_custkey", "n_orders", "nu"])
+            return t.filter(pc.equal(t.column("n_orders"),
+                                     t.column("nu"))) \
+                .select(["c_custkey", "n_orders"])
+
+        # typed materialization: an all-divided-out result must still
+        # carry the (c_custkey, n_orders) schema (empty-block pitfall)
+        rows = sorted(
+            (int(r["c_custkey"]), int(r["n_orders"])) for r in
+            agg.map_batches(keep, batch_format="pyarrow").take_all())
+        return pa.Table.from_arrays(
+            [pa.array([r[0] for r in rows], pa.int64()),
+             pa.array([r[1] for r in rows], pa.int64())],
+            names=["c_custkey", "n_orders"])
+
     def late_event_audit(sf_dir: str):
         """Streaming watermark audit: per user, how many events arrive
         (by event_id order) with an event time > 1 h behind the user's
@@ -11693,6 +11792,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rawtext_payload_len": actor(q.RawtextPayloadLen),
         "attr_edge_census": actor(q.AttrEdgeCensus),
         "type_share_wilson": type_share_wilson,
+        "fd_violation_audit": fd_violation_audit,
+        "customers_all_urgent": customers_all_urgent,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -11948,6 +12049,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adoption_agency_census", "rawtext_payload_len",
         # new in round 3, hundred-twelfth sweep
         "attr_edge_census", "type_share_wilson",
+        # new in round 3, hundred-thirteenth sweep
+        "fd_violation_audit", "customers_all_urgent",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -18284,6 +18387,33 @@ def oracle_sql() -> dict[str, str]:
                          / (1 + 1.96 * 1.96 / t.n)) + 0.5)
                         AS BIGINT) AS wilson_hi_e6
             FROM c CROSS JOIN t
+        """,
+        "fd_violation_audit": """
+            WITH u AS (
+                SELECT 'lang->source' AS fd, lang AS lhs,
+                       source AS rhs FROM documents
+                UNION ALL
+                SELECT 'source->lang', source, lang FROM documents
+                UNION ALL
+                SELECT 'lang->chars_and7', lang,
+                       CAST(n_chars & 7 AS VARCHAR) FROM documents
+            ), g AS (
+                SELECT fd, lhs, COUNT(DISTINCT rhs) AS d
+                FROM u GROUP BY 1, 2
+            )
+            SELECT fd,
+                   CAST(COUNT(*) FILTER (WHERE d > 1) AS BIGINT)
+                       AS n_violating_groups,
+                   CAST(SUM(d - 1) AS BIGINT) AS n_violations
+            FROM g GROUP BY 1
+        """,
+        "customers_all_urgent": """
+            SELECT o_custkey AS c_custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders
+            GROUP BY 1
+            HAVING COUNT(*) = COUNT(*) FILTER
+                   (WHERE o_orderpriority = '1-URGENT')
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

@@ -1202,3 +1202,47 @@ def test_attr_edges_and_wilson_micro(ray_session, tmp_path):
         "wilson_hi_e6": math.floor(1e6 * (center + half) + 0.5)}
     assert _sorted_rows(_oracle(sf, "type_share_wilson"),
                         "event_type") == out
+
+
+def test_fd_and_division_micro(ray_session, tmp_path):
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "lang": pa.array(["en", "en", "fr"], pa.string()),
+        "source": pa.array(["s1", "s2", "s1"], pa.string()),
+        "n_chars": pa.array([8, 8, 9], pa.int64()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    fd = _sorted_rows(entrymod.queries()["fd_violation_audit"](
+        str(tmp_path)), "fd")
+    # lang->source: en -> {s1,s2} = 1 violation; source->lang:
+    # s1 -> {en,fr} = 1; lang->chars&7: en->{0}, fr->{1} = 0
+    assert fd == [
+        {"fd": "lang->chars_and7", "n_violating_groups": 0,
+         "n_violations": 0},
+        {"fd": "lang->source", "n_violating_groups": 1,
+         "n_violations": 1},
+        {"fd": "source->lang", "n_violating_groups": 1,
+         "n_violations": 1}]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    assert _sorted_rows(con.sql(
+        entrymod.oracle_sql()["fd_violation_audit"]).arrow(),
+        "fd") == fd
+
+    orders = pa.table({
+        "o_custkey": pa.array([1, 1, 2, 3], pa.int64()),
+        "o_orderpriority": pa.array(
+            ["1-URGENT", "1-URGENT", "5-LOW", "1-URGENT"],
+            pa.string()),
+    })
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    out = entrymod.queries()["customers_all_urgent"](
+        str(tmp_path)).to_pylist()
+    assert out == [{"c_custkey": 1, "n_orders": 2},
+                   {"c_custkey": 3, "n_orders": 1}]
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/orders.parquet')")
+    assert _sorted_rows(con.sql(
+        entrymod.oracle_sql()["customers_all_urgent"]).arrow(),
+        "c_custkey") == out
