@@ -11429,6 +11429,136 @@ def queries() -> dict[str, Callable[[str], Any]]:
              pa.array([r[1] for r in rows], pa.int64())],
             names=["c_custkey", "n_orders"])
 
+    def host_bfs_depths(sf_dir: str):
+        """Single-source shortest paths (BFS) on the host co-citation
+        graph from h0.example.com — the missing shortest-path family
+        member. Edges reduce to the DISTINCT pair set via one
+        combiner (bounded by the host universe²); the BFS itself
+        runs driver-side on that bounded edge list (at web scale:
+        the alternating frontier-join rounds of
+        functions/graph.pagerank shape). Seed row always present."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+        from htmlreader_ray.functions.urls import url_host_column
+
+        SEED = "h0.example.com"
+        links = _read(sf_dir, "documents",
+                      ["doc_id", "text"]).map_batches(
+            q.as_task(q.LinkExtract), batch_format="pyarrow")
+
+        def pairs(b: pa.Table) -> pa.Table:
+            t = pa.Table.from_arrays(
+                [b.column("doc_id"),
+                 url_host_column(b.column("href"))],
+                names=["doc_id", "host"])
+            t = t.filter(pc.not_equal(t.column("host"), ""))
+            t = t.group_by(["doc_id", "host"]).aggregate([])
+            empty = pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.string())],
+                names=["x", "y"])
+            if t.num_rows == 0:
+                return empty
+            order = pc.sort_indices(
+                t, sort_keys=[("doc_id", "ascending"),
+                              ("host", "ascending")])
+            t = t.take(order)
+            doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+            hosts = np.asarray(t.column("host").combine_chunks(),
+                               dtype=object)
+            xs, ys = [], []
+            start = 0
+            for i in range(1, len(doc) + 1):
+                if i == len(doc) or doc[i] != doc[start]:
+                    seg = hosts[start:i]
+                    if len(seg) > 1:
+                        ii, jj = np.triu_indices(len(seg), k=1)
+                        xs.append(seg[ii])
+                        ys.append(seg[jj])
+                    start = i
+            if not xs:
+                return empty
+            return pa.Table.from_arrays(
+                [pa.array(np.concatenate(xs), pa.string()),
+                 pa.array(np.concatenate(ys), pa.string())],
+                names=["x", "y"])
+
+        edge_rows = combine_aggregate(
+            links.map_batches(pairs, batch_format="pyarrow"),
+            ["x", "y"], [("", "count", "_c")]).take_all()
+        adj: dict = {}
+        for r in edge_rows:
+            adj.setdefault(r["x"], set()).add(r["y"])
+            adj.setdefault(r["y"], set()).add(r["x"])
+        dist = {SEED: 0}
+        frontier = [SEED]
+        while frontier:
+            nxt = []
+            for h in frontier:
+                for m in adj.get(h, ()):
+                    if m not in dist:
+                        dist[m] = dist[h] + 1
+                        nxt.append(m)
+            frontier = nxt
+        hosts = sorted(dist)
+        return pa.Table.from_arrays(
+            [pa.array(hosts, pa.string()),
+             pa.array([dist[h] for h in hosts], pa.int64())],
+            names=["host", "dist"])
+
+    def parquet_stats_audit(sf_dir: str):
+        """Storage-layer audit: do the parquet FOOTER min/max stats
+        match the data? Footer metadata reads driver-side (no row
+        leaves storage); the truth runs through one min/max
+        combiner; stats_match is the runtime assertion the oracle
+        pins TRUE — a writer that drops or corrupts stats (breaking
+        row-group pruning) turns the cell false."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq2
+
+        cols = ["o_orderkey", "o_totalprice"]
+        md = pq2.ParquetFile(f"{sf_dir}/orders.parquet").metadata
+        meta: dict = {}
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for i in range(rg.num_columns):
+                c = rg.column(i)
+                if c.path_in_schema in cols and c.statistics and \
+                        c.statistics.has_min_max:
+                    lo, hi = meta.get(c.path_in_schema,
+                                      (None, None))
+                    s = c.statistics
+                    meta[c.path_in_schema] = (
+                        s.min if lo is None else min(lo, s.min),
+                        s.max if hi is None else max(hi, s.max))
+
+        def proj(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [pc.cast(b.column("o_orderkey"), pa.float64()),
+                 b.column("o_totalprice")],
+                names=["k", "p"])
+
+        ds2 = _read(sf_dir, "orders", cols).map_batches(
+            proj, batch_format="pyarrow")
+        kmin, kmax = ds2.min("k"), ds2.max("k")
+        pmin, pmax = ds2.min("p"), ds2.max("p")
+        rows = [
+            ("o_orderkey", float(kmin), float(kmax),
+             meta.get("o_orderkey", (None, None)) ==
+             (int(kmin), int(kmax))),
+            ("o_totalprice", float(pmin), float(pmax),
+             meta.get("o_totalprice", (None, None)) ==
+             (float(pmin), float(pmax))),
+        ]
+        return pa.Table.from_arrays(
+            [pa.array([r[0] for r in rows], pa.string()),
+             pa.array([r[1] for r in rows], pa.float64()),
+             pa.array([r[2] for r in rows], pa.float64()),
+             pa.array([r[3] for r in rows], pa.bool_())],
+            names=["column", "true_min", "true_max", "stats_match"])
+
     def late_event_audit(sf_dir: str):
         """Streaming watermark audit: per user, how many events arrive
         (by event_id order) with an event time > 1 h behind the user's
@@ -11794,6 +11924,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_share_wilson": type_share_wilson,
         "fd_violation_audit": fd_violation_audit,
         "customers_all_urgent": customers_all_urgent,
+        "host_bfs_depths": host_bfs_depths,
+        "parquet_stats_audit": parquet_stats_audit,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -12051,6 +12183,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attr_edge_census", "type_share_wilson",
         # new in round 3, hundred-thirteenth sweep
         "fd_violation_audit", "customers_all_urgent",
+        # new in round 3, hundred-fourteenth sweep
+        "host_bfs_depths", "parquet_stats_audit",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -18414,6 +18548,41 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             HAVING COUNT(*) = COUNT(*) FILTER
                    (WHERE o_orderpriority = '1-URGENT')
+        """,
+        # BFS over the arithmetic co-citation edges (host_adamic_adar
+        # contract); dist capped at 10 then MIN'd — the tiny host
+        # universe bounds the recursion.
+        "host_bfs_depths": """
+            WITH RECURSIVE hx AS (
+                SELECT DISTINCT d.doc_id,
+                       'h' || CAST((d.doc_id * 7 + j) % 10 AS VARCHAR)
+                       || '.example.com' AS host
+                FROM documents d,
+                     UNNEST(generate_series(0, d.doc_id % 3)) AS t(j)
+            ), e AS (
+                SELECT DISTINCT a.host AS x, b.host AS y
+                FROM hx a JOIN hx b
+                  ON a.doc_id = b.doc_id AND a.host <> b.host
+            ), bfs AS (
+                SELECT 'h0.example.com' AS host, 0 AS dist
+                UNION
+                SELECT e.y, bfs.dist + 1
+                FROM bfs JOIN e ON e.x = bfs.host
+                WHERE bfs.dist < 10
+            )
+            SELECT host, CAST(MIN(dist) AS BIGINT) AS dist
+            FROM bfs GROUP BY 1
+        """,
+        "parquet_stats_audit": """
+            SELECT 'o_orderkey' AS column,
+                   CAST(MIN(o_orderkey) AS DOUBLE) AS true_min,
+                   CAST(MAX(o_orderkey) AS DOUBLE) AS true_max,
+                   TRUE AS stats_match
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', MIN(o_totalprice),
+                   MAX(o_totalprice), TRUE
+            FROM orders
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

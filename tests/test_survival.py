@@ -1246,3 +1246,46 @@ def test_fd_and_division_micro(ray_session, tmp_path):
     assert _sorted_rows(con.sql(
         entrymod.oracle_sql()["customers_all_urgent"]).arrow(),
         "c_custkey") == out
+
+
+def test_host_bfs_micro(ray_session, tmp_path):
+    # doc 10 cites {h0, h1} (10%3=1: j=0,1 -> (70+j)%10 = 0,1);
+    # doc 23 cites {h1, h2, h3} (23%3=2: (161+j)%10 = 1,2,3).
+    # BFS from h0: h0=0, h1=1, h2=h3=2.
+    docs = pa.table({
+        "doc_id": pa.array([10, 23], pa.int64()),
+        "text": pa.array(["x", "y"], pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = _sorted_rows(entrymod.queries()["host_bfs_depths"](
+        str(tmp_path)), "host")
+    h = "{}.example.com".format
+    assert out == [
+        {"host": h("h0"), "dist": 0}, {"host": h("h1"), "dist": 1},
+        {"host": h("h2"), "dist": 2}, {"host": h("h3"), "dist": 2}]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    assert _sorted_rows(con.sql(
+        entrymod.oracle_sql()["host_bfs_depths"]).arrow(),
+        "host") == out
+
+
+def test_parquet_stats_audit_micro(ray_session, tmp_path):
+    orders = pa.table({
+        "o_orderkey": pa.array([5, 1, 9], pa.int64()),
+        "o_totalprice": pa.array([10.5, 99.25, 3.75], pa.float64()),
+    })
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    out = entrymod.queries()["parquet_stats_audit"](
+        str(tmp_path)).to_pylist()
+    assert out == [
+        {"column": "o_orderkey", "true_min": 1.0, "true_max": 9.0,
+         "stats_match": True},
+        {"column": "o_totalprice", "true_min": 3.75,
+         "true_max": 99.25, "stats_match": True}]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/orders.parquet')")
+    assert con.sql(entrymod.oracle_sql()["parquet_stats_audit"]) \
+        .arrow().to_pylist() == out
