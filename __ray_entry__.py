@@ -11559,6 +11559,119 @@ def queries() -> dict[str, Callable[[str], Any]]:
              pa.array([r[3] for r in rows], pa.bool_())],
             names=["column", "true_min", "true_max", "stats_match"])
 
+    def covered_time_union(sf_dir: str):
+        """UNION LENGTH of all session intervals (total wall-clock
+        with ≥1 active session) — the interval-union sweep, sibling
+        of peak_concurrency's running max: endpoints (2·us + kind,
+        ±1) bucket-exchange once; each bucket kernel sums its
+        internal gaps where the offset-adjusted running count > 0
+        and reports (first_us, last_us, run_end) so the driver
+        stitches the ≤ n_buckets cross-bucket gaps. No task sees the
+        whole endpoint stream."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+        from htmlreader_ray.functions.windows import session_windows
+
+        sess = session_windows(
+            _read(sf_dir, "events", ["ts", "user_id"]))
+        B = 1 << 40
+
+        def endpoints(b: pa.Table) -> pa.Table:
+            st = pc.cast(b.column("session_start"), pa.int64())
+            en = pc.cast(b.column("session_end"), pa.int64())
+            k = pa.concat_arrays([
+                pc.add(pc.multiply(st, 2), 0).combine_chunks(),
+                pc.add(pc.multiply(en, 2), 1).combine_chunks()])
+            d = pa.array([1] * b.num_rows + [-1] * b.num_rows,
+                         pa.int64())
+            t = pa.Table.from_arrays([k, d], names=["k", "d"])
+            return t.append_column(
+                "__bucket", pc.cast(pc.divide(
+                    t.column("k"), pa.scalar(B, pa.int64())),
+                    pa.int64()))
+
+        eps = sess.map_batches(endpoints,
+                               batch_format="pyarrow").materialize()
+        sums = combine_aggregate(
+            eps.select_columns(["__bucket", "d"]),
+            ["__bucket"], [("d", "sum", "s")]).take_all()
+        sums.sort(key=lambda r: int(r["__bucket"]))
+        offs, acc = {}, 0
+        for r in sums:
+            offs[int(r["__bucket"])] = acc
+            acc += int(r["s"])
+        ref = ray.put(offs)
+
+        def bucket_cover(group: pa.Table, *, _ref=ref) -> pa.Table:
+            bkt = group.column("__bucket")[0].as_py()
+            off = ray.get(_ref)[bkt]
+            idx = pc.sort_indices(group.column("k"))
+            k = group.column("k").combine_chunks().take(idx) \
+                .to_numpy(zero_copy_only=False)
+            d = group.column("d").combine_chunks().take(idx) \
+                .to_numpy(zero_copy_only=False)
+            run = off + np.cumsum(d)
+            us = k >> 1
+            gaps = np.diff(us)
+            covered = int(gaps[run[:-1] > 0].sum()) if len(us) > 1 \
+                else 0
+            return pa.Table.from_arrays(
+                [pa.array([int(bkt)], pa.int64()),
+                 pa.array([int(us[0])], pa.int64()),
+                 pa.array([int(us[-1])], pa.int64()),
+                 pa.array([covered], pa.int64()),
+                 pa.array([int(run[-1])], pa.int64())],
+                names=["bkt", "first_us", "last_us", "covered",
+                       "run_end"])
+
+        parts = sorted(
+            (eps.groupby("__bucket").map_groups(
+                bucket_cover, batch_format="pyarrow").take_all()),
+            key=lambda r: int(r["bkt"]))
+        covered = sum(int(r["covered"]) for r in parts)
+        n_sessions = 0
+        for a, b_ in zip(parts, parts[1:]):
+            if int(a["run_end"]) > 0:
+                covered += int(b_["first_us"]) - int(a["last_us"])
+        n_sessions = int(sess.count())
+        return pa.Table.from_arrays(
+            [pa.array([n_sessions], pa.int64()),
+             pa.array([covered], pa.int64())],
+            names=["n_sessions", "covered_us"])
+
+    def compaction_audit(sf_dir: str):
+        """Small-file compaction — the table-maintenance op every
+        lakehouse runs: the documents table written as 16 shard
+        files, compacted to 4, with (stage, n_files, n_rows) pinned.
+        Row-preserving by construction; file counts come from
+        repartition math, not luck."""
+        import glob
+        import tempfile
+
+        import pyarrow as pa
+        import ray.data
+
+        base = tempfile.mkdtemp(prefix="htmlray_compact_", dir="/tmp")
+        src = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+        src.repartition(16).write_parquet(f"{base}/small")
+        small_files = glob.glob(f"{base}/small/*.parquet")
+        ds_small = ray.data.read_parquet(f"{base}/small")
+        ds_small.repartition(4).write_parquet(f"{base}/compact")
+        compact_files = glob.glob(f"{base}/compact/*.parquet")
+        n_small = int(ray.data.read_parquet(
+            f"{base}/small").count())
+        n_compact = int(ray.data.read_parquet(
+            f"{base}/compact").count())
+        return pa.Table.from_arrays(
+            [pa.array(["small", "compact"], pa.string()),
+             pa.array([len(small_files), len(compact_files)],
+                      pa.int64()),
+             pa.array([n_small, n_compact], pa.int64())],
+            names=["stage", "n_files", "n_rows"])
+
     def late_event_audit(sf_dir: str):
         """Streaming watermark audit: per user, how many events arrive
         (by event_id order) with an event time > 1 h behind the user's
@@ -11926,6 +12039,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_all_urgent": customers_all_urgent,
         "host_bfs_depths": host_bfs_depths,
         "parquet_stats_audit": parquet_stats_audit,
+        "covered_time_union": covered_time_union,
+        "compaction_audit": compaction_audit,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -12185,6 +12300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_violation_audit", "customers_all_urgent",
         # new in round 3, hundred-fourteenth sweep
         "host_bfs_depths", "parquet_stats_audit",
+        # new in round 3, hundred-fifteenth sweep
+        "covered_time_union", "compaction_audit",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -18583,6 +18700,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'o_totalprice', MIN(o_totalprice),
                    MAX(o_totalprice), TRUE
             FROM orders
+        """,
+        # covered = Σ gaps where the running count (starts before
+        # ends at equal instants) stays > 0; zero-length tie groups
+        # contribute nothing, so intra-tie order is irrelevant.
+        "covered_time_union": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w
+                                    > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), numbered AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER (PARTITION BY user_id
+                                              ORDER BY ts
+                                              ROWS UNBOUNDED PRECEDING)
+                           AS session_id
+                FROM flagged
+            ), s AS (
+                SELECT min(ts) AS st, max(ts) AS en
+                FROM numbered GROUP BY user_id, session_id
+            ), e AS (
+                SELECT epoch_us(st) AS t, 1 AS d FROM s
+                UNION ALL
+                SELECT epoch_us(en), -1 FROM s
+            ), w2 AS (
+                SELECT t, d,
+                       SUM(d) OVER (ORDER BY t, d DESC
+                           ROWS UNBOUNDED PRECEDING) AS run,
+                       LEAD(t) OVER (ORDER BY t, d DESC) AS nt
+                FROM e
+            )
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s)
+                       AS n_sessions,
+                   CAST(COALESCE(SUM(CASE WHEN run > 0
+                        AND nt IS NOT NULL THEN nt - t ELSE 0 END),
+                        0) AS BIGINT) AS covered_us
+            FROM w2
+        """,
+        "compaction_audit": """
+            SELECT 'small' AS stage, CAST(16 AS BIGINT) AS n_files,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM documents
+            UNION ALL
+            SELECT 'compact', CAST(4 AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT)
+            FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

@@ -1289,3 +1289,40 @@ def test_parquet_stats_audit_micro(ray_session, tmp_path):
                 f"read_parquet('{tmp_path}/orders.parquet')")
     assert con.sql(entrymod.oracle_sql()["parquet_stats_audit"]) \
         .arrow().to_pylist() == out
+
+
+def test_covered_time_union_micro(ray_session, tmp_path):
+    # user 1: events at 0h and 0.4h -> one session [0, 0.4h]
+    # user 2: events at 0.2h and 0.7h -> [0.2h, 0.7h] (overlaps)
+    # user 3: events at 2.0h and 2.1h -> [2.0h, 2.1h] (disjoint)
+    H = 1 / 24
+    sf = _write_events(tmp_path, [
+        (1, 0.0, "view"), (1, 0.4 * H, "view"),
+        (2, 0.2 * H, "view"), (2, 0.7 * H, "view"),
+        (3, 2.0 * H, "view"), (3, 2.1 * H, "view")])
+    out = entrymod.queries()["covered_time_union"](
+        str(tmp_path)).to_pylist()
+    # union = [0, 0.7h] + [2.0h, 2.1h]
+    t = pq.read_table(f"{sf}/events.parquet").column("ts") \
+        .cast(pa.int64()).to_pylist()
+    want = (max(t[1], t[3]) - t[0]) + (t[5] - t[4])
+    assert out == [{"n_sessions": 3, "covered_us": want}]
+    assert _oracle(sf, "covered_time_union").to_pylist() == out
+
+
+def test_compaction_audit_micro(ray_session, tmp_path):
+    docs = pa.table({
+        "doc_id": pa.array(list(range(40)), pa.int64()),
+        "n_chars": pa.array([7] * 40, pa.int64()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = entrymod.queries()["compaction_audit"](
+        str(tmp_path)).to_pylist()
+    assert out == [
+        {"stage": "small", "n_files": 16, "n_rows": 40},
+        {"stage": "compact", "n_files": 4, "n_rows": 40}]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    assert con.sql(entrymod.oracle_sql()["compaction_audit"]) \
+        .arrow().to_pylist() == out
