@@ -12041,6 +12041,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parquet_stats_audit": parquet_stats_audit,
         "covered_time_union": covered_time_union,
         "compaction_audit": compaction_audit,
+        "base_href_resolution": actor(q.BaseHrefResolve),
+        "srcset_candidates": actor(q.SrcsetCandidates),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -12302,6 +12304,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_bfs_depths", "parquet_stats_audit",
         # new in round 3, hundred-fifteenth sweep
         "covered_time_union", "compaction_audit",
+        # new in round 3, hundred-sixteenth sweep
+        "base_href_resolution", "srcset_candidates",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -18748,6 +18752,41 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'compact', CAST(4 AS BIGINT),
                    CAST(COUNT(*) AS BIGINT)
+            FROM documents
+        """,
+        "base_href_resolution": """
+            WITH b AS (
+                SELECT doc_id,
+                       'https://b' || CAST(doc_id % 5 AS VARCHAR)
+                       || '.example.com' AS host
+                FROM documents
+            )
+            SELECT doc_id, 'a/b.html' AS rel,
+                   host || '/dir/sub/a/b.html' AS resolved FROM b
+            UNION ALL
+            SELECT doc_id, '../x', host || '/dir/x' FROM b
+            UNION ALL
+            SELECT doc_id, '/abs', host || '/abs' FROM b
+            UNION ALL
+            SELECT doc_id, '?q=1', host || '/dir/sub/?q=1' FROM b
+            UNION ALL
+            SELECT doc_id, '#frag', host || '/dir/sub/#frag' FROM b
+        """,
+        "srcset_candidates": """
+            SELECT doc_id,
+                   'img' || CAST(doc_id AS VARCHAR) || '-a.jpg'
+                       AS url,
+                   '1x' AS descriptor
+            FROM documents
+            UNION ALL
+            SELECT doc_id,
+                   'img' || CAST(doc_id AS VARCHAR) || '-b.jpg',
+                   CAST(doc_id % 3 + 2 AS VARCHAR) || 'x'
+            FROM documents
+            UNION ALL
+            SELECT doc_id,
+                   'img' || CAST(doc_id AS VARCHAR) || '-c.jpg',
+                   '640w'
             FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):

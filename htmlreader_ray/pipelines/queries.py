@@ -455,6 +455,79 @@ class AttrEdgeCensus:
             names=["doc_id", "attrs_csv"])
 
 
+_REL_CASES = ("a/b.html", "../x", "/abs", "?q=1", "#frag")
+
+
+class BaseHrefResolve:
+    """Relative-URL resolution against the document's <base href> —
+    the link-pipeline step after extraction: the base element is
+    located through the real parser (head parsing), each relative
+    form (path, dot-dot, absolute path, query-only, fragment-only)
+    resolves per RFC 3986 (stdlib urljoin). Base host varies by
+    doc_id%5; oracle regenerates the resolved strings."""
+
+    def __init__(self) -> None:
+        self.sel = compile_selector("base[href]")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from urllib.parse import urljoin
+
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_rel, out_res = [], [], []
+        for key in ids:
+            k = int(key) % 5
+            page = (f"<!DOCTYPE html><html><head>"
+                    f'<base href="https://b{k}.example.com/dir/sub/">'
+                    f"</head><body>x</body></html>")
+            doc = parse(page)
+            base = next(el for el in doc.elements_in_tree_order()
+                        if self.sel.matches(el))
+            href = base.attrs.get("href", "")
+            for rel in _REL_CASES:
+                out_id.append(key)
+                out_rel.append(rel)
+                out_res.append(urljoin(href, rel))
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_rel, pa.string()),
+             pa.array(out_res, pa.string())],
+            names=["doc_id", "rel", "resolved"])
+
+
+class SrcsetCandidates:
+    """srcset candidate parsing — the responsive-image selection
+    input of an image-pipeline: per doc an <img srcset> with three
+    candidates (1x, (d%3+2)x, 640w) parses through the real
+    attribute tokenizer and splits into (url, descriptor) rows."""
+
+    def __init__(self) -> None:
+        self.sel = compile_selector("img[srcset]")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_u, out_d = [], [], []
+        for key in ids:
+            d = int(key)
+            srcset = (f"img{d}-a.jpg 1x, img{d}-b.jpg {d % 3 + 2}x, "
+                      f"img{d}-c.jpg 640w")
+            page = (f"<!DOCTYPE html><html><body>"
+                    f'<img srcset="{srcset}" alt=x>'
+                    f"</body></html>")
+            doc = parse(page)
+            img = next(el for el in doc.elements_in_tree_order()
+                       if self.sel.matches(el))
+            for cand in img.attrs.get("srcset", "").split(","):
+                parts = cand.split()
+                out_id.append(key)
+                out_u.append(parts[0])
+                out_d.append(parts[1] if len(parts) > 1 else "")
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_u, pa.string()),
+             pa.array(out_d, pa.string())],
+            names=["doc_id", "url", "descriptor"])
+
+
 class AnchorDepths:
     """Anchor tree-DEPTH census over the generated pages: for every
     a[href] count its Element ancestors and emit the per-doc

@@ -1326,3 +1326,39 @@ def test_compaction_audit_micro(ray_session, tmp_path):
                 f"read_parquet('{tmp_path}/documents.parquet')")
     assert con.sql(entrymod.oracle_sql()["compaction_audit"]) \
         .arrow().to_pylist() == out
+
+
+def test_base_href_and_srcset_micro(ray_session, tmp_path):
+    docs = pa.table({
+        "doc_id": pa.array([2], pa.int64()),
+        "text": pa.array(["x"], pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    br = sorted(entrymod.queries()["base_href_resolution"](
+        str(tmp_path)).take_all(), key=lambda r: r["rel"])
+    host = "https://b2.example.com"
+    assert br == sorted([
+        {"doc_id": 2, "rel": "a/b.html",
+         "resolved": host + "/dir/sub/a/b.html"},
+        {"doc_id": 2, "rel": "../x", "resolved": host + "/dir/x"},
+        {"doc_id": 2, "rel": "/abs", "resolved": host + "/abs"},
+        {"doc_id": 2, "rel": "?q=1",
+         "resolved": host + "/dir/sub/?q=1"},
+        {"doc_id": 2, "rel": "#frag",
+         "resolved": host + "/dir/sub/#frag"}],
+        key=lambda r: r["rel"])
+    sc = sorted(entrymod.queries()["srcset_candidates"](
+        str(tmp_path)).take_all(), key=lambda r: r["url"])
+    assert sc == [
+        {"doc_id": 2, "url": "img2-a.jpg", "descriptor": "1x"},
+        {"doc_id": 2, "url": "img2-b.jpg", "descriptor": "4x"},
+        {"doc_id": 2, "url": "img2-c.jpg", "descriptor": "640w"}]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    assert sorted(con.sql(
+        entrymod.oracle_sql()["base_href_resolution"]).arrow()
+        .to_pylist(), key=lambda r: r["rel"]) == br
+    assert sorted(con.sql(
+        entrymod.oracle_sql()["srcset_candidates"]).arrow()
+        .to_pylist(), key=lambda r: r["url"]) == sc
