@@ -12043,6 +12043,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compaction_audit": compaction_audit,
         "base_href_resolution": actor(q.BaseHrefResolve),
         "srcset_candidates": actor(q.SrcsetCandidates),
+        "meta_robots_flags": actor(q.MetaRobotsFlags),
+        "opengraph_extract": actor(q.OpenGraphExtract),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -12306,6 +12308,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "covered_time_union", "compaction_audit",
         # new in round 3, hundred-sixteenth sweep
         "base_href_resolution", "srcset_candidates",
+        # new in round 3, hundred-seventeenth sweep
+        "meta_robots_flags", "opengraph_extract",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -18787,6 +18791,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    'img' || CAST(doc_id AS VARCHAR) || '-c.jpg',
                    '640w'
+            FROM documents
+        """,
+        # cycled robots cases: index,follow / noindex / nofollow /
+        # noindex,nofollow / NOINDEX,NoFollow (case-folded)
+        "meta_robots_flags": """
+            SELECT doc_id,
+                   CAST(CASE doc_id % 5 WHEN 1 THEN 1 WHEN 3 THEN 1
+                        WHEN 4 THEN 1 ELSE 0 END AS BIGINT)
+                       AS noindex,
+                   CAST(CASE doc_id % 5 WHEN 2 THEN 1 WHEN 3 THEN 1
+                        WHEN 4 THEN 1 ELSE 0 END AS BIGINT)
+                       AS nofollow
+            FROM documents
+        """,
+        "opengraph_extract": """
+            SELECT doc_id,
+                   'Doc ' || CAST(doc_id AS VARCHAR) || ' & more'
+                       AS og_title,
+                   'https://img.example.com/'
+                       || CAST(doc_id % 100 AS VARCHAR) || '.png'
+                       AS og_image
             FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):

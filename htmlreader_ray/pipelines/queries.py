@@ -528,6 +528,79 @@ class SrcsetCandidates:
             names=["doc_id", "url", "descriptor"])
 
 
+_ROBOTS_CASES = ("index, follow", "noindex", "nofollow",
+                 "noindex, nofollow", "NOINDEX,NoFollow")
+
+
+class MetaRobotsFlags:
+    """Page-level crawl-directive extraction (the curation gate that
+    keeps noindex pages out of a corpus): <meta name=robots> content
+    parses through the real head parser, directives split on commas,
+    ASCII-case-insensitively matched."""
+
+    def __init__(self) -> None:
+        self.sel = compile_selector('meta[name="robots"]')
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_ni, out_nf = [], [], []
+        for key in ids:
+            content = _ROBOTS_CASES[int(key) % len(_ROBOTS_CASES)]
+            page = (f"<!DOCTYPE html><html><head>"
+                    f'<meta name=robots content="{content}">'
+                    f"</head><body>x</body></html>")
+            doc = parse(page)
+            meta = next(el for el in doc.elements_in_tree_order()
+                        if self.sel.matches(el))
+            toks = [t.strip().lower() for t in
+                    meta.attrs.get("content", "").split(",")]
+            out_id.append(key)
+            out_ni.append(1 if "noindex" in toks else 0)
+            out_nf.append(1 if "nofollow" in toks else 0)
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_ni, pa.int64()),
+             pa.array(out_nf, pa.int64())],
+            names=["doc_id", "noindex", "nofollow"])
+
+
+class OpenGraphExtract:
+    """Social-card metadata extraction: og:title / og:image meta
+    properties located by attribute selector through the real
+    parser (entity decoding included: the title embeds &amp;)."""
+
+    def __init__(self) -> None:
+        self.sel_t = compile_selector('meta[property="og:title"]')
+        self.sel_i = compile_selector('meta[property="og:image"]')
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_t, out_i = [], [], []
+        for key in ids:
+            d = int(key)
+            page = (f"<!DOCTYPE html><html><head>"
+                    f'<meta property="og:title" '
+                    f'content="Doc {d} &amp; more">'
+                    f'<meta property="og:image" '
+                    f'content="https://img.example.com/{d % 100}.png">'
+                    f"</head><body>x</body></html>")
+            doc = parse(page)
+            title = image = ""
+            for el in doc.elements_in_tree_order():
+                if self.sel_t.matches(el):
+                    title = el.attrs.get("content", "")
+                elif self.sel_i.matches(el):
+                    image = el.attrs.get("content", "")
+            out_id.append(key)
+            out_t.append(title)
+            out_i.append(image)
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_t, pa.string()),
+             pa.array(out_i, pa.string())],
+            names=["doc_id", "og_title", "og_image"])
+
+
 class AnchorDepths:
     """Anchor tree-DEPTH census over the generated pages: for every
     a[href] count its Element ancestors and emit the per-doc

@@ -1362,3 +1362,30 @@ def test_base_href_and_srcset_micro(ray_session, tmp_path):
     assert sorted(con.sql(
         entrymod.oracle_sql()["srcset_candidates"]).arrow()
         .to_pylist(), key=lambda r: r["url"]) == sc
+
+
+def test_meta_robots_and_og_micro(ray_session, tmp_path):
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["x"] * 5, pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    mr = _sorted_rows(pa.Table.from_pylist(
+        entrymod.queries()["meta_robots_flags"](
+            str(tmp_path)).take_all()), "doc_id")
+    assert [(r["noindex"], r["nofollow"]) for r in mr] == [
+        (0, 0), (1, 0), (0, 1), (1, 1), (1, 1)]
+    og = _sorted_rows(pa.Table.from_pylist(
+        entrymod.queries()["opengraph_extract"](
+            str(tmp_path)).take_all()), "doc_id")
+    assert og[3] == {"doc_id": 3, "og_title": "Doc 3 & more",
+                     "og_image": "https://img.example.com/3.png"}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    assert _sorted_rows(con.sql(
+        entrymod.oracle_sql()["meta_robots_flags"]).arrow(),
+        "doc_id") == mr
+    assert _sorted_rows(con.sql(
+        entrymod.oracle_sql()["opengraph_extract"]).arrow(),
+        "doc_id") == og
