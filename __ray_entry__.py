@@ -11672,6 +11672,132 @@ def queries() -> dict[str, Callable[[str], Any]]:
              pa.array([n_small, n_compact], pa.int64())],
             names=["stage", "n_files", "n_rows"])
 
+    def view_purchase_within5m(sf_dir: str):
+        """Stream-stream interval join (the CEP pattern): count
+        (view → purchase) pairs of the SAME user with the purchase
+        inside [view_ts, view_ts+5min]. ONE coarse user-bucket
+        exchange; inside the group a vectorized two-pointer
+        (searchsorted on the user's purchase timestamps) — never a
+        row-pair materialization. Users with 0 pairs are absent
+        (inner-join mirror); typed empty output pinned."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.analytics import _bucketed
+
+        W = 300_000_000  # 5 min in us
+
+        def proj(b: pa.Table) -> pa.Table:
+            t = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                        pa.int64())
+            isv = pc.cast(pc.equal(b.column("event_type"),
+                                   pa.scalar("view")), pa.int64())
+            isp = pc.cast(pc.equal(b.column("event_type"),
+                                   pa.scalar("purchase")), pa.int64())
+            return pa.Table.from_arrays(
+                [b.column("user_id"), t,
+                 isv if not isinstance(isv, pa.ChunkedArray)
+                 else isv.combine_chunks(),
+                 isp if not isinstance(isp, pa.ChunkedArray)
+                 else isp.combine_chunks()],
+                names=["user_id", "tus", "isv", "isp"])
+
+        def kernel(g: pa.Table) -> pa.Table:
+            empty = pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64())],
+                names=["user_id", "n_pairs"])
+            if g.num_rows == 0:
+                return empty
+            uid = g.column("user_id").to_numpy(zero_copy_only=False)
+            tus = g.column("tus").to_numpy(zero_copy_only=False)
+            isv = g.column("isv").to_numpy(
+                zero_copy_only=False).astype(bool)
+            isp = g.column("isp").to_numpy(
+                zero_copy_only=False).astype(bool)
+            order = np.lexsort((tus, uid))
+            uid_s, tus_s = uid[order], tus[order]
+            isv_s, isp_s = isv[order], isp[order]
+            out_u, out_n = [], []
+            starts = np.flatnonzero(
+                np.r_[True, uid_s[1:] != uid_s[:-1]])
+            ends = np.r_[starts[1:], len(uid_s)]
+            for s, e in zip(starts, ends):
+                vt = tus_s[s:e][isv_s[s:e]]
+                pt = tus_s[s:e][isp_s[s:e]]
+                if len(vt) == 0 or len(pt) == 0:
+                    continue
+                lo = np.searchsorted(pt, vt, side="left")
+                hi = np.searchsorted(pt, vt + W, side="right")
+                n = int((hi - lo).sum())
+                if n:
+                    out_u.append(int(uid_s[s]))
+                    out_n.append(n)
+            return pa.Table.from_arrays(
+                [pa.array(out_u, pa.int64()),
+                 pa.array(out_n, pa.int64())],
+                names=["user_id", "n_pairs"])
+
+        rows = sorted(
+            (int(r["user_id"]), int(r["n_pairs"])) for r in _bucketed(
+                _read(sf_dir, "events",
+                      ["user_id", "ts", "event_type"]).map_batches(
+                    proj, batch_format="pyarrow"),
+                "user_id", 256).map_groups(
+                kernel, batch_format="pyarrow").take_all())
+        return pa.Table.from_arrays(
+            [pa.array([r[0] for r in rows], pa.int64()),
+             pa.array([r[1] for r in rows], pa.int64())],
+            names=["user_id", "n_pairs"])
+
+    def delta_bits_estimate(sf_dir: str):
+        """Delta-encoding cost audit (storage planning): per user,
+        timestamps sorted by (ts, event_id) delta-encode; total cost
+        = Σ bit_length(zigzag(Δ)) — all deltas ≥ 0 here so zigzag =
+        2Δ, and bit_length is the exact no-libm magnitude. ONE
+        user-bucket exchange; single-row partials per group."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.analytics import _bucketed
+
+        def proj(b: pa.Table) -> pa.Table:
+            t = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                        pa.int64())
+            return pa.Table.from_arrays(
+                [b.column("user_id"), t, b.column("event_id")],
+                names=["user_id", "tus", "eid"])
+
+        def kernel(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.int64()), pa.array([], pa.int64())],
+                    names=["n_deltas", "total_bits"])
+            uid = g.column("user_id").to_numpy(zero_copy_only=False)
+            tus = g.column("tus").to_numpy(zero_copy_only=False)
+            eid = g.column("eid").to_numpy(zero_copy_only=False)
+            order = np.lexsort((eid, tus, uid))
+            uid_s, tus_s = uid[order], tus[order]
+            same = uid_s[1:] == uid_s[:-1]
+            deltas = np.diff(tus_s)[same]
+            bits = sum(int(2 * int(d)).bit_length() for d in deltas)
+            return pa.Table.from_arrays(
+                [pa.array([len(deltas)], pa.int64()),
+                 pa.array([bits], pa.int64())],
+                names=["n_deltas", "total_bits"])
+
+        parts = _bucketed(
+            _read(sf_dir, "events",
+                  ["user_id", "ts", "event_id"]).map_batches(
+                proj, batch_format="pyarrow"),
+            "user_id", 256).map_groups(
+            kernel, batch_format="pyarrow").take_all()
+        return pa.Table.from_arrays(
+            [pa.array([sum(int(r["n_deltas"]) for r in parts)],
+                      pa.int64()),
+             pa.array([sum(int(r["total_bits"]) for r in parts)],
+                      pa.int64())],
+            names=["n_deltas", "total_bits"])
+
     def late_event_audit(sf_dir: str):
         """Streaming watermark audit: per user, how many events arrive
         (by event_id order) with an event time > 1 h behind the user's
@@ -12045,6 +12171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "srcset_candidates": actor(q.SrcsetCandidates),
         "meta_robots_flags": actor(q.MetaRobotsFlags),
         "opengraph_extract": actor(q.OpenGraphExtract),
+        "view_purchase_within5m": view_purchase_within5m,
+        "delta_bits_estimate": delta_bits_estimate,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -12310,6 +12438,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "base_href_resolution", "srcset_candidates",
         # new in round 3, hundred-seventeenth sweep
         "meta_robots_flags", "opengraph_extract",
+        # new in round 3, hundred-eighteenth sweep
+        "view_purchase_within5m", "delta_bits_estimate",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -18813,6 +18943,36 @@ def oracle_sql() -> dict[str, str]:
                        || CAST(doc_id % 100 AS VARCHAR) || '.png'
                        AS og_image
             FROM documents
+        """,
+        "view_purchase_within5m": """
+            WITH v AS (
+                SELECT user_id, epoch_us(ts) AS t FROM events
+                WHERE event_type = 'view'
+            ), p AS (
+                SELECT user_id, epoch_us(ts) AS t FROM events
+                WHERE event_type = 'purchase'
+            )
+            SELECT v.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM v JOIN p ON p.user_id = v.user_id
+                         AND p.t >= v.t AND p.t <= v.t + 300000000
+            GROUP BY 1
+        """,
+        # zigzag of non-negative deltas = 2Δ; bit_length via the
+        # bin()-length idiom with the Δ=0 -> 0 bits edge pinned
+        "delta_bits_estimate": """
+            WITH o AS (
+                SELECT user_id, epoch_us(ts) AS t,
+                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS pt
+                FROM events
+            )
+            SELECT CAST(COUNT(*) FILTER (WHERE pt IS NOT NULL)
+                        AS BIGINT) AS n_deltas,
+                   CAST(COALESCE(SUM(CASE WHEN pt IS NULL THEN NULL
+                        WHEN t - pt = 0 THEN 0
+                        ELSE length(bin(2 * (t - pt))) END), 0)
+                        AS BIGINT) AS total_bits
+            FROM o
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

@@ -1389,3 +1389,24 @@ def test_meta_robots_and_og_micro(ray_session, tmp_path):
     assert _sorted_rows(con.sql(
         entrymod.oracle_sql()["opengraph_extract"]).arrow(),
         "doc_id") == og
+
+
+def test_stream_join_and_delta_bits_micro(ray_session, tmp_path):
+    M = 1 / (24 * 60)    # one minute in days
+    sf = _write_events(tmp_path, [
+        (1, 0.0, "view"),
+        (1, 3 * M, "purchase"),      # within 5 min -> pair
+        (1, 10 * M, "purchase"),     # outside
+        (1, 9 * M, "view"),          # pairs with the 10-min purchase
+        (2, 0.0, "purchase")])       # no views
+    out = entrymod.queries()["view_purchase_within5m"](
+        sf).to_pylist()
+    assert out == [{"user_id": 1, "n_pairs": 2}]
+    assert _oracle(sf, "view_purchase_within5m").to_pylist() == out
+
+    db = entrymod.queries()["delta_bits_estimate"](sf).to_pylist()
+    # user1 deltas (sorted ts): 3m, 6m, 1m in us; user2 none
+    d = [3 * 60_000_000, 6 * 60_000_000, 1 * 60_000_000]
+    want = sum((2 * x).bit_length() for x in d)
+    assert db == [{"n_deltas": 3, "total_bits": want}]
+    assert _oracle(sf, "delta_bits_estimate").to_pylist() == db
