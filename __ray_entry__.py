@@ -11798,6 +11798,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
                       pa.int64())],
             names=["n_deltas", "total_bits"])
 
+    def max_drawdown_daily(sf_dir: str):
+        """Max drawdown of the daily revenue series — the
+        peak-to-trough risk metric a monitoring pipeline computes:
+        daily cents totals via ONE day-keyed combiner (each block
+        ships ≤ n_days partial rows), then the running-peak scan over
+        the bounded (~30-row) daily table driver-side. Emits the
+        series length, the peak daily total, the worst peak-to-day
+        drop, and the FIRST day that realizes it (ties → min day)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        US_DAY = 86_400_000_000
+
+        def proj(b: pa.Table) -> pa.Table:
+            t = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                        pa.int64())
+            cents = pc.cast(pc.floor(pc.add(pc.multiply(
+                pa.scalar(100.0), b.column("value")),
+                pa.scalar(0.5))), pa.int64())
+            return pa.Table.from_arrays(
+                [pc.divide(t, pa.scalar(US_DAY, pa.int64())), cents],
+                names=["day", "cents"])
+
+        daily = sorted(combine_aggregate(
+            _read(sf_dir, "events", ["ts", "value"]).map_batches(
+                proj, batch_format="pyarrow"),
+            ["day"], [("cents", "sum", "cents")]).take_all(),
+            key=lambda r: int(r["day"]))
+        run = peak = 0
+        mdd, worst = -1, 0
+        for r in daily:
+            c, day = int(r["cents"]), int(r["day"])
+            run = max(run, c)
+            peak = max(peak, c)
+            if run - c > mdd:
+                mdd, worst = run - c, day
+        return pa.Table.from_arrays(
+            [pa.array([len(daily)], pa.int64()),
+             pa.array([peak], pa.int64()),
+             pa.array([max(mdd, 0)], pa.int64()),
+             pa.array([worst], pa.int64())],
+            names=["n_days", "peak_cents", "max_drawdown_cents",
+                   "worst_day"])
+
     def late_event_audit(sf_dir: str):
         """Streaming watermark audit: per user, how many events arrive
         (by event_id order) with an event time > 1 h behind the user's
@@ -12173,6 +12218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "opengraph_extract": actor(q.OpenGraphExtract),
         "view_purchase_within5m": view_purchase_within5m,
         "delta_bits_estimate": delta_bits_estimate,
+        "list_nesting_census": actor(q.ListNestingCensus),
+        "max_drawdown_daily": max_drawdown_daily,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -12440,6 +12487,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "meta_robots_flags", "opengraph_extract",
         # new in round 3, hundred-eighteenth sweep
         "view_purchase_within5m", "delta_bits_estimate",
+        # new in round 3, hundred-nineteenth sweep
+        "list_nesting_census", "max_drawdown_daily",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -18973,6 +19022,41 @@ def oracle_sql() -> dict[str, str]:
                         ELSE length(bin(2 * (t - pt))) END), 0)
                         AS BIGINT) AS total_bits
             FROM o
+        """,
+        # Nested lists by construction: D=d%3+1 levels × k=d%2+2 items,
+        # leaf li chain html>body>(ul>li)^D -> leaf_depth = 2D+1.
+        "list_nesting_census": """
+            SELECT doc_id,
+                   CAST((doc_id % 3 + 1) * (doc_id % 2 + 2)
+                        AS BIGINT) AS n_li,
+                   CAST(doc_id % 3 + 1 AS BIGINT) AS max_list_depth,
+                   CAST(2 * (doc_id % 3 + 1) + 1 AS BIGINT)
+                       AS leaf_depth,
+                   'leaf' || CAST(doc_id AS VARCHAR) AS leaf_text
+            FROM documents
+        """,
+        "max_drawdown_daily": """
+            WITH e AS (
+                SELECT epoch_us(ts) // 86400000000 AS day,
+                       CAST(FLOOR(100.0 * value + 0.5) AS BIGINT)
+                           AS cents
+                FROM events
+            ), d AS (
+                SELECT day, CAST(SUM(cents) AS BIGINT) AS cents
+                FROM e GROUP BY 1
+            ), r AS (
+                SELECT day, cents,
+                       MAX(cents) OVER (ORDER BY day) AS peak
+                FROM d
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(MAX(cents) AS BIGINT) AS peak_cents,
+                   CAST(MAX(peak - cents) AS BIGINT)
+                       AS max_drawdown_cents,
+                   CAST(MIN(day) FILTER (WHERE peak - cents =
+                        (SELECT MAX(peak - cents) FROM r))
+                        AS BIGINT) AS worst_day
+            FROM r
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

@@ -645,6 +645,70 @@ class AnchorDepths:
             names=["doc_id", "depth", "n_anchors"])
 
 
+class ListNestingCensus:
+    """Nested-list census through implied </li> end tags: each page is
+    D = doc_id%3+1 <ul> levels deep with k = doc_id%2+2 items per
+    level and NO </li> anywhere — the in-body "<li> start tag closes
+    an open <li>" rule (reference: Sources/HTMLParser.m li handling)
+    is what keeps same-level items siblings, and the nested <ul> rides
+    inside the LAST item of each level. The oracle regenerates every
+    figure from doc_id arithmetic: a broken implied-end-tag path
+    chains li-in-li and shifts leaf_depth; a broken nesting path
+    shifts max_list_depth; a foster-parenting bug moves leaf_text."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernel.dom import Element
+
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_nli, out_mld = [], [], []
+        out_leafd, out_txt = [], []
+        for key in ids:
+            d = int(key)
+            levels = d % 3 + 1
+            k = d % 2 + 2
+            parts = []
+            for lvl in range(levels):
+                items = "".join(f"<li>L{lvl}i{j}"
+                                for j in range(k - 1))
+                parts.append(f"<ul>{items}<li>")
+            page = ("<!DOCTYPE html><html><body>"
+                    + "".join(parts) + f"leaf{d}"
+                    + "</ul>" * levels + "</body></html>")
+            doc = parse(page)
+            n_li = max_ul = leaf_depth = 0
+            leaf_text = ""
+            for el in doc.elements_in_tree_order():
+                if el.tag != "li":
+                    continue
+                n_li += 1
+                uls = depth = 0
+                p = el.parent
+                while isinstance(p, Element):
+                    depth += 1
+                    if p.tag in ("ul", "ol"):
+                        uls += 1
+                    p = p.parent
+                if uls >= max_ul:
+                    # tree order: the LAST li at max list depth is the
+                    # leaf item carrying the text payload
+                    max_ul = uls
+                    leaf_depth = depth
+                    leaf_text = el.text_content
+            out_id.append(key)
+            out_nli.append(n_li)
+            out_mld.append(max_ul)
+            out_leafd.append(leaf_depth)
+            out_txt.append(leaf_text)
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_nli, pa.int64()),
+             pa.array(out_mld, pa.int64()),
+             pa.array(out_leafd, pa.int64()),
+             pa.array(out_txt, pa.string())],
+            names=["doc_id", "n_li", "max_list_depth",
+                   "leaf_depth", "leaf_text"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and

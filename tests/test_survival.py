@@ -1410,3 +1410,51 @@ def test_stream_join_and_delta_bits_micro(ray_session, tmp_path):
     want = sum((2 * x).bit_length() for x in d)
     assert db == [{"n_deltas": 3, "total_bits": want}]
     assert _oracle(sf, "delta_bits_estimate").to_pylist() == db
+
+
+def test_list_nesting_census_micro(ray_session, tmp_path):
+    docs = pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(["x"] * 5, pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = _sorted_rows(pa.Table.from_pylist(
+        entrymod.queries()["list_nesting_census"](
+            str(tmp_path)).take_all()), "doc_id")
+    # doc 4: levels=2, k=2 -> 4 li, list depth 2, leaf chain
+    # html>body>ul>li>ul>li -> 5 Element ancestors
+    assert out[4] == {"doc_id": 4, "n_li": 4, "max_list_depth": 2,
+                      "leaf_depth": 5, "leaf_text": "leaf4"}
+    # doc 0: a single flat 2-item list
+    assert out[0] == {"doc_id": 0, "n_li": 2, "max_list_depth": 1,
+                      "leaf_depth": 3, "leaf_text": "leaf0"}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    assert _sorted_rows(con.sql(
+        entrymod.oracle_sql()["list_nesting_census"]).arrow(),
+        "doc_id") == out
+
+
+def test_max_drawdown_daily_micro(ray_session, tmp_path):
+    # daily cents: 500 300 400 100 450 -> peak 500, worst drop 400
+    # realized on day T0+3d; running peak never beaten after day 0
+    vals = [5.0, 3.0, 4.0, 1.0, 4.5]
+    rows = [(1, float(i), "view") for i in range(5)]
+    t = pa.table({
+        "event_id": pa.array(range(5), pa.int64()),
+        "ts": pa.array([T0 + i * US_DAY for i in range(5)],
+                       pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array([u for u, _d, _e in rows], pa.int64()),
+        "event_type": pa.array([e for _u, _d, e in rows],
+                               pa.string()),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array(["{}"] * 5, pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    sf = str(tmp_path)
+    out = entrymod.queries()["max_drawdown_daily"](sf).to_pylist()
+    assert out == [{"n_days": 5, "peak_cents": 500,
+                    "max_drawdown_cents": 400,
+                    "worst_day": (T0 + 3 * US_DAY) // US_DAY}]
+    assert _oracle(sf, "max_drawdown_daily").to_pylist() == out
