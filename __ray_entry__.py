@@ -11843,6 +11843,122 @@ def queries() -> dict[str, Callable[[str], Any]]:
             names=["n_days", "peak_cents", "max_drawdown_cents",
                    "worst_day"])
 
+    def late_supplier_q21(sf_dir: str):
+        """TPC-H Q21 analog (which supplier kept the order waiting):
+        among 'F' orders with >=2 distinct suppliers, credit each
+        order to its SOLE late supplier (supplier's max l_shipdate >
+        o_orderdate + 90 d) and count per supplier. Plan: block-local
+        (orderkey, suppkey) ship-max partials on lineitem (the big
+        table never ships raw rows), one groupby to finish the max,
+        native hash join to the keys-only F-order side, a per-order
+        combiner (n_supp / n_late / late-supplier sum), block-local
+        pre-counts per supplier, then a name join against supplier —
+        a dim that GROWS with SF, so joined, never broadcast — and a
+        bounded top-10 with s_name tie-break."""
+        import os
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from ray.data.aggregate import Count, Max, Sum
+
+        LATE_US = 90 * 86_400_000_000
+
+        def li_partial(b: pa.Table) -> pa.Table:
+            t = pa.table({
+                "l_orderkey": b.column("l_orderkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "ship": pc.cast(pc.cast(b.column("l_shipdate"),
+                                        pa.timestamp("us")),
+                                pa.int64()),
+            })
+            g = t.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+                [("ship", "max")])
+            return g.select(
+                ["l_orderkey", "l_suppkey", "ship_max"]) \
+                .rename_columns(["l_orderkey", "l_suppkey", "ship"])
+
+        def orders_slim(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b.column("o_orderstatus"), "F"))
+            return pa.table({
+                "o_orderkey": t.column("o_orderkey"),
+                "od": pc.cast(pc.cast(t.column("o_orderdate"),
+                                      pa.timestamp("us")),
+                              pa.int64()),
+            })
+
+        def flags(b: pa.Table) -> pa.Table:
+            empty = pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 3,
+                names=["ok", "late", "late_sk"])
+            if b.num_rows == 0 or "ship" not in b.column_names:
+                return empty
+            late = pc.cast(pc.greater(
+                b.column("ship"),
+                pc.add(b.column("od"),
+                       pa.scalar(LATE_US, pa.int64()))), pa.int64())
+            return pa.table({
+                "ok": b.column("l_orderkey"),
+                "late": late,
+                "late_sk": pc.multiply(late, b.column("l_suppkey")),
+            })
+
+        def pick(b: pa.Table) -> pa.Table:
+            if b.num_columns != 4:  # zero-column empty block
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.int64())] * 2,
+                    names=["s_suppkey", "numwait"])
+            b = b.rename_columns(["ok", "n_supp", "n_late", "late_sk"])
+            t = b.filter(pc.and_(
+                pc.greater_equal(b.column("n_supp"), pa.scalar(2)),
+                pc.equal(b.column("n_late"), pa.scalar(1))))
+            g = pa.table({"s_suppkey": t.column("late_sk")}) \
+                .group_by("s_suppkey").aggregate([([], "count_all")])
+            return g.select(["s_suppkey", "count_all"]) \
+                .rename_columns(["s_suppkey", "numwait"])
+
+        parts = int(max(8, os.path.getsize(
+            f"{sf_dir}/lineitem.parquet") // (32 << 20)))
+        li = _read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_suppkey", "l_shipdate"]) \
+            .map_batches(li_partial, batch_format="pyarrow")
+        osd = _read(sf_dir, "orders",
+                    ["o_orderkey", "o_orderstatus", "o_orderdate"]) \
+            .map_batches(orders_slim, batch_format="pyarrow")
+        def fix(b: pa.Table) -> pa.Table:
+            # groupby can emit zero-column empty blocks; pin the schema
+            if "max(ship)" not in b.column_names:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.int64())] * 3,
+                    names=["l_orderkey", "l_suppkey", "ship"])
+            return b.select(["l_orderkey", "l_suppkey", "max(ship)"]) \
+                .rename_columns(["l_orderkey", "l_suppkey", "ship"])
+
+        # repartition before each join: groupby emits zero-column empty
+        # blocks that map_batches skips, and a join partition made only
+        # of those crashes Acero (dedup._scrub_empty_blocks discipline)
+        ls = li.groupby(["l_orderkey", "l_suppkey"]) \
+            .aggregate(Max("ship")).map_batches(
+                fix, batch_format="pyarrow").repartition(parts)
+        per_order = ls.join(osd, "inner", parts,
+                            on=("l_orderkey",),
+                            right_on=("o_orderkey",)) \
+            .map_batches(flags, batch_format="pyarrow") \
+            .groupby("ok").aggregate(Count(), Sum("late"),
+                                     Sum("late_sk"))
+        counted = per_order.map_batches(
+            pick, batch_format="pyarrow").groupby("s_suppkey") \
+            .aggregate(Sum("numwait")).map_batches(
+                lambda b: b.rename_columns(["s_suppkey", "numwait"])
+                if b.num_columns == 2 else pa.Table.from_arrays(
+                    [pa.array([], pa.int64())] * 2,
+                    names=["s_suppkey", "numwait"]),
+                batch_format="pyarrow").repartition(8)
+        named = counted.join(
+            _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+            "inner", 8, on=("s_suppkey",))
+        return named.sort(["numwait", "s_name"],
+                          descending=[True, False]).limit(10) \
+            .select_columns(["s_name", "numwait"])
+
     def late_event_audit(sf_dir: str):
         """Streaming watermark audit: per user, how many events arrive
         (by event_id order) with an event time > 1 h behind the user's
@@ -12220,6 +12336,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delta_bits_estimate": delta_bits_estimate,
         "list_nesting_census": actor(q.ListNestingCensus),
         "max_drawdown_daily": max_drawdown_daily,
+        "p_close_census": actor(q.PCloseCensus),
+        "late_supplier_q21": late_supplier_q21,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -12489,6 +12607,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "view_purchase_within5m", "delta_bits_estimate",
         # new in round 3, hundred-nineteenth sweep
         "list_nesting_census", "max_drawdown_daily",
+        # new in round 3, hundred-twentieth sweep
+        "p_close_census", "late_supplier_q21",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -19057,6 +19177,47 @@ def oracle_sql() -> dict[str, str]:
                         (SELECT MAX(peak - cents) FROM r))
                         AS BIGINT) AS worst_day
             FROM r
+        """,
+        # p-close grid by construction: m=d%4+2 chained <p>, an <h2>,
+        # a final <p> closed by <div> -> m+1 p's, m+3 body children.
+        "p_close_census": """
+            SELECT doc_id,
+                   CAST(doc_id % 4 + 3 AS BIGINT) AS n_p,
+                   CAST(doc_id % 4 + 5 AS BIGINT) AS n_body_children,
+                   'open' || CAST(doc_id AS VARCHAR) AS last_p_text,
+                   'inside' || CAST(doc_id AS VARCHAR) AS div_text
+            FROM documents
+        """,
+        # late = supplier's max shipdate > o_orderdate + 90 d (in us);
+        # credit 'F' orders with >=2 suppliers and exactly one late.
+        "late_supplier_q21": """
+            WITH lo AS (
+                SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+                       MAX(epoch_us(l.l_shipdate)) AS ship,
+                       MAX(epoch_us(o.o_orderdate)) AS od
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                WHERE o.o_orderstatus = 'F'
+                GROUP BY 1, 2
+            ), flags AS (
+                SELECT ok, sk,
+                       CASE WHEN ship > od + 7776000000000
+                            THEN 1 ELSE 0 END AS late
+                FROM lo
+            ), per_order AS (
+                SELECT ok, COUNT(*) AS n_supp, SUM(late) AS n_late,
+                       SUM(sk * late) AS late_sk
+                FROM flags GROUP BY 1
+            ), waiting AS (
+                SELECT late_sk AS sk,
+                       CAST(COUNT(*) AS BIGINT) AS numwait
+                FROM per_order
+                WHERE n_supp >= 2 AND n_late = 1 GROUP BY 1
+            )
+            SELECT s.s_name, w.numwait
+            FROM waiting w
+            JOIN supplier s ON s.s_suppkey = w.sk
+            ORDER BY w.numwait DESC, s.s_name LIMIT 10
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

@@ -709,6 +709,55 @@ class ListNestingCensus:
                    "leaf_depth", "leaf_text"])
 
 
+class PCloseCensus:
+    """<p>-implied-close census: m = doc_id%4+2 consecutive <p> tags
+    (each closes its predecessor), then an <h2> (headings close an
+    open p), then one more <p> closed by a <div> — the in-body
+    "element that closes a p in button scope" family (reference:
+    Sources/HTMLParser.m in-body p handling). A parser that nests
+    instead of closing changes n_body_children and the div/h2 no
+    longer sit as body siblings; the oracle is doc_id arithmetic."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernel.dom import Element
+
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_np, out_nb, out_lp, out_dv = [], [], [], [], []
+        for key in ids:
+            d = int(key)
+            m = d % 4 + 2
+            ps = "".join(f"<p>t{d}-{j}" for j in range(m))
+            page = (f"<!DOCTYPE html><html><body>{ps}"
+                    f"<h2>tail{d}</h2><p>open{d}"
+                    f"<div>inside{d}</div></body></html>")
+            doc = parse(page)
+            n_p = 0
+            last_p = div_text = ""
+            n_body = 0
+            for el in doc.elements_in_tree_order():
+                if el.tag == "p":
+                    n_p += 1
+                    last_p = el.text_content
+                elif el.tag == "div":
+                    div_text = el.text_content
+                elif el.tag == "body":
+                    n_body = sum(1 for c in el.children
+                                 if isinstance(c, Element))
+            out_id.append(key)
+            out_np.append(n_p)
+            out_nb.append(n_body)
+            out_lp.append(last_p)
+            out_dv.append(div_text)
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_np, pa.int64()),
+             pa.array(out_nb, pa.int64()),
+             pa.array(out_lp, pa.string()),
+             pa.array(out_dv, pa.string())],
+            names=["doc_id", "n_p", "n_body_children",
+                   "last_p_text", "div_text"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and

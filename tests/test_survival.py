@@ -1458,3 +1458,62 @@ def test_max_drawdown_daily_micro(ray_session, tmp_path):
                     "max_drawdown_cents": 400,
                     "worst_day": (T0 + 3 * US_DAY) // US_DAY}]
     assert _oracle(sf, "max_drawdown_daily").to_pylist() == out
+
+
+def test_p_close_census_micro(ray_session, tmp_path):
+    docs = pa.table({
+        "doc_id": pa.array([0, 3], pa.int64()),
+        "text": pa.array(["x", "x"], pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = _sorted_rows(pa.Table.from_pylist(
+        entrymod.queries()["p_close_census"](
+            str(tmp_path)).take_all()), "doc_id")
+    # doc 0: m=2 chained p + h2 + p-closed-by-div -> 3 p, 5 children
+    assert out[0] == {"doc_id": 0, "n_p": 3, "n_body_children": 5,
+                      "last_p_text": "open0", "div_text": "inside0"}
+    assert out[1] == {"doc_id": 3, "n_p": 6, "n_body_children": 8,
+                      "last_p_text": "open3", "div_text": "inside3"}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    assert _sorted_rows(con.sql(
+        entrymod.oracle_sql()["p_close_census"]).arrow(),
+        "doc_id") == out
+
+
+def test_late_supplier_q21_micro(ray_session, tmp_path):
+    day = lambda n: T0 + n * US_DAY  # noqa: E731
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2], pa.int64()),
+        "s_name": pa.array(["S1", "S2"], pa.string()),
+    }), str(tmp_path / "supplier.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 20, 30, 40], pa.int64()),
+        "o_orderstatus": pa.array(["F", "F", "O", "F"], pa.string()),
+        "o_orderdate": pa.array([day(0)] * 4,
+                                pa.int64()).cast(pa.timestamp("us")),
+    }), str(tmp_path / "orders.parquet"))
+    li = [  # (ok, sk, ship_day)
+        (10, 1, 100), (10, 2, 10),   # sole late supp 1 -> credit
+        (20, 1, 100), (20, 2, 95),   # both late -> no credit
+        (30, 2, 100),                # status O -> excluded
+        (40, 1, 100),                # single supplier -> no credit
+    ]
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in li], pa.int64()),
+        "l_suppkey": pa.array([r[1] for r in li], pa.int64()),
+        "l_shipdate": pa.array([day(r[2]) for r in li],
+                               pa.int64()).cast(pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = entrymod.queries()["late_supplier_q21"](
+        str(tmp_path)).take_all()
+    out = [{"s_name": r["s_name"], "numwait": r["numwait"]}
+           for r in out]
+    assert out == [{"s_name": "S1", "numwait": 1}]
+    con = duckdb.connect()
+    for t in ("supplier", "orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{t}.parquet')")
+    assert con.sql(entrymod.oracle_sql()["late_supplier_q21"]) \
+        .arrow().to_pylist() == out
