@@ -12338,6 +12338,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_drawdown_daily": max_drawdown_daily,
         "p_close_census": actor(q.PCloseCensus),
         "late_supplier_q21": late_supplier_q21,
+        "afe_reconstruct_census": actor(q.AfeReconstructCensus),
+        "pre_newline_census": actor(q.PreNewlineCensus),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -12609,6 +12611,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "list_nesting_census", "max_drawdown_daily",
         # new in round 3, hundred-twentieth sweep
         "p_close_census", "late_supplier_q21",
+        # new in round 3, hundred-twenty-first sweep
+        "afe_reconstruct_census", "pre_newline_census",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -19218,6 +19222,25 @@ def oracle_sql() -> dict[str, str]:
             FROM waiting w
             JOIN supplier s ON s.s_suppkey = w.sk
             ORDER BY w.numwait DESC, s.s_name LIMIT 10
+        """,
+        # AFE reconstruction by construction: m=d%3+1 paragraphs each
+        # re-cloning b>i, stray </b> leaves i alone for the tail.
+        "afe_reconstruct_census": """
+            SELECT doc_id,
+                   CAST(doc_id % 3 + 1 AS BIGINT) AS n_b,
+                   CAST(doc_id % 3 + 2 AS BIGINT) AS n_i,
+                   'tail' || CAST(doc_id AS VARCHAR) AS last_i_text
+            FROM documents
+        """,
+        # leading newline dropped only when present (even doc_id).
+        "pre_newline_census": """
+            SELECT doc_id,
+                   'A' || CAST(doc_id AS VARCHAR) || chr(10) || 'B'
+                       AS pre_text,
+                   'T' || CAST(doc_id AS VARCHAR) AS ta_text,
+                   CAST(3 + length(CAST(doc_id AS VARCHAR))
+                        AS BIGINT) AS pre_len
+            FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

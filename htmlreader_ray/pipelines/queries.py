@@ -758,6 +758,85 @@ class PCloseCensus:
                    "last_p_text", "div_text"])
 
 
+class AfeReconstructCensus:
+    """Active-formatting-element RECONSTRUCTION census (distinct from
+    the adoption-agency misnesting census): <p><b><i> opened once,
+    then m = doc_id%3+1 paragraphs each CLOSED with </p> — popping p
+    removes the open b/i from the stack while the AFE list keeps
+    them, so every later paragraph's text must re-clone b>i
+    (reference: HTMLReader AFE reconstruction,
+    Sources/HTMLParser.m). The stray </b> then removes only b from
+    the AFE list (adoption agency's not-in-stack early exit) so the
+    trailing body text reconstructs i ALONE. Expected per doc:
+    n_b = m, n_i = m+1, the last i holds the tail text."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_b, out_i, out_t = [], [], [], []
+        for key in ids:
+            d = int(key)
+            m = d % 3 + 1
+            ps = f"<p><b><i>w{d}-0</p>" + "".join(
+                f"<p>w{d}-{j}</p>" for j in range(1, m))
+            page = (f"<!DOCTYPE html><html><body>{ps}</b>"
+                    f"tail{d}</body></html>")
+            doc = parse(page)
+            nb = ni = 0
+            last_i = ""
+            for el in doc.elements_in_tree_order():
+                if el.tag == "b":
+                    nb += 1
+                elif el.tag == "i":
+                    ni += 1
+                    last_i = el.text_content
+            out_id.append(key)
+            out_b.append(nb)
+            out_i.append(ni)
+            out_t.append(last_i)
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_b, pa.int64()),
+             pa.array(out_i, pa.int64()),
+             pa.array(out_t, pa.string())],
+            names=["doc_id", "n_b", "n_i", "last_i_text"])
+
+
+class PreNewlineCensus:
+    """The leading-newline-drop rule: a newline immediately after
+    <pre> or <textarea> is skipped by the tree builder (reference:
+    HTMLReader pre/textarea handling per WHATWG). Pages alternate a
+    leading newline by doc_id parity; the oracle regenerates the
+    exact text both ways, so a parser that drops the newline
+    unconditionally (or never) diverges on half the corpus."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_pre, out_ta, out_len = [], [], [], []
+        for key in ids:
+            d = int(key)
+            nl = "\n" if d % 2 == 0 else ""
+            page = (f"<!DOCTYPE html><html><body>"
+                    f"<pre>{nl}A{d}\nB</pre>"
+                    f"<textarea>{nl}T{d}</textarea></body></html>")
+            doc = parse(page)
+            pre = ta = ""
+            for el in doc.elements_in_tree_order():
+                if el.tag == "pre":
+                    pre = el.text_content
+                elif el.tag == "textarea":
+                    ta = el.text_content
+            out_id.append(key)
+            out_pre.append(pre)
+            out_ta.append(ta)
+            out_len.append(len(pre))
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_pre, pa.string()),
+             pa.array(out_ta, pa.string()),
+             pa.array(out_len, pa.int64())],
+            names=["doc_id", "pre_text", "ta_text", "pre_len"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and

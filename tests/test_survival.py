@@ -1517,3 +1517,35 @@ def test_late_supplier_q21_micro(ray_session, tmp_path):
                     f"read_parquet('{tmp_path}/{t}.parquet')")
     assert con.sql(entrymod.oracle_sql()["late_supplier_q21"]) \
         .arrow().to_pylist() == out
+
+
+def test_afe_and_pre_newline_census_micro(ray_session, tmp_path):
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["x"] * 3, pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    afe = _sorted_rows(pa.Table.from_pylist(
+        entrymod.queries()["afe_reconstruct_census"](
+            str(tmp_path)).take_all()), "doc_id")
+    # doc 2: 3 paragraphs -> 3 b clones, 3 i clones + the tail's
+    # i-only reconstruction after the stray </b>
+    assert afe[2] == {"doc_id": 2, "n_b": 3, "n_i": 4,
+                      "last_i_text": "tail2"}
+    pre = _sorted_rows(pa.Table.from_pylist(
+        entrymod.queries()["pre_newline_census"](
+            str(tmp_path)).take_all()), "doc_id")
+    # doc 0 HAS the leading newline (dropped); doc 1 does not
+    assert pre[0] == {"doc_id": 0, "pre_text": "A0\nB",
+                      "ta_text": "T0", "pre_len": 4}
+    assert pre[1] == {"doc_id": 1, "pre_text": "A1\nB",
+                      "ta_text": "T1", "pre_len": 4}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    assert _sorted_rows(con.sql(
+        entrymod.oracle_sql()["afe_reconstruct_census"]).arrow(),
+        "doc_id") == afe
+    assert _sorted_rows(con.sql(
+        entrymod.oracle_sql()["pre_newline_census"]).arrow(),
+        "doc_id") == pre
