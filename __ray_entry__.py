@@ -11959,6 +11959,98 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           descending=[True, False]).limit(10) \
             .select_columns(["s_name", "numwait"])
 
+    def order_priority_q4(sf_dir: str):
+        """TPC-H Q4 analog (order-priority checking): count 1997-H1
+        orders BY PRIORITY that have at least one line shipped more
+        than 60 days after the order date — the EXISTS (semi-join
+        against an aggregate) pattern. EXISTS(ship > od+60d) ≡
+        max(ship) > od+60d, so lineitem ships only block-local
+        (orderkey, max ship) partials, one groupby finishes the max,
+        a native hash join meets the date-filtered keys+priority
+        order side, and the finale is a 5-row priority combiner."""
+        import datetime
+        import os
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from ray.data.aggregate import Max, Sum
+
+        LATE_US = 60 * 86_400_000_000
+        lo = pa.scalar(datetime.datetime(1997, 1, 1), pa.timestamp("us"))
+        hi = pa.scalar(datetime.datetime(1997, 7, 1), pa.timestamp("us"))
+
+        def li_partial(b: pa.Table) -> pa.Table:
+            t = pa.table({
+                "l_orderkey": b.column("l_orderkey"),
+                "ship": pc.cast(pc.cast(b.column("l_shipdate"),
+                                        pa.timestamp("us")),
+                                pa.int64()),
+            })
+            g = t.group_by("l_orderkey").aggregate([("ship", "max")])
+            return g.select(["l_orderkey", "ship_max"]) \
+                .rename_columns(["l_orderkey", "ship"])
+
+        def orders_slim(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.greater_equal(b.column("o_orderdate"), lo),
+                        pc.less(b.column("o_orderdate"), hi))
+            t = b.filter(m)
+            return pa.table({
+                "o_orderkey": t.column("o_orderkey"),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "od": pc.cast(pc.cast(t.column("o_orderdate"),
+                                      pa.timestamp("us")),
+                              pa.int64()),
+            })
+
+        def fix(b: pa.Table) -> pa.Table:
+            if "max(ship)" not in b.column_names:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.int64())] * 2,
+                    names=["l_orderkey", "ship"])
+            return b.select(["l_orderkey", "max(ship)"]) \
+                .rename_columns(["l_orderkey", "ship"])
+
+        def count_late(b: pa.Table) -> pa.Table:
+            empty = pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64())],
+                names=["o_orderpriority", "order_count"])
+            if b.num_rows == 0 or "ship" not in b.column_names:
+                return empty
+            late = pc.greater(
+                b.column("ship"),
+                pc.add(b.column("od"),
+                       pa.scalar(LATE_US, pa.int64())))
+            t = b.filter(late)
+            g = pa.table({"o_orderpriority":
+                          t.column("o_orderpriority")}) \
+                .group_by("o_orderpriority") \
+                .aggregate([([], "count_all")])
+            return g.select(["o_orderpriority", "count_all"]) \
+                .rename_columns(["o_orderpriority", "order_count"])
+
+        parts = int(max(8, os.path.getsize(
+            f"{sf_dir}/lineitem.parquet") // (32 << 20)))
+        li = _read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_shipdate"]) \
+            .map_batches(li_partial, batch_format="pyarrow") \
+            .groupby("l_orderkey").aggregate(Max("ship")) \
+            .map_batches(fix, batch_format="pyarrow") \
+            .repartition(parts)
+        osd = _read(sf_dir, "orders",
+                    ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+            .map_batches(orders_slim, batch_format="pyarrow")
+        agg = li.join(osd, "inner", parts,
+                      on=("l_orderkey",), right_on=("o_orderkey",)) \
+            .map_batches(count_late, batch_format="pyarrow") \
+            .groupby("o_orderpriority").aggregate(Sum("order_count"))
+        rows = sorted(agg.take_all(),
+                      key=lambda r: r["o_orderpriority"])
+        return pa.Table.from_arrays(
+            [pa.array([r["o_orderpriority"] for r in rows],
+                      pa.string()),
+             pa.array([int(r["sum(order_count)"]) for r in rows],
+                      pa.int64())],
+            names=["o_orderpriority", "order_count"])
+
     def late_event_audit(sf_dir: str):
         """Streaming watermark audit: per user, how many events arrive
         (by event_id order) with an event time > 1 h behind the user's
@@ -12340,6 +12432,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_supplier_q21": late_supplier_q21,
         "afe_reconstruct_census": actor(q.AfeReconstructCensus),
         "pre_newline_census": actor(q.PreNewlineCensus),
+        "svg_case_adjust_census": actor(q.SvgCaseAdjustCensus),
+        "order_priority_q4": order_priority_q4,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -12613,6 +12707,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "p_close_census", "late_supplier_q21",
         # new in round 3, hundred-twenty-first sweep
         "afe_reconstruct_census", "pre_newline_census",
+        # new in round 3, hundred-twenty-second sweep
+        "svg_case_adjust_census", "order_priority_q4",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -19241,6 +19337,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 + length(CAST(doc_id AS VARCHAR))
                         AS BIGINT) AS pre_len
             FROM documents
+        """,
+        # canonical camelCase names regenerated per doc_id%5 cycle.
+        "svg_case_adjust_census": """
+            SELECT doc_id,
+                   CASE doc_id % 5
+                       WHEN 0 THEN 'textPath'
+                       WHEN 1 THEN 'foreignObject'
+                       WHEN 2 THEN 'linearGradient'
+                       WHEN 3 THEN 'clipPath'
+                       ELSE 'feBlend' END AS child_tag,
+                   CASE doc_id % 5
+                       WHEN 0 THEN 'preserveAspectRatio'
+                       WHEN 1 THEN 'patternUnits'
+                       WHEN 2 THEN 'gradientTransform'
+                       WHEN 3 THEN 'stdDeviation'
+                       ELSE 'viewBox' END AS attr_name,
+                   'v' || CAST(doc_id AS VARCHAR) AS attr_value
+            FROM documents
+        """,
+        "order_priority_q4": """
+            SELECT o.o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND epoch_us(l.l_shipdate) >
+                        epoch_us(o.o_orderdate) + 5184000000000)
+            GROUP BY 1 ORDER BY 1
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

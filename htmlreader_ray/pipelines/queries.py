@@ -837,6 +837,56 @@ class PreNewlineCensus:
             names=["doc_id", "pre_text", "ta_text", "pre_len"])
 
 
+class SvgCaseAdjustCensus:
+    """Foreign-content case ADJUSTMENT census: SVG child tags and
+    attributes whose spec-canonical form is camelCase must be
+    adjusted from their lowercased tokenizer form (reference:
+    HTMLReader foreign-content tag/attribute adjustment tables,
+    Sources/HTMLParser.m; kernel/constants.py mirrors the WHATWG
+    tables). Pages cycle five adjusted tags and five adjusted
+    attributes by doc_id%5; the oracle regenerates the canonical
+    names, so a parser that skips the adjustment tables (or applies
+    them outside foreign content) diverges on every row."""
+
+    TAGS = ["textpath", "foreignobject", "lineargradient",
+            "clippath", "feblend"]
+    TAGS_ADJ = ["textPath", "foreignObject", "linearGradient",
+                "clipPath", "feBlend"]
+    ATTRS = ["preserveaspectratio", "patternunits",
+             "gradienttransform", "stddeviation", "viewbox"]
+    ATTRS_ADJ = ["preserveAspectRatio", "patternUnits",
+                 "gradientTransform", "stdDeviation", "viewBox"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_tag, out_an, out_av = [], [], [], []
+        for key in ids:
+            d = int(key)
+            raw_t = self.TAGS[d % 5]
+            raw_a = self.ATTRS[d % 5]
+            page = (f"<!DOCTYPE html><html><body>"
+                    f"<svg {raw_a}=\"v{d}\">"
+                    f"<{raw_t}>x</{raw_t}></svg></body></html>")
+            doc = parse(page)
+            child_tag = attr_name = attr_val = ""
+            for el in doc.elements_in_tree_order():
+                if el.tag == "svg":
+                    for k, v in el.attrs.items():
+                        attr_name, attr_val = k, v
+                elif el.tag not in ("html", "head", "body"):
+                    child_tag = el.tag
+            out_id.append(key)
+            out_tag.append(child_tag)
+            out_an.append(attr_name)
+            out_av.append(attr_val)
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_tag, pa.string()),
+             pa.array(out_an, pa.string()),
+             pa.array(out_av, pa.string())],
+            names=["doc_id", "child_tag", "attr_name", "attr_value"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and

@@ -1549,3 +1549,53 @@ def test_afe_and_pre_newline_census_micro(ray_session, tmp_path):
     assert _sorted_rows(con.sql(
         entrymod.oracle_sql()["pre_newline_census"]).arrow(),
         "doc_id") == pre
+
+
+def test_svg_case_adjust_and_q4_micro(ray_session, tmp_path):
+    docs = pa.table({
+        "doc_id": pa.array([0, 4], pa.int64()),
+        "text": pa.array(["x"] * 2, pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    svg = _sorted_rows(pa.Table.from_pylist(
+        entrymod.queries()["svg_case_adjust_census"](
+            str(tmp_path)).take_all()), "doc_id")
+    assert svg[0] == {"doc_id": 0, "child_tag": "textPath",
+                      "attr_name": "preserveAspectRatio",
+                      "attr_value": "v0"}
+    assert svg[1] == {"doc_id": 4, "child_tag": "feBlend",
+                      "attr_name": "viewBox", "attr_value": "v4"}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    assert _sorted_rows(con.sql(
+        entrymod.oracle_sql()["svg_case_adjust_census"]).arrow(),
+        "doc_id") == svg
+
+    # Q4 micro: order 10 in-window with a >60d-late line; order 20
+    # in-window on time; order 30 outside the window though late
+    def ts(y, m, d):
+        import datetime
+        return int(datetime.datetime(y, m, d).timestamp() * 1e6)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 20, 30], pa.int64()),
+        "o_orderdate": pa.array(
+            [ts(1997, 2, 1), ts(1997, 3, 1), ts(1996, 2, 1)],
+            pa.int64()).cast(pa.timestamp("us")),
+        "o_orderpriority": pa.array(
+            ["1-URGENT", "1-URGENT", "2-HIGH"], pa.string()),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([10, 20, 30], pa.int64()),
+        "l_shipdate": pa.array(
+            [ts(1997, 5, 1), ts(1997, 3, 15), ts(1996, 8, 1)],
+            pa.int64()).cast(pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = entrymod.queries()["order_priority_q4"](
+        str(tmp_path)).to_pylist()
+    assert out == [{"o_orderpriority": "1-URGENT", "order_count": 1}]
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{t}.parquet')")
+    assert con.sql(entrymod.oracle_sql()["order_priority_q4"]) \
+        .arrow().to_pylist() == out
