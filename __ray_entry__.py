@@ -12051,6 +12051,123 @@ def queries() -> dict[str, Callable[[str], Any]]:
                       pa.int64())],
             names=["o_orderpriority", "order_count"])
 
+    def nation_trade_balance(sf_dir: str):
+        """Trade balance per nation — ONE fact scan feeding TWO
+        dimension roles: each lineitem's revenue is the customer
+        nation's IMPORT and the supplier nation's EXPORT. Lineitem
+        converts to int cents in its first map; supplier and customer
+        key sides hash-join (both GROW with SF — never broadcast);
+        after the fact-fact join each block emits a two-role
+        (nationkey, import, export) partial via a local group_by, so
+        the final exchange is a ≤25-key combiner. nation (constant
+        25-row dim) resolves driver-side; zero-activity nations kept
+        with 0/0 — mirrored by the oracle's LEFT JOINs."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from htmlreader_ray.functions.dedup import (
+            _default_join_partitions)
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        parts = _default_join_partitions()
+
+        def li_side(b: pa.Table) -> pa.Table:
+            cents = pc.cast(pc.floor(pc.add(pc.multiply(
+                pa.scalar(100.0),
+                pc.multiply(b.column("l_extendedprice"),
+                            pc.subtract(pa.scalar(1.0),
+                                        b.column("l_discount")))),
+                pa.scalar(0.5))), pa.int64())
+            t = pa.table({"l_orderkey": b.column("l_orderkey"),
+                          "l_suppkey": b.column("l_suppkey"),
+                          "cents": cents})
+            g = t.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+                [("cents", "sum")])
+            return g.select(["l_orderkey", "l_suppkey", "cents_sum"]) \
+                .rename_columns(["l_orderkey", "l_suppkey", "cents"])
+
+        def supp_side(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [b.column("s_suppkey"),
+                 pc.cast(b.column("s_nationkey"), pa.int64())],
+                names=["s_suppkey", "s_nationkey"])
+
+        def cust_side(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [b.column("c_custkey"),
+                 pc.cast(b.column("c_nationkey"), pa.int64())],
+                names=["c_custkey", "c_nationkey"])
+
+        def roles(b: pa.Table) -> pa.Table:
+            empty = pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 3,
+                names=["nk", "imp", "exp"])
+            if b.num_rows == 0 or "cents" not in b.column_names:
+                return empty
+            cn = pc.cast(b.column("c_nationkey"),
+                         pa.int64()).combine_chunks()
+            sn = pc.cast(b.column("s_nationkey"),
+                         pa.int64()).combine_chunks()
+            cents = b.column("cents")
+            if isinstance(cents, pa.ChunkedArray):
+                cents = cents.combine_chunks()
+            zeros = pc.multiply(cents, pa.scalar(0, pa.int64()))
+            t = pa.table({
+                "nk": pa.concat_arrays([cn, sn]),
+                "imp": pa.concat_arrays([cents, zeros]),
+                "exp": pa.concat_arrays([zeros, cents])})
+            g = t.group_by("nk").aggregate(
+                [("imp", "sum"), ("exp", "sum")])
+            return g.select(["nk", "imp_sum", "exp_sum"]) \
+                .rename_columns(["nk", "imp", "exp"])
+
+        li = _read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_suppkey", "l_extendedprice",
+                    "l_discount"]).map_batches(
+            li_side, batch_format="pyarrow")
+        supp = _read(sf_dir, "supplier",
+                     ["s_suppkey", "s_nationkey"]).map_batches(
+            supp_side, batch_format="pyarrow")
+        cust = _read(sf_dir, "customer",
+                     ["c_custkey", "c_nationkey"]).map_batches(
+            cust_side, batch_format="pyarrow")
+        orders = _read(sf_dir, "orders",
+                       ["o_orderkey", "o_custkey"])
+        ordc = orders.repartition(parts).join(
+            cust.repartition(parts), "inner", parts,
+            on=("o_custkey",), right_on=("c_custkey",)) \
+            .select_columns(["o_orderkey", "c_nationkey"])
+        lis = li.repartition(parts).join(
+            supp.repartition(parts), "inner", parts,
+            on=("l_suppkey",), right_on=("s_suppkey",))
+        joined = lis.repartition(parts).join(
+            ordc.repartition(parts), "inner", parts,
+            on=("l_orderkey",), right_on=("o_orderkey",))
+        bal = combine_aggregate(
+            joined.map_batches(roles, batch_format="pyarrow"),
+            ["nk"], [("imp", "sum", "import_cents"),
+                     ("exp", "sum", "export_cents")]).take_all()
+        by_nk = {int(r["nk"]): r for r in bal}
+        nation = pa.concat_tables(
+            [t for t in ray.get(
+                _read(sf_dir, "nation").to_arrow_refs())
+             if t.num_rows])
+        rows = sorted(
+            (str(nm), int(nk)) for nm, nk in zip(
+                nation.column("n_name").to_pylist(),
+                nation.column("n_nationkey").to_pylist()))
+        imp = [int(by_nk.get(nk, {}).get("import_cents", 0))
+               for _nm, nk in rows]
+        exp = [int(by_nk.get(nk, {}).get("export_cents", 0))
+               for _nm, nk in rows]
+        return pa.Table.from_arrays(
+            [pa.array([nm for nm, _nk in rows], pa.string()),
+             pa.array(imp, pa.int64()),
+             pa.array(exp, pa.int64()),
+             pa.array([e - i for i, e in zip(imp, exp)], pa.int64())],
+            names=["n_name", "import_cents", "export_cents",
+                   "balance_cents"])
+
     def late_event_audit(sf_dir: str):
         """Streaming watermark audit: per user, how many events arrive
         (by event_id order) with an event time > 1 h behind the user's
@@ -12434,6 +12551,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pre_newline_census": actor(q.PreNewlineCensus),
         "svg_case_adjust_census": actor(q.SvgCaseAdjustCensus),
         "order_priority_q4": order_priority_q4,
+        "cdata_foreign_census": actor(q.CdataForeignCensus),
+        "nation_trade_balance": nation_trade_balance,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -12709,6 +12828,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "afe_reconstruct_census", "pre_newline_census",
         # new in round 3, hundred-twenty-second sweep
         "svg_case_adjust_census", "order_priority_q4",
+        # new in round 3, hundred-twenty-third sweep
+        "cdata_foreign_census", "nation_trade_balance",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -19368,6 +19489,45 @@ def oracle_sql() -> dict[str, str]:
                     AND epoch_us(l.l_shipdate) >
                         epoch_us(o.o_orderdate) + 5184000000000)
             GROUP BY 1 ORDER BY 1
+        """,
+        # CDATA dichotomy: literal text in svg, bogus comment in HTML;
+        # comment count = bogus + marker = 2.
+        "cdata_foreign_census": """
+            SELECT doc_id,
+                   'c' || CAST(doc_id AS VARCHAR) || ' <x> &amp;'
+                       AS svg_text,
+                   '[CDATA[h' || CAST(doc_id AS VARCHAR) || ']]'
+                       AS bogus_comment,
+                   CAST(2 AS BIGINT) AS n_comments
+            FROM documents
+        """,
+        # per-line cents mirrored verbatim; zero-activity nations kept.
+        "nation_trade_balance": """
+            WITH f AS (
+                SELECT c.c_nationkey AS cn, s.s_nationkey AS sn,
+                       CAST(FLOOR(100.0 * (l.l_extendedprice *
+                            (1.0 - l.l_discount)) + 0.5) AS BIGINT)
+                           AS cents
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            ), imp AS (
+                SELECT cn AS nk, SUM(cents) AS i FROM f GROUP BY 1
+            ), exp AS (
+                SELECT sn AS nk, SUM(cents) AS e FROM f GROUP BY 1
+            )
+            SELECT n.n_name,
+                   CAST(COALESCE(imp.i, 0) AS BIGINT)
+                       AS import_cents,
+                   CAST(COALESCE(exp.e, 0) AS BIGINT)
+                       AS export_cents,
+                   CAST(COALESCE(exp.e, 0) - COALESCE(imp.i, 0)
+                        AS BIGINT) AS balance_cents
+            FROM nation n
+            LEFT JOIN imp ON imp.nk = n.n_nationkey
+            LEFT JOIN exp ON exp.nk = n.n_nationkey
+            ORDER BY n.n_name
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

@@ -887,6 +887,50 @@ class SvgCaseAdjustCensus:
             names=["doc_id", "child_tag", "attr_name", "attr_value"])
 
 
+class CdataForeignCensus:
+    """CDATA-section dichotomy: <![CDATA[...]]> is character data ONLY
+    inside foreign content (markup and entity refs stay literal); in
+    HTML content it is a BOGUS COMMENT whose data keeps the
+    '[CDATA[..]]' wrapper (reference: HTMLReader tokenizer CDATA
+    handling per WHATWG; Sources/HTMLTokenizer.m). Each page carries
+    one of each plus a marker comment; the oracle regenerates the
+    svg text (with literal '<x>' and '&amp;'), the bogus-comment
+    data, and the comment count."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernel.dom import Comment
+
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_svg, out_bog, out_nc = [], [], [], []
+        for key in ids:
+            d = int(key)
+            page = (f"<!DOCTYPE html><html><body>"
+                    f"<svg><![CDATA[c{d} <x> &amp;]]></svg>"
+                    f"<![CDATA[h{d}]]><!--m{d}--></body></html>")
+            doc = parse(page)
+            svg_text = bogus = ""
+            n_comments = 0
+            for el in doc.elements_in_tree_order():
+                if el.tag == "svg":
+                    svg_text = el.text_content
+            for node in doc.tree_order():
+                if isinstance(node, Comment):
+                    n_comments += 1
+                    if node.data.startswith("[CDATA["):
+                        bogus = node.data
+            out_id.append(key)
+            out_svg.append(svg_text)
+            out_bog.append(bogus)
+            out_nc.append(n_comments)
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_svg, pa.string()),
+             pa.array(out_bog, pa.string()),
+             pa.array(out_nc, pa.int64())],
+            names=["doc_id", "svg_text", "bogus_comment",
+                   "n_comments"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and

@@ -1599,3 +1599,59 @@ def test_svg_case_adjust_and_q4_micro(ray_session, tmp_path):
                     f"read_parquet('{tmp_path}/{t}.parquet')")
     assert con.sql(entrymod.oracle_sql()["order_priority_q4"]) \
         .arrow().to_pylist() == out
+
+
+def test_cdata_and_trade_balance_micro(ray_session, tmp_path):
+    docs = pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "text": pa.array(["x"], pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    cd = entrymod.queries()["cdata_foreign_census"](
+        str(tmp_path)).take_all()
+    assert cd == [{"doc_id": 7, "svg_text": "c7 <x> &amp;",
+                   "bogus_comment": "[CDATA[h7]]", "n_comments": 2}]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    assert con.sql(entrymod.oracle_sql()["cdata_foreign_census"]) \
+        .arrow().to_pylist() == cd
+
+    # trade balance: nation 0 imports 100, nation 1 exports 100;
+    # nation 2 inactive (kept with zeros)
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1, 2], pa.int64()),
+        "n_name": pa.array(["A-NAT", "B-NAT", "C-NAT"], pa.string()),
+    }), str(tmp_path / "nation.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1], pa.int64()),
+        "c_nationkey": pa.array([0], pa.int64()),
+    }), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([5], pa.int64()),
+        "s_nationkey": pa.array([1], pa.int64()),
+    }), str(tmp_path / "supplier.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10], pa.int64()),
+        "o_custkey": pa.array([1], pa.int64()),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([10], pa.int64()),
+        "l_suppkey": pa.array([5], pa.int64()),
+        "l_extendedprice": pa.array([1.25], pa.float64()),
+        "l_discount": pa.array([0.2], pa.float64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = entrymod.queries()["nation_trade_balance"](
+        str(tmp_path)).to_pylist()
+    assert out == [
+        {"n_name": "A-NAT", "import_cents": 100, "export_cents": 0,
+         "balance_cents": -100},
+        {"n_name": "B-NAT", "import_cents": 0, "export_cents": 100,
+         "balance_cents": 100},
+        {"n_name": "C-NAT", "import_cents": 0, "export_cents": 0,
+         "balance_cents": 0}]
+    for t in ("nation", "customer", "supplier", "orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{t}.parquet')")
+    assert con.sql(entrymod.oracle_sql()["nation_trade_balance"]) \
+        .arrow().to_pylist() == out
