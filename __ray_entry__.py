@@ -12168,6 +12168,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             names=["n_name", "import_cents", "export_cents",
                    "balance_cents"])
 
+    def customer_distribution_q13(sf_dir: str):
+        """TPC-H Q13 analog (customer order-count distribution,
+        excluding '1-URGENT' orders as the o_comment-filter stand-in)
+        with ZERO joins: orders emit block-local (custkey, n) partials,
+        one custkey combiner yields per-customer counts, a second
+        tiny groupby over n yields the distribution, and the zero-order
+        bucket is pure scalar arithmetic — total customers (a count(),
+        FK integrity pinned by fk_integrity_audit) minus customers seen
+        in orders. Nothing wider than the digest-narrow custkey
+        exchange ever moves; at 100 TB this is two narrow shuffles."""
+        import pyarrow as pa
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        orders = _read(sf_dir, "orders",
+                       ["o_custkey", "o_orderpriority"]).filter(
+            expr="o_orderpriority != '1-URGENT'")
+        per_cust = combine_aggregate(
+            orders, ["o_custkey"], [("o_custkey", "count", "c_count")])
+        n_with = per_cust.count()
+        n_total = _read(sf_dir, "customer", ["c_custkey"]).count()
+        dist = combine_aggregate(
+            per_cust, ["c_count"],
+            [("c_count", "count", "custdist")]).take_all()
+        rows = [(int(r["c_count"]), int(r["custdist"])) for r in dist]
+        zero = n_total - n_with
+        if zero:
+            rows.append((0, int(zero)))
+        rows.sort(key=lambda r: (-r[1], -r[0]))
+        return pa.Table.from_arrays(
+            [pa.array([r[0] for r in rows], pa.int64()),
+             pa.array([r[1] for r in rows], pa.int64())],
+            names=["c_count", "custdist"])
+
     def late_event_audit(sf_dir: str):
         """Streaming watermark audit: per user, how many events arrive
         (by event_id order) with an event time > 1 h behind the user's
@@ -12553,6 +12586,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_q4": order_priority_q4,
         "cdata_foreign_census": actor(q.CdataForeignCensus),
         "nation_trade_balance": nation_trade_balance,
+        "select_scope_census": actor(q.SelectScopeCensus),
+        "customer_distribution_q13": customer_distribution_q13,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -12830,6 +12865,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "svg_case_adjust_census", "order_priority_q4",
         # new in round 3, hundred-twenty-third sweep
         "cdata_foreign_census", "nation_trade_balance",
+        # new in round 3, hundred-twenty-fourth sweep
+        "select_scope_census", "customer_distribution_q13",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -19528,6 +19565,38 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN imp ON imp.nk = n.n_nationkey
             LEFT JOIN exp ON exp.nk = n.n_nationkey
             ORDER BY n.n_name
+        """,
+        # 'in select' exits: even docs break out via <input> (token
+        # reprocessed in body), odd docs via nested <select> (not
+        # reprocessed); counts/texts arithmetic in doc_id.
+        "select_scope_census": """
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 3 + 2
+                             ELSE 2 END AS BIGINT) AS n_options,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 3
+                             ELSE 2 END AS BIGINT) AS n_body_children,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'v' || CAST(doc_id AS VARCHAR)
+                        ELSE '' END AS input_value,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'tail' || CAST(doc_id AS VARCHAR)
+                        ELSE 'b' || CAST(doc_id AS VARCHAR)
+                        END AS last_text
+            FROM documents
+        """,
+        # Q13 analog: LEFT-JOIN-with-ON-filter order counts per
+        # customer; the Ray side computes the zero bucket as a scalar.
+        "customer_distribution_q13": """
+            SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM (
+                SELECT c.c_custkey,
+                       CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+                FROM customer c
+                LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+                GROUP BY 1)
+            GROUP BY 1
+            ORDER BY custdist DESC, c_count DESC
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

@@ -931,6 +931,62 @@ class CdataForeignCensus:
                    "n_comments"])
 
 
+class SelectScopeCensus:
+    """The 'in select' insertion mode through the real parser
+    (reference: HTMLReader tree construction per WHATWG; option
+    auto-close, optgroup pops option, and the two select-scope exits):
+    even docs append <input> inside the select — the spec treats it
+    as </select> then reprocesses, so the input and the <i> tail
+    land as BODY siblings; odd docs nest a second <select>, which
+    acts as a bare </select> (NOT reprocessed), leaving the next
+    <option> at body level. Option counts, body child counts, the
+    input's value attr, and the last body child's text are all
+    arithmetic in doc_id, so the oracle regenerates them."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_no, out_nb, out_iv, out_lt = [], [], [], [], []
+        for key in ids:
+            d = int(key)
+            if d % 2 == 0:
+                m = d % 3 + 1
+                opts = "".join(f"<option>o{d}_{i}" for i in range(m))
+                page = (f"<!DOCTYPE html><html><body>"
+                        f"<select>{opts}<optgroup><option>g{d}"
+                        f"<input value=\"v{d}\"><i>tail{d}</i>"
+                        f"</body></html>")
+            else:
+                page = (f"<!DOCTYPE html><html><body>"
+                        f"<select><option>a{d}<select><option>b{d}"
+                        f"</body></html>")
+            doc = parse(page)
+            n_options = 0
+            input_value = ""
+            body = None
+            for el in doc.elements_in_tree_order():
+                if el.tag == "option":
+                    n_options += 1
+                elif el.tag == "input":
+                    input_value = el.attrs.get("value", "")
+                elif el.tag == "body":
+                    body = el
+            kids = [c for c in body.children
+                    if hasattr(c, "tag")]
+            out_id.append(key)
+            out_no.append(n_options)
+            out_nb.append(len(kids))
+            out_iv.append(input_value)
+            out_lt.append(kids[-1].text_content if kids else "")
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_no, pa.int64()),
+             pa.array(out_nb, pa.int64()),
+             pa.array(out_iv, pa.string()),
+             pa.array(out_lt, pa.string())],
+            names=["doc_id", "n_options", "n_body_children",
+                   "input_value", "last_text"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
