@@ -12201,6 +12201,88 @@ def queries() -> dict[str, Callable[[str], Any]]:
              pa.array([r[1] for r in rows], pa.int64())],
             names=["c_count", "custdist"])
 
+    def promo_share_q14(sf_dir: str):
+        """TPC-H Q14 analog (promo revenue share by 1995 ship month):
+        lineitem converts to int cents and a month key block-locally,
+        hash-joins the part (p_partkey, is_promo) key side — part
+        GROWS with SF so it is joined, never broadcast — then each
+        block emits (month, promo, total) partials and a ≤12-key
+        combiner finishes. The basis-point share is driver-side
+        integer-in/float-division arithmetic mirrored verbatim by
+        the oracle (FLOOR(10000.0 * promo / total))."""
+        import math
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.dedup import (
+            _default_join_partitions)
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        parts = _default_join_partitions()
+
+        def li_side(b: pa.Table) -> pa.Table:
+            ts = b.column("l_shipdate")
+            keep = pc.equal(pc.year(ts), pa.scalar(1995, pa.int64()))
+            t = b.filter(keep)
+            ts = t.column("l_shipdate")
+            cents = pc.cast(pc.floor(pc.add(pc.multiply(
+                pa.scalar(100.0),
+                pc.multiply(t.column("l_extendedprice"),
+                            pc.subtract(pa.scalar(1.0),
+                                        t.column("l_discount")))),
+                pa.scalar(0.5))), pa.int64())
+            return pa.table({
+                "l_partkey": t.column("l_partkey"),
+                "month": pc.cast(pc.month(ts), pa.int64()),
+                "cents": cents})
+
+        def part_side(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "p_partkey": b.column("p_partkey"),
+                "is_promo": pc.cast(
+                    pc.equal(b.column("p_type"), pa.scalar("PROMO")),
+                    pa.int64())})
+
+        def partial(b: pa.Table) -> pa.Table:
+            empty = pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 3,
+                names=["month", "promo", "total"])
+            if b.num_rows == 0 or "cents" not in b.column_names:
+                return empty
+            promo = pc.multiply(b.column("cents"),
+                                b.column("is_promo"))
+            t = pa.table({"month": b.column("month"),
+                          "promo": promo,
+                          "total": b.column("cents")})
+            g = t.group_by("month").aggregate(
+                [("promo", "sum"), ("total", "sum")])
+            return g.select(["month", "promo_sum", "total_sum"]) \
+                .rename_columns(["month", "promo", "total"])
+
+        li = _read(sf_dir, "lineitem",
+                   ["l_partkey", "l_extendedprice", "l_discount",
+                    "l_shipdate"]).map_batches(
+            li_side, batch_format="pyarrow")
+        pk = _read(sf_dir, "part", ["p_partkey", "p_type"]) \
+            .map_batches(part_side, batch_format="pyarrow")
+        joined = li.repartition(parts).join(
+            pk.repartition(parts), "inner", parts,
+            on=("l_partkey",), right_on=("p_partkey",))
+        agg = combine_aggregate(
+            joined.map_batches(partial, batch_format="pyarrow"),
+            ["month"], [("promo", "sum", "promo_cents"),
+                        ("total", "sum", "total_cents")]).take_all()
+        rows = sorted(
+            (int(r["month"]), int(r["promo_cents"]),
+             int(r["total_cents"])) for r in agg)
+        return pa.Table.from_arrays(
+            [pa.array([r[0] for r in rows], pa.int64()),
+             pa.array([r[1] for r in rows], pa.int64()),
+             pa.array([r[2] for r in rows], pa.int64()),
+             pa.array([int(math.floor((10000.0 * r[1]) / r[2]))
+                       for r in rows], pa.int64())],
+            names=["month", "promo_cents", "total_cents",
+                   "promo_bp"])
+
     def late_event_audit(sf_dir: str):
         """Streaming watermark audit: per user, how many events arrive
         (by event_id order) with an event time > 1 h behind the user's
@@ -12588,6 +12670,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_trade_balance": nation_trade_balance,
         "select_scope_census": actor(q.SelectScopeCensus),
         "customer_distribution_q13": customer_distribution_q13,
+        "ruby_implied_census": actor(q.RubyImpliedCensus),
+        "promo_share_q14": promo_share_q14,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -12867,6 +12951,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdata_foreign_census", "nation_trade_balance",
         # new in round 3, hundred-twenty-fourth sweep
         "select_scope_census", "customer_distribution_q13",
+        # new in round 3, hundred-twenty-fifth sweep
+        "ruby_implied_census", "promo_share_q14",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -19597,6 +19683,40 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1)
             GROUP BY 1
             ORDER BY custdist DESC, c_count DESC
+        """,
+        # ruby implied end tags: m rb/rt pairs + rp all flat under
+        # <ruby>; counts/texts arithmetic in doc_id.
+        "ruby_implied_census": """
+            SELECT doc_id,
+                   CAST(doc_id % 3 + 1 AS BIGINT) AS n_rb,
+                   CAST(2 * (doc_id % 3 + 1) + 1 AS BIGINT)
+                       AS n_ruby_children,
+                   'p' || CAST(doc_id AS VARCHAR) AS rp_text,
+                   's' || CAST(doc_id AS VARCHAR) AS tail_text
+            FROM documents
+        """,
+        # Q14 analog: 1995 ship months, integer cents mirrored
+        # verbatim; share floored to basis points with the same
+        # 10000.0*p/t float expression on both sides.
+        "promo_share_q14": """
+            WITH f AS (
+                SELECT CAST(EXTRACT(month FROM l.l_shipdate)
+                            AS BIGINT) AS month,
+                       CAST(FLOOR(100.0 * (l.l_extendedprice *
+                            (1.0 - l.l_discount)) + 0.5) AS BIGINT)
+                           AS cents,
+                       CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END
+                           AS is_promo
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                WHERE EXTRACT(year FROM l.l_shipdate) = 1995)
+            SELECT month,
+                   CAST(SUM(cents * is_promo) AS BIGINT)
+                       AS promo_cents,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   CAST(FLOOR((10000.0 * SUM(cents * is_promo))
+                              / SUM(cents)) AS BIGINT) AS promo_bp
+            FROM f GROUP BY 1 ORDER BY 1
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

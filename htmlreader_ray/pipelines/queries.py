@@ -987,6 +987,55 @@ class SelectScopeCensus:
                    "input_value", "last_text"])
 
 
+class RubyImpliedCensus:
+    """Ruby-annotation implied end tags through the real parser
+    (reference: HTMLReader tree construction per WHATWG 'in body'
+    rb/rt/rtc/rp rules): each <rb>/<rt> start tag generates implied
+    end tags for the open one, <rp> closes the trailing <rt>, and
+    </ruby> closes <rp> — so m=(d%3+1) rb/rt pairs plus one rp end
+    up as 2m+1 FLAT children of <ruby>, never nested. Counts and
+    texts are arithmetic in doc_id for the oracle."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_rb, out_kids, out_rp, out_tail = [], [], [], [], []
+        for key in ids:
+            d = int(key)
+            m = d % 3 + 1
+            pairs = "".join(f"<rb>b{d}_{i}<rt>t{d}_{i}"
+                            for i in range(m))
+            page = (f"<!DOCTYPE html><html><body>"
+                    f"<ruby>{pairs}<rp>p{d}</ruby>"
+                    f"<span>s{d}</span></body></html>")
+            doc = parse(page)
+            n_rb = 0
+            ruby_kids = 0
+            rp_text = tail = ""
+            for el in doc.elements_in_tree_order():
+                if el.tag == "rb":
+                    n_rb += 1
+                elif el.tag == "ruby":
+                    ruby_kids = sum(1 for c in el.children
+                                    if hasattr(c, "tag"))
+                elif el.tag == "rp":
+                    rp_text = el.text_content
+                elif el.tag == "span":
+                    tail = el.text_content
+            out_id.append(key)
+            out_rb.append(n_rb)
+            out_kids.append(ruby_kids)
+            out_rp.append(rp_text)
+            out_tail.append(tail)
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_rb, pa.int64()),
+             pa.array(out_kids, pa.int64()),
+             pa.array(out_rp, pa.string()),
+             pa.array(out_tail, pa.string())],
+            names=["doc_id", "n_rb", "n_ruby_children", "rp_text",
+                   "tail_text"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
