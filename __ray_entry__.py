@@ -12283,6 +12283,78 @@ def queries() -> dict[str, Callable[[str], Any]]:
             names=["month", "promo_cents", "total_cents",
                    "promo_bp"])
 
+    def large_order_customers_q18(sf_dir: str):
+        """TPC-H Q18 analog (large-volume orders: per-order quantity
+        sum > 200, joined back to orders + customer, top-100 by order
+        value): lineitem emits block-local (orderkey, qty) partials so
+        the orderkey combiner moves two int columns; the HAVING filter
+        shrinks that to the rare heavy orders BEFORE either hash join
+        (orders, then the growing customer dim — joined, never
+        broadcast); the bounded finale sorts driver-side. Quantities
+        are whole by generation, carried as int64; order value as
+        integer cents; o_orderdate restated as timestamp[us] in the
+        final projection (the round-2 segment_top_orders lesson)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.dedup import (
+            _default_join_partitions)
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        parts = _default_join_partitions()
+
+        def li_side(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "l_orderkey": b.column("l_orderkey"),
+                "qty": pc.cast(b.column("l_quantity"), pa.int64())})
+
+        def heavy(b: pa.Table) -> pa.Table:
+            return b.filter(pc.greater(
+                b.column("sum_qty"), pa.scalar(200, pa.int64())))
+
+        def ord_side(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+                "odate_us": pc.cast(b.column("o_orderdate"),
+                                    pa.int64()),
+                "total_cents": pc.cast(pc.floor(pc.add(
+                    pc.multiply(pa.scalar(100.0),
+                                b.column("o_totalprice")),
+                    pa.scalar(0.5))), pa.int64())})
+
+        qsum = combine_aggregate(
+            _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+            .map_batches(li_side, batch_format="pyarrow"),
+            ["l_orderkey"], [("qty", "sum", "sum_qty")]) \
+            .map_batches(heavy, batch_format="pyarrow") \
+            .repartition(parts)
+        orders = _read(sf_dir, "orders",
+                       ["o_orderkey", "o_custkey", "o_orderdate",
+                        "o_totalprice"]).map_batches(
+            ord_side, batch_format="pyarrow")
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        j = qsum.join(orders.repartition(parts), "inner", parts,
+                      on=("l_orderkey",), right_on=("o_orderkey",)) \
+            .repartition(parts) \
+            .join(cust.repartition(parts), "inner", parts,
+                  on=("o_custkey",), right_on=("c_custkey",))
+        rows = sorted(
+            j.take_all(),
+            key=lambda r: (-int(r["total_cents"]),
+                           int(r["l_orderkey"])))[:100]
+        return pa.Table.from_arrays(
+            [pa.array([str(r["c_name"]) for r in rows], pa.string()),
+             pa.array([int(r["o_custkey"]) for r in rows], pa.int64()),
+             pa.array([int(r["l_orderkey"]) for r in rows],
+                      pa.int64()),
+             pa.array([int(r["odate_us"]) for r in rows],
+                      pa.int64()).cast(pa.timestamp("us")),
+             pa.array([int(r["total_cents"]) for r in rows],
+                      pa.int64()),
+             pa.array([int(r["sum_qty"]) for r in rows], pa.int64())],
+            names=["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                   "total_cents", "sum_qty"])
+
     def late_event_audit(sf_dir: str):
         """Streaming watermark audit: per user, how many events arrive
         (by event_id order) with an event time > 1 h behind the user's
@@ -12672,6 +12744,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_distribution_q13": customer_distribution_q13,
         "ruby_implied_census": actor(q.RubyImpliedCensus),
         "promo_share_q14": promo_share_q14,
+        "plaintext_census": actor(q.PlaintextCensus),
+        "large_order_customers_q18": large_order_customers_q18,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -12953,6 +13027,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "select_scope_census", "customer_distribution_q13",
         # new in round 3, hundred-twenty-fifth sweep
         "ruby_implied_census", "promo_share_q14",
+        # new in round 3, hundred-twenty-sixth sweep
+        "plaintext_census", "large_order_customers_q18",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -19717,6 +19793,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR((10000.0 * SUM(cents * is_promo))
                               / SUM(cents)) AS BIGINT) AS promo_bp
             FROM f GROUP BY 1 ORDER BY 1
+        """,
+        # plaintext swallows to EOF literally (no entity decode, no
+        # end tag); the oracle rebuilds the swallowed string.
+        "plaintext_census": """
+            SELECT doc_id,
+                   'raw' || CAST(doc_id AS VARCHAR) ||
+                   ' <b>not-a-tag</b> &amp; literal</body></html>'
+                       AS plaintext_text,
+                   'pre' || CAST(doc_id AS VARCHAR) AS p_text,
+                   CAST(2 AS BIGINT) AS n_body_children
+            FROM documents
+        """,
+        # Q18 analog: HAVING SUM(qty) > 200, top-100 by order value
+        # (cents), orderkey tie-break; quantities whole by generation.
+        "large_order_customers_q18": """
+            WITH heavy AS (
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(l_quantity AS BIGINT))
+                            AS BIGINT) AS sum_qty
+                FROM lineitem GROUP BY 1
+                HAVING SUM(CAST(l_quantity AS BIGINT)) > 200)
+            SELECT c.c_name, o.o_custkey AS c_custkey,
+                   h.l_orderkey AS o_orderkey, o.o_orderdate,
+                   CAST(FLOOR(100.0 * o.o_totalprice + 0.5)
+                        AS BIGINT) AS total_cents,
+                   h.sum_qty
+            FROM heavy h
+            JOIN orders o ON o.o_orderkey = h.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY total_cents DESC, o_orderkey
+            LIMIT 100
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

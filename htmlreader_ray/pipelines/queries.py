@@ -1036,6 +1036,48 @@ class RubyImpliedCensus:
                    "tail_text"])
 
 
+class PlaintextCensus:
+    """The <plaintext> one-way door through the real tokenizer
+    (reference: HTMLReader tokenizer PLAINTEXT state per WHATWG):
+    the start tag closes the open <p>, then EVERYTHING to EOF —
+    tags, entity refs, even </body></html> — is literal character
+    data with no decoding and no end tag. The oracle regenerates the
+    swallowed text (including the literal '&amp;' and the trailing
+    '</body></html>') by string concat."""
+
+    SUFFIX = " <b>not-a-tag</b> &amp; literal</body></html>"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_pt, out_p, out_nb = [], [], [], []
+        for key in ids:
+            d = int(key)
+            page = (f"<!DOCTYPE html><html><body><p>pre{d}"
+                    f"<plaintext>raw{d}{self.SUFFIX}")
+            doc = parse(page)
+            pt = ptxt = ""
+            n_body = 0
+            for el in doc.elements_in_tree_order():
+                if el.tag == "plaintext":
+                    pt = el.text_content
+                elif el.tag == "p":
+                    ptxt = el.text_content
+                elif el.tag == "body":
+                    n_body = sum(1 for c in el.children
+                                 if hasattr(c, "tag"))
+            out_id.append(key)
+            out_pt.append(pt)
+            out_p.append(ptxt)
+            out_nb.append(n_body)
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_pt, pa.string()),
+             pa.array(out_p, pa.string()),
+             pa.array(out_nb, pa.int64())],
+            names=["doc_id", "plaintext_text", "p_text",
+                   "n_body_children"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
