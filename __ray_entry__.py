@@ -12355,6 +12355,104 @@ def queries() -> dict[str, Callable[[str], Any]]:
             names=["c_name", "c_custkey", "o_orderkey", "o_orderdate",
                    "total_cents", "sum_qty"])
 
+    def returned_items_q10(sf_dir: str):
+        """TPC-H Q10 analog (revenue lost to returns, 1996-H1 orders,
+        top-20 customers): lineitem keeps only returnflag='R' rows and
+        emits block-local (orderkey, cents) partials; orders prune to
+        the half-year window BEFORE the hash join (both sides narrow,
+        keys-only); a second custkey combiner collapses to one row per
+        customer before the growing customer dim is joined (never
+        broadcast); nation (constant 25 rows) resolves driver-side on
+        the bounded top-20 finale."""
+        import math
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from htmlreader_ray.functions.dedup import (
+            _default_join_partitions)
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        parts = _default_join_partitions()
+        LO = 820454400000000   # 1996-01-01 epoch us
+        HI = 836179200000000   # 1996-07-01 epoch us
+
+        def li_side(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b.column("l_returnflag"),
+                                  pa.scalar("R")))
+            cents = pc.cast(pc.floor(pc.add(pc.multiply(
+                pa.scalar(100.0),
+                pc.multiply(t.column("l_extendedprice"),
+                            pc.subtract(pa.scalar(1.0),
+                                        t.column("l_discount")))),
+                pa.scalar(0.5))), pa.int64())
+            g = pa.table({"l_orderkey": t.column("l_orderkey"),
+                          "cents": cents}) \
+                .group_by("l_orderkey").aggregate([("cents", "sum")])
+            return g.select(["l_orderkey", "cents_sum"]) \
+                .rename_columns(["l_orderkey", "cents"])
+
+        def ord_side(b: pa.Table) -> pa.Table:
+            od = pc.cast(b.column("o_orderdate"), pa.int64())
+            keep = pc.and_(pc.greater_equal(od, pa.scalar(LO)),
+                           pc.less(od, pa.scalar(HI)))
+            t = b.filter(keep)
+            return pa.table({"o_orderkey": t.column("o_orderkey"),
+                             "o_custkey": t.column("o_custkey")})
+
+        def cust_partial(b: pa.Table) -> pa.Table:
+            empty = pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 2,
+                names=["o_custkey", "cents"])
+            if b.num_rows == 0 or "cents" not in b.column_names:
+                return empty
+            g = pa.table({"o_custkey": b.column("o_custkey"),
+                          "cents": b.column("cents")}) \
+                .group_by("o_custkey").aggregate([("cents", "sum")])
+            return g.select(["o_custkey", "cents_sum"]) \
+                .rename_columns(["o_custkey", "cents"])
+
+        li = _read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_extendedprice", "l_discount",
+                    "l_returnflag"]).map_batches(
+            li_side, batch_format="pyarrow")
+        orders = _read(sf_dir, "orders",
+                       ["o_orderkey", "o_custkey", "o_orderdate"]) \
+            .map_batches(ord_side, batch_format="pyarrow")
+        per_cust = combine_aggregate(
+            li.repartition(parts).join(
+                orders.repartition(parts), "inner", parts,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+            .map_batches(cust_partial, batch_format="pyarrow"),
+            ["o_custkey"], [("cents", "sum", "revenue_cents")]) \
+            .repartition(parts)
+        cust = _read(sf_dir, "customer",
+                     ["c_custkey", "c_name", "c_acctbal",
+                      "c_nationkey"])
+        rows = sorted(
+            per_cust.join(cust.repartition(parts), "inner", parts,
+                          on=("o_custkey",), right_on=("c_custkey",))
+            .take_all(),
+            key=lambda r: (-int(r["revenue_cents"]),
+                           int(r["o_custkey"])))[:20]
+        nation = pa.concat_tables(
+            [t for t in ray.get(
+                _read(sf_dir, "nation").to_arrow_refs())
+             if t.num_rows])
+        nk2name = dict(zip(nation.column("n_nationkey").to_pylist(),
+                           nation.column("n_name").to_pylist()))
+        return pa.Table.from_arrays(
+            [pa.array([int(r["o_custkey"]) for r in rows], pa.int64()),
+             pa.array([str(r["c_name"]) for r in rows], pa.string()),
+             pa.array([int(r["revenue_cents"]) for r in rows],
+                      pa.int64()),
+             pa.array([int(math.floor(100.0 * float(r["c_acctbal"])
+                                      + 0.5))
+                       for r in rows], pa.int64()),
+             pa.array([str(nk2name[int(r["c_nationkey"])])
+                       for r in rows], pa.string())],
+            names=["c_custkey", "c_name", "revenue_cents",
+                   "acctbal_cents", "n_name"])
+
     def late_event_audit(sf_dir: str):
         """Streaming watermark audit: per user, how many events arrive
         (by event_id order) with an event time > 1 h behind the user's
@@ -12746,6 +12844,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_share_q14": promo_share_q14,
         "plaintext_census": actor(q.PlaintextCensus),
         "large_order_customers_q18": large_order_customers_q18,
+        "void_oddity_census": actor(q.VoidOddityCensus),
+        "returned_items_q10": returned_items_q10,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -13029,6 +13129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ruby_implied_census", "promo_share_q14",
         # new in round 3, hundred-twenty-sixth sweep
         "plaintext_census", "large_order_customers_q18",
+        # new in round 3, hundred-twenty-seventh sweep
+        "void_oddity_census", "returned_items_q10",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -19824,6 +19926,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON c.c_custkey = o.o_custkey
             ORDER BY total_cents DESC, o_orderkey
             LIMIT 100
+        """,
+        # image->img rename, </br> inserts <br>, wbr void; m=(d%3+1)
+        # </br>s; body text is the concatenated runs.
+        "void_oddity_census": """
+            SELECT doc_id,
+                   'i' || CAST(doc_id AS VARCHAR) || '.png'
+                       AS img_src,
+                   CAST(doc_id % 3 + 1 AS BIGINT) AS n_br,
+                   CAST(0 AS BIGINT) AS n_image_tags,
+                   'x' || CAST(doc_id AS VARCHAR) ||
+                   'tail' || CAST(doc_id AS VARCHAR) AS body_text
+            FROM documents
+        """,
+        # Q10 analog: returned-line revenue per customer over 1996-H1
+        # orders, top-20 by revenue (custkey tie-break), cents exact.
+        "returned_items_q10": """
+            WITH rev AS (
+                SELECT o.o_custkey,
+                       CAST(SUM(CAST(FLOOR(100.0 *
+                            (l.l_extendedprice * (1.0 - l.l_discount))
+                            + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                WHERE l.l_returnflag = 'R'
+                  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+                GROUP BY 1)
+            SELECT c.c_custkey, c.c_name, r.revenue_cents,
+                   CAST(FLOOR(100.0 * c.c_acctbal + 0.5) AS BIGINT)
+                       AS acctbal_cents,
+                   n.n_name
+            FROM rev r
+            JOIN customer c ON c.c_custkey = r.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            ORDER BY r.revenue_cents DESC, c.c_custkey
+            LIMIT 20
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

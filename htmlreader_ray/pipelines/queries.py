@@ -1078,6 +1078,54 @@ class PlaintextCensus:
                    "n_body_children"])
 
 
+class VoidOddityCensus:
+    """Void-element oddities through the real parser (reference:
+    HTMLReader tree construction per WHATWG 'in body'): an <image>
+    start tag is RENAMED to img and reprocessed (no image element
+    ever exists), an </br> END tag inserts a <br> element, and <wbr>
+    is a void insert — so m=(d%3+1) </br>s become m real <br>
+    children and the text runs merge around them. Counts and the
+    img src are arithmetic in doc_id for the oracle."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_src, out_br, out_img_bad, out_txt = \
+            [], [], [], [], []
+        for key in ids:
+            d = int(key)
+            m = d % 3 + 1
+            brs = "</br>" * m
+            page = (f"<!DOCTYPE html><html><body>"
+                    f"<image src=\"i{d}.png\">x{d}{brs}<wbr>tail{d}"
+                    f"</body></html>")
+            doc = parse(page)
+            src = ""
+            n_br = n_image = 0
+            body_text = ""
+            for el in doc.elements_in_tree_order():
+                if el.tag == "img":
+                    src = el.attrs.get("src", "")
+                elif el.tag == "br":
+                    n_br += 1
+                elif el.tag == "image":
+                    n_image += 1
+                elif el.tag == "body":
+                    body_text = el.text_content
+            out_id.append(key)
+            out_src.append(src)
+            out_br.append(n_br)
+            out_img_bad.append(n_image)
+            out_txt.append(body_text)
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_src, pa.string()),
+             pa.array(out_br, pa.int64()),
+             pa.array(out_img_bad, pa.int64()),
+             pa.array(out_txt, pa.string())],
+            names=["doc_id", "img_src", "n_br", "n_image_tags",
+                   "body_text"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
