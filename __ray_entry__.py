@@ -12453,6 +12453,98 @@ def queries() -> dict[str, Callable[[str], Any]]:
             names=["c_custkey", "c_name", "revenue_cents",
                    "acctbal_cents", "n_name"])
 
+    def small_qty_revenue_q17(sf_dir: str):
+        """TPC-H Q17 analog (revenue in lines with quantity below 20%
+        of the part's average, reported per brand): lineitem is
+        scanned twice — once for per-part (sum_qty, n) partials (qty
+        is whole by generation so the sums are exact int64 and the
+        0.2*avg threshold is deterministic float math mirrored by the
+        oracle), once to probe. The per-part threshold table joins the
+        part brand side partkey-to-partkey (one row per part, both
+        GROW with SF — hash join, never broadcast), then one hash
+        join against the probing lineitem scan; a ≤|brands| combiner
+        finishes."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.dedup import (
+            _default_join_partitions)
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        parts = _default_join_partitions()
+
+        def li_stats(b: pa.Table) -> pa.Table:
+            t = pa.table({
+                "l_partkey": b.column("l_partkey"),
+                "qty": pc.cast(b.column("l_quantity"), pa.int64())})
+            g = t.group_by("l_partkey").aggregate(
+                [("qty", "sum"), ("qty", "count")])
+            return g.select(["l_partkey", "qty_sum", "qty_count"]) \
+                .rename_columns(["l_partkey", "sum_qty", "n_lines"])
+
+        def thresh(b: pa.Table) -> pa.Table:
+            avg = pc.divide(
+                pc.cast(b.column("sum_qty"), pa.float64()),
+                pc.cast(b.column("n_lines"), pa.float64()))
+            return pa.table({
+                "t_partkey": b.column("l_partkey"),
+                "thr": pc.multiply(pa.scalar(0.2), avg)})
+
+        def li_probe(b: pa.Table) -> pa.Table:
+            cents = pc.cast(pc.floor(pc.add(pc.multiply(
+                pa.scalar(100.0), b.column("l_extendedprice")),
+                pa.scalar(0.5))), pa.int64())
+            return pa.table({
+                "p_partkey": b.column("l_partkey"),
+                "qty": b.column("l_quantity"),
+                "cents": cents})
+
+        def brand_partial(b: pa.Table) -> pa.Table:
+            empty = pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64()),
+                 pa.array([], pa.int64())],
+                names=["p_brand", "small_cents", "n_small"])
+            if b.num_rows == 0 or "thr" not in b.column_names:
+                return empty
+            t = b.filter(pc.less(b.column("qty"), b.column("thr")))
+            if t.num_rows == 0:
+                return empty
+            g = pa.table({"p_brand": t.column("p_brand"),
+                          "cents": t.column("cents")}) \
+                .group_by("p_brand").aggregate(
+                    [("cents", "sum"), ("cents", "count")])
+            return g.select(
+                ["p_brand", "cents_sum", "cents_count"]) \
+                .rename_columns(["p_brand", "small_cents", "n_small"])
+
+        stats = combine_aggregate(
+            _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+            .map_batches(li_stats, batch_format="pyarrow"),
+            ["l_partkey"], [("sum_qty", "sum", "sum_qty"),
+                            ("n_lines", "sum", "n_lines")]) \
+            .map_batches(thresh, batch_format="pyarrow") \
+            .repartition(parts)
+        brand = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+        dim = stats.join(brand.repartition(parts), "inner", parts,
+                         on=("t_partkey",), right_on=("p_partkey",)) \
+            .repartition(parts)
+        probe = _read(sf_dir, "lineitem",
+                      ["l_partkey", "l_quantity", "l_extendedprice"]) \
+            .map_batches(li_probe, batch_format="pyarrow")
+        agg = combine_aggregate(
+            probe.repartition(parts).join(
+                dim, "inner", parts,
+                on=("p_partkey",), right_on=("t_partkey",))
+            .map_batches(brand_partial, batch_format="pyarrow"),
+            ["p_brand"], [("small_cents", "sum", "small_cents"),
+                          ("n_small", "sum", "n_small")]).take_all()
+        rows = sorted((str(r["p_brand"]), int(r["small_cents"]),
+                       int(r["n_small"])) for r in agg)
+        return pa.Table.from_arrays(
+            [pa.array([r[0] for r in rows], pa.string()),
+             pa.array([r[1] for r in rows], pa.int64()),
+             pa.array([r[2] for r in rows], pa.int64())],
+            names=["p_brand", "small_cents", "n_small"])
+
     def late_event_audit(sf_dir: str):
         """Streaming watermark audit: per user, how many events arrive
         (by event_id order) with an event time > 1 h behind the user's
@@ -12846,6 +12938,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_order_customers_q18": large_order_customers_q18,
         "void_oddity_census": actor(q.VoidOddityCensus),
         "returned_items_q10": returned_items_q10,
+        "frameset_census": actor(q.FramesetCensus),
+        "small_qty_revenue_q17": small_qty_revenue_q17,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -13131,6 +13225,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "plaintext_census", "large_order_customers_q18",
         # new in round 3, hundred-twenty-seventh sweep
         "void_oddity_census", "returned_items_q10",
+        # new in round 3, hundred-twenty-eighth sweep
+        "frameset_census", "small_qty_revenue_q17",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -19962,6 +20058,46 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON n.n_nationkey = c.c_nationkey
             ORDER BY r.revenue_cents DESC, c.c_custkey
             LIMIT 20
+        """,
+        # frameset-ok: v0 real frameset doc (2 frames, rawtext
+        # noframes), v1 explicit <body> vetoes (spec: body start tag
+        # unsets frameset-ok), v2 no body tag -> frameset wins.
+        "frameset_census": """
+            SELECT doc_id,
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 0
+                        ELSE 1 END AS BIGINT) AS n_frames,
+                   CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END
+                        AS BIGINT) AS has_body,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'nf' || CAST(doc_id AS VARCHAR) ||
+                             ' <i>raw</i>'
+                        ELSE '' END AS noframes_text,
+                   CASE doc_id % 3
+                        WHEN 0 THEN 'a' || CAST(doc_id AS VARCHAR)
+                                    || '.html'
+                        WHEN 1 THEN ''
+                        ELSE 'c' || CAST(doc_id AS VARCHAR)
+                             || '.html' END AS first_frame_src
+            FROM documents
+        """,
+        # Q17 analog: per-brand revenue of lines with qty < 0.2*avg
+        # qty of their part; whole quantities make the threshold
+        # deterministic double math mirrored verbatim.
+        "small_qty_revenue_q17": """
+            WITH stats AS (
+                SELECT l_partkey,
+                       0.2 * (CAST(SUM(CAST(l_quantity AS BIGINT))
+                                   AS DOUBLE) / COUNT(*)) AS thr
+                FROM lineitem GROUP BY 1)
+            SELECT p.p_brand,
+                   CAST(SUM(CAST(FLOOR(100.0 * l.l_extendedprice
+                        + 0.5) AS BIGINT)) AS BIGINT) AS small_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_small
+            FROM lineitem l
+            JOIN stats s ON s.l_partkey = l.l_partkey
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE l.l_quantity < s.thr
+            GROUP BY 1 ORDER BY 1
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

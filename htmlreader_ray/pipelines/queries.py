@@ -1126,6 +1126,66 @@ class VoidOddityCensus:
                    "body_text"])
 
 
+class FramesetCensus:
+    """Frameset documents and the frameset-ok flag through the real
+    parser (reference: HTMLParser.m 'after head'/'in body' frameset
+    arms, incl. the line-593 subtlety that an EXPLICIT <body> start
+    tag sets frameset-ok to not-ok): v0 is a real frameset doc
+    (nested frameset, two frames, noframes RAWTEXT kept literal);
+    v1 has an explicit <body> so a later <frameset> is ignored even
+    though only whitespace-ish text ran; v2 has NO body tag, so the
+    frameset replaces the implied body. Counts/texts arithmetic in
+    doc_id for the oracle."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_nf, out_body, out_nft, out_src = [], [], [], [], []
+        for key in ids:
+            d = int(key)
+            v = d % 3
+            if v == 0:
+                page = (f"<!DOCTYPE html><html>"
+                        f"<frameset cols=\"50%,50%\">"
+                        f"<frame src=\"a{d}.html\">"
+                        f"<frameset rows=\"2\">"
+                        f"<frame src=\"b{d}.html\"></frameset>"
+                        f"<noframes>nf{d} <i>raw</i></noframes>"
+                        f"</frameset></html>")
+            elif v == 1:
+                page = (f"<!DOCTYPE html><html><body>tx{d}"
+                        f"<frameset><frame src=\"c{d}.html\">"
+                        f"</frameset></body></html>")
+            else:
+                page = (f"<!DOCTYPE html><html> "
+                        f"<frameset><frame src=\"c{d}.html\">"
+                        f"</frameset></html>")
+            doc = parse(page)
+            n_frames = has_body = 0
+            nf_text = first_src = ""
+            for el in doc.elements_in_tree_order():
+                if el.tag == "frame":
+                    n_frames += 1
+                    if not first_src:
+                        first_src = el.attrs.get("src", "")
+                elif el.tag == "body":
+                    has_body = 1
+                elif el.tag == "noframes":
+                    nf_text = el.text_content
+            out_id.append(key)
+            out_nf.append(n_frames)
+            out_body.append(has_body)
+            out_nft.append(nf_text)
+            out_src.append(first_src)
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_nf, pa.int64()),
+             pa.array(out_body, pa.int64()),
+             pa.array(out_nft, pa.string()),
+             pa.array(out_src, pa.string())],
+            names=["doc_id", "n_frames", "has_body", "noframes_text",
+                   "first_frame_src"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
