@@ -12545,6 +12545,104 @@ def queries() -> dict[str, Callable[[str], Any]]:
              pa.array([r[2] for r in rows], pa.int64())],
             names=["p_brand", "small_cents", "n_small"])
 
+    def banded_revenue_q19(sf_dir: str):
+        """TPC-H Q19 analog (three OR'd brand/size/quantity bands):
+        part prunes to the bands' brand+size predicates and ships
+        only (partkey, band, qty-range) keys; lineitem prunes to the
+        UNION of the quantity ranges before the single hash join;
+        each band's own range re-checks post-join and a 3-key
+        combiner finishes. The disjunction is evaluated vectorized
+        on both sides of the join, never per row in Python."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.dedup import (
+            _default_join_partitions)
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        parts = _default_join_partitions()
+        BANDS = [("Brand#12", 1, 11, 1, 5),
+                 ("Brand#23", 10, 20, 1, 10),
+                 ("Brand#3", 20, 30, 1, 15)]
+
+        def part_side(b: pa.Table) -> pa.Table:
+            out = []
+            for i, (brand, qlo, qhi, slo, shi) in enumerate(BANDS):
+                keep = pc.and_(
+                    pc.equal(b.column("p_brand"), pa.scalar(brand)),
+                    pc.and_(
+                        pc.greater_equal(b.column("p_size"),
+                                         pa.scalar(slo, pa.int32())),
+                        pc.less_equal(b.column("p_size"),
+                                      pa.scalar(shi, pa.int32()))))
+                t = b.filter(keep)
+                out.append(pa.table({
+                    "p_partkey": t.column("p_partkey"),
+                    "band": pa.array([i] * t.num_rows, pa.int64()),
+                    "qlo": pa.array([qlo] * t.num_rows, pa.float64()),
+                    "qhi": pa.array([qhi] * t.num_rows,
+                                    pa.float64())}))
+            return pa.concat_tables(out)
+
+        QLO = float(min(b[1] for b in BANDS))
+        QHI = float(max(b[2] for b in BANDS))
+
+        def li_side(b: pa.Table) -> pa.Table:
+            qty = b.column("l_quantity")
+            keep = pc.and_(pc.greater_equal(qty, pa.scalar(QLO)),
+                           pc.less_equal(qty, pa.scalar(QHI)))
+            t = b.filter(keep)
+            cents = pc.cast(pc.floor(pc.add(pc.multiply(
+                pa.scalar(100.0),
+                pc.multiply(t.column("l_extendedprice"),
+                            pc.subtract(pa.scalar(1.0),
+                                        t.column("l_discount")))),
+                pa.scalar(0.5))), pa.int64())
+            return pa.table({"l_partkey": t.column("l_partkey"),
+                             "qty": t.column("l_quantity"),
+                             "cents": cents})
+
+        def band_partial(b: pa.Table) -> pa.Table:
+            empty = pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 3,
+                names=["band", "revenue_cents", "n_lines"])
+            if b.num_rows == 0 or "qlo" not in b.column_names:
+                return empty
+            keep = pc.and_(
+                pc.greater_equal(b.column("qty"), b.column("qlo")),
+                pc.less_equal(b.column("qty"), b.column("qhi")))
+            t = b.filter(keep)
+            if t.num_rows == 0:
+                return empty
+            g = pa.table({"band": t.column("band"),
+                          "cents": t.column("cents")}) \
+                .group_by("band").aggregate(
+                    [("cents", "sum"), ("cents", "count")])
+            return g.select(["band", "cents_sum", "cents_count"]) \
+                .rename_columns(["band", "revenue_cents", "n_lines"])
+
+        pk = _read(sf_dir, "part",
+                   ["p_partkey", "p_brand", "p_size"]).map_batches(
+            part_side, batch_format="pyarrow")
+        li = _read(sf_dir, "lineitem",
+                   ["l_partkey", "l_quantity", "l_extendedprice",
+                    "l_discount"]).map_batches(
+            li_side, batch_format="pyarrow")
+        agg = combine_aggregate(
+            li.repartition(parts).join(
+                pk.repartition(parts), "inner", parts,
+                on=("l_partkey",), right_on=("p_partkey",))
+            .map_batches(band_partial, batch_format="pyarrow"),
+            ["band"], [("revenue_cents", "sum", "revenue_cents"),
+                       ("n_lines", "sum", "n_lines")]).take_all()
+        by_band = {int(r["band"]): r for r in agg}
+        return pa.Table.from_arrays(
+            [pa.array([b[0] for b in BANDS], pa.string()),
+             pa.array([int(by_band.get(i, {}).get("revenue_cents", 0))
+                       for i in range(len(BANDS))], pa.int64()),
+             pa.array([int(by_band.get(i, {}).get("n_lines", 0))
+                       for i in range(len(BANDS))], pa.int64())],
+            names=["p_brand", "revenue_cents", "n_lines"])
+
     def late_event_audit(sf_dir: str):
         """Streaming watermark audit: per user, how many events arrive
         (by event_id order) with an event time > 1 h behind the user's
@@ -12940,6 +13038,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_items_q10": returned_items_q10,
         "frameset_census": actor(q.FramesetCensus),
         "small_qty_revenue_q17": small_qty_revenue_q17,
+        "dd_dt_implied_census": actor(q.DdDtImpliedCensus),
+        "banded_revenue_q19": banded_revenue_q19,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -13227,6 +13327,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "void_oddity_census", "returned_items_q10",
         # new in round 3, hundred-twenty-eighth sweep
         "frameset_census", "small_qty_revenue_q17",
+        # new in round 3, hundred-twenty-ninth sweep
+        "dd_dt_implied_census", "banded_revenue_q19",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -20097,6 +20199,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN stats s ON s.l_partkey = l.l_partkey
             JOIN part p ON p.p_partkey = l.l_partkey
             WHERE l.l_quantity < s.thr
+            GROUP BY 1 ORDER BY 1
+        """,
+        # dd/dt implied closes through an open <div>; m=(d%3+1) pairs
+        # + dd(div) + closing dt; counts arithmetic in doc_id.
+        "dd_dt_implied_census": """
+            SELECT doc_id,
+                   CAST(doc_id % 3 + 2 AS BIGINT) AS n_dt,
+                   CAST(2 * (doc_id % 3 + 1) + 2 AS BIGINT)
+                       AS n_dl_children,
+                   'dd' AS div_parent,
+                   'last' || CAST(doc_id AS VARCHAR) AS last_dt_text
+            FROM documents
+        """,
+        # Q19 analog: three OR'd (brand, qty-range, size-range)
+        # bands, revenue in exact cents; zero bands kept.
+        "banded_revenue_q19": """
+            WITH f AS (
+                SELECT p.p_brand, l.l_quantity,
+                       CAST(FLOOR(100.0 * (l.l_extendedprice *
+                            (1.0 - l.l_discount)) + 0.5) AS BIGINT)
+                           AS cents,
+                       p.p_size
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey),
+            bands(p_brand, qlo, qhi, slo, shi) AS (VALUES
+                ('Brand#12', 1, 11, 1, 5),
+                ('Brand#23', 10, 20, 1, 10),
+                ('Brand#3', 20, 30, 1, 15))
+            SELECT b.p_brand,
+                   CAST(COALESCE(SUM(f.cents), 0) AS BIGINT)
+                       AS revenue_cents,
+                   CAST(COUNT(f.cents) AS BIGINT) AS n_lines
+            FROM bands b
+            LEFT JOIN f ON f.p_brand = b.p_brand
+                AND f.l_quantity >= b.qlo AND f.l_quantity <= b.qhi
+                AND f.p_size >= b.slo AND f.p_size <= b.shi
             GROUP BY 1 ORDER BY 1
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):

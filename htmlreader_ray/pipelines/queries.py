@@ -1186,6 +1186,54 @@ class FramesetCensus:
                    "first_frame_src"])
 
 
+class DdDtImpliedCensus:
+    """Definition-list implied end tags through the real parser
+    (reference: HTMLParser.m dd/dt 'frame' loop per WHATWG): <dt> and
+    <dd> close the open one even THROUGH intervening non-special
+    containers — the final <dt> here closes a dd holding an open
+    <div> — and </dl> generates the last implied close. m=(d%3+1)
+    dt/dd pairs plus an extra dd(div) and a closing dt land flat:
+    n_dt = m+1, dl children = 2m+2, the div stays nested in its dd.
+    All arithmetic in doc_id for the oracle."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_dt, out_kids, out_par, out_last = [], [], [], [], []
+        for key in ids:
+            d = int(key)
+            m = d % 3 + 1
+            items = "".join(f"<dt>t{d}_{i}<dd>d{d}_{i}"
+                            for i in range(m))
+            page = (f"<!DOCTYPE html><body><dl>{items}"
+                    f"<dd><div>x{d}<dt>last{d}</dl>tail{d}</body>")
+            doc = parse(page)
+            n_dt = 0
+            dl_kids = 0
+            div_parent = last_dt = ""
+            for el in doc.elements_in_tree_order():
+                if el.tag == "dt":
+                    n_dt += 1
+                    last_dt = el.text_content
+                elif el.tag == "dl":
+                    dl_kids = sum(1 for c in el.children
+                                  if hasattr(c, "tag"))
+                elif el.tag == "div":
+                    div_parent = el.parent.tag
+            out_id.append(key)
+            out_dt.append(n_dt)
+            out_kids.append(dl_kids)
+            out_par.append(div_parent)
+            out_last.append(last_dt)
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_dt, pa.int64()),
+             pa.array(out_kids, pa.int64()),
+             pa.array(out_par, pa.string()),
+             pa.array(out_last, pa.string())],
+            names=["doc_id", "n_dt", "n_dl_children", "div_parent",
+                   "last_dt_text"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
