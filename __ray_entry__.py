@@ -12643,6 +12643,136 @@ def queries() -> dict[str, Callable[[str], Any]]:
                        for i in range(len(BANDS))], pa.int64())],
             names=["p_brand", "revenue_cents", "n_lines"])
 
+    def volume_shipping_q7(sf_dir: str):
+        """TPC-H Q7 analog (trade volume between two nations by ship
+        year, both directions): supplier and customer key sides prune
+        to the two nationkeys BEFORE any join — the fact stream
+        shrinks at its first hash join instead of carrying all
+        nations; lineitem converts to (cents, year) block-locally;
+        orders→customer resolves the cust-nation side; the cross-pair
+        filter and a ≤4-key (sn, cn, year) combiner finish. Nation
+        names resolve driver-side on the bounded finale."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from htmlreader_ray.functions.dedup import (
+            _default_join_partitions)
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        parts = _default_join_partitions()
+        NK1, NK2 = 3, 8
+        Y0, Y1 = 1996, 1997
+
+        def li_side(b: pa.Table) -> pa.Table:
+            yr = pc.year(b.column("l_shipdate"))
+            keep = pc.and_(
+                pc.greater_equal(yr, pa.scalar(Y0, pa.int64())),
+                pc.less_equal(yr, pa.scalar(Y1, pa.int64())))
+            t = b.filter(keep)
+            cents = pc.cast(pc.floor(pc.add(pc.multiply(
+                pa.scalar(100.0),
+                pc.multiply(t.column("l_extendedprice"),
+                            pc.subtract(pa.scalar(1.0),
+                                        t.column("l_discount")))),
+                pa.scalar(0.5))), pa.int64())
+            return pa.table({
+                "l_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "year": pc.cast(pc.year(t.column("l_shipdate")),
+                                pa.int64()),
+                "cents": cents})
+
+        def supp_side(b: pa.Table) -> pa.Table:
+            nk = pc.cast(b.column("s_nationkey"), pa.int64())
+            keep = pc.or_(pc.equal(nk, pa.scalar(NK1)),
+                          pc.equal(nk, pa.scalar(NK2)))
+            t = b.filter(keep)
+            return pa.table({
+                "s_suppkey": t.column("s_suppkey"),
+                "sn": pc.cast(t.column("s_nationkey"), pa.int64())})
+
+        def cust_side(b: pa.Table) -> pa.Table:
+            nk = pc.cast(b.column("c_nationkey"), pa.int64())
+            keep = pc.or_(pc.equal(nk, pa.scalar(NK1)),
+                          pc.equal(nk, pa.scalar(NK2)))
+            t = b.filter(keep)
+            return pa.table({
+                "c_custkey": t.column("c_custkey"),
+                "cn": pc.cast(t.column("c_nationkey"), pa.int64())})
+
+        def pair_partial(b: pa.Table) -> pa.Table:
+            empty = pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 4,
+                names=["sn", "cn", "year", "cents"])
+            if b.num_rows == 0 or "cents" not in b.column_names:
+                return empty
+            keep = pc.invert(pc.equal(b.column("sn"),
+                                      b.column("cn")))
+            t = b.filter(keep)
+            if t.num_rows == 0:
+                return empty
+            g = t.select(["sn", "cn", "year", "cents"]) \
+                .group_by(["sn", "cn", "year"]) \
+                .aggregate([("cents", "sum")])
+            return g.select(["sn", "cn", "year", "cents_sum"]) \
+                .rename_columns(["sn", "cn", "year", "cents"])
+
+        li = _read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_suppkey", "l_extendedprice",
+                    "l_discount", "l_shipdate"]).map_batches(
+            li_side, batch_format="pyarrow")
+        supp = _read(sf_dir, "supplier",
+                     ["s_suppkey", "s_nationkey"]).map_batches(
+            supp_side, batch_format="pyarrow")
+        cust = _read(sf_dir, "customer",
+                     ["c_custkey", "c_nationkey"]).map_batches(
+            cust_side, batch_format="pyarrow")
+        # adaptive partition count: the nation prune leaves the build
+        # sides 2/25 of their dims, and a hash-join partition that
+        # receives NO build rows materializes as a zero-column table
+        # that Acero rejects — so size the shuffle to the pruned side
+        # (grows back to `parts` with SF; the counts scan only the
+        # two narrow pruned dims)
+        n_small = min(supp.count(), cust.count())
+        if n_small == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.string()),
+                 pa.array([], pa.int64()), pa.array([], pa.int64())],
+                names=["supp_nation", "cust_nation", "l_year",
+                       "revenue_cents"])
+        parts = int(max(1, min(parts, n_small // 32 + 1)))
+        ordc = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+            .repartition(parts).join(
+            cust.repartition(parts), "inner", parts,
+            on=("o_custkey",), right_on=("c_custkey",)) \
+            .select_columns(["o_orderkey", "cn"])
+        lis = li.repartition(parts).join(
+            supp.repartition(parts), "inner", parts,
+            on=("l_suppkey",), right_on=("s_suppkey",))
+        joined = lis.repartition(parts).join(
+            ordc.repartition(parts), "inner", parts,
+            on=("l_orderkey",), right_on=("o_orderkey",))
+        agg = combine_aggregate(
+            joined.map_batches(pair_partial, batch_format="pyarrow"),
+            ["sn", "cn", "year"],
+            [("cents", "sum", "revenue_cents")]).take_all()
+        nation = pa.concat_tables(
+            [t for t in ray.get(
+                _read(sf_dir, "nation").to_arrow_refs())
+             if t.num_rows])
+        nk2name = dict(zip(nation.column("n_nationkey").to_pylist(),
+                           nation.column("n_name").to_pylist()))
+        rows = sorted(
+            (str(nk2name[int(r["sn"])]), str(nk2name[int(r["cn"])]),
+             int(r["year"]), int(r["revenue_cents"])) for r in agg)
+        return pa.Table.from_arrays(
+            [pa.array([r[0] for r in rows], pa.string()),
+             pa.array([r[1] for r in rows], pa.string()),
+             pa.array([r[2] for r in rows], pa.int64()),
+             pa.array([r[3] for r in rows], pa.int64())],
+            names=["supp_nation", "cust_nation", "l_year",
+                   "revenue_cents"])
+
     def late_event_audit(sf_dir: str):
         """Streaming watermark audit: per user, how many events arrive
         (by event_id order) with an event time > 1 h behind the user's
@@ -13040,6 +13170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_revenue_q17": small_qty_revenue_q17,
         "dd_dt_implied_census": actor(q.DdDtImpliedCensus),
         "banded_revenue_q19": banded_revenue_q19,
+        "duplicate_attr_census": actor(q.DuplicateAttrCensus),
+        "volume_shipping_q7": volume_shipping_q7,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -13329,6 +13461,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frameset_census", "small_qty_revenue_q17",
         # new in round 3, hundred-twenty-ninth sweep
         "dd_dt_implied_census", "banded_revenue_q19",
+        # new in round 3, hundred-thirtieth sweep
+        "duplicate_attr_census", "volume_shipping_q7",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -20236,6 +20370,40 @@ def oracle_sql() -> dict[str, str]:
                 AND f.l_quantity >= b.qlo AND f.l_quantity <= b.qhi
                 AND f.p_size >= b.slo AND f.p_size <= b.shi
             GROUP BY 1 ORDER BY 1
+        """,
+        # duplicate attrs dropped (first wins), names case-fold,
+        # value-less attr is '', end-tag attrs ignored.
+        "duplicate_attr_census": """
+            SELECT doc_id,
+                   'first' || CAST(doc_id AS VARCHAR) AS id_value,
+                   'c' || CAST(doc_id AS VARCHAR) AS class_value,
+                   'u' || CAST(doc_id AS VARCHAR) AS datax_value,
+                   '' AS checked_value,
+                   CAST(4 AS BIGINT) AS n_attrs,
+                   't' || CAST(doc_id AS VARCHAR) AS text
+            FROM documents
+        """,
+        # Q7 analog: nation pair (1,2)x(2,1), ship years 1996-1997,
+        # cents exact; names resolved via the nation dim.
+        "volume_shipping_q7": """
+            SELECT n1.n_name AS supp_nation,
+                   n2.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT)
+                       AS l_year,
+                   CAST(SUM(CAST(FLOOR(100.0 * (l.l_extendedprice *
+                        (1.0 - l.l_discount)) + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+            JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+            WHERE ((s.s_nationkey = 3 AND c.c_nationkey = 8) OR
+                   (s.s_nationkey = 8 AND c.c_nationkey = 3))
+              AND EXTRACT(year FROM l.l_shipdate) BETWEEN 1996
+                  AND 1997
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

@@ -1234,6 +1234,50 @@ class DdDtImpliedCensus:
                    "last_dt_text"])
 
 
+class DuplicateAttrCensus:
+    """Attribute-parsing corners through the real tokenizer
+    (reference: HTMLTokenizer.m attribute accumulation): duplicate
+    attribute names are DROPPED (first occurrence wins), names fold
+    ASCII-case (CLASS/DATA-X), a value-less attribute yields the
+    empty string, and attributes on an END tag are ignored entirely.
+    The surviving attr dict is fully arithmetic in doc_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out = {k: [] for k in ("doc_id", "id_value", "class_value",
+                               "datax_value", "checked_value",
+                               "n_attrs", "text")}
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><body>'
+                    f'<div checked id="first{d}" id="second{d}" '
+                    f'CLASS="c{d}" class="dup" DATA-X="u{d}">t{d}'
+                    f'</div id="end{d}">')
+            doc = parse(page)
+            for el in doc.elements_in_tree_order():
+                if el.tag == "div":
+                    out["doc_id"].append(key)
+                    out["id_value"].append(el.attrs.get("id", "?"))
+                    out["class_value"].append(
+                        el.attrs.get("class", "?"))
+                    out["datax_value"].append(
+                        el.attrs.get("data-x", "?"))
+                    out["checked_value"].append(
+                        el.attrs.get("checked", "?"))
+                    out["n_attrs"].append(len(el.attrs))
+                    out["text"].append(el.text_content)
+        return pa.Table.from_arrays(
+            [pa.array(out["doc_id"], pa.int64()),
+             pa.array(out["id_value"], pa.string()),
+             pa.array(out["class_value"], pa.string()),
+             pa.array(out["datax_value"], pa.string()),
+             pa.array(out["checked_value"], pa.string()),
+             pa.array(out["n_attrs"], pa.int64()),
+             pa.array(out["text"], pa.string())],
+            names=["doc_id", "id_value", "class_value", "datax_value",
+                   "checked_value", "n_attrs", "text"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
