@@ -12773,6 +12773,148 @@ def queries() -> dict[str, Callable[[str], Any]]:
             names=["supp_nation", "cust_nation", "l_year",
                    "revenue_cents"])
 
+    def market_share_q8(sf_dir: str):
+        """TPC-H Q8 analog (nation 3's share of EUROPE-customer
+        STANDARD-part revenue by order year): the constant 25-row
+        nation dim resolves region membership DRIVER-side into a
+        nationkey list, so customer prunes with one vectorized is_in
+        and no region/nation join ever touches the fact stream; part
+        prunes to the type and ships keys only; supplier contributes
+        s_nationkey via a full-dim hash join (grows with SF — joined,
+        never broadcast). Block-local (year, total, nation) partials
+        collapse in a 2-key combiner; share is mirrored
+        FLOOR(10000.0*n/t) basis points."""
+        import math
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from htmlreader_ray.functions.dedup import (
+            _default_join_partitions)
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        parts = _default_join_partitions()
+        REGION, PTYPE, NK, Y0, Y1 = 3, "STANDARD", 3, 1996, 1997
+
+        nation = pa.concat_tables(
+            [t for t in ray.get(
+                _read(sf_dir, "nation").to_arrow_refs())
+             if t.num_rows])
+        region_nks = [int(nk) for nk, rk in zip(
+            nation.column("n_nationkey").to_pylist(),
+            nation.column("n_regionkey").to_pylist())
+            if int(rk) == REGION]
+
+        def part_side(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b.column("p_type"),
+                                  pa.scalar(PTYPE)))
+            return t.select(["p_partkey"])
+
+        def cust_side(b: pa.Table) -> pa.Table:
+            keep = pc.is_in(
+                pc.cast(b.column("c_nationkey"), pa.int64()),
+                value_set=pa.array(region_nks, pa.int64()))
+            return b.filter(keep).select(["c_custkey"])
+
+        def ord_side(b: pa.Table) -> pa.Table:
+            yr = pc.year(b.column("o_orderdate"))
+            keep = pc.and_(
+                pc.greater_equal(yr, pa.scalar(Y0, pa.int64())),
+                pc.less_equal(yr, pa.scalar(Y1, pa.int64())))
+            t = b.filter(keep)
+            return pa.table({
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "o_year": pc.cast(pc.year(t.column("o_orderdate")),
+                                  pa.int64())})
+
+        def li_side(b: pa.Table) -> pa.Table:
+            cents = pc.cast(pc.floor(pc.add(pc.multiply(
+                pa.scalar(100.0),
+                pc.multiply(b.column("l_extendedprice"),
+                            pc.subtract(pa.scalar(1.0),
+                                        b.column("l_discount")))),
+                pa.scalar(0.5))), pa.int64())
+            return pa.table({
+                "l_orderkey": b.column("l_orderkey"),
+                "l_partkey": b.column("l_partkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "cents": cents})
+
+        def supp_side(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "s_suppkey": b.column("s_suppkey"),
+                "sn": pc.cast(b.column("s_nationkey"), pa.int64())})
+
+        def year_partial(b: pa.Table) -> pa.Table:
+            empty = pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 3,
+                names=["o_year", "total", "nat"])
+            if b.num_rows == 0 or "cents" not in b.column_names:
+                return empty
+            is_nat = pc.cast(pc.equal(b.column("sn"),
+                                      pa.scalar(NK, pa.int64())),
+                             pa.int64())
+            t = pa.table({"o_year": b.column("o_year"),
+                          "total": b.column("cents"),
+                          "nat": pc.multiply(b.column("cents"),
+                                             is_nat)})
+            g = t.group_by("o_year").aggregate(
+                [("total", "sum"), ("nat", "sum")])
+            return g.select(["o_year", "total_sum", "nat_sum"]) \
+                .rename_columns(["o_year", "total", "nat"])
+
+        pk = _read(sf_dir, "part", ["p_partkey", "p_type"]) \
+            .map_batches(part_side, batch_format="pyarrow")
+        ck = _read(sf_dir, "customer",
+                   ["c_custkey", "c_nationkey"]).map_batches(
+            cust_side, batch_format="pyarrow")
+        ords = _read(sf_dir, "orders",
+                     ["o_orderkey", "o_custkey", "o_orderdate"]) \
+            .map_batches(ord_side, batch_format="pyarrow")
+        li = _read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_partkey", "l_suppkey",
+                    "l_extendedprice", "l_discount"]).map_batches(
+            li_side, batch_format="pyarrow")
+        supp = _read(sf_dir, "supplier",
+                     ["s_suppkey", "s_nationkey"]).map_batches(
+            supp_side, batch_format="pyarrow")
+        # adaptive partitions sized to the smallest pruned build side
+        # (zero-block join partitions poison Acero — see Q7)
+        n_small = min(pk.count(), ck.count())
+        if n_small == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 4,
+                names=["o_year", "total_cents", "nation_cents",
+                       "share_bp"])
+        kp = int(max(1, min(parts, n_small // 32 + 1)))
+        ordc = ords.repartition(kp).join(
+            ck.repartition(kp), "inner", kp,
+            on=("o_custkey",), right_on=("c_custkey",)) \
+            .select_columns(["o_orderkey", "o_year"])
+        lip = li.repartition(kp).join(
+            pk.repartition(kp), "inner", kp,
+            on=("l_partkey",), right_on=("p_partkey",))
+        lis = lip.repartition(kp).join(
+            supp.repartition(kp), "inner", kp,
+            on=("l_suppkey",), right_on=("s_suppkey",))
+        joined = lis.repartition(kp).join(
+            ordc.repartition(kp), "inner", kp,
+            on=("l_orderkey",), right_on=("o_orderkey",))
+        agg = combine_aggregate(
+            joined.map_batches(year_partial, batch_format="pyarrow"),
+            ["o_year"], [("total", "sum", "total_cents"),
+                         ("nat", "sum", "nation_cents")]).take_all()
+        rows = sorted((int(r["o_year"]), int(r["total_cents"]),
+                       int(r["nation_cents"])) for r in agg)
+        return pa.Table.from_arrays(
+            [pa.array([r[0] for r in rows], pa.int64()),
+             pa.array([r[1] for r in rows], pa.int64()),
+             pa.array([r[2] for r in rows], pa.int64()),
+             pa.array([int(math.floor((10000.0 * r[2]) / r[1]))
+                       for r in rows], pa.int64())],
+            names=["o_year", "total_cents", "nation_cents",
+                   "share_bp"])
+
     def late_event_audit(sf_dir: str):
         """Streaming watermark audit: per user, how many events arrive
         (by event_id order) with an event time > 1 h behind the user's
@@ -13172,6 +13314,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "banded_revenue_q19": banded_revenue_q19,
         "duplicate_attr_census": actor(q.DuplicateAttrCensus),
         "volume_shipping_q7": volume_shipping_q7,
+        "c1_charref_census": actor(q.C1CharrefCensus),
+        "market_share_q8": market_share_q8,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -13463,6 +13607,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_dt_implied_census", "banded_revenue_q19",
         # new in round 3, hundred-thirtieth sweep
         "duplicate_attr_census", "volume_shipping_q7",
+        # new in round 3, hundred-thirty-first sweep
+        "c1_charref_census", "market_share_q8",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -20404,6 +20550,53 @@ def oracle_sql() -> dict[str, str]:
               AND EXTRACT(year FROM l.l_shipdate) BETWEEN 1996
                   AND 1997
             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        # C1 Windows-1252 remap (128→€ 150→– 158→ž 9F→Ÿ), surrogate
+        # → U+FFFD, astral decodes; text and attr contexts.
+        "c1_charref_census": """
+            WITH m AS (
+                SELECT doc_id,
+                       CASE doc_id % 7
+                            WHEN 0 THEN chr(8364)
+                            WHEN 1 THEN chr(8364)
+                            WHEN 2 THEN chr(8211)
+                            WHEN 3 THEN chr(382)
+                            WHEN 4 THEN chr(376)
+                            WHEN 5 THEN chr(65533)
+                            ELSE chr(128512) END AS ch
+                FROM documents)
+            SELECT doc_id,
+                   'X' || ch || 'Y' AS decoded_text,
+                   'A' || ch || 'B' AS decoded_attr
+            FROM m
+        """,
+        # Q8 analog: nation 3's share of EUROPE STANDARD-part revenue
+        # by order year 1996-1997, mirrored bp floor.
+        "market_share_q8": """
+            WITH f AS (
+                SELECT CAST(EXTRACT(year FROM o.o_orderdate)
+                            AS BIGINT) AS o_year,
+                       CAST(FLOOR(100.0 * (l.l_extendedprice *
+                            (1.0 - l.l_discount)) + 0.5) AS BIGINT)
+                           AS cents,
+                       CASE WHEN s.s_nationkey = 3 THEN 1 ELSE 0 END
+                           AS is_nat
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN nation n ON n.n_nationkey = c.c_nationkey
+                WHERE p.p_type = 'STANDARD' AND n.n_regionkey = 3
+                  AND EXTRACT(year FROM o.o_orderdate)
+                      BETWEEN 1996 AND 1997)
+            SELECT o_year,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   CAST(SUM(cents * is_nat) AS BIGINT)
+                       AS nation_cents,
+                   CAST(FLOOR((10000.0 * SUM(cents * is_nat))
+                              / SUM(cents)) AS BIGINT) AS share_bp
+            FROM f GROUP BY 1 ORDER BY 1
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

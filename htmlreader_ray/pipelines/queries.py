@@ -1278,6 +1278,38 @@ class DuplicateAttrCensus:
                    "checked_value", "n_attrs", "text"])
 
 
+_C1_CASES = ("&#128;", "&#x80;", "&#150;", "&#158;", "&#x9F;",
+             "&#xD800;", "&#x1F600;")
+
+
+class C1CharrefCensus:
+    """Numeric character-reference remapping through the real
+    tokenizer (reference: HTMLTokenizer.m numeric-reference state per
+    WHATWG): C1-control codepoints 0x80-0x9F remap through the
+    Windows-1252 table (128→€, 150→–, 158→ž, 0x9F→Ÿ), surrogates
+    collapse to U+FFFD, and astral refs (&#x1F600;) decode directly —
+    in BOTH text and attribute-value context. The oracle regenerates
+    the decoded char with chr() per doc_id%7."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_txt, out_attr = [], [], []
+        for key in ids:
+            case = _C1_CASES[int(key) % len(_C1_CASES)]
+            doc = parse(f'<!DOCTYPE html><body>'
+                        f'<p title="A{case}B">X{case}Y</p>')
+            p = next(el for el in doc.elements_in_tree_order()
+                     if el.tag == "p")
+            out_id.append(key)
+            out_txt.append(p.text_content)
+            out_attr.append(p.attrs.get("title", ""))
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_txt, pa.string()),
+             pa.array(out_attr, pa.string())],
+            names=["doc_id", "decoded_text", "decoded_attr"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
