@@ -12915,6 +12915,89 @@ def queries() -> dict[str, Callable[[str], Any]]:
             names=["o_year", "total_cents", "nation_cents",
                    "share_bp"])
 
+    def idle_customers_q22(sf_dir: str):
+        """TPC-H Q22 analog (well-funded idle customers, reported per
+        market segment): the positive-balance average resolves from
+        EXACT integer cents (sum/count of int64 — no float-sum order
+        sensitivity across blocks), customers above it anti-join the
+        RECENT-orders key side (orders since 1999, the Q22 idle
+        window; native left_anti, only o_custkey ships), and
+        a ≤|segments| combiner finishes. The float threshold
+        CAST(SUM)/COUNT is mirrored verbatim by the oracle."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def cents_col(b: pa.Table) -> pa.Table:
+            cents = pc.cast(pc.floor(pc.add(pc.multiply(
+                pa.scalar(100.0), b.column("c_acctbal")),
+                pa.scalar(0.5))), pa.int64())
+            return pa.table({"c_custkey": b.column("c_custkey"),
+                             "c_mktsegment":
+                                 b.column("c_mktsegment"),
+                             "cents": cents})
+
+        cust = _read(sf_dir, "customer",
+                     ["c_custkey", "c_mktsegment", "c_acctbal"]) \
+            .map_batches(cents_col, batch_format="pyarrow")
+
+        def pos_partial(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.greater(b.column("cents"),
+                                    pa.scalar(0, pa.int64())))
+            s = pc.sum(t.column("cents")).as_py() or 0
+            return pa.table({
+                "k": pa.array([int(t.num_rows)], pa.int64()),
+                "s": pa.array([int(s)], pa.int64())})
+
+        tot = pa.concat_tables(
+            b for b in cust.map_batches(
+                pos_partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None))
+        n_pos = int(pc.sum(tot.column("k")).as_py() or 0)
+        s_pos = int(pc.sum(tot.column("s")).as_py() or 0)
+        thr = float(s_pos) / float(n_pos)
+
+        def above(b: pa.Table) -> pa.Table:
+            return b.filter(pc.greater(
+                pc.cast(b.column("cents"), pa.float64()),
+                pa.scalar(thr)))
+
+        CUTOFF = 915148800000000   # 1999-01-01 epoch us
+
+        def recent_keys(b: pa.Table) -> pa.Table:
+            od = pc.cast(b.column("o_orderdate"), pa.int64())
+            return b.filter(pc.greater_equal(
+                od, pa.scalar(CUTOFF))).select(["o_custkey"])
+
+        okeys = _read(sf_dir, "orders",
+                      ["o_custkey", "o_orderdate"]).map_batches(
+            recent_keys, batch_format="pyarrow")
+        idle = cust.map_batches(above, batch_format="pyarrow") \
+            .join(okeys, "left_anti", 8,
+                  on=("c_custkey",), right_on=("o_custkey",))
+
+        def seg_partial(b: pa.Table) -> pa.Table:
+            g = b.select(["c_mktsegment", "cents"]) \
+                .group_by("c_mktsegment").aggregate(
+                    [("cents", "sum"), ("cents", "count")])
+            return g.select(
+                ["c_mktsegment", "cents_sum", "cents_count"]) \
+                .rename_columns(
+                    ["c_mktsegment", "bal_cents", "n_cust"])
+
+        agg = combine_aggregate(
+            idle.map_batches(seg_partial, batch_format="pyarrow"),
+            ["c_mktsegment"], [("bal_cents", "sum", "bal_cents"),
+                               ("n_cust", "sum", "n_cust")]) \
+            .take_all()
+        rows = sorted((str(r["c_mktsegment"]), int(r["n_cust"]),
+                       int(r["bal_cents"])) for r in agg)
+        return pa.Table.from_arrays(
+            [pa.array([r[0] for r in rows], pa.string()),
+             pa.array([r[1] for r in rows], pa.int64()),
+             pa.array([r[2] for r in rows], pa.int64())],
+            names=["c_mktsegment", "n_cust", "bal_cents"])
+
     def late_event_audit(sf_dir: str):
         """Streaming watermark audit: per user, how many events arrive
         (by event_id order) with an event time > 1 h behind the user's
@@ -13316,6 +13399,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "volume_shipping_q7": volume_shipping_q7,
         "c1_charref_census": actor(q.C1CharrefCensus),
         "market_share_q8": market_share_q8,
+        "body_attr_merge_census": actor(q.BodyAttrMergeCensus),
+        "idle_customers_q22": idle_customers_q22,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -13609,6 +13694,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_attr_census", "volume_shipping_q7",
         # new in round 3, hundred-thirty-first sweep
         "c1_charref_census", "market_share_q8",
+        # new in round 3, hundred-thirty-second sweep
+        "body_attr_merge_census", "idle_customers_q22",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -20597,6 +20684,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR((10000.0 * SUM(cents * is_nat))
                               / SUM(cents)) AS BIGINT) AS share_bp
             FROM f GROUP BY 1 ORDER BY 1
+        """,
+        # duplicate body/html tags merge only MISSING attrs; one body.
+        "body_attr_merge_census": """
+            SELECT doc_id,
+                   'en' AS html_lang,
+                   'rtl' AS html_dir,
+                   'h' || CAST(doc_id AS VARCHAR) AS html_data,
+                   'c' || CAST(doc_id AS VARCHAR) AS body_class,
+                   't' || CAST(doc_id AS VARCHAR) AS body_title,
+                   CAST(1 AS BIGINT) AS n_bodies
+            FROM documents
+        """,
+        # Q22 analog: cents-exact positive-balance average, anti-join
+        # against orders, per-segment counts/sums.
+        "idle_customers_q22": """
+            WITH c AS (
+                SELECT c_custkey, c_mktsegment,
+                       CAST(FLOOR(100.0 * c_acctbal + 0.5) AS BIGINT)
+                           AS cents
+                FROM customer),
+            thr AS (
+                SELECT CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS t
+                FROM c WHERE cents > 0)
+            SELECT c.c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_cust,
+                   CAST(SUM(c.cents) AS BIGINT) AS bal_cents
+            FROM c, thr
+            WHERE CAST(c.cents AS DOUBLE) > thr.t
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >=
+                                    TIMESTAMP '1999-01-01')
+            GROUP BY 1 ORDER BY 1
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

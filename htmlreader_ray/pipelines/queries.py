@@ -1310,6 +1310,58 @@ class C1CharrefCensus:
             names=["doc_id", "decoded_text", "decoded_attr"])
 
 
+class BodyAttrMergeCensus:
+    """Second <body>/<html> start tags through the real parser
+    (reference: HTMLParser.m 'in body' body/html arms per WHATWG):
+    the duplicate tag is a parse error whose attributes MERGE onto
+    the existing element — only names not already present are added,
+    existing values never overridden, and exactly one body/html
+    element exists. Every surviving attribute is arithmetic in
+    doc_id for the oracle."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "html_lang", "html_dir",
+                                "html_data", "body_class",
+                                "body_title", "n_bodies")}
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><html lang="en" data-a="h{d}">'
+                    f'<body class="c{d}" id="b{d}">x{d}'
+                    f'<body class="OVERRIDE" title="t{d}">'
+                    f'<html data-a="IGNORED" dir="rtl">y{d}'
+                    f'</body></html>')
+            doc = parse(page)
+            n_bodies = 0
+            html_el = body_el = None
+            for el in doc.elements_in_tree_order():
+                if el.tag == "html":
+                    html_el = el
+                elif el.tag == "body":
+                    body_el = el
+                    n_bodies += 1
+            cols["doc_id"].append(key)
+            cols["html_lang"].append(html_el.attrs.get("lang", "?"))
+            cols["html_dir"].append(html_el.attrs.get("dir", "?"))
+            cols["html_data"].append(
+                html_el.attrs.get("data-a", "?"))
+            cols["body_class"].append(
+                body_el.attrs.get("class", "?"))
+            cols["body_title"].append(
+                body_el.attrs.get("title", "?"))
+            cols["n_bodies"].append(n_bodies)
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["html_lang"], pa.string()),
+             pa.array(cols["html_dir"], pa.string()),
+             pa.array(cols["html_data"], pa.string()),
+             pa.array(cols["body_class"], pa.string()),
+             pa.array(cols["body_title"], pa.string()),
+             pa.array(cols["n_bodies"], pa.int64())],
+            names=["doc_id", "html_lang", "html_dir", "html_data",
+                   "body_class", "body_title", "n_bodies"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
