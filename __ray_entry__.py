@@ -12998,6 +12998,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
              pa.array([r[2] for r in rows], pa.int64())],
             names=["c_mktsegment", "n_cust", "bal_cents"])
 
+    def cheapest_supplier_wins(sf_dir: str):
+        """Q2-flavored argmin without partsupp: for every part, the
+        supplier quoting the cheapest lineitem (price cents, suppkey
+        tie-break) — the argmin packs (cents, suppkey) into one int64
+        (cents*1e10 + suppkey; documented headroom: cents < 9.2e8 and
+        suppkey < 1e10 hold far beyond 100 TB TPC-H scale) so the
+        per-part argmin is a plain Min combiner over block-local
+        group_by partials, then a second narrow groupby counts each
+        supplier's wins. Two digest-narrow shuffles, zero joins, and
+        the result streams back as a Dataset (one row per winning
+        supplier)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        PACK = 10_000_000_000
+
+        def li_pack(b: pa.Table) -> pa.Table:
+            cents = pc.cast(pc.floor(pc.add(pc.multiply(
+                pa.scalar(100.0), b.column("l_extendedprice")),
+                pa.scalar(0.5))), pa.int64())
+            packed = pc.add(pc.multiply(cents,
+                                        pa.scalar(PACK, pa.int64())),
+                            b.column("l_suppkey"))
+            g = pa.table({"l_partkey": b.column("l_partkey"),
+                          "packed": packed}) \
+                .group_by("l_partkey").aggregate([("packed", "min")])
+            return g.select(["l_partkey", "packed_min"]) \
+                .rename_columns(["l_partkey", "packed"])
+
+        def unpack(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "packed" not in b.column_names:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.int64())] * 2,
+                    names=["s_suppkey", "one"])
+            sk = pc.subtract(
+                b.column("packed"),
+                pc.multiply(pc.divide(b.column("packed"),
+                                      pa.scalar(PACK, pa.int64())),
+                            pa.scalar(PACK, pa.int64())))
+            g = pa.table({"s_suppkey": sk}) \
+                .group_by("s_suppkey").aggregate([([], "count_all")])
+            return g.select(["s_suppkey", "count_all"]) \
+                .rename_columns(["s_suppkey", "one"])
+
+        per_part = combine_aggregate(
+            _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_suppkey", "l_extendedprice"])
+            .map_batches(li_pack, batch_format="pyarrow"),
+            ["l_partkey"], [("packed", "min", "packed")])
+        return combine_aggregate(
+            per_part.map_batches(unpack, batch_format="pyarrow"),
+            ["s_suppkey"], [("one", "sum", "n_parts_cheapest")])
+
     def late_event_audit(sf_dir: str):
         """Streaming watermark audit: per user, how many events arrive
         (by event_id order) with an event time > 1 h behind the user's
@@ -13401,6 +13455,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_share_q8": market_share_q8,
         "body_attr_merge_census": actor(q.BodyAttrMergeCensus),
         "idle_customers_q22": idle_customers_q22,
+        "form_pointer_census": actor(q.FormPointerCensus),
+        "cheapest_supplier_wins": cheapest_supplier_wins,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -13696,6 +13752,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c1_charref_census", "market_share_q8",
         # new in round 3, hundred-thirty-second sweep
         "body_attr_merge_census", "idle_customers_q22",
+        # new in round 3, hundred-thirty-third sweep
+        "form_pointer_census", "cheapest_supplier_wins",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -20717,6 +20775,32 @@ def oracle_sql() -> dict[str, str]:
                                 AND o.o_orderdate >=
                                     TIMESTAMP '1999-01-01')
             GROUP BY 1 ORDER BY 1
+        """,
+        # form pointer: nested form ignored, </form> clears pointer,
+        # form-in-table inserted empty and popped immediately.
+        "form_pointer_census": """
+            SELECT doc_id,
+                   CAST(2 AS BIGINT) AS n_forms,
+                   'f' || CAST(doc_id AS VARCHAR) || 'a'
+                       AS first_form_id,
+                   'tf' || CAST(doc_id AS VARCHAR) AS table_form_id,
+                   CAST(0 AS BIGINT) AS table_form_nkids,
+                   'p' AS input_parent,
+                   'z' || CAST(doc_id AS VARCHAR) AS td_text
+            FROM documents
+        """,
+        # per-part cheapest supplier via packed (cents,suppkey)
+        # argmin, then wins per supplier.
+        "cheapest_supplier_wins": """
+            WITH m AS (
+                SELECT l_partkey,
+                       MIN(CAST(FLOOR(100.0 * l_extendedprice + 0.5)
+                                AS BIGINT) * 10000000000
+                           + l_suppkey) AS packed
+                FROM lineitem GROUP BY 1)
+            SELECT packed % 10000000000 AS s_suppkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts_cheapest
+            FROM m GROUP BY 1 ORDER BY 1
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

@@ -1362,6 +1362,65 @@ class BodyAttrMergeCensus:
                    "body_class", "body_title", "n_bodies"])
 
 
+class FormPointerCensus:
+    """The form-element pointer through the real parser (reference:
+    HTMLParser.m form arms per WHATWG): a nested <form> start tag is
+    IGNORED while the pointer is set (no element, no attrs), </form>
+    clears the pointer without disturbing the open <p>, and a <form>
+    inside <table> is the special insert-and-pop-immediately branch —
+    an EMPTY form child of the table while the <tr> builds a
+    synthesized tbody. All pinned by arithmetic in doc_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "n_forms", "first_form_id",
+                                "table_form_id", "table_form_nkids",
+                                "input_parent", "td_text")}
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><body>'
+                    f'<form id="f{d}a"><p>x{d}'
+                    f'<form id="IGNORED"><input name="i{d}">'
+                    f'</form><p>y{d}</form>'
+                    f'<table><form id="tf{d}"><tr><td>z{d}</table>'
+                    f'</body>')
+            doc = parse(page)
+            n_forms = 0
+            first_id = table_id = input_parent = td_text = ""
+            table_nkids = -1
+            for el in doc.elements_in_tree_order():
+                if el.tag == "form":
+                    n_forms += 1
+                    fid = el.attrs.get("id", "")
+                    if el.parent.tag == "table":
+                        table_id = fid
+                        table_nkids = len(el.children)
+                    elif not first_id:
+                        first_id = fid
+                elif el.tag == "input":
+                    input_parent = el.parent.tag
+                elif el.tag == "td":
+                    td_text = el.text_content
+            cols["doc_id"].append(key)
+            cols["n_forms"].append(n_forms)
+            cols["first_form_id"].append(first_id)
+            cols["table_form_id"].append(table_id)
+            cols["table_form_nkids"].append(table_nkids)
+            cols["input_parent"].append(input_parent)
+            cols["td_text"].append(td_text)
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["n_forms"], pa.int64()),
+             pa.array(cols["first_form_id"], pa.string()),
+             pa.array(cols["table_form_id"], pa.string()),
+             pa.array(cols["table_form_nkids"], pa.int64()),
+             pa.array(cols["input_parent"], pa.string()),
+             pa.array(cols["td_text"], pa.string())],
+            names=["doc_id", "n_forms", "first_form_id",
+                   "table_form_id", "table_form_nkids",
+                   "input_parent", "td_text"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
