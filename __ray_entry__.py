@@ -13052,6 +13052,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
             per_part.map_batches(unpack, batch_format="pyarrow"),
             ["s_suppkey"], [("one", "sum", "n_parts_cheapest")])
 
+    def priority_dow_share(sf_dir: str):
+        """Order mix by (priority, ISO weekday) with within-priority
+        share: one block-local group_by partial per batch, a ≤35-key
+        combiner, and the share computed on the bounded finale with
+        the mirrored FLOOR(10000.0*n/total) expression. Nothing wider
+        than 35 keys ever shuffles."""
+        import math
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def partial(b: pa.Table) -> pa.Table:
+            dow = pc.add(pc.day_of_week(b.column("o_orderdate")),
+                         pa.scalar(1, pa.int64()))
+            t = pa.table({"o_orderpriority":
+                          b.column("o_orderpriority"),
+                          "isodow": pc.cast(dow, pa.int64())})
+            g = t.group_by(["o_orderpriority", "isodow"]).aggregate(
+                [([], "count_all")])
+            return g.select(["o_orderpriority", "isodow",
+                             "count_all"]) \
+                .rename_columns(["o_orderpriority", "isodow", "n"])
+
+        agg = combine_aggregate(
+            _read(sf_dir, "orders",
+                  ["o_orderpriority", "o_orderdate"]).map_batches(
+                partial, batch_format="pyarrow"),
+            ["o_orderpriority", "isodow"],
+            [("n", "sum", "n_orders")]).take_all()
+        totals: dict = {}
+        for r in agg:
+            totals[str(r["o_orderpriority"])] = \
+                totals.get(str(r["o_orderpriority"]), 0) \
+                + int(r["n_orders"])
+        rows = sorted((str(r["o_orderpriority"]), int(r["isodow"]),
+                       int(r["n_orders"])) for r in agg)
+        return pa.Table.from_arrays(
+            [pa.array([r[0] for r in rows], pa.string()),
+             pa.array([r[1] for r in rows], pa.int64()),
+             pa.array([r[2] for r in rows], pa.int64()),
+             pa.array([int(math.floor((10000.0 * r[2])
+                                      / totals[r[0]]))
+                       for r in rows], pa.int64())],
+            names=["o_orderpriority", "isodow", "n_orders",
+                   "share_bp"])
+
     def late_event_audit(sf_dir: str):
         """Streaming watermark audit: per user, how many events arrive
         (by event_id order) with an event time > 1 h behind the user's
@@ -13457,6 +13503,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idle_customers_q22": idle_customers_q22,
         "form_pointer_census": actor(q.FormPointerCensus),
         "cheapest_supplier_wins": cheapest_supplier_wins,
+        "comment_edge_census": actor(q.CommentEdgeCensus),
+        "priority_dow_share": priority_dow_share,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -13754,6 +13802,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "body_attr_merge_census", "idle_customers_q22",
         # new in round 3, hundred-thirty-third sweep
         "form_pointer_census", "cheapest_supplier_wins",
+        # new in round 3, hundred-thirty-fourth sweep
+        "comment_edge_census", "priority_dow_share",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -20801,6 +20851,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT packed % 10000000000 AS s_suppkey,
                    CAST(COUNT(*) AS BIGINT) AS n_parts_cheapest
             FROM m GROUP BY 1 ORDER BY 1
+        """,
+        # comment edge exits: abrupt closes, nested open literal,
+        # --!>, trailing dash, bogus-comment paths; data by doc_id%7.
+        "comment_edge_census": """
+            SELECT doc_id,
+                   CASE doc_id % 7
+                        WHEN 0 THEN ''
+                        WHEN 1 THEN ''
+                        WHEN 2 THEN ' a' || CAST(doc_id AS VARCHAR)
+                                    || '<!-- b '
+                        WHEN 3 THEN 'x' || CAST(doc_id AS VARCHAR)
+                        WHEN 4 THEN 'y' || CAST(doc_id AS VARCHAR)
+                                    || '-'
+                        WHEN 5 THEN '%c' || CAST(doc_id AS VARCHAR)
+                        ELSE '?pi' || CAST(doc_id AS VARCHAR)
+                             || ' data?' END AS comment_data,
+                   CAST(1 AS BIGINT) AS n_comments
+            FROM documents
+        """,
+        # (priority, ISO weekday) counts + within-priority share bp.
+        "priority_dow_share": """
+            WITH g AS (
+                SELECT o_orderpriority,
+                       CAST(EXTRACT(isodow FROM o_orderdate)
+                            AS BIGINT) AS isodow,
+                       CAST(COUNT(*) AS BIGINT) AS n_orders
+                FROM orders GROUP BY 1, 2)
+            SELECT o_orderpriority, isodow, n_orders,
+                   CAST(FLOOR((10000.0 * n_orders) /
+                        SUM(n_orders) OVER (PARTITION BY
+                                            o_orderpriority))
+                        AS BIGINT) AS share_bp
+            FROM g ORDER BY 1, 2
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

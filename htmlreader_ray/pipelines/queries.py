@@ -1421,6 +1421,40 @@ class FormPointerCensus:
                    "input_parent", "td_text"])
 
 
+class CommentEdgeCensus:
+    """Comment-state edge exits through the real tokenizer
+    (reference: HTMLTokenizer.m comment-start/-end/-end-bang states
+    per WHATWG): abrupt <!--> and <!---> close empty, a nested <!--
+    stays literal in the data, --!> closes, y--- keeps one dash,
+    </% opens a BOGUS comment, and <?pi?> becomes a bogus comment
+    with the '?' kept. Data strings regenerate by doc_id%7."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernel.dom import Comment
+
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_data, out_n = [], [], []
+        for key in ids:
+            d = int(key)
+            case = d % 7
+            frag = ("<!-->", "<!--->",
+                    f"<!-- a{d}<!-- b -->", f"<!--x{d}--!>",
+                    f"<!--y{d}--->", f"</%c{d}>",
+                    f"<?pi{d} data?>")[case]
+            doc = parse(f"<!DOCTYPE html><body><p>a</p>{frag}"
+                        f"<p>b</p>")
+            datas = [n.data for n in doc.tree_order()
+                     if isinstance(n, Comment)]
+            out_id.append(key)
+            out_data.append(datas[0] if datas else "?")
+            out_n.append(len(datas))
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_data, pa.string()),
+             pa.array(out_n, pa.int64())],
+            names=["doc_id", "comment_data", "n_comments"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
