@@ -13098,6 +13098,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
             names=["o_orderpriority", "isodow", "n_orders",
                    "share_bp"])
 
+    def revenue_rolling3m(sf_dir: str):
+        """Monthly order revenue with a trailing 3-month rolling sum:
+        the fact stream collapses to ≤84 (year, month) keys via
+        block-local partials + one narrow combiner; the rolling
+        window then runs on the BOUNDED finale driver-side (mirrored
+        by the oracle's ROWS 2 PRECEDING frame). The window never
+        touches the distributed data — the scale-correct shape for
+        low-cardinality time windows."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def partial(b: pa.Table) -> pa.Table:
+            od = b.column("o_orderdate")
+            cents = pc.cast(pc.floor(pc.add(pc.multiply(
+                pa.scalar(100.0), b.column("o_totalprice")),
+                pa.scalar(0.5))), pa.int64())
+            t = pa.table({
+                "ym": pc.add(pc.multiply(
+                    pc.cast(pc.year(od), pa.int64()),
+                    pa.scalar(100, pa.int64())),
+                    pc.cast(pc.month(od), pa.int64())),
+                "cents": cents})
+            g = t.group_by("ym").aggregate([("cents", "sum")])
+            return g.select(["ym", "cents_sum"]) \
+                .rename_columns(["ym", "cents"])
+
+        agg = combine_aggregate(
+            _read(sf_dir, "orders",
+                  ["o_orderdate", "o_totalprice"]).map_batches(
+                partial, batch_format="pyarrow"),
+            ["ym"], [("cents", "sum", "revenue_cents")]).take_all()
+        rows = sorted((int(r["ym"]), int(r["revenue_cents"]))
+                      for r in agg)
+        rolling = []
+        for i in range(len(rows)):
+            lo = max(0, i - 2)
+            rolling.append(sum(v for _ym, v in rows[lo:i + 1]))
+        return pa.Table.from_arrays(
+            [pa.array([r[0] for r in rows], pa.int64()),
+             pa.array([r[1] for r in rows], pa.int64()),
+             pa.array(rolling, pa.int64())],
+            names=["ym", "revenue_cents", "rolling3_cents"])
+
     def late_event_audit(sf_dir: str):
         """Streaming watermark audit: per user, how many events arrive
         (by event_id order) with an event time > 1 h behind the user's
@@ -13505,6 +13549,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cheapest_supplier_wins": cheapest_supplier_wins,
         "comment_edge_census": actor(q.CommentEdgeCensus),
         "priority_dow_share": priority_dow_share,
+        "caption_colgroup_census": actor(q.CaptionColgroupCensus),
+        "revenue_rolling3m": revenue_rolling3m,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -13804,6 +13850,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "form_pointer_census", "cheapest_supplier_wins",
         # new in round 3, hundred-thirty-fourth sweep
         "comment_edge_census", "priority_dow_share",
+        # new in round 3, hundred-thirty-fifth sweep
+        "caption_colgroup_census", "revenue_rolling3m",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -20884,6 +20932,35 @@ def oracle_sql() -> dict[str, str]:
                                             o_orderpriority))
                         AS BIGINT) AS share_bp
             FROM g ORDER BY 1, 2
+        """,
+        # caption implied-closes, m cols + stray col -> 2nd colgroup,
+        # synthesized tbody.
+        "caption_colgroup_census": """
+            SELECT doc_id,
+                   'cap' || CAST(doc_id AS VARCHAR) ||
+                   'in' || CAST(doc_id AS VARCHAR) AS caption_text,
+                   CAST(2 AS BIGINT) AS n_colgroups,
+                   CAST(doc_id % 3 + 2 AS BIGINT) AS n_cols,
+                   'c' || CAST(doc_id AS VARCHAR) AS td_text,
+                   CAST(1 AS BIGINT) AS n_tbody
+            FROM documents
+        """,
+        # monthly revenue + trailing 3-row rolling sum on the
+        # bounded (year*100+month) finale.
+        "revenue_rolling3m": """
+            WITH m AS (
+                SELECT CAST(EXTRACT(year FROM o_orderdate) * 100 +
+                            EXTRACT(month FROM o_orderdate)
+                            AS BIGINT) AS ym,
+                       CAST(SUM(CAST(FLOOR(100.0 * o_totalprice
+                            + 0.5) AS BIGINT)) AS BIGINT)
+                           AS revenue_cents
+                FROM orders GROUP BY 1)
+            SELECT ym, revenue_cents,
+                   CAST(SUM(revenue_cents) OVER (ORDER BY ym
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS rolling3_cents
+            FROM m ORDER BY ym
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

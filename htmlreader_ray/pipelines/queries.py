@@ -1455,6 +1455,60 @@ class CommentEdgeCensus:
             names=["doc_id", "comment_data", "n_comments"])
 
 
+class CaptionColgroupCensus:
+    """Caption and column-group handling through the real parser
+    (reference: HTMLParser.m 'in caption'/'in column group' modes per
+    WHATWG): </caption> generates implied end tags (the open <p>
+    closes inside it), an explicit <colgroup> holds m=(d%3+1) <col>
+    voids, a STRAY <col> after it synthesizes a SECOND colgroup, and
+    the <tr> builds a synthesized tbody. All counts arithmetic in
+    doc_id for the oracle."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "caption_text",
+                                "n_colgroups", "n_cols", "td_text",
+                                "n_tbody")}
+        for key in ids:
+            d = int(key)
+            m = d % 3 + 1
+            colrun = "<col>" * m
+            page = (f'<!DOCTYPE html><body><table>'
+                    f'<caption>cap{d}<p>in{d}</caption>'
+                    f'<colgroup>{colrun}</colgroup>'
+                    f'<col width="9">'
+                    f'<tr><td>c{d}</table>')
+            doc = parse(page)
+            cap = td = ""
+            n_cg = n_col = n_tb = 0
+            for el in doc.elements_in_tree_order():
+                if el.tag == "caption":
+                    cap = el.text_content
+                elif el.tag == "colgroup":
+                    n_cg += 1
+                elif el.tag == "col":
+                    n_col += 1
+                elif el.tag == "td":
+                    td = el.text_content
+                elif el.tag == "tbody":
+                    n_tb += 1
+            cols["doc_id"].append(key)
+            cols["caption_text"].append(cap)
+            cols["n_colgroups"].append(n_cg)
+            cols["n_cols"].append(n_col)
+            cols["td_text"].append(td)
+            cols["n_tbody"].append(n_tb)
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["caption_text"], pa.string()),
+             pa.array(cols["n_colgroups"], pa.int64()),
+             pa.array(cols["n_cols"], pa.int64()),
+             pa.array(cols["td_text"], pa.string()),
+             pa.array(cols["n_tbody"], pa.int64())],
+            names=["doc_id", "caption_text", "n_colgroups", "n_cols",
+                   "td_text", "n_tbody"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
