@@ -13142,6 +13142,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
              pa.array(rolling, pa.int64())],
             names=["ym", "revenue_cents", "rolling3_cents"])
 
+    def lines_per_order_dist(sf_dir: str):
+        """Lineitem-count-per-order distribution plus a linenumber
+        integrity audit: block-local (orderkey, n, max_ln) partials,
+        one orderkey combiner, then a ≤7-key distribution groupby
+        counting how many orders are CONSISTENT (count == max
+        l_linenumber — the generator writes dense 1..n). Two narrow
+        shuffles; the fact table never moves whole."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def partial(b: pa.Table) -> pa.Table:
+            t = pa.table({
+                "l_orderkey": b.column("l_orderkey"),
+                "ln": pc.cast(b.column("l_linenumber"), pa.int64())})
+            g = t.group_by("l_orderkey").aggregate(
+                [("ln", "count"), ("ln", "max")])
+            return g.select(["l_orderkey", "ln_count", "ln_max"]) \
+                .rename_columns(["l_orderkey", "n", "max_ln"])
+
+        def dist_partial(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.int64())] * 3,
+                    names=["n_lines", "n_orders", "n_consistent"])
+            ok = pc.cast(pc.equal(b.column("n"), b.column("max_ln")),
+                         pa.int64())
+            t = pa.table({"n_lines": b.column("n"), "ok": ok})
+            g = t.group_by("n_lines").aggregate(
+                [([], "count_all"), ("ok", "sum")])
+            return g.select(["n_lines", "count_all", "ok_sum"]) \
+                .rename_columns(["n_lines", "n_orders",
+                                 "n_consistent"])
+
+        per_order = combine_aggregate(
+            _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_linenumber"]).map_batches(
+                partial, batch_format="pyarrow"),
+            ["l_orderkey"], [("n", "sum", "n"),
+                             ("max_ln", "max", "max_ln")])
+        agg = combine_aggregate(
+            per_order.map_batches(dist_partial,
+                                  batch_format="pyarrow"),
+            ["n_lines"], [("n_orders", "sum", "n_orders"),
+                          ("n_consistent", "sum", "n_consistent")]) \
+            .take_all()
+        rows = sorted((int(r["n_lines"]), int(r["n_orders"]),
+                       int(r["n_consistent"])) for r in agg)
+        return pa.Table.from_arrays(
+            [pa.array([r[0] for r in rows], pa.int64()),
+             pa.array([r[1] for r in rows], pa.int64()),
+             pa.array([r[2] for r in rows], pa.int64())],
+            names=["n_lines", "n_orders", "n_consistent"])
+
     def late_event_audit(sf_dir: str):
         """Streaming watermark audit: per user, how many events arrive
         (by event_id order) with an event time > 1 h behind the user's
@@ -13551,6 +13605,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_dow_share": priority_dow_share,
         "caption_colgroup_census": actor(q.CaptionColgroupCensus),
         "revenue_rolling3m": revenue_rolling3m,
+        "rcdata_rawtext_census": actor(q.RcdataRawtextCensus),
+        "lines_per_order_dist": lines_per_order_dist,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -13852,6 +13908,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "comment_edge_census", "priority_dow_share",
         # new in round 3, hundred-thirty-fifth sweep
         "caption_colgroup_census", "revenue_rolling3m",
+        # new in round 3, hundred-thirty-sixth sweep
+        "rcdata_rawtext_census", "lines_per_order_dist",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -20961,6 +21019,31 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS rolling3_cents
             FROM m ORDER BY ym
+        """,
+        # RCDATA (title: entities decode, markup literal) vs RAWTEXT
+        # (iframe/noembed: both literal), all in body context.
+        "rcdata_rawtext_census": """
+            SELECT doc_id,
+                   't' || CAST(doc_id AS VARCHAR) ||
+                   ' & <b>raw</b>' AS title_text,
+                   'i' || CAST(doc_id AS VARCHAR) ||
+                   ' &amp; <b>raw</b>' AS iframe_text,
+                   'n' || CAST(doc_id AS VARCHAR) || ' &amp;'
+                       AS noembed_text
+            FROM documents
+        """,
+        # lines-per-order distribution + dense-1..n integrity.
+        "lines_per_order_dist": """
+            WITH p AS (
+                SELECT l_orderkey,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(MAX(l_linenumber) AS BIGINT) AS max_ln
+                FROM lineitem GROUP BY 1)
+            SELECT n AS n_lines,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CASE WHEN n = max_ln THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_consistent
+            FROM p GROUP BY 1 ORDER BY 1
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

@@ -1509,6 +1509,45 @@ class CaptionColgroupCensus:
                    "td_text", "n_tbody"])
 
 
+class RcdataRawtextCensus:
+    """The RCDATA/RAWTEXT dichotomy in body context through the real
+    tokenizer (reference: HTMLTokenizer.m RCDATA vs RAWTEXT states):
+    <title> (RCDATA, legal anywhere) DECODES character references but
+    keeps markup literal, while <iframe>/<noembed> (RAWTEXT) keep
+    both literal. Each element's text regenerates by concat; the
+    title's '&amp;' collapses to '&', the others keep it."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_t, out_i, out_n = [], [], [], []
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><body>'
+                    f'<title>t{d} &amp; <b>raw</b></title>'
+                    f'<iframe>i{d} &amp; <b>raw</b></iframe>'
+                    f'<noembed>n{d} &amp;</noembed>tail{d}')
+            doc = parse(page)
+            tt = it = nt = ""
+            for el in doc.elements_in_tree_order():
+                if el.tag == "title":
+                    tt = el.text_content
+                elif el.tag == "iframe":
+                    it = el.text_content
+                elif el.tag == "noembed":
+                    nt = el.text_content
+            out_id.append(key)
+            out_t.append(tt)
+            out_i.append(it)
+            out_n.append(nt)
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_t, pa.string()),
+             pa.array(out_i, pa.string()),
+             pa.array(out_n, pa.string())],
+            names=["doc_id", "title_text", "iframe_text",
+                   "noembed_text"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
