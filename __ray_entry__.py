@@ -13196,6 +13196,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
              pa.array([r[2] for r in rows], pa.int64())],
             names=["n_lines", "n_orders", "n_consistent"])
 
+    def discount_revenue_q6(sf_dir: str):
+        """TPC-H Q6 analog (forecast-revenue deltas, reported per
+        discount step so the result is a table, not one scalar):
+        1996 ships with quantity < 24, revenue = price*discount in
+        exact cents, grouped by the discount percentage — pure
+        block-local partials into a ≤11-key combiner; no join, one
+        narrow shuffle."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from htmlreader_ray.functions.shuffle import combine_aggregate
+
+        def partial(b: pa.Table) -> pa.Table:
+            yr = pc.year(b.column("l_shipdate"))
+            keep = pc.and_(
+                pc.equal(yr, pa.scalar(1996, pa.int64())),
+                pc.less(b.column("l_quantity"), pa.scalar(24.0)))
+            t = b.filter(keep)
+            cents = pc.cast(pc.floor(pc.add(pc.multiply(
+                pa.scalar(100.0),
+                pc.multiply(t.column("l_extendedprice"),
+                            t.column("l_discount"))),
+                pa.scalar(0.5))), pa.int64())
+            g = pa.table({
+                "disc_pct": pc.cast(pc.round(pc.multiply(
+                    t.column("l_discount"), pa.scalar(100.0))),
+                    pa.int64()),
+                "cents": cents}) \
+                .group_by("disc_pct").aggregate(
+                    [("cents", "sum"), ("cents", "count")])
+            return g.select(["disc_pct", "cents_sum",
+                             "cents_count"]) \
+                .rename_columns(["disc_pct", "revenue_cents",
+                                 "n_lines"])
+
+        agg = combine_aggregate(
+            _read(sf_dir, "lineitem",
+                  ["l_shipdate", "l_quantity", "l_extendedprice",
+                   "l_discount"]).map_batches(
+                partial, batch_format="pyarrow"),
+            ["disc_pct"], [("revenue_cents", "sum", "revenue_cents"),
+                           ("n_lines", "sum", "n_lines")]).take_all()
+        rows = sorted((int(r["disc_pct"]), int(r["revenue_cents"]),
+                       int(r["n_lines"])) for r in agg)
+        return pa.Table.from_arrays(
+            [pa.array([r[0] for r in rows], pa.int64()),
+             pa.array([r[1] for r in rows], pa.int64()),
+             pa.array([r[2] for r in rows], pa.int64())],
+            names=["disc_pct", "revenue_cents", "n_lines"])
+
     def late_event_audit(sf_dir: str):
         """Streaming watermark audit: per user, how many events arrive
         (by event_id order) with an event time > 1 h behind the user's
@@ -13607,6 +13656,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_rolling3m": revenue_rolling3m,
         "rcdata_rawtext_census": actor(q.RcdataRawtextCensus),
         "lines_per_order_dist": lines_per_order_dist,
+        "eof_truncation_census": actor(q.EofTruncationCensus),
+        "discount_revenue_q6": discount_revenue_q6,
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -13910,6 +13961,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "caption_colgroup_census", "revenue_rolling3m",
         # new in round 3, hundred-thirty-sixth sweep
         "rcdata_rawtext_census", "lines_per_order_dist",
+        # new in round 3, hundred-thirty-seventh sweep
+        "eof_truncation_census", "discount_revenue_q6",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -21044,6 +21097,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN n = max_ln THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_consistent
             FROM p GROUP BY 1 ORDER BY 1
+        """,
+        # EOF-in-state recovery: tag/attr discarded, comment emitted,
+        # rcdata/script kept partial, bare charref literal.
+        "eof_truncation_census": """
+            SELECT doc_id,
+                   CASE doc_id % 6
+                        WHEN 3 THEN 'a' || CAST(doc_id AS VARCHAR)
+                                    || 't' || CAST(doc_id AS VARCHAR)
+                        WHEN 4 THEN 'a' || CAST(doc_id AS VARCHAR)
+                                    || 's' || CAST(doc_id AS VARCHAR)
+                        WHEN 5 THEN 'a' || CAST(doc_id AS VARCHAR)
+                                    || '&am'
+                        ELSE 'a' || CAST(doc_id AS VARCHAR)
+                        END AS body_text,
+                   CASE WHEN doc_id % 6 = 2
+                        THEN ' c' || CAST(doc_id AS VARCHAR)
+                        ELSE '' END AS comment_data,
+                   CASE doc_id % 6 WHEN 3 THEN 'title'
+                        WHEN 4 THEN 'script' ELSE '' END
+                       AS inner_tag
+            FROM documents
+        """,
+        # Q6 analog per discount step: 1996 ships, qty<24,
+        # revenue=price*discount cents.
+        "discount_revenue_q6": """
+            SELECT CAST(ROUND(l_discount * 100) AS BIGINT)
+                       AS disc_pct,
+                   CAST(SUM(CAST(FLOOR(100.0 * (l_extendedprice *
+                        l_discount) + 0.5) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem
+            WHERE EXTRACT(year FROM l_shipdate) = 1996
+              AND l_quantity < 24
+            GROUP BY 1 ORDER BY 1
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

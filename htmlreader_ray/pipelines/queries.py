@@ -1548,6 +1548,52 @@ class RcdataRawtextCensus:
                    "noembed_text"])
 
 
+class EofTruncationCensus:
+    """EOF-in-state recovery through the real tokenizer (reference:
+    HTMLTokenizer.m EOF arms per WHATWG) — the truncated-document
+    behaviors a crawler hits constantly: EOF in a tag name or
+    attribute value DISCARDS the tag, EOF in a comment EMITS the
+    partial comment, EOF in RCDATA/script-data keeps the element
+    with its partial text, and EOF mid-charref leaves the raw
+    ampersand run. Case = doc_id%6; everything regenerates by
+    arithmetic."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernel.dom import Comment
+
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_txt, out_com, out_tag = [], [], [], []
+        for key in ids:
+            d = int(key)
+            case = d % 6
+            page = (f"<!DOCTYPE html><body><p>a{d}<di",
+                    f"<!DOCTYPE html><body><p>a{d}<div id=\"x{d}",
+                    f"<!DOCTYPE html><body><p>a{d}<!-- c{d}",
+                    f"<!DOCTYPE html><body><p>a{d}<title>t{d}",
+                    f"<!DOCTYPE html><body><p>a{d}<script>s{d}",
+                    f"<!DOCTYPE html><body><p>a{d}&am")[case]
+            doc = parse(page)
+            body_text = inner = ""
+            for el in doc.elements_in_tree_order():
+                if el.tag == "body":
+                    body_text = el.text_content
+                elif el.tag in ("title", "script"):
+                    inner = el.tag
+            coms = [n.data for n in doc.tree_order()
+                    if isinstance(n, Comment)]
+            out_id.append(key)
+            out_txt.append(body_text)
+            out_com.append(coms[0] if coms else "")
+            out_tag.append(inner)
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_txt, pa.string()),
+             pa.array(out_com, pa.string()),
+             pa.array(out_tag, pa.string())],
+            names=["doc_id", "body_text", "comment_data",
+                   "inner_tag"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
