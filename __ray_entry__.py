@@ -13658,6 +13658,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lines_per_order_dist": lines_per_order_dist,
         "eof_truncation_census": actor(q.EofTruncationCensus),
         "discount_revenue_q6": discount_revenue_q6,
+        "table_foster_text_census": actor(q.TableFosterTextCensus),
+        "heading_autoclose_census": actor(q.HeadingAutocloseCensus),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -13963,6 +13965,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rcdata_rawtext_census", "lines_per_order_dist",
         # new in round 3, hundred-thirty-seventh sweep
         "eof_truncation_census", "discount_revenue_q6",
+        # new in round 3, hundred-thirty-eighth sweep
+        "table_foster_text_census", "heading_autoclose_census",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -21132,6 +21136,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXTRACT(year FROM l_shipdate) = 1996
               AND l_quantity < 24
             GROUP BY 1 ORDER BY 1
+        """,
+        # non-ws table text fosters out whole; ws-only stays inside.
+        "table_foster_text_census": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN '  foster' || CAST(doc_id AS VARCHAR)
+                             || ' x' || CAST(doc_id AS VARCHAR)
+                        ELSE '   x' || CAST(doc_id AS VARCHAR)
+                        END AS body_text,
+                   CASE WHEN doc_id % 2 = 0 THEN 'element'
+                        ELSE 'text' END AS table_first_child,
+                   'x' || CAST(doc_id AS VARCHAR) AS td_text
+            FROM documents
+        """,
+        # hN closes any open heading; mismatched </h3> pops too;
+        # m+1 flat siblings h1..h(m+1).
+        "heading_autoclose_census": """
+            SELECT doc_id,
+                   CAST(doc_id % 5 + 2 AS BIGINT) AS n_headings,
+                   'h' || CAST(doc_id % 5 + 2 AS VARCHAR) AS last_tag,
+                   'h' || CAST(doc_id AS VARCHAR) || '_' ||
+                   CAST(doc_id % 5 + 1 AS VARCHAR) AS last_text,
+                   'body' AS p_parent
+            FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

@@ -1594,6 +1594,94 @@ class EofTruncationCensus:
                    "inner_tag"])
 
 
+class TableFosterTextCensus:
+    """Pending-table-character-token fostering through the real
+    parser (reference: HTMLParser.m 'in table text' per WHATWG): a
+    text run with ANY non-whitespace char fosters out WHOLE (even
+    its leading spaces land before the table), while a
+    whitespace-only run stays INSIDE the table. Even docs carry the
+    fostered run, odd docs the whitespace-only run; body text and
+    the table's first-child kind pin the dichotomy."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernel.dom import Text
+
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_bt, out_first, out_td = [], [], [], []
+        for key in ids:
+            d = int(key)
+            run = f"  foster{d} " if d % 2 == 0 else "   "
+            page = (f'<!DOCTYPE html><body><table>{run}'
+                    f'<tr><td>x{d}</table>')
+            doc = parse(page)
+            body = table = None
+            td = ""
+            for el in doc.elements_in_tree_order():
+                if el.tag == "body":
+                    body = el
+                elif el.tag == "table":
+                    table = el
+                elif el.tag == "td":
+                    td = el.text_content
+            first_kind = (
+                "text" if table.children
+                and isinstance(table.children[0], Text)
+                else "element")
+            out_id.append(key)
+            out_bt.append(body.text_content)
+            out_first.append(first_kind)
+            out_td.append(td)
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_bt, pa.string()),
+             pa.array(out_first, pa.string()),
+             pa.array(out_td, pa.string())],
+            names=["doc_id", "body_text", "table_first_child",
+                   "td_text"])
+
+
+class HeadingAutocloseCensus:
+    """Heading auto-close through the real parser (reference:
+    HTMLParser.m h1-h6 arms per WHATWG): each hN start tag closes an
+    open heading of ANY rank, and a MISMATCHED heading end tag
+    (</h3> here) still pops the open one. m=(d%5+1)+1 headings land
+    as flat siblings h1..h(m+1); the trailing <p> sits at body
+    level. Counts and texts arithmetic in doc_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_n, out_last, out_lt, out_pp = [], [], [], [], []
+        for key in ids:
+            d = int(key)
+            m = d % 5 + 1
+            hs = "".join(f"<h{(i % 6) + 1}>h{d}_{i}"
+                         for i in range(m + 1))
+            page = f'<!DOCTYPE html><body>{hs}</h3><p>tail{d}'
+            doc = parse(page)
+            n_h = 0
+            last_tag = last_text = p_parent = ""
+            for el in doc.elements_in_tree_order():
+                if el.tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+                    n_h += 1
+                    last_tag = el.tag
+                    last_text = el.text_content
+                elif el.tag == "p":
+                    p_parent = el.parent.tag
+            out_id.append(key)
+            out_n.append(n_h)
+            out_last.append(last_tag)
+            out_lt.append(last_text)
+            out_pp.append(p_parent)
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_n, pa.int64()),
+             pa.array(out_last, pa.string()),
+             pa.array(out_lt, pa.string()),
+             pa.array(out_pp, pa.string())],
+            names=["doc_id", "n_headings", "last_tag", "last_text",
+                   "p_parent"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
