@@ -13660,6 +13660,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discount_revenue_q6": discount_revenue_q6,
         "table_foster_text_census": actor(q.TableFosterTextCensus),
         "heading_autoclose_census": actor(q.HeadingAutocloseCensus),
+        "marquee_nobr_census": actor(q.MarqueeNobrCensus),
+        "button_scope_census": actor(q.ButtonScopeCensus),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -13967,6 +13969,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eof_truncation_census", "discount_revenue_q6",
         # new in round 3, hundred-thirty-eighth sweep
         "table_foster_text_census", "heading_autoclose_census",
+        # new in round 3, hundred-thirty-ninth sweep
+        "marquee_nobr_census", "button_scope_census",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -21159,6 +21163,37 @@ def oracle_sql() -> dict[str, str]:
                    'h' || CAST(doc_id AS VARCHAR) || '_' ||
                    CAST(doc_id % 5 + 1 AS VARCHAR) AS last_text,
                    'body' AS p_parent
+            FROM documents
+        """,
+        # marquee AFE marker blocks reconstruction; </b> inside it
+        # ignored; outer b resumes after; nobr adoption -> 2 siblings.
+        "marquee_nobr_census": """
+            SELECT doc_id,
+                   'out' || CAST(doc_id AS VARCHAR) ||
+                   'in' || CAST(doc_id AS VARCHAR) ||
+                   'still' || CAST(doc_id AS VARCHAR) ||
+                   'post' || CAST(doc_id AS VARCHAR) AS b_text,
+                   'in' || CAST(doc_id AS VARCHAR) ||
+                   'still' || CAST(doc_id AS VARCHAR)
+                       AS marquee_text,
+                   CAST(1 AS BIGINT) AS n_b,
+                   'a' || CAST(doc_id AS VARCHAR) AS nobr1_text,
+                   'b' || CAST(doc_id AS VARCHAR) AS nobr2_text,
+                   CAST(2 AS BIGINT) AS n_nobr
+            FROM documents
+        """,
+        # second <button> pops the first (implied-closing its p);
+        # p-in-button doesn't close the outer p (scope barrier).
+        "button_scope_census": """
+            SELECT doc_id,
+                   CAST(2 AS BIGINT) AS n_buttons,
+                   'b1_' || CAST(doc_id AS VARCHAR) ||
+                   'p1_' || CAST(doc_id AS VARCHAR) AS btn1_text,
+                   'b2_' || CAST(doc_id AS VARCHAR) AS btn2_text,
+                   'x' || CAST(doc_id AS VARCHAR) ||
+                   'y' || CAST(doc_id AS VARCHAR) ||
+                   'z' || CAST(doc_id AS VARCHAR) AS outer_p_text,
+                   'button' AS inner_p_parent
             FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):

@@ -1682,6 +1682,110 @@ class HeadingAutocloseCensus:
                    "p_parent"])
 
 
+class MarqueeNobrCensus:
+    """Formatting-scope barriers and the nobr adoption branch through
+    the real parser (reference: HTMLParser.m marquee/applet/object
+    marker handling + nobr arm per WHATWG): text inside <marquee>
+    does NOT reconstruct the outer open <b> (the AFE marker), a </b>
+    inside the marquee is ignored, the outer <b> resumes after
+    </marquee>; and a second <nobr> while one is open runs the
+    adoption agency, yielding two sibling nobrs with a bare tail.
+    All texts arithmetic in doc_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "b_text", "marquee_text",
+                                "n_b", "nobr1_text", "nobr2_text",
+                                "n_nobr")}
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><body><b>out{d}'
+                    f'<marquee>in{d}</b>still{d}</marquee>post{d}')
+            doc = parse(page)
+            b_text = m_text = ""
+            n_b = 0
+            for el in doc.elements_in_tree_order():
+                if el.tag == "b":
+                    n_b += 1
+                    b_text = el.text_content
+                elif el.tag == "marquee":
+                    m_text = el.text_content
+            page2 = (f'<!DOCTYPE html><body>'
+                     f'<nobr>a{d}<nobr>b{d}</nobr>c{d}')
+            doc2 = parse(page2)
+            nobrs = [el.text_content
+                     for el in doc2.elements_in_tree_order()
+                     if el.tag == "nobr"]
+            cols["doc_id"].append(key)
+            cols["b_text"].append(b_text)
+            cols["marquee_text"].append(m_text)
+            cols["n_b"].append(n_b)
+            cols["nobr1_text"].append(nobrs[0] if nobrs else "")
+            cols["nobr2_text"].append(
+                nobrs[1] if len(nobrs) > 1 else "")
+            cols["n_nobr"].append(len(nobrs))
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["b_text"], pa.string()),
+             pa.array(cols["marquee_text"], pa.string()),
+             pa.array(cols["n_b"], pa.int64()),
+             pa.array(cols["nobr1_text"], pa.string()),
+             pa.array(cols["nobr2_text"], pa.string()),
+             pa.array(cols["n_nobr"], pa.int64())],
+            names=["doc_id", "b_text", "marquee_text", "n_b",
+                   "nobr1_text", "nobr2_text", "n_nobr"])
+
+
+class ButtonScopeCensus:
+    """Button-scope rules through the real parser (reference:
+    HTMLParser.m button arm + elementInButtonScope per WHATWG): a
+    second <button> generates implied end tags and pops the open one
+    (closing its inner <p> on the way), while a <p> START tag inside
+    a button does NOT close a <p> outside it — button is a scope
+    barrier — so after </button> the OUTER p keeps accumulating
+    text. Texts and counts arithmetic in doc_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "n_buttons", "btn1_text",
+                                "btn2_text", "outer_p_text",
+                                "inner_p_parent")}
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><body><button>b1_{d}<p>p1_{d}'
+                    f'<button>b2_{d}</button>tail{d}')
+            doc = parse(page)
+            btns = [el.text_content
+                    for el in doc.elements_in_tree_order()
+                    if el.tag == "button"]
+            page2 = (f'<!DOCTYPE html><body><p>x{d}'
+                     f'<button><p>y{d}</button>z{d}')
+            doc2 = parse(page2)
+            outer_p = inner_parent = ""
+            for el in doc2.elements_in_tree_order():
+                if el.tag == "p":
+                    if el.parent.tag == "body" and not outer_p:
+                        outer_p = el.text_content
+                    elif el.parent.tag != "body":
+                        inner_parent = el.parent.tag
+            cols["doc_id"].append(key)
+            cols["n_buttons"].append(len(btns))
+            cols["btn1_text"].append(btns[0] if btns else "")
+            cols["btn2_text"].append(
+                btns[1] if len(btns) > 1 else "")
+            cols["outer_p_text"].append(outer_p)
+            cols["inner_p_parent"].append(inner_parent)
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["n_buttons"], pa.int64()),
+             pa.array(cols["btn1_text"], pa.string()),
+             pa.array(cols["btn2_text"], pa.string()),
+             pa.array(cols["outer_p_text"], pa.string()),
+             pa.array(cols["inner_p_parent"], pa.string())],
+            names=["doc_id", "n_buttons", "btn1_text", "btn2_text",
+                   "outer_p_text", "inner_p_parent"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
