@@ -13662,6 +13662,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heading_autoclose_census": actor(q.HeadingAutocloseCensus),
         "marquee_nobr_census": actor(q.MarqueeNobrCensus),
         "button_scope_census": actor(q.ButtonScopeCensus),
+        "after_body_census": actor(q.AfterBodyCensus),
+        "head_misnest_census": actor(q.HeadMisnestCensus),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -13971,6 +13973,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_foster_text_census", "heading_autoclose_census",
         # new in round 3, hundred-thirty-ninth sweep
         "marquee_nobr_census", "button_scope_census",
+        # new in round 3, hundred-fortieth sweep
+        "after_body_census", "head_misnest_census",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -21194,6 +21198,27 @@ def oracle_sql() -> dict[str, str]:
                    'y' || CAST(doc_id AS VARCHAR) ||
                    'z' || CAST(doc_id AS VARCHAR) AS outer_p_text,
                    'button' AS inner_p_parent
+            FROM documents
+        """,
+        # after-body: immediate comment -> html child; text switches
+        # back to in-body so later comments land in body.
+        "after_body_census": """
+            SELECT doc_id,
+                   'hc' || CAST(doc_id AS VARCHAR) AS html_comment,
+                   'bc' || CAST(doc_id AS VARCHAR) AS body_comment,
+                   'main' || CAST(doc_id AS VARCHAR) ||
+                   'tail' || CAST(doc_id AS VARCHAR) AS body_text,
+                   CAST(3 AS BIGINT) AS n_html_kids
+            FROM documents
+        """,
+        # late title/meta after </head> re-enter HEAD
+        # (HTMLParser.m:599); body starts clean.
+        "head_misnest_census": """
+            SELECT doc_id,
+                   'late' || CAST(doc_id AS VARCHAR) AS title_text,
+                   CAST(2 AS BIGINT) AS n_meta,
+                   'head' AS title_parent,
+                   'x' || CAST(doc_id AS VARCHAR) AS body_text
             FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):

@@ -1786,6 +1786,95 @@ class ButtonScopeCensus:
                    "outer_p_text", "inner_p_parent"])
 
 
+class AfterBodyCensus:
+    """The 'after body' insertion mode through the real parser
+    (reference: HTMLParser.m afterBody arms per WHATWG): a comment
+    IMMEDIATELY after </body> attaches to the HTML element, but any
+    non-whitespace text is a parse error that switches back to 'in
+    body' — so the text AND every later comment land inside body.
+    Attachment points and texts arithmetic in doc_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernel.dom import Comment
+
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "html_comment",
+                                "body_comment", "body_text",
+                                "n_html_kids")}
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><body><p>main{d}</p></body>'
+                    f'<!--hc{d}-->tail{d}<!--bc{d}-->')
+            doc = parse(page)
+            html = body = None
+            for el in doc.elements_in_tree_order():
+                if el.tag == "html":
+                    html = el
+                elif el.tag == "body":
+                    body = el
+            hc = next((c.data for c in html.children
+                       if isinstance(c, Comment)), "")
+            bc = next((c.data for c in body.children
+                       if isinstance(c, Comment)), "")
+            cols["doc_id"].append(key)
+            cols["html_comment"].append(hc)
+            cols["body_comment"].append(bc)
+            cols["body_text"].append(body.text_content)
+            cols["n_html_kids"].append(len(html.children))
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["html_comment"], pa.string()),
+             pa.array(cols["body_comment"], pa.string()),
+             pa.array(cols["body_text"], pa.string()),
+             pa.array(cols["n_html_kids"], pa.int64())],
+            names=["doc_id", "html_comment", "body_comment",
+                   "body_text", "n_html_kids"])
+
+
+class HeadMisnestCensus:
+    """Late head-only elements through the real parser (reference:
+    HTMLParser.m:599 'after head' misnested-start-tag arm): <title>
+    and <meta> appearing AFTER </head> but before <body> are pushed
+    back INTO the head element (head re-enters the stack for the
+    token), so head ends with them and body starts clean. All
+    arithmetic in doc_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "title_text", "n_meta",
+                                "title_parent", "body_text")}
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html>'
+                    f'<head><meta name="a" content="1"></head>'
+                    f'<title>late{d}</title><meta name="b{d}">'
+                    f'<body>x{d}')
+            doc = parse(page)
+            title_text = title_parent = body_text = ""
+            n_meta = 0
+            for el in doc.elements_in_tree_order():
+                if el.tag == "title":
+                    title_text = el.text_content
+                    title_parent = el.parent.tag
+                elif el.tag == "meta":
+                    n_meta += 1
+                elif el.tag == "body":
+                    body_text = el.text_content
+            cols["doc_id"].append(key)
+            cols["title_text"].append(title_text)
+            cols["n_meta"].append(n_meta)
+            cols["title_parent"].append(title_parent)
+            cols["body_text"].append(body_text)
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["title_text"], pa.string()),
+             pa.array(cols["n_meta"], pa.int64()),
+             pa.array(cols["title_parent"], pa.string()),
+             pa.array(cols["body_text"], pa.string())],
+            names=["doc_id", "title_text", "n_meta", "title_parent",
+                   "body_text"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
