@@ -13664,6 +13664,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "button_scope_census": actor(q.ButtonScopeCensus),
         "after_body_census": actor(q.AfterBodyCensus),
         "head_misnest_census": actor(q.HeadMisnestCensus),
+        "integration_point_census": actor(q.IntegrationPointCensus),
+        "script_escape_census": actor(q.ScriptEscapeCensus),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -13975,6 +13977,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "marquee_nobr_census", "button_scope_census",
         # new in round 3, hundred-fortieth sweep
         "after_body_census", "head_misnest_census",
+        # new in round 3, hundred-forty-first sweep
+        "integration_point_census", "script_escape_census",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -21220,6 +21224,37 @@ def oracle_sql() -> dict[str, str]:
                    'head' AS title_parent,
                    'x' || CAST(doc_id AS VARCHAR) AS body_text
             FROM documents
+        """,
+        # integration points: children HTML-namespaced, hosts stay
+        # foreign; texts joined in tree order.
+        "integration_point_census": """
+            SELECT doc_id,
+                   'html' AS p_ns, 'html' AS b_ns, 'html' AS div_ns,
+                   'svg' AS host_ns,
+                   'fo' || CAST(doc_id AS VARCHAR) || '|mt' ||
+                   CAST(doc_id AS VARCHAR) || '|ax' ||
+                   CAST(doc_id AS VARCHAR) AS joined_text
+            FROM documents
+        """,
+        # script-data double-escape: nested </script> literal inside
+        # <!--<script>, --> re-enters plain script data.
+        "script_escape_census": """
+            WITH s AS (
+                SELECT doc_id,
+                       CASE doc_id % 3
+                            WHEN 0 THEN '<!-- alert(''a' ||
+                                 CAST(doc_id AS VARCHAR) || ''') -->'
+                            WHEN 1 THEN '<!--<script>x' ||
+                                 CAST(doc_id AS VARCHAR) ||
+                                 '</script>-->'
+                            ELSE '<!--<script>y' ||
+                                 CAST(doc_id AS VARCHAR) || '-->'
+                            END AS st
+                FROM documents)
+            SELECT doc_id, st AS script_text,
+                   st || 'tail' || CAST(doc_id AS VARCHAR)
+                       AS body_text
+            FROM s
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

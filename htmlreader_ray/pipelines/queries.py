@@ -1875,6 +1875,96 @@ class HeadMisnestCensus:
                    "body_text"])
 
 
+class IntegrationPointCensus:
+    """HTML integration points inside foreign content through the
+    real parser (reference: HTMLParser.m HTML-integration-point /
+    MathML-text-integration-point checks per WHATWG): children of
+    <svg:foreignObject>, <math:mtext>, and <annotation-xml
+    encoding=text/html> parse as ordinary HTML (html namespace),
+    while their hosts stay in the foreign namespace. Namespaces,
+    parents, and texts arithmetic in doc_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "p_ns", "b_ns", "div_ns",
+                                "host_ns", "joined_text")}
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><body>'
+                    f'<svg><foreignObject><p>fo{d}</p>'
+                    f'</foreignObject></svg>'
+                    f'<math><mtext><b>mt{d}</b></mtext></math>'
+                    f'<math><annotation-xml encoding="text/html">'
+                    f'<div>ax{d}</div></annotation-xml></math>')
+            doc = parse(page)
+            p_ns = b_ns = div_ns = host_ns = ""
+            texts = []
+            for el in doc.elements_in_tree_order():
+                if el.tag == "p":
+                    p_ns = el.namespace
+                    texts.append(el.text_content)
+                elif el.tag == "b":
+                    b_ns = el.namespace
+                    texts.append(el.text_content)
+                elif el.tag == "div":
+                    div_ns = el.namespace
+                    texts.append(el.text_content)
+                elif el.tag == "foreignObject":
+                    host_ns = el.namespace
+            cols["doc_id"].append(key)
+            cols["p_ns"].append(p_ns)
+            cols["b_ns"].append(b_ns)
+            cols["div_ns"].append(div_ns)
+            cols["host_ns"].append(host_ns)
+            cols["joined_text"].append("|".join(texts))
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["p_ns"], pa.string()),
+             pa.array(cols["b_ns"], pa.string()),
+             pa.array(cols["div_ns"], pa.string()),
+             pa.array(cols["host_ns"], pa.string()),
+             pa.array(cols["joined_text"], pa.string())],
+            names=["doc_id", "p_ns", "b_ns", "div_ns", "host_ns",
+                   "joined_text"])
+
+
+class ScriptEscapeCensus:
+    """Script-data escape states through the real tokenizer
+    (reference: HTMLTokenizer.m script-data-escaped /
+    double-escaped states per WHATWG): an inner '<script>' inside
+    '<!--' puts the tokenizer in DOUBLE-escaped state where a nested
+    '</script>' is literal data; '-->' re-enters plain script data
+    so the real end tag closes. Case = doc_id%3; script text
+    regenerates by concat."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_s, out_bt = [], [], []
+        for key in ids:
+            d = int(key)
+            case = d % 3
+            frag = (f"<script><!-- alert('a{d}') --></script>",
+                    f"<script><!--<script>x{d}</script>-->"
+                    f"</script>",
+                    f"<script><!--<script>y{d}--></script>")[case]
+            page = f"<!DOCTYPE html><body>{frag}tail{d}"
+            doc = parse(page)
+            stext = ""
+            for el in doc.elements_in_tree_order():
+                if el.tag == "script":
+                    stext = el.text_content
+            body = next(el for el in doc.elements_in_tree_order()
+                        if el.tag == "body")
+            out_id.append(key)
+            out_s.append(stext)
+            out_bt.append(body.text_content)
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_s, pa.string()),
+             pa.array(out_bt, pa.string())],
+            names=["doc_id", "script_text", "body_text"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
