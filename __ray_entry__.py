@@ -13666,6 +13666,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "head_misnest_census": actor(q.HeadMisnestCensus),
         "integration_point_census": actor(q.IntegrationPointCensus),
         "script_escape_census": actor(q.ScriptEscapeCensus),
+        "select_in_table_census": actor(q.SelectInTableCensus),
+        "doctype_variant_census": actor(q.DoctypeVariantCensus),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -13979,6 +13981,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "after_body_census", "head_misnest_census",
         # new in round 3, hundred-forty-first sweep
         "integration_point_census", "script_escape_census",
+        # new in round 3, hundred-forty-second sweep
+        "select_in_table_census", "doctype_variant_census",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -21255,6 +21259,30 @@ def oracle_sql() -> dict[str, str]:
                    st || 'tail' || CAST(doc_id AS VARCHAR)
                        AS body_text
             FROM s
+        """,
+        # in-select-in-table: <td> closes the open select and opens
+        # the next cell as a sibling.
+        "select_in_table_census": """
+            SELECT doc_id,
+                   CAST(2 AS BIGINT) AS n_td,
+                   'o' || CAST(doc_id AS VARCHAR) AS select_text,
+                   'td' AS select_parent,
+                   'next' || CAST(doc_id AS VARCHAR) AS td2_text
+            FROM documents
+        """,
+        # quirks classification by doctype family, case = doc_id%8.
+        "doctype_variant_census": """
+            SELECT doc_id,
+                   CASE doc_id % 8
+                        WHEN 0 THEN 'no-quirks'
+                        WHEN 1 THEN 'no-quirks'
+                        WHEN 2 THEN 'quirks'
+                        WHEN 3 THEN 'quirks'
+                        WHEN 4 THEN 'quirks'
+                        WHEN 5 THEN 'limited-quirks'
+                        WHEN 6 THEN 'limited-quirks'
+                        ELSE 'quirks' END AS quirks_mode
+            FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):
         # - minhash_pairs / near_dups_verified: the 128-permutation MinHash

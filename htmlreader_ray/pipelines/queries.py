@@ -1965,6 +1965,85 @@ class ScriptEscapeCensus:
             names=["doc_id", "script_text", "body_text"])
 
 
+class SelectInTableCensus:
+    """The 'in select in table' insertion mode through the real
+    parser (reference: HTMLParser.m inSelectInTable arm per WHATWG):
+    a <td> start tag while a select is open inside a table cell acts
+    as an end-of-select AND re-processes, so the select closes with
+    its option and the new cell opens as a sibling. Structure pinned
+    by arithmetic in doc_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "n_td", "select_text",
+                                "select_parent", "td2_text")}
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><body><table><tr><td>'
+                    f'<select><option>o{d}<td>next{d}</table>')
+            doc = parse(page)
+            n_td = 0
+            sel_text = sel_parent = td2 = ""
+            for el in doc.elements_in_tree_order():
+                if el.tag == "td":
+                    n_td += 1
+                    if n_td == 2:
+                        td2 = el.text_content
+                elif el.tag == "select":
+                    sel_text = el.text_content
+                    sel_parent = el.parent.tag
+            cols["doc_id"].append(key)
+            cols["n_td"].append(n_td)
+            cols["select_text"].append(sel_text)
+            cols["select_parent"].append(sel_parent)
+            cols["td2_text"].append(td2)
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["n_td"], pa.int64()),
+             pa.array(cols["select_text"], pa.string()),
+             pa.array(cols["select_parent"], pa.string()),
+             pa.array(cols["td2_text"], pa.string())],
+            names=["doc_id", "n_td", "select_text", "select_parent",
+                   "td2_text"])
+
+
+_DOCTYPE_CASES = (
+    ("<!DOCTYPE html>", "no-quirks"),
+    ("<!doctype HTML SYSTEM 'about:legacy-compat'>", "no-quirks"),
+    ("<!DOCTYPE>", "quirks"),
+    ("<!DOCTYPE html PUBLIC '-//W3C//DTD HTML 4.01 "
+     "Transitional//EN'>", "quirks"),
+    ("", "quirks"),
+    ("<!DOCTYPE html PUBLIC '-//W3C//DTD XHTML 1.0 "
+     "Transitional//EN'>", "limited-quirks"),
+    ("<!DOCTYPE html PUBLIC '-//W3C//DTD HTML 4.01 "
+     "Transitional//EN' 'http://x'>", "limited-quirks"),
+    ("<!DOCTYPE math>", "quirks"),
+)
+
+
+class DoctypeVariantCensus:
+    """Doctype-driven quirks classification through the real parser
+    (reference: HTMLParser.m quirks tables per WHATWG): the standard
+    and about:legacy-compat doctypes are no-quirks; a missing/empty/
+    wrong-name doctype or a Transitional PUBLIC id WITHOUT a system
+    id is full quirks; XHTML-Transitional, or HTML-4.01-Transitional
+    WITH a system id, is limited-quirks. Case = doc_id%8."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_mode = [], []
+        for key in ids:
+            dt, _want = _DOCTYPE_CASES[int(key) % len(_DOCTYPE_CASES)]
+            doc = parse(f"{dt}<html><body>x{int(key)}")
+            out_id.append(key)
+            out_mode.append(doc.quirks_mode)
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_mode, pa.string())],
+            names=["doc_id", "quirks_mode"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
