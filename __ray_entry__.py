@@ -13668,6 +13668,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "script_escape_census": actor(q.ScriptEscapeCensus),
         "select_in_table_census": actor(q.SelectInTableCensus),
         "doctype_variant_census": actor(q.DoctypeVariantCensus),
+        "xmp_listing_textarea_census":
+            actor(q.XmpListingTextareaCensus),
+        "table_section_census": actor(q.TableSectionCensus),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -13983,6 +13986,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "integration_point_census", "script_escape_census",
         # new in round 3, hundred-forty-second sweep
         "select_in_table_census", "doctype_variant_census",
+        # new in round 3, hundred-forty-third sweep
+        "xmp_listing_textarea_census", "table_section_census",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -21282,6 +21287,31 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 5 THEN 'limited-quirks'
                         WHEN 6 THEN 'limited-quirks'
                         ELSE 'quirks' END AS quirks_mode
+            FROM documents
+        """,
+        # xmp RAWTEXT keeps newline+entities literal; listing drops
+        # newline, decodes; textarea RCDATA drops newline, decodes.
+        "xmp_listing_textarea_census": """
+            SELECT doc_id,
+                   'pre' || CAST(doc_id AS VARCHAR) AS p_text,
+                   chr(10) || '<b>&amp;x' ||
+                   CAST(doc_id AS VARCHAR) || '</b>' AS xmp_text,
+                   'li&' || CAST(doc_id AS VARCHAR) AS listing_text,
+                   '&t' || CAST(doc_id AS VARCHAR) ||
+                   ' <b>raw</b>A' AS textarea_text,
+                   '&t' || CAST(doc_id AS VARCHAR) ||
+                   ' <b>raw</b>Apost' || CAST(doc_id AS VARCHAR)
+                       AS body2_text
+            FROM documents
+        """,
+        # thead/tbody/tfoot implied closes; m body rows + head/foot.
+        "table_section_census": """
+            SELECT doc_id,
+                   CAST(3 AS BIGINT) AS n_sections,
+                   CAST(doc_id % 3 + 3 AS BIGINT) AS n_rows,
+                   'h' || CAST(doc_id AS VARCHAR) AS th_text,
+                   'f' || CAST(doc_id AS VARCHAR) AS tfoot_text,
+                   CAST(1 AS BIGINT) AS tail_ok
             FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):

@@ -2044,6 +2044,114 @@ class DoctypeVariantCensus:
             names=["doc_id", "quirks_mode"])
 
 
+class XmpListingTextareaCensus:
+    """The three pre-formatted-element families through the real
+    parser (reference: HTMLTokenizer.m RAWTEXT/RCDATA entries +
+    HTMLParser.m pre/listing newline drop): <xmp> closes the open
+    <p>, is RAWTEXT (entities literal), and KEEPS its leading
+    newline; <listing> drops the leading newline but parses
+    normally (entities decode); <textarea> is RCDATA — drops the
+    newline, decodes entities (&amp;, &#65;), keeps markup literal.
+    All texts regenerate by concat."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "p_text", "xmp_text",
+                                "listing_text", "textarea_text",
+                                "body2_text")}
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><body><p>pre{d}'
+                    f'<xmp>\n<b>&amp;x{d}</b></xmp>'
+                    f'<listing>\nli&amp;{d}</listing>')
+            doc = parse(page)
+            p_text = xmp = listing = ""
+            for el in doc.elements_in_tree_order():
+                if el.tag == "p":
+                    p_text = el.text_content
+                elif el.tag == "xmp":
+                    xmp = el.text_content
+                elif el.tag == "listing":
+                    listing = el.text_content
+            page2 = (f'<!DOCTYPE html><body><textarea rows="3">\n'
+                     f'&amp;t{d} <b>raw</b>&#65;</textarea>post{d}')
+            doc2 = parse(page2)
+            ta = body2 = ""
+            for el in doc2.elements_in_tree_order():
+                if el.tag == "textarea":
+                    ta = el.text_content
+                elif el.tag == "body":
+                    body2 = el.text_content
+            cols["doc_id"].append(key)
+            cols["p_text"].append(p_text)
+            cols["xmp_text"].append(xmp)
+            cols["listing_text"].append(listing)
+            cols["textarea_text"].append(ta)
+            cols["body2_text"].append(body2)
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["p_text"], pa.string()),
+             pa.array(cols["xmp_text"], pa.string()),
+             pa.array(cols["listing_text"], pa.string()),
+             pa.array(cols["textarea_text"], pa.string()),
+             pa.array(cols["body2_text"], pa.string())],
+            names=["doc_id", "p_text", "xmp_text", "listing_text",
+                   "textarea_text", "body2_text"])
+
+
+class TableSectionCensus:
+    """Table-section implied closes through the real parser
+    (reference: HTMLParser.m 'in table body'/'in row' arms per
+    WHATWG): <tbody> closes an open <thead> (popping its row and
+    <th>), <tr> closes the previous row, <tfoot> closes <tbody>, and
+    </table> unwinds everything; m=(d%3+1) body rows. Section/row/
+    cell counts and texts arithmetic in doc_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "n_sections", "n_rows",
+                                "th_text", "tfoot_text", "tail_ok")}
+        for key in ids:
+            d = int(key)
+            m = d % 3 + 1
+            rows = "".join(f"<tr><td>b{d}_{i}" for i in range(m))
+            page = (f'<!DOCTYPE html><body><table>'
+                    f'<thead><tr><th>h{d}'
+                    f'<tbody>{rows}'
+                    f'<tfoot><tr><td>f{d}</table>tail{d}')
+            doc = parse(page)
+            n_sec = n_rows = 0
+            th = tf = ""
+            tail_ok = 0
+            for el in doc.elements_in_tree_order():
+                if el.tag in ("thead", "tbody", "tfoot"):
+                    n_sec += 1
+                    if el.tag == "tfoot":
+                        tf = el.text_content
+                elif el.tag == "tr":
+                    n_rows += 1
+                elif el.tag == "th":
+                    th = el.text_content
+                elif el.tag == "body":
+                    tail_ok = int(el.children[-1].__class__.__name__
+                                  == "Text")
+            cols["doc_id"].append(key)
+            cols["n_sections"].append(n_sec)
+            cols["n_rows"].append(n_rows)
+            cols["th_text"].append(th)
+            cols["tfoot_text"].append(tf)
+            cols["tail_ok"].append(tail_ok)
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["n_sections"], pa.int64()),
+             pa.array(cols["n_rows"], pa.int64()),
+             pa.array(cols["th_text"], pa.string()),
+             pa.array(cols["tfoot_text"], pa.string()),
+             pa.array(cols["tail_ok"], pa.int64())],
+            names=["doc_id", "n_sections", "n_rows", "th_text",
+                   "tfoot_text", "tail_ok"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
