@@ -13671,6 +13671,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "xmp_listing_textarea_census":
             actor(q.XmpListingTextareaCensus),
         "table_section_census": actor(q.TableSectionCensus),
+        "nul_char_census": actor(q.NulCharCensus),
+        "option_in_body_census": actor(q.OptionInBodyCensus),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -13988,6 +13990,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "select_in_table_census", "doctype_variant_census",
         # new in round 3, hundred-forty-third sweep
         "xmp_listing_textarea_census", "table_section_census",
+        # new in round 3, hundred-forty-fourth sweep
+        "nul_char_census", "option_in_body_census",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -21312,6 +21316,28 @@ def oracle_sql() -> dict[str, str]:
                    'h' || CAST(doc_id AS VARCHAR) AS th_text,
                    'f' || CAST(doc_id AS VARCHAR) AS tfoot_text,
                    CAST(1 AS BIGINT) AS tail_ok
+            FROM documents
+        """,
+        # NUL dropped in body text, U+FFFD in foreign + script data.
+        "nul_char_census": """
+            SELECT doc_id,
+                   'a' || CAST(doc_id AS VARCHAR) ||
+                   'b' || CAST(doc_id AS VARCHAR) AS p_text,
+                   'c' || CAST(doc_id AS VARCHAR) || chr(65533) ||
+                   'd' || CAST(doc_id AS VARCHAR) AS svg_text,
+                   'e' || CAST(doc_id AS VARCHAR) || chr(65533) ||
+                   'f' || CAST(doc_id AS VARCHAR) AS script_text
+            FROM documents
+        """,
+        # options reconstruct AFE (2 in b), self-pop; third bare
+        # after a proper </b>.
+        "option_in_body_census": """
+            SELECT doc_id,
+                   CAST(3 AS BIGINT) AS n_options,
+                   CAST(2 AS BIGINT) AS n_in_b,
+                   'o' || CAST(doc_id AS VARCHAR) || '_2'
+                       AS last_text,
+                   'body' AS last_parent
             FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):

@@ -2152,6 +2152,83 @@ class TableSectionCensus:
                    "tfoot_text", "tail_ok"])
 
 
+class NulCharCensus:
+    """U+0000 handling per context through the real tokenizer
+    (reference: HTMLTokenizer.m NUL arms per WHATWG): dropped in
+    ordinary body text, replaced by U+FFFD in foreign (SVG) content
+    and in script data. Texts regenerate with chr()."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_p, out_svg, out_sc = [], [], [], []
+        for key in ids:
+            d = int(key)
+            page = (f"<!DOCTYPE html><body><p>a{d}\x00b{d}</p>"
+                    f"<svg>c{d}\x00d{d}</svg>"
+                    f"<script>e{d}\x00f{d}</script>")
+            doc = parse(page)
+            p = svg = sc = ""
+            for el in doc.elements_in_tree_order():
+                if el.tag == "p":
+                    p = el.text_content
+                elif el.tag == "svg":
+                    svg = el.text_content
+                elif el.tag == "script":
+                    sc = el.text_content
+            out_id.append(key)
+            out_p.append(p)
+            out_svg.append(svg)
+            out_sc.append(sc)
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_p, pa.string()),
+             pa.array(out_svg, pa.string()),
+             pa.array(out_sc, pa.string())],
+            names=["doc_id", "p_text", "svg_text", "script_text"])
+
+
+class OptionInBodyCensus:
+    """<option> in body context through the real parser (reference:
+    HTMLParser.m option arm per WHATWG): options RECONSTRUCT active
+    formatting (the first two nest inside the open <b>), self-pop on
+    the next <option>, and after a proper </b> (which removes b from
+    the AFE) the third option sits bare at body level. Counts and
+    texts arithmetic in doc_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "n_options", "n_in_b",
+                                "last_text", "last_parent")}
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><body><b>x{d}'
+                    f'<option>o{d}_0<option>o{d}_1</b>'
+                    f'<option>o{d}_2')
+            doc = parse(page)
+            n_opt = n_in_b = 0
+            last_text = last_parent = ""
+            for el in doc.elements_in_tree_order():
+                if el.tag == "option":
+                    n_opt += 1
+                    last_text = el.text_content
+                    last_parent = el.parent.tag
+                    if el.parent.tag == "b":
+                        n_in_b += 1
+            cols["doc_id"].append(key)
+            cols["n_options"].append(n_opt)
+            cols["n_in_b"].append(n_in_b)
+            cols["last_text"].append(last_text)
+            cols["last_parent"].append(last_parent)
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["n_options"], pa.int64()),
+             pa.array(cols["n_in_b"], pa.int64()),
+             pa.array(cols["last_text"], pa.string()),
+             pa.array(cols["last_parent"], pa.string())],
+            names=["doc_id", "n_options", "n_in_b", "last_text",
+                   "last_parent"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
