@@ -13673,6 +13673,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_section_census": actor(q.TableSectionCensus),
         "nul_char_census": actor(q.NulCharCensus),
         "option_in_body_census": actor(q.OptionInBodyCensus),
+        "foreign_attr_adjust_census":
+            actor(q.ForeignAttrAdjustCensus),
+        "text_components_census": actor(q.TextComponentsCensus),
+        "fragment_context_census": actor(q.FragmentContextCensus),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -13992,6 +13996,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "xmp_listing_textarea_census", "table_section_census",
         # new in round 3, hundred-forty-fourth sweep
         "nul_char_census", "option_in_body_census",
+        # new in round 3, hundred-forty-fifth sweep
+        "foreign_attr_adjust_census", "text_components_census",
+        # new in round 3, hundred-forty-sixth sweep
+        "fragment_context_census",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -21338,6 +21346,51 @@ def oracle_sql() -> dict[str, str]:
                    'o' || CAST(doc_id AS VARCHAR) || '_2'
                        AS last_text,
                    'body' AS last_parent
+            FROM documents
+        """,
+        # definitionURL adjustment, xlink:/xml: prefixes kept, svg
+        # script is plain foreign (entities decode).
+        "foreign_attr_adjust_census": """
+            SELECT doc_id,
+                   's' || CAST(doc_id AS VARCHAR) || ' & t' ||
+                   CAST(doc_id AS VARCHAR) AS script_text,
+                   'svg' AS script_ns,
+                   'u' || CAST(doc_id AS VARCHAR) AS def_url,
+                   'h' || CAST(doc_id AS VARCHAR) AS xlink_href,
+                   'xt' || CAST(doc_id AS VARCHAR) AS xlink_title,
+                   'en' AS xml_lang
+            FROM documents
+        """,
+        # direct Text children of body, runs broken by <b> islands.
+        "text_components_census": """
+            WITH n AS (SELECT doc_id, doc_id % 3 + 1 AS m
+                       FROM documents)
+            SELECT doc_id,
+                   CASE m
+                        WHEN 1 THEN 'r0_' || CAST(doc_id AS VARCHAR)
+                        WHEN 2 THEN 'r0_' || CAST(doc_id AS VARCHAR)
+                             || '|r1_' || CAST(doc_id AS VARCHAR)
+                        ELSE 'r0_' || CAST(doc_id AS VARCHAR)
+                             || '|r1_' || CAST(doc_id AS VARCHAR)
+                             || '|r2_' || CAST(doc_id AS VARCHAR)
+                        END || '|tail' || CAST(doc_id AS VARCHAR)
+                       AS components,
+                   CAST(m + 1 AS BIGINT) AS n_components
+            FROM n
+        """,
+        # fragment contexts: td->in-body (structure ignored), table
+        # synthesizes tbody, select drops div keeps text, title RCDATA.
+        "fragment_context_census": """
+            SELECT doc_id,
+                   'x' || CAST(doc_id AS VARCHAR) AS td_ctx_text,
+                   '<tbody><tr><td>x' || CAST(doc_id AS VARCHAR) ||
+                   '</td></tr></tbody>' AS table_ctx_html,
+                   'o' || CAST(doc_id AS VARCHAR) ||
+                   'ig' || CAST(doc_id AS VARCHAR)
+                       AS select_ctx_text,
+                   'a' || CAST(doc_id AS VARCHAR) ||
+                   ' & <b>r' || CAST(doc_id AS VARCHAR) || '</b>'
+                       AS title_ctx_text
             FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):

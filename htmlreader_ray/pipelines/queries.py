@@ -2229,6 +2229,140 @@ class OptionInBodyCensus:
                    "last_parent"])
 
 
+class ForeignAttrAdjustCensus:
+    """Foreign-content attribute adjustment through the real parser
+    (reference: HTMLParser.m adjustMathMLAttributes /
+    adjustForeignAttributes per WHATWG): definitionurl →
+    definitionURL on MathML, xlink:/xml: prefixed attributes keep
+    their prefixed names, and a <script> INSIDE svg is a plain
+    foreign element — entities decode, a self-closing child works,
+    no RAWTEXT. All values arithmetic in doc_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "script_text", "script_ns",
+                                "def_url", "xlink_href",
+                                "xlink_title", "xml_lang")}
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><body>'
+                    f'<svg><script>s{d} &amp; <x{d}/>t{d}</script>'
+                    f'</svg>'
+                    f'<math definitionurl="u{d}">'
+                    f'<mi xlink:href="h{d}">m{d}</mi></math>'
+                    f'<svg><a xlink:title="xt{d}" xml:lang="en">'
+                    f'l{d}</a></svg>')
+            doc = parse(page)
+            st = sns = du = xh = xt = xl = ""
+            for el in doc.elements_in_tree_order():
+                if el.tag == "script":
+                    st = el.text_content
+                    sns = el.namespace
+                elif el.tag == "math":
+                    du = el.attrs.get("definitionURL", "?")
+                elif el.tag == "mi":
+                    xh = el.attrs.get("xlink:href", "?")
+                elif el.tag == "a":
+                    xt = el.attrs.get("xlink:title", "?")
+                    xl = el.attrs.get("xml:lang", "?")
+            cols["doc_id"].append(key)
+            cols["script_text"].append(st)
+            cols["script_ns"].append(sns)
+            cols["def_url"].append(du)
+            cols["xlink_href"].append(xh)
+            cols["xlink_title"].append(xt)
+            cols["xml_lang"].append(xl)
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["script_text"], pa.string()),
+             pa.array(cols["script_ns"], pa.string()),
+             pa.array(cols["def_url"], pa.string()),
+             pa.array(cols["xlink_href"], pa.string()),
+             pa.array(cols["xlink_title"], pa.string()),
+             pa.array(cols["xml_lang"], pa.string())],
+            names=["doc_id", "script_text", "script_ns", "def_url",
+                   "xlink_href", "xlink_title", "xml_lang"])
+
+
+class TextComponentsCensus:
+    """textComponents API parity (reference: HTMLNode textComponents,
+    M15): the DIRECT Text children of body — element subtrees break
+    the runs, adjacent insertions merge. m=(d%3+1)+1 runs separated
+    by <b> islands; joined with '|' for the oracle."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_join, out_n = [], [], []
+        for key in ids:
+            d = int(key)
+            m = d % 3 + 1
+            runs = "".join(f"r{i}_{d}<b>b{i}_{d}</b>"
+                           for i in range(m))
+            page = f'<!DOCTYPE html><body>{runs}tail{d}'
+            doc = parse(page)
+            body = next(el for el in doc.elements_in_tree_order()
+                        if el.tag == "body")
+            comps = body.text_components
+            out_id.append(key)
+            out_join.append("|".join(comps))
+            out_n.append(len(comps))
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_join, pa.string()),
+             pa.array(out_n, pa.int64())],
+            names=["doc_id", "components", "n_components"])
+
+
+class FragmentContextCensus:
+    """Fragment parsing under different CONTEXT elements through the
+    real parser (reference: HTMLReader parseFragment / WHATWG
+    fragment algorithm): a td context resets to 'in body' where
+    table-structure tags are IGNORED (text survives); a table
+    context accepts <tr> and synthesizes its tbody; a select
+    context drops the <div> but keeps its text
+    inside the option; a title context is pure RCDATA. Node kinds
+    and serializations arithmetic in doc_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernel.dom import Text
+
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "td_ctx_text",
+                                "table_ctx_html", "select_ctx_text",
+                                "title_ctx_text")}
+        for key in ids:
+            d = int(key)
+            td_nodes = parse_fragment(f"<tr><td>x{d}", "td")
+            td_text = "".join(n.data for n in td_nodes
+                              if isinstance(n, Text))
+            tbl_nodes = parse_fragment(f"<tr><td>x{d}", "table")
+            tbl_html = "".join(
+                serialize(n) for n in tbl_nodes
+                if not isinstance(n, Text))
+            sel_nodes = parse_fragment(
+                f"<option>o{d}<div>ig{d}", "select")
+            sel_text = "".join(
+                n.text_content for n in sel_nodes
+                if hasattr(n, "tag"))
+            title_nodes = parse_fragment(
+                f"a{d} &amp; <b>r{d}</b>", "title")
+            title_text = "".join(n.data for n in title_nodes
+                                 if isinstance(n, Text))
+            cols["doc_id"].append(key)
+            cols["td_ctx_text"].append(td_text)
+            cols["table_ctx_html"].append(tbl_html)
+            cols["select_ctx_text"].append(sel_text)
+            cols["title_ctx_text"].append(title_text)
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["td_ctx_text"], pa.string()),
+             pa.array(cols["table_ctx_html"], pa.string()),
+             pa.array(cols["select_ctx_text"], pa.string()),
+             pa.array(cols["title_ctx_text"], pa.string())],
+            names=["doc_id", "td_ctx_text", "table_ctx_html",
+                   "select_ctx_text", "title_ctx_text"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
