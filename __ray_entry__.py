@@ -13677,6 +13677,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             actor(q.ForeignAttrAdjustCensus),
         "text_components_census": actor(q.TextComponentsCensus),
         "fragment_context_census": actor(q.FragmentContextCensus),
+        "stray_end_tag_census": actor(q.StrayEndTagCensus),
+        "noahs_ark_census": actor(q.NoahsArkCensus),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -14000,6 +14002,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "foreign_attr_adjust_census", "text_components_census",
         # new in round 3, hundred-forty-sixth sweep
         "fragment_context_census",
+        # new in round 3, hundred-forty-seventh sweep
+        "stray_end_tag_census", "noahs_ark_census",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -21391,6 +21395,32 @@ def oracle_sql() -> dict[str, str]:
                    'a' || CAST(doc_id AS VARCHAR) ||
                    ' & <b>r' || CAST(doc_id AS VARCHAR) || '</b>'
                        AS title_ctx_text
+            FROM documents
+        """,
+        # stray </p> synthesizes empty p; mid-doc doctype ignored;
+        # unmatched </span> ignored.
+        "stray_end_tag_census": """
+            SELECT doc_id,
+                   CAST(1 AS BIGINT) AS n_p,
+                   '' AS p_text,
+                   'd' || CAST(doc_id AS VARCHAR) ||
+                   'e' || CAST(doc_id AS VARCHAR) AS div_text,
+                   'a' || CAST(doc_id AS VARCHAR) ||
+                   'b' || CAST(doc_id AS VARCHAR) ||
+                   'c' || CAST(doc_id AS VARCHAR) ||
+                   'd' || CAST(doc_id AS VARCHAR) ||
+                   'e' || CAST(doc_id AS VARCHAR) AS body_text,
+                   'no-quirks' AS quirks_mode
+            FROM documents
+        """,
+        # Noah's Ark: m=4+(d%2) opened, reconstruction clones 3.
+        "noahs_ark_census": """
+            SELECT doc_id,
+                   CAST(4 + doc_id % 2 AS BIGINT) AS p1_font_depth,
+                   CAST(3 AS BIGINT) AS p2_font_depth,
+                   's' || CAST(doc_id AS VARCHAR) ||
+                   'in' || CAST(doc_id AS VARCHAR) AS p1_text,
+                   'out' || CAST(doc_id AS VARCHAR) AS p2_text
             FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):

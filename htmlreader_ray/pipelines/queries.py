@@ -2363,6 +2363,103 @@ class FragmentContextCensus:
                    "select_ctx_text", "title_ctx_text"])
 
 
+class StrayEndTagCensus:
+    """Stray end-tag recovery through the real parser (reference:
+    HTMLParser.m end-tag arms per WHATWG): a </p> with no open p
+    SYNTHESIZES an empty <p>, a mid-document <!DOCTYPE> is ignored
+    (text flows on, quirks mode unchanged), and an unmatched </span>
+    inside a <div> is ignored. Structure arithmetic in doc_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "n_p", "p_text",
+                                "div_text", "body_text",
+                                "quirks_mode")}
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><body>a{d}</p>b{d}'
+                    f'<!DOCTYPE html>c{d}'
+                    f'<div>d{d}</span>e{d}</div>')
+            doc = parse(page)
+            n_p = 0
+            p_text = div_text = body_text = ""
+            for el in doc.elements_in_tree_order():
+                if el.tag == "p":
+                    n_p += 1
+                    p_text = el.text_content
+                elif el.tag == "div":
+                    div_text = el.text_content
+                elif el.tag == "body":
+                    body_text = el.text_content
+            cols["doc_id"].append(key)
+            cols["n_p"].append(n_p)
+            cols["p_text"].append(p_text)
+            cols["div_text"].append(div_text)
+            cols["body_text"].append(body_text)
+            cols["quirks_mode"].append(doc.quirks_mode)
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["n_p"], pa.int64()),
+             pa.array(cols["p_text"], pa.string()),
+             pa.array(cols["div_text"], pa.string()),
+             pa.array(cols["body_text"], pa.string()),
+             pa.array(cols["quirks_mode"], pa.string())],
+            names=["doc_id", "n_p", "p_text", "div_text",
+                   "body_text", "quirks_mode"])
+
+
+class NoahsArkCensus:
+    """The Noah's Ark clause through the real parser (reference:
+    HTMLParser.m pushOntoListOfActiveFormattingElements, M8): m =
+    4+(d%2) IDENTICAL <font size=1> wrappers all insert into the
+    first paragraph, but the AFE list keeps at most THREE — so the
+    reconstruction in the next paragraph clones exactly 3 no matter
+    how many were opened. Depths arithmetic in doc_id."""
+
+    @staticmethod
+    def _depth(el, tag):
+        best = 0
+
+        def rec(e, cur):
+            nonlocal best
+            for c in getattr(e, "children", []):
+                if getattr(c, "tag", None) == tag:
+                    rec(c, cur + 1)
+                else:
+                    rec(c, cur)
+            best = max(best, cur)
+        rec(el, 0)
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "p1_font_depth",
+                                "p2_font_depth", "p1_text",
+                                "p2_text")}
+        for key in ids:
+            d = int(key)
+            m = 4 + d % 2
+            page = (f'<!DOCTYPE html><body><p>s{d}'
+                    + '<font size="1">' * m +
+                    f'in{d}</p><p>out{d}</p>')
+            doc = parse(page)
+            ps = [el for el in doc.elements_in_tree_order()
+                  if el.tag == "p"]
+            cols["doc_id"].append(key)
+            cols["p1_font_depth"].append(self._depth(ps[0], "font"))
+            cols["p2_font_depth"].append(self._depth(ps[1], "font"))
+            cols["p1_text"].append(ps[0].text_content)
+            cols["p2_text"].append(ps[1].text_content)
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["p1_font_depth"], pa.int64()),
+             pa.array(cols["p2_font_depth"], pa.int64()),
+             pa.array(cols["p1_text"], pa.string()),
+             pa.array(cols["p2_text"], pa.string())],
+            names=["doc_id", "p1_font_depth", "p2_font_depth",
+                   "p1_text", "p2_text"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
