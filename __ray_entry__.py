@@ -13679,6 +13679,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fragment_context_census": actor(q.FragmentContextCensus),
         "stray_end_tag_census": actor(q.StrayEndTagCensus),
         "noahs_ark_census": actor(q.NoahsArkCensus),
+        "head_voids_in_body_census":
+            actor(q.HeadVoidsInBodyCensus),
+        "foreign_self_close_census":
+            actor(q.ForeignSelfCloseCensus),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -14004,6 +14008,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fragment_context_census",
         # new in round 3, hundred-forty-seventh sweep
         "stray_end_tag_census", "noahs_ark_census",
+        # new in round 3, hundred-forty-eighth sweep
+        "head_voids_in_body_census", "foreign_self_close_census",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -21421,6 +21427,29 @@ def oracle_sql() -> dict[str, str]:
                    's' || CAST(doc_id AS VARCHAR) ||
                    'in' || CAST(doc_id AS VARCHAR) AS p1_text,
                    'out' || CAST(doc_id AS VARCHAR) AS p2_text
+            FROM documents
+        """,
+        # link/meta/bgsound in body stay at the current position;
+        # head stays empty.
+        "head_voids_in_body_census": """
+            SELECT doc_id,
+                   'div' AS link_parent,
+                   'a' || CAST(doc_id AS VARCHAR) AS link_rel,
+                   'm' || CAST(doc_id AS VARCHAR) AS meta_name,
+                   's' || CAST(doc_id AS VARCHAR) AS bgsound_src,
+                   CAST(0 AS BIGINT) AS n_head_kids,
+                   'x' || CAST(doc_id AS VARCHAR) ||
+                   'y' || CAST(doc_id AS VARCHAR) AS div_text
+            FROM documents
+        """,
+        # foreign self-closing honored: m circles + rect, all empty
+        # siblings, text after.
+        "foreign_self_close_census": """
+            SELECT doc_id,
+                   CAST(doc_id % 3 + 1 AS BIGINT) AS n_circles,
+                   CAST(doc_id % 3 + 3 AS BIGINT) AS n_svg_kids,
+                   CAST(0 AS BIGINT) AS circle_kids,
+                   't' || CAST(doc_id AS VARCHAR) AS svg_text
             FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):

@@ -2460,6 +2460,101 @@ class NoahsArkCensus:
                    "p1_text", "p2_text"])
 
 
+class HeadVoidsInBodyCensus:
+    """Head-family voids appearing in BODY through the real parser
+    (reference: HTMLParser.m 'in body' base/link/meta/bgsound arm
+    per WHATWG — processed with in-HEAD rules but inserted at the
+    CURRENT position): link/meta/bgsound inside a <div> stay inside
+    that div, the head stays empty, and text flows around them.
+    Attributes arithmetic in doc_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "link_parent", "link_rel",
+                                "meta_name", "bgsound_src",
+                                "n_head_kids", "div_text")}
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><body><div>x{d}'
+                    f'<link rel="a{d}"><meta name="m{d}">'
+                    f'<bgsound src="s{d}">y{d}</div>')
+            doc = parse(page)
+            lp = lr = mn = bs = dt = ""
+            nh = 0
+            for el in doc.elements_in_tree_order():
+                if el.tag == "link":
+                    lp = el.parent.tag
+                    lr = el.attrs.get("rel", "?")
+                elif el.tag == "meta":
+                    mn = el.attrs.get("name", "?")
+                elif el.tag == "bgsound":
+                    bs = el.attrs.get("src", "?")
+                elif el.tag == "head":
+                    nh = len(el.children)
+                elif el.tag == "div":
+                    dt = el.text_content
+            cols["doc_id"].append(key)
+            cols["link_parent"].append(lp)
+            cols["link_rel"].append(lr)
+            cols["meta_name"].append(mn)
+            cols["bgsound_src"].append(bs)
+            cols["n_head_kids"].append(nh)
+            cols["div_text"].append(dt)
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["link_parent"], pa.string()),
+             pa.array(cols["link_rel"], pa.string()),
+             pa.array(cols["meta_name"], pa.string()),
+             pa.array(cols["bgsound_src"], pa.string()),
+             pa.array(cols["n_head_kids"], pa.int64()),
+             pa.array(cols["div_text"], pa.string())],
+            names=["doc_id", "link_parent", "link_rel", "meta_name",
+                   "bgsound_src", "n_head_kids", "div_text"])
+
+
+class ForeignSelfCloseCensus:
+    """Self-closing tags in foreign content through the real parser
+    (reference: HTMLParser.m foreign-content self-closing
+    acknowledgement per WHATWG): <circle/> and <rect/> inside svg
+    close IMMEDIATELY (0 children each, m=(d%3+1) circles all
+    siblings), unlike HTML where the flag is ignored on non-voids.
+    Counts arithmetic in doc_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "n_circles",
+                                "n_svg_kids", "circle_kids",
+                                "svg_text")}
+        for key in ids:
+            d = int(key)
+            m = d % 3 + 1
+            circles = "".join(f'<circle r="{i}"/>' for i in range(m))
+            page = (f'<!DOCTYPE html><body>'
+                    f'<svg>{circles}<rect/>t{d}</svg>')
+            doc = parse(page)
+            n_c = ckids = 0
+            svg = None
+            for el in doc.elements_in_tree_order():
+                if el.tag == "circle":
+                    n_c += 1
+                    ckids += len(el.children)
+                elif el.tag == "svg":
+                    svg = el
+            cols["doc_id"].append(key)
+            cols["n_circles"].append(n_c)
+            cols["n_svg_kids"].append(len(svg.children))
+            cols["circle_kids"].append(ckids)
+            cols["svg_text"].append(svg.text_content)
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["n_circles"], pa.int64()),
+             pa.array(cols["n_svg_kids"], pa.int64()),
+             pa.array(cols["circle_kids"], pa.int64()),
+             pa.array(cols["svg_text"], pa.string())],
+            names=["doc_id", "n_circles", "n_svg_kids",
+                   "circle_kids", "svg_text"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
