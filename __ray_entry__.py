@@ -13683,6 +13683,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             actor(q.HeadVoidsInBodyCensus),
         "foreign_self_close_census":
             actor(q.ForeignSelfCloseCensus),
+        "foreign_breakout_census": actor(q.ForeignBreakoutCensus),
+        "annotation_xml_gate_census":
+            actor(q.AnnotationXmlGateCensus),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -14010,6 +14013,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stray_end_tag_census", "noahs_ark_census",
         # new in round 3, hundred-forty-eighth sweep
         "head_voids_in_body_census", "foreign_self_close_census",
+        # new in round 3, hundred-forty-ninth sweep
+        "foreign_breakout_census", "annotation_xml_gate_census",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -21450,6 +21455,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(doc_id % 3 + 3 AS BIGINT) AS n_svg_kids,
                    CAST(0 AS BIGINT) AS circle_kids,
                    't' || CAST(doc_id AS VARCHAR) AS svg_text
+            FROM documents
+        """,
+        # <p> pops foreign; font breaks out only with color/face/
+        # size; svg in table fosters before it.
+        "foreign_breakout_census": """
+            SELECT doc_id,
+                   'body' AS p_parent,
+                   'g' || CAST(doc_id AS VARCHAR) AS g_text,
+                   'html' AS font_size_ns,
+                   'svg' AS font_dur_ns,
+                   'svg' AS body_first_tag,
+                   'c' || CAST(doc_id AS VARCHAR) AS td_text
+            FROM documents
+        """,
+        # annotation-xml: no encoding -> div breaks out to body;
+        # xhtml encoding -> integration point, div nests inside.
+        "annotation_xml_gate_census": """
+            SELECT doc_id,
+                   'body' AS div1_parent,
+                   'annotation-xml' AS div2_parent,
+                   'n' || CAST(doc_id AS VARCHAR) AS div1_text,
+                   'h' || CAST(doc_id AS VARCHAR) AS div2_text
             FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):

@@ -2555,6 +2555,112 @@ class ForeignSelfCloseCensus:
                    "circle_kids", "svg_text"])
 
 
+class ForeignBreakoutCensus:
+    """Foreign-content BREAKOUT through the real parser (reference:
+    HTMLParser.m foreign-content start-tag blacklist per WHATWG): a
+    <p> inside svg pops every foreign element and reprocesses in
+    HTML (p lands at body level); <font> breaks out ONLY when it
+    carries color/face/size (html ns) and stays foreign otherwise
+    (svg ns); and an <svg> opened directly inside <table> is
+    foster-parented BEFORE the table. All pinned by doc_id
+    arithmetic."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "p_parent", "g_text",
+                                "font_size_ns", "font_dur_ns",
+                                "body_first_tag", "td_text")}
+        for key in ids:
+            d = int(key)
+            doc = parse(f'<!DOCTYPE html><body>'
+                        f'<svg><g>g{d}<p>p{d}</p></svg>')
+            p_parent = g_text = ""
+            for el in doc.elements_in_tree_order():
+                if el.tag == "p":
+                    p_parent = el.parent.tag
+                elif el.tag == "g":
+                    g_text = el.text_content
+            doc2 = parse(f'<!DOCTYPE html><body>'
+                         f'<svg><font size="1">f{d}</font></svg>'
+                         f'<svg><font dur="x">k{d}</font></svg>')
+            fns = []
+            for el in doc2.elements_in_tree_order():
+                if el.tag == "font":
+                    fns.append(el.namespace)
+            doc3 = parse(f'<!DOCTYPE html><body><table>'
+                         f'<svg><circle/></svg><tr><td>c{d}</table>')
+            body3 = next(el for el in doc3.elements_in_tree_order()
+                         if el.tag == "body")
+            first = next((c.tag for c in body3.children
+                          if hasattr(c, "tag")), "")
+            td = next((el.text_content
+                       for el in doc3.elements_in_tree_order()
+                       if el.tag == "td"), "")
+            cols["doc_id"].append(key)
+            cols["p_parent"].append(p_parent)
+            cols["g_text"].append(g_text)
+            cols["font_size_ns"].append(fns[0] if fns else "")
+            cols["font_dur_ns"].append(
+                fns[1] if len(fns) > 1 else "")
+            cols["body_first_tag"].append(first)
+            cols["td_text"].append(td)
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["p_parent"], pa.string()),
+             pa.array(cols["g_text"], pa.string()),
+             pa.array(cols["font_size_ns"], pa.string()),
+             pa.array(cols["font_dur_ns"], pa.string()),
+             pa.array(cols["body_first_tag"], pa.string()),
+             pa.array(cols["td_text"], pa.string())],
+            names=["doc_id", "p_parent", "g_text", "font_size_ns",
+                   "font_dur_ns", "body_first_tag", "td_text"])
+
+
+class AnnotationXmlGateCensus:
+    """The annotation-xml encoding gate through the real parser
+    (reference: HTMLParser.m HTML-integration-point check per
+    WHATWG): WITHOUT encoding=text/html|application/xhtml+xml a
+    <div> is a breakout tag — it pops the math subtree and lands at
+    body level — but WITH the xhtml encoding annotation-xml is an
+    integration point and the div nests inside it. Parents and
+    texts arithmetic in doc_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "div1_parent",
+                                "div2_parent", "div1_text",
+                                "div2_text")}
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><body>'
+                    f'<math><annotation-xml><div>n{d}</div>'
+                    f'</annotation-xml></math>'
+                    f'<math><annotation-xml '
+                    f'encoding="application/xhtml+xml">'
+                    f'<div>h{d}</div></annotation-xml></math>')
+            doc = parse(page)
+            parents, texts = [], []
+            for el in doc.elements_in_tree_order():
+                if el.tag == "div":
+                    parents.append(el.parent.tag)
+                    texts.append(el.text_content)
+            cols["doc_id"].append(key)
+            cols["div1_parent"].append(parents[0] if parents else "")
+            cols["div2_parent"].append(
+                parents[1] if len(parents) > 1 else "")
+            cols["div1_text"].append(texts[0] if texts else "")
+            cols["div2_text"].append(
+                texts[1] if len(texts) > 1 else "")
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["div1_parent"], pa.string()),
+             pa.array(cols["div2_parent"], pa.string()),
+             pa.array(cols["div1_text"], pa.string()),
+             pa.array(cols["div2_text"], pa.string())],
+            names=["doc_id", "div1_parent", "div2_parent",
+                   "div1_text", "div2_text"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
