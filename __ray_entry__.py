@@ -13686,6 +13686,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "foreign_breakout_census": actor(q.ForeignBreakoutCensus),
         "annotation_xml_gate_census":
             actor(q.AnnotationXmlGateCensus),
+        "bom_priority_census": actor(q.BomPriorityCensus),
+        "serialize_escape_census": actor(q.SerializeEscapeCensus),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -14015,6 +14017,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "head_voids_in_body_census", "foreign_self_close_census",
         # new in round 3, hundred-forty-ninth sweep
         "foreign_breakout_census", "annotation_xml_gate_census",
+        # new in round 3, hundred-fiftieth sweep
+        "bom_priority_census", "serialize_escape_census",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -21477,6 +21481,33 @@ def oracle_sql() -> dict[str, str]:
                    'annotation-xml' AS div2_parent,
                    'n' || CAST(doc_id AS VARCHAR) AS div1_text,
                    'h' || CAST(doc_id AS VARCHAR) AS div2_text
+            FROM documents
+        """,
+        # encoding priority: BOMs beat meta, UTF-16 payloads, meta
+        # 1252, transport charset beats meta. é = chr(233).
+        "bom_priority_census": """
+            SELECT doc_id,
+                   CASE doc_id % 5
+                        WHEN 0 THEN 'UTF-8'
+                        WHEN 1 THEN 'UTF-16LE'
+                        WHEN 2 THEN 'UTF-16BE'
+                        ELSE 'windows-1252' END AS parsed_encoding,
+                   CASE doc_id % 5
+                        WHEN 0 THEN 'a' WHEN 1 THEN 'b'
+                        WHEN 2 THEN 'c' WHEN 3 THEN 'd'
+                        ELSE 'e' END ||
+                   CAST(doc_id AS VARCHAR) || chr(233) AS body_text
+            FROM documents
+        """,
+        # serializer escaping: attrs escape quote/&/nbsp not <>;
+        # text escapes &/</>/nbsp not quotes.
+        "serialize_escape_census": """
+            SELECT doc_id,
+                   '<div title="q&quot;' || CAST(doc_id AS VARCHAR)
+                   || ' &amp; <x> &nbsp;">t'
+                   || CAST(doc_id AS VARCHAR)
+                   || ' &amp;&lt;tag&gt; "q" &nbsp;</div>'
+                       AS outer_html
             FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):

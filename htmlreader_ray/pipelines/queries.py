@@ -2661,6 +2661,82 @@ class AnnotationXmlGateCensus:
                    "div1_text", "div2_text"])
 
 
+class BomPriorityCensus:
+    """Encoding-source priority through the real byte-level entry
+    point (reference: HTMLReader encoding sniffer, S4/S5): a UTF-8
+    BOM beats a lying <meta charset>, UTF-16LE/BE BOMs decode
+    16-bit payloads, a meta windows-1252 maps 0xE9 to é, and a
+    transport-layer charset (Content-Type) beats the in-document
+    meta. Case = doc_id%5; decoded text and the parsed encoding
+    regenerate by arithmetic."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_enc, out_txt = [], [], []
+        for key in ids:
+            d = int(key)
+            case = d % 5
+            ct = None
+            if case == 0:
+                raw = b"\xef\xbb\xbf" + (
+                    f'<!DOCTYPE html><meta charset="windows-1251">'
+                    f'<body>a{d}é').encode("utf-8")
+            elif case == 1:
+                raw = b"\xff\xfe" + (
+                    f'<!DOCTYPE html><body>b{d}é'
+                ).encode("utf-16-le")
+            elif case == 2:
+                raw = b"\xfe\xff" + (
+                    f'<!DOCTYPE html><body>c{d}é'
+                ).encode("utf-16-be")
+            elif case == 3:
+                raw = (f'<!DOCTYPE html>'
+                       f'<meta charset="windows-1252">'
+                       f'<body>d{d}').encode() + b"\xe9"
+            else:
+                raw = (f'<!DOCTYPE html><meta charset="utf-8">'
+                       f'<body>e{d}').encode() + b"\xe9"
+                ct = "text/html; charset=windows-1252"
+            doc = parse_bytes(raw, content_type=ct)
+            body = next(el for el in doc.elements_in_tree_order()
+                        if el.tag == "body")
+            out_id.append(key)
+            out_enc.append(doc.parsed_encoding)
+            out_txt.append(body.text_content)
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_enc, pa.string()),
+             pa.array(out_txt, pa.string())],
+            names=["doc_id", "parsed_encoding", "body_text"])
+
+
+class SerializeEscapeCensus:
+    """Serializer escaping matrix (reference: HTMLSerialization.m per
+    the WHATWG fragment-serialization algorithm): attribute values
+    escape double-quote/&/nbsp but NOT angle brackets; text children
+    escape &/</>/nbsp but NOT quotes. One round-trip through the
+    real parser + serializer per doc; outer HTML regenerates by
+    concat."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_html = [], []
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><body>'
+                    f'<div title=\'q"{d} &amp; <x> \xa0\'>'
+                    f't{d} &amp;&lt;tag&gt; "q" \xa0</div>')
+            doc = parse(page)
+            div = next(el for el in doc.elements_in_tree_order()
+                       if el.tag == "div")
+            out_id.append(key)
+            out_html.append(serialize(div))
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_html, pa.string())],
+            names=["doc_id", "outer_html"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
