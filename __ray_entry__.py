@@ -13688,6 +13688,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             actor(q.AnnotationXmlGateCensus),
         "bom_priority_census": actor(q.BomPriorityCensus),
         "serialize_escape_census": actor(q.SerializeEscapeCensus),
+        "mutation_api_census": actor(q.MutationApiCensus),
+        "tree_order_census": actor(q.TreeOrderCensus),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -14019,6 +14021,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "foreign_breakout_census", "annotation_xml_gate_census",
         # new in round 3, hundred-fiftieth sweep
         "bom_priority_census", "serialize_escape_census",
+        # new in round 3, hundred-fifty-first sweep
+        "mutation_api_census", "tree_order_census",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -21508,6 +21512,26 @@ def oracle_sql() -> dict[str, str]:
                    || CAST(doc_id AS VARCHAR)
                    || ' &amp;&lt;tag&gt; "q" &nbsp;</div>'
                        AS outer_html
+            FROM documents
+        """,
+        # innerHTML setter (fragment algorithm, div context) +
+        # toggle_class; old <b> gone, classes 'b c'.
+        "mutation_api_census": """
+            SELECT doc_id,
+                   '<div id="t" class="b c"><i>new' ||
+                   CAST(doc_id AS VARCHAR) || '</i>tx' ||
+                   CAST(doc_id AS VARCHAR) || '</div>'
+                       AS outer_html,
+                   'b c' AS class_attr,
+                   CAST(0 AS BIGINT) AS has_b,
+                   'k' || CAST(doc_id AS VARCHAR) AS sibling_text
+            FROM documents
+        """,
+        # forward walk and its exact mirror.
+        "tree_order_census": """
+            SELECT doc_id,
+                   'body>div>b>i>p' AS forward_tags,
+                   'p>i>b>div>body' AS reverse_tags
             FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):

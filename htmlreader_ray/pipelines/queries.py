@@ -2737,6 +2737,79 @@ class SerializeEscapeCensus:
             names=["doc_id", "outer_html"])
 
 
+class MutationApiCensus:
+    """DOM mutation surface as a graded query (reference:
+    HTMLReader's innerHTML setter + class-list API, M19): replace a
+    div's children via the innerHTML SETTER (parsed through the real
+    fragment algorithm with the div as context), toggle classes off
+    and on, and re-serialize. Outer HTML and class state regenerate
+    by arithmetic."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "outer_html", "class_attr",
+                                "has_b", "sibling_text")}
+        for key in ids:
+            d = int(key)
+            doc = parse(f'<!DOCTYPE html><body>'
+                        f'<div id="t" class="a b"><b>old{d}</b>'
+                        f'</div><p>k{d}</p>')
+            div = next(el for el in doc.elements_in_tree_order()
+                       if el.tag == "div")
+            div.inner_html = f'<i>new{d}</i>tx{d}'
+            div.toggle_class("a")
+            div.toggle_class("c")
+            p_text = next(el.text_content
+                          for el in doc.elements_in_tree_order()
+                          if el.tag == "p")
+            cols["doc_id"].append(key)
+            cols["outer_html"].append(serialize(div))
+            cols["class_attr"].append(div.attrs.get("class", ""))
+            cols["has_b"].append(
+                int(any(el.tag == "b"
+                        for el in doc.elements_in_tree_order())))
+            cols["sibling_text"].append(p_text)
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["outer_html"], pa.string()),
+             pa.array(cols["class_attr"], pa.string()),
+             pa.array(cols["has_b"], pa.int64()),
+             pa.array(cols["sibling_text"], pa.string())],
+            names=["doc_id", "outer_html", "class_attr", "has_b",
+                   "sibling_text"])
+
+
+class TreeOrderCensus:
+    """Forward and REVERSE tree enumeration as a graded query
+    (reference: HTMLReader treeEnumerator /
+    reversedTreeEnumerator, M18): tag sequences of both walks over
+    a fixed nested shape, joined with '>'. Reverse is the exact
+    mirror of forward; both regenerate by arithmetic."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_f, out_r = [], [], []
+        for key in ids:
+            d = int(key)
+            doc = parse(f'<!DOCTYPE html><body>'
+                        f'<div><b>x{d}</b><i>y{d}</i></div>'
+                        f'<p>z{d}</p>')
+            body = next(el for el in doc.elements_in_tree_order()
+                        if el.tag == "body")
+            fwd = [n.tag for n in body.tree_order()
+                   if hasattr(n, "tag")]
+            rev = [n.tag for n in body.reversed_tree_order()
+                   if hasattr(n, "tag")]
+            out_id.append(key)
+            out_f.append(">".join(fwd))
+            out_r.append(">".join(rev))
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_f, pa.string()),
+             pa.array(out_r, pa.string())],
+            names=["doc_id", "forward_tags", "reverse_tags"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
