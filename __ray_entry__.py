@@ -13690,6 +13690,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "serialize_escape_census": actor(q.SerializeEscapeCensus),
         "mutation_api_census": actor(q.MutationApiCensus),
         "tree_order_census": actor(q.TreeOrderCensus),
+        "combinator_selector_census":
+            actor(q.CombinatorSelectorCensus),
+        "attr_selector_census": actor(q.AttrSelectorCensus),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -14023,6 +14026,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bom_priority_census", "serialize_escape_census",
         # new in round 3, hundred-fifty-first sweep
         "mutation_api_census", "tree_order_census",
+        # new in round 3, hundred-fifty-second sweep
+        "combinator_selector_census", "attr_selector_census",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -21532,6 +21537,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    'body>div>b>i>p' AS forward_tags,
                    'p>i>b>div>body' AS reverse_tags
+            FROM documents
+        """,
+        # combinators + structural pseudos; m=(d%4+2) list items.
+        "combinator_selector_census": """
+            SELECT doc_id,
+                   CAST(2 AS BIGINT) AS n_child_p,
+                   CAST(1 AS BIGINT) AS n_adjacent,
+                   CAST(1 AS BIGINT) AS n_sibling,
+                   CAST((doc_id % 4 + 3) // 2 AS BIGINT)
+                       AS n_odd_li,
+                   CAST(1 AS BIGINT) AS n_not_x,
+                   CAST(1 AS BIGINT) AS n_first_li
+            FROM documents
+        """,
+        # attribute operators over three fixed anchors.
+        "attr_selector_census": """
+            SELECT doc_id,
+                   CAST(2 AS BIGINT) AS n_prefix,
+                   CAST(2 AS BIGINT) AS n_suffix,
+                   CAST(2 AS BIGINT) AS n_substr,
+                   CAST(2 AS BIGINT) AS n_word,
+                   CAST(2 AS BIGINT) AS n_dash,
+                   CAST(1 AS BIGINT) AS n_conj
             FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):

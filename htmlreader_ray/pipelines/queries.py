@@ -2810,6 +2810,77 @@ class TreeOrderCensus:
             names=["doc_id", "forward_tags", "reverse_tags"])
 
 
+class CombinatorSelectorCensus:
+    """Combinator and structural-pseudo selector matrix through the
+    real engine (reference: HTMLSelector.m combinator walk + an+b
+    machinery): child (>), adjacent (+), general sibling (~),
+    :nth-child(odd) over m=(d%4+2) list items, :not(.x) and
+    :first-of-type. Selectors compile once per worker; every count
+    arithmetic in doc_id."""
+
+    def __init__(self) -> None:
+        self.sels = [compile_selector(s) for s in (
+            "div > p", "p + span", "span ~ b",
+            "li:nth-child(odd)", "p:not(.x)", "li:first-of-type")]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        counts = [[] for _ in self.sels]
+        for key in ids:
+            d = int(key)
+            m = d % 4 + 2
+            lis = "".join(f"<li>i{j}</li>" for j in range(m))
+            page = (f'<!DOCTYPE html><body><div>'
+                    f'<p class="x">p0</p><span>s</span>'
+                    f'<b>b0</b><p>p1</p></div><ul>{lis}</ul>')
+            doc = parse(page)
+            els = list(doc.elements_in_tree_order())
+            for i, sel in enumerate(self.sels):
+                counts[i].append(
+                    sum(1 for e in els if sel.matches(e)))
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64())]
+            + [pa.array(c, pa.int64()) for c in counts],
+            names=["doc_id", "n_child_p", "n_adjacent", "n_sibling",
+                   "n_odd_li", "n_not_x", "n_first_li"])
+
+
+class AttrSelectorCensus:
+    """Attribute-operator selector matrix through the real engine
+    (reference: HTMLSelector.m attribute operators): ^= prefix, $=
+    suffix, *= substring (with a per-doc needle), ~= word list, |=
+    dash-prefix, and a conjunction of two operators. Three anchor
+    fixtures per page; counts constant, needle varies with
+    doc_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = [[] for _ in range(6)]
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><body>'
+                    f'<a href="http://h{d}.com/x.pdf" lang="en-US" '
+                    f'rel="nofollow ext">1</a>'
+                    f'<a href="https://h{d}.org/y.html" lang="en" '
+                    f'rel="ext">2</a>'
+                    f'<a href="ftp://z{d}/f.pdf" lang="fr-FR" '
+                    f'rel="me">3</a>')
+            doc = parse(page)
+            body = next(el for el in doc.elements_in_tree_order()
+                        if el.tag == "body")
+            for i, sel in enumerate((
+                    'a[href^="http"]', 'a[href$=".pdf"]',
+                    f'a[href*="h{d}."]', 'a[rel~="ext"]',
+                    'a[lang|="en"]',
+                    'a[href^="http"][href$=".html"]')):
+                cols[i].append(len(body.css(sel)))
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64())]
+            + [pa.array(c, pa.int64()) for c in cols],
+            names=["doc_id", "n_prefix", "n_suffix", "n_substr",
+                   "n_word", "n_dash", "n_conj"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
