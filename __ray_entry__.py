@@ -13693,6 +13693,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "combinator_selector_census":
             actor(q.CombinatorSelectorCensus),
         "attr_selector_census": actor(q.AttrSelectorCensus),
+        "form_state_census": actor(q.FormStateCensus),
+        "structural_pseudo_census":
+            actor(q.StructuralPseudoCensus),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -14028,6 +14031,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutation_api_census", "tree_order_census",
         # new in round 3, hundred-fifty-second sweep
         "combinator_selector_census", "attr_selector_census",
+        # new in round 3, hundred-fifty-third sweep
+        "form_state_census", "structural_pseudo_census",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -21560,6 +21565,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2 AS BIGINT) AS n_word,
                    CAST(2 AS BIGINT) AS n_dash,
                    CAST(1 AS BIGINT) AS n_conj
+            FROM documents
+        """,
+        # :disabled cascade (fieldset, legend exception), :checked on
+        # checkbox + selected option.
+        "form_state_census": """
+            SELECT doc_id,
+                   'f' || CAST(doc_id AS VARCHAR) || ',b' ||
+                   CAST(doc_id AS VARCHAR) || ',e' ||
+                   CAST(doc_id AS VARCHAR) AS disabled_ids,
+                   'c' || CAST(doc_id AS VARCHAR) || ',o' ||
+                   CAST(doc_id AS VARCHAR) AS checked_ids,
+                   CAST(4 AS BIGINT) AS n_enabled
+            FROM documents
+        """,
+        # :empty / :only-child / :nth-last-child(2) / :last-of-type
+        # over m=(d%3+2) items.
+        "structural_pseudo_census": """
+            SELECT doc_id,
+                   'd' || CAST(doc_id AS VARCHAR) AS empty_id,
+                   's' || CAST(doc_id AS VARCHAR)
+                       AS only_child_id,
+                   'l' || CAST(doc_id AS VARCHAR) || '_' ||
+                   CAST(doc_id % 3 AS VARCHAR) AS nth_last2_id,
+                   'l' || CAST(doc_id AS VARCHAR) || '_' ||
+                   CAST(doc_id % 3 + 1 AS VARCHAR)
+                       AS last_of_type_id
             FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):

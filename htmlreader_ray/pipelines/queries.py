@@ -2881,6 +2881,89 @@ class AttrSelectorCensus:
                    "n_word", "n_dash", "n_conj"])
 
 
+class FormStateCensus:
+    """Form-state pseudo-classes through the real engine (reference:
+    HTMLSelector.m :disabled/:enabled/:checked incl. the fieldset
+    disabled CASCADE and its first-legend exception): a control
+    inside the disabled fieldset's <legend> stays enabled, one
+    outside the legend inherits disabled, and :checked matches both
+    a checked checkbox and a selected option. Id lists arithmetic
+    in doc_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "disabled_ids",
+                                "checked_ids", "n_enabled")}
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><body>'
+                    f'<fieldset disabled id="f{d}">'
+                    f'<legend><input id="a{d}"></legend>'
+                    f'<input id="b{d}"></fieldset>'
+                    f'<input id="e{d}" disabled><input id="g{d}">'
+                    f'<input type="checkbox" checked id="c{d}">'
+                    f'<option selected id="o{d}"></option>')
+            doc = parse(page)
+            body = next(el for el in doc.elements_in_tree_order()
+                        if el.tag == "body")
+            dis = ",".join(e.attrs.get("id", "?")
+                           for e in body.css(":disabled"))
+            chk = ",".join(e.attrs.get("id", "?")
+                           for e in body.css(":checked"))
+            cols["doc_id"].append(key)
+            cols["disabled_ids"].append(dis)
+            cols["checked_ids"].append(chk)
+            cols["n_enabled"].append(len(body.css(":enabled")))
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["disabled_ids"], pa.string()),
+             pa.array(cols["checked_ids"], pa.string()),
+             pa.array(cols["n_enabled"], pa.int64())],
+            names=["doc_id", "disabled_ids", "checked_ids",
+                   "n_enabled"])
+
+
+class StructuralPseudoCensus:
+    """Structural pseudo-classes through the real engine (reference:
+    HTMLSelector.m :empty/:only-child/:nth-last-child/
+    :last-of-type): over an empty div, a lone span, and m=(d%3+2)
+    list items — nth-last-child(2) picks the (m-1)th item. Matched
+    ids arithmetic in doc_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "empty_id",
+                                "only_child_id", "nth_last2_id",
+                                "last_of_type_id")}
+        for key in ids:
+            d = int(key)
+            m = d % 3 + 2
+            lis = "".join(f'<li id="l{d}_{j}">t{j}' for j in range(m))
+            page = (f'<!DOCTYPE html><body><div id="d{d}"></div>'
+                    f'<div id="w{d}"><span id="s{d}">x</span></div>'
+                    f'<ul>{lis}</ul>')
+            doc = parse(page)
+            body = next(el for el in doc.elements_in_tree_order()
+                        if el.tag == "body")
+
+            def one(sel):
+                r = body.css(sel)
+                return r[0].attrs.get("id", "?") if r else ""
+            cols["doc_id"].append(key)
+            cols["empty_id"].append(one(":empty"))
+            cols["only_child_id"].append(one("span:only-child"))
+            cols["nth_last2_id"].append(one("li:nth-last-child(2)"))
+            cols["last_of_type_id"].append(one("li:last-of-type"))
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["empty_id"], pa.string()),
+             pa.array(cols["only_child_id"], pa.string()),
+             pa.array(cols["nth_last2_id"], pa.string()),
+             pa.array(cols["last_of_type_id"], pa.string())],
+            names=["doc_id", "empty_id", "only_child_id",
+                   "nth_last2_id", "last_of_type_id"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
