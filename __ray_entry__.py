@@ -13696,6 +13696,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "form_state_census": actor(q.FormStateCensus),
         "structural_pseudo_census":
             actor(q.StructuralPseudoCensus),
+        "selector_escape_census": actor(q.SelectorEscapeCensus),
+        "svg_title_desc_census": actor(q.SvgTitleDescCensus),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -14033,6 +14035,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "combinator_selector_census", "attr_selector_census",
         # new in round 3, hundred-fifty-third sweep
         "form_state_census", "structural_pseudo_census",
+        # new in round 3, hundred-fifty-fourth sweep
+        "selector_escape_census", "svg_title_desc_census",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -21591,6 +21595,24 @@ def oracle_sql() -> dict[str, str]:
                    'l' || CAST(doc_id AS VARCHAR) || '_' ||
                    CAST(doc_id % 3 + 1 AS VARCHAR)
                        AS last_of_type_id
+            FROM documents
+        """,
+        # hex escape for leading-digit id, \\. class literal,
+        # compound classes.
+        "selector_escape_census": """
+            SELECT doc_id,
+                   'n' || CAST(doc_id AS VARCHAR) AS digit_id_text,
+                   'c' || CAST(doc_id AS VARCHAR) AS dot_class_text,
+                   'w' || CAST(doc_id AS VARCHAR) AS compound_text
+            FROM documents
+        """,
+        # svg title/desc host HTML children, hosts stay svg-ns.
+        "svg_title_desc_census": """
+            SELECT doc_id,
+                   'svg' AS title_ns, 'html' AS b_ns,
+                   'svg' AS desc_ns, 'html' AS i_ns,
+                   'bt' || CAST(doc_id AS VARCHAR) || '|di' ||
+                   CAST(doc_id AS VARCHAR) AS joined_text
             FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):

@@ -2964,6 +2964,92 @@ class StructuralPseudoCensus:
                    "nth_last2_id", "last_of_type_id"])
 
 
+class SelectorEscapeCensus:
+    """CSS identifier escapes through the real engine (reference:
+    HTMLSelector.m ident parser): a leading-digit id needs the
+    hex-escape form (#\\31 ...), a literal dot in a class escapes
+    as \\., and compound class selectors chain. Matched texts
+    arithmetic in doc_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "digit_id_text",
+                                "dot_class_text",
+                                "compound_text")}
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><body>'
+                    f'<div id="1a{d}">n{d}</div>'
+                    f'<div class="a.b">c{d}</div>'
+                    f'<div class="x y{d}">w{d}</div>')
+            doc = parse(page)
+            body = next(el for el in doc.elements_in_tree_order()
+                        if el.tag == "body")
+
+            def one(sel):
+                r = body.css(sel)
+                return r[0].text_content if r else ""
+            cols["doc_id"].append(key)
+            cols["digit_id_text"].append(one(f"#\\31 a{d}"))
+            cols["dot_class_text"].append(one(".a\\.b"))
+            cols["compound_text"].append(one(f".x.y{d}"))
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["digit_id_text"], pa.string()),
+             pa.array(cols["dot_class_text"], pa.string()),
+             pa.array(cols["compound_text"], pa.string())],
+            names=["doc_id", "digit_id_text", "dot_class_text",
+                   "compound_text"])
+
+
+class SvgTitleDescCensus:
+    """SVG title/desc integration points through the real parser
+    (reference: HTMLParser.m HTML-integration-point list per
+    WHATWG): <title> and <desc> INSIDE svg stay svg-namespaced but
+    host HTML children (<b>/<i> parse as html-ns elements), unlike
+    the head <title> which is RCDATA. Namespaces and texts
+    arithmetic in doc_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "title_ns", "b_ns",
+                                "desc_ns", "i_ns", "joined_text")}
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><body><svg>'
+                    f'<title><b>bt{d}</b></title>'
+                    f'<desc><i>di{d}</i></desc><circle/></svg>')
+            doc = parse(page)
+            tns = bns = dns = ins = ""
+            texts = []
+            for el in doc.elements_in_tree_order():
+                if el.tag == "title":
+                    tns = el.namespace
+                elif el.tag == "b":
+                    bns = el.namespace
+                    texts.append(el.text_content)
+                elif el.tag == "desc":
+                    dns = el.namespace
+                elif el.tag == "i":
+                    ins = el.namespace
+                    texts.append(el.text_content)
+            cols["doc_id"].append(key)
+            cols["title_ns"].append(tns)
+            cols["b_ns"].append(bns)
+            cols["desc_ns"].append(dns)
+            cols["i_ns"].append(ins)
+            cols["joined_text"].append("|".join(texts))
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["title_ns"], pa.string()),
+             pa.array(cols["b_ns"], pa.string()),
+             pa.array(cols["desc_ns"], pa.string()),
+             pa.array(cols["i_ns"], pa.string()),
+             pa.array(cols["joined_text"], pa.string())],
+            names=["doc_id", "title_ns", "b_ns", "desc_ns", "i_ns",
+                   "joined_text"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
