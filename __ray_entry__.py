@@ -13698,6 +13698,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             actor(q.StructuralPseudoCensus),
         "selector_escape_census": actor(q.SelectorEscapeCensus),
         "svg_title_desc_census": actor(q.SvgTitleDescCensus),
+        "head_text_pop_census": actor(q.HeadTextPopCensus),
+        "nested_table_census": actor(q.NestedTableCensus),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -14037,6 +14039,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "form_state_census", "structural_pseudo_census",
         # new in round 3, hundred-fifty-fourth sweep
         "selector_escape_census", "svg_title_desc_census",
+        # new in round 3, hundred-fifty-fifth sweep
+        "head_text_pop_census", "nested_table_census",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -21613,6 +21617,27 @@ def oracle_sql() -> dict[str, str]:
                    'svg' AS desc_ns, 'html' AS i_ns,
                    'bt' || CAST(doc_id AS VARCHAR) || '|di' ||
                    CAST(doc_id AS VARCHAR) AS joined_text
+            FROM documents
+        """,
+        # stray head text pops head + synthesizes body; later title
+        # runs in-head RULES at the body position.
+        "head_text_pop_census": """
+            SELECT doc_id,
+                   '<meta charset="utf-8">' AS head_html,
+                   'body' AS title_parent,
+                   'x' || CAST(doc_id AS VARCHAR) ||
+                   't' || CAST(doc_id AS VARCHAR) ||
+                   'y' || CAST(doc_id AS VARCHAR) AS body_text
+            FROM documents
+        """,
+        # table-in-cell nests; table-in-table implies </table>.
+        "nested_table_census": """
+            SELECT doc_id,
+                   'td' AS inner_parent_tag,
+                   CAST(0 AS BIGINT) AS outer_kids,
+                   'p' || CAST(doc_id AS VARCHAR) || ',q' ||
+                   CAST(doc_id AS VARCHAR) AS sibling_ids,
+                   'b' || CAST(doc_id AS VARCHAR) AS cell_text
             FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):

@@ -12,7 +12,8 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..kernel import parse, parse_bytes, parse_fragment, serialize
+from ..kernel import (parse, parse_bytes, parse_fragment, serialize,
+                      serialize_fragment)
 from ..kernel.extract import Extractor
 from ..kernel.selector import compile_selector
 from ..sources.corpus import build_page, interleave_rows
@@ -3048,6 +3049,101 @@ class SvgTitleDescCensus:
              pa.array(cols["joined_text"], pa.string())],
             names=["doc_id", "title_ns", "b_ns", "desc_ns", "i_ns",
                    "joined_text"])
+
+
+class HeadTextPopCensus:
+    """Stray non-whitespace text inside <head> through the real
+    parser (reference: HTMLParser.m 'in head' anything-else arm per
+    WHATWG): the text pops the head, synthesizes <body>, and — the
+    subtle part — a LATER <title> now runs the in-head RULES at the
+    current position, landing in BODY (contrast head_misnest_census
+    where 'after head' pushes it back into head). Pinned by
+    arithmetic."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "head_html",
+                                "title_parent", "body_text")}
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><head><meta charset="utf-8">'
+                    f'x{d}<title>t{d}</title></head><body>y{d}')
+            doc = parse(page)
+            head = body = None
+            title_parent = ""
+            for el in doc.elements_in_tree_order():
+                if el.tag == "head":
+                    head = el
+                elif el.tag == "body":
+                    body = el
+                elif el.tag == "title":
+                    title_parent = el.parent.tag
+            cols["doc_id"].append(key)
+            cols["head_html"].append(serialize_fragment(head))
+            cols["title_parent"].append(title_parent)
+            cols["body_text"].append(body.text_content)
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["head_html"], pa.string()),
+             pa.array(cols["title_parent"], pa.string()),
+             pa.array(cols["body_text"], pa.string())],
+            names=["doc_id", "head_html", "title_parent",
+                   "body_text"])
+
+
+class NestedTableCensus:
+    """Nested-table dichotomy through the real parser (reference:
+    HTMLParser.m 'in table' table arm per WHATWG): a table inside a
+    CELL nests legally (both get synthesized tbodys), while a table
+    DIRECTLY inside a table implies </table> — the outer closes
+    empty and the inner becomes its sibling. Ids and texts
+    arithmetic in doc_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "inner_parent_tag",
+                                "outer_kids", "sibling_ids",
+                                "cell_text")}
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><body><table id="o{d}"><tr>'
+                    f'<td><table id="i{d}"><tr><td>a{d}</table>'
+                    f'</td></tr></table>')
+            doc = parse(page)
+            inner_parent = ""
+            for el in doc.elements_in_tree_order():
+                if el.tag == "table" \
+                        and el.attrs.get("id") == f"i{d}":
+                    inner_parent = el.parent.tag
+            page2 = (f'<!DOCTYPE html><body><table id="p{d}">'
+                     f'<table id="q{d}"><tr><td>b{d}</table>')
+            doc2 = parse(page2)
+            body2 = next(el for el in doc2.elements_in_tree_order()
+                         if el.tag == "body")
+            sib = ",".join(c.attrs.get("id", "?")
+                           for c in body2.children
+                           if getattr(c, "tag", None) == "table")
+            outer_kids = -1
+            cell = ""
+            for el in doc2.elements_in_tree_order():
+                if el.tag == "table" \
+                        and el.attrs.get("id") == f"p{d}":
+                    outer_kids = len(el.children)
+                elif el.tag == "td":
+                    cell = el.text_content
+            cols["doc_id"].append(key)
+            cols["inner_parent_tag"].append(inner_parent)
+            cols["outer_kids"].append(outer_kids)
+            cols["sibling_ids"].append(sib)
+            cols["cell_text"].append(cell)
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["inner_parent_tag"], pa.string()),
+             pa.array(cols["outer_kids"], pa.int64()),
+             pa.array(cols["sibling_ids"], pa.string()),
+             pa.array(cols["cell_text"], pa.string())],
+            names=["doc_id", "inner_parent_tag", "outer_kids",
+                   "sibling_ids", "cell_text"])
 
 
 class LinkExtract:
