@@ -13700,6 +13700,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "svg_title_desc_census": actor(q.SvgTitleDescCensus),
         "head_text_pop_census": actor(q.HeadTextPopCensus),
         "nested_table_census": actor(q.NestedTableCensus),
+        "table_input_exception_census":
+            actor(q.TableInputExceptionCensus),
+        "row_synthesis_census": actor(q.RowSynthesisCensus),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -14041,6 +14044,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "selector_escape_census", "svg_title_desc_census",
         # new in round 3, hundred-fifty-fifth sweep
         "head_text_pop_census", "nested_table_census",
+        # new in round 3, hundred-fifty-sixth sweep
+        "table_input_exception_census", "row_synthesis_census",
     ]
     head = {k: base[k] for k in never_graded}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -21638,6 +21643,29 @@ def oracle_sql() -> dict[str, str]:
                    'p' || CAST(doc_id AS VARCHAR) || ',q' ||
                    CAST(doc_id AS VARCHAR) AS sibling_ids,
                    'b' || CAST(doc_id AS VARCHAR) AS cell_text
+            FROM documents
+        """,
+        # hidden input stays in table, text input fosters; script/
+        # style stay inside.
+        "table_input_exception_census": """
+            SELECT doc_id,
+                   'table' AS hidden_parent,
+                   'body' AS text_parent,
+                   'table' AS script_parent,
+                   'table' AS style_parent,
+                   's' || CAST(doc_id AS VARCHAR) AS script_text,
+                   'input' AS body_first
+            FROM documents
+        """,
+        # bare <td>s in tbody synthesize their rows (m rows).
+        "row_synthesis_census": """
+            SELECT doc_id,
+                   CAST(doc_id % 3 + 1 AS BIGINT) AS n_rows,
+                   CAST(doc_id % 3 + 1 AS BIGINT) AS n_cells,
+                   'a' || CAST(doc_id AS VARCHAR) || '_0'
+                       AS first_text,
+                   'a' || CAST(doc_id AS VARCHAR) || '_' ||
+                   CAST(doc_id % 3 AS VARCHAR) AS last_text
             FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):

@@ -3146,6 +3146,113 @@ class NestedTableCensus:
                    "sibling_ids", "cell_text"])
 
 
+class TableInputExceptionCensus:
+    """The in-table input/script exceptions through the real parser
+    (reference: HTMLParser.m 'in table' input/script/style arms per
+    WHATWG): an <input type=hidden> stays INSIDE the table (the
+    special no-foster branch) while a text input FOSTERS out before
+    it; <script> and <style> also stay inside the table. Parents
+    and attributes arithmetic in doc_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "hidden_parent",
+                                "text_parent", "script_parent",
+                                "style_parent", "script_text",
+                                "body_first")}
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><body><table>'
+                    f'<input type="hidden" name="h{d}">'
+                    f'<input type="text" name="t{d}">'
+                    f'<tr><td>c{d}</table>')
+            doc = parse(page)
+            hid = txt = ""
+            for el in doc.elements_in_tree_order():
+                if el.tag == "input":
+                    if el.attrs.get("type") == "hidden":
+                        hid = el.parent.tag
+                    else:
+                        txt = el.parent.tag
+            body = next(el for el in doc.elements_in_tree_order()
+                        if el.tag == "body")
+            first = next((c.tag for c in body.children
+                          if hasattr(c, "tag")), "")
+            page2 = (f'<!DOCTYPE html><body><table>'
+                     f'<script>s{d}</script><style>y{d}</style>'
+                     f'<tr><td>c{d}</table>')
+            doc2 = parse(page2)
+            sp = stp = st = ""
+            for el in doc2.elements_in_tree_order():
+                if el.tag == "script":
+                    sp = el.parent.tag
+                    st = el.text_content
+                elif el.tag == "style":
+                    stp = el.parent.tag
+            cols["doc_id"].append(key)
+            cols["hidden_parent"].append(hid)
+            cols["text_parent"].append(txt)
+            cols["script_parent"].append(sp)
+            cols["style_parent"].append(stp)
+            cols["script_text"].append(st)
+            cols["body_first"].append(first)
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["hidden_parent"], pa.string()),
+             pa.array(cols["text_parent"], pa.string()),
+             pa.array(cols["script_parent"], pa.string()),
+             pa.array(cols["style_parent"], pa.string()),
+             pa.array(cols["script_text"], pa.string()),
+             pa.array(cols["body_first"], pa.string())],
+            names=["doc_id", "hidden_parent", "text_parent",
+                   "script_parent", "style_parent", "script_text",
+                   "body_first"])
+
+
+class RowSynthesisCensus:
+    """Row synthesis and cell unwinding through the real parser
+    (reference: HTMLParser.m 'in table body'/'in row' arms per
+    WHATWG): a <td> directly inside <tbody> SYNTHESIZES its <tr>,
+    </tr> closes the open cell, and the next bare <td> synthesizes
+    a second row — m=(d%3+1) bare cells become m rows. Counts
+    arithmetic in doc_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "n_rows", "n_cells",
+                                "first_text", "last_text")}
+        for key in ids:
+            d = int(key)
+            m = d % 3 + 1
+            cells = "</tr>".join(f"<td>a{d}_{i}" for i in range(m))
+            page = (f'<!DOCTYPE html><body><table><tbody>'
+                    f'{cells}</table>')
+            doc = parse(page)
+            n_rows = n_cells = 0
+            first = last = ""
+            for el in doc.elements_in_tree_order():
+                if el.tag == "tr":
+                    n_rows += 1
+                elif el.tag == "td":
+                    n_cells += 1
+                    if not first:
+                        first = el.text_content
+                    last = el.text_content
+            cols["doc_id"].append(key)
+            cols["n_rows"].append(n_rows)
+            cols["n_cells"].append(n_cells)
+            cols["first_text"].append(first)
+            cols["last_text"].append(last)
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["n_rows"], pa.int64()),
+             pa.array(cols["n_cells"], pa.int64()),
+             pa.array(cols["first_text"], pa.string()),
+             pa.array(cols["last_text"], pa.string())],
+            names=["doc_id", "n_rows", "n_cells", "first_text",
+                   "last_text"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
