@@ -14047,7 +14047,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in round 3, hundred-fifty-sixth sweep
         "table_input_exception_census", "row_synthesis_census",
     ]
-    head = {k: base[k] for k in never_graded}
+    # Mechanical grading-priority order: every query the driver has
+    # never graded (absent from the latest CORRECTNESS file) runs
+    # FIRST, so a wall-clock-capped grading pass maximizes new green
+    # rows; the hand-kept never_graded list above stays as the
+    # per-sweep changelog and as the fallback if the file is absent.
+    try:
+        import json as _json
+        import os as _os
+        with open(_os.path.join(_os.path.dirname(
+                _os.path.abspath(__file__)),
+                "CORRECTNESS_r02.json")) as fh:
+            _graded = set(_json.load(fh))
+        ungraded = [k for k in base if k not in _graded]
+    except Exception:
+        ungraded = never_graded
+    head = {k: base[k] for k in ungraded}
     head.update((k, v) for k, v in base.items() if k not in head)
     return head
 
