@@ -13703,6 +13703,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_input_exception_census":
             actor(q.TableInputExceptionCensus),
         "row_synthesis_census": actor(q.RowSynthesisCensus),
+        "after_frameset_census": actor(q.AfterFramesetCensus),
+        "svg_attr_negative_census":
+            actor(q.SvgAttrNegativeCensus),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -14046,6 +14049,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "head_text_pop_census", "nested_table_census",
         # new in round 3, hundred-fifty-sixth sweep
         "table_input_exception_census", "row_synthesis_census",
+        # new in round 3, hundred-fifty-seventh sweep
+        "after_frameset_census", "svg_attr_negative_census",
     ]
     # Mechanical grading-priority order: every query the driver has
     # never graded (absent from the latest CORRECTNESS file) runs
@@ -21681,6 +21686,25 @@ def oracle_sql() -> dict[str, str]:
                        AS first_text,
                    'a' || CAST(doc_id AS VARCHAR) || '_' ||
                    CAST(doc_id % 3 AS VARCHAR) AS last_text
+            FROM documents
+        """,
+        # after-frameset: comments/noframes attach to html, stray
+        # text/elements ignored, post-</html> comment on document.
+        "after_frameset_census": """
+            SELECT doc_id,
+                   'head,frameset,noframes' AS html_elements,
+                   'af' || CAST(doc_id AS VARCHAR) AS html_comment,
+                   'nf' || CAST(doc_id AS VARCHAR)
+                       AS noframes_text,
+                   'end' || CAST(doc_id AS VARCHAR) AS doc_comment,
+                   CAST(0 AS BIGINT) AS has_body
+            FROM documents
+        """,
+        # adjusted attrs restored, unknown attrs stay lowercased.
+        "svg_attr_negative_census": """
+            SELECT doc_id,
+                   'pathLength,myattr,viewBox' AS attr_keys,
+                   'v' || CAST(doc_id AS VARCHAR) AS my_value
             FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):

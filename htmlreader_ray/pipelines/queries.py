@@ -3253,6 +3253,89 @@ class RowSynthesisCensus:
                    "last_text"])
 
 
+class AfterFramesetCensus:
+    """The 'after frameset' / 'after after frameset' modes through
+    the real parser (reference: HTMLParser.m afterFrameset arms per
+    WHATWG): comments and <noframes> still attach to html, stray
+    TEXT and stray elements are IGNORED outright (no body exists to
+    catch them), and a comment after </html> attaches to the
+    DOCUMENT. All pinned by arithmetic."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernel.dom import Comment
+
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "html_elements",
+                                "html_comment", "noframes_text",
+                                "doc_comment", "has_body")}
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><html><frameset>'
+                    f'<frame src="f{d}.html"></frameset>'
+                    f'<!--af{d}--><noframes>nf{d}</noframes>'
+                    f'stray{d}<div>ign{d}</div></html>'
+                    f'<!--end{d}-->')
+            doc = parse(page)
+            html = next(el for el in doc.elements_in_tree_order()
+                        if el.tag == "html")
+            el_tags = ",".join(c.tag for c in html.children
+                               if hasattr(c, "tag"))
+            hcom = next((c.data for c in html.children
+                         if isinstance(c, Comment)), "")
+            nft = next((el.text_content
+                        for el in doc.elements_in_tree_order()
+                        if el.tag == "noframes"), "")
+            dcom = next((c.data for c in doc.children
+                         if isinstance(c, Comment)
+                         and c.data.startswith("end")), "")
+            has_body = int(any(el.tag == "body"
+                               for el in
+                               doc.elements_in_tree_order()))
+            cols["doc_id"].append(key)
+            cols["html_elements"].append(el_tags)
+            cols["html_comment"].append(hcom)
+            cols["noframes_text"].append(nft)
+            cols["doc_comment"].append(dcom)
+            cols["has_body"].append(has_body)
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["html_elements"], pa.string()),
+             pa.array(cols["html_comment"], pa.string()),
+             pa.array(cols["noframes_text"], pa.string()),
+             pa.array(cols["doc_comment"], pa.string()),
+             pa.array(cols["has_body"], pa.int64())],
+            names=["doc_id", "html_elements", "html_comment",
+                   "noframes_text", "doc_comment", "has_body"])
+
+
+class SvgAttrNegativeCensus:
+    """The NEGATIVE side of SVG attribute adjustment (reference:
+    HTMLParser.m adjustSVGAttributes table per WHATWG): the
+    tokenizer lowercases every attribute name, the adjust table
+    restores pathLength/viewBox — and an attr NOT in the table
+    (myAttr) stays lowercased. Keys and values arithmetic in
+    doc_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "attr_keys", "my_value")}
+        for key in ids:
+            d = int(key)
+            doc = parse(f'<!DOCTYPE html><body><svg>'
+                        f'<path pathLength="5" myAttr="v{d}" '
+                        f'viewBox="0 0 1 1"/></svg>')
+            path = next(el for el in doc.elements_in_tree_order()
+                        if el.tag == "path")
+            cols["doc_id"].append(key)
+            cols["attr_keys"].append(",".join(path.attrs))
+            cols["my_value"].append(path.attrs.get("myattr", "?"))
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["attr_keys"], pa.string()),
+             pa.array(cols["my_value"], pa.string())],
+            names=["doc_id", "attr_keys", "my_value"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
