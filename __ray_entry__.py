@@ -13706,6 +13706,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "after_frameset_census": actor(q.AfterFramesetCensus),
         "svg_attr_negative_census":
             actor(q.SvgAttrNegativeCensus),
+        "menuitem_keygen_census": actor(q.MenuitemKeygenCensus),
+        "optgroup_end_census": actor(q.OptgroupEndCensus),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -14051,6 +14053,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_input_exception_census", "row_synthesis_census",
         # new in round 3, hundred-fifty-seventh sweep
         "after_frameset_census", "svg_attr_negative_census",
+        # new in round 3, hundred-fifty-eighth sweep
+        "menuitem_keygen_census", "optgroup_end_census",
     ]
     # Mechanical grading-priority order: every query the driver has
     # never graded (absent from the latest CORRECTNESS file) runs
@@ -21705,6 +21709,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    'pathLength,myattr,viewBox' AS attr_keys,
                    'v' || CAST(doc_id AS VARCHAR) AS my_value
+            FROM documents
+        """,
+        # menuitem self-pop; tree keeps text, serializer renders
+        # menuitem/keygen as VOID (reference HTMLSerialization.m:160).
+        "menuitem_keygen_census": """
+            SELECT doc_id,
+                   '<menu><menuitem icon="i' ||
+                   CAST(doc_id AS VARCHAR) ||
+                   '"><menuitem></menu><keygen name="k' ||
+                   CAST(doc_id AS VARCHAR) || '">tail' ||
+                   CAST(doc_id AS VARCHAR) AS serialized,
+                   'm' || CAST(doc_id AS VARCHAR)
+                       AS menuitem1_text,
+                   CAST(2 AS BIGINT) AS n_menuitems,
+                   'body' AS keygen_parent
+            FROM documents
+        """,
+        # </optgroup> pops option+optgroup together.
+        "optgroup_end_census": """
+            SELECT doc_id,
+                   'optgroup' AS grouped_parent,
+                   'a' || CAST(doc_id AS VARCHAR) AS grouped_text,
+                   'select' AS after_parent,
+                   'b' || CAST(doc_id AS VARCHAR) AS after_text,
+                   'g' || CAST(doc_id AS VARCHAR) AS optgroup_label
             FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):

@@ -3336,6 +3336,99 @@ class SvgAttrNegativeCensus:
             names=["doc_id", "attr_keys", "my_value"])
 
 
+class MenuitemKeygenCensus:
+    """2016-era menuitem/keygen parity (reference: HTMLParser.m
+    menuitem arms :707/:887/:939 + the HTMLSerialization.m:160 void
+    list that INCLUDES menuitem and keygen): a second <menuitem>
+    pops the open one, the TREE keeps their text children
+    (text_content works), yet serialization renders both as VOID
+    tags — children omitted — exactly like the reference. All
+    pinned by arithmetic."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "serialized",
+                                "menuitem1_text", "n_menuitems",
+                                "keygen_parent")}
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><body><menu>'
+                    f'<menuitem icon="i{d}">m{d}'
+                    f'<menuitem>n{d}</menu>'
+                    f'<keygen name="k{d}">tail{d}')
+            doc = parse(page)
+            body = next(el for el in doc.elements_in_tree_order()
+                        if el.tag == "body")
+            m1 = ""
+            n_mi = 0
+            kp = ""
+            for el in doc.elements_in_tree_order():
+                if el.tag == "menuitem":
+                    n_mi += 1
+                    if n_mi == 1:
+                        m1 = el.text_content
+                elif el.tag == "keygen":
+                    kp = el.parent.tag
+            cols["doc_id"].append(key)
+            cols["serialized"].append(serialize_fragment(body))
+            cols["menuitem1_text"].append(m1)
+            cols["n_menuitems"].append(n_mi)
+            cols["keygen_parent"].append(kp)
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["serialized"], pa.string()),
+             pa.array(cols["menuitem1_text"], pa.string()),
+             pa.array(cols["n_menuitems"], pa.int64()),
+             pa.array(cols["keygen_parent"], pa.string())],
+            names=["doc_id", "serialized", "menuitem1_text",
+                   "n_menuitems", "keygen_parent"])
+
+
+class OptgroupEndCensus:
+    """The </optgroup> double-pop nuance through the real parser
+    (reference: HTMLParser.m inSelect end-tag arm: when the current
+    node is an <option> whose parent is an <optgroup>, </optgroup>
+    pops BOTH) — so the grouped option stays inside the optgroup
+    and the next option lands directly under select. Parents and
+    texts arithmetic in doc_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "grouped_parent",
+                                "grouped_text", "after_parent",
+                                "after_text", "optgroup_label")}
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><body><select>'
+                    f'<optgroup label="g{d}"><option>a{d}'
+                    f'</optgroup><option>b{d}</select>')
+            doc = parse(page)
+            gp = gt = ap = at = lbl = ""
+            for el in doc.elements_in_tree_order():
+                if el.tag == "option":
+                    if el.parent.tag == "optgroup":
+                        gp, gt = el.parent.tag, el.text_content
+                    else:
+                        ap, at = el.parent.tag, el.text_content
+                elif el.tag == "optgroup":
+                    lbl = el.attrs.get("label", "?")
+            cols["doc_id"].append(key)
+            cols["grouped_parent"].append(gp)
+            cols["grouped_text"].append(gt)
+            cols["after_parent"].append(ap)
+            cols["after_text"].append(at)
+            cols["optgroup_label"].append(lbl)
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["grouped_parent"], pa.string()),
+             pa.array(cols["grouped_text"], pa.string()),
+             pa.array(cols["after_parent"], pa.string()),
+             pa.array(cols["after_text"], pa.string()),
+             pa.array(cols["optgroup_label"], pa.string())],
+            names=["doc_id", "grouped_parent", "grouped_text",
+                   "after_parent", "after_text", "optgroup_label"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
