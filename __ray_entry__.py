@@ -14064,11 +14064,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     try:
         import json as _json
         import os as _os
-        with open(_os.path.join(_os.path.dirname(
-                _os.path.abspath(__file__)),
-                "CORRECTNESS_r02.json")) as fh:
+        _here = _os.path.dirname(_os.path.abspath(__file__))
+        with open(_os.path.join(
+                _here, "CORRECTNESS_r02.json")) as fh:
             _graded = set(_json.load(fh))
         ungraded = [k for k in base if k not in _graded]
+        try:
+            # measured sf0.01 wall seconds (tools/query_costs.json);
+            # cheapest-first maximizes rows graded under a
+            # wall-clock-capped driver pass (stable sort keeps sweep
+            # order within equal costs)
+            with open(_os.path.join(
+                    _here, "tools", "query_costs.json")) as fh:
+                _cost = _json.load(fh)
+            ungraded.sort(key=lambda k: _cost.get(k, 1.0))
+        except Exception:
+            pass
     except Exception:
         ungraded = never_graded
     head = {k: base[k] for k in ungraded}
