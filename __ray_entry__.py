@@ -13708,6 +13708,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             actor(q.SvgAttrNegativeCensus),
         "menuitem_keygen_census": actor(q.MenuitemKeygenCensus),
         "optgroup_end_census": actor(q.OptgroupEndCensus),
+        "attr_charref_exception_census":
+            actor(q.AttrCharrefExceptionCensus),
+        "ignored_end_tag_census": actor(q.IgnoredEndTagCensus),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -14055,6 +14058,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "after_frameset_census", "svg_attr_negative_census",
         # new in round 3, hundred-fifty-eighth sweep
         "menuitem_keygen_census", "optgroup_end_census",
+        # new in round 3, hundred-fifty-ninth sweep
+        "attr_charref_exception_census", "ignored_end_tag_census",
     ]
     # Mechanical grading-priority order: every query the driver has
     # never graded (absent from the latest CORRECTNESS file) runs
@@ -21745,6 +21750,31 @@ def oracle_sql() -> dict[str, str]:
                    'select' AS after_parent,
                    'b' || CAST(doc_id AS VARCHAR) AS after_text,
                    'g' || CAST(doc_id AS VARCHAR) AS optgroup_label
+            FROM documents
+        """,
+        # attribute charref exception: &copy= literal in attrs,
+        # decodes in text; no-semi numerics decode; &#; literal.
+        "attr_charref_exception_census": """
+            SELECT doc_id,
+                   '?x=1&copy=2&not=3&amp=4&lt' ||
+                   CAST(doc_id AS VARCHAR) AS href,
+                   't' || CAST(doc_id AS VARCHAR) || ' ' ||
+                   chr(169) || '=2 ' || chr(172) || '=3' AS a_text,
+                   chr(169) || ' ' || chr(8713) || ' &ampx'
+                       AS b_title,
+                   'A BZ &#;x' AS numeric_text
+            FROM documents
+        """,
+        # stray </li> </dd> </dt> </h2> and doubled </li> ignored.
+        "ignored_end_tag_census": """
+            SELECT doc_id,
+                   'a' || CAST(doc_id AS VARCHAR) ||
+                   'b' || CAST(doc_id AS VARCHAR) ||
+                   'c' || CAST(doc_id AS VARCHAR) ||
+                   'x' || CAST(doc_id AS VARCHAR) AS body_text,
+                   CAST(1 AS BIGINT) AS n_li,
+                   'x' || CAST(doc_id AS VARCHAR) AS li_text,
+                   CAST(2 AS BIGINT) AS n_elements
             FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):

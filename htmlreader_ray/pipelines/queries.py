@@ -3429,6 +3429,97 @@ class OptgroupEndCensus:
                    "after_parent", "after_text", "optgroup_label"])
 
 
+class AttrCharrefExceptionCensus:
+    """The attribute-context character-reference EXCEPTION through
+    the real tokenizer (reference: HTMLTokenizer.m character-
+    reference-in-attribute rule per WHATWG): a legacy named ref
+    followed by '=' or an alphanumeric stays LITERAL inside an
+    attribute value (&copy=2, &amp=4, &lt7 — URLs survive) while
+    the same text DECODES in character data (©=2); with a
+    semicolon it decodes in both. Numeric refs missing their
+    semicolon still decode (&#65 → A, &#x42Z → BZ) and a bare &#;
+    stays literal. All regenerate by concat."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "href", "a_text",
+                                "b_title", "numeric_text")}
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><body>'
+                    f'<a href="?x=1&copy=2&not=3&amp=4&lt{d}">'
+                    f't{d} &copy=2 &not=3</a>'
+                    f'<b title="&copy; &notin; &ampx">u{d}</b>'
+                    f'<p>&#65 &#x42Z &#;x</p>')
+            doc = parse(page)
+            href = a_text = b_title = num = ""
+            for el in doc.elements_in_tree_order():
+                if el.tag == "a":
+                    href = el.attrs.get("href", "")
+                    a_text = el.text_content
+                elif el.tag == "b":
+                    b_title = el.attrs.get("title", "")
+                elif el.tag == "p":
+                    num = el.text_content
+            cols["doc_id"].append(key)
+            cols["href"].append(href)
+            cols["a_text"].append(a_text)
+            cols["b_title"].append(b_title)
+            cols["numeric_text"].append(num)
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["href"], pa.string()),
+             pa.array(cols["a_text"], pa.string()),
+             pa.array(cols["b_title"], pa.string()),
+             pa.array(cols["numeric_text"], pa.string())],
+            names=["doc_id", "href", "a_text", "b_title",
+                   "numeric_text"])
+
+
+class IgnoredEndTagCensus:
+    """End tags that are silently IGNORED when nothing matches
+    (reference: HTMLParser.m in-body end-tag arms per WHATWG) — the
+    contrast to </p>/</br> which SYNTHESIZE: stray </li>, </dd>,
+    </dt>, </h2>, and a doubled </li> after a closed item all
+    vanish, text runs merge, and the list stays intact. Pinned by
+    arithmetic."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "body_text", "n_li",
+                                "li_text", "n_elements")}
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><body>a{d}</li></dd></dt>'
+                    f'b{d}</h2>c{d}<ul><li>x{d}</li></li></ul>')
+            doc = parse(page)
+            body = next(el for el in doc.elements_in_tree_order()
+                        if el.tag == "body")
+            n_li = 0
+            li_text = ""
+            n_el = 0
+            for el in body.tree_order():
+                if not hasattr(el, "tag") or el.tag == "body":
+                    continue
+                n_el += 1
+                if el.tag == "li":
+                    n_li += 1
+                    li_text = el.text_content
+            cols["doc_id"].append(key)
+            cols["body_text"].append(body.text_content)
+            cols["n_li"].append(n_li)
+            cols["li_text"].append(li_text)
+            cols["n_elements"].append(n_el)
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["body_text"], pa.string()),
+             pa.array(cols["n_li"], pa.int64()),
+             pa.array(cols["li_text"], pa.string()),
+             pa.array(cols["n_elements"], pa.int64())],
+            names=["doc_id", "body_text", "n_li", "li_text",
+                   "n_elements"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
