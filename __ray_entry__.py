@@ -13711,6 +13711,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attr_charref_exception_census":
             actor(q.AttrCharrefExceptionCensus),
         "ignored_end_tag_census": actor(q.IgnoredEndTagCensus),
+        "crlf_normalize_census": actor(q.CrlfNormalizeCensus),
+        "adoption_chain_census": actor(q.AdoptionChainCensus),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -14060,6 +14062,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "menuitem_keygen_census", "optgroup_end_census",
         # new in round 3, hundred-fifty-ninth sweep
         "attr_charref_exception_census", "ignored_end_tag_census",
+        # new in round 3, hundred-sixtieth sweep
+        "crlf_normalize_census", "adoption_chain_census",
     ]
     # Mechanical grading-priority order: every query the driver has
     # never graded (absent from the latest CORRECTNESS file) runs
@@ -21775,6 +21779,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS BIGINT) AS n_li,
                    'x' || CAST(doc_id AS VARCHAR) AS li_text,
                    CAST(2 AS BIGINT) AS n_elements
+            FROM documents
+        """,
+        # \r\n and lone \r normalize to \n in text and attrs.
+        "crlf_normalize_census": """
+            SELECT doc_id,
+                   'a' || chr(10) || 'b' || chr(10) || 'c' ||
+                   chr(10) || 'd' AS title_attr,
+                   'x' || CAST(doc_id AS VARCHAR) || chr(10) ||
+                   'y' || CAST(doc_id AS VARCHAR) || chr(10) ||
+                   'z' || CAST(doc_id AS VARCHAR) || chr(10) ||
+                   'w' || CAST(doc_id AS VARCHAR) AS p_text
+            FROM documents
+        """,
+        # a/div adoption ladder: 2m anchors, m nested divs.
+        "adoption_chain_census": """
+            SELECT doc_id,
+                   CAST(2 * (doc_id % 3 + 2) AS BIGINT) AS n_a,
+                   CAST(doc_id % 3 + 2 AS BIGINT) AS n_div,
+                   CAST(doc_id % 3 + 2 AS BIGINT) AS max_div_depth,
+                   'tail' || CAST(doc_id AS VARCHAR)
+                       AS innermost_text
             FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):

@@ -3520,6 +3520,93 @@ class IgnoredEndTagCensus:
                    "n_elements"])
 
 
+class CrlfNormalizeCensus:
+    """M1 input preprocessing as a graded query (reference:
+    HTMLReader stream preprocessing per WHATWG): \\r\\n and lone
+    \\r both normalize to \\n in TEXT and in ATTRIBUTE values
+    before tokenization. Strings regenerate with chr(10)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_title, out_text = [], [], []
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><body>'
+                    f'<p title="a\r\nb\rc\nd">'
+                    f'x{d}\r\ny{d}\rz{d}\nw{d}</p>')
+            doc = parse(page)
+            p = next(el for el in doc.elements_in_tree_order()
+                     if el.tag == "p")
+            out_id.append(key)
+            out_title.append(p.attrs.get("title", ""))
+            out_text.append(p.text_content)
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_title, pa.string()),
+             pa.array(out_text, pa.string())],
+            names=["doc_id", "title_attr", "p_text"])
+
+
+class AdoptionChainCensus:
+    """Multi-iteration adoption agency through the real parser
+    (reference: HTMLParser.m adoption agency outer loop, M7): the
+    classic <a><div> ladder — m=(d%3+2) levels produce 2m <a>
+    elements (each level's empty original plus its clone inside the
+    div), m nested divs, and the tail lands bare in the innermost
+    div after the final </a>. All counts arithmetic in doc_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "n_a", "n_div",
+                                "max_div_depth", "innermost_text")}
+        for key in ids:
+            d = int(key)
+            m = d % 3 + 2
+            chain = "".join(f"<a href='{i}'><div>c{d}_{i}"
+                            for i in range(m))
+            page = f'<!DOCTYPE html><body>{chain}</a>tail{d}'
+            doc = parse(page)
+            n_a = n_div = 0
+            best_depth = 0
+            innermost = None
+
+            def walk(node, depth):
+                nonlocal n_a, n_div, best_depth, innermost
+                for c in getattr(node, "children", []):
+                    tag = getattr(c, "tag", None)
+                    if tag == "a":
+                        n_a += 1
+                        walk(c, depth)
+                    elif tag == "div":
+                        n_div += 1
+                        if depth + 1 > best_depth:
+                            best_depth = depth + 1
+                            innermost = c
+                        walk(c, depth + 1)
+                    elif tag is not None:
+                        walk(c, depth)
+            body = next(el for el in doc.elements_in_tree_order()
+                        if el.tag == "body")
+            walk(body, 0)
+            from ..kernel.dom import Text
+            tail = "".join(c.data for c in innermost.children
+                           if isinstance(c, Text)) \
+                if innermost is not None else ""
+            cols["doc_id"].append(key)
+            cols["n_a"].append(n_a)
+            cols["n_div"].append(n_div)
+            cols["max_div_depth"].append(best_depth)
+            cols["innermost_text"].append(tail)
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["n_a"], pa.int64()),
+             pa.array(cols["n_div"], pa.int64()),
+             pa.array(cols["max_div_depth"], pa.int64()),
+             pa.array(cols["innermost_text"], pa.string())],
+            names=["doc_id", "n_a", "n_div", "max_div_depth",
+                   "innermost_text"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
