@@ -13713,6 +13713,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ignored_end_tag_census": actor(q.IgnoredEndTagCensus),
         "crlf_normalize_census": actor(q.CrlfNormalizeCensus),
         "adoption_chain_census": actor(q.AdoptionChainCensus),
+        "nul_attr_formfeed_census":
+            actor(q.NulAttrFormFeedCensus),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -14064,6 +14066,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attr_charref_exception_census", "ignored_end_tag_census",
         # new in round 3, hundred-sixtieth sweep
         "crlf_normalize_census", "adoption_chain_census",
+        # new in round 3, hundred-sixty-first sweep
+        "nul_attr_formfeed_census",
     ]
     # Mechanical grading-priority order: every query the driver has
     # never graded (absent from the latest CORRECTNESS file) runs
@@ -21800,6 +21804,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(doc_id % 3 + 2 AS BIGINT) AS max_div_depth,
                    'tail' || CAST(doc_id AS VARCHAR)
                        AS innermost_text
+            FROM documents
+        """,
+        # NUL -> U+FFFD in attr value/name and tag name; form feed
+        # is table whitespace (stays inside).
+        "nul_attr_formfeed_census": """
+            SELECT doc_id,
+                   'a' || chr(65533) || 'b' AS id_value,
+                   'c' || chr(65533) || 'd' AS odd_attr,
+                   'di' || chr(65533) || 'v' AS odd_tag,
+                   '<table>' || chr(12) ||
+                   '<tbody><tr><td>y' || CAST(doc_id AS VARCHAR) ||
+                   '</td></tr></tbody></table>' AS table_html
             FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):

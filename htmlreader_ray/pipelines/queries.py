@@ -3607,6 +3607,50 @@ class AdoptionChainCensus:
                    "innermost_text"])
 
 
+class NulAttrFormFeedCensus:
+    """NUL in token-building contexts and form-feed whitespace
+    (reference: HTMLTokenizer.m NUL arms + the \\f whitespace set):
+    a NUL inside an attribute VALUE, an attribute NAME, or a TAG
+    name becomes U+FFFD (contrast body text where it's dropped),
+    and a form feed directly inside <table> counts as whitespace —
+    it STAYS in the table instead of fostering. All regenerate
+    with chr()."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "id_value", "odd_attr",
+                                "odd_tag", "table_html")}
+        for key in ids:
+            d = int(key)
+            doc = parse(f'<!DOCTYPE html><body>'
+                        f'<div id="a\x00b" c\x00d="v">x{d}</div>')
+            div = next(el for el in doc.elements_in_tree_order()
+                       if el.tag == "div")
+            odd_attr = next((k for k in div.attrs if k != "id"), "")
+            doc2 = parse(f'<!DOCTYPE html><body><di\x00v>z{d}')
+            body2 = next(el for el in doc2.elements_in_tree_order()
+                         if el.tag == "body")
+            odd_tag = next((c.tag for c in body2.children
+                            if hasattr(c, "tag")), "")
+            doc3 = parse(f'<!DOCTYPE html><body>'
+                         f'<table>\x0c<tr><td>y{d}</table>')
+            body3 = next(el for el in doc3.elements_in_tree_order()
+                         if el.tag == "body")
+            cols["doc_id"].append(key)
+            cols["id_value"].append(div.attrs.get("id", ""))
+            cols["odd_attr"].append(odd_attr)
+            cols["odd_tag"].append(odd_tag)
+            cols["table_html"].append(serialize_fragment(body3))
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["id_value"], pa.string()),
+             pa.array(cols["odd_attr"], pa.string()),
+             pa.array(cols["odd_tag"], pa.string()),
+             pa.array(cols["table_html"], pa.string())],
+            names=["doc_id", "id_value", "odd_attr", "odd_tag",
+                   "table_html"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
