@@ -13715,6 +13715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adoption_chain_census": actor(q.AdoptionChainCensus),
         "nul_attr_formfeed_census":
             actor(q.NulAttrFormFeedCensus),
+        "after_head_ws_census": actor(q.AfterHeadWsCensus),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -14068,6 +14069,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crlf_normalize_census", "adoption_chain_census",
         # new in round 3, hundred-sixty-first sweep
         "nul_attr_formfeed_census",
+        # new in round 3, hundred-sixty-second sweep
+        "after_head_ws_census",
     ]
     # Mechanical grading-priority order: every query the driver has
     # never graded (absent from the latest CORRECTNESS file) runs
@@ -21816,6 +21819,17 @@ def oracle_sql() -> dict[str, str]:
                    '<table>' || chr(12) ||
                    '<tbody><tr><td>y' || CAST(doc_id AS VARCHAR) ||
                    '</td></tr></tbody></table>' AS table_html
+            FROM documents
+        """,
+        # after-head whitespace -> text child of html between head
+        # and body; boundary charrefs decode exactly.
+        "after_head_ws_census": """
+            SELECT doc_id,
+                   'head,#text,body' AS html_kid_shape,
+                   CAST(2 AS BIGINT) AS ws_len,
+                   'x' || CAST(doc_id AS VARCHAR) AS body_text,
+                   'A' || chr(1114111) || 'B' || chr(65536) ||
+                   'C' || CAST(doc_id AS VARCHAR) AS boundary_text
             FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):

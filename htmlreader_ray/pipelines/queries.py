@@ -3651,6 +3651,55 @@ class NulAttrFormFeedCensus:
                    "table_html"])
 
 
+class AfterHeadWsCensus:
+    """Whitespace in 'after head' and charref boundary codepoints
+    (reference: HTMLParser.m afterHead whitespace arm +
+    HTMLTokenizer.m numeric range checks): whitespace between
+    </head> and <body> is inserted as a TEXT child of <html>
+    between head and body, and the numeric refs at the Unicode
+    boundary (&#x10FFFF;, &#x10000;) decode to their exact
+    codepoints. Shapes regenerate with chr()."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernel.dom import Text
+
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "html_kid_shape",
+                                "ws_len", "body_text",
+                                "boundary_text")}
+        for key in ids:
+            d = int(key)
+            doc = parse(f'<!DOCTYPE html><head>'
+                        f'<meta charset="utf-8"></head>  '
+                        f'<body>x{d}')
+            html = next(el for el in doc.elements_in_tree_order()
+                        if el.tag == "html")
+            shape = ",".join(
+                (c.tag if hasattr(c, "tag") else "#text")
+                for c in html.children)
+            ws = "".join(c.data for c in html.children
+                         if isinstance(c, Text))
+            body = next(el for el in doc.elements_in_tree_order()
+                        if el.tag == "body")
+            doc2 = parse(f'<!DOCTYPE html><body>'
+                         f'<p>A&#x10FFFF;B&#x10000;C{d}</p>')
+            p = next(el for el in doc2.elements_in_tree_order()
+                     if el.tag == "p")
+            cols["doc_id"].append(key)
+            cols["html_kid_shape"].append(shape)
+            cols["ws_len"].append(len(ws))
+            cols["body_text"].append(body.text_content)
+            cols["boundary_text"].append(p.text_content)
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["html_kid_shape"], pa.string()),
+             pa.array(cols["ws_len"], pa.int64()),
+             pa.array(cols["body_text"], pa.string()),
+             pa.array(cols["boundary_text"], pa.string())],
+            names=["doc_id", "html_kid_shape", "ws_len",
+                   "body_text", "boundary_text"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
