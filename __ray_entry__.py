@@ -13716,6 +13716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nul_attr_formfeed_census":
             actor(q.NulAttrFormFeedCensus),
         "after_head_ws_census": actor(q.AfterHeadWsCensus),
+        "extract_density_census": actor(q.ExtractDensityCensus),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -14071,6 +14072,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nul_attr_formfeed_census",
         # new in round 3, hundred-sixty-second sweep
         "after_head_ws_census",
+        # new in round 3, hundred-sixty-third sweep
+        "extract_density_census",
     ]
     # Mechanical grading-priority order: every query the driver has
     # never graded (absent from the latest CORRECTNESS file) runs
@@ -21830,6 +21833,20 @@ def oracle_sql() -> dict[str, str]:
                    'x' || CAST(doc_id AS VARCHAR) AS body_text,
                    'A' || chr(1114111) || 'B' || chr(65536) ||
                    'C' || CAST(doc_id AS VARCHAR) AS boundary_text
+            FROM documents
+        """,
+        # three extraction rule-sets over one page: default drops
+        # link-dense chrome, lenient keeps it, density drops tiny.
+        "extract_density_census": """
+            SELECT doc_id,
+                   'alpha beta gamma delta epsilon zeta' ||
+                   CAST(doc_id AS VARCHAR) || 'tiny'
+                       AS default_text,
+                   'nav0 nav1 nav2 nav3 alpha beta gamma delta ' ||
+                   'epsilon zeta' || CAST(doc_id AS VARCHAR) ||
+                   'tiny' AS lenient_text,
+                   'alpha beta gamma delta epsilon zeta' ||
+                   CAST(doc_id AS VARCHAR) AS density_text
             FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):

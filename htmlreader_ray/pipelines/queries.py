@@ -3700,6 +3700,52 @@ class AfterHeadWsCensus:
                    "body_text", "boundary_text"])
 
 
+class ExtractDensityCensus:
+    """The boilerplate-strip scoring gates as a graded query
+    (north-star: text-density/link-density heuristics; reference:
+    the HTMLReader-style DOM walk in kernel/extract.py): the SAME
+    page extracted under three rule-sets — default (link-dense
+    chrome dropped, short prose kept), lenient (nav survives), and
+    a text-density gate (short prose ALSO dropped). Extractors
+    compile once per worker; every output regenerates by concat."""
+
+    def __init__(self) -> None:
+        from ..kernel.extract import ExtractConfig, Extractor
+        self.default = Extractor(ExtractConfig())
+        self.lenient = Extractor(ExtractConfig(
+            max_link_density=1.1, min_block_chars=1))
+        self.density = Extractor(ExtractConfig(
+            min_text_density=3.0))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "default_text",
+                                "lenient_text", "density_text")}
+        for key in ids:
+            d = int(key)
+            chrome = "".join(f'<a href="/n{i}">nav{i}</a> '
+                             for i in range(4))
+            page = (f'<!DOCTYPE html><body>'
+                    f'<div id="chrome">{chrome}</div>'
+                    f'<div id="main"><p>alpha beta gamma delta '
+                    f'epsilon zeta{d}</p></div>'
+                    f'<div id="short"><p>tiny</p></div>')
+            cols["doc_id"].append(key)
+            cols["default_text"].append(
+                self.default.extract_html(page))
+            cols["lenient_text"].append(
+                self.lenient.extract_html(page))
+            cols["density_text"].append(
+                self.density.extract_html(page))
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["default_text"], pa.string()),
+             pa.array(cols["lenient_text"], pa.string()),
+             pa.array(cols["density_text"], pa.string())],
+            names=["doc_id", "default_text", "lenient_text",
+                   "density_text"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
