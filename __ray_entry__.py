@@ -13717,6 +13717,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             actor(q.NulAttrFormFeedCensus),
         "after_head_ws_census": actor(q.AfterHeadWsCensus),
         "extract_density_census": actor(q.ExtractDensityCensus),
+        "object_applet_marker_census":
+            actor(q.ObjectAppletMarkerCensus),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -14074,6 +14076,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "after_head_ws_census",
         # new in round 3, hundred-sixty-third sweep
         "extract_density_census",
+        # new in round 3, hundred-sixty-fourth sweep
+        "object_applet_marker_census",
     ]
     # Mechanical grading-priority order: every query the driver has
     # never graded (absent from the latest CORRECTNESS file) runs
@@ -21847,6 +21851,23 @@ def oracle_sql() -> dict[str, str]:
                    'tiny' AS lenient_text,
                    'alpha beta gamma delta epsilon zeta' ||
                    CAST(doc_id AS VARCHAR) AS density_text
+            FROM documents
+        """,
+        # object/applet clear-to-marker; outer <i> spans both, inner
+        # formatting never leaks; param void.
+        "object_applet_marker_census": """
+            SELECT doc_id,
+                   'out' || CAST(doc_id AS VARCHAR) ||
+                   'in' || CAST(doc_id AS VARCHAR) ||
+                   'post' || CAST(doc_id AS VARCHAR) ||
+                   'ap' || CAST(doc_id AS VARCHAR) ||
+                   'end' || CAST(doc_id AS VARCHAR)
+                       AS outer_i_text,
+                   CAST(2 AS BIGINT) AS n_i,
+                   'in' || CAST(doc_id AS VARCHAR) AS inner_i_text,
+                   'p' || CAST(doc_id AS VARCHAR) AS param_name,
+                   'ap' || CAST(doc_id AS VARCHAR) AS b_text,
+                   'applet' AS b_parent
             FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):

@@ -3746,6 +3746,59 @@ class ExtractDensityCensus:
                    "density_text"])
 
 
+class ObjectAppletMarkerCensus:
+    """object/applet AFE markers through the real parser (reference:
+    HTMLParser.m applet/marquee/object arm per WHATWG): formatting
+    opened INSIDE them is cleared to the marker at their end tag —
+    the inner <i>/<b> never leak out — while the OUTER <i> stays
+    open across both; <param> is a void child of object. Texts and
+    counts arithmetic in doc_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "outer_i_text", "n_i",
+                                "inner_i_text", "param_name",
+                                "b_text", "b_parent")}
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><body><i>out{d}'
+                    f'<object><param name="p{d}" value="v{d}">'
+                    f'<i>in{d}</object>post{d}'
+                    f'<applet code="a{d}"><b>ap{d}</applet>end{d}')
+            doc = parse(page)
+            n_i = 0
+            outer = inner = pname = b_text = b_parent = ""
+            for el in doc.elements_in_tree_order():
+                if el.tag == "i":
+                    n_i += 1
+                    if n_i == 1:
+                        outer = el.text_content
+                    else:
+                        inner = el.text_content
+                elif el.tag == "param":
+                    pname = el.attrs.get("name", "?")
+                elif el.tag == "b":
+                    b_text = el.text_content
+                    b_parent = el.parent.tag
+            cols["doc_id"].append(key)
+            cols["outer_i_text"].append(outer)
+            cols["n_i"].append(n_i)
+            cols["inner_i_text"].append(inner)
+            cols["param_name"].append(pname)
+            cols["b_text"].append(b_text)
+            cols["b_parent"].append(b_parent)
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["outer_i_text"], pa.string()),
+             pa.array(cols["n_i"], pa.int64()),
+             pa.array(cols["inner_i_text"], pa.string()),
+             pa.array(cols["param_name"], pa.string()),
+             pa.array(cols["b_text"], pa.string()),
+             pa.array(cols["b_parent"], pa.string())],
+            names=["doc_id", "outer_i_text", "n_i", "inner_i_text",
+                   "param_name", "b_text", "b_parent"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
