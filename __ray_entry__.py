@@ -13719,6 +13719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_density_census": actor(q.ExtractDensityCensus),
         "object_applet_marker_census":
             actor(q.ObjectAppletMarkerCensus),
+        "parse_error_code_census": actor(q.ParseErrorCodeCensus),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -14078,6 +14079,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_density_census",
         # new in round 3, hundred-sixty-fourth sweep
         "object_applet_marker_census",
+        # new in round 3, hundred-sixty-fifth sweep
+        "parse_error_code_census",
     ]
     # Mechanical grading-priority order: every query the driver has
     # never graded (absent from the latest CORRECTNESS file) runs
@@ -21868,6 +21871,22 @@ def oracle_sql() -> dict[str, str]:
                    'p' || CAST(doc_id AS VARCHAR) AS param_name,
                    'ap' || CAST(doc_id AS VARCHAR) AS b_text,
                    'applet' AS b_parent
+            FROM documents
+        """,
+        # six tokenizer-error families, exact spec code per page.
+        "parse_error_code_census": """
+            SELECT doc_id,
+                   CASE doc_id % 6
+                        WHEN 0 THEN 'eof-before-tag-name'
+                        WHEN 1 THEN 'duplicate-attribute'
+                        WHEN 2 THEN 'surrogate-character-reference'
+                        WHEN 3 THEN 'incorrectly-closed-comment'
+                        WHEN 4 THEN 'unexpected-character-in-' ||
+                                    'unquoted-attribute-value'
+                        ELSE 'unexpected-question-mark-' ||
+                             'instead-of-tag-name'
+                        END AS error_codes,
+                   CAST(1 AS BIGINT) AS n_errors
             FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):

@@ -3799,6 +3799,42 @@ class ObjectAppletMarkerCensus:
                    "param_name", "b_text", "b_parent"])
 
 
+class ParseErrorCodeCensus:
+    """Spec parse-error codes through the graded gate (reference:
+    HTMLReader's parse-error strings; WHATWG error names): six
+    tokenizer-error families cycled by doc_id%6, each page emitting
+    exactly the expected code list. The error-collection path
+    (collect_errors=True — the pure-Python kernel, since the C
+    parser bails on error collection by contract) is thereby
+    driver-graded too."""
+
+    CASES = (("<p>a{d}<", "eof-before-tag-name"),
+             ("<p b{d}='x' b{d}='y'>t", "duplicate-attribute"),
+             ("<p>&#xD800;x{d}", "surrogate-character-reference"),
+             ("<!-- c{d} --!>t", "incorrectly-closed-comment"),
+             ("<p a=b\"c>x{d}",
+              "unexpected-character-in-unquoted-attribute-value"),
+             ("<?bogus{d}>t",
+              "unexpected-question-mark-instead-of-tag-name"))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_codes, out_n = [], [], []
+        for key in ids:
+            d = int(key)
+            frag, _want = self.CASES[d % len(self.CASES)]
+            doc = parse(f"<!DOCTYPE html><body>"
+                        + frag.format(d=d), collect_errors=True)
+            out_id.append(key)
+            out_codes.append(",".join(doc.parse_errors))
+            out_n.append(len(doc.parse_errors))
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_codes, pa.string()),
+             pa.array(out_n, pa.int64())],
+            names=["doc_id", "error_codes", "n_errors"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
