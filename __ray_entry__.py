@@ -13720,6 +13720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "object_applet_marker_census":
             actor(q.ObjectAppletMarkerCensus),
         "parse_error_code_census": actor(q.ParseErrorCodeCensus),
+        "nested_foreign_census": actor(q.NestedForeignCensus),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -14081,6 +14082,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "object_applet_marker_census",
         # new in round 3, hundred-sixty-fifth sweep
         "parse_error_code_census",
+        # new in round 3, hundred-sixty-sixth sweep
+        "nested_foreign_census",
     ]
     # Mechanical grading-priority order: every query the driver has
     # never graded (absent from the latest CORRECTNESS file) runs
@@ -21887,6 +21890,18 @@ def oracle_sql() -> dict[str, str]:
                              'instead-of-tag-name'
                         END AS error_codes,
                    CAST(1 AS BIGINT) AS n_errors
+            FROM documents
+        """,
+        # namespace chains: mathml->svg via mtext, svg->mathml via
+        # foreignObject.
+        "nested_foreign_census": """
+            SELECT doc_id,
+                   'math:mathml,mtext:mathml,svg:svg,circle:svg'
+                       AS chain1,
+                   'foreignObject:svg,math:mathml,mi:mathml'
+                       AS chain2,
+                   'x' || CAST(doc_id AS VARCHAR) AS mtext_text,
+                   'm' || CAST(doc_id AS VARCHAR) AS mi_text
             FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):

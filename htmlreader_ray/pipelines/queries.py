@@ -3835,6 +3835,62 @@ class ParseErrorCodeCensus:
             names=["doc_id", "error_codes", "n_errors"])
 
 
+class NestedForeignCensus:
+    """Foreign content nested through integration points both ways
+    (reference: HTMLParser.m adjusted-current-node logic per
+    WHATWG): an <svg> opened inside a MathML TEXT integration point
+    (mtext) re-enters the svg namespace with its own children, and
+    a <math> inside svg's HTML integration point (foreignObject)
+    re-enters mathml — the namespace chain alternates
+    mathml→svg and svg→mathml cleanly. Chain strings arithmetic in
+    doc_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "chain1", "chain2",
+                                "mtext_text", "mi_text")}
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><body>'
+                    f'<math><mtext><svg><circle/></svg>x{d}'
+                    f'</mtext></math>'
+                    f'<svg><foreignObject><math><mi>m{d}</mi>'
+                    f'</math></foreignObject></svg>')
+            doc = parse(page)
+            parts1, parts2 = [], []
+            mtext_text = mi_text = ""
+            seen_fo = False
+            for el in doc.elements_in_tree_order():
+                ns = el.namespace
+                if el.tag == "mtext":
+                    mtext_text = el.text_content
+                elif el.tag == "mi":
+                    mi_text = el.text_content
+                if el.tag in ("math", "mtext", "circle") \
+                        and not seen_fo:
+                    parts1.append(f"{el.tag}:{ns}")
+                elif el.tag == "svg" and el.parent.tag == "mtext":
+                    parts1.append(f"{el.tag}:{ns}")
+                elif el.tag == "foreignObject":
+                    seen_fo = True
+                    parts2.append(f"{el.tag}:{ns}")
+                elif seen_fo and el.tag in ("math", "mi"):
+                    parts2.append(f"{el.tag}:{ns}")
+            cols["doc_id"].append(key)
+            cols["chain1"].append(",".join(parts1))
+            cols["chain2"].append(",".join(parts2))
+            cols["mtext_text"].append(mtext_text)
+            cols["mi_text"].append(mi_text)
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["chain1"], pa.string()),
+             pa.array(cols["chain2"], pa.string()),
+             pa.array(cols["mtext_text"], pa.string()),
+             pa.array(cols["mi_text"], pa.string())],
+            names=["doc_id", "chain1", "chain2", "mtext_text",
+                   "mi_text"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
