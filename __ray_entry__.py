@@ -13721,6 +13721,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             actor(q.ObjectAppletMarkerCensus),
         "parse_error_code_census": actor(q.ParseErrorCodeCensus),
         "nested_foreign_census": actor(q.NestedForeignCensus),
+        "anchor_table_combo_census":
+            actor(q.AnchorTableComboCensus),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -14084,6 +14086,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parse_error_code_census",
         # new in round 3, hundred-sixty-sixth sweep
         "nested_foreign_census",
+        # new in round 3, hundred-sixty-seventh sweep
+        "anchor_table_combo_census",
     ]
     # Mechanical grading-priority order: every query the driver has
     # never graded (absent from the latest CORRECTNESS file) runs
@@ -21902,6 +21906,19 @@ def oracle_sql() -> dict[str, str]:
                        AS chain2,
                    'x' || CAST(doc_id AS VARCHAR) AS mtext_text,
                    'm' || CAST(doc_id AS VARCHAR) AS mi_text
+            FROM documents
+        """,
+        # a-in-a across a table: adoption + fostering + post-table
+        # reconstruction; three anchors.
+        "anchor_table_combo_census": """
+            SELECT doc_id,
+                   CAST(3 AS BIGINT) AS n_a,
+                   'o' || CAST(doc_id AS VARCHAR) ||
+                   'f' || CAST(doc_id AS VARCHAR) ||
+                   'c' || CAST(doc_id AS VARCHAR) AS a1_text,
+                   't' || CAST(doc_id AS VARCHAR) AS last_a_text,
+                   'body' AS last_a_parent,
+                   'c' || CAST(doc_id AS VARCHAR) AS td_text
             FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):

@@ -3891,6 +3891,54 @@ class NestedForeignCensus:
                    "mi_text"])
 
 
+class AnchorTableComboCensus:
+    """The notorious a-in-a ACROSS a table (reference: HTMLParser.m
+    a-start-tag adoption + foster parenting together, M7+M9): the
+    second <a> runs the adoption agency, then foster-parents out of
+    the table along with its text; the table keeps its cell; after
+    </table> the still-active a[2] RECONSTRUCTS at body level to
+    wrap the trailing text. Three anchors, all pinned by
+    arithmetic."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "n_a", "a1_text",
+                                "last_a_text", "last_a_parent",
+                                "td_text")}
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><body><a href="1">o{d}'
+                    f'<table><a href="2">f{d}<tr><td>c{d}</table>'
+                    f't{d}')
+            doc = parse(page)
+            n_a = 0
+            a1 = last = last_parent = td = ""
+            for el in doc.elements_in_tree_order():
+                if el.tag == "a":
+                    n_a += 1
+                    if n_a == 1:
+                        a1 = el.text_content
+                    last = el.text_content
+                    last_parent = el.parent.tag
+                elif el.tag == "td":
+                    td = el.text_content
+            cols["doc_id"].append(key)
+            cols["n_a"].append(n_a)
+            cols["a1_text"].append(a1)
+            cols["last_a_text"].append(last)
+            cols["last_a_parent"].append(last_parent)
+            cols["td_text"].append(td)
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["n_a"], pa.int64()),
+             pa.array(cols["a1_text"], pa.string()),
+             pa.array(cols["last_a_text"], pa.string()),
+             pa.array(cols["last_a_parent"], pa.string()),
+             pa.array(cols["td_text"], pa.string())],
+            names=["doc_id", "n_a", "a1_text", "last_a_text",
+                   "last_a_parent", "td_text"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
