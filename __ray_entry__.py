@@ -13723,6 +13723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nested_foreign_census": actor(q.NestedForeignCensus),
         "anchor_table_combo_census":
             actor(q.AnchorTableComboCensus),
+        "encoding_label_census": actor(q.EncodingLabelCensus),
     }
     # Grading order: the round-2 driver graded only the first 50 entries.
     # Rotate every entry that has never had a driver CORRECTNESS row to
@@ -14088,6 +14089,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nested_foreign_census",
         # new in round 3, hundred-sixty-seventh sweep
         "anchor_table_combo_census",
+        # new in round 3, hundred-sixty-eighth sweep
+        "encoding_label_census",
     ]
     # Mechanical grading-priority order: every query the driver has
     # never graded (absent from the latest CORRECTNESS file) runs
@@ -21919,6 +21922,17 @@ def oracle_sql() -> dict[str, str]:
                    't' || CAST(doc_id AS VARCHAR) AS last_a_text,
                    'body' AS last_a_parent,
                    'c' || CAST(doc_id AS VARCHAR) AS td_text
+            FROM documents
+        """,
+        # label aliases: 1252 family decodes 0xE9 as é; utf-8 labels
+        # turn the stray byte into U+FFFD; unknown falls back.
+        "encoding_label_census": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 IN (3, 4) THEN 'UTF-8'
+                        ELSE 'windows-1252' END AS parsed_encoding,
+                   'x' || CAST(doc_id AS VARCHAR) ||
+                   CASE WHEN doc_id % 7 IN (3, 4) THEN chr(65533)
+                        ELSE chr(233) END AS body_text
             FROM documents
         """,
         # Remaining rows-only (genuinely impractical as SQL oracles):

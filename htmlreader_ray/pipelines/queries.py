@@ -3939,6 +3939,38 @@ class AnchorTableComboCensus:
                    "last_a_parent", "td_text"])
 
 
+class EncodingLabelCensus:
+    """WHATWG encoding-label aliasing through the byte entry point
+    (reference: HTMLReader label table, S5): latin1/ISO-8859-1/
+    ascii/l1 all resolve to windows-1252 (0xE9 → é), utf-8 labels
+    survive whitespace padding and the UTF8 spelling (the stray
+    0xE9 becomes U+FFFD), and an unknown label falls back to the
+    default windows-1252. Case = doc_id%7."""
+
+    LABELS = ("latin1", "ISO-8859-1", "ascii", " utf-8 ", "UTF8",
+              "l1", "unknown-enc")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_enc, out_txt = [], [], []
+        for key in ids:
+            d = int(key)
+            lab = self.LABELS[d % len(self.LABELS)]
+            raw = (f'<!DOCTYPE html><meta charset="{lab}">'
+                   f'<body>x{d}').encode() + b"\xe9"
+            doc = parse_bytes(raw)
+            body = next(el for el in doc.elements_in_tree_order()
+                        if el.tag == "body")
+            out_id.append(key)
+            out_enc.append(doc.parsed_encoding)
+            out_txt.append(body.text_content)
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_enc, pa.string()),
+             pa.array(out_txt, pa.string())],
+            names=["doc_id", "parsed_encoding", "body_text"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
