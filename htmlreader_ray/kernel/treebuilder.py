@@ -725,21 +725,46 @@ class TreeBuilder:
             return
         charset = attrs.get("charset")
         if charset is None and attrs.get("http-equiv", "").lower() == "content-type":
+            # WHATWG "extracting a character encoding from a meta
+            # element": find 'charset' case-insensitively, allow
+            # whitespace around '=', restart after a bare 'charset'
+            # token, quoted value fails without its closing quote,
+            # unquoted value ends at whitespace or ';'. (The
+            # reference never prescans meta at all —
+            # Sources/HTMLEncoding.m '// TODO Prescan?' — this whole
+            # path is a documented extension.)
             content = attrs.get("content", "")
             low = content.lower()
-            idx = low.find("charset=")
-            if idx != -1:
-                val = content[idx + 8:].strip()
-                # NB: `val[:1] in "\"'"` would be True for an EMPTY val
-                # (empty string is a substring of anything) and val[0]
-                # then raises — found by parse_bytes byte-fuzz
-                if val[:1] in ('"', "'"):
-                    q = val[0]
-                    end = val.find(q, 1)
-                    val = val[1:end] if end != -1 else val[1:]
-                else:
-                    parts = val.split(";")[0].split()
-                    val = parts[0] if parts else ""
+            ws = " \t\n\f\r"
+            pos = 0
+            val = ""
+            while True:
+                idx = low.find("charset", pos)
+                if idx == -1:
+                    break
+                j = idx + 7
+                while j < len(content) and content[j] in ws:
+                    j += 1
+                if j < len(content) and content[j] == "=":
+                    j += 1
+                    while j < len(content) and content[j] in ws:
+                        j += 1
+                    if j >= len(content):
+                        break
+                    if content[j] in ("\"", "'"):
+                        q = content[j]
+                        end = content.find(q, j + 1)
+                        if end != -1:
+                            val = content[j + 1:end]
+                        break
+                    k = j
+                    while k < len(content) \
+                            and content[k] not in ws + ";":
+                        k += 1
+                    val = content[j:k]
+                    break
+                pos = j
+            if val:
                 charset = val
         if charset:
             self.on_meta_charset(charset)
