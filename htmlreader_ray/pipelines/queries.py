@@ -3971,6 +3971,54 @@ class EncodingLabelCensus:
             names=["doc_id", "parsed_encoding", "body_text"])
 
 
+class MetaCharsetFormCensus:
+    """The meta-charset extraction forms through parse_bytes
+    (WHATWG 'extracting a character encoding from a meta element';
+    a documented EXTENSION — the reference never prescans meta,
+    Sources/HTMLEncoding.m '// TODO Prescan?'): plain charset attr,
+    http-equiv with and without whitespace around '=', a
+    single-quoted value inside a double-quoted content, a quoted
+    value MISSING its closing quote (fails → fallback), and a
+    decoy 'charset' in an unrelated meta. Case = doc_id%6."""
+
+    FORMS = (
+        ('<meta charset="windows-1251">', "windows-1251"),
+        ('<meta http-equiv="Content-Type" '
+         'content="text/html; charset=windows-1251">',
+         "windows-1251"),
+        ('<meta http-equiv="content-type" '
+         'content="text/html; CHARSET = windows-1251">',
+         "windows-1251"),
+        ("<meta content='text/html; charset=\"windows-1251\"' "
+         "http-equiv='Content-Type'>", "windows-1251"),
+        ('<meta http-equiv="content-type" '
+         'content="text/html; charset=\'windows-1251">',
+         "windows-1252"),
+        ('<meta name="description" content="charset=koi8-r">'
+         '<meta charset=windows-1251>', "windows-1251"),
+    )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_enc, out_txt = [], [], []
+        for key in ids:
+            d = int(key)
+            form, _want = self.FORMS[d % len(self.FORMS)]
+            raw = (f'<!DOCTYPE html>{form}<body>x{d}').encode() \
+                + b"\xe9"
+            doc = parse_bytes(raw)
+            body = next(el for el in doc.elements_in_tree_order()
+                        if el.tag == "body")
+            out_id.append(key)
+            out_enc.append(doc.parsed_encoding)
+            out_txt.append(body.text_content)
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_enc, pa.string()),
+             pa.array(out_txt, pa.string())],
+            names=["doc_id", "parsed_encoding", "body_text"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
