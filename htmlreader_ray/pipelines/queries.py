@@ -4019,6 +4019,36 @@ class MetaCharsetFormCensus:
             names=["doc_id", "parsed_encoding", "body_text"])
 
 
+class MetaUtf16RuleCensus:
+    """The meta-declared-UTF-16 rule (WHATWG: a <meta charset>
+    naming any UTF-16 flavor is treated as UTF-8, since the
+    prescan only runs over ASCII-compatible bytes) plus the
+    x-user-defined → windows-1252 substitution. Case = doc_id%3;
+    encodings and decoded tails regenerate with chr()."""
+
+    LABELS = ("utf-16", "UTF-16BE", "x-user-defined")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_enc, out_txt = [], [], []
+        for key in ids:
+            d = int(key)
+            lab = self.LABELS[d % 3]
+            raw = (f'<!DOCTYPE html><meta charset="{lab}">'
+                   f'<body>x{d}').encode() + b"\xe9"
+            doc = parse_bytes(raw)
+            body = next(el for el in doc.elements_in_tree_order()
+                        if el.tag == "body")
+            out_id.append(key)
+            out_enc.append(doc.parsed_encoding)
+            out_txt.append(body.text_content)
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_enc, pa.string()),
+             pa.array(out_txt, pa.string())],
+            names=["doc_id", "parsed_encoding", "body_text"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
