@@ -4049,6 +4049,52 @@ class MetaUtf16RuleCensus:
             names=["doc_id", "parsed_encoding", "body_text"])
 
 
+class AppropriateEndTagCensus:
+    """Appropriate-end-tag matching in RAWTEXT/RCDATA states
+    (reference: HTMLTokenizer.m appropriate-end-tag checks per
+    WHATWG): a NON-matching end tag inside <script> (</style>)
+    stays literal data, while the matching close works with
+    attributes (</script foo=bar>), case folding + trailing space
+    (</TITLE >), and a self-closing slash (</textarea/>). Texts
+    regenerate by concat."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "script_text",
+                                "title_text", "textarea_text",
+                                "body_text")}
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><body>'
+                    f'<script>a{d}</style>b{d}</script foo=bar>'
+                    f'<title>t{d}</TITLE >'
+                    f'<textarea>u{d}</textarea/>post{d}')
+            doc = parse(page)
+            st = tt = ta = bt = ""
+            for el in doc.elements_in_tree_order():
+                if el.tag == "script":
+                    st = el.text_content
+                elif el.tag == "title":
+                    tt = el.text_content
+                elif el.tag == "textarea":
+                    ta = el.text_content
+                elif el.tag == "body":
+                    bt = el.text_content
+            cols["doc_id"].append(key)
+            cols["script_text"].append(st)
+            cols["title_text"].append(tt)
+            cols["textarea_text"].append(ta)
+            cols["body_text"].append(bt)
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["script_text"], pa.string()),
+             pa.array(cols["title_text"], pa.string()),
+             pa.array(cols["textarea_text"], pa.string()),
+             pa.array(cols["body_text"], pa.string())],
+            names=["doc_id", "script_text", "title_text",
+                   "textarea_text", "body_text"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
