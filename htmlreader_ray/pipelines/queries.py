@@ -4095,6 +4095,40 @@ class AppropriateEndTagCensus:
                    "textarea_text", "body_text"])
 
 
+class NthExpressionCensus:
+    """an+b micro-syntax forms through the real engine (reference:
+    HTMLSelectorTests.m HTMLNthExpressionFromString cases incl. the
+    whitespace-padded '   odd    '): padded keywords, spaced
+    '2n + 1', negative coefficient '-n+3', 'even', and
+    nth-of-type multiples over six list items. Matched id lists
+    constant; ids carry doc_id."""
+
+    SELS = ("li:nth-child(   odd    )", "li:nth-child( 2n + 1 )",
+            "li:nth-child(-n+3)", "li:nth-child(even)",
+            "li:nth-of-type(3n)")
+
+    def __init__(self) -> None:
+        self.compiled = [compile_selector(s) for s in self.SELS]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = [[] for _ in self.compiled]
+        for key in ids:
+            d = int(key)
+            lis = "".join(f'<li id="l{d}_{j}">x' for j in range(6))
+            doc = parse(f'<!DOCTYPE html><body><ul>{lis}</ul>')
+            els = [e for e in doc.elements_in_tree_order()
+                   if e.tag == "li"]
+            for i, sel in enumerate(self.compiled):
+                cols[i].append(",".join(
+                    e.attrs["id"] for e in els if sel.matches(e)))
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64())]
+            + [pa.array(c, pa.string()) for c in cols],
+            names=["doc_id", "odd_ids", "spaced_ids", "neg_ids",
+                   "even_ids", "of_type_ids"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
