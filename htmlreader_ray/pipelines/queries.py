@@ -4129,6 +4129,52 @@ class NthExpressionCensus:
                    "even_ids", "of_type_ids"])
 
 
+class ForeignObjectScopeCensus:
+    """The integration-point scope quirk (reference: HTMLParser.m
+    any-other-end-tag loop per WHATWG): a <p> inside foreignObject
+    does NOT close the outer <p> (scope barrier), and once that
+    inner HTML <p> is current, BOTH </foreignObject> (case-mismatch
+    against the adjusted name) and </svg> hit the special-category
+    early-exit of the any-other-end-tag loop and are IGNORED — so
+    trailing text lands inside the INNER p, still under
+    foreignObject. Structure arithmetic in doc_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "outer_p_text",
+                                "inner_p_text", "inner_p_parent",
+                                "n_p")}
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><body><p>out{d}'
+                    f'<svg><foreignObject><p>in{d}'
+                    f'</foreignObject></svg>tail{d}')
+            doc = parse(page)
+            n_p = 0
+            outer = inner = inner_parent = ""
+            for el in doc.elements_in_tree_order():
+                if el.tag == "p":
+                    n_p += 1
+                    if n_p == 1:
+                        outer = el.text_content
+                    else:
+                        inner = el.text_content
+                        inner_parent = el.parent.tag
+            cols["doc_id"].append(key)
+            cols["outer_p_text"].append(outer)
+            cols["inner_p_text"].append(inner)
+            cols["inner_p_parent"].append(inner_parent)
+            cols["n_p"].append(n_p)
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["outer_p_text"], pa.string()),
+             pa.array(cols["inner_p_text"], pa.string()),
+             pa.array(cols["inner_p_parent"], pa.string()),
+             pa.array(cols["n_p"], pa.int64())],
+            names=["doc_id", "outer_p_text", "inner_p_text",
+                   "inner_p_parent", "n_p"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
