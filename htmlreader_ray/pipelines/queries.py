@@ -4175,6 +4175,40 @@ class ForeignObjectScopeCensus:
                    "inner_p_parent", "n_p"])
 
 
+class LinkPseudoCensus:
+    """:link and :root semantics through the real engine (reference:
+    HTMLSelector.m link pseudo-class): :link matches <a> AND <area>
+    carrying href but NOT a name-only anchor; :root matches only
+    the html element (empty when scoped under body). Hrefs
+    arithmetic in doc_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("doc_id", "link_hrefs",
+                                "n_body_root", "root_tag")}
+        for key in ids:
+            d = int(key)
+            doc = parse(f'<!DOCTYPE html><body>'
+                        f'<a href="h{d}">l</a><a name="n{d}">m</a>'
+                        f'<area href="q{d}">')
+            body = next(el for el in doc.elements_in_tree_order()
+                        if el.tag == "body")
+            links = ",".join(e.attrs.get("href", "")
+                             for e in body.css(":link"))
+            roots = doc.css(":root")
+            cols["doc_id"].append(key)
+            cols["link_hrefs"].append(links)
+            cols["n_body_root"].append(len(body.css(":root")))
+            cols["root_tag"].append(roots[0].tag if roots else "")
+        return pa.Table.from_arrays(
+            [pa.array(cols["doc_id"], pa.int64()),
+             pa.array(cols["link_hrefs"], pa.string()),
+             pa.array(cols["n_body_root"], pa.int64()),
+             pa.array(cols["root_tag"], pa.string())],
+            names=["doc_id", "link_hrefs", "n_body_root",
+                   "root_tag"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
