@@ -4209,6 +4209,34 @@ class LinkPseudoCensus:
                    "root_tag"])
 
 
+class DocumentSerializeCensus:
+    """Whole-document serialization round trip (reference:
+    HTMLSerializerTests.m document output): doctype node, html
+    attributes, head/title, body text and comment all re-emit in
+    order; a second parse of the output is a fixpoint (identical
+    serialization). Strings arithmetic in doc_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_html, out_fix = [], [], []
+        for key in ids:
+            d = int(key)
+            page = (f'<!DOCTYPE html><html lang="en"><head>'
+                    f'<title>t{d}</title></head><body>x{d}'
+                    f'<!--c{d}--></body></html>')
+            doc = parse(page)
+            s1 = serialize(doc)
+            s2 = serialize(parse(s1))
+            out_id.append(key)
+            out_html.append(s1)
+            out_fix.append(int(s1 == s2))
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_html, pa.string()),
+             pa.array(out_fix, pa.int64())],
+            names=["doc_id", "document_html", "fixpoint"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
