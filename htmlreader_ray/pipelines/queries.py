@@ -4237,6 +4237,36 @@ class DocumentSerializeCensus:
             names=["doc_id", "document_html", "fixpoint"])
 
 
+class DefaultSniffCensus:
+    """Default-encoding behavior with NO declaration anywhere
+    (reference: HTMLDocumentTests.m
+    testParsedStringEncodingEmptyDocument — windows-1252): empty
+    bytes, pure-ASCII bytes, and an 8-bit byte without any meta all
+    sniff to the windows-1252 default; 0xE9 decodes as é. Case =
+    doc_id%3."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_enc, out_txt = [], [], []
+        for key in ids:
+            d = int(key)
+            case = d % 3
+            raw = (b"", f"<p>plain{d}</p>".encode(),
+                   f"<p>caf\xe9{d}</p>".encode("latin-1"))[case]
+            doc = parse_bytes(raw)
+            body = next((el for el in doc.elements_in_tree_order()
+                         if el.tag == "body"), None)
+            out_id.append(key)
+            out_enc.append(doc.parsed_encoding)
+            out_txt.append(body.text_content if body is not None
+                           else "")
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_enc, pa.string()),
+             pa.array(out_txt, pa.string())],
+            names=["doc_id", "parsed_encoding", "body_text"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
