@@ -4267,6 +4267,37 @@ class DefaultSniffCensus:
             names=["doc_id", "parsed_encoding", "body_text"])
 
 
+class LossyDecodeCensus:
+    """Lossy windows-1252 decoding of the five UNUSED positions
+    (reference: HTMLEncoding.m UsesLossyWindows1252Decoding — maps
+    0x81/0x8D/0x8F/0x90/0x9D to U+FFFD like html5lib-python; the
+    reference's testIncorrectContentTypeHeader asserts the same
+    U+FFFD text): each doc decodes one unused byte between per-doc
+    markers. Case = doc_id%5."""
+
+    BYTES = (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_enc, out_txt = [], [], []
+        for key in ids:
+            d = int(key)
+            b = self.BYTES[d % 5]
+            raw = (f"<p>a{d}".encode() + bytes([b])
+                   + f"b{d}</p>".encode())
+            doc = parse_bytes(raw)
+            body = next(el for el in doc.elements_in_tree_order()
+                        if el.tag == "body")
+            out_id.append(key)
+            out_enc.append(doc.parsed_encoding)
+            out_txt.append(body.text_content)
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_enc, pa.string()),
+             pa.array(out_txt, pa.string())],
+            names=["doc_id", "parsed_encoding", "body_text"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
