@@ -322,6 +322,17 @@ class Comment(Node):
         super().__init__()
         self.data = data
 
+    # reference parity: a comment's textContent IS its data and is
+    # writable (HTMLNodeTests.m:149-152), while comments contribute
+    # nothing to an ancestor's textContent
+    @property
+    def text_content(self) -> str:
+        return self.data
+
+    @text_content.setter
+    def text_content(self, value: str) -> None:
+        self.data = value
+
 
 class Doctype(Node):
     __slots__ = ("name", "public_id", "system_id")

@@ -243,3 +243,20 @@ def test_attrs_copy_independence():
     assert list(clone.attrs.items()) == list(el.attrs.items())
     el.attrs["extra"] = "1"
     assert "extra" not in clone.attrs
+
+
+def test_comment_text_content_is_its_data():
+    """Reference parity (HTMLNodeTests.m:149-152): a comment's
+    textContent is its data and is writable, yet comments contribute
+    nothing to an ancestor's textContent."""
+    from htmlreader_ray.kernel.dom import Comment, Element, Text
+
+    root = Element("body")
+    c = Comment("shhh")
+    root.append_child(c)
+    assert root.text_content == ""
+    assert c.text_content == "shhh"
+    c.text_content = "loud"
+    assert c.data == "loud"
+    root.append_child(Text("hi"))
+    assert root.text_content == "hi"
