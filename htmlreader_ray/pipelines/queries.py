@@ -4298,6 +4298,34 @@ class LossyDecodeCensus:
             names=["doc_id", "parsed_encoding", "body_text"])
 
 
+class RawSerializeCensus:
+    """Raw-text serialization parity (reference:
+    HTMLSerializerTests.m testRCDATA/testDoctype): script/style
+    children serialize UNESCAPED, and a doctype serializes as bare
+    <!DOCTYPE name> with case preserved and public/system ids
+    DROPPED. Strings arithmetic in doc_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernel.dom import Doctype, Element, Text
+
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_sc, out_dt = [], [], []
+        for key in ids:
+            d = int(key)
+            s = Element("script")
+            s.append_child(Text(f"a{d}<b>c&d{d}"))
+            dt = Doctype("HTML", "-//W3C//DTD HTML 4.01//EN",
+                         "http://example.com/x")
+            out_id.append(key)
+            out_sc.append(serialize(s))
+            out_dt.append(serialize(dt))
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()),
+             pa.array(out_sc, pa.string()),
+             pa.array(out_dt, pa.string())],
+            names=["doc_id", "script_html", "doctype_html"])
+
+
 class LinkExtract:
     """Link/anchor extraction — the web-pipeline edge-table builder: parse
     each generated page (boilerplate links + the per-doc ref block) and
