@@ -92,10 +92,24 @@ def run_queries(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
     return {"timings": timings, "rows": rows}
 
 
+# Second stanza: the round-3 heavyweight pipelines, timed in the same
+# session AFTER the frozen 11-query headline so regressions in the newer
+# operator families stay visible round-over-round without breaking the
+# headline's comparability (VERDICT r3 item 6).
+EXTENDED_QUERIES = [
+    "doc_similarity_topk",
+    "semdedup_prune",
+    "fk_integrity_audit",
+    "e2e_curation_pipeline",
+]
+
+
 def main_bench() -> None:
     t0 = time.perf_counter()
     res = run_queries(SF_DIR, NUM_CPUS, HEADLINE_QUERIES)
     total = round(time.perf_counter() - t0, 3)
+    ext = run_queries(SF_DIR, NUM_CPUS, EXTENDED_QUERIES)
+    ext_total = round(sum(ext["timings"].values()), 3)
     n_docs = res["rows"].get("fingerprint") or 0
     out = {
         "metric": "headline_pipelines_total",
@@ -107,6 +121,9 @@ def main_bench() -> None:
         "extract_docs_per_sec": round(
             n_docs / res["timings"]["extract_interleaved"], 2)
         if res["timings"].get("extract_interleaved") else None,
+        "extended_total_secs": ext_total,
+        "queries_extended": ext["timings"],
+        "rows_extended": ext["rows"],
         "sf": _sf_from_dir(SF_DIR),
         "num_cpus": NUM_CPUS,
         "host_busyloop_speedup_32x": _host_health(),

@@ -505,10 +505,10 @@ def hits_local(edges: pa.Table, iters: int = 2,
                          "hub": pa.array([], pa.int64()),
                          "auth": pa.array([], pa.int64())})
     if len(src) > local_max_edges:
-        raise NotImplementedError(
-            "hits_local is the bounded-edge-table path; for larger "
-            "graphs run the per-iteration join+groupby composition "
-            "(pagerank_distributed shape)")
+        raise ValueError(
+            "hits_local is the bounded-edge-table path; past "
+            "local_max_edges call hits_distributed (or the hits() "
+            "dispatcher) for the per-iteration join+groupby rounds")
     both = pa.chunked_array(
         list(src.chunks) + list(dst.chunks), pa.string())
     nodes = pc.unique(both)
@@ -529,3 +529,139 @@ def hits_local(edges: pa.Table, iters: int = 2,
     return pa.table({"node": nodes,
                      "hub": pa.array(h),
                      "auth": pa.array(a)})
+
+
+def hits_distributed(edges, iters: int = 2, num_partitions: int = 4):
+    """Dataset[(src, dst)] -> Dataset[(node, hub, auth)] — the
+    join-per-iteration composition of the same exact-integer HITS
+    rounds as ``hits_local`` (bit-parity pinned in
+    tests/test_graph.py), for host graphs past ``local_max_edges``.
+
+    Scale shape (the ``pagerank_distributed`` discipline): the edge
+    table is reduced to DISTINCT (src, dst) once by the block-local
+    combiner, then each iteration costs two hash joins + two narrow
+    combiner groupby-sums —
+
+        auth round: hub scores joined onto edges by src,
+                    groupby(dst) sum -> auth inflow;
+        hub round:  auth scores joined onto edges by dst,
+                    groupby(src) sum -> hub inflow
+
+    — and one left-outer join back onto the |nodes|-row score table to
+    fill zeros for sink/source nodes. Only the (node, hub, auth) table
+    (|nodes| rows) materializes between iterations; the edge table
+    streams through every join. All sums are int64 path counts, so the
+    result is summation-order independent and byte-identical to the
+    numpy scatter-add path regardless of block layout.
+    """
+    import ray.data
+
+    from .shuffle import combine_aggregate
+
+    def _distinct(ds, cols):
+        out = combine_aggregate(ds, cols, [("", "count", "_c")])
+        return out.select_columns(cols)
+
+    edges = _distinct(edges, ["src", "dst"]).map_batches(
+        lambda b: pa.Table.from_arrays(
+            [pc.cast(b.column("src"), pa.string()),
+             pc.cast(b.column("dst"), pa.string())],
+            names=["src", "dst"]),
+        batch_format="pyarrow").materialize()
+
+    def _endpoints(b: pa.Table, col: str) -> pa.Table:
+        return pa.Table.from_arrays([b.column(col)], names=["node"])
+
+    nodes = _distinct(
+        edges.map_batches(lambda b: _endpoints(b, "src"),
+                          batch_format="pyarrow").union(
+            edges.map_batches(lambda b: _endpoints(b, "dst"),
+                              batch_format="pyarrow")),
+        ["node"]).materialize()
+    if nodes.count() == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.string()),
+                      "hub": pa.array([], pa.int64()),
+                      "auth": pa.array([], pa.int64())}))
+
+    nodes_scrubbed = _scrub(nodes, num_partitions).materialize()
+
+    scores = nodes.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("node"),
+             pa.array(np.ones(len(b), np.int64)),
+             pa.array(np.zeros(len(b), np.int64))],
+            names=["node", "hub", "auth"]),
+        batch_format="pyarrow").materialize()
+
+    def _half_round(scores, src_col: str, dst_col: str,
+                    carry_col: str, out_col: str):
+        """One alternating half-round: sum ``carry_col`` over edges
+        grouped by ``dst_col`` (edges keyed on ``src_col``)."""
+        side = scores.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("node"), b.column(carry_col)],
+                names=[src_col, "__s"]),
+            batch_format="pyarrow")
+        flow = _scrub(edges, num_partitions).join(
+            _scrub(side, num_partitions), join_type="inner",
+            num_partitions=num_partitions, on=(src_col,))
+        inflow = combine_aggregate(
+            flow.select_columns([dst_col, "__s"]), [dst_col],
+            [("__s", "sum", "__inflow")])
+        joined = nodes_scrubbed.join(
+            _scrub(inflow, num_partitions), join_type="left_outer",
+            num_partitions=num_partitions, on=("node",),
+            right_on=(dst_col,))
+        return joined.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("node"),
+                 pc.fill_null(pc.cast(b.column("__inflow"), pa.int64()),
+                              0)],
+                names=["node", out_col]),
+            batch_format="pyarrow")
+
+    for _ in range(iters):
+        # a_k(v) = sum over u->v of h_{k-1}(u); the |nodes|-row score
+        # table materializes between half-rounds (it is consumed twice:
+        # as the next half-round's input and in the final zip join) —
+        # the edge table itself never does
+        auth = _half_round(scores, "src", "dst", "hub",
+                           "auth").materialize()
+        # h_k(u) = sum over u->v of a_k(v)
+        hub = _half_round(auth, "dst", "src", "auth",
+                          "hub").materialize()
+        scores = _scrub(hub, num_partitions).join(
+            _scrub(auth, num_partitions), join_type="inner",
+            num_partitions=num_partitions, on=("node",)
+        ).select_columns(["node", "hub", "auth"]).materialize()
+    return scores
+
+
+def hits(edges, iters: int = 2, mode: str = "auto",
+         local_max_edges: int = 5_000_000, num_partitions: int = 4):
+    """Dataset[(src, dst)] -> Dataset[(node, hub, auth)]; picks the
+    numpy scatter-add path while the (combiner-reduced) distinct edge
+    table is bounded, else the join-per-iteration Dataset path — the
+    same auto dispatch (and the same bit-exact result either way) as
+    ``pagerank``."""
+    import ray
+    import ray.data
+
+    if mode == "distributed":
+        return hits_distributed(edges, iters=iters,
+                                num_partitions=num_partitions)
+    if mode == "local":
+        parts = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+        t = (pa.concat_tables(parts) if parts
+             else pa.table({"src": pa.array([], pa.string()),
+                            "dst": pa.array([], pa.string())}))
+        return ray.data.from_arrow(
+            hits_local(t, iters=iters,
+                       local_max_edges=max(local_max_edges, t.num_rows)))
+    cnt = edges.count()
+    if cnt <= local_max_edges:
+        return hits(edges, iters=iters, mode="local",
+                    local_max_edges=local_max_edges)
+    return hits_distributed(edges, iters=iters,
+                            num_partitions=num_partitions)

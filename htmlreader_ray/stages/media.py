@@ -345,8 +345,14 @@ class MediaFeatures:
         arrays = [batch.column(c) for c in self.keep_cols]
         names = list(self.keep_cols)
         arrays += [batch.column(self.ref_col),
-                   pa.array(feats, pa.list_(pa.float64()))]
-        names += [self.ref_col, "features"]
+                   pa.array(feats, pa.list_(pa.float64())),
+                   # stub marker: no vision/audio lib in this container,
+                   # so these are digest-derived pseudo-embeddings; a
+                   # real encoder stage sets decoded=True. Stamped on
+                   # every row so consumers see the stub in-band, not
+                   # just in the docstring.
+                   pa.array([False] * len(refs), pa.bool_())]
+        names += [self.ref_col, "features", "decoded"]
         return pa.Table.from_arrays(arrays, names=names)
 
 
@@ -447,6 +453,11 @@ class MediaFrameSample:
         names = list(self.keep_cols)
         arrays += [pa.array(out_ref, pa.string()),
                    pa.array(out_idx, pa.int32()),
-                   pa.array(out_ts, pa.int32())]
-        names += [self.ref_col, "frame_idx", "frame_ts_ms"]
+                   pa.array(out_ts, pa.int32()),
+                   # stub marker: frame DECODE is stubbed (no video
+                   # codec in this container) — the sampling grid is
+                   # real, the pixels are not; a real codec stage sets
+                   # decoded=True per frame
+                   pa.array([False] * len(out_ref), pa.bool_())]
+        names += [self.ref_col, "frame_idx", "frame_ts_ms", "decoded"]
         return pa.Table.from_arrays(arrays, names=names)

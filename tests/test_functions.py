@@ -276,6 +276,32 @@ def test_media_frame_sample_fanout():
     assert ts == sorted(ts)
 
 
+def test_stubbed_decode_marker_propagates_end_to_end(ray_session):
+    """With no codec library in the container, every row produced by the
+    stubbed decode stages must carry decoded=False all the way through
+    the driver-facing queries (media_features, media_frames) — the stub
+    is declared in-band, not only in docstrings (VERDICT r3 item 7)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "__ray_entry__.py"))
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    qs = entry.queries()
+    for name in ("media_features", "media_frames"):
+        ds = qs[name]("/root/testdata/sf0.001")
+        seen = 0
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+            assert "decoded" in b.column_names, name
+            vals = set(b.column("decoded").to_pylist())
+            assert vals == {False}, (name, vals)
+            seen += len(b)
+        assert seen > 0, name
+
+
 # ----------------------------------------------- scale-path regressions
 
 

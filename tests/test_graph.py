@@ -245,5 +245,72 @@ def test_hits_local_empty_and_guard():
                       "dst": pa.array([], pa.string())})
     assert hits_local(empty).num_rows == 0
     big = pa.table({"src": ["a", "b"], "dst": ["b", "a"]})
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         hits_local(big, local_max_edges=1)
+
+
+def test_hits_distributed_bit_parity_with_local(ray_session):
+    import ray.data
+
+    from htmlreader_ray.functions.graph import (hits_distributed,
+                                                hits_local)
+
+    rng = np.random.default_rng(7)
+    pairs = [(f"h{i}", f"h{j}")
+             for i, j in zip(rng.integers(0, 30, 200),
+                             rng.integers(0, 30, 200))]
+    t = pa.table({"src": [s for s, _ in pairs],
+                  "dst": [d for _, d in pairs]})
+    edges = ray.data.from_arrow(t).repartition(5)
+    dist = {r["node"]: (r["hub"], r["auth"])
+            for r in hits_distributed(edges, iters=2).take_all()}
+    loc = {r["node"]: (r["hub"], r["auth"])
+           for r in hits_local(t, iters=2).to_pylist()}
+    assert dist == loc
+
+
+def test_hits_distributed_self_loop_and_sink(ray_session):
+    import ray.data
+
+    from htmlreader_ray.functions.graph import (hits_distributed,
+                                                hits_local)
+
+    # self-loop on a, sink y, source-only b
+    t = pa.table({"src": ["a", "a", "b"], "dst": ["a", "y", "y"]})
+    edges = ray.data.from_arrow(t).repartition(2)
+    dist = {r["node"]: (r["hub"], r["auth"])
+            for r in hits_distributed(edges, iters=2).take_all()}
+    loc = {r["node"]: (r["hub"], r["auth"])
+           for r in hits_local(t, iters=2).to_pylist()}
+    assert dist == loc
+
+
+def test_hits_distributed_empty(ray_session):
+    import ray.data
+
+    from htmlreader_ray.functions.graph import hits_distributed
+
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array([], pa.string()),
+                  "dst": pa.array([], pa.string())}))
+    assert hits_distributed(edges).count() == 0
+
+
+def test_hits_auto_dispatch(ray_session):
+    import ray.data
+
+    from htmlreader_ray.functions.graph import hits, hits_local
+
+    t = pa.table({"src": ["a", "a", "b"], "dst": ["x", "y", "x"]})
+    edges = ray.data.from_arrow(t)
+    loc = {r["node"]: (r["hub"], r["auth"])
+           for r in hits_local(t, iters=2).to_pylist()}
+    for mode in ("auto", "local", "distributed"):
+        got = {r["node"]: (r["hub"], r["auth"])
+               for r in hits(edges, iters=2, mode=mode).take_all()}
+        assert got == loc, mode
+    # auto past the edge bound routes to the distributed path
+    got = {r["node"]: (r["hub"], r["auth"])
+           for r in hits(edges, iters=2, mode="auto",
+                         local_max_edges=1).take_all()}
+    assert got == loc

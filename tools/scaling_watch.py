@@ -19,12 +19,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = "/tmp/scaling_official.jsonl"
 BAR = 29.0
 
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+import bench as _bench  # noqa: E402  (after sys.path setup)
+
 
 def health() -> float:
-    sys.path.insert(0, REPO)
-    import importlib
-    bench = importlib.import_module("bench")
-    return float(bench._host_health())
+    return float(_bench._host_health())
 
 
 def main() -> int:
