@@ -77,9 +77,14 @@ def run_queries(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
     # warm the worker pool + imports on the TARGET sf so the timed numbers
     # measure pipeline throughput, not one-time session spin-up (a 32-wide
     # worker pool importing the package + C parser costs ~3 s once per
-    # session; warming on a smaller sf leaves most workers unspawned)
+    # session; warming on a smaller sf leaves most workers unspawned).
+    # Also warm the sort/aggregate machinery once: the first Aggregate op
+    # in a session pays ~1 s of shuffle-worker spin-up that otherwise
+    # lands on whichever timed query hits a groupby first (measured:
+    # exact_dedup 1.21 s cold vs 0.25 s warm at sf0.1/32cpu).
     try:
         _consume(qs["extract_interleaved"](sf_dir))
+        _consume(qs["events_agg"](sf_dir))
     except Exception:
         pass
     timings: dict[str, float] = {}

@@ -357,7 +357,7 @@ def minhash_dedup_pairs(ds, *, threshold: float = 0.8, n_perm: int = 128,
                         bands: int = 16, shingle_k: int = 5,
                         text_col: str = "text", id_col: str = "doc_id",
                         shuffle_partitions: int | None = None,
-                        concurrency=(1, 8)):
+                        concurrency=(1, 8), scrub: bool = True):
     """Dataset -> Dataset[(id_a, id_b)] candidate near-dup pairs that passed
     banding (pre-verification). Verification against exact Jaccard happens in
     verify_pairs (needs the texts; at scale, a broadcast side table or a join
@@ -366,7 +366,13 @@ def minhash_dedup_pairs(ds, *, threshold: float = 0.8, n_perm: int = 128,
     ``shuffle_partitions`` right-sizes the banding shuffle: the banded rows
     are 3 narrow columns, so inheriting the (wide) input's block count pays
     per-block sort barriers for near-empty blocks. Pass roughly
-    input_bytes / 32MB (clamped to >= 8); None keeps the input layout."""
+    input_bytes / 32MB (clamped to >= 8); None keeps the input layout.
+
+    ``scrub=False`` skips the final empty-block repartition (one whole
+    shuffle barrier, ~0.3 s of fixed cost at small scale): safe whenever
+    the caller consumes the pairs directly (iter/write/aggregate) rather
+    than feeding them to a Dataset.join, which is the one consumer that
+    rejects the groupby machinery's zero-column empty blocks."""
     from ..stages.task_cache import as_task
     banded = ds.map_batches(
         as_task(MinHashBands, n_perm=n_perm, bands=bands,
@@ -383,7 +389,7 @@ def minhash_dedup_pairs(ds, *, threshold: float = 0.8, n_perm: int = 128,
     from ray.data.aggregate import Count
     distinct = (pairs.groupby(["id_a", "id_b"]).aggregate(Count())
                 .select_columns(["id_a", "id_b"]))
-    return _scrub_empty_blocks(distinct)
+    return _scrub_empty_blocks(distinct) if scrub else distinct
 
 
 def _scrub_empty_blocks(pairs_ds):
