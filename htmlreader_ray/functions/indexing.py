@@ -369,7 +369,8 @@ def bigram_surprisal(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
 def doc_similarity_topk(ds, *, text_col: str = "text",
                         id_col: str = "doc_id", scale: int = 1000,
-                        top_k: int = 50, df_cap_den: int = 25):
+                        top_k: int = 50, df_cap_den: int = 25,
+                        n_docs: int | None = None):
     """Sparse tf-idf document-similarity join over ADJACENT-BIGRAM
     features: top-K document pairs by the integer dot product of their
     quantized tf-idf vectors (sim_e6 = Σ_f s_a(f)·s_b(f), s = the
@@ -393,7 +394,10 @@ def doc_similarity_topk(ds, *, text_col: str = "text",
     from .scoring import _TfIdfScore
 
     parts = _narrow_partitions()
-    n_docs = ds.count()
+    if n_docs is None:
+        # callers that know the corpus size (e.g. from parquet footer
+        # metadata) pass it in and skip this full-dataset pass
+        n_docs = ds.count()
     cap = max(2, n_docs // df_cap_den)
 
     def _bigram_tf(batch: pa.Table) -> pa.Table:
