@@ -66,3 +66,25 @@ def test_grading_order_ungraded_first():
     assert not ungraded_after, (
         f"ungraded queries sorted after a graded one: "
         f"{ungraded_after[:5]}")
+
+
+def test_bench_stanzas_frozen():
+    """BENCH_r{N} comparability depends on the headline query list
+    staying frozen round-over-round (the extended stanza was added in
+    round 4 and is likewise pinned)."""
+    import importlib.util
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(here, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    assert bench.HEADLINE_QUERIES == [
+        "extract_interleaved", "exact_dedup", "minhash_pairs",
+        "ann_brute_topk", "token_count", "quality_counts", "lang_id",
+        "fingerprint", "events_windowed", "user_sessions",
+        "media_decode"]
+    assert bench.EXTENDED_QUERIES == [
+        "doc_similarity_topk", "semdedup_prune", "fk_integrity_audit",
+        "e2e_curation_pipeline"]
