@@ -367,9 +367,19 @@ def bigram_surprisal(ds, *, text_col: str = "text", id_col: str = "doc_id",
         [("k", "sum", "n_bigrams"), ("ks", "sum", "bg_surprisal_e3")])
 
 
+def similarity_df_cap(n_docs: int, df_cap_den: int = 25,
+                      abs_df_cap: int = 1024) -> int:
+    """The doc_similarity_topk stop-word df cap: relative early (small
+    corpora keep discriminative features), ABSOLUTE once saturated —
+    constant in n_docs, so per-feature pair fan-out (cap²) is bounded
+    by a constant at any corpus size. Pinned by test_plan_shape."""
+    return max(2, min(n_docs // df_cap_den, abs_df_cap))
+
+
 def doc_similarity_topk(ds, *, text_col: str = "text",
                         id_col: str = "doc_id", scale: int = 1000,
                         top_k: int = 50, df_cap_den: int = 25,
+                        abs_df_cap: int = 1024,
                         n_docs: int | None = None):
     """Sparse tf-idf document-similarity join over ADJACENT-BIGRAM
     features: top-K document pairs by the integer dot product of their
@@ -378,17 +388,24 @@ def doc_similarity_topk(ds, *, text_col: str = "text",
     are too dense to discriminate on a small closed vocabulary, and at
     web scale the same argument picks shingles over words).
 
-    Scale shape: features with df > n_docs // df_cap_den are DROPPED
-    before pairing (the stop-word fan-out guard — a feature shared by
-    every document contributes O(n²) pairs and no discrimination; the
-    same cap is applied by the SQL oracle, so the contract is exact,
-    not approximate). Pair generation is a feature-keyed groupby whose
-    per-group work is bounded by cap²; pair scores then flow through
-    one combiner sum and a block-local + single-merge top-K — no
-    global sort, no broadcast of the corpus."""
+    Scale shape: features with df > min(n_docs // df_cap_den,
+    abs_df_cap) are DROPPED before pairing (the stop-word fan-out
+    guard — a feature shared by every document contributes O(n²) pairs
+    and no discrimination; the same cap is applied by the SQL oracle,
+    so the contract is exact, not approximate). The ABSOLUTE component
+    matters at scale: a relative-only cap grows with the corpus, so at
+    10⁹ docs a single hot feature could legally form a
+    (n_docs/25)²-pair group; with abs_df_cap every feature group is
+    ≤ abs_df_cap rows — pair fan-out per feature is bounded by a
+    CONSTANT (abs_df_cap², ~0.5M pairs at the default), independent of
+    n_docs, and the bound is deterministic (no sampling), so the SQL
+    contract stays exact at every scale. tf·df attachment is a hash
+    join partitioned on the feature — the df side scales with the
+    corpus *vocabulary*, which must never transit the driver or be
+    broadcast whole. Pair scores then flow through one combiner sum
+    and a block-local + single-merge top-K — no global sort."""
     import numpy as np
     import pyarrow.compute as pc
-    import ray
     from ray.data.aggregate import Sum
 
     from .scoring import _TfIdfScore
@@ -398,7 +415,7 @@ def doc_similarity_topk(ds, *, text_col: str = "text",
         # callers that know the corpus size (e.g. from parquet footer
         # metadata) pass it in and skip this full-dataset pass
         n_docs = ds.count()
-    cap = max(2, n_docs // df_cap_den)
+    cap = similarity_df_cap(n_docs, df_cap_den, abs_df_cap)
 
     def _bigram_tf(batch: pa.Table) -> pa.Table:
         # (doc_id, w = "w1 w2", tf): per-doc adjacent-pair counts; a
@@ -423,24 +440,19 @@ def doc_similarity_topk(ds, *, text_col: str = "text",
     df = df.map_batches(
         lambda b: b.filter(pc.less_equal(b.column("df"),
                                          pa.scalar(cap))),
-        batch_format="pyarrow").materialize()
+        batch_format="pyarrow")
 
-    blocks = [t for t in ray.get(df.to_arrow_refs()) if t.num_rows]
-    df_tbl = (pa.concat_tables(blocks).combine_chunks() if blocks
-              else pa.table({"w": pa.array([], pa.string()),
-                             "df": pa.array([], pa.int64())}))
-    df_ref = ray.put(df_tbl)
-    score_fn = _TfIdfScore(n_docs, scale)
-
-    def score_broadcast(batch: pa.Table) -> pa.Table:
-        dt = ray.get(df_ref)
-        idx = pc.index_in(batch.column("w"), value_set=dt.column("w"))
-        keep = idx.is_valid()
-        batch, idx = batch.filter(keep), idx.filter(keep)
-        return score_fn(batch.append_column(
-            "df", pc.take(dt.column("df"), idx)))
-
-    scored = tf.map_batches(score_broadcast, batch_format="pyarrow")
+    # tf ⋈ df hash-partitioned on the feature: the surviving-feature df
+    # table scales with the corpus VOCABULARY, so it must never be
+    # collected to the driver or ray.put-broadcast whole (the round-4
+    # scale flaw). Repartition both sides first — groupby/map_batches
+    # output can carry zero-column empty blocks that poison Acero hash
+    # joins (see dedup._scrub_empty_blocks).
+    joined = tf.repartition(parts).join(
+        df.repartition(parts), join_type="inner",
+        num_partitions=parts, on=("w",), right_on=("w",))
+    scored = joined.map_batches(_TfIdfScore(n_docs, scale),
+                                batch_format="pyarrow")
 
     def pair_group(group: pa.Table) -> pa.Table:
         empty = pa.table({"doc_a": pa.array([], pa.int64()),
