@@ -279,20 +279,66 @@ def _fnv64(w: str) -> int:
     return h
 
 
+def _fnv64_words(words: list[str]) -> "np.ndarray":
+    """FNV-1a over a word LIST, vectorized across words: the byte loop
+    runs over the longest word's width (typically ≤ 20 iterations) with
+    one numpy xor-multiply per byte COLUMN, not a Python loop per byte.
+    Bit-identical to _fnv64 (uint64 multiply wraps mod 2⁶⁴); pinned by
+    the simhash_near_pairs oracle and a parity test."""
+    enc = [w.encode("utf-8") for w in words]
+    # np.bytes_ arrays NUL-pad to the common width; a word from
+    # str.split() can still CONTAIN a NUL byte, so lengths come from
+    # the encodings, not from the padding
+    wb = np.array(enc, dtype=np.bytes_)
+    width = wb.dtype.itemsize
+    mat = wb.view(np.uint8).reshape(len(enc), width)
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64,
+                       count=len(enc))
+    h = np.full(len(enc), _FNV_OFFSET, dtype=np.uint64)
+    prime = np.uint64(_FNV_PRIME)
+    for j in range(width):
+        active = lens > j
+        if not active.all():
+            if not active.any():
+                break
+            hj = h[active]
+            h[active] = (hj ^ mat[active, j].astype(np.uint64)) * prime
+        else:
+            h = (h ^ mat[:, j].astype(np.uint64)) * prime
+    return h
+
+
+def _simhash_from_hashes(hs: "np.ndarray", starts: "np.ndarray",
+                         counts: "np.ndarray") -> "np.ndarray":
+    """Per-document 64-bit SimHash from the flat word-hash array:
+    unpack bits (little-endian ⇒ column j is bit j), segment-sum the
+    per-doc bit tallies with one reduceat, set bit i where the tally
+    exceeds half the word count (⇔ v[i] > 0 in the ±1 formulation)."""
+    bits = np.unpackbits(
+        hs.view(np.uint8).reshape(len(hs), 8), axis=1, bitorder="little")
+    out = np.zeros(len(counts), dtype=np.uint64)
+    nz = counts > 0
+    if nz.any():
+        # reduceat misbehaves on empty segments, so sum only non-empty;
+        # dtype=int64 accumulates the uint8 bit matrix without an
+        # astype copy (the matrix is 64 B/word — the big intermediate)
+        sums = np.add.reduceat(bits, starts[nz], axis=0, dtype=np.int64)
+        vpos = 2 * sums > counts[nz, None]
+        shifts = np.arange(64, dtype=np.uint64)
+        out[nz] = (vpos.astype(np.uint64) << shifts[None, :]) \
+            .sum(axis=1, dtype=np.uint64)
+    return out
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word features (FNV-1a word hashes; the bit
-    tally is one vectorized numpy pass over all words)."""
+    """64-bit SimHash over word features (FNV-1a word hashes; both the
+    word hashing and the bit tally are vectorized numpy passes)."""
     words = text.lower().split()
     if not words:
         return 0
-    hs = np.array([_fnv64(w) for w in words], dtype=np.uint64)
-    shifts = np.arange(64, dtype=np.uint64)
-    bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-    v = (2 * bits - 1).sum(axis=0)
-    out = 0
-    for i in range(63, -1, -1):
-        out = (out << 1) | (1 if v[i] > 0 else 0)
-    return out
+    hs = _fnv64_words(words)
+    return int(_simhash_from_hashes(
+        hs, np.array([0], np.int64), np.array([len(words)], np.int64))[0])
 
 
 class SimHashBands:
@@ -304,20 +350,27 @@ class SimHashBands:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_pylist()
         texts = batch.column(self.text_col).to_pylist()
-        out_ids, out_sim, out_band, out_bucket = [], [], [], []
-        for doc_id, text in zip(ids, texts):
-            sh = simhash64(text or "")
-            for band in range(4):
-                bucket = (sh >> (band * 16)) & 0xFFFF
-                out_ids.append(doc_id)
-                out_sim.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
-                out_band.append(band)
-                out_bucket.append(bucket)
+        words_per_doc = [(t or "").lower().split() for t in texts]
+        counts = np.fromiter((len(w) for w in words_per_doc),
+                             dtype=np.int64, count=len(words_per_doc))
+        starts = np.concatenate(([0], np.cumsum(counts[:-1])))
+        flat = [w for ws in words_per_doc for w in ws]
+        if flat:
+            sh = _simhash_from_hashes(_fnv64_words(flat), starts, counts)
+        else:
+            sh = np.zeros(len(counts), dtype=np.uint64)
+        n = len(sh)
+        bands = np.tile(np.arange(4, dtype=np.int64), n)
+        rep = np.repeat(sh, 4)
+        buckets = (rep >> (bands.astype(np.uint64) * np.uint64(16))) \
+            & np.uint64(0xFFFF)
+        ids = batch.column(self.id_col).take(
+            pa.array(np.repeat(np.arange(n, dtype=np.int64), 4)))
         return pa.Table.from_arrays(
-            [pa.array(out_ids), pa.array(out_sim, pa.int64()),
-             pa.array(out_band, pa.int32()), pa.array(out_bucket, pa.int32())],
+            [ids, pa.array(rep.view(np.int64), pa.int64()),
+             pa.array(bands.astype(np.int32), pa.int32()),
+             pa.array(buckets.astype(np.int32), pa.int32())],
             names=[self.id_col, "simhash", "band", "bucket"])
 
 

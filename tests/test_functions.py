@@ -124,6 +124,38 @@ def test_simhash_near_duplicates_close():
     assert dedup.simhash64("same text") == dedup.simhash64("same text")
 
 
+def test_fnv64_vectorized_parity():
+    """The column-wise vectorized FNV-1a must stay bit-identical to the
+    scalar byte loop — including NUL-containing words (np.bytes_ pads
+    with NUL, so lengths must come from the encodings) and multi-byte
+    UTF-8."""
+    import numpy as np
+    words = ["the", "quick", "a", "longerwordhere", "naïve", "日本語",
+             "x\x00y", "t0day", "\x00", "z" * 100]
+    vec = dedup._fnv64_words(words)
+    ref = np.array([dedup._fnv64(w) for w in words], dtype=np.uint64)
+    assert (vec == ref).all()
+
+
+def test_simhash_bands_vectorized_parity():
+    """SimHashBands' batched segment-sum path must agree row-for-row
+    with per-doc simhash64 (incl. empty docs → hash 0) and keep the
+    int64 two's-complement simhash column and 4×16-bit band buckets."""
+    texts = ["alpha beta gamma", "", "x\x00y solo",
+             "the quick brown fox jumps over the lazy dog today"]
+    batch = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                      "text": texts})
+    out = dedup.SimHashBands()(batch)
+    assert out.num_rows == 16
+    for i, text in enumerate(texts):
+        sh = dedup.simhash64(text)
+        rows = out.filter(pa.compute.equal(out.column("doc_id"), i))
+        signed = sh - (1 << 64) if sh >= (1 << 63) else sh
+        assert rows.column("simhash").to_pylist() == [signed] * 4
+        assert rows.column("bucket").to_pylist() == \
+            [(sh >> (b * 16)) & 0xFFFF for b in range(4)]
+
+
 def test_exact_dedup_ids_ray(ray_session):
     import ray.data
     t = tbl([5, 3, 9, 1, 7], ["dup", "dup", "unique1", "dup", "unique2"])
