@@ -66,10 +66,17 @@ def _consume(result) -> int:
 def run_queries(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
     import ray
     if not ray.is_initialized():
+        # log_to_driver=False: worker-origin teardown noise (idle-worker
+        # SIGTERM traces mid-gc) otherwise lands on the driver's stderr
+        # and into the recorded bench tail; worker logs stay readable
+        # under /tmp/ray. The bench contract is the stdout JSON line.
         ray.init(address="local", num_cpus=num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+                 include_dashboard=False, logging_level="ERROR",
+                 log_to_driver=False)
     import ray.data
     ray.data.DataContext.get_current().enable_progress_bars = False
+    import logging
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as entrymod
 
@@ -212,9 +219,11 @@ def _child_extract(num_cpus: int) -> None:
     worker_slots = max(1, num_cpus * 7 // 8)
     import ray
     ray.init(address="local", num_cpus=worker_slots, include_dashboard=False,
-             logging_level="ERROR")
+             logging_level="ERROR", log_to_driver=False)
     import ray.data
     ray.data.DataContext.get_current().enable_progress_bars = False
+    import logging
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from htmlreader_ray.pipelines.extract_pipeline import extract_from_parquet
 
