@@ -445,10 +445,12 @@ def doc_similarity_topk(ds, *, text_col: str = "text",
     # tf ⋈ df hash-partitioned on the feature: the surviving-feature df
     # table scales with the corpus VOCABULARY, so it must never be
     # collected to the driver or ray.put-broadcast whole (the round-4
-    # scale flaw). Repartition both sides first — groupby/map_batches
-    # output can carry zero-column empty blocks that poison Acero hash
-    # joins (see dedup._scrub_empty_blocks).
-    joined = tf.repartition(parts).join(
+    # scale flaw). Only the df side is repartitioned first: its
+    # post-filter blocks can be empty and need coalescing before Acero
+    # (see dedup._scrub_empty_blocks), while the corpus-scale tf side
+    # comes straight from map_batches with its schema intact — an extra
+    # all-to-all there would double-shuffle the big side for nothing.
+    joined = tf.join(
         df.repartition(parts), join_type="inner",
         num_partitions=parts, on=("w",), right_on=("w",))
     scored = joined.map_batches(_TfIdfScore(n_docs, scale),
