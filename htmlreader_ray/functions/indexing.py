@@ -68,7 +68,8 @@ def _df_partials(batch: pa.Table) -> pa.Table:
 
 
 def inverted_index(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                   df_cap: int | None = None):
+                   df_cap: int | None = None,
+                   broadcast_max_hot: int = 2_000_000):
     """(term, postings, df): sorted unique doc_ids per term.
 
     (term, doc) pairs are distinct by construction — a document lives in
@@ -103,25 +104,35 @@ def inverted_index(ds, *, text_col: str = "text", id_col: str = "doc_id",
         .repartition(parts).groupby("term").aggregate(Sum("df")) \
         .map_batches(lambda b: b.rename_columns(["term", "df"]),
                      batch_format="pyarrow")
-    hot = df_tbl.filter(lambda r: r["df"] > df_cap)
-    # groupby/filter output can carry zero-column empty blocks (the
-    # dedup._scrub_empty_blocks pitfall) — drop them before concat
-    hot_blocks = [t for t in (ray.get(r) for r in hot.to_arrow_refs())
-                  if t.num_rows > 0]
-    hot_terms = (pa.concat_tables(hot_blocks).column("term")
-                 .combine_chunks() if hot_blocks
-                 else pa.chunked_array([pa.array([], pa.string())]))
-    hot_ref = ray.put(hot_terms)  # broadcast once, read per task
+    hot = df_tbl.filter(lambda r: r["df"] > df_cap).materialize()
+    if hot.count() <= broadcast_max_hot:
+        # groupby/filter output can carry zero-column empty blocks (the
+        # dedup._scrub_empty_blocks pitfall) — drop them before concat
+        hot_blocks = [t for t in (ray.get(r) for r in hot.to_arrow_refs())
+                      if t.num_rows > 0]
+        hot_terms = (pa.concat_tables(hot_blocks).column("term")
+                     .combine_chunks() if hot_blocks
+                     else pa.chunked_array([pa.array([], pa.string())]))
+        hot_ref = ray.put(hot_terms)  # broadcast once, read per task
 
-    def drop_hot(batch: pa.Table) -> pa.Table:
-        hs = ray.get(hot_ref)
-        if len(hs) == 0:
-            return batch
-        return batch.filter(
-            pc.invert(pc.is_in(batch.column("term"), value_set=hs)))
+        def drop_hot(batch: pa.Table) -> pa.Table:
+            hs = ray.get(hot_ref)
+            if len(hs) == 0:
+                return batch
+            return batch.filter(
+                pc.invert(pc.is_in(batch.column("term"), value_set=hs)))
 
-    cold = pairs.map_batches(drop_hot, batch_format="pyarrow") \
-        .repartition(parts).groupby("term") \
+        cold_pairs = pairs.map_batches(drop_hot, batch_format="pyarrow")
+    else:
+        # scale fallback: the hot set is the Zipf head (≤ n_tokens /
+        # df_cap terms) — usually tiny, but it grows with the corpus
+        # under a fixed absolute cap, so past the broadcast bound the
+        # filter becomes a term-keyed anti join instead of a driver
+        # round-trip (mirrors scoring.py's broadcast_max_vocab guard)
+        cold_pairs = pairs.join(
+            hot.select_columns(["term"]).repartition(parts),
+            join_type="left_anti", num_partitions=parts, on=("term",))
+    cold = cold_pairs.repartition(parts).groupby("term") \
         .map_groups(_postings_group, batch_format="pyarrow")
 
     def hot_rows(batch: pa.Table) -> pa.Table:

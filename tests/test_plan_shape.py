@@ -469,3 +469,28 @@ def test_doc_similarity_absolute_cap_binds(ray_session):
     # df=2 features ("rare one", "rare two") pair their two docs each
     assert list(map(tuple, out[["doc_a", "doc_b"]].values)) == \
         [(0, 1), (2, 3)]
+
+
+def test_inverted_index_hot_filter_join_fallback(ray_session):
+    """Past broadcast_max_hot, the hot-term filter becomes a term-keyed
+    left_anti join instead of a driver collect + ray.put broadcast (the
+    hot set is the Zipf head — ≤ n_tokens/df_cap terms, which grows
+    with the corpus under a fixed absolute cap). Both paths must agree
+    row-for-row."""
+    import ray.data as rd
+    from htmlreader_ray.functions.indexing import inverted_index
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": ["hot alpha", "hot beta", "hot gamma", "hot delta",
+                 "hot alpha", "hot zeta"]}))
+    a = inverted_index(docs, df_cap=3).to_pandas() \
+        .sort_values("term").reset_index(drop=True)
+    b = inverted_index(docs, df_cap=3, broadcast_max_hot=0).to_pandas() \
+        .sort_values("term").reset_index(drop=True)
+    import pandas.testing as pdt
+    pdt.assert_frame_equal(a, b)
+    assert a[a.term == "hot"].postings.isna().all()
+    ops = _shuffle_ops(inverted_index(docs, df_cap=3,
+                                      broadcast_max_hot=0))
+    assert ops.count("Join") == 1, ops
