@@ -64,3 +64,41 @@ def test_robots_filter_stage(ray_session):
                        "path": ["/a/1", "/b", "/a/1"]}))
     assert out.column("allowed").to_pylist() == [0, 1, 1]
     assert out.column("allowed").type == pa.int64()
+
+
+def test_robots_joined_parity_with_broadcast(ray_session):
+    """The web-scale host-join path (rules as a Dataset, packed
+    one-row-per-host, left-joined on host) must decide bit-identically
+    to the ray.put broadcast path — including hosts with no rules
+    (allowed) and the Allow length-tie."""
+    import ray
+    import ray.data as rd
+    from htmlreader_ray.functions.robots import robots_filter_joined
+
+    rules = {
+        "a.com": [("/x/", False), ("/x/ok", True)],
+        "b.com": [("/", False)],
+        "c.com": [("/p", True), ("/p", False)],   # tie -> Allow
+    }
+    urls = pa.table({
+        "host": ["a.com", "a.com", "a.com", "b.com", "d.com",
+                 "c.com", "c.com"],
+        "path": ["/x/no", "/x/ok/page", "/y", "/any", "/free",
+                 "/p/1", "/q"],
+        "uid": pa.array(range(7), pa.int64()),
+    })
+    ref = ray.put(rules)
+    bc = rd.from_arrow(urls).map_batches(
+        RobotsFilter(ref), batch_format="pyarrow").to_pandas() \
+        .sort_values("uid").reset_index(drop=True)
+    rule_rows = pa.table({
+        "host": [h for h, rs in rules.items() for _ in rs],
+        "prefix": [p for rs in rules.values() for p, _ in rs],
+        "allow": [a for rs in rules.values() for _, a in rs],
+    })
+    jn = robots_filter_joined(
+        rd.from_arrow(urls), rd.from_arrow(rule_rows)).to_pandas() \
+        .sort_values("uid").reset_index(drop=True)
+    import pandas.testing as pdt
+    pdt.assert_frame_equal(bc[["uid", "allowed"]], jn[["uid", "allowed"]])
+    assert jn.allowed.tolist() == [0, 1, 1, 0, 1, 1, 1]
