@@ -95,18 +95,29 @@ def run_queries(sf_dir: str, num_cpus: int, names: list[str],
     # and reproducibly doubles its sub-second wall (0.08 s adjacent vs
     # 0.16 s after an interposed aggregate — the r4 headline
     # regression). The aggregate warm therefore runs FIRST.
+    # Each warm-up is guarded separately: a shared try/except would let
+    # a failure in the aggregate or join warm silently cancel the
+    # extract warm-up — re-creating the exact cold-extract regression
+    # the ordering above exists to prevent, invisibly (worker stderr is
+    # not echoed with log_to_driver=False).
     try:
         _consume(qs["events_agg"](sf_dir))
-        if warm_join:
-            # the first Dataset.join of a session pays ~1 s of
-            # aggregator-actor spin-up (same class of fixed cost as the
-            # first Aggregate); the extended stanza primes it with a
-            # near-empty join. NOT done in the headline pass: the frozen
-            # headline value is the pass wall INCLUDING warm-up, so
-            # adding warm work there would break round-over-round
-            # comparability (and no headline query joins).
+    except Exception:
+        pass
+    if warm_join:
+        # the first Dataset.join of a session pays ~1 s of
+        # aggregator-actor spin-up (same class of fixed cost as the
+        # first Aggregate); the extended stanza primes it with a
+        # near-empty join. NOT done in the headline pass: the frozen
+        # headline value is the pass wall INCLUDING warm-up, so adding
+        # warm work there would break round-over-round comparability
+        # (and no headline query joins).
+        try:
             _consume(ray.data.range(64).join(
                 ray.data.range(64), "inner", 2, on=("id",)))
+        except Exception:
+            pass
+    try:
         _consume(qs["extract_interleaved"](sf_dir))
     except Exception:
         pass

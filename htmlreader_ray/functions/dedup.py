@@ -279,24 +279,21 @@ def _fnv64(w: str) -> int:
     return h
 
 
-def _fnv64_words(words: list[str]) -> "np.ndarray":
-    """FNV-1a over a word LIST, vectorized across words: the byte loop
-    runs over the longest word's width (typically ≤ 20 iterations) with
-    one numpy xor-multiply per byte COLUMN, not a Python loop per byte.
-    Bit-identical to _fnv64 (uint64 multiply wraps mod 2⁶⁴); pinned by
-    the simhash_near_pairs oracle and a parity test."""
-    enc = [w.encode("utf-8") for w in words]
-    # np.bytes_ arrays NUL-pad to the common width; a word from
-    # str.split() can still CONTAIN a NUL byte, so lengths come from
-    # the encodings, not from the padding
+def _fnv64_bytes(b: bytes) -> int:
+    h = _FNV_OFFSET
+    for byte in b:
+        h = ((h ^ byte) * _FNV_PRIME) & _U64
+    return h
+
+
+def _fnv64_block(enc: list, lens: "np.ndarray") -> "np.ndarray":
+    """Column-wise FNV-1a over one NUL-padded word block (all words of
+    comparable length — see _fnv64_words' bucketing)."""
     wb = np.array(enc, dtype=np.bytes_)
-    width = wb.dtype.itemsize
-    mat = wb.view(np.uint8).reshape(len(enc), width)
-    lens = np.fromiter((len(b) for b in enc), dtype=np.int64,
-                       count=len(enc))
+    mat = wb.view(np.uint8).reshape(len(enc), wb.dtype.itemsize)
     h = np.full(len(enc), _FNV_OFFSET, dtype=np.uint64)
     prime = np.uint64(_FNV_PRIME)
-    for j in range(width):
+    for j in range(mat.shape[1]):
         active = lens > j
         if not active.all():
             if not active.any():
@@ -306,6 +303,43 @@ def _fnv64_words(words: list[str]) -> "np.ndarray":
         else:
             h = (h ^ mat[:, j].astype(np.uint64)) * prime
     return h
+
+
+_FNV_VEC_MAX_LEN = 256          # longer tokens take the scalar path
+_FNV_BUCKETS = (8, 16, 32, 64, 128, 256)
+
+
+def _fnv64_words(words: list[str]) -> "np.ndarray":
+    """FNV-1a over a word LIST, vectorized across words: one numpy
+    xor-multiply per byte COLUMN, not a Python loop per byte.
+    Bit-identical to _fnv64 (uint64 multiply wraps mod 2⁶⁴); pinned by
+    the simhash_near_pairs oracle and a parity test.
+
+    Words are BUCKETED by length (powers of two up to 256) before the
+    NUL-padded np.bytes_ matrix is built, so padding waste is bounded
+    at 2× the actual bytes — without this, one long unbroken token
+    (base64 data-URI, minified JS), routine in crawl text, would pad
+    EVERY word of the batch to its length (measured: 1000 words + one
+    100 KB token → a 100 MB matrix). Tokens over 256 bytes are rare
+    enough that they take the scalar per-word path. Lengths come from
+    the encodings, not the padding — a str.split() word can still
+    CONTAIN a NUL byte."""
+    enc = [w.encode("utf-8") for w in words]
+    n = len(enc)
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n)
+    # offset basis = FNV of the empty string, so zero-length entries
+    # (impossible from str.split(), possible for direct callers) are
+    # correct without a bucket
+    out = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    lo = 0
+    for hi in _FNV_BUCKETS:
+        sel = np.nonzero((lens > lo) & (lens <= hi))[0]
+        if len(sel):
+            out[sel] = _fnv64_block([enc[i] for i in sel], lens[sel])
+        lo = hi
+    for i in np.nonzero(lens > _FNV_VEC_MAX_LEN)[0]:
+        out[i] = _fnv64_bytes(enc[i])
+    return out
 
 
 def _simhash_from_hashes(hs: "np.ndarray", starts: "np.ndarray",

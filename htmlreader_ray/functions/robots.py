@@ -154,14 +154,15 @@ def _apply_joined_rules(batch: pa.Table, host_col: str, path_col: str,
         hosts = hosts.combine_chunks()
     import json
     rj = batch.column("__rules_json")
+    if isinstance(rj, pa.ChunkedArray):
+        rj = rj.combine_chunks()
     rules_by_host: dict = {}
-    # one representative row per present host: rules are host-functional,
-    # and the JSON parse runs once per distinct host, not per row
-    seen: dict = {}
-    for i, h in enumerate(hosts.to_pylist()):
-        if h not in seen:
-            seen[h] = i
-    for h, i in seen.items():
+    # one representative row per present host (rules are host-functional):
+    # index_in finds each distinct host's first row in two Arrow kernels —
+    # no per-row Python — and the JSON parse runs once per distinct host
+    uniq = pc.unique(hosts)
+    first_idx = pc.index_in(uniq, value_set=hosts)
+    for h, i in zip(uniq.to_pylist(), first_idx.to_pylist()):
         v = rj[i].as_py()
         if v is None:
             continue

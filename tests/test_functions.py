@@ -131,10 +131,28 @@ def test_fnv64_vectorized_parity():
     UTF-8."""
     import numpy as np
     words = ["the", "quick", "a", "longerwordhere", "naïve", "日本語",
-             "x\x00y", "t0day", "\x00", "z" * 100]
+             "x\x00y", "t0day", "\x00", "z" * 100,
+             # bucket boundaries (8/16/32/64/128/256) + the scalar path
+             # for >256-byte tokens + the empty-string identity
+             "x" * 8, "x" * 9, "y" * 16, "y" * 17, "q" * 256, "q" * 257,
+             "B" * 10_000, ""]
     vec = dedup._fnv64_words(words)
     ref = np.array([dedup._fnv64(w) for w in words], dtype=np.uint64)
     assert (vec == ref).all()
+
+
+def test_fnv64_long_token_does_not_inflate_padding():
+    """One long unbroken token (base64 blob, minified JS — routine in
+    crawl text) must not set the pad width for the whole batch: words
+    are length-bucketed, so peak allocation stays proportional to the
+    actual bytes, not max_len × n_words."""
+    import tracemalloc
+    words = [f"word{i}" for i in range(1000)] + ["B" * 100_000]
+    tracemalloc.start()
+    dedup._fnv64_words(words)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 5_000_000, peak   # unbucketed: ~100 MB
 
 
 def test_simhash_bands_vectorized_parity():
